@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_cdc_2_3_0_src_spark import queries as catalog
+from flink_cdc_2_3_0_src_spark.session import get_spark
+
+# Headline set: aggregation, join-heavy, CDC materialization/normalization,
+# chunked snapshot — the shapes that dominate real workloads.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_volume",
+    "cdc_materialize",
+    "cdc_signed_sum",
+    "cdc_chunked_snapshot",
+    "events_hourly_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("cdc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers with a trivial scan (not timed)
+    catalog.ld(spark, sf_dir, "region").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""Changelog-aware relational operators (Part B of SURVEY.md §2).
+
+The reference delegates all relational processing to Flink SQL but its
+test suite asserts correctness of that surface over changelogs (e.g.
+``SELECT name, SUM(weight) FROM src GROUP BY name`` over updates+deletes,
+MySqlConnectorITCase.java:213-271). This module provides the Spark
+primitives that make plain DataFrame ops changelog-correct:
+
+  materialize(df, keys)   — latest image per key, deletes removed (B5
+                            upsert materialization; Flink's planner calls
+                            this ChangelogNormalize)
+  signed_agg(...)         — retraction-aware SUM/COUNT/AVG via signed
+                            deltas (B4): rows with op in (-U, -D) count
+                            negatively, so a plain groupBy().sum() over
+                            the signed column equals the aggregate over
+                            the materialized state
+  normalize_upsert(...)   — recover -U images for upsert-only sources
+                            (Mongo/TiDB shape, §1.1)
+  expand_updates(...)     — Debezium before/after envelope → -U/+U pairs
+                            (RowDataDebeziumDeserializeSchema.java:123-145)
+  append_metadata(...)    — §1.5 virtual columns
+
+Scale notes: materialize() is one shuffle on the key (max_by aggregation,
+partial-agg on the map side, AQE-coalesced); signed_agg avoids
+materialization entirely — a single shuffle straight to the aggregate,
+which is the plan you want at 100 TB (no per-key state, no window sort).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import (
+    DB_COL,
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    SEQ_COL,
+    TABLE_COL,
+)
+
+
+def materialize(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+    keep_meta: bool = False,
+) -> DataFrame:
+    """Latest row image per key with deletes removed (B5).
+
+    Implemented as max_by over the change sequence — a single hash
+    aggregation (one shuffle, map-side partial agg) instead of a window
+    sort; at scale this is O(n) with no per-partition sort. -U rows are
+    retraction images and never the final state, so they are filtered
+    before aggregation (they share the seq of their +U in some encodings).
+    """
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    payload = F.struct(*[F.col(c) for c in data_cols], F.col(op_col).alias("__op"))
+    latest = (
+        df.filter(F.col(op_col) != OP_UPDATE_BEFORE)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(payload, F.col(seq_col)).alias("__row"))
+    )
+    alive = latest.filter(F.col("__row.__op") != OP_DELETE)
+    out_cols = [F.col(f"__row.{c}").alias(c) for c in data_cols if c not in keys]
+    result = alive.select(*[F.col(k) for k in keys], *out_cols)
+    if keep_meta:
+        return result
+    meta = [c for c in (DB_COL, TABLE_COL) if c in result.columns]
+    return result.drop(*meta) if meta else result
+
+
+def signed(value: Column, op_col: str = OP_COL) -> Column:
+    """value with retraction sign applied: -1 for -U/-D, +1 otherwise (B4)."""
+    return F.when(
+        F.col(op_col).isin(OP_UPDATE_BEFORE, OP_DELETE), -value
+    ).otherwise(value)
+
+
+def signed_count(op_col: str = OP_COL) -> Column:
+    """COUNT with retractions: +1 for +I/+U, -1 for -U/-D."""
+    return F.sum(
+        F.when(F.col(op_col).isin(OP_UPDATE_BEFORE, OP_DELETE), F.lit(-1)).otherwise(
+            F.lit(1)
+        )
+    )
+
+
+def signed_sum(value: Column, op_col: str = OP_COL) -> Column:
+    return F.sum(signed(value, op_col))
+
+
+def signed_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, Column],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Grouped retraction-aware aggregation (B4).
+
+    Exact for SUM/COUNT/AVG; MIN/MAX are not retraction-computable without
+    state — use materialize() then aggregate for those.
+    """
+    aggs = [signed_sum(c, op_col).alias(name) for name, c in sum_cols.items()]
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def normalize_upsert(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Upsert stream (+I/+U/-D, after-images only) → full changelog with
+    -U before-images (the ChangelogNormalize step Flink's planner inserts
+    for Mongo/TiDB-shape sources, §1.1).
+
+    Requires per-key ordering state → window over (key, seq). This is the
+    one operator that genuinely needs a per-key sort; it's still a single
+    shuffle and the sort is bounded per key.
+
+    The emitted -U row carries the *previous* image with seq of the change
+    that retracts it minus nothing — we interleave via a fractional order:
+    each change at seq s emits its -U at the same s (retraction first by
+    op ordering).
+    """
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    prev_img = F.lag(F.struct(*[F.col(c) for c in data_cols])).over(w)
+    prev_op = F.lag(F.col(op_col)).over(w)
+    with_prev = df.withColumn("__prev", prev_img).withColumn("__prev_op", prev_op)
+    has_live_prev = F.col("__prev").isNotNull() & (F.col("__prev_op") != OP_DELETE)
+
+    # additions: every non-delete change emits its after-image; first-ever
+    # image (or first after a delete) is +I, otherwise +U
+    cur = (
+        with_prev.filter(F.col(op_col) != OP_DELETE)
+        .withColumn(
+            op_col,
+            F.when(~has_live_prev, F.lit(OP_INSERT)).otherwise(F.lit(OP_UPDATE_AFTER)),
+        )
+        .select(*data_cols, op_col, seq_col)
+    )
+
+    # retractions: updates emit -U of the previous image; deletes emit -D of
+    # the previous image (a delete's own payload is never the live state —
+    # retracting it would break signed-aggregate telescoping). Deletes of a
+    # non-live key emit nothing.
+    retract = with_prev.filter(has_live_prev).select(
+        *[F.col(f"__prev.{c}").alias(c) for c in data_cols],
+        F.when(F.col(op_col) == OP_DELETE, F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE_BEFORE))
+        .alias(op_col),
+        F.col(seq_col),
+    )
+    return cur.unionByName(retract)
+
+
+def expand_updates(
+    df: DataFrame,
+    before_col: str = "before",
+    after_col: str = "after",
+    op_col: str = "op",
+    seq_col: str = SEQ_COL,
+) -> DataFrame:
+    """Debezium envelope rows → changelog rows (A13 decode, update split).
+
+    Input: one row per change with struct columns ``before``/``after`` and
+    Debezium op codes (c/r/u/d). Output: flat rows with ``_op`` where
+    u → (-U from before) + (+U from after), matching
+    RowDataDebeziumDeserializeSchema.java:123-145. Implemented as a JVM-side
+    explode of a 1-or-2-element array — no Python UDF in the hot path.
+    """
+    other = [c for c in df.columns if c not in (before_col, after_col, op_col)]
+    img_op = F.when(F.col(op_col).isin("c", "r"), F.array(F.struct(F.col(after_col).alias("img"), F.lit(OP_INSERT).alias("o")))) \
+        .when(F.col(op_col) == "d", F.array(F.struct(F.col(before_col).alias("img"), F.lit(OP_DELETE).alias("o")))) \
+        .otherwise(
+            F.array(
+                F.struct(F.col(before_col).alias("img"), F.lit(OP_UPDATE_BEFORE).alias("o")),
+                F.struct(F.col(after_col).alias("img"), F.lit(OP_UPDATE_AFTER).alias("o")),
+            )
+        )
+    exploded = df.select(*other, F.explode(img_op).alias("__e"))
+    field_names = [f.name for f in df.schema[after_col].dataType.fields]
+    return exploded.select(
+        *[F.col(f"__e.img.{f}").alias(f) for f in field_names],
+        F.col("__e.o").alias(OP_COL),
+        *[c for c in other],
+    )
+
+
+def append_metadata(
+    df: DataFrame,
+    database: Optional[str] = None,
+    table: Optional[str] = None,
+    op_ts_col: Optional[str] = None,
+) -> DataFrame:
+    """§1.5 virtual metadata columns (_db, _table), snapshot op_ts = epoch 0
+    (reference MySqlReadableMetadata.java:33-81: op_ts is 0 for snapshot
+    rows; AppendMetadataCollector appends after physical columns)."""
+    out = df
+    if database is not None:
+        out = out.withColumn(DB_COL, F.lit(database))
+    if table is not None:
+        out = out.withColumn(TABLE_COL, F.lit(table))
+    if op_ts_col is not None and op_ts_col not in out.columns:
+        out = out.withColumn(op_ts_col, F.lit(0).cast("timestamp"))
+    return out

@@ -1,0 +1,466 @@
+"""Query catalog: every driver-checked query + its DuckDB oracle SQL.
+
+Each entry is (spark_fn, oracle_sql | None). The driver runs the Spark
+side at sf0.01 and hash-compares against the oracle (CORRECTNESS gate),
+so BOTH sides must produce identical column names AND identical values.
+
+Float-parity policy: any aggregated money/quantity column is summed as
+DECIMAL(18,2) (exact, order-independent) and cast to DOUBLE at the end in
+both engines; averages are computed as double/double division of those
+exact components. Per-row double arithmetic is IEEE-identical across
+engines and needs no special handling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import OP_COL, OP_DELETE, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.changelog import (
+    materialize,
+    normalize_upsert,
+    signed_agg,
+    signed_count,
+)
+from flink_cdc_2_3_0_src_spark.functions.debezium import (
+    from_debezium_json,
+    to_debezium_json,
+)
+from flink_cdc_2_3_0_src_spark.sources.parquet_dialect import ParquetTableSource
+from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+from flink_cdc_2_3_0_src_spark.io import load_table as ld  # noqa: E402
+
+
+def dec(c):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2 Part B — delegated ops the reference's
+# tests exercise over CDC outputs; here over the materialized snapshot).
+# --------------------------------------------------------------------------
+
+# B2/B4: grouped aggregation — TPC-H Q1 shape (flagship query).
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = ld(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice") * (one - dec("l_discount")) * (one + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)).cast("double")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# B3 + joins: TPC-H Q3 shape (shipping priority, top-k over join).
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = ld(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = ld(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# Multi-way join with broadcast dims: TPC-H Q5 shape.
+@register(
+    "q5_regional_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = ld(spark, sf_dir, "lineitem")
+    s = ld(spark, sf_dir, "supplier")
+    n = ld(spark, sf_dir, "nation")
+    r = ld(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# B2/B3: projection + filter (pushdown-eligible).
+@register(
+    "b2_projection_filter",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+    """,
+)
+def b2_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ld(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 100000))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# Sort / limit (top-k).
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ld(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# Grouping sets / rollup.
+@register(
+    "rollup_sales",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ld(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+# Window functions: top-5 customers per market segment.
+@register(
+    "window_rank_customers",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer
+    ) WHERE rnk <= 5
+    """,
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        ld(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# Set operations.
+@register(
+    "set_ops_customers",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        ld(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        ld(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+# Anti-join (NOT EXISTS subquery shape).
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# Event-time tumbling window aggregation (streaming-shape, batch-checked).
+@register(
+    "events_hourly_window",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ld(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC operators (SURVEY.md §2 Part A + changelog semantics Part B)
+# --------------------------------------------------------------------------
+
+_SCRIPTED_LOG_SQL = """
+    SELECT user_id, value, ts,
+           CASE WHEN event_type = 'signup' THEN '+I'
+                WHEN event_type = 'error' THEN '-D'
+                ELSE '+U' END AS _op,
+           event_id AS _seq
+    FROM events
+"""
+
+_MATERIALIZED_SQL = f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, value, ts FROM latest WHERE rn = 1 AND _op <> '-D'
+"""
+
+
+# B5: upsert materialization (latest image per key, deletes removed).
+@register("cdc_materialize", _MATERIALIZED_SQL)
+def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = scripted_changelog(spark, sf_dir)
+    return materialize(log, ["user_id"])
+
+
+# A12-adjacent: changelog op statistics.
+@register(
+    "cdc_changelog_stats",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL})
+    SELECT _op, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_keys
+    FROM log GROUP BY _op
+    """,
+)
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = scripted_changelog(spark, sf_dir)
+    return log.groupBy(OP_COL).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+
+
+# B4: retraction-aware aggregation — signed sums over the normalized
+# changelog must equal the aggregate over the final materialized state
+# (that equality IS the oracle).
+@register(
+    "cdc_signed_sum",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT user_id % 10 AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_live
+    FROM m GROUP BY user_id % 10
+    """,
+)
+def cdc_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = scripted_changelog(spark, sf_dir)
+    norm = normalize_upsert(log, ["user_id"])
+    out = signed_agg(
+        norm.withColumn("bucket", F.col("user_id") % 10),
+        ["bucket"],
+        {"sum_value": dec("value")},
+    )
+    live = norm.groupBy(F.expr("user_id % 10").alias("bucket")).agg(
+        signed_count().alias("n_live")
+    )
+    return (
+        out.join(live, "bucket")
+        .filter(F.col("n_live") > 0)
+        .select(
+            "bucket", F.col("sum_value").cast("double").alias("sum_value"), "n_live"
+        )
+    )
+
+
+# A3-A5/A9: chunked parallel snapshot == full table scan.
+@register("cdc_chunked_snapshot", "SELECT * FROM lineitem")
+def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ParquetTableSource(spark, sf_dir, "lineitem", split_key="l_orderkey")
+    return src.chunked_scan().drop(OP_COL, SEQ_COL)
+
+
+# §1.5/B12: metadata columns.
+@register(
+    "cdc_metadata_columns",
+    """
+    SELECT c_custkey, 'testdb' AS _db, 'customer' AS _table FROM customer
+    """,
+)
+def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ParquetTableSource(spark, sf_dir, "customer", split_key="c_custkey")
+    return src.scan(with_metadata=True).select("c_custkey", "_db", "_table")
+
+
+# A13/A15/B14: Debezium-JSON round trip preserves materialized state.
+@register(
+    "cdc_dbz_roundtrip",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, value FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_dbz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = scripted_changelog(spark, sf_dir).select("user_id", "value", OP_COL, SEQ_COL)
+    norm = normalize_upsert(log, ["user_id"])
+    encoded = to_debezium_json(norm, ["user_id", "value"])
+    payload_schema = norm.select("user_id", "value").schema
+    decoded = from_debezium_json(encoded, payload_schema)
+    return materialize(decoded, ["user_id"])

@@ -1,0 +1,78 @@
+"""Mimic the driver's DuckDB-oracle compare locally.
+
+For each query: run the Spark side and the oracle SQL on the same parquet
+tables, sort columns by name, sort rows, and compare values with exact
+semantics (doubles must match to near-bit precision). This is the local
+guard for CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def run_oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    return cols, cur.fetchall()
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_val(r[i]) for i in order))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> Optional[str]:
+    """Return None if match, else a human-readable diff summary."""
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    o_cols, o_rows = run_oracle(oracle_sql, sf_dir)
+    ns_cols, ns_rows = normalize(s_cols, s_rows)
+    no_cols, no_rows = normalize(o_cols, o_rows)
+    if [c.lower() for c in ns_cols] != [c.lower() for c in no_cols]:
+        return f"column mismatch: spark={ns_cols} oracle={no_cols}"
+    if len(ns_rows) != len(no_rows):
+        return f"row count mismatch: spark={len(ns_rows)} oracle={len(no_rows)}"
+    for i, (a, b) in enumerate(zip(ns_rows, no_rows)):
+        for x, y in zip(a, b):
+            if not _val_eq(x, y):
+                return f"value mismatch at sorted-row {i}: spark={a} oracle={b}"
+    return None
+
+
+def _val_eq(x, y) -> bool:
+    if x is None or y is None:
+        return x is None and y is None
+    if isinstance(x, float) or isinstance(y, float):
+        try:
+            fx, fy = float(x), float(y)
+        except (TypeError, ValueError):
+            return str(x) == str(y)
+        if math.isnan(fx) and math.isnan(fy):
+            return True
+        return fx == fy or abs(fx - fy) <= 1e-9 * max(abs(fx), abs(fy), 1.0)
+    if type(x) is not type(y):
+        return str(x) == str(y)
+    return x == y
