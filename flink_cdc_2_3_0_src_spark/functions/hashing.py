@@ -1,0 +1,315 @@
+"""Portable deterministic hashing — identical results in Spark and DuckDB.
+
+The correctness gate runs every query against a DuckDB oracle, so the
+dedup/fingerprint operators need a hash function both engines compute
+bit-identically. Built-ins (xxhash64, murmur) differ across engines;
+instead we use a character-level polynomial rolling hash:
+
+    H(s) = fold over code points c:  acc <- (acc * 31 + c) mod 1e9+7
+
+computed via ``aggregate`` (Spark) / ``list_reduce`` (DuckDB) — both
+JVM/vectorized-native, no Python UDFs. Parity is covered by
+tests/test_llm_ops.py.
+
+MinHash permutations are the classic  h_j(x) = (a_j * x + b_j) mod P
+with P = 2^31-1 and (a_j, b_j) from a fixed LCG so both engines embed
+the same literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+POLY_MOD = 1_000_000_007
+POLY_MULT = 31
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+# ---- deterministic (a_j, b_j) for minhash permutations ----
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """k (a, b) pairs from a fixed LCG — same constants on both engines."""
+    params = []
+    state = 88172645463325252
+    for _ in range(k):
+        state = (6364136223846793005 * state + 1442695040888963407) % (2**64)
+        a = (state >> 16) % (MERSENNE_P - 1) + 1  # a in [1, P-1]
+        state = (6364136223846793005 * state + 1442695040888963407) % (2**64)
+        b = (state >> 16) % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+# --------------------------------------------------------------------------
+# Spark side
+#
+# Spark's higher-order functions (transform/aggregate) are evaluated
+# interpreted, not codegen'd — char-level hashing through them costs
+# ~10 ms/row. The hot path therefore uses Arrow-batched Pandas UDFs
+# (~100× faster); the column-expression variants are kept for parity
+# tests and as documentation of the exact algorithm.
+# --------------------------------------------------------------------------
+
+
+def _py_poly_hash(x: str | None) -> int | None:
+    if x is None:
+        return None
+    acc = 0
+    for ch in x:
+        acc = (acc * POLY_MULT + ord(ch)) % POLY_MOD
+    return acc
+
+
+# pandas_udf parses its DDL return type against the active session, so
+# UDF objects must be created lazily (first use) and cached — caching
+# also makes repeated references inside one plan structurally equal, so
+# Spark's UDF extraction evaluates each distinct call once.
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _cached(key: str, maker):
+    if key not in _UDF_CACHE:
+        _UDF_CACHE[key] = maker()
+    return _UDF_CACHE[key]
+
+
+def _make_poly_hash_udf():
+    @F.pandas_udf("long")
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(_py_poly_hash)
+
+    return _h
+
+
+def _make_poly_hash_array_udf():
+    @F.pandas_udf("array<long>")
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda lst: None if lst is None else [_py_poly_hash(x) for x in lst]
+        )
+
+    return _h
+
+
+def _make_minhash_udf(k: int):  # noqa: D401
+    params = minhash_params(k)
+
+    @F.pandas_udf("array<long>")
+    def _mh(s: pd.Series) -> pd.Series:
+        def sig(hs):
+            if hs is None or len(hs) == 0:
+                return None
+            h = np.asarray(hs, dtype=np.int64)
+            return [int(((a * h + b) % MERSENNE_P).min()) for a, b in params]
+
+        return s.map(sig)
+
+    return _mh
+
+
+def _make_simhash_udf(bits: int):
+    bit_vals = np.array([1 << b for b in range(bits)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sh(s: pd.Series) -> pd.Series:
+        def sh(tokens_list):
+            if tokens_list is None or len(tokens_list) == 0:
+                return 0
+            hs = np.array([_py_poly_hash(t) for t in tokens_list], dtype=np.int64)
+            # votes[b] = sum over tokens of +-1 depending on bit b of hash
+            bits_mat = (hs[:, None] & bit_vals[None, :]) != 0
+            votes = np.where(bits_mat, 1, -1).sum(axis=0)
+            return int((bit_vals * (votes > 0)).sum())
+
+        return s.map(sh)
+
+    return _sh
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Python twin of tokens(): lowercase whitespace split, no empties.
+
+    re's \\s on ASCII text matches exactly what Spark/DuckDB regex split
+    does; all three tokenizers agree on the testdata corpus.
+    """
+    import re
+
+    return [t for t in re.split(r"\s+", text.lower()) if t]
+
+
+def _py_shingles(text: str, n: int) -> list[str]:
+    toks = _py_tokens(text)
+    if len(toks) >= n:
+        sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    else:
+        sh = [" ".join(toks)]
+    seen: set[str] = set()
+    out = []
+    for s in sh:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _make_shingles_udf(n: int):
+    @F.pandas_udf("array<string>")
+    def _s(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: None if t is None else _py_shingles(t, n))
+
+    return _s
+
+
+def _make_minhash_text_udf(k: int, n: int):
+    params = minhash_params(k)
+
+    @F.pandas_udf("array<long>")
+    def _m(s: pd.Series) -> pd.Series:
+        def sig(text):
+            if text is None:
+                return None
+            hs = np.array(
+                [_py_poly_hash(x) for x in _py_shingles(text, n)], dtype=np.int64
+            )
+            if hs.size == 0:
+                return None
+            return [int(((a * hs + b) % MERSENNE_P).min()) for a, b in params]
+
+        return s.map(sig)
+
+    return _m
+
+
+def _make_simhash_text_udf(bits: int):
+    bit_vals = np.array([1 << b for b in range(bits)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sh(s: pd.Series) -> pd.Series:
+        def sh(text):
+            if text is None:
+                return 0
+            toks = _py_tokens(text)
+            if not toks:
+                return 0
+            hs = np.array([_py_poly_hash(t) for t in toks], dtype=np.int64)
+            bits_mat = (hs[:, None] & bit_vals[None, :]) != 0
+            votes = np.where(bits_mat, 1, -1).sum(axis=0)
+            return int((bit_vals * (votes > 0)).sum())
+
+        return s.map(sh)
+
+    return _sh
+
+
+def poly_hash(col: Column) -> Column:
+    """H(s) — Arrow-batched vectorized UDF (hot path)."""
+    return _cached("poly", _make_poly_hash_udf)(col)
+
+
+def shingles_text(col: Column, n: int = 3) -> Column:
+    """text → distinct n-word shingles, single pass (the Catalyst
+    higher-order-function formulation re-tokenizes per shingle element —
+    O(tokens²) regex splits; this is O(tokens))."""
+    return _cached(f"shingles{n}", lambda: _make_shingles_udf(n))(col)
+
+
+def minhash_sig_text(col: Column, k: int = 16, n: int = 3) -> Column:
+    """text → k-value minhash signature, single pass."""
+    return _cached(f"mh_text{k}_{n}", lambda: _make_minhash_text_udf(k, n))(col)
+
+
+def simhash_text(col: Column, bits: int = 32) -> Column:
+    """text → SimHash, single pass."""
+    return _cached(f"sh_text{bits}", lambda: _make_simhash_text_udf(bits))(col)
+
+
+def poly_hash_array(arr: Column) -> Column:
+    """Element-wise H over an array<string> column."""
+    return _cached("poly_arr", _make_poly_hash_array_udf)(arr)
+
+
+def minhash_signature_arr(hashes: Column, k: int = 16) -> Column:
+    """k minhash values over array<long> — one vectorized UDF call."""
+    return _cached(f"minhash{k}", lambda: _make_minhash_udf(k))(hashes)
+
+
+def simhash_from_tokens(toks: Column, bits: int = 32) -> Column:
+    """SimHash (bit votes over token hashes, with multiplicity) — one
+    vectorized UDF, no explode/shuffle."""
+    return _cached(f"simhash{bits}", lambda: _make_simhash_udf(bits))(toks)
+
+
+# ---- column-expression reference implementations (parity-tested) ----
+
+
+def poly_hash_expr(col: Column) -> Column:
+    """H(s) as a pure Catalyst expression (slow; reference only)."""
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_MULT + F.ascii(c)) % POLY_MOD,
+    )
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed — the shared
+    tokenizer for every text operator."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingle strings; short docs fall back to one whole-doc
+    shingle so every doc has a non-empty shingle set."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+
+
+def minhash_signature(hashes: Column, k: int = 16) -> list[Column]:
+    """k minhash values as columns of one vectorized signature array."""
+    sig = minhash_signature_arr(hashes, k)
+    return [F.element_at(sig, j + 1) for j in range(k)]
+
+
+# --------------------------------------------------------------------------
+# DuckDB side (SQL fragment builders — MUST mirror the Spark expressions)
+# --------------------------------------------------------------------------
+
+
+def sql_poly_hash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[CAST(ascii(c) AS BIGINT) for c in string_split({expr}, '') if c <> '']), "
+        f"(acc, c) -> (acc * {POLY_MULT} + c) % {POLY_MOD})"
+    )
+
+
+def sql_tokens(expr: str) -> str:
+    return f"[t for t in string_split_regex(lower({expr}), '\\s+') if t <> '']"
+
+
+def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
+    gram = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(__t) >= {n} THEN "
+        f"[{gram} for i in generate_series(1, len(__t) - {n - 1})] "
+        f"ELSE [array_to_string(__t, ' ')] END "
+        f"FROM (SELECT {toks_expr} AS __t) __sh)"
+    )
+
+
+def sql_minhash(hashes_expr: str, k: int = 16) -> list[str]:
+    out = []
+    for a, b in minhash_params(k):
+        out.append(
+            f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in {hashes_expr}])"
+        )
+    return out

@@ -1,0 +1,259 @@
+"""Similarity search over embedding columns (array<float>).
+
+  ann_topk       — brute-force cosine top-k: broadcast the (small) query
+                   set against the corpus; dot products via zip_with +
+                   aggregate, all JVM-side. At 100 TB this is the exact
+                   baseline — one broadcast, no shuffle, scan-bound.
+  ann_lsh        — random-hyperplane (SimHash-for-vectors) bucketed
+                   variant: 8 fixed hyperplanes → 256 buckets; candidate
+                   search restricted to the query's bucket. The bucket
+                   join replaces the full cross product — the scale path
+                   (equi-join on bucket id, ~1/256 of the work).
+  neardup_cosine — blocked near-duplicate pairs (same label) above a
+                   cosine threshold.
+
+Cosine values are rounded to 6dp *before* ranking/thresholding in both
+engines so sub-ulp summation differences can never flip a comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_HYPERPLANES = 8
+COSINE_NEARDUP_THRESHOLD = 0.4
+_HP_SCALE = 1000
+
+_UDF_CACHE: dict[str, object] = {}
+
+
+def _cos6_udf():
+    """round(cosine(a, b), 6) — Arrow-batched, numpy-vectorized.
+
+    Rounding to 6dp absorbs sub-ulp summation-order differences between
+    numpy, Spark and DuckDB."""
+    if "cos6" not in _UDF_CACHE:
+
+        @F.pandas_udf("double")
+        def _c(a: pd.Series, b: pd.Series) -> pd.Series:
+            am = np.stack(a.to_numpy())
+            bm = np.stack(b.to_numpy())
+            dots = (am * bm).sum(axis=1)
+            nrm = np.sqrt((am * am).sum(axis=1)) * np.sqrt((bm * bm).sum(axis=1))
+            return pd.Series(np.round(dots / nrm, 6))
+
+        _UDF_CACHE["cos6"] = _c
+    return _UDF_CACHE["cos6"]
+
+
+def _bucket_udf(dim: int):
+    """Random-hyperplane LSH bucket id — one matmul per Arrow batch."""
+    key = f"bucket{dim}"
+    if key not in _UDF_CACHE:
+        planes = np.array(hyperplanes(dim)).T  # dim x n_planes
+        bit_vals = np.array([1 << j for j in range(planes.shape[1])], dtype=np.int64)
+
+        @F.pandas_udf("long")
+        def _b(v: pd.Series) -> pd.Series:
+            m = np.stack(v.to_numpy())
+            dots = np.round(m @ planes, 6)
+            return pd.Series(((dots >= 0) * bit_vals).sum(axis=1).astype(np.int64))
+
+        _UDF_CACHE[key] = _b
+    return _UDF_CACHE[key]
+
+
+def hyperplanes(dim: int, n: int = N_HYPERPLANES) -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes with exactly-representable
+    rational components (k/1000), identical literals in both engines."""
+    state = 1234567891011
+    planes = []
+    for _ in range(n):
+        comps = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (2**64)
+            comps.append(((state >> 20) % (2 * _HP_SCALE + 1) - _HP_SCALE) / _HP_SCALE)
+        planes.append(comps)
+    return planes
+
+
+def _vec(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+
+
+def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k for vec_id < n_queries.
+
+    Queries are broadcast; cosine is one numpy matmul-shaped pandas UDF
+    per Arrow batch. At cluster scale this is scan-bound with no shuffle
+    until the final (tiny) top-k window."""
+    base = emb.select("vec_id", _vec().alias("v"))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos6_udf()(F.col("v"), F.col("qv")).alias("cos6"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def bucket_expr(v: Column, dim: int) -> Column:
+    """Random-hyperplane LSH bucket id (sign-bit concatenation)."""
+    planes = hyperplanes(dim)
+    bucket = None
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(F.round(_dot(v, arr), 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def ann_lsh(emb: DataFrame, dim: int, n_queries: int = 10, k: int = 3) -> DataFrame:
+    """Bucketed ANN: candidates share the query's hyperplane bucket —
+    an equi-join on bucket id instead of a cross product (scale path)."""
+    base = emb.select("vec_id", _vec().alias("v")).withColumn(
+        "bucket", _bucket_udf(dim)(F.col("v"))
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos6_udf()(F.col("v"), F.col("qv")).alias("cos6"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def neardup_cosine(
+    emb: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
+) -> DataFrame:
+    """Same-label blocked near-dup pairs above a cosine threshold."""
+    base = emb.select("vec_id", "label", _vec().alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cos6_udf()(F.col("a.v"), F.col("b.v")).alias("cos6"),
+        )
+        .filter(F.col("cos6") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle twins
+# --------------------------------------------------------------------------
+
+_VEC_CTE = """
+    e AS (
+        SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_sum([x * x for x in v])) AS nrm
+        FROM e
+    )
+"""
+
+_DOT_AB = "list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])"
+_DOT_NQ = "list_sum([n.v[i] * q.qv[i] for i in generate_series(1, len(n.v))])"
+
+ANN_TOPK_SQL = f"""
+    WITH {_VEC_CTE},
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10
+    ),
+    p AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               round({_DOT_NQ} / (n.nrm * q.qn), 6) AS cos6
+        FROM n, q WHERE n.vec_id != q.query_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rnk
+        FROM p
+    )
+    SELECT query_id, neighbor_id, cos6, rnk FROM r WHERE rnk <= 5
+"""
+
+
+def _sql_bucket(vec: str, dim: int) -> str:
+    planes = hyperplanes(dim)
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(c) for c in plane)
+        terms.append(
+            f"CASE WHEN round(list_sum([{vec}[i] * ([{lits}])[i] "
+            f"for i in generate_series(1, {dim})]), 6) >= 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def ann_lsh_sql(dim: int) -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    bk AS (
+        SELECT vec_id, label, v, nrm, {_sql_bucket('v', dim)} AS bucket FROM n
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qbucket
+        FROM bk WHERE vec_id < 10
+    ),
+    p AS (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               round({_DOT_NQ.replace('n.', 'n.')} / (n.nrm * q.qn), 6) AS cos6
+        FROM bk n, q WHERE n.bucket = q.qbucket AND n.vec_id != q.query_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id) AS rnk
+        FROM p
+    )
+    SELECT query_id, neighbor_id, cos6, rnk FROM r WHERE rnk <= 3
+"""
+
+
+NEARDUP_COSINE_SQL = f"""
+    WITH {_VEC_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cos6
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_DOT_AB} / (a.nrm * b.nrm), 6) >= {COSINE_NEARDUP_THRESHOLD}
+"""

@@ -1,0 +1,195 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is pure Spark column expressions (codegen'd, no
+Python UDFs): language-ID (stopword-marker heuristic), quality scoring,
+token counting, document fingerprinting (polynomial rolling hash).
+
+Each operator has a DuckDB-oracle twin built from the same constants
+(functions/hashing.py) so the driver's correctness gate can verify it.
+
+Scale: every operator is a narrow projection over ``documents`` —
+embarrassingly parallel, no shuffle, pushdown-friendly (only ``doc_id``
+and ``text`` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.functions.hashing import (
+    POLY_MOD,
+    POLY_MULT,
+    poly_hash,
+    sql_poly_hash,
+    sql_tokens,
+    tokens,
+)
+
+# language marker words: tiny deterministic n-gram-free LID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "una"],
+}
+STOPWORDS = sorted(set(w for ws in LANG_MARKERS.values() for w in ws))
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def normalized_text(text_col: Column) -> Column:
+    """lowercase + whitespace-collapsed canonical form."""
+    return F.concat_ws(" ", tokens(text_col))
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Rolling-hash fingerprint of the normalized text."""
+    return poly_hash(normalized_text(text_col))
+
+
+def marker_count(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: marker_count(toks, ms) for lang, ms in LANG_MARKERS.items()}
+
+
+def predict_lang(scores: dict[str, Column]) -> Column:
+    """argmax with deterministic tie-break in en > de > fr > es order."""
+    c = scores
+    return (
+        F.when(
+            (c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), "en"
+        )
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), "de")
+        .when(c["fr"] >= c["es"], "fr")
+        .otherwise("es")
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]:
+    0.5 * stopword_ratio + 0.5 * min(1, n_tokens/64), rounded to 6dp.
+    Same double arithmetic as the SQL twin."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = n_stop.cast("double") / F.greatest(n, F.lit(1)).cast("double")
+    lenf = F.least(F.lit(1.0), n.cast("double") / F.lit(64.0))
+    return F.round(F.lit(0.5) * ratio + F.lit(0.5) * lenf, 6)
+
+
+# --------------------------------------------------------------------------
+# query builders + oracle SQL
+# --------------------------------------------------------------------------
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("len_chars"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, text, {sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS len_chars,
+           {sql_poly_hash("array_to_string(toks, ' ')")} AS fp
+    FROM tk
+"""
+
+
+def text_lang_id(docs: DataFrame) -> DataFrame:
+    toks = tokens(F.col("text"))
+    scores = lang_scores(toks)
+    return docs.select(
+        "doc_id",
+        "lang",
+        predict_lang(scores).alias("pred_lang"),
+        *[scores[k].alias(f"score_{k}") for k in LANG_MARKERS],
+    )
+
+
+def _sql_marker_count(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len([t for t in toks if list_contains([{lst}], t)])"
+
+
+TEXT_LANG_ID_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, lang, {sql_tokens('text')} AS toks FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, lang,
+               {_sql_marker_count(LANG_MARKERS['en'])} AS score_en,
+               {_sql_marker_count(LANG_MARKERS['de'])} AS score_de,
+               {_sql_marker_count(LANG_MARKERS['fr'])} AS score_fr,
+               {_sql_marker_count(LANG_MARKERS['es'])} AS score_es
+        FROM tk
+    )
+    SELECT doc_id, lang,
+           CASE WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                WHEN score_fr >= score_es THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           score_en, score_de, score_fr, score_es
+    FROM sc
+"""
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_STOP_LIST_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+TEXT_QUALITY_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(0.5 * (CAST(len([t for t in toks if list_contains([{_STOP_LIST_SQL}], t)]) AS DOUBLE)
+                        / CAST(greatest(len(toks), 1) AS DOUBLE))
+               + 0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 64.0), 6) AS quality
+    FROM tk
+"""
+
+
+def dedup_exact_stats(docs: DataFrame) -> DataFrame:
+    """Exact-dup statistics per source: hash-groupBy dedup (the exact
+    dedup primitive at scale — one shuffle on the fingerprint)."""
+    with_fp = docs.select("source", fingerprint(F.col("text")).alias("fp"), "text")
+    return with_fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct("fp").alias("n_distinct_fps"),
+    )
+
+
+DEDUP_EXACT_STATS_SQL = f"""
+    WITH tk AS (
+        SELECT source, text, {sql_tokens('text')} AS toks FROM documents
+    ),
+    fp AS (
+        SELECT source, text, {sql_poly_hash("array_to_string(toks, ' ')")} AS fp FROM tk
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_texts,
+           COUNT(DISTINCT fp) AS n_distinct_fps
+    FROM fp GROUP BY source
+"""

@@ -407,22 +407,20 @@ def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cdc_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import signed_sum
+
     log = scripted_changelog(spark, sf_dir)
     norm = normalize_upsert(log, ["user_id"])
-    out = signed_agg(
-        norm.withColumn("bucket", F.col("user_id") % 10),
-        ["bucket"],
-        {"sum_value": dec("value")},
-    )
-    live = norm.groupBy(F.expr("user_id % 10").alias("bucket")).agg(
-        signed_count().alias("n_live")
-    )
+    # one shuffle: both signed aggregates in a single hash aggregation
     return (
-        out.join(live, "bucket")
-        .filter(F.col("n_live") > 0)
-        .select(
-            "bucket", F.col("sum_value").cast("double").alias("sum_value"), "n_live"
+        norm.withColumn("bucket", F.col("user_id") % 10)
+        .groupBy("bucket")
+        .agg(
+            signed_sum(dec("value")).alias("sum_dec"),
+            signed_count().alias("n_live"),
         )
+        .filter(F.col("n_live") > 0)
+        .select("bucket", F.col("sum_dec").cast("double").alias("sum_value"), "n_live")
     )
 
 
@@ -443,6 +441,71 @@ def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ParquetTableSource(spark, sf_dir, "customer", split_key="c_custkey")
     return src.scan(with_metadata=True).select("c_custkey", "_db", "_table")
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators: text analysis, dedup, similarity search
+# --------------------------------------------------------------------------
+from flink_cdc_2_3_0_src_spark.operators import dedup as _dedup  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import similarity as _sim  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
+
+
+@register("text_stats", _text.TEXT_STATS_SQL)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.text_stats(ld(spark, sf_dir, "documents"))
+
+
+@register("text_lang_id", _text.TEXT_LANG_ID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.text_lang_id(ld(spark, sf_dir, "documents"))
+
+
+@register("text_quality", _text.TEXT_QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.text_quality(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_exact_stats", _text.DEDUP_EXACT_STATS_SQL)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.dedup_exact_stats(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_sigs", _dedup.MINHASH_SIGS_SQL)
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_sigs(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh_pairs", _dedup.LSH_PAIRS_SQL)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.lsh_pairs(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", _dedup.SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", _dedup.NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.ngram_jaccard_pairs(
+        ld(spark, sf_dir, "documents"), ["source", "lang"], 0.1
+    )
+
+
+@register("ann_topk_cosine", _sim.ANN_TOPK_SQL)
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_topk(ld(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh_bucketed", _sim.ann_lsh_sql(64))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_lsh(ld(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register("dedup_embedding_cosine", _sim.NEARDUP_COSINE_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.neardup_cosine(ld(spark, sf_dir, "embeddings"))
 
 
 # A13/A15/B14: Debezium-JSON round trip preserves materialized state.
