@@ -508,6 +508,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.neardup_cosine(ld(spark, sf_dir, "embeddings"))
 
 
+# A6-A10/A16-A17: the full DBLog-style hybrid snapshot+stream pipeline —
+# chunked snapshot with per-chunk watermarks racing the log, backfill
+# merge, chunk-HW stream filter — must reconstruct exactly the state the
+# plain materialization gives (that equality IS the algorithm's contract).
+@register("cdc_hybrid_pipeline", _MATERIALIZED_SQL)
+def cdc_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import ChunkRange
+    from flink_cdc_2_3_0_src_spark.streaming.hybrid import HybridPipeline
+
+    log = scripted_changelog(spark, sf_dir)
+    p = HybridPipeline(spark, log, ["user_id"])
+    chunks = [ChunkRange(None, 8), ChunkRange(8, 16), ChunkRange(16, None)]
+    final = p.run(chunks, "user_id", watermarks=lambda i: (200 + 100 * i, 250 + 150 * i))
+    return final.select("user_id", "value", "ts")
+
+
 # A13/A15/B14: Debezium-JSON round trip preserves materialized state.
 @register(
     "cdc_dbz_roundtrip",

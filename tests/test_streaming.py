@@ -1,0 +1,144 @@
+"""Hybrid snapshot+stream reconciliation and exactly-once sink tests —
+the Spark equivalents of the reference's SnapshotSplitReaderTest /
+BinlogSplitReaderTest / failover ITCases (B13)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import SEQ_COL, ChunkRange
+from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
+from flink_cdc_2_3_0_src_spark.streaming.hybrid import HybridPipeline
+from flink_cdc_2_3_0_src_spark.streaming.replay import (
+    read_replay_stream,
+    write_replay_files,
+)
+from flink_cdc_2_3_0_src_spark.streaming.sink import UpsertParquetSink
+from tests.conftest import SF_SMOKE
+
+CHUNKS = [ChunkRange(None, 8), ChunkRange(8, 16), ChunkRange(16, None)]
+
+
+def oracle_state(spark):
+    log = scripted_changelog(spark, SF_SMOKE)
+    return {
+        (r["user_id"], r["value"])
+        for r in materialize(log, ["user_id"]).collect()
+    }
+
+
+def test_snapshot_chunk_backfill_merge(spark):
+    """A6/A7: chunk scan at low + backfill (low, high] == state at high."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    p = HybridPipeline(spark, log, ["user_id"])
+    chunk = ChunkRange(5, 15)
+    got = p.snapshot_chunk(chunk, "user_id", low_watermark=300, high_watermark=700)
+    expect = (
+        p.db_state_at(700)
+        .filter("user_id >= 5 AND user_id < 15")
+    )
+    g = {(r["user_id"], r["value"]) for r in got.collect()}
+    e = {(r["user_id"], r["value"]) for r in expect.collect()}
+    assert g == e
+
+
+def test_snapshot_backfill_skip(spark):
+    """A8: low == high → pure scan, no merge."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    p = HybridPipeline(spark, log, ["user_id"])
+    got = p.snapshot_chunk(ChunkRange(None, None), "user_id", 500, 500)
+    e = {(r["user_id"], r["value"]) for r in p.db_state_at(500).collect()}
+    g = {(r["user_id"], r["value"]) for r in got.collect()}
+    assert g == e
+
+
+def test_hybrid_pipeline_reconciliation(spark):
+    """Full DBLog algorithm: per-chunk watermarks racing the log, stream
+    filtered per chunk HW — final materialized table equals the oracle."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    p = HybridPipeline(spark, log, ["user_id"])
+    # each chunk snapshots at a different moment (the race the watermark
+    # algorithm must survive)
+    wm = lambda i: (200 + 100 * i, 250 + 150 * i)
+    final = p.run(CHUNKS, "user_id", watermarks=wm)
+    got = {(r["user_id"], r["value"]) for r in final.collect()}
+    assert got == oracle_state(spark)
+
+
+def test_manifest_resume(spark, tmp_path):
+    """A18: kill mid-snapshot, resume from manifest, same result."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    mpath = str(tmp_path / "manifest.json")
+    wm = lambda i: (100 + 200 * i, 400 + 200 * i)
+
+    p1 = HybridPipeline(spark, log, ["user_id"], manifest_path=mpath)
+    # run only the first two chunks, then "crash"
+    p1.run_snapshot_phase(CHUNKS[:2], "user_id", watermarks=wm)
+
+    p2 = HybridPipeline(spark, log, ["user_id"], manifest_path=mpath)
+    snap, manifest = p2.run_snapshot_phase(CHUNKS, "user_id", watermarks=lambda i: (0, 0))
+    # resumed chunks keep their original watermarks from the manifest
+    assert manifest.chunks[0].high_watermark == 400
+    assert manifest.chunks[1].high_watermark == 600
+    assert len(manifest.chunks) == 3
+    stream_events = p2.stream_filter(
+        log.filter(F.col(SEQ_COL) > manifest.min_high_watermark()), manifest
+    )
+    final = materialize(snap.unionByName(stream_events), ["user_id"])
+    got = {(r["user_id"], r["value"]) for r in final.collect()}
+    assert got == oracle_state(spark)
+
+
+def _run_stream(spark, replay_dir, sink_path, ckpt, timeout_s=60):
+    schema = None
+    log = scripted_changelog(spark, SF_SMOKE)
+    sink = UpsertParquetSink(spark, sink_path, ["user_id"])
+    stream = read_replay_stream(
+        spark, replay_dir, log.schema
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return sink
+
+
+def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
+    """B13: replay the log as microbatches through foreachBatch + upsert
+    sink; kill after the first run half-way, restart from the same
+    checkpoint — final state equals the oracle exactly once."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    replay_dir = str(tmp_path / "replay")
+    write_replay_files(log, replay_dir, n_files=6)
+    sink_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process only the first 3 files (simulated crash: stop the
+    # query once at least one batch is through)
+    sink = UpsertParquetSink(spark, sink_path, ["user_id"])
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and sink.current_version() is None:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    assert sink.current_version() is not None  # some progress happened
+
+    # phase 2: restart from checkpoint, drain everything
+    sink2 = _run_stream(spark, replay_dir, sink_path, ckpt)
+    state = sink2.read_state()
+    got = {(r["user_id"], r["value"]) for r in state.collect()}
+    assert got == oracle_state(spark)
