@@ -1,0 +1,146 @@
+"""Source configuration + validation (A21, A33).
+
+Option names mirror the reference's public option surface
+(MySqlSourceOptions.java) so a user of the reference can port a DDL
+``WITH (...)`` block 1:1. Validation reproduces
+MySqlTableSourceFactory.java:113-123, 270-345 + MySqlValidator checks as
+build-time ValueErrors.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from flink_cdc_2_3_0_src_spark.model import StartupMode
+from flink_cdc_2_3_0_src_spark.plans.chunking import (
+    DEFAULT_CHUNK_SIZE,
+    DEFAULT_DIST_FACTOR_LOWER,
+    DEFAULT_DIST_FACTOR_UPPER,
+)
+
+
+@dataclass
+class SourceConfig:
+    hostname: str = "localhost"
+    port: int = 3306
+    username: str = ""
+    password: str = ""
+    database_list: list[str] = field(default_factory=list)   # regex include
+    table_list: list[str] = field(default_factory=list)      # regex include
+    server_id: Optional[str] = None                          # "5400" | "5400-5404"
+    server_time_zone: str = "UTC"
+    # snapshot chunking (defaults = reference MySqlSourceOptions.java)
+    incremental_snapshot_enabled: bool = True
+    chunk_size: int = DEFAULT_CHUNK_SIZE                     # :104-106
+    fetch_size: int = 1024                                   # :111-113
+    chunk_key_column: Optional[str] = None
+    dist_factor_lower: float = DEFAULT_DIST_FACTOR_LOWER     # :207-213
+    dist_factor_upper: float = DEFAULT_DIST_FACTOR_UPPER     # :215-222
+    connection_pool_size: int = 20                           # :125-127
+    connect_timeout_sec: int = 30                            # :118-120
+    connect_max_retries: int = 3                             # :129-133
+    # startup (A21, StartupOptions.java:29-95)
+    startup_mode: StartupMode = StartupMode.INITIAL
+    startup_specific_offset_file: Optional[str] = None
+    startup_specific_offset_pos: Optional[int] = None
+    startup_specific_gtid_set: Optional[str] = None
+    startup_timestamp_ms: Optional[int] = None
+    # misc
+    heartbeat_interval_sec: int = 30                         # :188-190
+    scan_newly_added_table_enabled: bool = False             # :233-235
+    include_schema_changes: bool = False
+    parallelism: int = 1
+
+    def validate(self) -> "SourceConfig":
+        """A33 build-time checks; raises ValueError like the reference
+        throws ValidationException."""
+        if self.chunk_size < 1:
+            raise ValueError("chunk.size must be >= 1")
+        if self.fetch_size < 1:
+            raise ValueError("fetch.size must be >= 1")
+        if not (0 < self.dist_factor_lower <= 1.0):
+            raise ValueError(
+                "chunk-key.even-distribution.factor.lower-bound must be in (0, 1]"
+            )
+        if self.dist_factor_upper < 1.0:
+            raise ValueError(
+                "chunk-key.even-distribution.factor.upper-bound must be >= 1"
+            )
+        if self.dist_factor_lower > self.dist_factor_upper:
+            raise ValueError("distribution factor lower bound > upper bound")
+        for pattern in (*self.database_list, *self.table_list):
+            try:
+                re.compile(pattern)
+            except re.error as e:
+                raise ValueError(f"invalid include regex {pattern!r}: {e}") from e
+        if self.server_id is not None:
+            lo, _, hi = self.server_id.partition("-")
+            if not lo.isdigit() or (hi and not hi.isdigit()):
+                raise ValueError(f"invalid server-id {self.server_id!r}")
+            # server-id range must cover parallelism
+            # (MySqlTableSourceFactory.java:270-345)
+            span = (int(hi) - int(lo) + 1) if hi else 1
+            if span < self.parallelism:
+                raise ValueError(
+                    f"server-id range {self.server_id} smaller than "
+                    f"parallelism {self.parallelism}"
+                )
+        if self.startup_mode == StartupMode.SPECIFIC_OFFSET:
+            if self.startup_specific_gtid_set is None and (
+                self.startup_specific_offset_file is None
+                or self.startup_specific_offset_pos is None
+            ):
+                raise ValueError(
+                    "specific-offset startup requires (file, pos) or gtid set"
+                )
+        if self.startup_mode == StartupMode.TIMESTAMP and self.startup_timestamp_ms is None:
+            raise ValueError("timestamp startup requires startup_timestamp_ms")
+        return self
+
+    @staticmethod
+    def from_options(opts: dict[str, str]) -> "SourceConfig":
+        """Build from a reference-style option map ('hostname', 'port',
+        'scan.incremental.snapshot.chunk.size', 'scan.startup.mode', ...)."""
+        c = SourceConfig()
+        simple = {
+            "hostname": ("hostname", str),
+            "port": ("port", int),
+            "username": ("username", str),
+            "password": ("password", str),
+            "server-id": ("server_id", str),
+            "server-time-zone": ("server_time_zone", str),
+            "scan.incremental.snapshot.enabled": ("incremental_snapshot_enabled", lambda v: v == "true"),
+            "scan.incremental.snapshot.chunk.size": ("chunk_size", int),
+            "scan.snapshot.fetch.size": ("fetch_size", int),
+            "scan.incremental.snapshot.chunk.key-column": ("chunk_key_column", str),
+            "chunk-key.even-distribution.factor.lower-bound": ("dist_factor_lower", float),
+            "chunk-key.even-distribution.factor.upper-bound": ("dist_factor_upper", float),
+            "connection.pool.size": ("connection_pool_size", int),
+            "connect.timeout": ("connect_timeout_sec", lambda v: int(v.rstrip("s"))),
+            "connect.max-retries": ("connect_max_retries", int),
+            "heartbeat.interval": ("heartbeat_interval_sec", lambda v: int(v.rstrip("s"))),
+            "scan.newly-added-table.enabled": ("scan_newly_added_table_enabled", lambda v: v == "true"),
+            "include-schema-changes": ("include_schema_changes", lambda v: v == "true"),
+        }
+        for k, v in opts.items():
+            if k == "database-name":
+                c.database_list = [v] if isinstance(v, str) else list(v)
+            elif k == "table-name":
+                c.table_list = [v] if isinstance(v, str) else list(v)
+            elif k == "scan.startup.mode":
+                c.startup_mode = StartupMode(v)
+            elif k == "scan.startup.specific-offset.file":
+                c.startup_specific_offset_file = v
+            elif k == "scan.startup.specific-offset.pos":
+                c.startup_specific_offset_pos = int(v)
+            elif k == "scan.startup.specific-offset.gtid-set":
+                c.startup_specific_gtid_set = v
+            elif k == "scan.startup.timestamp-millis":
+                c.startup_timestamp_ms = int(v)
+            elif k in simple:
+                attr, conv = simple[k]
+                setattr(c, attr, conv(v))
+            # unknown keys are ignored (forward compatibility)
+        return c

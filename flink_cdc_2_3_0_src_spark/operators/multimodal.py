@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Policy for a 100 TB training-data pipeline: media lives in opaque
+``binary`` columns with typed metadata alongside; decode/resize/
+frame-sample run as Arrow-batched ``mapInPandas`` stages so bytes move
+executor-local in columnar batches (never through the driver, never
+row-at-a-time). The image/audio codecs aren't installed in this
+container, so the decode kernels are STUBBED behind import guards with
+deterministic fakes — the Spark-side plumbing (schema, batch iteration,
+partitioning, UDF signatures) is real and tested.
+
+Asset schema convention:
+    asset_id   long
+    media_type string ('image' | 'audio' | 'video')
+    content    binary          -- opaque payload
+    meta       struct(...)     -- typed, e.g. width/height/sample_rate
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_hash", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_image(content: bytes) -> "object":
+    """Decode an image payload. STUB: no codec libs in this container."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires Pillow; install it on the cluster image. "
+            "Tests use extract_features' deterministic byte-level fallback."
+        )
+    raise NotImplementedError("real decode path not exercised in this environment")
+
+
+def _byte_feature(content: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'embedding': mean of each byte stripe. Stands
+    in for a real vision/audio encoder with the same shape contract."""
+    if not content:
+        return [0.0] * dim
+    stride = max(1, len(content) // dim)
+    out = []
+    for i in range(dim):
+        chunk = content[i * stride : (i + 1) * stride] or content[-stride:]
+        out.append(float(sum(chunk)) / (255.0 * max(1, len(chunk))))
+    return out
+
+
+def _content_hash(content: bytes) -> int:
+    acc = 0
+    for b in content:
+        acc = (acc * 31 + b) % 1_000_000_007
+    return acc
+
+
+def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real plumbing: Arrow batches of (asset_id, media_type, content) in,
+    typed feature rows out; decode errors isolated per asset. The
+    decode step itself falls back to the deterministic byte-level
+    feature when codec libraries are absent.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, hashes, sizes = [], [], []
+            for content in pdf["content"]:
+                b = bytes(content) if content is not None else b""
+                sizes.append(len(b))
+                hashes.append(_content_hash(b))
+                try:
+                    _decode_image(b)  # real path (unavailable here)
+                    feats.append(_byte_feature(b))
+                except NotImplementedError:
+                    feats.append(_byte_feature(b))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "content_hash": pd.Series(hashes, dtype="int64"),
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Test adapter: document text bytes as opaque media payloads."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )

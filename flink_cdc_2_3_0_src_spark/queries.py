@@ -446,6 +446,7 @@ def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators: text analysis, dedup, similarity search
 # --------------------------------------------------------------------------
+from flink_cdc_2_3_0_src_spark.functions.hashing import sql_poly_hash  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import dedup as _dedup  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import similarity as _sim  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
@@ -506,6 +507,41 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_embedding_cosine", _sim.NEARDUP_COSINE_SQL)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.neardup_cosine(ld(spark, sf_dir, "embeddings"))
+
+
+# Multimodal plumbing: binary payloads through mapInPandas feature
+# extraction. The oracle checks the byte-level metadata (sizes + content
+# hash — text is ASCII so byte hash == char hash); the feature vector
+# shape is covered by tests/test_multimodal.py.
+@register(
+    "multimodal_binary_stats",
+    f"""
+    WITH feat AS (
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text)) AS n_bytes,
+               {sql_poly_hash('text')} AS content_hash
+        FROM documents
+    )
+    SELECT media_type, COUNT(*) AS n_assets,
+           SUM(n_bytes) AS total_bytes,
+           COUNT(DISTINCT content_hash) AS n_distinct_payloads
+    FROM (SELECT 'image' AS media_type, * FROM feat)
+    GROUP BY media_type
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import (
+        documents_as_assets,
+        extract_features,
+    )
+
+    assets = documents_as_assets(ld(spark, sf_dir, "documents"))
+    feats = extract_features(assets)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        F.countDistinct("content_hash").alias("n_distinct_payloads"),
+    )
 
 
 # A6-A10/A16-A17: the full DBLog-style hybrid snapshot+stream pipeline —

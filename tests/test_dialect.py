@@ -1,0 +1,145 @@
+"""Unit tests: type mapping (§1.4), config validation (A33), JDBC
+dialect planning against a scripted SQL runner (A1/A2/A4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.config import SourceConfig
+from flink_cdc_2_3_0_src_spark.model import StartupMode, TableId
+from flink_cdc_2_3_0_src_spark.sources.jdbc import JdbcDialect
+from flink_cdc_2_3_0_src_spark.types import mysql_type_to_spark
+
+
+@pytest.mark.parametrize(
+    "decl,expected",
+    [
+        ("TINYINT(1)", T.BooleanType()),
+        ("BOOLEAN", T.BooleanType()),
+        ("TINYINT", T.ByteType()),
+        ("TINYINT UNSIGNED", T.ShortType()),
+        ("SMALLINT", T.ShortType()),
+        ("SMALLINT UNSIGNED", T.IntegerType()),
+        ("INT", T.IntegerType()),
+        ("INT UNSIGNED", T.LongType()),
+        ("BIGINT", T.LongType()),
+        ("BIGINT UNSIGNED", T.DecimalType(20, 0)),
+        ("SERIAL", T.DecimalType(20, 0)),
+        ("DECIMAL(10,2)", T.DecimalType(10, 2)),
+        ("NUMERIC(38,10)", T.DecimalType(38, 10)),
+        ("DECIMAL(45,10)", T.StringType()),  # p>38 → STRING
+        ("FLOAT", T.FloatType()),
+        ("DOUBLE", T.DoubleType()),
+        ("DATE", T.DateType()),
+        ("TIME(3)", T.IntegerType()),  # millis-of-day convention
+        ("DATETIME(6)", T.TimestampNTZType()),
+        ("TIMESTAMP", T.TimestampNTZType()),
+        ("VARCHAR(255)", T.StringType()),
+        ("TEXT", T.StringType()),
+        ("VARBINARY(16)", T.BinaryType()),
+        ("BLOB", T.BinaryType()),
+        ("ENUM('a','b')", T.StringType()),
+        ("JSON", T.StringType()),
+        ("GEOMETRY", T.StringType()),
+    ],
+)
+def test_mysql_type_mapping(decl, expected):
+    assert mysql_type_to_spark(decl) == expected
+
+
+def test_config_validation_errors():
+    with pytest.raises(ValueError, match="chunk.size"):
+        SourceConfig(chunk_size=0).validate()
+    with pytest.raises(ValueError, match="regex"):
+        SourceConfig(table_list=["db.(unclosed"]).validate()
+    with pytest.raises(ValueError, match="server-id"):
+        SourceConfig(server_id="abc").validate()
+    with pytest.raises(ValueError, match="parallelism"):
+        SourceConfig(server_id="5400-5401", parallelism=4).validate()
+    with pytest.raises(ValueError, match="specific-offset"):
+        SourceConfig(startup_mode=StartupMode.SPECIFIC_OFFSET).validate()
+    with pytest.raises(ValueError, match="timestamp"):
+        SourceConfig(startup_mode=StartupMode.TIMESTAMP).validate()
+    # valid config passes
+    SourceConfig(server_id="5400-5404", parallelism=4).validate()
+
+
+def test_config_from_reference_options():
+    c = SourceConfig.from_options(
+        {
+            "hostname": "db.example",
+            "port": "3307",
+            "database-name": "app_db",
+            "table-name": "app_db\\.orders_.*",
+            "scan.incremental.snapshot.chunk.size": "4096",
+            "scan.startup.mode": "timestamp",
+            "scan.startup.timestamp-millis": "1700000000000",
+            "server-id": "5400-5408",
+            "connect.timeout": "45s",
+        }
+    )
+    assert c.port == 3307 and c.chunk_size == 4096
+    assert c.startup_mode == StartupMode.TIMESTAMP
+    assert c.startup_timestamp_ms == 1700000000000
+    assert c.connect_timeout_sec == 45
+    c.parallelism = 8
+    c.validate()
+
+
+class ScriptedRunner:
+    """Fake DB: answers the dialect's SQL by pattern."""
+
+    def __init__(self, keys):
+        self.keys = sorted(keys)
+        self.log = []
+
+    def __call__(self, sql: str):
+        self.log.append(sql)
+        s = sql.lower()
+        if "information_schema.tables" in s and "table_type" in s:
+            return [("app_db", "orders"), ("app_db", "audit"), ("other", "x")]
+        if "key_column_usage" in s:
+            return [("id",)]
+        if "min(" in s:
+            return [(self.keys[0], self.keys[-1])]
+        if "table_rows" in s:
+            return [(len(self.keys),)]
+        if "order by" in s and "limit" in s:
+            low = int(s.split(">=")[1].split("order")[0].strip())
+            limit = int(s.rsplit("limit", 1)[1].split(")")[0].strip())
+            window = [k for k in self.keys if k >= low][:limit]
+            return [(window[-1] if window else None,)]
+        if "show master status" in s:
+            return [("mysql-bin.000003", 4567)]
+        raise AssertionError(f"unexpected SQL: {sql}")
+
+
+def test_jdbc_dialect_discovery_and_planning():
+    keys = [1, 2, 3, 1000, 1001, 1002, 1003, 5000, 5001, 9999]
+    cfg = SourceConfig(
+        database_list=["app_db"], table_list=["app_db\\.orders"], chunk_size=4
+    )
+    d = JdbcDialect(cfg, ScriptedRunner(keys))
+    tables = d.discover_tables()
+    assert tables == [TableId("app_db", None, "orders")]
+    t = tables[0]
+    assert d.split_key(t) == "id"
+    splits = d.planner(t).plan_splits()
+    # sparse keys → uneven path; every key in exactly one chunk
+    for k in keys:
+        assert sum(1 for s in splits if s.range.contains(k)) == 1
+    assert splits[0].range.start is None and splits[-1].range.end is None
+    assert d.current_offset() == ("mysql-bin.000003", 4567)
+
+
+def test_jdbc_no_pk_raises():
+    class NoPk(ScriptedRunner):
+        def __call__(self, sql):
+            if "key_column_usage" in sql.lower():
+                return []
+            return super().__call__(sql)
+
+    d = JdbcDialect(SourceConfig(), NoPk([1]))
+    with pytest.raises(ValueError, match="no primary key"):
+        d.split_key(TableId("db", None, "t"))
