@@ -125,6 +125,7 @@ class ChunkPlanner:
         dist_factor_lower: float = DEFAULT_DIST_FACTOR_LOWER,
         dist_factor_upper: float = DEFAULT_DIST_FACTOR_UPPER,
         throttle: bool = False,
+        max_chunks: Optional[int] = None,
     ) -> None:
         if chunk_size < 1:
             raise ValueError("chunk_size must be >= 1")  # A33
@@ -136,6 +137,10 @@ class ChunkPlanner:
         self.dist_factor_lower = dist_factor_lower
         self.dist_factor_upper = dist_factor_upper
         self.throttle = throttle
+        # bound total chunk count (task count at scale): effective chunk
+        # size grows with the table so a 100x scale-up can't produce 100x
+        # scheduler load / repeated-scan overhead
+        self.max_chunks = max_chunks
 
     def plan(self, resume_from: Any = None) -> Iterator[ChunkRange]:
         """Yield chunk ranges; prefers the even fast path (1 analyze query
@@ -145,13 +150,18 @@ class ChunkPlanner:
         if a.approx_row_count == 0 or a.min_key is None:
             yield ChunkRange(None, None)
             return
+        chunk_size = self.chunk_size
+        if self.max_chunks:
+            chunk_size = max(
+                chunk_size, -(-a.approx_row_count // self.max_chunks)
+            )
         if a.numeric and resume_from is None:
             factor = calculate_distribution_factor(
                 a.min_key, a.max_key, a.approx_row_count
             )
             if self.dist_factor_lower <= factor <= self.dist_factor_upper:
                 yield from split_evenly_sized_chunks(
-                    a.min_key, a.max_key, a.approx_row_count, self.chunk_size, factor
+                    a.min_key, a.max_key, a.approx_row_count, chunk_size, factor
                 )
                 return
         yield from self._plan_uneven(a, resume_from)

@@ -346,6 +346,249 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q7 shape: volume shipping between nation pairs.
+@register(
+    "q7_nation_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = ld(spark, sf_dir, "lineitem")
+    o = ld(spark, sf_dir, "orders")
+    c = ld(spark, sf_dir, "customer")
+    s = ld(spark, sf_dir, "supplier")
+    n1 = ld(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = ld(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# TPC-H Q10 shape: top returned-item customers.
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    l = ld(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = ld(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# CUBE grouping sets.
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ld(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+# Scalar string/date function surface (delegated ops, §2 Part B note).
+@register(
+    "scalar_functions",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 3)) AS prio,
+           concat(o_orderstatus, '-', CAST(year(o_orderdate) AS VARCHAR)) AS status_year,
+           year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+           length(o_orderpriority) AS prio_len,
+           round(o_totalprice / 1000.0, 2) AS price_k,
+           CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 2147483647)).alias("prio"),
+        F.concat(
+            F.col("o_orderstatus"),
+            F.lit("-"),
+            F.year("o_orderdate").cast("string"),
+        ).alias("status_year"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+
+
+# JSON extraction over the events props column.
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ld(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+    )
+
+
+# Sessionization: gap-based session windows per user (window-function
+# surface; the streaming twin is a session window over the event stream).
+@register(
+    "events_sessionize",
+    """
+    WITH d AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM d
+    )
+    SELECT user_id, sess_id, COUNT(*) AS n_events,
+           min(ts) AS sess_start, max(ts) AS sess_end
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = ld(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    d = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    s = d.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )
+
+
+# B11: multi-table regex capture — one changelog from several tables.
+@register(
+    "cdc_multi_table_capture",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS key, 'customer' AS _table FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey AS BIGINT) AS key, 'supplier' AS _table FROM supplier
+    """,
+)
+def cdc_multi_table_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import TableId, match_tables
+
+    captured = match_tables(
+        [TableId("testdb", None, t) for t in
+         ("customer", "supplier", "orders", "lineitem")],
+        ["testdb"],
+        ["testdb\\.(customer|supplier)"],
+    )
+    key_col = {"customer": "c_custkey", "supplier": "s_suppkey"}
+    parts = []
+    for tid in captured:
+        src = ParquetTableSource(spark, sf_dir, tid.table, split_key=key_col[tid.table])
+        parts.append(
+            src.scan(with_metadata=True).select(
+                F.col(key_col[tid.table]).cast("long").alias("key"), "_table"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # --------------------------------------------------------------------------
 # CDC operators (SURVEY.md §2 Part A + changelog semantics Part B)
 # --------------------------------------------------------------------------
@@ -427,7 +670,13 @@ def cdc_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3-A5/A9: chunked parallel snapshot == full table scan.
 @register("cdc_chunked_snapshot", "SELECT * FROM lineitem")
 def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = ParquetTableSource(spark, sf_dir, "lineitem", split_key="l_orderkey")
+    # chunk_size 2000 keeps the plan multi-chunk at every test SF;
+    # max_chunks=16 bounds scan count as the table scales (at 100 TB the
+    # equivalent knob bounds snapshot task count per table)
+    src = ParquetTableSource(
+        spark, sf_dir, "lineitem", split_key="l_orderkey",
+        chunk_size=2000, max_chunks=16,
+    )
     return src.chunked_scan().drop(OP_COL, SEQ_COL)
 
 

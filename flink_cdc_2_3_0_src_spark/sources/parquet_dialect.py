@@ -52,6 +52,7 @@ class ParquetTableSource:
         table: str,
         split_key: Optional[str] = None,
         chunk_size: int = DEFAULT_CHUNK_SIZE,
+        max_chunks: Optional[int] = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
@@ -60,6 +61,7 @@ class ParquetTableSource:
         self.path = f"{sf_dir}/{table}.parquet"
         self.split_key = split_key
         self.chunk_size = chunk_size
+        self.max_chunks = max_chunks
 
     def raw(self) -> DataFrame:
         from flink_cdc_2_3_0_src_spark.io import load_table
@@ -92,6 +94,7 @@ class ParquetTableSource:
             analyze=self.analyze,
             query_next_chunk_max=self.query_next_chunk_max,
             chunk_size=kw.pop("chunk_size", self.chunk_size),
+            max_chunks=kw.pop("max_chunks", self.max_chunks),
             **kw,
         )
 
