@@ -200,6 +200,40 @@ class ChunkPlanner:
         ]
 
 
+def percentile_chunks(df, key: str, num_chunks: int) -> list[ChunkRange]:
+    """Equi-height chunking from exact key percentiles (A26).
+
+    The Spark-first equivalent of MongoDB's $sample + $bucketAuto
+    strategy (reference SampleBucketSplitStrategy.split:76-155): one
+    aggregation computes the key distribution's quantile boundaries;
+    each adjacent pair becomes a chunk. Deterministic (exact
+    percentiles, not random sampling) and a single job regardless of
+    chunk count — for non-uniform keys this replaces the N round-trip
+    uneven path with one pass.
+    """
+    from pyspark.sql import functions as F
+
+    if num_chunks <= 1:
+        return [ChunkRange(None, None)]
+    fracs = [i / num_chunks for i in range(1, num_chunks)]
+    row = df.agg(
+        F.percentile(F.col(key), F.array(*[F.lit(f) for f in fracs])).alias("bounds")
+    ).collect()[0]
+    bounds = []
+    for b in row["bounds"] or []:
+        # dedupe collapsed boundaries (heavy key skew)
+        v = int(b) if float(b).is_integer() else float(b)
+        if not bounds or bounds[-1] != v:
+            bounds.append(v)
+    chunks: list[ChunkRange] = []
+    prev = None
+    for b in bounds:
+        chunks.append(ChunkRange(prev, b))
+        prev = b
+    chunks.append(ChunkRange(prev, None))
+    return chunks
+
+
 def spark_analyze(df, key: str) -> TableAnalysis:
     """Analyze callback for DataFrame-backed dialects (parquet test dialect).
 

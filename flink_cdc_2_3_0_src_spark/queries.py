@@ -680,6 +680,21 @@ def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.chunked_scan().drop(OP_COL, SEQ_COL)
 
 
+# A26: sample/bucket (equi-height percentile) chunking — one aggregation
+# plans all chunks; union of chunk scans == full table.
+@register("cdc_sample_bucket_snapshot", "SELECT * FROM orders")
+def cdc_sample_bucket_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.chunking import percentile_chunks
+
+    src = ParquetTableSource(spark, sf_dir, "orders", split_key="o_orderkey")
+    chunks = percentile_chunks(src.raw(), "o_orderkey", 8)
+    dfs = [src.read_chunk(c) for c in chunks]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 # §1.5/B12: metadata columns.
 @register(
     "cdc_metadata_columns",
@@ -690,6 +705,52 @@ def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = ParquetTableSource(spark, sf_dir, "customer", split_key="c_custkey")
     return src.scan(with_metadata=True).select("c_custkey", "_db", "_table")
+
+
+# A21/B9/A11: timestamp startup mode — the source must emit exactly the
+# events at/after t0, and the materialization over that suffix must match
+# SQL over the same suffix.
+@register(
+    "cdc_startup_timestamp",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    cut AS (
+        SELECT * FROM log WHERE epoch_ms(ts) >= 1705276800000
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM cut
+    )
+    SELECT user_id, value FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_startup_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.config import SourceConfig
+    from flink_cdc_2_3_0_src_spark.model import StartupMode
+    from flink_cdc_2_3_0_src_spark.streaming.startup import apply_startup_mode
+
+    cfg = SourceConfig(
+        startup_mode=StartupMode.TIMESTAMP,
+        startup_timestamp_ms=1705276800000,  # 2024-01-15T00:00:00Z
+    )
+    log = scripted_changelog(spark, sf_dir)
+    stream = apply_startup_mode(log, cfg)
+    return materialize(stream, ["user_id"]).select("user_id", "value")
+
+
+# B10: non-numeric PK chunking — string split key forces the lazy uneven
+# path (ORDER BY ... LIMIT next-chunk-max); chunked scan must equal the
+# plain table scan.
+@register("cdc_chunked_snapshot_string_pk", "SELECT * FROM customer")
+def cdc_chunked_snapshot_string_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # string keys take the lazy uneven path, whose chunk count is set by
+    # chunk_size directly — scale it with the table to bound scan count
+    n = ld(spark, sf_dir, "customer").count()
+    src = ParquetTableSource(
+        spark, sf_dir, "customer", split_key="c_name",
+        chunk_size=max(40, n // 8),
+    )
+    return src.chunked_scan().drop(OP_COL, SEQ_COL)
 
 
 # --------------------------------------------------------------------------
@@ -719,6 +780,56 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_exact_stats", _text.DEDUP_EXACT_STATS_SQL)
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.dedup_exact_stats(ld(spark, sf_dir, "documents"))
+
+
+# Corpus token histogram: explode + count — the canonical big-shuffle
+# text op (partial aggregation keeps the shuffle narrow at scale).
+@register(
+    "text_token_histogram",
+    """
+    WITH tk AS (
+        SELECT unnest([t for t in string_split_regex(lower(text), '\\s+') if t <> '']) AS tok
+        FROM documents
+    )
+    SELECT tok, COUNT(*) AS n FROM tk GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.functions.hashing import tokens
+
+    d = ld(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+# Exact length percentiles per language (percentile with linear
+# interpolation — same definition in Spark `percentile` and DuckDB
+# `quantile_cont`).
+@register(
+    "text_length_percentiles",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           CAST(MAX(n_chars) AS DOUBLE) AS mx
+    FROM documents GROUP BY lang
+    """,
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = ld(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("n_chars"), F.lit(0.9)).alias("p90"),
+        F.max("n_chars").cast("double").alias("mx"),
+    )
 
 
 @register("dedup_minhash_sigs", _dedup.MINHASH_SIGS_SQL)
