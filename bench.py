@@ -23,10 +23,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_regional_volume",
+    "q7_nation_volume",
+    "q10_returned_items",
     "cdc_materialize",
     "cdc_signed_sum",
     "cdc_chunked_snapshot",
+    "cdc_hybrid_pipeline",
     "events_hourly_window",
+    "events_sessionize",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "text_token_histogram",
+    "ann_topk_cosine",
 ]
 
 

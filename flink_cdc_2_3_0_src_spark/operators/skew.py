@@ -1,0 +1,66 @@
+"""Skew-mitigation operators for 100 TB-scale shuffles.
+
+Two standard techniques, exposed as reusable primitives:
+
+  salted_agg  — two-stage aggregation for skewed group keys: stage 1
+                aggregates on (key, salt) spreading a hot key over N
+                reducers, stage 2 combines the partials. Exact for
+                decomposable aggregates (SUM/COUNT/MIN/MAX).
+  salted_join — replicate the small side N ways and salt the big side,
+                so one hot join key fans out over N tasks instead of
+                one straggler.
+
+AQE's skew-join handles sort-merge cases automatically (enabled in
+session.py); these are for aggregation skew and for explicit control.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, Column],
+    combiners: dict[str, str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` are stage-1 aggregate expressions; ``combiners`` maps each
+    output name to the stage-2 combining function name ('sum', 'min',
+    'max'). COUNT combines with 'sum'. Results are identical to a direct
+    groupBy because the aggregates are decomposable.
+    """
+    salt = (F.spark_partition_id() % n_salts).alias("__salt")
+    stage1 = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    stage2 = stage1.groupBy(*group_cols).agg(
+        *[getattr(F, combiners[name])(F.col(name)).alias(name) for name in aggs]
+    )
+    return stage2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join: big side gets a random-ish (partition-derived,
+    deterministic) salt; small side is exploded n_salts ways so every
+    (key, salt) pair finds its partner. Exact same rows as a plain join."""
+    big_s = big.withColumn("__salt", F.spark_partition_id() % n_salts)
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_s.join(small_s, [on, "__salt"], how)
+    return out.drop("__salt")

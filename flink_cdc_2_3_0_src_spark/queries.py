@@ -707,6 +707,46 @@ def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.scan(with_metadata=True).select("c_custkey", "_db", "_table")
 
 
+# B6: all-types row decode — the full §1.4 converter matrix exercised as
+# casts over one table; every cell must agree bit-for-bit with DuckDB.
+@register(
+    "b6_all_types_decode",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS INTEGER) AS as_int,
+           CAST(o_orderkey % 32000 AS SMALLINT) AS as_small,
+           CAST(o_orderkey % 120 AS TINYINT) AS as_tiny,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS as_dec,
+           CAST(o_totalprice AS REAL) AS as_float,
+           o_totalprice AS as_double,
+           CAST(o_orderdate AS DATE) AS as_date,
+           o_orderdate AS as_ts,
+           o_orderstatus = 'O' AS as_bool,
+           CAST(o_orderkey AS VARCHAR) AS as_str,
+           octet_length(encode(o_orderpriority)) AS bin_len,
+           array_to_string([o_orderstatus, o_orderpriority], '|') AS as_arr_str
+    FROM orders WHERE o_orderkey % 13 = 0
+    """,
+)
+def b6_all_types_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("int").alias("as_int"),
+        (F.col("o_orderkey") % 32000).cast("smallint").alias("as_small"),
+        (F.col("o_orderkey") % 120).cast("tinyint").alias("as_tiny"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("as_dec"),
+        F.col("o_totalprice").cast("float").alias("as_float"),
+        F.col("o_totalprice").alias("as_double"),
+        F.col("o_orderdate").cast("date").alias("as_date"),
+        F.col("o_orderdate").alias("as_ts"),
+        (F.col("o_orderstatus") == "O").alias("as_bool"),
+        F.col("o_orderkey").cast("string").alias("as_str"),
+        F.length(F.encode("o_orderpriority", "UTF-8")).alias("bin_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("as_arr_str"),
+    )
+
+
 # A21/B9/A11: timestamp startup mode — the source must emit exactly the
 # events at/after t0, and the materialization over that suffix must match
 # SQL over the same suffix.

@@ -38,6 +38,22 @@ OP_CASE_SQL = (
 )
 
 
+def split_heartbeats(log: DataFrame, heartbeat_op: str = "+H"):
+    """A23: heartbeat handling — heartbeat records advance the source
+    offset without emitting data (reference MySqlRecordEmitter.java:132-134,
+    isHeartbeatEvent RecordUtils.java:226-230).
+
+    Returns (data_log, latest_offset): the data stream with heartbeats
+    removed, and the offset the source should report — which includes
+    heartbeat positions, so an idle stream still advances.
+    """
+    from pyspark.sql import functions as F
+
+    data = log.filter(F.col(OP_COL) != heartbeat_op)
+    tip = log.agg(F.max(SEQ_COL).alias("mx")).collect()[0]["mx"]
+    return data, (tip if tip is not None else 0)
+
+
 def scripted_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet → upsert changelog (user_id, value, ts, _op, _seq)."""
     from flink_cdc_2_3_0_src_spark.io import load_table

@@ -111,6 +111,18 @@ def _run_stream(spark, replay_dir, sink_path, ckpt, timeout_s=60):
     return sink
 
 
+def test_heartbeats_advance_offset_without_data(spark):
+    """A23: heartbeat records advance the reported offset but emit no
+    data rows."""
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import split_heartbeats
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    hb = spark.createDataFrame([(None, None, None, "+H", 10_000_000)], log.schema)
+    data, tip = split_heartbeats(log.unionByName(hb))
+    assert tip == 10_000_000              # offset advanced by heartbeat
+    assert data.count() == log.count()    # no data emitted for it
+
+
 def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
     """B13: replay the log as microbatches through foreachBatch + upsert
     sink; kill after the first run half-way, restart from the same
