@@ -872,6 +872,79 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# End-to-end training-set selection: quality gate + near-dup removal —
+# the composed pipeline a 100 TB pretraining corpus actually runs
+# (filter → LSH dedup → keep canonical doc per dup cluster).
+@register(
+    "pipeline_training_set",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, {_text.sql_tokens('text')} AS toks FROM documents
+    ),
+    q AS (
+        SELECT doc_id,
+               round(0.5 * (CAST(len([t for t in toks if list_contains([{_text._STOP_LIST_SQL}], t)]) AS DOUBLE)
+                            / CAST(greatest(len(toks), 1) AS DOUBLE))
+                   + 0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 64.0), 6) AS quality
+        FROM tk
+    ),
+    pairs AS ({_dedup.LSH_PAIRS_SQL}),
+    drop_docs AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT q.doc_id, q.quality FROM q
+    WHERE q.quality >= 0.3 AND q.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+    """,
+)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ld(spark, sf_dir, "documents")
+    quality = _text.text_quality(docs)  # (doc_id, quality)
+    pairs = _dedup.lsh_pairs(docs)      # verified near-dup pairs
+    # canonical = lowest doc_id in each dup pair; drop the higher one
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        quality.filter(F.col("quality") >= 0.3)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+    )
+
+
+# Embedding corpus statistics: norms + per-label centroid dispersion
+# (decimal-summed for cross-engine exactness).
+@register(
+    "embedding_stats",
+    """
+    WITH e AS (
+        SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS v
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label,
+               round(sqrt(list_sum([x * x for x in v])), 6) AS nrm
+        FROM e
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.similarity import _norm, _vec
+
+    e = ld(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec().alias("v")
+    )
+    n = e.select(
+        "vec_id", "label", F.round(_norm(F.col("v")), 6).alias("nrm")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+
+
 @register("dedup_minhash_sigs", _dedup.MINHASH_SIGS_SQL)
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.minhash_sigs(ld(spark, sf_dir, "documents"))
