@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the pure planning/model logic —
+the reference has no property testing (SURVEY §5); these guard the
+invariants the distributed operators rely on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_cdc_2_3_0_src_spark.functions.hashing import (
+    _py_poly_hash,
+    _py_shingles,
+    minhash_params,
+    MERSENNE_P,
+)
+from flink_cdc_2_3_0_src_spark.model import BinlogOffset, ChunkRange
+from flink_cdc_2_3_0_src_spark.plans.chunking import (
+    ChunkPlanner,
+    TableAnalysis,
+    calculate_distribution_factor,
+    split_evenly_sized_chunks,
+)
+from flink_cdc_2_3_0_src_spark.model import TableId
+
+
+@given(
+    keys=st.lists(st.integers(min_value=-(10**9), max_value=10**9),
+                  min_size=1, max_size=300, unique=True),
+    chunk_size=st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200, deadline=None)
+def test_even_chunks_tile_exactly(keys, chunk_size):
+    keys = sorted(keys)
+    factor = calculate_distribution_factor(keys[0], keys[-1], len(keys))
+    chunks = split_evenly_sized_chunks(
+        keys[0], keys[-1], len(keys), chunk_size, factor
+    )
+    # unbounded edges
+    assert chunks[0].start is None and chunks[-1].end is None
+    # adjacent ranges share boundaries (no gaps, no overlaps)
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.end == b.start
+    # every key lands in exactly one chunk
+    for k in keys:
+        assert sum(1 for c in chunks if c.contains(k)) == 1
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6),
+                  min_size=1, max_size=200, unique=True),
+    chunk_size=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=100, deadline=None)
+def test_uneven_chunks_tile_exactly(keys, chunk_size):
+    keys = sorted(keys)
+
+    def next_max(low):
+        window = [k for k in keys if k >= low][:chunk_size]
+        return window[-1] if window else None
+
+    p = ChunkPlanner(
+        TableId(None, None, "t"), "k",
+        analyze=lambda: TableAnalysis(keys[0], keys[-1], len(keys), numeric=True),
+        query_next_chunk_max=next_max,
+        chunk_size=chunk_size,
+        dist_factor_lower=2.0,  # force uneven path
+        dist_factor_upper=1.0,
+    )
+    chunks = list(p.plan())
+    assert chunks[0].start is None and chunks[-1].end is None
+    for k in keys:
+        assert sum(1 for c in chunks if c.contains(k)) == 1
+
+
+_offsets = st.builds(
+    BinlogOffset,
+    file=st.sampled_from(["", "bin.000001", "bin.000002", "bin.000010"]),
+    pos=st.integers(min_value=0, max_value=10**6),
+    skip_events=st.integers(min_value=0, max_value=5),
+)
+
+
+@given(a=_offsets, b=_offsets, c=_offsets)
+@settings(max_examples=300, deadline=None)
+def test_offset_total_order_properties(a, b, c):
+    # totality
+    assert (a <= b) or (b <= a)
+    # antisymmetry
+    if a <= b and b <= a:
+        assert a._cmp_key() == b._cmp_key()
+    # transitivity
+    if a <= b and b <= c:
+        assert a <= c
+
+
+@given(text=st.text(alphabet=st.characters(codec="utf-8"), max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_poly_hash_in_range_and_deterministic(text):
+    h = _py_poly_hash(text)
+    assert 0 <= h < 1_000_000_007
+    assert h == _py_poly_hash(text)
+
+
+@given(
+    words=st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=5),
+                   min_size=0, max_size=50),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_shingles_properties(words, n):
+    text = " ".join(words)
+    sh = _py_shingles(text, n)
+    # always at least one shingle; all distinct
+    assert len(sh) >= 1
+    assert len(set(sh)) == len(sh)
+    toks = [w.lower() for w in words if w]
+    if len(toks) >= n:
+        # every shingle is n consecutive tokens
+        assert all(len(s.split(" ")) == n for s in sh)
+        assert len(sh) <= len(toks) - n + 1
+    # shingling is idempotent w.r.t. whitespace normalization
+    assert _py_shingles("  " + text + "  ", n) == sh
+
+
+def test_minhash_params_fixed():
+    """The (a, b) constants are part of the cross-engine contract — they
+    must never drift (oracle SQL embeds them as literals)."""
+    p16 = minhash_params(16)
+    assert len(set(p16)) == 16
+    assert all(1 <= a < MERSENNE_P and 0 <= b < MERSENNE_P for a, b in p16)
+    # prefix stability: params(k) is a prefix of params(k+m)
+    assert minhash_params(8) == p16[:8]
+    # regression pin of the first pair
+    assert p16[0] == minhash_params(1)[0]
