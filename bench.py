@@ -45,8 +45,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = catalog.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footers with a trivial scan (not timed)
+    # warm the JVM, parquet footers, and Python UDF workers (not timed)
     catalog.ld(spark, sf_dir, "region").count()
+    from pyspark.sql import functions as F
+
+    from flink_cdc_2_3_0_src_spark.functions.hashing import shingle_profile
+
+    # repartition so every executor thread spawns (and keeps) its worker
+    catalog.ld(spark, sf_dir, "documents").limit(256).repartition(32).select(
+        shingle_profile(F.col("text"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -57,6 +57,13 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
 def _py_poly_hash(x: str | None) -> int | None:
     if x is None:
         return None
+    return _py_poly_hash_cached(x)
+
+
+@__import__("functools").lru_cache(maxsize=1 << 18)
+def _py_poly_hash_cached(x: str) -> int:
+    # token frequency is Zipfian — memoizing turns per-token char loops
+    # into dict hits for the vast majority of calls
     acc = 0
     for ch in x:
         acc = (acc * POLY_MULT + ord(ch)) % POLY_MOD
@@ -163,6 +170,51 @@ def _make_shingles_udf(n: int):
     return _s
 
 
+def _py_shingle_hashes(text: str, n: int) -> "np.ndarray":
+    """Distinct n-gram shingle hashes via token-hash combination.
+
+    Each token is char-hashed ONCE; shingle hashes fold the n token
+    hashes with the same polynomial step ((h*31 + th) mod M). ~10x less
+    Python work than hashing shingle strings char-by-char, and the
+    combine is a vectorized numpy slide. Mirrored exactly by
+    sql_shingle_hashes()."""
+    th = [_py_poly_hash(t) for t in _py_tokens(text)]
+    if len(th) >= n:
+        arr = np.array(th, dtype=np.int64)
+        m = len(arr) - n + 1
+        h = arr[:m].copy()
+        for j in range(1, n):
+            h = (h * POLY_MULT + arr[j : m + j]) % POLY_MOD
+        return np.unique(h)
+    acc = 0
+    for x in th:
+        acc = (acc * POLY_MULT + x) % POLY_MOD
+    return np.array([acc], dtype=np.int64)
+
+
+def _make_shingle_profile_udf(k: int, n: int):
+    """One pass: text → struct(hashes: distinct shingle hashes,
+    sig: k-value minhash signature)."""
+    params = minhash_params(k)
+
+    @F.pandas_udf("struct<hashes: array<long>, sig: array<long>>")
+    def _p(s: pd.Series) -> pd.Series:
+        hs_out, sig_out = [], []
+        for text in s:
+            if text is None:
+                hs_out.append(None)
+                sig_out.append(None)
+                continue
+            hs = _py_shingle_hashes(text, n)
+            hs_out.append([int(x) for x in hs])
+            sig_out.append(
+                [int(((a * hs + b) % MERSENNE_P).min()) for a, b in params]
+            )
+        return pd.DataFrame({"hashes": hs_out, "sig": sig_out})
+
+    return _p
+
+
 def _make_minhash_text_udf(k: int, n: int):
     params = minhash_params(k)
 
@@ -224,6 +276,11 @@ def minhash_sig_text(col: Column, k: int = 16, n: int = 3) -> Column:
 def simhash_text(col: Column, bits: int = 32) -> Column:
     """text → SimHash, single pass."""
     return _cached(f"sh_text{bits}", lambda: _make_simhash_text_udf(bits))(col)
+
+
+def shingle_profile(col: Column, k: int = 16, n: int = 3) -> Column:
+    """text → struct(hashes, sig) in one vectorized pass."""
+    return _cached(f"prof{k}_{n}", lambda: _make_shingle_profile_udf(k, n))(col)
 
 
 def poly_hash_array(arr: Column) -> Column:
@@ -303,6 +360,26 @@ def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
         f"[{gram} for i in generate_series(1, len(__t) - {n - 1})] "
         f"ELSE [array_to_string(__t, ' ')] END "
         f"FROM (SELECT {toks_expr} AS __t) __sh)"
+    )
+
+
+def sql_token_hashes(toks_expr: str) -> str:
+    return f"[{sql_poly_hash('t')} for t in {toks_expr}]"
+
+
+def sql_shingle_hashes(th_col: str, n: int = 3) -> str:
+    """DuckDB twin of _py_shingle_hashes over a token-hash list column."""
+    expr = f"{th_col}[i]"
+    for j in range(1, n):
+        expr = f"(({expr}) * {POLY_MULT} + {th_col}[i+{j}]) % {POLY_MOD}"
+    fold = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {th_col}), "
+        f"(acc, h) -> (acc * {POLY_MULT} + h) % {POLY_MOD})"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({th_col}) >= {n} THEN "
+        f"[{expr} for i in generate_series(1, len({th_col}) - {n - 1})] "
+        f"ELSE [{fold}] END)"
     )
 
 

@@ -2,32 +2,36 @@
 
 Spark-first designs:
 
-  - MinHash+LSH: shingle → k minhash values → b bands of r rows →
-    self-join on (band, key) → verify exact Jaccard on candidates only.
-    The band join replaces the O(n²) all-pairs compare with an equi-join
-    — the scale path for 100 TB corpora (shuffle on band key, candidate
-    set ≪ n²).
+  - MinHash+LSH: token-hash → combined shingle hashes → k minhash values
+    → b bands of r rows → self-join on (band, key) → verify exact
+    Jaccard on candidates only. The band join replaces the O(n²)
+    all-pairs compare with an equi-join — the scale path for 100 TB
+    corpora (shuffle on band key, candidate set ≪ n²).
+  - Shingle identity is the combined token-hash (each token char-hashed
+    once, shingles folded arithmetically) — ~10x less Python per doc
+    than hashing shingle strings, and Jaccard verification compares
+    int64 arrays instead of strings.
   - SimHash: 32-bit signature from per-token hash bit votes; one
-    explode + one aggregation (two narrow shuffles), no UDFs.
-  - n-gram Jaccard: exact verification metric, computed only on
-    LSH candidates or within a blocking key.
+    vectorized UDF, pure projection, no shuffle.
+  - n-gram Jaccard: exact verification metric, computed only on LSH
+    candidates or within a blocking key.
 
-Every constant is shared with the DuckDB oracle twins below.
+Every constant is shared with the DuckDB oracle twins below
+(functions/hashing.py sql_* builders).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_cdc_2_3_0_src_spark.functions.hashing import (
     MERSENNE_P,
     minhash_params,
-    minhash_sig_text,
-    poly_hash_array,
-    shingles_text,
+    shingle_profile,
     simhash_text,
-    sql_poly_hash,
+    sql_shingle_hashes,
+    sql_token_hashes,
     sql_tokens,
 )
 
@@ -38,18 +42,29 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 32
 
 
-def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id + distinct n-word shingles + their hashes."""
+def shingle_sets(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+    """doc_id + distinct shingle hashes + minhash signature, one UDF pass."""
     return docs.select(
+        "doc_id", shingle_profile(F.col("text"), k, n).alias("p")
+    ).select(
         "doc_id",
-        shingles_text(F.col("text"), n).alias("shingles"),
-    ).withColumn("hashes", poly_hash_array(F.col("shingles")))
+        F.col("p.hashes").alias("hashes"),
+        F.col("p.sig").alias("sig"),
+    )
 
 
 def minhash_sigs(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    ss = docs.select("doc_id", minhash_sig_text(F.col("text"), k).alias("sig"))
+    ss = shingle_sets(docs, k=k)
     return ss.select(
         "doc_id", *[F.element_at("sig", j + 1).alias(f"sig_{j}") for j in range(k)]
+    )
+
+
+def _jaccard(a: str, b: str):
+    return F.round(
+        F.size(F.array_intersect(a, b)).cast("double")
+        / F.size(F.array_union(a, b)).cast("double"),
+        6,
     )
 
 
@@ -60,11 +75,7 @@ def lsh_pairs(
     threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact Jaccard."""
-    with_sigs = docs.select(
-        "doc_id",
-        shingles_text(F.col("text")).alias("shingles"),
-        minhash_sig_text(F.col("text"), bands * rows).alias("sig"),
-    )
+    ss = shingle_sets(docs, k=bands * rows)
     band_structs = F.array(
         *[
             F.struct(
@@ -81,18 +92,16 @@ def lsh_pairs(
         ]
     )
     banded = (
-        with_sigs.select("doc_id", "shingles", F.explode(band_structs).alias("bk"))
+        ss.select("doc_id", "hashes", F.explode(band_structs).alias("bk"))
         .select(
             "doc_id",
-            "shingles",
+            "hashes",
             F.col("bk.band").alias("band"),
             F.col("bk.key").alias("key"),
         )
         # truncate lineage: the self-join must not re-run the UDF pipeline
-        # (or race two cache populations) on both sides
         .localCheckpoint()
     )
-
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -105,18 +114,13 @@ def lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("a.hashes").alias("h_a"),
+            F.col("b.hashes").alias("h_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        6,
-    )
     return (
-        cand.withColumn("jaccard", jac)
+        cand.withColumn("jaccard", _jaccard("h_a", "h_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -139,24 +143,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-Jaccard within a blocking key (source, lang) —
     the blocked-join shape for when LSH recall isn't wanted."""
-    d = docs.select(
-        *block_cols, "doc_id", shingles_text(F.col("text"), 3).alias("sh")
-    ).localCheckpoint()
+    d = (
+        docs.select(
+            *block_cols, "doc_id", shingle_profile(F.col("text"), 1, 3).alias("p")
+        )
+        .select(*block_cols, "doc_id", F.col("p.hashes").alias("sh"))
+        .localCheckpoint()
+    )
     a, b = d.alias("a"), d.alias("b")
-    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    jac = F.round(
-        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))).cast("double")
-        / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("double"),
-        6,
-    )
     return (
         a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            _jaccard("a.sh", "b.sh").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -170,18 +173,11 @@ _SHINGLES_CTE = f"""
     tk AS (
         SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
     ),
-    sh AS (
-        SELECT doc_id,
-               list_distinct(CASE WHEN len(toks) >= 3
-                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                       for i in generate_series(1, len(toks) - 2)]
-                 ELSE [array_to_string(toks, ' ')] END) AS shingles
-        FROM tk
+    th AS (
+        SELECT doc_id, {sql_token_hashes('toks')} AS th FROM tk
     ),
     hs AS (
-        SELECT doc_id, shingles,
-               [{sql_poly_hash('s')} for s in shingles] AS hashes
-        FROM sh
+        SELECT doc_id, {sql_shingle_hashes('th')} AS hashes FROM th
     )
 """
 
@@ -211,29 +207,31 @@ _BAND_KEYS = ",\n            ".join(
     for b in range(LSH_BANDS)
 )
 
+_J = (
+    "round(CAST(len(list_intersect({a}, {b})) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat({a}, {b}))) AS DOUBLE), 6)"
+)
+
 LSH_PAIRS_SQL = f"""
     WITH {_SHINGLES_CTE},
     sigs AS (
-        SELECT doc_id, shingles,
+        SELECT doc_id, hashes,
                {_sql_sig_cols(LSH_BANDS * LSH_ROWS)}
         FROM hs
     ),
     banded AS (
-        SELECT doc_id, shingles, u.bk[1] AS band, u.bk[2] AS key
+        SELECT doc_id, hashes, u.bk[1] AS band, u.bk[2] AS key
         FROM sigs, UNNEST([{_BAND_KEYS}]) AS u(bk)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               a.shingles AS sh_a, b.shingles AS sh_b
+               a.hashes AS h_a, b.hashes AS h_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b,
-           round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) AS jaccard
+    SELECT doc_a, doc_b, {_J.format(a='h_a', b='h_b')} AS jaccard
     FROM cand
-    WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(sh_a, sh_b))) AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    WHERE {_J.format(a='h_a', b='h_b')} >= {JACCARD_THRESHOLD}
 """
 
 _SIMHASH_VOTES = ",\n               ".join(
@@ -243,6 +241,8 @@ _SIMHASH_VOTES = ",\n               ".join(
 _SIMHASH_SUM = " + ".join(
     f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
 )
+
+from flink_cdc_2_3_0_src_spark.functions.hashing import sql_poly_hash  # noqa: E402
 
 SIMHASH_SQL = f"""
     WITH tk AS (
@@ -263,19 +263,15 @@ NGRAM_JACCARD_SQL = f"""
     WITH tk AS (
         SELECT doc_id, source, lang, {sql_tokens('text')} AS toks FROM documents
     ),
+    th AS (
+        SELECT doc_id, source, lang, {sql_token_hashes('toks')} AS th FROM tk
+    ),
     sh AS (
-        SELECT doc_id, source, lang,
-               list_distinct(CASE WHEN len(toks) >= 3
-                 THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                       for i in generate_series(1, len(toks) - 2)]
-                 ELSE [array_to_string(toks, ' ')] END) AS sh
-        FROM tk
+        SELECT doc_id, source, lang, {sql_shingle_hashes('th')} AS sh FROM th
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+           {_J.format(a='a.sh', b='b.sh')} AS jaccard
     FROM sh a JOIN sh b
       ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) >= 0.1
+    WHERE {_J.format(a='a.sh', b='b.sh')} >= 0.1
 """
