@@ -24,7 +24,7 @@ from flink_cdc_2_3_0_src_spark.plans.chunking import (
 @dataclass
 class SourceConfig:
     hostname: str = "localhost"
-    port: int = 3306
+    port: Optional[int] = None  # dialect default (3306 mysql / 5432 pg)
     username: str = ""
     password: str = ""
     database_list: list[str] = field(default_factory=list)   # regex include

@@ -129,7 +129,7 @@ class JdbcDialect:
     def jdbc_url(self) -> str:
         c = self.config
         return (
-            f"jdbc:mysql://{c.hostname}:{c.port}/"
+            f"jdbc:mysql://{c.hostname}:{c.port or 3306}/"
             f"?useSSL=false&serverTimezone={c.server_time_zone}"
         )
 

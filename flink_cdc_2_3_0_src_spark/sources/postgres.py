@@ -1,0 +1,83 @@
+"""Postgres dialect (B15 cross-DB uniformity).
+
+Reference parity: the Postgres connector is a Debezium wrapper with a
+configurable changelog mode (PostgreSQLTableSource.java:106-116) and, in
+our engine, shares the generic chunked-snapshot framework — only the SQL
+surface differs. This subclass overrides exactly the dialect-owned
+pieces (identifier quoting, catalog queries, offset probe), mirroring
+the reference's JdbcDataSourceDialect SPI split.
+"""
+
+from __future__ import annotations
+
+from flink_cdc_2_3_0_src_spark.model import ChangelogMode, TableId
+from flink_cdc_2_3_0_src_spark.sources.jdbc import JdbcDialect
+
+
+def pq(ident: str) -> str:
+    """Postgres identifier quoting."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
+class PostgresDialect(JdbcDialect):
+    """Changelog mode is configurable ('all' | 'upsert') like the
+    reference's `changelog-mode` option."""
+
+    def __init__(self, config, run_sql, changelog_mode: ChangelogMode = ChangelogMode.ALL):
+        super().__init__(config, run_sql)
+        self.changelog_mode = changelog_mode
+
+    def discover_tables(self) -> list[TableId]:
+        rows = self.run_sql(
+            "SELECT schemaname, tablename FROM pg_catalog.pg_tables "
+            "WHERE schemaname NOT IN ('pg_catalog', 'information_schema')"
+        )
+        from flink_cdc_2_3_0_src_spark.model import match_tables
+
+        all_ids = [TableId(db, None, t) for db, t in rows]
+        return match_tables(all_ids, self.config.database_list, self.config.table_list)
+
+    def primary_key_columns(self, table: TableId) -> list[str]:
+        rows = self.run_sql(
+            "SELECT a.attname FROM pg_index i "
+            "JOIN pg_attribute a ON a.attrelid = i.indrelid "
+            "AND a.attnum = ANY(i.indkey) "
+            f"WHERE i.indrelid = '{table.catalog}.{table.table}'::regclass "
+            "AND i.indisprimary ORDER BY a.attnum"
+        )
+        return [r[0] for r in rows]
+
+    def analyze(self, table: TableId, key: str):
+        from flink_cdc_2_3_0_src_spark.plans.chunking import TableAnalysis
+
+        tref = f"{pq(table.catalog)}.{pq(table.table)}"
+        mn, mx = self.run_sql(f"SELECT MIN({pq(key)}), MAX({pq(key)}) FROM {tref}")[0]
+        cnt_rows = self.run_sql(
+            "SELECT reltuples::BIGINT FROM pg_class "
+            f"WHERE oid = '{table.catalog}.{table.table}'::regclass"
+        )
+        cnt = int(cnt_rows[0][0]) if cnt_rows and cnt_rows[0][0] is not None else 0
+        numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
+        return TableAnalysis(mn, mx, cnt, numeric)
+
+    def query_next_chunk_max(self, table: TableId, key: str):
+        tref = f"{pq(table.catalog)}.{pq(table.table)}"
+
+        def _next(low):
+            lit = f"'{low}'" if isinstance(low, str) else str(low)
+            rows = self.run_sql(
+                f"SELECT MAX({pq(key)}) FROM ("
+                f"SELECT {pq(key)} FROM {tref} WHERE {pq(key)} >= {lit} "
+                f"ORDER BY {pq(key)} ASC LIMIT {self.config.chunk_size}) T"
+            )
+            return rows[0][0] if rows else None
+
+        return _next
+
+    def current_offset(self):
+        rows = self.run_sql("SELECT pg_current_wal_lsn()")
+        return ("wal", rows[0][0])
+
+    def jdbc_url(self) -> str:
+        c = self.config
+        return f"jdbc:postgresql://{c.hostname}:{c.port or 5432}/postgres"
