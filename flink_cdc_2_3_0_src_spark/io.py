@@ -2,9 +2,70 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors regardless of how the
+    session was launched (the harness may build its own SparkSession
+    from any cwd, and pandas UDFs are pickled by reference to this
+    module). Zips the package once per application and addPyFile()s it."""
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        return
+    if app_id in _SHIPPED_APPS:
+        return
+    import tempfile
+    import zipfile
+
+    import flink_cdc_2_3_0_src_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"flink_cdc_2_3_0_src_spark-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "flink_cdc_2_3_0_src_spark",
+                        os.path.relpath(full, pkg_dir),
+                    )
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. already added under another name
+    _SHIPPED_APPS.add(app_id)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any session (including the driver's own, built without our
+    get_spark defaults) able to run the query catalog: nanos-parquet
+    readability, UTC timestamp semantics, and executor-side importability
+    of this package."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    _ship_package(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -14,6 +75,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column surfaces as LongType; convert to a microsecond timestamp with
     the same truncation DuckDB applies when reading nanos parquet.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):

@@ -111,6 +111,63 @@ def signed_agg(
     return df.groupBy(*group_cols).agg(*aggs)
 
 
+def agg_auto(
+    df: DataFrame,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Changelog-aware aggregate planner (the rewrite SURVEY §4 notes a
+    Catalyst rule could do; here it's an explicit planning helper).
+
+    ``aggs`` maps output name -> (fn, value column) with fn in
+    {sum, count, avg, min, max}. Decomposable aggregates (sum/count/avg)
+    are evaluated with signed deltas — a single shuffle straight off the
+    changelog, no per-key state. min/max are not retraction-computable,
+    so if any is requested the input is materialized first (latest image
+    per key) and aggregated normally. Either way the result equals the
+    aggregate over the materialized state.
+    """
+    fns = {fn for fn, _ in aggs.values()}
+    unsupported = fns - {"sum", "count", "avg", "min", "max"}
+    if unsupported:
+        raise ValueError(f"unsupported aggregate(s): {sorted(unsupported)}")
+    if fns & {"min", "max"}:
+        m = materialize(df, keys, seq_col=seq_col, op_col=op_col)
+        exprs = []
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).alias(name))
+            elif fn == "avg":
+                exprs.append(
+                    (F.sum(col).cast("double") / F.count(col).cast("double")).alias(name)
+                )
+            else:
+                exprs.append(getattr(F, fn)(col).alias(name))
+        return m.groupBy(*group_cols).agg(*exprs)
+    exprs = []
+    for name, (fn, col) in aggs.items():
+        if fn == "sum":
+            exprs.append(signed_sum(col, op_col).alias(name))
+        elif fn == "count":
+            exprs.append(signed_count(op_col).alias(name))
+        else:  # avg = signed sum / signed count
+            exprs.append(
+                (
+                    F.sum(signed(col, op_col)).cast("double")
+                    / signed_count(op_col).cast("double")
+                ).alias(name)
+            )
+    return (
+        df.groupBy(*group_cols)
+        .agg(*exprs, signed_count(op_col).alias("__live"))
+        .filter(F.col("__live") > 0)
+        .drop("__live")
+    )
+
+
 def normalize_upsert(
     df: DataFrame,
     keys: Sequence[str],

@@ -667,6 +667,68 @@ def cdc_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B4 extended: MIN/MAX over a changelog are not retraction-computable —
+# agg_auto transparently materializes first, while SUM/COUNT stay on the
+# signed-delta fast path. Both must equal aggregates over final state.
+@register(
+    "cdc_agg_auto_minmax",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT user_id % 5 AS bucket,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_live,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM m GROUP BY user_id % 5
+    """,
+)
+def cdc_agg_auto_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import agg_auto
+
+    log = scripted_changelog(spark, sf_dir)
+    norm = normalize_upsert(log, ["user_id"]).withColumn(
+        "bucket", F.col("user_id") % 5
+    )
+    out = agg_auto(
+        norm,
+        keys=["user_id"],
+        group_cols=["bucket"],
+        aggs={
+            "sum_value": ("sum", dec("value")),
+            "n_live": ("count", F.col("value")),
+            "min_value": ("min", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+    )
+    return out.select(
+        "bucket",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n_live",
+        "min_value",
+        "max_value",
+    )
+
+
+# Enriched changelog: materialized CDC state joined to a dimension (the
+# standard serving pattern downstream of an upsert sink).
+@register(
+    "cdc_join_enriched",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT m.user_id, m.value, c.c_name, c.c_mktsegment
+    FROM m JOIN customer c ON c.c_custkey = m.user_id + 1
+    """,
+)
+def cdc_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = scripted_changelog(spark, sf_dir)
+    state = materialize(log, ["user_id"])
+    c = ld(spark, sf_dir, "customer")
+    return (
+        state.join(F.broadcast(c), c.c_custkey == state.user_id + 1)
+        .select("user_id", "value", "c_name", "c_mktsegment")
+    )
+
+
 # A3-A5/A9: chunked parallel snapshot == full table scan.
 @register("cdc_chunked_snapshot", "SELECT * FROM lineitem")
 def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
