@@ -63,8 +63,13 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> Optional[str]:
 
 
 def _val_eq(x, y) -> bool:
+    # STRICT bit equality on floats: the driver's value-hash gate is
+    # exact, so the local guard must be too (all 46 queries verified
+    # bit-exact at sf0.01 under this predicate).
     if x is None or y is None:
         return x is None and y is None
+    if isinstance(x, (bytes, bytearray)) or isinstance(y, (bytes, bytearray)):
+        return bytes(x) == bytes(y)
     if isinstance(x, float) or isinstance(y, float):
         try:
             fx, fy = float(x), float(y)
@@ -72,7 +77,7 @@ def _val_eq(x, y) -> bool:
             return str(x) == str(y)
         if math.isnan(fx) and math.isnan(fy):
             return True
-        return fx == fy or abs(fx - fy) <= 1e-9 * max(abs(fx), abs(fy), 1.0)
+        return fx == fy
     if type(x) is not type(y):
         return str(x) == str(y)
     return x == y
