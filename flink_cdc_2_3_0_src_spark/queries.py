@@ -321,6 +321,64 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Outer join with null-extension (left join + zero-fill counts).
+@register(
+    "outer_join_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = ld(spark, sf_dir, "customer")
+    o = ld(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+# Correlated-aggregate filter: orders above their customer's average
+# (decorrelated to a window over the join in both engines).
+@register(
+    "above_customer_avg_orders",
+    """
+    WITH w AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                 / CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_avg
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+    FROM w WHERE o_totalprice > cust_avg
+    """,
+)
+def above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = ld(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(dec("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w).cast("double")
+    )
+    # NOTE: no round() on the output — Spark rounds HALF_UP, DuckDB
+    # half-even, so ties at the rounding digit diverge; the unrounded
+    # double is bit-identical (exact decimal sum / exact count).
+    return o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", cust_avg.alias("cust_avg")
+    ).filter(F.col("o_totalprice") > F.col("cust_avg"))
+
+
 # Event-time tumbling window aggregation (streaming-shape, batch-checked).
 @register(
     "events_hourly_window",
