@@ -898,6 +898,35 @@ def cdc_startup_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(stream, ["user_id"]).select("user_id", "value")
 
 
+# A21/B9: specific-offset startup — stream strictly after a checkpointed
+# position (exclusive), materialized suffix must match SQL.
+@register(
+    "cdc_startup_specific_offset",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    cut AS (SELECT * FROM log WHERE _seq > 500),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM cut
+    )
+    SELECT user_id, value FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_startup_specific_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.config import SourceConfig
+    from flink_cdc_2_3_0_src_spark.model import StartupMode
+    from flink_cdc_2_3_0_src_spark.streaming.startup import apply_startup_mode
+
+    cfg = SourceConfig(
+        startup_mode=StartupMode.SPECIFIC_OFFSET,
+        startup_specific_offset_pos=500,
+    )
+    log = scripted_changelog(spark, sf_dir)
+    return materialize(apply_startup_mode(log, cfg), ["user_id"]).select(
+        "user_id", "value"
+    )
+
+
 # B10: non-numeric PK chunking — string split key forces the lazy uneven
 # path (ORDER BY ... LIMIT next-chunk-max); chunked scan must equal the
 # plain table scan.
