@@ -165,6 +165,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph — iterative
+    min-label propagation (the canonical Spark iterative-algorithm
+    shape: loop of join + aggregate with a driver-side convergence
+    check; each iteration at most doubles the propagation radius).
+
+    Returns (doc_id, cluster_id) for every document that appears in at
+    least one verified near-dup pair; cluster_id = min doc_id in the
+    component (the canonical representative to KEEP during dedup).
+    """
+    pairs = lsh_pairs(docs).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 # --------------------------------------------------------------------------
 # DuckDB oracle twins
 # --------------------------------------------------------------------------
@@ -257,6 +309,21 @@ SIMHASH_SQL = f"""
         FROM th GROUP BY doc_id
     )
     SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash FROM votes
+"""
+
+DUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({{lsh_pairs_sql}}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, lbl) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, w.lbl FROM walk w JOIN edges e ON e.dst = w.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node
 """
 
 NGRAM_JACCARD_SQL = f"""

@@ -1104,6 +1104,17 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.lsh_pairs(ld(spark, sf_dir, "documents"))
 
 
+# Iterative algorithm: connected components over the near-dup graph —
+# Spark side is a label-propagation loop with driver convergence check,
+# oracle side a recursive CTE. Same fixpoint.
+@register(
+    "dedup_clusters",
+    _dedup.DUP_CLUSTERS_SQL.format(lsh_pairs_sql=_dedup.LSH_PAIRS_SQL),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.dup_clusters(ld(spark, sf_dir, "documents"))
+
+
 @register("dedup_simhash", _dedup.SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash(ld(spark, sf_dir, "documents"))
