@@ -321,6 +321,28 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew-safe two-stage aggregation must be exactly the plain GROUP BY.
+@register(
+    "skew_salted_agg",
+    """
+    SELECT l_suppkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.skew import salted_agg
+
+    l = ld(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        l,
+        ["l_suppkey"],
+        {"n": F.count(F.lit(1)), "qty": F.sum(dec("l_quantity"))},
+        {"n": "sum", "qty": "sum"},
+    )
+    return out.select("l_suppkey", "n", F.col("qty").cast("double").alias("qty"))
+
+
 # Outer join with null-extension (left join + zero-fill counts).
 @register(
     "outer_join_order_counts",

@@ -221,6 +221,41 @@ class HybridPipeline:
             (F.col(SEQ_COL) > F.lit(max_hw)) | per_chunk
         )
 
+    def stream_filter_join(
+        self, events: DataFrame, manifest: SnapshotManifest
+    ) -> DataFrame:
+        """A10 at scale: the per-chunk HW filter as a broadcast range
+        join against the chunk-metadata table.
+
+        ``stream_filter`` builds a literal OR-chain — fine for hundreds
+        of chunks, pathological for 100k (expression tree size). Here
+        the manifest becomes a tiny broadcast DataFrame and the filter
+        is one join: an event passes if it is past the table max HW
+        (pure-log fast path, cheap literal) or lands in a chunk whose HW
+        it postdates. Results are identical to stream_filter.
+        """
+        spark = events.sparkSession
+        max_hw = manifest.max_high_watermark()
+        meta = spark.createDataFrame(
+            [
+                (c.start, c.end, c.high_watermark)
+                for c in manifest.chunks
+            ],
+            f"__start long, __end long, __hw long",
+        )
+        key_col = F.col(manifest.key)
+        cond = (
+            ((F.col("__start").isNull()) | (key_col >= F.col("__start")))
+            & ((F.col("__end").isNull()) | (key_col < F.col("__end")))
+            & (F.col(SEQ_COL) > F.col("__hw"))
+        )
+        pure_log = events.filter(F.col(SEQ_COL) > F.lit(max_hw))
+        backlog = (
+            events.filter(F.col(SEQ_COL) <= F.lit(max_hw))
+            .join(F.broadcast(meta), cond, "left_semi")
+        )
+        return pure_log.unionByName(backlog)
+
     def run(
         self,
         chunks: Sequence[ChunkRange],

@@ -111,6 +111,20 @@ def _run_stream(spark, replay_dir, sink_path, ckpt, timeout_s=60):
     return sink
 
 
+def test_stream_filter_join_equals_literal_filter(spark):
+    """A10 scale path: the broadcast-join form of the chunk-HW filter
+    emits exactly the same events as the literal OR-chain."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    p = HybridPipeline(spark, log, ["user_id"])
+    _snap, manifest = p.run_snapshot_phase(
+        CHUNKS, "user_id", watermarks=lambda i: (100 + 200 * i, 300 + 200 * i)
+    )
+    events = log.filter(F.col(SEQ_COL) > manifest.min_high_watermark())
+    a = {tuple(r) for r in p.stream_filter(events, manifest).collect()}
+    b = {tuple(r) for r in p.stream_filter_join(events, manifest).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_heartbeats_advance_offset_without_data(spark):
     """A23: heartbeat records advance the reported offset but emit no
     data rows."""
