@@ -76,6 +76,36 @@ def materialize(
     return result.drop(*meta) if meta else result
 
 
+def compact_changelog(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Collapse a changelog to its minimal equivalent: one row per key —
+    the latest live image re-emitted as +I, or a -D tombstone.
+
+    Replaying the compacted log through materialize() yields exactly the
+    state of replaying the full log (log-compaction semantics, same
+    contract as a compacted Kafka topic). One max_by aggregation — a
+    single shuffle, no window sort.
+    """
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    payload = F.struct(*[F.col(c) for c in data_cols], F.col(op_col).alias("__op"))
+    latest = (
+        df.filter(F.col(op_col) != OP_UPDATE_BEFORE)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.max_by(payload, F.col(seq_col)).alias("__row"))
+    )
+    return latest.select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"__row.{c}").alias(c) for c in data_cols if c not in keys],
+        F.when(F.col("__row.__op") == OP_DELETE, F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_INSERT))
+        .alias(op_col),
+    )
+
+
 def signed(value: Column, op_col: str = OP_COL) -> Column:
     """value with retraction sign applied: -1 for -U/-D, +1 otherwise (B4)."""
     return F.when(

@@ -878,16 +878,46 @@ def cdc_sample_bucket_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# §1.5/B12: metadata columns.
+# §1.5/B12: metadata columns; op_ts is epoch 0 on snapshot rows
+# (reference MySqlReadableMetadata.java:33-81 /
+# RecordUtils.formatMessageTimestamp:119-147).
 @register(
     "cdc_metadata_columns",
     """
-    SELECT c_custkey, 'testdb' AS _db, 'customer' AS _table FROM customer
+    SELECT c_custkey, 'testdb' AS _db, 'customer' AS _table,
+           TIMESTAMP '1970-01-01 00:00:00' AS _op_ts
+    FROM customer
     """,
 )
 def cdc_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import append_metadata
+
     src = ParquetTableSource(spark, sf_dir, "customer", split_key="c_custkey")
-    return src.scan(with_metadata=True).select("c_custkey", "_db", "_table")
+    scan = append_metadata(src.scan(with_metadata=True), op_ts_col="_op_ts")
+    return scan.select("c_custkey", "_db", "_table", "_op_ts")
+
+
+# Changelog compaction: collapse a changelog to the minimal form that
+# rebuilds the same state downstream — one row per key: the latest
+# image as +I, or a -D tombstone.
+@register(
+    "cdc_compact_changelog",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, value,
+           CASE WHEN _op = '-D' THEN '-D' ELSE '+I' END AS _op
+    FROM latest WHERE rn = 1
+    """,
+)
+def cdc_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import compact_changelog
+
+    log = scripted_changelog(spark, sf_dir).select("user_id", "value", OP_COL, SEQ_COL)
+    return compact_changelog(log, ["user_id"])
 
 
 # B6: all-types row decode — the full §1.4 converter matrix exercised as
