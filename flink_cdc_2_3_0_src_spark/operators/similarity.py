@@ -157,6 +157,68 @@ def ann_lsh(emb: DataFrame, dim: int, n_queries: int = 10, k: int = 3) -> DataFr
     )
 
 
+def ann_topk_matrix(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force ANN as one matmul per Arrow batch (mapInPandas).
+
+    The 100 TB physical strategy for large query sets: the query matrix
+    is closed over (broadcast once per worker), each corpus batch does a
+    single numpy (batch × dim) @ (dim × q) product, and only per-batch
+    top-k survives to the final global top-k window — candidate rows
+    shrink from |corpus|×|queries| to ~batches×queries×k before any
+    shuffle. Same results as ann_topk (cosines rounded to 6dp).
+    """
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = "query_id long, neighbor_id long, cos6 double"
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            nrm = np.sqrt((m * m).sum(axis=1))
+            cos = np.round((m @ q_mat.T) / (nrm[:, None] * q_norm[None, :]), 6)
+            frames = []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                mask = ids != q_ids[j]
+                cand_ids, cand_cos = ids[mask], col[mask]
+                if len(cand_ids) == 0:
+                    continue
+                # per-batch top-k prune (order by cos desc, id asc)
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": cand_ids[order],
+                            "cos6": cand_cos[order],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos6": []}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(run, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos6").desc(), F.col("neighbor_id")
+    )
+    return partial.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
 def neardup_cosine(
     emb: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
 ) -> DataFrame:

@@ -636,6 +636,41 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Conversion funnel: conditional-aggregation sequence analysis.
+@register(
+    "events_funnel",
+    """
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(first_signup) AS n_signed_up,
+           COUNT(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+    FROM f
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ld(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), F.lit(1))
+        ).alias("n_converted"),
+    )
+
+
 # Native session windows (the streaming session-window operator run in
 # batch) — oracle reconstructs the identical sessions with the gap rule
 # (a new session starts when the gap is >= 30 minutes, matching Spark's
@@ -1223,6 +1258,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_topk_cosine", _sim.ANN_TOPK_SQL)
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_topk(ld(spark, sf_dir, "embeddings"))
+
+
+# Same contract as ann_topk_cosine, different physical strategy: one
+# numpy matmul per Arrow batch with per-batch top-k pruning before the
+# shuffle (the plan for large query sets at 100 TB).
+@register("ann_topk_matrix", _sim.ANN_TOPK_SQL)
+def ann_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_topk_matrix(ld(spark, sf_dir, "embeddings"))
 
 
 @register("ann_lsh_bucketed", _sim.ann_lsh_sql(64))
