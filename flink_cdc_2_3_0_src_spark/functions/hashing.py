@@ -283,6 +283,48 @@ def shingle_profile(col: Column, k: int = 16, n: int = 3) -> Column:
     return _cached(f"prof{k}_{n}", lambda: _make_shingle_profile_udf(k, n))(col)
 
 
+def _make_char_ngram_bottomk_udf(n: int, k: int):
+    """Bottom-k sketch over character n-gram hashes of the normalized
+    text: the k smallest distinct hashes — an unbiased Jaccard sketch
+    (KMV) that needs no permutations."""
+
+    @F.pandas_udf("array<long>")
+    def _b(s: pd.Series) -> pd.Series:
+        def sketch(text):
+            if text is None:
+                return None
+            norm = " ".join(_py_tokens(text))
+            if len(norm) < n:
+                grams = [norm] if norm else []
+            else:
+                grams = [norm[i : i + n] for i in range(len(norm) - n + 1)]
+            hs = sorted({_py_poly_hash(g) for g in grams})
+            return hs[:k]
+
+        return s.map(sketch)
+
+    return _b
+
+
+def char_ngram_bottomk(col: Column, n: int = 5, k: int = 8) -> Column:
+    return _cached(f"cng{n}_{k}", lambda: _make_char_ngram_bottomk_udf(n, k))(col)
+
+
+def sql_char_ngram_bottomk(text_expr: str, n: int = 5, k: int = 8) -> str:
+    """DuckDB twin: normalized text → distinct char n-gram hashes →
+    k smallest."""
+    norm = f"array_to_string({sql_tokens(text_expr)}, ' ')"
+    grams = (
+        f"(SELECT CASE WHEN length(__t) < {n} THEN "
+        f"CASE WHEN __t = '' THEN [] ELSE [__t] END "
+        f"ELSE [substr(__t, i, {n}) for i in generate_series(1, length(__t) - {n - 1})] END "
+        f"FROM (SELECT {norm} AS __t) __g)"
+    )
+    return (
+        f"list_sort(list_distinct([{sql_poly_hash('g')} for g in {grams}]))[1:{k}]"
+    )
+
+
 def poly_hash_array(arr: Column) -> Column:
     """Element-wise H over an array<string> column."""
     return _cached("poly_arr", _make_poly_hash_array_udf)(arr)

@@ -1073,7 +1073,10 @@ def cdc_chunked_snapshot_string_pk(spark: SparkSession, sf_dir: str) -> DataFram
 # --------------------------------------------------------------------------
 # LLM-data-pipeline operators: text analysis, dedup, similarity search
 # --------------------------------------------------------------------------
-from flink_cdc_2_3_0_src_spark.functions.hashing import sql_poly_hash  # noqa: E402
+from flink_cdc_2_3_0_src_spark.functions.hashing import (  # noqa: E402
+    sql_char_ngram_bottomk,
+    sql_poly_hash,
+)
 from flink_cdc_2_3_0_src_spark.operators import dedup as _dedup  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import similarity as _sim  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
@@ -1241,6 +1244,22 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dup_clusters(ld(spark, sf_dir, "documents"))
+
+
+# Character-level n-gram dedup: bottom-k (KMV) sketch of char-5-gram
+# hashes — permutation-free Jaccard sketch complementing word-level
+# MinHash (robust to token-boundary edits).
+@register(
+    "dedup_char_ngram_sketch",
+    f"""
+    SELECT doc_id, {sql_char_ngram_bottomk('text')} AS sketch FROM documents
+    """,
+)
+def dedup_char_ngram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.functions.hashing import char_ngram_bottomk
+
+    d = ld(spark, sf_dir, "documents")
+    return d.select("doc_id", char_ngram_bottomk(F.col("text")).alias("sketch"))
 
 
 @register("dedup_simhash", _dedup.SIMHASH_SQL)
