@@ -636,6 +636,21 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Approximate statistics (HLL distinct + approx quantiles) — genuinely
+# non-SQL-oracle-able (engine-specific sketches), so no oracle entry:
+# the driver records a rows-only check. These are the cheap first-pass
+# stats you run on 100 TB before exact passes.
+@register("stats_approx", None)
+def stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = ld(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", 0.99, 10000).alias("approx_p99_qty"),
+    )
+
+
 # Conversion funnel: conditional-aggregation sequence analysis.
 @register(
     "events_funnel",

@@ -1,0 +1,89 @@
+"""Kafka + Debezium ingestion path (the BASELINE.json documented
+approach: "Structured Streaming + JDBC/Kafka sources").
+
+For databases where we don't tail the log ourselves (Postgres/SQLServer/
+Db2 in the reference's legacy path, §3.3), the production route is
+Debezium Server/Connect → Kafka topic → Structured Streaming:
+
+    stream = debezium_kafka_stream(spark, opts, payload_schema)
+
+yields the same changelog DataFrame shape (+I/-U/+U/-D rows with _seq)
+as every other source in this engine, so the downstream operator layer
+(materialize / signed aggs / upsert sink) is source-agnostic.
+
+No Kafka broker exists in this container; the envelope decoding chain is
+the same `from_debezium_json` used (and oracle-verified) by the test
+dialect, and option building is unit-tested. The `value` column path is
+also exercised end-to-end by tests via a file-backed stand-in stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.config import SourceConfig
+from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+from flink_cdc_2_3_0_src_spark.model import StartupMode
+
+
+def kafka_options(
+    config: SourceConfig,
+    topic: str,
+    bootstrap_servers: str,
+) -> dict[str, str]:
+    """Map our startup modes onto Kafka source options (A21 for the
+    Kafka path): initial/earliest → earliest offsets, latest → latest;
+    timestamp → startingTimestamp (broker-side lookup)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": str(config.fetch_size * 1024),
+    }
+    mode = config.startup_mode
+    if mode in (StartupMode.INITIAL, StartupMode.EARLIEST):
+        opts["startingOffsets"] = "earliest"
+    elif mode == StartupMode.LATEST:
+        opts["startingOffsets"] = "latest"
+    elif mode == StartupMode.TIMESTAMP:
+        if config.startup_timestamp_ms is None:
+            raise ValueError("timestamp startup requires startup_timestamp_ms")
+        opts["startingTimestamp"] = str(config.startup_timestamp_ms)
+    elif mode == StartupMode.SPECIFIC_OFFSET:
+        raise ValueError(
+            "specific-offset startup on the Kafka path requires a "
+            "startingOffsets JSON per partition; supply it explicitly"
+        )
+    return opts
+
+
+def decode_debezium_values(
+    values: DataFrame, payload_schema: T.StructType, value_col: str = "value"
+) -> DataFrame:
+    """Kafka value bytes/strings → changelog rows (+I/-U/+U/-D, _seq).
+
+    The exact decode chain oracle-verified by cdc_dbz_roundtrip.
+    """
+    df = values
+    if isinstance(df.schema[value_col].dataType, T.BinaryType):
+        df = df.withColumn(value_col, F.col(value_col).cast("string"))
+    return from_debezium_json(df, payload_schema, value_col)
+
+
+def debezium_kafka_stream(
+    spark: SparkSession,
+    config: SourceConfig,
+    topic: str,
+    bootstrap_servers: str,
+    payload_schema: T.StructType,
+) -> DataFrame:
+    """readStream from a Debezium topic → changelog DataFrame."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_options(config, topic, bootstrap_servers).items():
+        reader = reader.option(k, v)
+    raw = reader.load()  # key, value, topic, partition, offset, timestamp
+    return decode_debezium_values(raw.select("value"), payload_schema)
