@@ -212,6 +212,34 @@ def b2_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Grouped top-k: top-3 parts per brand by retail price (window over
+# projection; the per-group ranking pattern).
+@register(
+    "topk_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        ld(spark, sf_dir, "part")
+        .select(
+            "p_brand", "p_partkey", "p_retailprice", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # Sort / limit (top-k).
 @register(
     "topk_orders",
