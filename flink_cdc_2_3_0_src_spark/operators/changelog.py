@@ -76,6 +76,28 @@ def materialize(
     return result.drop(*meta) if meta else result
 
 
+def ensure_retractions(
+    df: DataFrame,
+    mode,
+    keys: Sequence[str],
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Declared-changelog-mode dispatch (§1.1).
+
+    Sources declare what they can emit (MySQL-shape ALL vs Mongo/TiDB
+    upsert); consumers needing retractions (-U) call this instead of
+    hardcoding normalize_upsert — the planner-level decision Flink's
+    ChangelogNormalize rule makes from the source's ChangelogMode.
+    ALL-mode streams pass through untouched (no shuffle spent).
+    """
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+
+    if mode == ChangelogMode.ALL:
+        return df
+    return normalize_upsert(df, keys, seq_col=seq_col, op_col=op_col)
+
+
 def compact_changelog(
     df: DataFrame,
     keys: Sequence[str],

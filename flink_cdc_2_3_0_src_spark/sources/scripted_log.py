@@ -38,6 +38,14 @@ OP_CASE_SQL = (
 )
 
 
+#: Declared changelog mode of this source (§1.1): upsert — +I/+U/-D
+#: after-images only, no -U; consumers recover retractions via
+#: operators.changelog.ensure_retractions.
+from flink_cdc_2_3_0_src_spark.model import ChangelogMode  # noqa: E402
+
+CHANGELOG_MODE = ChangelogMode.UPSERT
+
+
 def split_heartbeats(log: DataFrame, heartbeat_op: str = "+H"):
     """A23: heartbeat handling — heartbeat records advance the source
     offset without emitting data (reference MySqlRecordEmitter.java:132-134,

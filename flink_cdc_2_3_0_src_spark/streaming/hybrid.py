@@ -270,3 +270,40 @@ class HybridPipeline:
             self.log.filter(F.col(SEQ_COL) > start), manifest
         )
         return materialize(snap.unionByName(stream_events), self.keys)
+
+    def run_streaming(
+        self,
+        chunks: Sequence[ChunkRange],
+        key: str,
+        stream: DataFrame,
+        sink,
+        checkpoint_dir: str,
+        watermarks: Optional[Callable[[int], tuple[int, int]]] = None,
+        await_seconds: int = 120,
+    ):
+        """The production shape (A16 streaming form): snapshot phase as a
+        batch job seeding the upsert sink, then the unbounded stream
+        phase as a real Structured Streaming query with the A10 chunk-HW
+        emission filter applied per microbatch via foreachBatch.
+
+        ``stream`` is an unbounded changelog DataFrame (replay source,
+        Kafka topic, ...). Returns (manifest, StreamingQuery).
+        """
+        snap, manifest = self.run_snapshot_phase(chunks, key, watermarks)
+        sink.merge_batch(snap, -1)  # seed state with the snapshot image
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            start = manifest.min_high_watermark()
+            filtered = self.stream_filter(
+                batch_df.filter(F.col(SEQ_COL) > start), manifest
+            )
+            sink.merge_batch(filtered, batch_id)
+
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(await_seconds)
+        return manifest, q

@@ -111,6 +111,31 @@ def _run_stream(spark, replay_dir, sink_path, ckpt, timeout_s=60):
     return sink
 
 
+def test_run_streaming_end_to_end(spark, tmp_path):
+    """The full production shape: batch snapshot seeds the sink, the
+    stream phase runs as a real Structured Streaming query with the A10
+    filter — final sink state equals the oracle."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    replay_dir = str(tmp_path / "replay_h")
+    write_replay_files(log, replay_dir, n_files=5)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    sink = UpsertParquetSink(spark, str(tmp_path / "state_h"), ["user_id"])
+
+    p = HybridPipeline(spark, log, ["user_id"])
+    manifest, q = p.run_streaming(
+        CHUNKS,
+        "user_id",
+        stream,
+        sink,
+        str(tmp_path / "ckpt_h"),
+        watermarks=lambda i: (150 + 100 * i, 350 + 100 * i),
+    )
+    assert len(manifest.chunks) == len(CHUNKS)
+    state = sink.read_state()
+    got = {(r["user_id"], r["value"]) for r in state.collect()}
+    assert got == oracle_state(spark)
+
+
 def test_stream_filter_join_equals_literal_filter(spark):
     """A10 scale path: the broadcast-join form of the chunk-HW filter
     emits exactly the same events as the literal OR-chain."""
