@@ -1230,6 +1230,39 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cluster-canonical training-set selection: instead of dropping the
+# higher id of each pair, drop every non-canonical member of each dup
+# CLUSTER (transitively closed) — the correct dedup at corpus scale
+# when near-dup chains exceed pairs.
+@register(
+    "pipeline_training_set_clustered",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               round(0.5 * (CAST(len([t for t in {_text.sql_tokens('text')}
+                                      if list_contains([{_text._STOP_LIST_SQL}], t)]) AS DOUBLE)
+                            / CAST(greatest(len({_text.sql_tokens('text')}), 1) AS DOUBLE))
+                   + 0.5 * least(1.0, CAST(len({_text.sql_tokens('text')}) AS DOUBLE) / 64.0), 6) AS quality
+        FROM documents
+    ),
+    clusters AS ({_dedup.DUP_CLUSTERS_SQL.format(lsh_pairs_sql=_dedup.LSH_PAIRS_SQL)}),
+    drop_docs AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+    SELECT q.doc_id, q.quality FROM q
+    WHERE q.quality >= 0.3 AND q.doc_id NOT IN (SELECT doc_id FROM drop_docs)
+    """,
+)
+def pipeline_training_set_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ld(spark, sf_dir, "documents")
+    quality = _text.text_quality(docs)
+    clusters = _dedup.dup_clusters(docs)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return (
+        quality.filter(F.col("quality") >= 0.3)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+    )
+
+
 # Embedding corpus statistics: norms + per-label centroid dispersion
 # (decimal-summed for cross-engine exactness).
 @register(
