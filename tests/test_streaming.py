@@ -136,6 +136,55 @@ def test_run_streaming_end_to_end(spark, tmp_path):
     assert got == oracle_state(spark)
 
 
+def test_run_streaming_crash_resume(spark, tmp_path):
+    """B13 on the full production shape: kill the stream mid-replay,
+    restart run_streaming with the same manifest/sink/checkpoint — the
+    snapshot phase resumes from the manifest (not re-bracketed), the
+    stream resumes from the SS checkpoint, final state equals oracle."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    replay_dir = str(tmp_path / "replay_cr")
+    write_replay_files(log, replay_dir, n_files=6)
+    sink = UpsertParquetSink(spark, str(tmp_path / "state_cr"), ["user_id"])
+    mpath = str(tmp_path / "manifest_cr.json")
+    ckpt = str(tmp_path / "ckpt_cr")
+    wm = lambda i: (150 + 100 * i, 350 + 100 * i)
+
+    # phase 1: start, let at least one batch through, then kill
+    p1 = HybridPipeline(spark, log, ["user_id"], manifest_path=mpath)
+    snap, manifest1 = p1.run_snapshot_phase(CHUNKS, "user_id", watermarks=wm)
+    sink.merge_batch(snap, -1)
+    stream1 = read_replay_stream(spark, replay_dir, log.schema)
+
+    def process1(batch_df, batch_id):
+        filtered = p1.stream_filter(
+            batch_df.filter(F.col(SEQ_COL) > manifest1.min_high_watermark()),
+            manifest1,
+        )
+        sink.merge_batch(filtered, batch_id)
+
+    q1 = (
+        stream1.writeStream.foreachBatch(process1)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and sink.current_version() in (None, "v-000000001"):
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # phase 2: full restart — manifest resume keeps original watermarks
+    p2 = HybridPipeline(spark, log, ["user_id"], manifest_path=mpath)
+    stream2 = read_replay_stream(spark, replay_dir, log.schema)
+    manifest2, q2 = p2.run_streaming(
+        CHUNKS, "user_id", stream2, sink, ckpt,
+        watermarks=lambda i: (0, 0),  # ignored: manifest wins on resume
+    )
+    assert manifest2.chunks[0].high_watermark == 350  # resumed, not re-run
+    got = {(r["user_id"], r["value"]) for r in sink.read_state().collect()}
+    assert got == oracle_state(spark)
+
+
 def test_stream_filter_join_equals_literal_filter(spark):
     """A10 scale path: the broadcast-join form of the chunk-HW filter
     emits exactly the same events as the literal OR-chain."""
