@@ -569,7 +569,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(o_orderstatus, '-', CAST(year(o_orderdate) AS VARCHAR)) AS status_year,
            year(o_orderdate) AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dom,
            length(o_orderpriority) AS prio_len,
-           round(o_totalprice / 1000.0, 2) AS price_k,
+           floor(o_totalprice / 10) / 100.0 AS price_k,
            CASE WHEN o_totalprice > 200000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
     FROM orders
     WHERE o_orderkey % 7 = 0
@@ -589,7 +589,9 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
         F.length("o_orderpriority").alias("prio_len"),
-        F.round(F.col("o_totalprice") / 1000.0, 2).alias("price_k"),
+        # floor, not round: round() ties diverge across engines (Spark
+        # HALF_UP vs DuckDB half-even) — bit us at sf0.1
+        (F.floor(F.col("o_totalprice") / 10) / 100.0).alias("price_k"),
         F.when(F.col("o_totalprice") > 200000, "big")
         .when(F.col("o_totalprice") > 100000, "mid")
         .otherwise("small")
@@ -1405,6 +1407,59 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
         F.countDistinct("content_hash").alias("n_distinct_payloads"),
+    )
+
+
+# Changelog-aware event-time windowed aggregation: net effect of the
+# changelog per day — signed sums grouped by event-time window, the op
+# a CDC-fed metrics pipeline runs continuously. The oracle reconstructs
+# the normalized changelog in SQL (lag-based -U synthesis, mirroring
+# normalize_upsert) and computes the same signed window sums.
+@register(
+    "cdc_windowed_net_changes",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    w AS (
+        SELECT *,
+               lag(value) OVER pk AS pv,
+               lag(ts) OVER pk AS pts,
+               lag(_op) OVER pk AS pop
+        FROM log
+        WINDOW pk AS (PARTITION BY user_id ORDER BY _seq)
+    ),
+    norm AS (
+        -- additions: non-deletes emit their after-image
+        SELECT user_id, value, ts, _seq,
+               CASE WHEN pv IS NULL OR pop = '-D' THEN '+I' ELSE '+U' END AS _op
+        FROM w WHERE _op <> '-D'
+        UNION ALL
+        -- retractions carry the ENTIRE previous image (value AND ts) —
+        -- matching normalize_upsert, which retracts the prior row as-is
+        SELECT user_id, pv AS value, pts AS ts, _seq,
+               CASE WHEN _op = '-D' THEN '-D' ELSE '-U' END AS _op
+        FROM w WHERE pv IS NOT NULL AND pop <> '-D'
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(SUM(CASE WHEN _op IN ('-U', '-D')
+                         THEN -CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
+           SUM(CASE WHEN _op IN ('-U', '-D') THEN -1 ELSE 1 END) AS net_rows
+    FROM norm GROUP BY 1
+    """,
+)
+def cdc_windowed_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import signed, signed_count
+
+    log = scripted_changelog(spark, sf_dir)
+    norm = normalize_upsert(log, ["user_id"])
+    return (
+        # cast to date: DuckDB date_trunc('day', ...) yields DATE while
+        # Spark yields TIMESTAMP
+        norm.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(signed(dec("value"))).cast("double").alias("net_value"),
+            signed_count().alias("net_rows"),
+        )
     )
 
 
