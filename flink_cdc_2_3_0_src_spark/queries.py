@@ -1147,6 +1147,38 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.dedup_exact_stats(ld(spark, sf_dir, "documents"))
 
 
+# Deterministic stratified sampling: hash-bucket selection (no RNG, no
+# reservoir state) — reproducible corpus subsampling at any scale; the
+# per-stratum rates stay stable because the hash is content-derived.
+@register(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+        SELECT lang, doc_id, {sql_poly_hash('text')} % 10 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN bucket < 3 THEN 1 END) AS n_sampled,
+           MIN(CASE WHEN bucket < 3 THEN doc_id END) AS first_sampled_doc
+    FROM h GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.functions.hashing import poly_hash
+
+    d = ld(spark, sf_dir, "documents").withColumn(
+        "bucket", poly_hash(F.col("text")) % 10
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("bucket") < 3, F.lit(1))).alias("n_sampled"),
+        F.min(F.when(F.col("bucket") < 3, F.col("doc_id"))).alias(
+            "first_sampled_doc"
+        ),
+    )
+
+
 # Corpus token histogram: explode + count — the canonical big-shuffle
 # text op (partial aggregation keeps the shuffle narrow at scale).
 @register(
