@@ -219,6 +219,46 @@ def ann_topk_matrix(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     )
 
 
+def knn_graph(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Full k-NN graph: every vector's top-k cosine neighbors.
+
+    The corpus matrix is broadcast (collected once on the driver, closed
+    over by the UDF — workers deserialize it once per executor); each
+    Arrow batch does one (batch × dim) @ (dim × corpus) matmul and emits
+    only its rows' top-k. At cluster scale this is the standard blocked
+    all-pairs KNN: per-task work is a dense matmul, shuffle carries only
+    n×k edges.
+    """
+    import pandas as pd
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+
+    out_schema = "vec_id long, neighbor_id long, cos6 double, rnk int"
+
+    def run(batches):
+        for pdf in batches:
+            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            nrm = np.sqrt((m * m).sum(axis=1))
+            cos = np.round((m @ mat.T) / (nrm[:, None] * norms[None, :]), 6)
+            out = {"vec_id": [], "neighbor_id": [], "cos6": [], "rnk": []}
+            for i in range(len(b_ids)):
+                row = cos[i]
+                mask = ids != b_ids[i]
+                cand_ids, cand_cos = ids[mask], row[mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out["vec_id"].extend([b_ids[i]] * len(order))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["cos6"].extend(cand_cos[order])
+                out["rnk"].extend(range(1, len(order) + 1))
+            yield pd.DataFrame(out)
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, out_schema)
+
+
 def neardup_cosine(
     emb: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
 ) -> DataFrame:
@@ -311,6 +351,21 @@ def ann_lsh_sql(dim: int) -> str:
     SELECT query_id, neighbor_id, cos6, rnk FROM r WHERE rnk <= 3
 """
 
+
+KNN_GRAPH_SQL = f"""
+    WITH {_VEC_CTE},
+    p AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cos6
+        FROM n a, n b WHERE a.vec_id != b.vec_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, neighbor_id) AS rnk
+        FROM p
+    )
+    SELECT vec_id, neighbor_id, cos6, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= 3
+"""
 
 NEARDUP_COSINE_SQL = f"""
     WITH {_VEC_CTE}

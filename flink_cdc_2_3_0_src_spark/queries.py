@@ -1397,6 +1397,14 @@ def ann_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_topk_matrix(ld(spark, sf_dir, "embeddings"))
 
 
+# Full k-NN graph (every vector × corpus, blocked matmul, per-batch
+# top-k) — the neighbor-graph construction step of embedding dedup and
+# clustering pipelines.
+@register("knn_graph", _sim.KNN_GRAPH_SQL)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.knn_graph(ld(spark, sf_dir, "embeddings"))
+
+
 @register("ann_lsh_bucketed", _sim.ann_lsh_sql(64))
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh(ld(spark, sf_dir, "embeddings"), dim=64)

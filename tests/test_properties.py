@@ -122,6 +122,31 @@ def test_shingles_properties(words, n):
     assert _py_shingles("  " + text + "  ", n) == sh
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(codec="utf-8", exclude_characters="'\x00"),
+                max_size=80),
+        min_size=1, max_size=50,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_poly_hash_cross_engine_fuzz(texts):
+    """The hash contract itself, fuzzed across engines: python reference
+    (used by every pandas UDF) == DuckDB sql_poly_hash (used by every
+    oracle) on arbitrary unicode strings."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.functions.hashing import sql_poly_hash
+
+    con = duckdb.connect()
+    got = [
+        con.execute(f"SELECT {sql_poly_hash('?::VARCHAR')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    ref = [_py_poly_hash(t) for t in texts]
+    assert got == ref
+
+
 def test_minhash_params_fixed():
     """The (a, b) constants are part of the cross-engine contract — they
     must never drift (oracle SQL embeds them as literals)."""
