@@ -101,22 +101,6 @@ def _make_poly_hash_array_udf():
     return _h
 
 
-def _make_minhash_udf(k: int):  # noqa: D401
-    params = minhash_params(k)
-
-    @F.pandas_udf("array<long>")
-    def _mh(s: pd.Series) -> pd.Series:
-        def sig(hs):
-            if hs is None or len(hs) == 0:
-                return None
-            h = np.asarray(hs, dtype=np.int64)
-            return [int(((a * h + b) % MERSENNE_P).min()) for a, b in params]
-
-        return s.map(sig)
-
-    return _mh
-
-
 def _make_simhash_udf(bits: int):
     bit_vals = np.array([1 << b for b in range(bits)], dtype=np.int64)
 
@@ -330,11 +314,6 @@ def poly_hash_array(arr: Column) -> Column:
     return _cached("poly_arr", _make_poly_hash_array_udf)(arr)
 
 
-def minhash_signature_arr(hashes: Column, k: int = 16) -> Column:
-    """k minhash values over array<long> — one vectorized UDF call."""
-    return _cached(f"minhash{k}", lambda: _make_minhash_udf(k))(hashes)
-
-
 def simhash_from_tokens(toks: Column, bits: int = 32) -> Column:
     """SimHash (bit votes over token hashes, with multiplicity) — one
     vectorized UDF, no explode/shuffle."""
@@ -360,24 +339,6 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
 
 
-def word_shingles(toks: Column, n: int = 3) -> Column:
-    """n-word shingle strings; short docs fall back to one whole-doc
-    shingle so every doc has a non-empty shingle set."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
-    )
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
-
-
-def minhash_signature(hashes: Column, k: int = 16) -> list[Column]:
-    """k minhash values as columns of one vectorized signature array."""
-    sig = minhash_signature_arr(hashes, k)
-    return [F.element_at(sig, j + 1) for j in range(k)]
-
-
 # --------------------------------------------------------------------------
 # DuckDB side (SQL fragment builders — MUST mirror the Spark expressions)
 # --------------------------------------------------------------------------
@@ -393,16 +354,6 @@ def sql_poly_hash(expr: str) -> str:
 
 def sql_tokens(expr: str) -> str:
     return f"[t for t in string_split_regex(lower({expr}), '\\s+') if t <> '']"
-
-
-def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
-    gram = " || ' ' || ".join(f"__t[i+{j}]" for j in range(n))
-    return (
-        f"(SELECT CASE WHEN len(__t) >= {n} THEN "
-        f"[{gram} for i in generate_series(1, len(__t) - {n - 1})] "
-        f"ELSE [array_to_string(__t, ' ')] END "
-        f"FROM (SELECT {toks_expr} AS __t) __sh)"
-    )
 
 
 def sql_token_hashes(toks_expr: str) -> str:
@@ -425,10 +376,3 @@ def sql_shingle_hashes(th_col: str, n: int = 3) -> str:
     )
 
 
-def sql_minhash(hashes_expr: str, k: int = 16) -> list[str]:
-    out = []
-    for a, b in minhash_params(k):
-        out.append(
-            f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in {hashes_expr}])"
-        )
-    return out

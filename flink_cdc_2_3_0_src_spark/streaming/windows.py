@@ -41,6 +41,49 @@ def windowed_counts(
     )
 
 
+def stream_distinct(
+    stream: DataFrame,
+    key_col: str,
+    seq_col: str = "_seq",
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST occurrence only,
+    across all microbatches (per-key seen-flag state) — the streaming
+    form of the exact-dedup pipeline stage (a new document is kept the
+    first time its fingerprint appears, dropped forever after).
+
+    applyInPandasWithState keyed on the dedup key; state is one boolean
+    per key (bounded by distinct-key count, spillable via RocksDB state
+    store on a real cluster).
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            # already emitted: consume and drop
+            for _ in pdfs:
+                pass
+            return iter(())
+        first = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.loc[pdf[seq_col].idxmin()]
+            if first is None or cand[seq_col] < first[seq_col]:
+                first = cand
+        if first is None:
+            return iter(())
+        state.update((True,))
+        return iter([first.to_frame().T])
+
+    out_schema = stream.schema
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen BOOLEAN",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 FIRST_SEEN_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

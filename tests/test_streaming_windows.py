@@ -60,6 +60,38 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_stream_distinct_first_occurrence_only(spark, tmp_path):
+    """Streaming exact dedup: exactly one row per key survives — the
+    first by sequence — across microbatches."""
+    from flink_cdc_2_3_0_src_spark.streaming.windows import stream_distinct
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    replay_dir = str(tmp_path / "replay_sd")
+    write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    out = stream_distinct(stream, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sdistinct")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sdistinct").collect()
+    got = {r["user_id"]: r["_seq"] for r in rows}
+    assert len(rows) == len(got)  # one row per key, no dupes
+    expect = {
+        r["user_id"]: r["first_seq"]
+        for r in log.groupBy("user_id")
+        .agg(F.min("_seq").alias("first_seq"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_first_seen_dedup_stateful(spark, tmp_path):
     log = scripted_changelog(spark, SF_SMOKE)
     replay_dir = str(tmp_path / "replay2")
