@@ -46,3 +46,51 @@ class SchemaHistory:
 
     def versions(self, table: str) -> list[int]:
         return [e["offset"] for e in self._entries if e["table"] == table]
+
+
+def decode_with_history(
+    envelopes,
+    history: SchemaHistory,
+    table: str,
+    seq_col: str = "_seq",
+    value_col: str = "value",
+):
+    """Decode Debezium-JSON envelopes whose payload schema EVOLVES
+    mid-log (A25 as a data path, not just a registry).
+
+    Each schema version decodes the offset range it governs
+    [version_offset, next_version_offset); the decoded slices are
+    unioned with missing columns null-filled — the Spark shape of
+    "replay DDL history so log decoding has the right per-offset
+    schema" (reference EmbeddedFlinkDatabaseHistory).
+
+    ``envelopes``: DataFrame with (value: JSON string, seq). Returns the
+    changelog DataFrame under the LATEST schema.
+    """
+    from pyspark.sql import functions as F
+
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+
+    offsets = history.versions(table)
+    if not offsets:
+        raise ValueError(f"no schema history for table {table!r}")
+    latest = history.schema_at(table, offsets[-1])
+    parts = []
+    for i, off in enumerate(offsets):
+        schema = history.schema_at(table, off)
+        upper = offsets[i + 1] if i + 1 < len(offsets) else None
+        sl = envelopes.filter(F.col(seq_col) >= off)
+        if upper is not None:
+            sl = sl.filter(F.col(seq_col) < upper)
+        decoded = from_debezium_json(sl, schema, value_col)
+        # null-fill columns added by later schema versions
+        for f in latest.fields:
+            if f.name not in decoded.columns:
+                decoded = decoded.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        parts.append(decoded.select(*[f.name for f in latest.fields], "_op", "_seq"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -79,6 +79,48 @@ def test_schema_history(tmp_path):
     assert h2.versions("db.t") == [0, 500]
 
 
+def test_schema_evolution_decode(spark, tmp_path):
+    """A25 as a data path: a log whose payload gains a column mid-stream
+    decodes correctly — v1 rows under the v1 schema (new column null),
+    v2 rows under v2 — and materializes to the right final state."""
+    import json
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import (
+        SchemaHistory,
+        decode_with_history,
+    )
+
+    h = SchemaHistory(str(tmp_path / "hist.json"))
+    v1 = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    v2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    h.record("db.t", 0, v1, "CREATE TABLE t(id, v)")
+    h.record("db.t", 100, v2, "ALTER TABLE t ADD COLUMN tag")
+
+    def env(op, after, seq):
+        return (json.dumps({"after": after, "op": op, "ts_ms": seq}), seq)
+
+    rows = [
+        env("c", {"id": 1, "v": 10.0}, 10),                       # v1 era
+        env("c", {"id": 2, "v": 20.0}, 20),                       # v1 era
+        env("u", {"id": 1, "v": 11.0, "tag": "x"}, 150),          # v2 era
+        env("c", {"id": 3, "v": 30.0, "tag": "y"}, 200),          # v2 era
+    ]
+    envelopes = spark.createDataFrame(rows, "value string, _seq long")
+    decoded = decode_with_history(envelopes, h, "db.t")
+    state = materialize(decoded, ["id"])
+    got = {(r["id"], r["v"], r["tag"]) for r in state.collect()}
+    assert got == {(1, 11.0, "x"), (2, 20.0, None), (3, 30.0, "y")}
+
+
 def test_metrics_wrap(spark):
     log = scripted_changelog(spark, SF_SMOKE)
     m = CdcMetrics()
