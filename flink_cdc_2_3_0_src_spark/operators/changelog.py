@@ -76,6 +76,40 @@ def materialize(
     return result.drop(*meta) if meta else result
 
 
+def merge_agg_state(
+    state: Optional[DataFrame],
+    batch: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: dict[str, Column],
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Incremental maintenance of a grouped signed aggregate across
+    microbatches (the foreachBatch form of B4): the existing aggregate
+    state is unioned with the batch's signed deltas and re-summed —
+    work per batch is O(batch + |groups|), never a rescan of history.
+
+    state columns: group_cols + sum names + '__rows' (live row count);
+    pass state=None for the first batch. Groups whose live count drops
+    to zero are removed (full retraction).
+    """
+    deltas = batch.groupBy(*group_cols).agg(
+        *[signed_sum(c, op_col).alias(name) for name, c in sum_cols.items()],
+        signed_count(op_col).alias("__rows"),
+    )
+    if state is None:
+        merged = deltas
+    else:
+        merged = (
+            state.unionByName(deltas)
+            .groupBy(*group_cols)
+            .agg(
+                *[F.sum(name).alias(name) for name in sum_cols],
+                F.sum("__rows").alias("__rows"),
+            )
+        )
+    return merged.filter(F.col("__rows") > 0)
+
+
 def ensure_retractions(
     df: DataFrame,
     mode,

@@ -84,6 +84,47 @@ def test_materialize_after_normalize_matches_direct(spark):
     assert a == b
 
 
+def test_incremental_agg_state_maintenance(spark):
+    """Incremental signed-aggregate state over microbatches equals the
+    one-shot aggregate over the whole changelog (B4 foreachBatch form)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_agg_state,
+        normalize_upsert,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
+    from tests.conftest import SF_SMOKE
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    norm = normalize_upsert(log, ["user_id"]).withColumn(
+        "bucket", F.col("user_id") % 4
+    )
+    sum_cols = {"s": F.col("value").cast("decimal(18,2)")}
+    # replay in 4 sequence-range microbatches
+    state = None
+    bounds = [0, 250, 500, 750, 10**9]
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = norm.filter((F.col(SEQ_COL) > lo) & (F.col(SEQ_COL) <= hi))
+        state = merge_agg_state(state, batch, ["bucket"], sum_cols)
+    got = {(r["bucket"], str(r["s"]), r["__rows"]) for r in state.collect()}
+    direct = (
+        norm.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_op").isin("-U", "-D"),
+                    -F.col("value").cast("decimal(18,2)"),
+                ).otherwise(F.col("value").cast("decimal(18,2)"))
+            ).alias("s"),
+            F.sum(
+                F.when(F.col("_op").isin("-U", "-D"), -1).otherwise(1)
+            ).alias("__rows"),
+        )
+        .filter(F.col("__rows") > 0)
+    )
+    expect = {(r["bucket"], str(r["s"]), r["__rows"]) for r in direct.collect()}
+    assert got == expect and len(got) > 0
+
+
 def test_debezium_roundtrip(spark):
     log = normalize_upsert(upsert_log(spark), ["k"])
     enc = to_debezium_json(log, ["k", "v"])
