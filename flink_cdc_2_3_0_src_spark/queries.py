@@ -472,6 +472,33 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PIVOT: order counts by priority pivoted across status columns
+# (oracle: conditional aggregation — identical result, engine-neutral).
+@register(
+    "pivot_orders_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = ld(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+    )
+
+
 # Sort / limit (top-k).
 @register(
     "topk_orders",
