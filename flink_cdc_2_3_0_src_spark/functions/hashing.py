@@ -7,9 +7,10 @@ instead we use a character-level polynomial rolling hash:
 
     H(s) = fold over code points c:  acc <- (acc * 31 + c) mod 1e9+7
 
-computed via ``aggregate`` (Spark) / ``list_reduce`` (DuckDB) — both
-JVM/vectorized-native, no Python UDFs. Parity is covered by
-tests/test_llm_ops.py.
+computed by Arrow-batched pandas UDFs on the Spark side (see the
+section note below for why not Catalyst higher-order functions) and
+``list_reduce`` on the DuckDB side. Parity is fuzz-tested in
+tests/test_properties.py (test_poly_hash_cross_engine_fuzz).
 
 MinHash permutations are the classic  h_j(x) = (a_j * x + b_j) mod P
 with P = 2^31-1 and (a_j, b_j) from a fixed LCG so both engines embed
