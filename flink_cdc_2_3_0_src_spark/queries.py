@@ -50,7 +50,8 @@ def register(name: str, oracle: Optional[str]):
 # and every LLM-data-pipeline operator inside that window; redundant
 # SQL-surface variants (extra TPC-H shapes, alternate window/grouping demos)
 # are demoted past position 50 — they stay registered and remain verified by
-# the local oracle harness (tests/test_oracle_sweep.py covers ALL entries).
+# the local oracle harness (tests/test_oracle_parity.py sweeps ALL entries,
+# and tests/test_registry.py guards the window composition).
 _PRIORITY: list[str] = [
     # CDC core (SURVEY §2 part A/B)
     "cdc_multi_table_capture", "cdc_materialize", "cdc_changelog_stats",
@@ -78,7 +79,11 @@ _PRIORITY: list[str] = [
 
 
 def _ordered() -> list[str]:
-    head = [n for n in _PRIORITY if n in _REGISTRY]
+    # A renamed/unregistered priority entry must fail loudly, not silently
+    # shift the driver's 50-query verification window.
+    missing = set(_PRIORITY) - set(_REGISTRY)
+    assert not missing, f"_PRIORITY names not registered: {sorted(missing)}"
+    head = list(_PRIORITY)
     tail = [n for n in _REGISTRY if n not in _PRIORITY]
     return head + tail
 
@@ -1374,10 +1379,12 @@ def b6_all_types_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("float").alias("as_float"),
         F.col("o_totalprice").alias("as_double"),
         F.col("o_orderdate").cast("date").alias("as_date"),
-        # parquet ms-timestamps surface as TIMESTAMP_NTZ; the oracle's is a
-        # plain TIMESTAMP.  Cast to LTZ under the UTC session so both sides
-        # arrow-serialize identically (same convention as events.ts).
-        F.col("o_orderdate").cast("timestamp").alias("as_ts"),
+        # parquet ms-timestamps surface as TIMESTAMP_NTZ; the oracle's
+        # o_orderdate is a naive DuckDB TIMESTAMP (arrow timestamp[us], no
+        # tz).  TIMESTAMP_NTZ on the Spark side arrow-serializes naive too;
+        # casting to TIMESTAMP (= LTZ) made the pandas dtype tz-aware and
+        # hash-mismatched for two rounds.
+        F.col("o_orderdate").cast("timestamp_ntz").alias("as_ts"),
         (F.col("o_orderstatus") == "O").alias("as_bool"),
         F.col("o_orderkey").cast("string").alias("as_str"),
         F.length(F.encode("o_orderpriority", "UTF-8")).alias("bin_len"),
@@ -1703,18 +1710,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Character-level n-gram dedup: bottom-k (KMV) sketch of char-5-gram
 # hashes — permutation-free Jaccard sketch complementing word-level
-# MinHash (robust to token-boundary edits).
+# MinHash (robust to token-boundary edits).  The sketch is serialized to
+# a comma-joined string on BOTH sides: the driver's canonicalizer sorts
+# result columns through pandas, which cannot factorize list-typed cells
+# (r2 err: "unhashable type: 'list'"); a scalar string carries the same
+# information and is driver-canonicalizable.
 @register(
     "dedup_char_ngram_sketch",
     f"""
-    SELECT doc_id, {sql_char_ngram_bottomk('text')} AS sketch FROM documents
+    SELECT doc_id,
+           array_to_string({sql_char_ngram_bottomk('text')}, ',') AS sketch
+    FROM documents
     """,
 )
 def dedup_char_ngram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_2_3_0_src_spark.functions.hashing import char_ngram_bottomk
 
     d = ld(spark, sf_dir, "documents")
-    return d.select("doc_id", char_ngram_bottomk(F.col("text")).alias("sketch"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", char_ngram_bottomk(F.col("text")).cast("array<string>"))
+        .alias("sketch"),
+    )
 
 
 @register("dedup_simhash", _dedup.SIMHASH_SQL)
@@ -1774,7 +1791,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT media_type, COUNT(*) AS n_assets,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            COUNT(DISTINCT content_hash) AS n_distinct_payloads
     FROM (SELECT 'image' AS media_type, * FROM feat)
     GROUP BY media_type
@@ -1828,7 +1845,8 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN _op IN ('-U', '-D')
                          THEN -CAST(value AS DECIMAL(18,2))
                          ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
-           SUM(CASE WHEN _op IN ('-U', '-D') THEN -1 ELSE 1 END) AS net_rows
+           CAST(SUM(CASE WHEN _op IN ('-U', '-D') THEN -1 ELSE 1 END)
+                AS BIGINT) AS net_rows
     FROM norm GROUP BY 1
     """,
 )

@@ -30,13 +30,27 @@ def windowed_counts(
 
     On an unbounded stream the watermark bounds state: windows older
     than (max event time - watermark) are finalized and dropped.
+
+    State-boundedness requires grouping by ``F.window(ts, w)`` ITSELF:
+    the window struct keeps its link to the watermarked event-time
+    column, so Spark plans a streaming window aggregate with eviction.
+    Grouping by ``.start`` (a derived timestamp) detaches that link —
+    the plan degrades to an ordinary keyed aggregate whose state grows
+    forever and which never finalizes/evicts late windows. ``.start`` is
+    projected AFTER the agg instead.
     """
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).start.alias("win_start"), group_col)
+        .groupBy(F.window(ts_col, window), group_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            group_col,
+            "n_events",
+            "sum_value",
         )
     )
 

@@ -62,6 +62,50 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> Optional[str]:
     return None
 
 
+def compare_pandas(spark_df, oracle_sql: str, sf_dir: str) -> Optional[str]:
+    """Driver-mimic compare: both sides go through pandas (Spark via
+    Arrow `toPandas`, DuckDB via `.df()`), columns sorted by name, rows
+    sorted, then cells compared on their STRING REPRESENTATION — which is
+    dtype-sensitive the way the driver's value-hash is (naive vs tz-aware
+    timestamps, int64 vs HUGEINT-as-float64, lists crash the sort).  The
+    round-2 board's three hash-only fails all reproduce under this and
+    not under `compare`."""
+    import pandas as pd
+
+    sp = spark_df.toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # fetch through Arrow (not .df()): Arrow keeps DECIMAL as
+    # decimal.Decimal and HUGEINT as int128-decimal — the same
+    # representations the driver's hasher sees; .df() would coerce both
+    # to float64 and hide/flag the wrong things.
+    op = con.execute(oracle_sql).fetch_arrow_table().to_pandas()
+    sp.columns = [c.lower() for c in sp.columns]
+    op.columns = [c.lower() for c in op.columns]
+    if sorted(sp.columns) != sorted(op.columns):
+        return f"column mismatch: spark={sorted(sp.columns)} oracle={sorted(op.columns)}"
+    cols = sorted(sp.columns)
+    try:
+        a = sp[cols].sort_values(cols).reset_index(drop=True)
+        b = op[cols].sort_values(cols).reset_index(drop=True)
+    except TypeError as e:  # unsortable cells (e.g. lists) — driver ERRs
+        return f"canonicalize error: {e}"
+    if len(a) != len(b):
+        return f"row count mismatch: spark={len(a)} oracle={len(b)}"
+    sa = a.astype(str)
+    sb = b.astype(str)
+    neq = (sa != sb).any(axis=1)
+    if neq.any():
+        i = int(neq.idxmax())
+        return (
+            f"repr mismatch at sorted-row {i}: spark={sa.iloc[i].tolist()} "
+            f"oracle={sb.iloc[i].tolist()} "
+            f"(dtypes spark={list(a.dtypes)} oracle={list(b.dtypes)})"
+        )
+    return None
+
+
 def _val_eq(x, y) -> bool:
     # STRICT bit equality on floats: the driver's value-hash gate is
     # exact, so the local guard must be too (all 46 queries verified

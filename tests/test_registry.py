@@ -1,0 +1,35 @@
+"""Guards on the query registry / driver verification window.
+
+The correctness driver checks the FIRST 50 entries of ``queries()``; the
+explicit ``_PRIORITY`` list pins every SURVEY §2 operator and every
+LLM-pipeline operator inside that window. These tests make sure a future
+registration or rename cannot silently push one of them out.
+"""
+
+from flink_cdc_2_3_0_src_spark import queries as catalog
+
+
+def test_priority_names_all_registered():
+    assert not set(catalog._PRIORITY) - set(catalog._REGISTRY)
+
+
+def test_priority_fits_driver_window():
+    assert len(catalog._PRIORITY) <= 50
+
+
+def test_window_contains_all_core_operators():
+    window = list(catalog.queries())[:50]
+    must_have = set(catalog._PRIORITY)
+    assert must_have <= set(window), sorted(must_have - set(window))
+
+
+def test_every_query_has_unique_name_and_callable():
+    qs = catalog.queries()
+    assert len(qs) == len(catalog._REGISTRY)
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracle_sql_subset_of_queries():
+    qs, osql = catalog.queries(), catalog.oracle_sql()
+    assert set(osql) <= set(qs)

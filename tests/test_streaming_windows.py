@@ -60,6 +60,66 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_windowed_counts_append_mode_evicts_late_rows(spark, tmp_path):
+    """State-boundedness contract: in append mode a window finalizes
+    (emits) once the watermark passes its end, and rows arriving later
+    than the watermark are DROPPED — not silently re-aggregated into
+    ever-growing state. Regression test for grouping on window.start,
+    which detached the watermark and kept every window's state forever."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+
+    d = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return d + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        # file 0: the [00:00,01:00) window gets its 2 on-time rows.
+        (1, ts(0, 0), "a", 10.0),
+        (2, ts(0, 30), "a", 10.0),
+        # files 1-2: 10:xx rows push max event time so the watermark
+        # reaches 08:01. Two batches are needed because Spark filters
+        # late events with the PREVIOUS batch's starting watermark
+        # (SPARK-40925 splits late-event vs eviction watermarks).
+        (3, ts(10, 0), "a", 1.0),
+        (4, ts(10, 1), "a", 1.0),
+        (5, ts(10, 5), "a", 1.0),
+        (6, ts(10, 6), "a", 1.0),
+        # file 3: 00:15 is ~10h late, far past the 2h watermark -> must
+        # be dropped; 10:30 keeps the stream moving.
+        (7, ts(0, 15), "a", 100.0),
+        (8, ts(10, 30), "a", 1.0),
+    ]
+    log = spark.createDataFrame(
+        rows, f"{SEQ_COL} long, ts timestamp, event_type string, value double"
+    )
+    replay_dir = str(tmp_path / "replay_late")
+    write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    out = windowed_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["win_start"]: (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_late").collect()
+    }
+    # the finalized 00:00 window contains ONLY the 2 on-time rows; the
+    # late value (100.0) appears nowhere in the emitted results.
+    assert got[ts(0, 0)] == (2, 20.0)
+    assert all(v[1] < 100.0 for v in got.values())
+
+
 def test_stream_distinct_first_occurrence_only(spark, tmp_path):
     """Streaming exact dedup: exactly one row per key survives — the
     first by sequence — across microbatches."""
