@@ -250,17 +250,26 @@ class ChunkRange:
 
     Mirrors reference ChunkRange semantics (MySqlChunkSplitter.java:378-398):
     first chunk is (-inf, end), last is [start, +inf), middle [start, end).
+
+    Composite (multi-column) keys: ``start``/``end`` may be tuples; pass a
+    sequence of column names to ``predicate_sql`` and the range becomes a
+    LEXICOGRAPHIC interval, matching the reference's multi-column split-key
+    conjunction in buildSplitScanQuery (StatementUtils.java:132-188).
     """
 
     start: Optional[Any]
     end: Optional[Any]
 
-    def predicate_sql(self, key: str) -> str:
+    def predicate_sql(self, key) -> str:
         """WHERE fragment for this chunk (A5, StatementUtils.buildSplitScanQuery:132-188).
 
         Used both as a Spark JDBC ``predicates`` entry and as a parquet-scan
-        filter; pushdown-friendly (plain range comparison on the split key).
+        filter; pushdown-friendly (plain range comparison on the split key;
+        for composite keys the leading column's bounds still push down).
+        ``key``: one column name, or a sequence of names for composite keys.
         """
+        if not isinstance(key, str):
+            return self._predicate_sql_composite(list(key))
         if self.start is None and self.end is None:
             return "1=1"
         if self.start is None:
@@ -269,13 +278,55 @@ class ChunkRange:
             return f"{key} >= {_sql_lit(self.start)}"
         return f"{key} >= {_sql_lit(self.start)} AND {key} < {_sql_lit(self.end)}"
 
+    def _predicate_sql_composite(self, keys: list) -> str:
+        """Lexicographic [start, end) over (k1, .., kn).
+
+        Expanded into AND/OR of scalar comparisons rather than a row
+        constructor ``(k1,k2) >= (v1,v2)`` so the same fragment runs on
+        Spark SQL, MySQL and DuckDB, and the leading-column bounds remain
+        pushdown/zone-map eligible.
+        """
+        parts = []
+        if self.start is not None:
+            parts.append(_lex_bound_sql(keys, tuple(self.start), ">="))
+        if self.end is not None:
+            parts.append(_lex_bound_sql(keys, tuple(self.end), "<"))
+        if not parts:
+            return "1=1"
+        return " AND ".join(f"({p})" for p in parts)
+
     def contains(self, value: Any) -> bool:
-        """splitKeyRangeContains (A9, reference RecordUtils.java:302-337)."""
+        """splitKeyRangeContains (A9, reference RecordUtils.java:302-337).
+
+        Tuples compare lexicographically (Python-native), so composite
+        keys need no special casing here.
+        """
         if self.start is not None and _cmp(value, self.start) < 0:
             return False
         if self.end is not None and _cmp(value, self.end) >= 0:
             return False
         return True
+
+
+def _lex_bound_sql(keys: Sequence[str], vals: Sequence[Any], final_op: str) -> str:
+    """SQL for (k1..kn) {>=,<} (v1..vn), lexicographic.
+
+    (k1 > v1) OR (k1 = v1 AND (k2 > v2)) OR ... with the last level using
+    ``final_op`` — the standard row-comparison expansion (reference builds
+    the same conjunction per split-key column, StatementUtils.java:132-188).
+    """
+    assert len(keys) == len(vals) and keys
+    strict = ">" if final_op == ">=" else "<"
+    n = len(keys)
+    terms = []
+    for i in range(n):
+        eqs = [f"{keys[j]} = {_sql_lit(vals[j])}" for j in range(i)]
+        op = final_op if i == n - 1 else strict
+        eqs.append(f"{keys[i]} {op} {_sql_lit(vals[i])}")
+        terms.append(" AND ".join(eqs))
+    if len(terms) == 1:
+        return terms[0]
+    return " OR ".join(f"({t})" for t in terms)
 
 
 def _sql_lit(v: Any) -> str:

@@ -219,44 +219,77 @@ def ann_topk_matrix(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     )
 
 
-def knn_graph(emb: DataFrame, k: int = 3) -> DataFrame:
+def knn_graph(emb: DataFrame, k: int = 3, block_size: int = 4096) -> DataFrame:
     """Full k-NN graph: every vector's top-k cosine neighbors.
 
-    The corpus matrix is broadcast (collected once on the driver, closed
-    over by the UDF — workers deserialize it once per executor); each
-    Arrow batch does one (batch × dim) @ (dim × corpus) matmul and emits
-    only its rows' top-k. At cluster scale this is the standard blocked
-    all-pairs KNN: per-task work is a dense matmul, shuffle carries only
-    n×k edges.
+    Blocked exact all-pairs with NO driver collect: the corpus is hashed
+    into nb = ceil(n / block_size) blocks, every (A-block, B-block) pair
+    becomes one cogrouped-applyInPandas task doing a dense
+    (block × dim) @ (dim × block) matmul, and each task emits only its
+    A-rows' local top-k — so the final shuffle carries ~n·nb·k candidate
+    edges, and per-task memory is bounded by block_size regardless of
+    corpus size (the previous implementation collect()ed the whole corpus
+    to the driver, which cannot work at 100 TB). Exact-KNN compute is
+    inherently n²; the blocking distributes it with bounded memory —
+    for sub-quadratic work use ann_lsh.
     """
     import pandas as pd
 
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-    norms = np.sqrt((mat * mat).sum(axis=1))
+    n = emb.count()
+    nb = max(1, -(-n // block_size))
+    spark = emb.sparkSession
+    base = emb.select("vec_id", "embedding").withColumn(
+        "blk", (F.col("vec_id") % nb).cast("int")
+    )
+    others = spark.range(nb).select(F.col("id").cast("int").alias("obk"))
+    # A side replicated across target blocks: key (blk, obk) = (ablk, bblk)
+    a_rep = base.crossJoin(others)
+    # B side replicated across source blocks: key (obk_b, b_blk) = (ablk, bblk);
+    # columns renamed so the self-join lineage is unambiguous
+    b_base = base.select(
+        F.col("vec_id").alias("b_vec_id"),
+        F.col("embedding").alias("b_embedding"),
+        F.col("blk").alias("b_blk"),
+    )
+    b_rep = b_base.crossJoin(
+        spark.range(nb).select(F.col("id").cast("int").alias("obk_b"))
+    )
 
-    out_schema = "vec_id long, neighbor_id long, cos6 double, rnk int"
+    cand_schema = "vec_id long, neighbor_id long, cos6 double"
 
-    def run(batches):
-        for pdf in batches:
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            nrm = np.sqrt((m * m).sum(axis=1))
-            cos = np.round((m @ mat.T) / (nrm[:, None] * norms[None, :]), 6)
-            out = {"vec_id": [], "neighbor_id": [], "cos6": [], "rnk": []}
-            for i in range(len(b_ids)):
-                row = cos[i]
-                mask = ids != b_ids[i]
-                cand_ids, cand_cos = ids[mask], row[mask]
-                order = np.lexsort((cand_ids, -cand_cos))[:k]
-                out["vec_id"].extend([b_ids[i]] * len(order))
-                out["neighbor_id"].extend(cand_ids[order])
-                out["cos6"].extend(cand_cos[order])
-                out["rnk"].extend(range(1, len(order) + 1))
-            yield pd.DataFrame(out)
+    def pair(key, a_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(a_pdf) == 0 or len(b_pdf) == 0:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos6": []})
+        a_ids = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b_pdf["b_vec_id"].to_numpy(dtype=np.int64)
+        am = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["embedding"]])
+        bm = np.stack([np.asarray(v, dtype=np.float64) for v in b_pdf["b_embedding"]])
+        an = np.sqrt((am * am).sum(axis=1))
+        bn = np.sqrt((bm * bm).sum(axis=1))
+        cos = np.round((am @ bm.T) / (an[:, None] * bn[None, :]), 6)
+        out = {"vec_id": [], "neighbor_id": [], "cos6": []}
+        for i in range(len(a_ids)):
+            row = cos[i]
+            mask = b_ids != a_ids[i]
+            cand_ids, cand_cos = b_ids[mask], row[mask]
+            if len(cand_ids) == 0:
+                continue
+            order = np.lexsort((cand_ids, -cand_cos))[:k]
+            out["vec_id"].extend([a_ids[i]] * len(order))
+            out["neighbor_id"].extend(cand_ids[order])
+            out["cos6"].extend(cand_cos[order])
+        return pd.DataFrame(out)
 
-    return emb.select("vec_id", "embedding").mapInPandas(run, out_schema)
+    partial = (
+        a_rep.groupby("blk", "obk")
+        .cogroup(b_rep.groupby("obk_b", "b_blk"))
+        .applyInPandas(pair, cand_schema)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
 
 
 def neardup_cosine(

@@ -234,14 +234,28 @@ def percentile_chunks(df, key: str, num_chunks: int) -> list[ChunkRange]:
     return chunks
 
 
-def spark_analyze(df, key: str) -> TableAnalysis:
+def spark_analyze(df, key) -> TableAnalysis:
     """Analyze callback for DataFrame-backed dialects (parquet test dialect).
 
     One job: min/max/count in a single aggregation — the parquet footer
     stats make this near-free; for JDBC dialects use SQL instead.
+
+    ``key`` may be a list of columns (composite PK): min/max are then the
+    lexicographic struct extrema, returned as tuples, and the analysis is
+    flagged non-numeric so planning takes the lazy uneven path.
     """
     from pyspark.sql import functions as F
 
+    if not isinstance(key, str):
+        keys = list(key)
+        row = df.agg(
+            F.min(F.struct(*keys)).alias("mn"),
+            F.max(F.struct(*keys)).alias("mx"),
+            F.count(F.lit(1)).alias("cnt"),
+        ).collect()[0]
+        mn = tuple(row["mn"]) if row["mn"] is not None else None
+        mx = tuple(row["mx"]) if row["mx"] is not None else None
+        return TableAnalysis(mn, mx, row["cnt"], numeric=False)
     row = df.agg(
         F.min(key).alias("mn"), F.max(key).alias("mx"), F.count(F.lit(1)).alias("cnt")
     ).collect()[0]

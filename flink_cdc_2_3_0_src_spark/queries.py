@@ -59,8 +59,8 @@ _PRIORITY: list[str] = [
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
     "cdc_metadata_columns", "cdc_compact_changelog", "b6_all_types_decode",
     "cdc_startup_timestamp", "cdc_startup_specific_offset",
-    "cdc_chunked_snapshot_string_pk", "cdc_windowed_net_changes",
-    "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
+    "cdc_chunked_snapshot_string_pk", "cdc_chunked_snapshot_composite_pk",
+    "cdc_windowed_net_changes", "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
     # LLM data-pipeline operators
     "text_stats", "text_lang_id", "text_quality", "dedup_exact_stats",
     "sample_stratified", "text_token_histogram", "text_length_percentiles",
@@ -74,7 +74,10 @@ _PRIORITY: list[str] = [
     "b2_projection_filter", "q1_pricing_summary", "q3_shipping_priority",
     "q5_regional_volume", "q7_nation_volume", "q10_returned_items",
     "events_hourly_window", "events_sessionize", "events_json_extract",
-    "skew_salted_agg", "stats_approx",
+    "skew_salted_agg",
+    # stats_approx (no oracle → weak rows-only driver check) sits just past
+    # the window at position 51, still swept by tests/test_oracle_parity.py;
+    # its slot goes to the oracle-backed composite-PK chunking query.
 ]
 
 
@@ -1463,6 +1466,24 @@ def cdc_chunked_snapshot_string_pk(spark: SparkSession, sf_dir: str) -> DataFram
     src = ParquetTableSource(
         spark, sf_dir, "customer", split_key="c_name",
         chunk_size=max(40, n // 8),
+    )
+    return src.chunked_scan().drop(OP_COL, SEQ_COL)
+
+
+# B10: composite (multi-column) PK chunking — lineitem's natural PK is
+# (l_orderkey, l_linenumber); chunk boundaries are lexicographic tuples
+# and every chunk predicate is an AND/OR row-comparison expansion
+# (reference StatementUtils.buildSplitScanQuery:132-188 builds the same
+# multi-column conjunction; fixtures customer.sql:19-304). The chunked
+# scan must reconstruct the table exactly — every row in exactly one
+# lexicographic chunk.
+@register("cdc_chunked_snapshot_composite_pk", "SELECT * FROM lineitem")
+def cdc_chunked_snapshot_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = ld(spark, sf_dir, "lineitem").count()
+    src = ParquetTableSource(
+        spark, sf_dir, "lineitem",
+        split_key=["l_orderkey", "l_linenumber"],
+        chunk_size=max(8096, n // 8),
     )
     return src.chunked_scan().drop(OP_COL, SEQ_COL)
 

@@ -27,7 +27,7 @@ from typing import Any, Callable, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_cdc_2_3_0_src_spark.config import SourceConfig
-from flink_cdc_2_3_0_src_spark.model import TableId, match_tables
+from flink_cdc_2_3_0_src_spark.model import TableId, _sql_lit, match_tables
 from flink_cdc_2_3_0_src_spark.plans.chunking import ChunkPlanner, TableAnalysis
 
 # SqlRunner: (sql) -> list[tuple] — executes on the source DB (driver side)
@@ -40,12 +40,20 @@ def q(ident: str) -> str:
 
 
 class JdbcDialect:
-    """MySQL-flavored dialect; subclass for Postgres/Oracle (quoting,
-    information_schema layout, offset SQL)."""
+    """MySQL-flavored dialect; subclass for Postgres/Oracle/DuckDB
+    (quoting, information_schema layout, offset SQL). Subclasses override
+    only the dialect-owned hooks — ``q``/discovery/row-count/offset —
+    mirroring the reference's JdbcDataSourceDialect SPI split; the
+    chunking SQL shapes (analyze, next-chunk-max, split-scan predicates)
+    are ANSI and shared."""
 
     def __init__(self, config: SourceConfig, run_sql: SqlRunner) -> None:
         self.config = config
         self.run_sql = run_sql
+
+    def q(self, ident: str) -> str:
+        """Identifier quoting (MySQL backticks by default)."""
+        return "`" + ident.replace("`", "``") + "`"
 
     # ---- A1: discovery ----
     def discover_tables(self) -> list[TableId]:
@@ -61,8 +69,9 @@ class JdbcDialect:
     def primary_key_columns(self, table: TableId) -> list[str]:
         rows = self.run_sql(
             "SELECT column_name FROM information_schema.key_column_usage "
-            f"WHERE constraint_name = 'PRIMARY' AND table_schema = '{table.catalog}' "
-            f"AND table_name = '{table.table}' ORDER BY ordinal_position"
+            "WHERE constraint_name = 'PRIMARY' "
+            f"AND table_schema = {_sql_lit(table.catalog)} "
+            f"AND table_name = {_sql_lit(table.table)} ORDER BY ordinal_position"
         )
         return [r[0] for r in rows]
 
@@ -78,37 +87,117 @@ class JdbcDialect:
             )
         return pks[0]
 
-    # ---- A2: analyze ----
-    def analyze(self, table: TableId, key: str) -> TableAnalysis:
-        tref = f"{q(table.catalog)}.{q(table.table)}" if table.catalog else q(table.table)
-        mn, mx = self.run_sql(
-            f"SELECT MIN({q(key)}), MAX({q(key)}) FROM {tref}"
-        )[0]
+    def split_keys(self, table: TableId):
+        """Full split key: one column name, or the list of PK columns for
+        composite (multi-column) primary keys (B10; reference handles the
+        multi-column conjunction in StatementUtils.buildSplitScanQuery:132-188)."""
+        if self.config.chunk_key_column:
+            return self.config.chunk_key_column
+        pks = self.primary_key_columns(table)
+        if not pks:
+            raise ValueError(
+                f"table {table.dotted()} has no primary key; set "
+                "scan.incremental.snapshot.chunk.key-column"
+            )
+        return pks[0] if len(pks) == 1 else pks
+
+    def _tref(self, table: TableId) -> str:
+        return f"{self.q(table.catalog)}.{self.q(table.table)}" if table.catalog else self.q(table.table)
+
+    def approx_row_count(self, table: TableId) -> int:
+        """Dialect hook: approximate row count (A2; reference
+        queryApproximateRowCnt:58-76 uses SHOW TABLE STATUS)."""
         cnt_rows = self.run_sql(
             "SELECT table_rows FROM information_schema.tables "
-            f"WHERE table_schema = '{table.catalog}' AND table_name = '{table.table}'"
+            f"WHERE table_schema = {_sql_lit(table.catalog)} "
+            f"AND table_name = {_sql_lit(table.table)}"
         )
-        cnt = int(cnt_rows[0][0]) if cnt_rows and cnt_rows[0][0] is not None else 0
+        return int(cnt_rows[0][0]) if cnt_rows and cnt_rows[0][0] is not None else 0
+
+    # ---- A2: analyze ----
+    def analyze(self, table: TableId, key) -> TableAnalysis:
+        if not isinstance(key, str):
+            return self._analyze_composite(table, list(key))
+        tref = self._tref(table)
+        mn, mx = self.run_sql(
+            f"SELECT MIN({self.q(key)}), MAX({self.q(key)}) FROM {tref}"
+        )[0]
+        cnt = self.approx_row_count(table)
         numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
         return TableAnalysis(mn, mx, cnt, numeric)
 
+    def _analyze_composite(self, table: TableId, keys: list) -> TableAnalysis:
+        """Composite-PK analyze: lexicographic extrema via ORDER BY LIMIT 1
+        (MIN/MAX don't compose across columns); always non-numeric so the
+        planner takes the lazy uneven path."""
+        tref = self._tref(table)
+        cols = ", ".join(self.q(k) for k in keys)
+        asc = ", ".join(f"{self.q(k)} ASC" for k in keys)
+        desc = ", ".join(f"{self.q(k)} DESC" for k in keys)
+        mn_rows = self.run_sql(f"SELECT {cols} FROM {tref} ORDER BY {asc} LIMIT 1")
+        mx_rows = self.run_sql(f"SELECT {cols} FROM {tref} ORDER BY {desc} LIMIT 1")
+        cnt = self.approx_row_count(table)
+        mn = tuple(mn_rows[0]) if mn_rows else None
+        mx = tuple(mx_rows[0]) if mx_rows else None
+        return TableAnalysis(mn, mx, cnt, numeric=False)
+
     # ---- A4: bounded next-chunk-max ----
-    def query_next_chunk_max(self, table: TableId, key: str) -> Callable[[Any], Any]:
-        tref = f"{q(table.catalog)}.{q(table.table)}" if table.catalog else q(table.table)
+    def query_next_chunk_max(self, table: TableId, key) -> Callable[[Any], Any]:
+        if not isinstance(key, str):
+            return self._query_next_chunk_max_composite(table, list(key))
+        tref = self._tref(table)
 
         def _next(low: Any) -> Any:
-            lit = f"'{low}'" if isinstance(low, str) else str(low)
+            # data-derived boundary: MUST go through _sql_lit (escapes
+            # quotes, hex-encodes bytes) — a raw f"'{low}'" breaks the
+            # snapshot or injects SQL on keys containing a quote.
+            # Reference uses prepared statements here
+            # (StatementUtils.queryNextChunkMax:99-130).
             rows = self.run_sql(
-                f"SELECT MAX({q(key)}) FROM ("
-                f"SELECT {q(key)} FROM {tref} WHERE {q(key)} >= {lit} "
-                f"ORDER BY {q(key)} ASC LIMIT {self.config.chunk_size}) T"
+                f"SELECT MAX({self.q(key)}) FROM ("
+                f"SELECT {self.q(key)} FROM {tref} WHERE {self.q(key)} >= {_sql_lit(low)} "
+                f"ORDER BY {self.q(key)} ASC LIMIT {self.config.chunk_size}) T"
             )
             return rows[0][0] if rows else None
 
         return _next
 
+    def _query_next_chunk_max_composite(
+        self, table: TableId, keys: list
+    ) -> Callable[[Any], Any]:
+        """Composite A4: bounded window ordered by all key columns; the
+        window max is its lexicographically-last row (ORDER BY DESC LIMIT 1
+        over the subquery, since SQL MAX() can't take a column tuple)."""
+        from flink_cdc_2_3_0_src_spark.model import ChunkRange
+
+        tref = self._tref(table)
+        qkeys = [self.q(k) for k in keys]
+        cols = ", ".join(qkeys)
+        asc = ", ".join(f"{k} ASC" for k in qkeys)
+        desc = ", ".join(f"{k} DESC" for k in qkeys)
+
+        def _next(low: Any) -> Any:
+            pred = ChunkRange(tuple(low), None).predicate_sql(qkeys)
+            rows = self.run_sql(
+                f"SELECT {cols} FROM ("
+                f"SELECT {cols} FROM {tref} WHERE {pred} "
+                f"ORDER BY {asc} LIMIT {self.config.chunk_size}) T "
+                f"ORDER BY {desc} LIMIT 1"
+            )
+            return tuple(rows[0]) if rows else None
+
+        return _next
+
+    # ---- A5: split-scan SQL (buildSplitScanQuery:132-188 parity) ----
+    def split_scan_sql(self, table: TableId, split) -> str:
+        """SELECT * with the chunk's range predicate — the statement each
+        snapshot split runs on the source DB."""
+        key = split.split_key
+        qkey = self.q(key) if isinstance(key, str) else [self.q(k) for k in key]
+        return f"SELECT * FROM {self._tref(table)} WHERE {split.range.predicate_sql(qkey)}"
+
     def planner(self, table: TableId) -> ChunkPlanner:
-        key = self.split_key(table)
+        key = self.split_keys(table)
         return ChunkPlanner(
             table_id=table,
             split_key=key,
@@ -138,14 +227,15 @@ class JdbcDialect:
     ) -> DataFrame:
         """One Spark partition per chunk via the ``predicates`` API;
         fetchsize keeps each partition a streaming cursor."""
-        key = key or self.split_key(table)
+        key = key or self.split_keys(table)
+        qkey = self.q(key) if isinstance(key, str) else [self.q(k) for k in key]
         predicates = [
-            s.range.predicate_sql(q(key)) for s in self.planner(table).plan_splits()
+            s.range.predicate_sql(qkey) for s in self.planner(table).plan_splits()
         ]
         c = self.config
         return spark.read.jdbc(
             url=self.jdbc_url(),
-            table=f"{q(table.catalog)}.{q(table.table)}",
+            table=f"{self.q(table.catalog)}.{self.q(table.table)}",
             predicates=predicates,
             properties={
                 "user": c.username,

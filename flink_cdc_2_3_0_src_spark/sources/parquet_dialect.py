@@ -76,6 +76,8 @@ class ParquetTableSource:
 
     # ---- A4 callback: bounded next-chunk-max (ORDER BY LIMIT shape) ----
     def query_next_chunk_max(self, low):
+        if not isinstance(self.split_key, str):
+            return self._query_next_chunk_max_composite(tuple(low))
         rows = (
             self.raw()
             .filter(F.col(self.split_key) >= F.lit(low))
@@ -86,6 +88,26 @@ class ParquetTableSource:
             .collect()
         )
         return rows[0]["mx"] if rows else None
+
+    def _query_next_chunk_max_composite(self, low: tuple):
+        """Composite-key A4: lexicographic ``(k1..kn) >= low``, ordered by
+        the key columns, max = struct max of the bounded window (reference
+        multi-column split-key path, StatementUtils.buildSplitScanQuery:132-188)."""
+        from flink_cdc_2_3_0_src_spark.model import ChunkRange
+
+        keys = list(self.split_key)
+        pred = ChunkRange(low, None).predicate_sql(keys)
+        rows = (
+            self.raw()
+            .filter(F.expr(pred))
+            .select(*keys)
+            .orderBy(*keys)
+            .limit(self.chunk_size)
+            .agg(F.max(F.struct(*keys)).alias("mx"))
+            .collect()
+        )
+        mx = rows[0]["mx"] if rows else None
+        return tuple(mx) if mx is not None else None
 
     def planner(self, **kw) -> ChunkPlanner:
         return ChunkPlanner(

@@ -21,11 +21,19 @@ def pq(ident: str) -> str:
 
 class PostgresDialect(JdbcDialect):
     """Changelog mode is configurable ('all' | 'upsert') like the
-    reference's `changelog-mode` option."""
+    reference's `changelog-mode` option.
+
+    Only the dialect-owned hooks are overridden (quoting, catalogs,
+    row-count estimate, offset probe); the shared ANSI chunking SQL —
+    analyze, next-chunk-max incl. composite keys, escaped literals —
+    is inherited from JdbcDialect."""
 
     def __init__(self, config, run_sql, changelog_mode: ChangelogMode = ChangelogMode.ALL):
         super().__init__(config, run_sql)
         self.changelog_mode = changelog_mode
+
+    def q(self, ident: str) -> str:
+        return pq(ident)
 
     def discover_tables(self) -> list[TableId]:
         rows = self.run_sql(
@@ -38,41 +46,27 @@ class PostgresDialect(JdbcDialect):
         return match_tables(all_ids, self.config.database_list, self.config.table_list)
 
     def primary_key_columns(self, table: TableId) -> list[str]:
+        from flink_cdc_2_3_0_src_spark.model import _sql_lit
+
+        regclass = _sql_lit(f"{table.catalog}.{table.table}")
         rows = self.run_sql(
             "SELECT a.attname FROM pg_index i "
             "JOIN pg_attribute a ON a.attrelid = i.indrelid "
             "AND a.attnum = ANY(i.indkey) "
-            f"WHERE i.indrelid = '{table.catalog}.{table.table}'::regclass "
+            f"WHERE i.indrelid = {regclass}::regclass "
             "AND i.indisprimary ORDER BY a.attnum"
         )
         return [r[0] for r in rows]
 
-    def analyze(self, table: TableId, key: str):
-        from flink_cdc_2_3_0_src_spark.plans.chunking import TableAnalysis
+    def approx_row_count(self, table: TableId) -> int:
+        from flink_cdc_2_3_0_src_spark.model import _sql_lit
 
-        tref = f"{pq(table.catalog)}.{pq(table.table)}"
-        mn, mx = self.run_sql(f"SELECT MIN({pq(key)}), MAX({pq(key)}) FROM {tref}")[0]
-        cnt_rows = self.run_sql(
+        regclass = _sql_lit(f"{table.catalog}.{table.table}")
+        rows = self.run_sql(
             "SELECT reltuples::BIGINT FROM pg_class "
-            f"WHERE oid = '{table.catalog}.{table.table}'::regclass"
+            f"WHERE oid = {regclass}::regclass"
         )
-        cnt = int(cnt_rows[0][0]) if cnt_rows and cnt_rows[0][0] is not None else 0
-        numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
-        return TableAnalysis(mn, mx, cnt, numeric)
-
-    def query_next_chunk_max(self, table: TableId, key: str):
-        tref = f"{pq(table.catalog)}.{pq(table.table)}"
-
-        def _next(low):
-            lit = f"'{low}'" if isinstance(low, str) else str(low)
-            rows = self.run_sql(
-                f"SELECT MAX({pq(key)}) FROM ("
-                f"SELECT {pq(key)} FROM {tref} WHERE {pq(key)} >= {lit} "
-                f"ORDER BY {pq(key)} ASC LIMIT {self.config.chunk_size}) T"
-            )
-            return rows[0][0] if rows else None
-
-        return _next
+        return int(rows[0][0]) if rows and rows[0][0] is not None else 0
 
     def current_offset(self):
         rows = self.run_sql("SELECT pg_current_wal_lsn()")

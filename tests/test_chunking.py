@@ -82,6 +82,45 @@ def test_chunk_contains_and_predicate():
     assert s.predicate_sql("k") == "k >= 'a''b'"
 
 
+def test_composite_chunk_predicate_and_contains():
+    c = ChunkRange((1, 5), (3, 2))
+    # lexicographic membership: (1,5) in, (3,2) out, (2,anything) in
+    assert c.contains((1, 5)) and c.contains((2, 0)) and c.contains((3, 1))
+    assert not c.contains((3, 2)) and not c.contains((1, 4)) and not c.contains((4, 0))
+    sql = c.predicate_sql(["a", "b"])
+    assert sql == (
+        "((a > 1) OR (a = 1 AND b >= 5)) AND ((a < 3) OR (a = 3 AND b < 2))"
+    )
+    # unbounded sides
+    assert ChunkRange(None, (3, 2)).predicate_sql(["a", "b"]) == (
+        "((a < 3) OR (a = 3 AND b < 2))"
+    )
+    assert ChunkRange(None, None).predicate_sql(["a", "b"]) == "1=1"
+    # string components are escaped
+    s = ChunkRange(("O'Brien", 1), None).predicate_sql(["a", "b"])
+    assert "'O''Brien'" in s
+
+
+def test_composite_uneven_lazy_planner():
+    # composite keys: tuples compare lexicographically in the planner loop
+    keys = sorted({(o, l) for o in (1, 2, 7, 9) for l in (1, 2, 3)})
+
+    def analyze():
+        return TableAnalysis(keys[0], keys[-1], len(keys), numeric=False)
+
+    def next_max(low):
+        window = [k for k in keys if k >= tuple(low)][:4]
+        return window[-1] if window else None
+
+    p = ChunkPlanner(
+        TableId(None, None, "t"), ["o", "l"], analyze, next_max, chunk_size=4
+    )
+    chunks = list(p.plan())
+    assert chunks[0].start is None and chunks[-1].end is None
+    for k in keys:
+        assert sum(1 for c in chunks if c.contains(k)) == 1
+
+
 def test_offset_total_order():
     a = BinlogOffset("mysql-bin.000001", 100)
     b = BinlogOffset("mysql-bin.000001", 200)

@@ -133,6 +133,65 @@ def test_jdbc_dialect_discovery_and_planning():
     assert d.current_offset() == ("mysql-bin.000003", 4567)
 
 
+class QuotedStringKeyRunner(ScriptedRunner):
+    """Fake DB whose next-chunk-max path PARSES the SQL string literal
+    with real quoting rules ('' = escaped quote, trailing garbage =
+    syntax error) — so an unescaped data-derived boundary fails the way
+    a real database would."""
+
+    def __call__(self, sql: str):
+        self.log.append(sql)
+        s = sql.lower()
+        if "key_column_usage" in s:
+            return [("name",)]
+        if "min(" in s:
+            return [(self.keys[0], self.keys[-1])]
+        if "table_rows" in s:
+            return [(len(self.keys),)]
+        if "order by" in s and "limit" in s:
+            frag = sql.split(">=", 1)[1]
+            frag = frag[: frag.lower().index("order by")].strip()
+            if not frag.startswith("'"):
+                raise AssertionError(f"expected quoted literal, got: {frag!r}")
+            # real single-quote literal parse: '' is an escaped quote
+            out, i = [], 1
+            while i < len(frag):
+                if frag[i] == "'":
+                    if i + 1 < len(frag) and frag[i + 1] == "'":
+                        out.append("'")
+                        i += 2
+                        continue
+                    break
+                out.append(frag[i])
+                i += 1
+            else:
+                raise AssertionError(f"unterminated string literal: {frag!r}")
+            if frag[i + 1 :].strip():
+                raise AssertionError(f"syntax error after literal: {frag!r}")
+            low = "".join(out)
+            limit = int(sql.rsplit("LIMIT", 1)[1].split(")")[0].strip())
+            window = [k for k in self.keys if k >= low][:limit]
+            return [(window[-1] if window else None,)]
+        raise AssertionError(f"unexpected SQL: {sql}")
+
+
+def test_jdbc_string_key_with_quote_is_escaped():
+    """A split key value containing ' must not break (or inject into)
+    the next-chunk-max query mid-snapshot (reference uses prepared
+    statements, StatementUtils.queryNextChunkMax:99-130)."""
+    keys = sorted(["Adams", "Lee", "O'Brien", "O'Connor", "O'Neil", "Smith", "Zhu"])
+    cfg = SourceConfig(chunk_size=2)
+    d = JdbcDialect(cfg, QuotedStringKeyRunner(keys))
+    t = TableId("app_db", None, "customers")
+    splits = d.planner(t).plan_splits()
+    for k in keys:
+        assert sum(1 for s in splits if s.range.contains(k)) == 1
+    # boundary literals in the emitted predicates are escaped too
+    for s in splits:
+        sql = s.range.predicate_sql("`name`")
+        assert "O''" in sql or "O'" not in sql
+
+
 def test_jdbc_no_pk_raises():
     class NoPk(ScriptedRunner):
         def __call__(self, sql):

@@ -1,0 +1,129 @@
+"""Live-database integration tests: the full discovery→analyze→chunk→scan
+path (A1-A5) driven against a real DuckDB database, the stand-in for the
+reference's container-DB ITCases (MySqlConnectorITCase.java:165-198).
+
+Every SQL statement the dialect generates is parsed and executed by a
+real engine here — escaping bugs, quoting bugs, and malformed composite
+row-comparisons all fail loudly instead of being absorbed by a scripted
+fake.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_cdc_2_3_0_src_spark.config import SourceConfig
+from flink_cdc_2_3_0_src_spark.model import TableId
+from flink_cdc_2_3_0_src_spark.sources.duckdb_dialect import DuckDbDialect, duckdb_runner
+
+
+@pytest.fixture()
+def con():
+    c = duckdb.connect()
+    c.execute(
+        """
+        CREATE TABLE orders_live (
+            id BIGINT PRIMARY KEY,
+            amount DOUBLE
+        )
+        """
+    )
+    c.execute(
+        "INSERT INTO orders_live SELECT i, i * 1.5 FROM generate_series(1, 1000) t(i)"
+    )
+    # string PK with quotes + uneven distribution
+    c.execute(
+        """
+        CREATE TABLE customers_live (
+            name VARCHAR PRIMARY KEY,
+            city VARCHAR
+        )
+        """
+    )
+    names = [
+        "Adams", "Brown", "Chen", "Diaz", "Evans", "Fung", "Garcia",
+        "Hahn", "Ito", "Jones", "Kim", "Lee", "Miller", "Ng",
+        "O'Brien", "O'Connor", "O'Neil", "Patel", "Quinn", "Rossi",
+        "Smith", "Tran", "Usman", "Vogel", "Wang", "Xu", "Yang", "Zhu",
+    ]
+    for n in names:
+        c.execute("INSERT INTO customers_live VALUES (?, 'x')", [n])
+    # composite PK
+    c.execute(
+        """
+        CREATE TABLE line_live (
+            order_id BIGINT,
+            line_no INTEGER,
+            qty INTEGER,
+            PRIMARY KEY (order_id, line_no)
+        )
+        """
+    )
+    c.execute(
+        "INSERT INTO line_live "
+        "SELECT o, l, o * 10 + l FROM generate_series(1, 120) t(o), "
+        "generate_series(1, 4) u(l)"
+    )
+    yield c
+    c.close()
+
+
+def _dialect(con, chunk_size=64, **cfg) -> DuckDbDialect:
+    return DuckDbDialect(
+        SourceConfig(chunk_size=chunk_size, **cfg), duckdb_runner(con)
+    )
+
+
+def test_live_discovery_regex(con):
+    d = _dialect(con, table_list=[r"main\.(orders|customers)_live"])
+    tables = {t.table for t in d.discover_tables()}
+    assert tables == {"orders_live", "customers_live"}
+
+
+def test_live_numeric_pk_snapshot_roundtrip(con):
+    d = _dialect(con, chunk_size=100)
+    t = TableId("main", None, "orders_live")
+    assert d.split_keys(t) == "id"
+    a = d.analyze(t, "id")
+    assert (a.min_key, a.max_key) == (1, 1000) and a.numeric
+    splits = d.planner(t).plan_splits()
+    assert len(splits) > 1  # dense numeric key -> even fast path, chunked
+    rows = d.snapshot_rows(t)
+    assert sorted(r[0] for r in rows) == list(range(1, 1001))
+    # no chunk overlap: every id in exactly one split
+    for probe in (1, 500, 1000):
+        assert sum(1 for s in splits if s.range.contains(probe)) == 1
+
+
+def test_live_string_pk_with_quotes(con):
+    d = _dialect(con, chunk_size=5)
+    t = TableId("main", None, "customers_live")
+    assert d.split_keys(t) == "name"
+    splits = d.planner(t).plan_splits()
+    assert len(splits) > 1  # uneven lazy path actually chunked
+    rows = d.snapshot_rows(t)
+    got = sorted(r[0] for r in rows)
+    expect = sorted(r[0] for r in con.execute("SELECT name FROM customers_live").fetchall())
+    assert got == expect  # O'Brien etc. survive chunk-boundary literals
+
+
+def test_live_composite_pk_snapshot_roundtrip(con):
+    d = _dialect(con, chunk_size=37)
+    t = TableId("main", None, "line_live")
+    assert d.split_keys(t) == ["order_id", "line_no"]
+    a = d.analyze(t, ["order_id", "line_no"])
+    assert a.min_key == (1, 1) and a.max_key == (120, 4) and not a.numeric
+    splits = d.planner(t).plan_splits()
+    assert len(splits) > 1
+    rows = d.snapshot_rows(t)
+    got = sorted((r[0], r[1]) for r in rows)
+    expect = sorted(
+        (o, l) for o, l in con.execute(
+            "SELECT order_id, line_no FROM line_live"
+        ).fetchall()
+    )
+    assert got == expect
+    # lexicographic membership is exclusive across splits
+    for probe in [(1, 1), (60, 3), (120, 4)]:
+        assert sum(1 for s in splits if s.range.contains(probe)) == 1
