@@ -165,11 +165,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label connected components with POINTER DOUBLING: each round
+    (a) takes the min label over graph neighbors (one hop), then
+    (b) follows the label's own label (label[x] := label[label[x]]),
+    which halves representative-path lengths — so convergence needs
+    O(log diameter) rounds, not O(diameter). max_iters=20 therefore
+    covers components of diameter ~2^20; if the loop still hasn't
+    converged, RAISE instead of silently returning partial clusters
+    (a silently-wrong dedup clustering drops the wrong documents).
+
+    ``edges``: (src, dst) DataFrame, expected symmetric (both
+    directions present). Returns (doc_id, cluster_id), cluster_id =
+    min doc_id in the component.
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        hopped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        # pointer doubling: every cluster_id is itself a node's doc_id,
+        # so one self-join follows it to that node's (smaller) label
+        parents = hopped.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("parent")
+        )
+        updated = (
+            hopped.join(parents, "cluster_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("parent"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations "
+        f"(component diameter > 2^{max_iters}); raise max_iters"
+    )
+
+
 def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Connected components over the near-dup pair graph — iterative
-    min-label propagation (the canonical Spark iterative-algorithm
-    shape: loop of join + aggregate with a driver-side convergence
-    check; each iteration at most doubles the propagation radius).
+    """Connected components over the near-dup pair graph.
 
     Returns (doc_id, cluster_id) for every document that appears in at
     least one verified near-dup pair; cluster_id = min doc_id in the
@@ -183,38 +243,7 @@ def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    return labels
+    return connected_components(edges, max_iters=max_iters)
 
 
 # --------------------------------------------------------------------------

@@ -48,6 +48,16 @@ def salted_agg(
     return stage2
 
 
+# join modes whose results are unchanged by replicating the SMALL side:
+# inner/cross emit only matches; left-outer keeps unmatched BIG rows (not
+# replicated); semi/anti never emit small-side rows. Right/full outer
+# would emit each unmatched small-side row once PER SALT REPLICA — wrong.
+_SALTED_JOIN_MODES = frozenset(
+    {"inner", "cross", "left", "left_outer", "leftouter",
+     "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -57,7 +67,16 @@ def salted_join(
 ) -> DataFrame:
     """Salted equi-join: big side gets a random-ish (partition-derived,
     deterministic) salt; small side is exploded n_salts ways so every
-    (key, salt) pair finds its partner. Exact same rows as a plain join."""
+    (key, salt) pair finds its partner. Exact same rows as a plain join
+    for every allowed ``how``; right/full outer are rejected because the
+    replicated small side would duplicate its unmatched rows n_salts
+    times (swap the sides and use a left join instead)."""
+    if how.lower().replace("_", "") not in {m.replace("_", "") for m in _SALTED_JOIN_MODES}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            f"rows would be emitted once per salt replica. Supported: "
+            f"inner/cross/left/left_semi/left_anti (swap sides for right outer)."
+        )
     big_s = big.withColumn("__salt", F.spark_partition_id() % n_salts)
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

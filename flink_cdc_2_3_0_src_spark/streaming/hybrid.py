@@ -44,11 +44,12 @@ from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
 
 @dataclass
 class ChunkState:
-    """Manifest entry for one finished chunk (A18)."""
+    """Manifest entry for one finished chunk (A18). Chunk bounds carry
+    the split key's own type (int, string, ...)."""
 
     split_id: str
-    start: Optional[int]
-    end: Optional[int]
+    start: Optional[object]
+    end: Optional[object]
     low_watermark: int
     high_watermark: int
 
@@ -234,14 +235,24 @@ class HybridPipeline:
         (pure-log fast path, cheap literal) or lands in a chunk whose HW
         it postdates. Results are identical to stream_filter.
         """
+        from pyspark.sql import types as T
+
         spark = events.sparkSession
         max_hw = manifest.max_high_watermark()
-        meta = spark.createDataFrame(
+        # chunk bounds take the SPLIT KEY's type from the event schema —
+        # a hardcoded long here broke string-PK manifests while the rest
+        # of the engine supported them
+        key_type = events.schema[manifest.key].dataType
+        meta_schema = T.StructType(
             [
-                (c.start, c.end, c.high_watermark)
-                for c in manifest.chunks
-            ],
-            f"__start long, __end long, __hw long",
+                T.StructField("__start", key_type, True),
+                T.StructField("__end", key_type, True),
+                T.StructField("__hw", T.LongType(), False),
+            ]
+        )
+        meta = spark.createDataFrame(
+            [(c.start, c.end, c.high_watermark) for c in manifest.chunks],
+            meta_schema,
         )
         key_col = F.col(manifest.key)
         cond = (

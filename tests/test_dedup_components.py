@@ -1,0 +1,68 @@
+"""Connected-components convergence guards: pointer doubling must reach
+the fixpoint in O(log diameter) rounds — long chains (diameter > 2x the
+old one-hop iteration cap) were silently mislabeled before."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.operators.dedup import connected_components
+
+
+def _sym_edges(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionByName(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+
+def test_long_chain_converges_to_min_label(spark):
+    # 120-node path graph: diameter 119 — one-hop propagation needs 119
+    # rounds; pointer doubling needs ~7. max_iters=20 must suffice.
+    n = 120
+    edges = _sym_edges(spark, [(i, i + 1) for i in range(n - 1)])
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iters=20).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(150)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+
+    # pure-Python union-find oracle
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {a for a, _ in pairs} | {b for _, b in pairs}
+    expect = {x: find(x) for x in in_graph}
+    # canonicalize to component-min
+    comp_min: dict[int, int] = {}
+    for x, r in expect.items():
+        comp_min[find(r)] = min(comp_min.get(find(r), x), x)
+    expect = {x: comp_min[find(x)] for x in in_graph}
+
+    edges = _sym_edges(spark, pairs)
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, max_iters=20).collect()
+    }
+    assert labels == expect

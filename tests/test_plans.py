@@ -91,3 +91,24 @@ def test_salted_join_exact(spark):
     direct = o.join(c, "o_custkey").count()
     salted = salted_join(o, c, "o_custkey").count()
     assert direct == salted
+
+
+def test_salted_join_every_allowed_mode_matches_plain_join(spark):
+    import pytest
+
+    # small side missing some keys AND having extra keys, so outer/semi/
+    # anti modes all have distinguishing rows
+    big = spark.createDataFrame(
+        [(k, f"b{i}") for i, k in enumerate([1, 1, 1, 2, 3, 3, 4])], "k long, bv string"
+    )
+    small = spark.createDataFrame(
+        [(1, "s1"), (3, "s3"), (99, "s99")], "k long, sv string"
+    )
+    for how in ["inner", "left", "left_outer", "left_semi", "left_anti"]:
+        plain = sorted(map(tuple, big.join(small, "k", how).collect()))
+        salted = sorted(map(tuple, salted_join(big, small, "k", how=how).collect()))
+        assert salted == plain, how
+    # modes that would duplicate unmatched small-side rows are rejected
+    for how in ["right", "right_outer", "full", "full_outer", "outer"]:
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", how=how)

@@ -199,6 +199,28 @@ def test_stream_filter_join_equals_literal_filter(spark):
     assert a == b and len(a) > 0
 
 
+def test_stream_filter_join_string_pk_manifest(spark):
+    """A10 scale path on a STRING split key: chunk-bound types in the
+    broadcast metadata table derive from the event schema (a hardcoded
+    long schema broke here)."""
+    log = scripted_changelog(spark, SF_SMOKE).withColumn(
+        "user_key", F.concat(F.lit("u-"), F.lpad(F.col("user_id"), 6, "0"))
+    )
+    p = HybridPipeline(spark, log, ["user_key"])
+    chunks = [
+        ChunkRange(None, "u-000008"),
+        ChunkRange("u-000008", "u-000016"),
+        ChunkRange("u-000016", None),
+    ]
+    _snap, manifest = p.run_snapshot_phase(
+        chunks, "user_key", watermarks=lambda i: (100 + 200 * i, 300 + 200 * i)
+    )
+    events = log.filter(F.col(SEQ_COL) > manifest.min_high_watermark())
+    a = {tuple(r) for r in p.stream_filter(events, manifest).collect()}
+    b = {tuple(r) for r in p.stream_filter_join(events, manifest).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_heartbeats_advance_offset_without_data(spark):
     """A23: heartbeat records advance the reported offset but emit no
     data rows."""
