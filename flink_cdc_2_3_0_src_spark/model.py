@@ -30,6 +30,13 @@ OP_UPDATE_AFTER = "+U"
 OP_DELETE = "-D"
 ALL_OPS = (OP_INSERT, OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE)
 
+# Non-data record kinds riding the same log (A12 record classification,
+# reference RecordUtils.java:149-230): heartbeats advance offsets without
+# data (A23); schema events carry DDL/TableChange payloads (A25) and are
+# always passed by the stream emission filter (A10).
+OP_HEARTBEAT = "+H"
+OP_SCHEMA = "+S"
+
 # Column names used by every source in this engine.
 OP_COL = "_op"          # one of ALL_OPS
 SEQ_COL = "_seq"        # monotonically increasing change sequence (per key order)

@@ -234,6 +234,52 @@ def percentile_chunks(df, key: str, num_chunks: int) -> list[ChunkRange]:
     return chunks
 
 
+def sharded_chunks(shard_bounds: Sequence[Any]) -> list[ChunkRange]:
+    """A27 (sharded collections): honor PRE-EXISTING shard boundaries.
+
+    The reference's ShardedSplitStrategy reads ``config.chunks`` — the
+    cluster's own chunk bounds — instead of re-splitting; here the
+    caller passes those interior boundary keys (sorted) and each
+    adjacent pair becomes one ChunkRange, so snapshot splits align with
+    physical shards (no cross-shard scans).
+    """
+    bounds = list(shard_bounds)
+    assert bounds == sorted(bounds), "shard bounds must be sorted"
+    chunks: list[ChunkRange] = []
+    prev: Optional[Any] = None
+    for b in bounds:
+        if prev is not None and b == prev:
+            continue  # collapsed shard
+        chunks.append(ChunkRange(prev, b))
+        prev = b
+    chunks.append(ChunkRange(prev, None))
+    return chunks
+
+
+def splitvector_chunks(
+    df, key: str, chunk_size: int = DEFAULT_CHUNK_SIZE, rel_err: float = 0.01
+) -> list[ChunkRange]:
+    """A27 (splitVector): server-computed equal-size boundaries, Spark
+    twin = one approxQuantile sketch pass (Greenwald-Khanna), the analog
+    of Mongo's splitVector admin command returning ~chunk-size split
+    points without scanning per chunk. Approximate boundaries are fine —
+    ranges still tile exactly; only chunk-size balance is approximate
+    (same contract as splitVector's keysPerChunk estimate).
+    """
+    n = df.count()
+    num_chunks = max(1, -(-n // chunk_size))
+    if num_chunks == 1:
+        return [ChunkRange(None, None)]
+    fracs = [i / num_chunks for i in range(1, num_chunks)]
+    qs = df.approxQuantile(key, fracs, rel_err)
+    bounds = []
+    for b in qs:
+        v = int(b) if float(b).is_integer() else float(b)
+        if not bounds or bounds[-1] != v:
+            bounds.append(v)
+    return sharded_chunks(bounds)
+
+
 def spark_analyze(df, key) -> TableAnalysis:
     """Analyze callback for DataFrame-backed dialects (parquet test dialect).
 

@@ -219,8 +219,21 @@ class HybridPipeline:
                 & (F.col(SEQ_COL) > c.high_watermark)
             )
         return events.filter(
-            (F.col(SEQ_COL) > F.lit(max_hw)) | per_chunk
+            self._always_emit(events)
+            | (F.col(SEQ_COL) > F.lit(max_hw))
+            | per_chunk
         )
+
+    @staticmethod
+    def _always_emit(events: DataFrame):
+        """Schema/signal records bypass the chunk-HW filter (reference
+        BinlogSplitReader.shouldEmit:228-260 always passes non-data
+        events)."""
+        from flink_cdc_2_3_0_src_spark.model import OP_SCHEMA
+
+        if OP_COL in events.columns:
+            return F.col(OP_COL) == OP_SCHEMA
+        return F.lit(False)
 
     def stream_filter_join(
         self, events: DataFrame, manifest: SnapshotManifest
@@ -260,9 +273,10 @@ class HybridPipeline:
             & ((F.col("__end").isNull()) | (key_col < F.col("__end")))
             & (F.col(SEQ_COL) > F.col("__hw"))
         )
-        pure_log = events.filter(F.col(SEQ_COL) > F.lit(max_hw))
+        always = self._always_emit(events)
+        pure_log = events.filter(always | (F.col(SEQ_COL) > F.lit(max_hw)))
         backlog = (
-            events.filter(F.col(SEQ_COL) <= F.lit(max_hw))
+            events.filter(~always & (F.col(SEQ_COL) <= F.lit(max_hw)))
             .join(F.broadcast(meta), cond, "left_semi")
         )
         return pure_log.unionByName(backlog)

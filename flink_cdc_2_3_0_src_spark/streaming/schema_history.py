@@ -48,6 +48,44 @@ class SchemaHistory:
         return [e["offset"] for e in self._entries if e["table"] == table]
 
 
+def apply_schema_change_stream(
+    log,
+    history: SchemaHistory,
+    table: str,
+    include_schema_changes: bool = False,
+    payload_col: str = "value",
+):
+    """Schema-change records flowing THROUGH the stream (reference
+    ``includeSchemaChanges``, MySqlRecordEmitter.java:109-121): every
+    ``+S`` record's payload (a TableChange-style schema JSON, the shape
+    FlinkJsonTableChangeSerializer persists) is recorded into the
+    history keyed by its log offset; data events continue downstream;
+    the ``+S`` rows are additionally kept in the returned stream when
+    ``include_schema_changes`` is on, else dropped after recording.
+
+    DDL events are rare, so driver-side recording (a collect of ONLY the
+    +S rows) matches the reference, which records them in enumerator/
+    operator state rather than the data path.
+    """
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, OP_SCHEMA, SEQ_COL
+
+    changes = log.filter(F.col(OP_COL) == OP_SCHEMA)
+    rows = changes.select(SEQ_COL, payload_col).collect()
+    for r in sorted(rows, key=lambda x: x[SEQ_COL]):
+        history.record(
+            table,
+            int(r[SEQ_COL]),
+            T.StructType.fromJson(_json.loads(r[payload_col])),
+            ddl=r[payload_col],
+        )
+    data = log.filter(F.col(OP_COL) != OP_SCHEMA)
+    return log if include_schema_changes else data
+
+
 def decode_with_history(
     envelopes,
     history: SchemaHistory,
