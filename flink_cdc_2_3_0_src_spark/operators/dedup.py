@@ -91,20 +91,20 @@ def lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = (
-        ss.select("doc_id", "hashes", F.explode(band_structs).alias("bk"))
-        .select(
-            "doc_id",
-            "hashes",
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        )
-        # truncate lineage: the self-join must not re-run the UDF pipeline
-        .localCheckpoint()
+    # truncate lineage ONCE at the per-doc profile: the UDF pipeline must
+    # not re-run across the self-join, and the (large) hashes array is
+    # materialized one copy per doc — not once per exploded band replica
+    prof = ss.localCheckpoint()
+    banded = prof.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
+    # slim self-join: only (doc_id, band, key) shuffles; hashes join in
+    # afterwards for the (small) candidate set
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -114,10 +114,23 @@ def lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.hashes").alias("h_a"),
-            F.col("b.hashes").alias("h_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hashes = prof.select("doc_id", "hashes")
+    cand = (
+        cand_ids.join(
+            hashes.select(
+                F.col("doc_id").alias("doc_a"), F.col("hashes").alias("h_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            hashes.select(
+                F.col("doc_id").alias("doc_b"), F.col("hashes").alias("h_b")
+            ),
+            "doc_b",
+        )
     )
     return (
         cand.withColumn("jaccard", _jaccard("h_a", "h_b"))

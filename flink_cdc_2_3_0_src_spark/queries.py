@@ -180,9 +180,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     one = F.lit(1).cast("decimal(18,2)")
+    # reduction-first join order: the broadcast customer filter shrinks
+    # orders BEFORE the fact join, so AQE sees a small build side for
+    # lineitem⋈orders and converts it to broadcast at runtime — one scan
+    # of the fact, no fact-side shuffle (the 100 TB-shape of Q3)
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
@@ -871,10 +875,15 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = ld(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = ld(spark, sf_dir, "nation")
     one = F.lit(1).cast("decimal(18,2)")
+    # star-join reduction: nation into customer, customer into orders,
+    # THEN the one fact join. No forced broadcast (customer is only
+    # dimension-sized relative to lineitem, not absolutely small at
+    # 100 TB) — AQE converts either join to broadcast when the runtime
+    # size allows; the fact side joins once instead of twice either way
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    oc = o.join(cn, o.o_custkey == cn.c_custkey)
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        l.join(oc, l.l_orderkey == oc.o_orderkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.sum(dec("l_extendedprice") * (one - dec("l_discount")))

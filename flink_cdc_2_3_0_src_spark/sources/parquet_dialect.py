@@ -62,11 +62,17 @@ class ParquetTableSource:
         self.split_key = split_key
         self.chunk_size = chunk_size
         self.max_chunks = max_chunks
+        self._raw: Optional[DataFrame] = None
 
     def raw(self) -> DataFrame:
-        from flink_cdc_2_3_0_src_spark.io import load_table
+        # memoized: a chunked scan derives N chunk reads + analyze from
+        # this one relation; re-reading per chunk would re-list files and
+        # re-read footers N times
+        if self._raw is None:
+            from flink_cdc_2_3_0_src_spark.io import load_table
 
-        return load_table(self.spark, self.sf_dir, self.table)
+            self._raw = load_table(self.spark, self.sf_dir, self.table)
+        return self._raw
 
     # ---- A2: analyze ----
     def analyze(self) -> TableAnalysis:

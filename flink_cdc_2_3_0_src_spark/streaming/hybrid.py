@@ -110,7 +110,12 @@ class HybridPipeline:
         manifest_path: Optional[str] = None,
     ) -> None:
         self.spark = spark
-        self.log = log
+        # the snapshot phase reads the log 2x per chunk (chunk image +
+        # backfill slice) and the stream phase once more — persist the
+        # decoded changelog so each pass is a cached-columnar read, not a
+        # re-decode (a real dialect pays the chunk SELECT on the DB
+        # instead; this is the test-dialect equivalent)
+        self.log = log.persist()
         self.keys = list(keys)
         self.manifest_path = manifest_path
 
