@@ -110,6 +110,113 @@ def extract_features(assets: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("frame_hash", T.LongType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_size: int = 1024, stride: int = 1
+) -> DataFrame:
+    """Video frame sampling as a 1→N mapInPandas explode.
+
+    The frame DECODE is stubbed (no codecs in this container): a "frame"
+    is a fixed-size byte window of the payload, every ``stride``-th one
+    kept — a real decoder swaps in behind the same batch iteration,
+    output schema, and executor-local byte movement. ``frame_hash`` is
+    the shared cross-engine polynomial hash of the frame bytes so tests
+    and the DuckDB oracle can verify content, not just counts.
+    """
+    from flink_cdc_2_3_0_src_spark.functions.hashing import _py_poly_hash
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, hashes = [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, stride):
+                    fb = b[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(asset_id)
+                    idxs.append(fi)
+                    sizes.append(len(fb))
+                    hashes.append(_py_poly_hash(fb.decode("latin-1")))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "n_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_media(assets: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize plumbing: mapInPandas in, (content, meta) out.
+
+    Decode/resample is stubbed (import-guarded like _decode_image): the
+    fake 'resized' payload is a deterministic width*height byte
+    downsample of the input, so the stage is testable end-to-end; a real
+    Pillow/ffmpeg kernel replaces only the inner function on a cluster
+    image that has codecs.
+    """
+
+    def _fake_resize(b: bytes) -> bytes:
+        target = width * height
+        if not b:
+            return b"\x00" * target
+        stride = max(1, len(b) // target)
+        out = bytes(b[min(i * stride, len(b) - 1)] for i in range(target))
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = []
+            for content in pdf["content"]:
+                b = bytes(content) if content is not None else b""
+                try:
+                    _decode_image(b)
+                except NotImplementedError:
+                    pass
+                contents.append(_fake_resize(b))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "content": contents,
+                    "meta": [
+                        {"width": width, "height": height} for _ in contents
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(run, RESIZED_SCHEMA)
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Test adapter: document text bytes as opaque media payloads."""
     return docs.select(

@@ -292,6 +292,121 @@ def knn_graph(emb: DataFrame, k: int = 3, block_size: int = 4096) -> DataFrame:
     )
 
 
+def neardup_cosine_lsh(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate pairs via hyperplane-LSH bucketing — the SCALE path
+    for embedding near-dup: candidates must share the random-hyperplane
+    bucket (equi-join on bucket id, ~1/2^planes of the cross product)
+    instead of an all-pairs join within label blocks whose size grows
+    with the corpus. High-cosine pairs land in the same bucket with
+    probability (1 - theta/pi)^planes — the standard SimHash recall
+    trade; exact cosine verifies every candidate.
+    """
+    base = emb.select("vec_id", _vec().alias("v")).withColumn(
+        "bucket", _bucket_udf(dim)(F.col("v"))
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            _cos6_udf()(F.col("a.v"), F.col("b.v")).alias("cos6"),
+        )
+        .filter(F.col("cos6") >= threshold)
+    )
+
+
+IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the coarse-quantizer scale path.
+
+    - Centroids: the first ``n_cells`` vectors by id (deterministic — a
+      trained quantizer plugs in the same way; only the centroid table
+      changes).
+    - Assignment: every vector goes to its max-cosine centroid (one
+      equi-joinable ``cell`` column, computed in one vectorized UDF).
+    - Probe: each query searches only its ``nprobe`` nearest cells —
+      candidates shrink to ~nprobe/n_cells of the corpus, and the join
+      is an equi-join on cell id (no cross product).
+
+    Same output contract as ann_topk (query_id, neighbor_id, cos6, rnk),
+    but results are IVF-approximate by design; the DuckDB oracle runs the
+    identical procedure so parity is exact.
+    """
+    import pandas as pd
+
+    base = emb.select("vec_id", _vec().alias("v"))
+    cent_rows = (
+        base.filter(F.col("vec_id") < n_cells).select("vec_id", "v").collect()
+    )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cent = np.stack([np.asarray(r["v"], dtype=np.float64) for r in cent_rows])
+    cent_n = np.sqrt((cent * cent).sum(axis=1))
+    order = np.argsort(cent_ids)
+    cent_ids, cent, cent_n = cent_ids[order], cent[order], cent_n[order]
+
+    @F.pandas_udf("long")
+    def cell_of(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ cent.T) / (nrm[:, None] * cent_n[None, :]), 6)
+        # max cosine, ties -> smallest centroid id (argmax takes first)
+        return pd.Series(cent_ids[np.argmax(cos, axis=1)])
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ cent.T) / (nrm[:, None] * cent_n[None, :]), 6)
+        # nprobe best cells: cos desc, centroid id asc on ties
+        out = []
+        for row in cos:
+            idx = np.lexsort((cent_ids, -row))[:nprobe]
+            out.append(cent_ids[idx].tolist())
+        return pd.Series(out)
+
+    assigned = base.withColumn("cell", cell_of(F.col("v")))
+    q = (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_cells(F.col("v"))).alias("cell"),
+        )
+    )
+    cand = assigned.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos6_udf()(F.col("v"), F.col("qv")).alias("cos6"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def neardup_cosine(
     emb: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
 ) -> DataFrame:
@@ -406,4 +521,66 @@ NEARDUP_COSINE_SQL = f"""
            round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cos6
     FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE round({_DOT_AB} / (a.nrm * b.nrm), 6) >= {COSINE_NEARDUP_THRESHOLD}
+"""
+
+
+def neardup_cosine_lsh_sql(dim: int, threshold: float = COSINE_NEARDUP_THRESHOLD) -> str:
+    return f"""
+    WITH {_VEC_CTE},
+    bk AS (
+        SELECT vec_id, v, nrm, {_sql_bucket('v', dim)} AS bucket FROM n
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cos6
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_DOT_AB} / (a.nrm * b.nrm), 6) >= {threshold}
+"""
+
+
+_DOT_CCENT = "list_sum([n.v[i] * cent.cv[i] for i in generate_series(1, len(n.v))])"
+_DOT_CQ = "list_sum([c.v[i] * probes.qv[i] for i in generate_series(1, len(c.v))])"
+
+
+def ann_topk_ivf_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """DuckDB twin of the IVF procedure: identical centroid choice,
+    assignment tie-break (cos desc, centroid id asc), probe set, and
+    final ranking — parity is exact even though IVF itself is
+    approximate."""
+    return f"""
+    WITH {_VEC_CTE},
+    cent AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < {n_cells}
+    ),
+    asn AS (
+        SELECT n.vec_id, n.v, n.nrm, cent.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY round({_DOT_CCENT} / (n.nrm * cent.cn), 6) DESC, cent.cid
+               ) AS rk
+        FROM n, cent
+    ),
+    cells AS (SELECT vec_id, v, nrm, cid AS cell FROM asn WHERE rk = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid AS cell
+        FROM asn WHERE vec_id < {n_queries} AND rk <= {nprobe}
+    ),
+    p AS (
+        SELECT DISTINCT probes.query_id, c.vec_id AS neighbor_id,
+               round({_DOT_CQ} / (c.nrm * probes.qn), 6) AS cos6
+        FROM cells c
+        JOIN probes ON c.cell = probes.cell AND c.vec_id != probes.query_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id
+        ) AS rnk
+        FROM p
+    )
+    SELECT query_id, neighbor_id, cos6, CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {k}
 """

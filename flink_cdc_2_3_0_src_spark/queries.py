@@ -1807,6 +1807,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.neardup_cosine(ld(spark, sf_dir, "embeddings"))
 
 
+# Scale path for embedding near-dup: hyperplane-LSH bucket equi-join
+# instead of per-label all-pairs (label blocks grow with the corpus; LSH
+# buckets don't). Exact cosine verifies candidates.
+@register("dedup_embedding_cosine_lsh", _sim.neardup_cosine_lsh_sql(64))
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.neardup_cosine_lsh(ld(spark, sf_dir, "embeddings"), dim=64)
+
+
+# IVF coarse-quantizer ANN: assignment to max-cosine centroid, nprobe
+# cells searched per query — the inverted-file scale path alongside the
+# LSH-bucketed one. Oracle runs the identical procedure (deterministic
+# centroids = first 8 vectors), so parity is exact.
+@register("ann_topk_ivf", _sim.ann_topk_ivf_sql())
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.ann_topk_ivf(ld(spark, sf_dir, "embeddings"))
+
+
+# Multimodal frame sampling: 1→N mapInPandas explode over binary
+# payloads with a stubbed frame decoder (fixed-size byte windows, every
+# 2nd kept). The oracle recomputes the same frames via substring over
+# the (ASCII) text payload and the shared polynomial hash verifies frame
+# CONTENT cross-engine, not just counts.
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH a AS (SELECT doc_id AS asset_id, text AS content FROM documents),
+    f AS (
+        SELECT asset_id,
+               unnest(generate_series(
+                   0, CAST(ceil(length(content) / 1024.0) AS INTEGER) - 1
+               )) AS frame_idx,
+               content
+        FROM a
+    )
+    SELECT asset_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(length(substring(content, frame_idx * 1024 + 1, 1024)) AS INTEGER)
+               AS n_bytes,
+           {sql_poly_hash("substring(content, frame_idx * 1024 + 1, 1024)")}
+               AS frame_hash
+    FROM f WHERE frame_idx % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    assets = documents_as_assets(ld(spark, sf_dir, "documents"))
+    return sample_frames(assets, frame_size=1024, stride=2)
+
+
 # Multimodal plumbing: binary payloads through mapInPandas feature
 # extraction. The oracle checks the byte-level metadata (sizes + content
 # hash — text is ASCII so byte hash == char hash); the feature vector

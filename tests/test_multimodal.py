@@ -39,3 +39,40 @@ def test_extract_features_end_to_end(spark):
     # content hash matches the pure-python reference
     doc = {d["doc_id"]: d["text"] for d in docs.collect()}[r["asset_id"]]
     assert r["content_hash"] == _content_hash(doc.encode("utf-8"))
+
+
+def test_sample_frames_stride_and_content(spark):
+    from flink_cdc_2_3_0_src_spark.functions.hashing import _py_poly_hash
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 10  # 2560 bytes -> 3 frames of 1024/1024/512
+    assets = spark.createDataFrame(
+        [(1, "video", payload), (2, "video", b""), (3, "video", b"xy")],
+        "asset_id long, media_type string, content binary",
+    )
+    rows = {
+        (r["asset_id"], r["frame_idx"]): (r["n_bytes"], r["frame_hash"])
+        for r in sample_frames(assets, frame_size=1024, stride=2).collect()
+    }
+    # stride 2 keeps frames 0 and 2 of asset 1; empty payload -> no rows
+    assert set(rows) == {(1, 0), (1, 2), (3, 0)}
+    assert rows[(1, 0)][0] == 1024 and rows[(1, 2)][0] == 512
+    assert rows[(3, 0)] == (2, _py_poly_hash("xy"))
+    # frame content hash matches a driver-side recompute
+    expect = _py_poly_hash(payload[2048:].decode("latin-1"))
+    assert rows[(1, 2)][1] == expect
+
+
+def test_resize_media_shape_and_determinism(spark):
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import resize_media
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytes(range(200))), (2, "image", b"")],
+        "asset_id long, media_type string, content binary",
+    )
+    out = {r["asset_id"]: r for r in resize_media(assets, 8, 8).collect()}
+    assert len(out[1]["content"]) == 64 and len(out[2]["content"]) == 64
+    assert out[1]["meta"]["width"] == 8 and out[1]["meta"]["height"] == 8
+    # deterministic: same input -> same resized bytes
+    again = {r["asset_id"]: r for r in resize_media(assets, 8, 8).collect()}
+    assert bytes(out[1]["content"]) == bytes(again[1]["content"])
