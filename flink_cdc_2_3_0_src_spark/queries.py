@@ -30,6 +30,7 @@ from flink_cdc_2_3_0_src_spark.functions.debezium import (
     to_debezium_json,
 )
 from flink_cdc_2_3_0_src_spark.sources.parquet_dialect import ParquetTableSource
+from flink_cdc_2_3_0_src_spark.sources import scripted_log as _scripted_log_mod
 from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -61,6 +62,7 @@ _PRIORITY: list[str] = [
     "cdc_startup_timestamp", "cdc_startup_specific_offset",
     "cdc_chunked_snapshot_string_pk", "cdc_chunked_snapshot_composite_pk",
     "cdc_windowed_net_changes", "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
+    "cdc_tidb_snapshot_stream", "cdc_oceanbase_snapshot_stream",
     # LLM data-pipeline operators
     "text_stats", "text_lang_id", "text_quality", "dedup_exact_stats",
     "sample_stratified", "text_token_histogram", "text_length_percentiles",
@@ -73,13 +75,15 @@ _PRIORITY: list[str] = [
     "multimodal_binary_stats", "multimodal_frame_sample",
     # Relational surface representatives (B1-B3) + headline benchmarks
     "b2_projection_filter", "q1_pricing_summary", "q3_shipping_priority",
-    "events_hourly_window", "events_sessionize", "events_json_extract",
-    "skew_salted_agg",
+    "events_sessionize", "skew_salted_agg",
     # q5/q7/q10 (TPC-H join shapes already represented by q1/q3 and still
-    # bench headliners), stats_approx (no oracle → weak rows-only check),
-    # and the other SQL-surface variants sit past position 50 — all remain
-    # swept by tests/test_oracle_parity.py; their slots go to the new
-    # scale-path operators (embedding-LSH near-dup, IVF ANN, frame sample).
+    # bench headliners), events_hourly_window / events_json_extract
+    # (SQL-surface shapes; sessionize keeps the window-function slot),
+    # stats_approx (no oracle → weak rows-only check), and the other
+    # SQL-surface variants sit past position 50 — all remain swept by
+    # tests/test_oracle_parity.py; their slots go to the new scale-path
+    # operators (embedding-LSH near-dup, IVF ANN, frame sample) and the
+    # A29/A30 TiDB/OceanBase snapshot+stream queries.
 ]
 
 
@@ -1964,6 +1968,120 @@ def cdc_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = HybridPipeline(spark, log, ["user_id"])
     chunks = [ChunkRange(None, 8), ChunkRange(8, 16), ChunkRange(16, None)]
     final = p.run(chunks, "user_id", watermarks=lambda i: (200 + 100 * i, 250 + 150 * i))
+    return final.select("user_id", "value", "ts")
+
+
+# ---- A29/A30: TiDB (TiKV two-phase) and OceanBase (overlap) sources ----
+
+# Shared oracle CTE: Percolator resolution of the scripted 2PC stream —
+# prewrites bound to commits on (key, start_ts), rollbacks cancel,
+# COMMITTED rows pre-resolved, commit_ts becomes the _seq total order.
+_TWO_PHASE_RESOLVED_SQL = """
+    raw AS ({raw}),
+    pw AS (SELECT user_id, value, ts, _op, start_ts FROM raw
+           WHERE row_type = 'PREWRITE'),
+    cm AS (SELECT user_id, start_ts, commit_ts FROM raw WHERE row_type = 'COMMIT'),
+    rb AS (SELECT user_id, start_ts FROM raw WHERE row_type = 'ROLLBACK'),
+    resolved AS (
+        SELECT pw.user_id, pw.value, pw.ts, pw._op, cm.commit_ts AS _seq
+        FROM pw
+        JOIN cm ON pw.user_id = cm.user_id AND pw.start_ts = cm.start_ts
+        WHERE NOT EXISTS (
+            SELECT 1 FROM rb
+            WHERE rb.user_id = pw.user_id AND rb.start_ts = pw.start_ts
+        )
+        UNION ALL
+        SELECT user_id, value, ts, _op, commit_ts FROM raw
+        WHERE row_type = 'COMMITTED'
+    )
+"""
+
+_TIDB_RESOLVED_TS = 6005
+
+
+# A29 (part 1): two-phase commit resolution itself — the committed
+# changelog visible at resolvedTs, in commit-ts order (reference
+# handleRow/flushRows, TiKVRichParallelSourceFunction.java:173-260,
+# restated as equi-joins in streaming/tidb.py).
+@register(
+    "cdc_tidb_two_phase",
+    f"""
+    WITH {_TWO_PHASE_RESOLVED_SQL.format(raw=_scripted_log_mod.TWO_PHASE_SQL)}
+    SELECT user_id, value, ts, _op, _seq FROM resolved
+    WHERE _seq <= {_TIDB_RESOLVED_TS}
+    """,
+)
+def cdc_tidb_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_two_phase_log
+    from flink_cdc_2_3_0_src_spark.streaming.tidb import resolve_two_phase
+
+    raw = scripted_two_phase_log(spark, sf_dir)
+    out = resolve_two_phase(raw, resolved_ts=_TIDB_RESOLVED_TS)
+    return out.select("user_id", "value", "ts", "_op", "_seq")
+
+
+# A29 (part 2): the full snapshot+stream pipeline — KV snapshot at
+# resolvedTs scanned as even key-range chunks, CDC stream from the same
+# ts, no overlap (TiKVRichParallelSourceFunction.java:155-168). Contract:
+# equals the committed state at the log tip.
+@register(
+    "cdc_tidb_snapshot_stream",
+    f"""
+    WITH {_TWO_PHASE_RESOLVED_SQL.format(raw=_scripted_log_mod.TWO_PHASE_SQL)},
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM resolved
+    )
+    SELECT user_id, value, ts FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_tidb_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_two_phase_log
+    from flink_cdc_2_3_0_src_spark.streaming.tidb import tidb_snapshot_stream
+
+    raw = scripted_two_phase_log(spark, sf_dir)
+    final = tidb_snapshot_stream(
+        raw, ["user_id"], resolved_ts=_TIDB_RESOLVED_TS, n_ranges=4
+    )
+    return final.select("user_id", "value", "ts")
+
+
+# A30: OceanBase ordering — change stream buffered from stream_start
+# FIRST, snapshot taken later, overlap window deduped by max-seq upsert
+# merge (OceanBaseRichSourceFunction.java:143-166). The oracle mimics
+# the same two-path procedure, not just the end state.
+@register(
+    "cdc_oceanbase_snapshot_stream",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    snap AS (
+        SELECT user_id, value, ts, '+I' AS _op, CAST(3000 AS BIGINT) AS _seq
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+            FROM log WHERE _seq <= 6000
+        ) WHERE rn = 1 AND _op <> '-D'
+    ),
+    merged AS (
+        SELECT * FROM snap
+        UNION ALL
+        SELECT user_id, value, ts, _op, _seq FROM log WHERE _seq > 3000
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM merged
+    )
+    SELECT user_id, value, ts FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_oceanbase_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.streaming.oceanbase import (
+        oceanbase_snapshot_stream,
+    )
+
+    log = scripted_changelog(spark, sf_dir)
+    final = oceanbase_snapshot_stream(
+        log, ["user_id"], stream_start=3000, snapshot_at=6000
+    )
     return final.select("user_id", "value", "ts")
 
 

@@ -77,3 +77,72 @@ def scripted_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(OP_COL),
         F.col("event_id").alias(SEQ_COL),
     )
+
+
+# ---- TiKV-style two-phase (Percolator) scripted log (A29 test dialect) ----
+#
+# Each event becomes raw TiKV CDC rows: normally a PREWRITE carrying the
+# after-image plus a COMMIT binding (key, start_ts) -> commit_ts; every
+# 37th event is rolled back (PREWRITE + ROLLBACK, never emitted); every
+# 11th arrives pre-resolved as a single COMMITTED row — the three row
+# shapes handleRow treats (TiKVRichParallelSourceFunction.java:173-193).
+# start_ts/commit_ts are derived deterministically from the log sequence
+# so the DuckDB oracle can fabricate the identical raw stream.
+
+TWO_PHASE_SQL = """
+    SELECT user_id, value, ts,
+           CASE WHEN event_type = 'signup' THEN '+I'
+                WHEN event_type = 'error' THEN '-D'
+                ELSE '+U' END AS _op,
+           CASE WHEN event_id % 11 = 0 AND event_id % 37 <> 0
+                THEN 'COMMITTED' ELSE 'PREWRITE' END AS row_type,
+           event_id * 10 AS start_ts,
+           CASE WHEN event_id % 11 = 0 AND event_id % 37 <> 0
+                THEN event_id * 10 + 5 END AS commit_ts
+    FROM events
+    UNION ALL
+    SELECT user_id, NULL, NULL, NULL,
+           CASE WHEN event_id % 37 = 0 THEN 'ROLLBACK' ELSE 'COMMIT' END,
+           event_id * 10,
+           CASE WHEN event_id % 37 <> 0 THEN event_id * 10 + 5 END
+    FROM events
+    WHERE NOT (event_id % 11 = 0 AND event_id % 37 <> 0)
+"""
+
+
+def scripted_two_phase_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet → raw TiKV-shaped 2PC rows (see TWO_PHASE_SQL)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_type", "event_id"
+    )
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit(OP_INSERT))
+        .when(F.col("event_type") == "error", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE_AFTER))
+    )
+    single = (F.col("event_id") % 11 == 0) & (F.col("event_id") % 37 != 0)
+    images = e.select(
+        "user_id",
+        "value",
+        "ts",
+        op.alias(OP_COL),
+        F.when(single, F.lit("COMMITTED")).otherwise(F.lit("PREWRITE")).alias("row_type"),
+        (F.col("event_id") * 10).alias("start_ts"),
+        F.when(single, F.col("event_id") * 10 + 5).alias("commit_ts"),
+    )
+    marks = e.filter(~single).select(
+        "user_id",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("string").alias(OP_COL),
+        F.when(F.col("event_id") % 37 == 0, F.lit("ROLLBACK"))
+        .otherwise(F.lit("COMMIT"))
+        .alias("row_type"),
+        (F.col("event_id") * 10).alias("start_ts"),
+        F.when(F.col("event_id") % 37 != 0, F.col("event_id") * 10 + 5).alias(
+            "commit_ts"
+        ),
+    )
+    return images.unionByName(marks)
