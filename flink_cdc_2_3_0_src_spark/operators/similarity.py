@@ -305,8 +305,12 @@ def neardup_cosine_lsh(
     probability (1 - theta/pi)^planes — the standard SimHash recall
     trade; exact cosine verifies every candidate.
     """
-    base = emb.select("vec_id", _vec().alias("v")).withColumn(
-        "bucket", _bucket_udf(dim)(F.col("v"))
+    base = (
+        emb.select("vec_id", _vec().alias("v"))
+        .withColumn("bucket", _bucket_udf(dim)(F.col("v")))
+        # materialize before the self-join: both join sides otherwise
+        # re-run the bucket UDF over the whole corpus
+        .localCheckpoint()
     )
     a, b = base.alias("a"), base.alias("b")
     return (

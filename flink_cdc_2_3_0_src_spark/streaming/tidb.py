@@ -126,10 +126,15 @@ def tidb_snapshot_stream(
     merges both by max-seq upsert semantics.
     """
     key = keys[0]
-    committed = resolve_two_phase(raw, resolved_ts=None, key=key)
+    # the resolution joins feed both phases and the snapshot state feeds
+    # one range-scan branch per key range — persist both so each branch
+    # is a cached-columnar read instead of a plan re-execution (same
+    # test-dialect reasoning as HybridPipeline.log; a real dialect pays
+    # the per-range SELECT on TiKV instead)
+    committed = resolve_two_phase(raw, resolved_ts=None, key=key).persist()
     at_snap = materialize(
         committed.filter(F.col(SEQ_COL) <= resolved_ts), keys
-    )
+    ).persist()
     parts = [
         at_snap.filter(F.expr(rng.predicate_sql(key)))
         for rng in tikv_key_ranges(n_ranges)
