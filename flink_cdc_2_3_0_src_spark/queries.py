@@ -1016,7 +1016,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_sess",
         F.when(
             F.lag("ts").over(w).isNull()
-            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            | (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+                > gap_us
+            ),
             1,
         ).otherwise(0),
     )

@@ -49,7 +49,12 @@ def apply_startup_mode(
         # A11: drop events older than t0 (heartbeat events carry no data
         # and would pass through in a real source; the scripted log has
         # no heartbeats)
+        # Parquet readers may surface the column as TIMESTAMP or
+        # TIMESTAMP_NTZ depending on file metadata; session TZ is UTC so
+        # casting NTZ -> TIMESTAMP is value-preserving and unix_millis
+        # only accepts TIMESTAMP.
         return log.filter(
-            F.unix_millis(F.col(ts_col)) >= F.lit(config.startup_timestamp_ms)
+            F.unix_millis(F.col(ts_col).cast("timestamp"))
+            >= F.lit(config.startup_timestamp_ms)
         )
     raise ValueError(f"unsupported startup mode {mode}")

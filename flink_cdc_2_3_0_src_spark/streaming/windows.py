@@ -39,6 +39,10 @@ def windowed_counts(
     forever and which never finalizes/evicts late windows. ``.start`` is
     projected AFTER the agg instead.
     """
+    # Watermarks require TIMESTAMP; naive parquet timestamps surface as
+    # TIMESTAMP_NTZ (session TZ is UTC, so the cast is value-preserving).
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window), group_col)
