@@ -193,3 +193,117 @@ DEDUP_EXACT_STATS_SQL = f"""
            COUNT(DISTINCT fp) AS n_distinct_fps
     FROM fp GROUP BY source
 """
+
+
+def text_repetition(docs: DataFrame) -> DataFrame:
+    """Within-document repetition ratio (1 - distinct/total tokens) —
+    the Gopher-style repetitiveness quality signal for pretraining
+    corpora.  Pure column expressions: narrow projection, no shuffle."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - nd.cast("double") / F.greatest(n, F.lit(1)).cast("double"),
+            6,
+        ).alias("repetition"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS repetition
+    FROM tk
+"""
+
+
+# Benchmark-decontamination screen: flag training docs whose word
+# n-gram shingles overlap a held-out benchmark set. Standard hygiene
+# pass before pretraining (the "13-gram overlap" check, here n=5 to fit
+# the short synthetic docs).
+DECONTAM_N = 5
+DECONTAM_BENCH_SOURCE = "src0"
+
+
+def shingles(text_col: Column, n: int = DECONTAM_N) -> Column:
+    """Word n-gram shingle array (JVM-side: sequence + slice, no UDF)."""
+    toks = tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontam_overlap(
+    docs: DataFrame,
+    bench_source: str = DECONTAM_BENCH_SOURCE,
+    n: int = DECONTAM_N,
+) -> DataFrame:
+    """Per-doc contamination: fraction of the doc's distinct shingles
+    that appear anywhere in the benchmark corpus.
+
+    Scale shape: the benchmark's distinct-shingle set is the small side
+    (benchmarks are ~1e5 docs vs a 100 TB corpus) — broadcast it into a
+    left join against the exploded corpus shingles; one hash-groupBy per
+    doc after.  No all-pairs work anywhere."""
+    sh = docs.select(
+        "doc_id", "source", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    bench = F.broadcast(
+        sh.filter(F.col("source") == bench_source).select("shingle").distinct()
+    )
+    hit = bench.withColumn("_hit", F.lit(1))
+    scored = (
+        sh.filter(F.col("source") != bench_source)
+        .join(hit, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    return scored.filter(F.col("n_contaminated") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
+
+
+DECONTAM_OVERLAP_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, source,
+               unnest([array_to_string(toks[i:i+{DECONTAM_N - 1}], ' ')
+                       for i in range(1, greatest(len(toks)-{DECONTAM_N - 2}, 1))]) AS shingle
+        FROM tk
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{DECONTAM_BENCH_SOURCE}'),
+    scored AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               COUNT(*) FILTER (WHERE b.shingle IS NOT NULL) AS n_contaminated
+        FROM sh s LEFT JOIN bench b USING (shingle)
+        WHERE s.source <> '{DECONTAM_BENCH_SOURCE}'
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination
+    FROM scored WHERE n_contaminated > 0
+"""

@@ -1517,6 +1517,7 @@ from flink_cdc_2_3_0_src_spark.functions.hashing import (  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import dedup as _dedup  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import similarity as _sim  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import quantize as _quant  # noqa: E402
 
 
 @register("text_stats", _text.TEXT_STATS_SQL)
@@ -1725,6 +1726,26 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+@register("text_repetition", _text.TEXT_REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.text_repetition(ld(spark, sf_dir, "documents"))
+
+
+@register("decontam_ngram_overlap", _text.DECONTAM_OVERLAP_SQL)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen (word 5-gram shingle overlap
+    against a held-out benchmark source): broadcast the benchmark
+    shingle set, left-join the exploded corpus shingles."""
+    return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
+
+
+@register("embedding_quantize_int8", _quant.QUANTIZE_INT8_SQL)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus: tiny per-dim
+    stats pass, then a zero-shuffle literal-array encode projection."""
+    return _quant.quantize_int8(ld(spark, sf_dir, "embeddings"))
 
 
 @register("dedup_minhash_sigs", _dedup.MINHASH_SIGS_SQL)
