@@ -177,6 +177,69 @@ def _py_shingle_hashes(text: str, n: int) -> "np.ndarray":
     return np.array([acc], dtype=np.int64)
 
 
+def _batch_shingle_hashes(texts, n: int):
+    """Distinct shingle hashes for a whole Arrow batch, flat-vectorized.
+
+    One sliding-window polynomial combine over the concatenation of all
+    docs' token hashes (cross-doc windows masked out), then one global
+    sort/unique keyed by (doc, hash) — the per-doc numpy-call overhead
+    of the row-at-a-time formulation dominates on short docs; this runs
+    the whole batch in a handful of numpy passes. Produces exactly
+    _py_shingle_hashes(text, n) per doc.
+
+    Returns (uniq_doc, uniq_hash, doc_offsets, none_mask): sorted flat
+    (doc index, hash) pairs, start offset of each doc's slice in the
+    flat arrays, and which inputs were None.
+    """
+    n_docs = len(texts)
+    none_mask = np.zeros(n_docs, dtype=bool)
+    th_parts: list[list[int]] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i, text in enumerate(texts):
+        if text is None:
+            none_mask[i] = True
+            th_parts.append([])
+            continue
+        th = [_py_poly_hash_cached(t) for t in _py_tokens(text)]
+        th_parts.append(th)
+        counts[i] = len(th)
+    flat = np.concatenate(
+        [np.asarray(p, dtype=np.int64) for p in th_parts if p]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    starts = np.concatenate(([0], np.cumsum(counts)))  # per-doc slice bounds
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    pair_keys = []
+    total = flat.shape[0]
+    if total >= n:
+        m = total - n + 1
+        h = flat[:m].copy()
+        for j in range(1, n):
+            h = (h * POLY_MULT + flat[j : m + j]) % POLY_MOD
+        valid = doc_of[:m] == doc_of[n - 1 :]  # window fully inside one doc
+        pair_keys.append((doc_of[:m][valid] << 31) | h[valid])
+    # short docs (len < n, incl. empty -> hash 0) fold all their tokens
+    short = np.flatnonzero(~none_mask & (counts < n))
+    if short.size:
+        folds = np.empty(short.size, dtype=np.int64)
+        for idx, i in enumerate(short):
+            acc = 0
+            for x in th_parts[i]:
+                acc = (acc * POLY_MULT + x) % POLY_MOD
+            folds[idx] = acc
+        pair_keys.append((short << 31) | folds)
+    keys = (
+        np.unique(np.concatenate(pair_keys))
+        if pair_keys
+        else np.empty(0, dtype=np.int64)
+    )
+    uniq_doc = keys >> 31
+    uniq_hash = keys & ((1 << 31) - 1)  # POLY_MOD < 2^31: key packing is lossless
+    doc_offsets = np.searchsorted(uniq_doc, np.arange(n_docs + 1))
+    return uniq_doc, uniq_hash, doc_offsets, none_mask
+
+
 def _make_shingle_profile_udf(k: int, n: int):
     """One pass: text → struct(hashes: distinct shingle hashes,
     sig: k-value minhash signature)."""
@@ -184,17 +247,33 @@ def _make_shingle_profile_udf(k: int, n: int):
 
     @F.pandas_udf("struct<hashes: array<long>, sig: array<long>>")
     def _p(s: pd.Series) -> pd.Series:
+        texts = s.tolist()
+        _, uniq_hash, offs, none_mask = _batch_shingle_hashes(texts, n)
+        nonempty = offs[:-1] < offs[1:]
+        # k segment-mins over the flat unique-hash array (reduceat needs
+        # non-empty segments; empty/None docs are filled afterwards)
+        red_offs = offs[:-1][nonempty]
+        sig_mat = np.empty((len(params), red_offs.shape[0]), dtype=np.int64)
+        for j, (a, b) in enumerate(params):
+            v = (a * uniq_hash + b) % MERSENNE_P
+            sig_mat[j] = (
+                np.minimum.reduceat(v, red_offs)
+                if red_offs.shape[0]
+                else np.empty(0, dtype=np.int64)
+            )
         hs_out, sig_out = [], []
-        for text in s:
-            if text is None:
+        seg = 0
+        for i in range(len(texts)):
+            if none_mask[i]:
                 hs_out.append(None)
                 sig_out.append(None)
                 continue
-            hs = _py_shingle_hashes(text, n)
-            hs_out.append([int(x) for x in hs])
-            sig_out.append(
-                [int(((a * hs + b) % MERSENNE_P).min()) for a, b in params]
-            )
+            hs_out.append([int(x) for x in uniq_hash[offs[i] : offs[i + 1]]])
+            if nonempty[i]:
+                sig_out.append([int(x) for x in sig_mat[:, seg]])
+                seg += 1
+            else:  # unreachable for str input (empty text still hashes to [0])
+                sig_out.append([int(b % MERSENNE_P) for _, b in params])
         return pd.DataFrame({"hashes": hs_out, "sig": sig_out})
 
     return _p
