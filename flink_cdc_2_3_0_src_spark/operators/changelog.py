@@ -305,6 +305,45 @@ def normalize_upsert(
     return cur.unionByName(retract)
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQ_COL,
+    op_col: str = OP_COL,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a changelog: one row
+    per row VERSION with its validity interval in change-sequence time.
+
+    Every +I/+U image opens a version at its seq; the next change to the
+    same key (update or delete) closes it (``valid_to_seq``); the last
+    image of a live key has valid_to_seq NULL and ``is_current`` true.
+    -U retraction images are payload duplicates of their +U and are
+    skipped; -D rows close the prior version but emit no version
+    themselves. Keys may be re-inserted after a delete (a new interval
+    chain starts).
+
+    This is the standard warehouse-history materialization a CDC
+    consumer builds downstream of the reference (the reference emits
+    the changelog; Flink SQL users window it exactly like this).
+
+    Scale: one shuffle on the key, per-key bounded sort for lead() —
+    the same cost class as normalize_upsert; no self-join, no state.
+    """
+    w = Window.partitionBy(*keys).orderBy(seq_col)
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    versions = (
+        df.filter(F.col(op_col) != OP_UPDATE_BEFORE)
+        .withColumn("__valid_to", F.lead(seq_col).over(w))
+        .filter(F.col(op_col) != OP_DELETE)
+    )
+    return versions.select(
+        *data_cols,
+        F.col(seq_col).alias("valid_from_seq"),
+        F.col("__valid_to").alias("valid_to_seq"),
+        F.col("__valid_to").isNull().alias("is_current"),
+    )
+
+
 def expand_updates(
     df: DataFrame,
     before_col: str = "before",

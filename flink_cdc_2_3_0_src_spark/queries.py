@@ -1237,6 +1237,31 @@ def cdc_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD2 warehouse history: every row version with its validity interval
+# in change-sequence time — the standard downstream materialization of
+# a CDC changelog (one shuffle + per-key bounded sort).
+@register(
+    "cdc_scd2_history",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    v AS (
+        SELECT user_id, value, ts, _op, _seq,
+               LEAD(_seq) OVER (PARTITION BY user_id ORDER BY _seq) AS valid_to_seq
+        FROM log
+    )
+    SELECT user_id, value, ts,
+           _seq AS valid_from_seq, valid_to_seq,
+           (valid_to_seq IS NULL) AS is_current
+    FROM v WHERE _op <> '-D'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import scd2_history
+
+    log = scripted_changelog(spark, sf_dir)
+    return scd2_history(log, ["user_id"])
+
+
 # B4 extended: MIN/MAX over a changelog are not retraction-computable —
 # agg_auto transparently materializes first, while SUM/COUNT stay on the
 # signed-delta fast path. Both must equal aggregates over final state.

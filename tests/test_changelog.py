@@ -63,6 +63,32 @@ def test_normalize_upsert_golden(spark):
     assert got == expected
 
 
+def test_scd2_history_golden(spark):
+    from flink_cdc_2_3_0_src_spark.operators.changelog import scd2_history
+
+    # full changelog including a -U retraction image (must be skipped:
+    # it duplicates the +U payload, not a distinct version)
+    rows = [
+        (1, 10.0, "+I", 1),
+        (1, 10.0, "-U", 3),
+        (1, 20.0, "+U", 3),
+        (2, 5.0, "+I", 2),
+        (2, 5.0, "-D", 5),
+        (2, 6.0, "+I", 7),  # re-insert after delete: new interval chain
+    ]
+    log = spark.createDataFrame(rows, ["k", "v", OP_COL, SEQ_COL])
+    got = sorted(
+        (r["k"], r["v"], r["valid_from_seq"], r["valid_to_seq"], r["is_current"])
+        for r in scd2_history(log, ["k"]).collect()
+    )
+    assert got == [
+        (1, 10.0, 1, 3, False),   # closed by the update at seq 3
+        (1, 20.0, 3, None, True),
+        (2, 5.0, 2, 5, False),    # closed by the delete at seq 5
+        (2, 6.0, 7, None, True),
+    ]
+
+
 def test_signed_aggregation_telescopes(spark):
     norm = normalize_upsert(upsert_log(spark), ["k"])
     row = norm.agg(
