@@ -59,6 +59,96 @@ def windowed_counts(
     )
 
 
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("sess_start", T.TimestampType()),
+        T.StructField("sess_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def session_windows(
+    stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Event-time SESSION windows over an unbounded stream — the
+    stateful operator Structured Streaming's built-in window() cannot
+    express (no session gap in batch-compatible form pre-3.2 semantics
+    we need); implemented with applyInPandasWithState + event-time
+    timeouts.
+
+    A session = maximal run of a key's events where consecutive gaps
+    are <= gap_minutes (strictly-greater gap splits — same rule as the
+    batch sessionizer in queries.events_sessionize). Sessions that
+    close WITHIN a microbatch are emitted immediately; the trailing
+    open session is held in per-key state with a timeout at
+    sess_end + gap, so it is emitted exactly when the watermark proves
+    no earlier event can extend it.
+
+    State is one (start, end, count) triple per ACTIVE key — bounded by
+    the number of keys active within the gap horizon, the minimum any
+    correct sessionizer needs; timeouts evict closed keys.
+    """
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    gap_ms = gap_minutes * 60 * 1000
+
+    def _row(key, start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key],
+                "sess_start": [pd.Timestamp(start_ms, unit="ms")],
+                "sess_end": [pd.Timestamp(end_ms, unit="ms")],
+                "n_events": [n],
+            }
+        )
+
+    def fn(key, pdfs, state: GroupState):
+        k = key[0]
+        if state.hasTimedOut:
+            start_ms, end_ms, n = state.get
+            state.remove()
+            yield _row(k, start_ms, end_ms, n)
+            return
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                vals = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+                ts_ms.extend(int(v) for v in vals)
+        if not ts_ms:
+            return
+        ts_ms.sort()
+        if state.exists:
+            start_ms, end_ms, n = state.get
+        else:
+            start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+        for t in ts_ms:
+            if t - end_ms > gap_ms:  # strict: gap == threshold extends
+                yield _row(k, start_ms, end_ms, n)
+                start_ms, n = t, 0
+            end_ms = max(end_ms, t)
+            n += 1
+        state.update((start_ms, end_ms, n))
+        state.setTimeoutTimestamp(end_ms + gap_ms)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType="start_ms LONG, end_ms LONG, n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_distinct(
     stream: DataFrame,
     key_col: str,

@@ -120,6 +120,61 @@ def test_windowed_counts_append_mode_evicts_late_rows(spark, tmp_path):
     assert all(v[1] < 100.0 for v in got.values())
 
 
+def test_session_windows_streaming(spark, tmp_path):
+    """Event-time session windows via applyInPandasWithState: sessions
+    closed within a batch emit immediately; trailing sessions emit when
+    the watermark passes sess_end + gap (event-time timeout)."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.windows import session_windows
+
+    d = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return d + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        # user 1, session A: 00:00 + 00:10 (gap 10m <= 30m)
+        (1, 1, ts(0, 0)),
+        (2, 1, ts(0, 10)),
+        # user 2, session C: single event
+        (3, 2, ts(0, 5)),
+        # user 1, session B: 01:00 (50m > 30m after session A)
+        (4, 1, ts(1, 0)),
+        # watermark pumps: 12:00 advances the watermark far past every
+        # session's end+gap; 20:00 triggers one more batch in which the
+        # timeouts actually fire (timeouts use the previous batch's wm)
+        (5, 99, ts(12, 0)),
+        (6, 99, ts(20, 0)),
+    ]
+    log = spark.createDataFrame(rows, f"{SEQ_COL} long, user_id long, ts timestamp")
+    replay_dir = str(tmp_path / "replay_sess")
+    write_replay_files(log, replay_dir, n_files=6)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    out = session_windows(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions WHERE user_id <> 99").collect()
+    )
+    assert got == [
+        (1, ts(0, 0), ts(0, 10), 2),
+        (1, ts(1, 0), ts(1, 0), 1),
+        (2, ts(0, 5), ts(0, 5), 1),
+    ]
+
+
 def test_stream_distinct_first_occurrence_only(spark, tmp_path):
     """Streaming exact dedup: exactly one row per key survives — the
     first by sequence — across microbatches."""
