@@ -121,12 +121,20 @@ class HybridPipeline:
 
     # ---- test-dialect database primitives ----
 
-    def db_state_at(self, offset: int) -> DataFrame:
+    def db_state_at(self, offset: int, where=None) -> DataFrame:
         """Materialized table state at a log offset (what a chunk SELECT
-        would see in a real database)."""
-        return materialize(
-            self.log.filter(F.col(SEQ_COL) <= offset), self.keys
-        )
+        would see in a real database).
+
+        ``where`` is an optional predicate over the KEY columns (a chunk
+        range). Because materialize() groups by the full key, a filter
+        on key columns commutes with it — pushing it below the shuffle
+        means a chunk scan shuffles only its range, not the whole log
+        (and a real dialect's chunk SELECT pushes the same WHERE to the
+        database)."""
+        base = self.log.filter(F.col(SEQ_COL) <= offset)
+        if where is not None:
+            base = base.filter(where)
+        return materialize(base, self.keys)
 
     def snapshot_chunk(
         self,
@@ -144,7 +152,9 @@ class HybridPipeline:
         snapshot vs stream rows).
         """
         in_range = F.expr(chunk.predicate_sql(key))
-        scan = self.db_state_at(low_watermark).filter(in_range)
+        # chunk predicate pushed below the materialize shuffle (the split
+        # key is a key column, so the filter commutes with the group-by)
+        scan = self.db_state_at(low_watermark, where=in_range)
         if high_watermark == low_watermark:
             # A8: backfill skip
             merged = scan
