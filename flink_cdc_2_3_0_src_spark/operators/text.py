@@ -226,6 +226,62 @@ TEXT_REPETITION_SQL = f"""
 """
 
 
+def unigram_likelihood(docs: DataFrame) -> DataFrame:
+    """Unigram-LM likelihood proxy per document: the average corpus
+    frequency of the doc's tokens — the cheap first-pass fluency /
+    outlier score (low = rare-token gibberish) a pretraining pipeline
+    runs before an actual LM perplexity pass.
+
+    Cross-engine parity holds because everything until the final
+    division is exact BIGINT (corpus counts and their per-doc sums);
+    the one double division is IEEE-identical in both engines — no
+    rounding step needed.
+
+    Scale: corpus term frequencies are a vocabulary-sized table —
+    broadcast into the token join (no shuffle of the corpus side);
+    per-doc sum is one hash aggregation.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = freq.agg(F.sum("freq").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        (
+            F.col("sum_freq").cast("double")
+            / (F.col("n_tokens") * F.col("total")).cast("double")
+        ).alias("avg_lik"),
+    )
+
+
+UNIGRAM_LIKELIHOOD_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok),
+    total AS (SELECT SUM(freq) AS total FROM freq),
+    scored AS (
+        SELECT tk.doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(freq) AS BIGINT) AS sum_freq
+        FROM tk JOIN freq USING (tok) GROUP BY tk.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_freq,
+           CAST(sum_freq AS DOUBLE) / CAST(n_tokens * total AS DOUBLE) AS avg_lik
+    FROM scored, total
+"""
+
+
 # Benchmark-decontamination screen: flag training docs whose word
 # n-gram shingles overlap a held-out benchmark set. Standard hygiene
 # pass before pretraining (the "13-gram overlap" check, here n=5 to fit

@@ -1758,6 +1758,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.text_repetition(ld(spark, sf_dir, "documents"))
 
 
+@register("text_unigram_likelihood", _text.UNIGRAM_LIKELIHOOD_SQL)
+def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.unigram_likelihood(ld(spark, sf_dir, "documents"))
+
+
 @register("decontam_ngram_overlap", _text.DECONTAM_OVERLAP_SQL)
 def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination screen (word 5-gram shingle overlap
