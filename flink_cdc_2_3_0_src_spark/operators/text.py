@@ -226,6 +226,127 @@ TEXT_REPETITION_SQL = f"""
 """
 
 
+def chunk_windows(
+    docs: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """RAG-style document chunking: overlapping token windows of
+    ``window`` tokens every ``stride`` (the split-for-embedding step of
+    a retrieval pipeline). Chunks shorter than a full window appear only
+    as the final chunk of a doc. Pure JVM array ops (sequence + slice +
+    explode), no UDF; embarrassingly parallel, 1→N explode like frame
+    sampling.
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text).
+    """
+    toks = tokens(F.col("text"))
+    # explicit floor on BOTH engines: DuckDB CAST(double AS INTEGER)
+    # rounds while Spark's int cast truncates — floor is the one
+    # formulation they agree on (incl. negative values for short docs)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor(
+            (F.size(toks) - F.lit(window) + F.lit(stride) - F.lit(1))
+            / F.lit(stride)
+        ).cast("int")
+        + F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, window).alias("w"),
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("c.w").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "c.w").alias("chunk_text"),
+    )
+
+
+def sql_chunk_windows(window: int = 32, stride: int = 24) -> str:
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks,
+               greatest(1, CAST(floor((len(toks) - {window} + {stride} - 1)
+                                      / {stride}.0) AS INTEGER) + 1) AS n_chunks
+        FROM tk
+    ),
+    c AS (
+        SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM n
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}])
+                AS BIGINT) AS n_tokens,
+           array_to_string(
+               toks[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {window}], ' '
+           ) AS chunk_text
+    FROM c
+    """
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 256) -> DataFrame:
+    """Deterministic sequence packing: assign docs (in doc_id order per
+    source) to fixed-token-budget training sequences by running-cumsum
+    bucketing — the batch-prep step that concatenates short documents
+    into ~seq_len-token training rows.
+
+    Greedy first-fit packing is order-dependent and unstable under
+    repartitioning; the cumsum rule (bucket = floor((cumsum - n) /
+    seq_len), i.e. the bucket where the doc STARTS) is deterministic,
+    reproducible across cluster layouts, and one window + one groupBy.
+
+    Output per (source, seq_id): docs packed, total tokens.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    bucketed = toks.withColumn(
+        "seq_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(seq_len))
+        .cast("long"),
+    )
+    return bucketed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def sql_pack_sequences(seq_len: int = 256) -> str:
+    return f"""
+    WITH tk AS (
+        SELECT source, doc_id, len({sql_tokens('text')}) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / {seq_len}.0) AS BIGINT) AS seq_id
+        FROM tk
+    )
+    SELECT source, seq_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM b GROUP BY source, seq_id
+    """
+
+
 def unigram_likelihood(docs: DataFrame) -> DataFrame:
     """Unigram-LM likelihood proxy per document: the average corpus
     frequency of the doc's tokens — the cheap first-pass fluency /

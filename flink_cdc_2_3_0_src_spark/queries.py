@@ -1932,6 +1932,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.text_repetition(ld(spark, sf_dir, "documents"))
 
 
+@register("rag_chunk_windows", _text.sql_chunk_windows())
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 32-token windows every 24 tokens —
+    the split-for-embedding stage, as a JVM-side 1→N explode."""
+    return _text.chunk_windows(ld(spark, sf_dir, "documents"))
+
+
+@register("pack_sequences", _text.sql_pack_sequences())
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing into 256-token training rows via
+    per-source running-cumsum bucketing (stable under repartitioning,
+    unlike greedy first-fit)."""
+    return _text.pack_sequences(ld(spark, sf_dir, "documents"))
+
+
 @register("text_unigram_likelihood", _text.UNIGRAM_LIKELIHOOD_SQL)
 def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_likelihood(ld(spark, sf_dir, "documents"))
