@@ -132,10 +132,11 @@ def scripted_two_phase_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") * 10).alias("start_ts"),
         F.when(single, F.col("event_id") * 10 + 5).alias("commit_ts"),
     )
+    ts_type = dict(e.dtypes)["ts"]  # TIMESTAMP or TIMESTAMP_NTZ per parquet metadata
     marks = e.filter(~single).select(
         "user_id",
         F.lit(None).cast("double").alias("value"),
-        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast(ts_type).alias("ts"),
         F.lit(None).cast("string").alias(OP_COL),
         F.when(F.col("event_id") % 37 == 0, F.lit("ROLLBACK"))
         .otherwise(F.lit("COMMIT"))
