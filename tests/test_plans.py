@@ -61,6 +61,28 @@ def test_materialize_is_single_shuffle(spark):
     assert "Window" not in plan  # max_by aggregation, not window sort
 
 
+def test_new_pipeline_ops_plan_shapes(spark):
+    """Scale-shape contracts for the late-round operators: zero-shuffle
+    projections stay zero-shuffle, the decontam benchmark set is
+    broadcast (never sort-merge), packing reuses one exchange."""
+    qs = catalog.queries()
+    # RAG chunking + int8 encode: pure projections, no exchange at all
+    for name in ("rag_chunk_windows", "embedding_quantize_int8"):
+        plan = plan_of(qs[name](spark, SF_SMOKE))
+        assert "Exchange" not in plan, f"{name} gained a shuffle"
+    # decontamination: benchmark side must broadcast
+    plan = plan_of(qs["decontam_ngram_overlap"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # sequence packing: window + groupBy share the (source) partitioning
+    plan = plan_of(qs["pack_sequences"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+    # SCD2: one shuffle, no self-join
+    plan = plan_of(qs["cdc_scd2_history"](spark, SF_SMOKE))
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
 def test_salted_agg_exact(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     direct = {
