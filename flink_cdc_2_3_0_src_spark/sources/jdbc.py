@@ -55,6 +55,13 @@ class JdbcDialect:
         """Identifier quoting (MySQL backticks by default)."""
         return "`" + ident.replace("`", "``") + "`"
 
+    def fetch_first_sql(self, n: int) -> str:
+        """Row-limit clause appended after ORDER BY. MySQL/Postgres/
+        DuckDB use LIMIT; Oracle/Db2 use FETCH FIRST, SQL Server
+        OFFSET-FETCH — dialect-owned because the chunking SQL is
+        otherwise ANSI."""
+        return f"LIMIT {n}"
+
     # ---- A1: discovery ----
     def discover_tables(self) -> list[TableId]:
         rows = self.run_sql(
@@ -134,8 +141,12 @@ class JdbcDialect:
         cols = ", ".join(self.q(k) for k in keys)
         asc = ", ".join(f"{self.q(k)} ASC" for k in keys)
         desc = ", ".join(f"{self.q(k)} DESC" for k in keys)
-        mn_rows = self.run_sql(f"SELECT {cols} FROM {tref} ORDER BY {asc} LIMIT 1")
-        mx_rows = self.run_sql(f"SELECT {cols} FROM {tref} ORDER BY {desc} LIMIT 1")
+        mn_rows = self.run_sql(
+            f"SELECT {cols} FROM {tref} ORDER BY {asc} {self.fetch_first_sql(1)}"
+        )
+        mx_rows = self.run_sql(
+            f"SELECT {cols} FROM {tref} ORDER BY {desc} {self.fetch_first_sql(1)}"
+        )
         cnt = self.approx_row_count(table)
         mn = tuple(mn_rows[0]) if mn_rows else None
         mx = tuple(mx_rows[0]) if mx_rows else None
@@ -156,7 +167,7 @@ class JdbcDialect:
             rows = self.run_sql(
                 f"SELECT MAX({self.q(key)}) FROM ("
                 f"SELECT {self.q(key)} FROM {tref} WHERE {self.q(key)} >= {_sql_lit(low)} "
-                f"ORDER BY {self.q(key)} ASC LIMIT {self.config.chunk_size}) T"
+                f"ORDER BY {self.q(key)} ASC {self.fetch_first_sql(self.config.chunk_size)}) T"
             )
             return rows[0][0] if rows else None
 
@@ -181,8 +192,8 @@ class JdbcDialect:
             rows = self.run_sql(
                 f"SELECT {cols} FROM ("
                 f"SELECT {cols} FROM {tref} WHERE {pred} "
-                f"ORDER BY {asc} LIMIT {self.config.chunk_size}) T "
-                f"ORDER BY {desc} LIMIT 1"
+                f"ORDER BY {asc} {self.fetch_first_sql(self.config.chunk_size)}) T "
+                f"ORDER BY {desc} {self.fetch_first_sql(1)}"
             )
             return tuple(rows[0]) if rows else None
 

@@ -202,3 +202,146 @@ def test_jdbc_no_pk_raises():
     d = JdbcDialect(SourceConfig(), NoPk([1]))
     with pytest.raises(ValueError, match="no primary key"):
         d.split_key(TableId("db", None, "t"))
+
+
+# ---- dialect breadth: Oracle / SQL Server / Db2 (B15) ----
+
+
+class OracleRunner:
+    """Fake Oracle: ALL_TABLES/ALL_CONSTRAINTS catalogs, FETCH FIRST
+    limiting, SCN offset; table HR.ORDERS has no PK -> ROWID fallback."""
+
+    def __init__(self, rowids):
+        self.rowids = sorted(rowids)
+        self.log = []
+
+    def __call__(self, sql: str):
+        self.log.append(sql)
+        s = sql.lower()
+        assert "limit" not in s, f"Oracle got a LIMIT clause: {sql}"
+        if "from all_tables" in s and "owner, table_name" in sql.lower():
+            return [("HR", "ORDERS"), ("SYS2", "X")]
+        if "all_constraints" in s:
+            return []  # no primary key
+        if "min(" in s:
+            return [(self.rowids[0], self.rowids[-1])]
+        if "num_rows" in s:
+            return [(len(self.rowids),)]
+        if "fetch first" in s and "order by" in s:
+            frag = sql.split(">=", 1)[1]
+            low = frag[: frag.lower().index("order by")].strip().strip("'")
+            n = int(s.split("fetch first", 1)[1].split("rows")[0].strip())
+            window = [k for k in self.rowids if k >= low][:n]
+            return [(window[-1] if window else None,)]
+        if "current_scn" in s:
+            return [(773344,)]
+        raise AssertionError(f"unexpected SQL: {sql}")
+
+
+def test_oracle_dialect_rowid_fallback_and_planning():
+    from flink_cdc_2_3_0_src_spark.sources.oracle import OracleDialect
+
+    rowids = ["AAA0001", "AAA0002", "AAB0001", "AAC0005", "AAD0009"]
+    cfg = SourceConfig(database_list=["HR"], chunk_size=2)
+    d = OracleDialect(cfg, OracleRunner(rowids))
+    tables = d.discover_tables()
+    assert tables == [TableId("HR", None, "ORDERS")]
+    t = tables[0]
+    # A28: no PK -> ROWID pseudo-column, opaque ordering -> uneven path
+    assert d.split_keys(t) == "ROWID"
+    splits = d.planner(t).plan_splits()
+    for k in rowids:
+        assert sum(1 for s in splits if s.range.contains(k)) == 1
+    assert d.current_offset() == ("scn", 773344)
+    # identifier quoting is double-quote style
+    assert any('"ROWID"' in q_ for q_ in d.run_sql.log)
+
+
+class SqlServerRunner:
+    def __init__(self, keys):
+        self.keys = sorted(keys)
+        self.log = []
+
+    def __call__(self, sql: str):
+        self.log.append(sql)
+        s = sql.lower()
+        assert "limit" not in s, f"SQL Server got a LIMIT clause: {sql}"
+        if "sys.tables" in s:
+            return [("dbo", "orders")]
+        if "is_primary_key" in s:
+            return [("id",)]
+        if "min(" in s:
+            return [(self.keys[0], self.keys[-1])]
+        if "dm_db_partition_stats" in s:
+            return [(len(self.keys),)]
+        if "fetch next" in s and "order by" in s:
+            low = int(sql.split(">=", 1)[1].split("ORDER")[0].strip())
+            n = int(s.split("fetch next", 1)[1].split("rows")[0].strip())
+            window = [k for k in self.keys if k >= low][:n]
+            return [(window[-1] if window else None,)]
+        if "fn_cdc_get_max_lsn" in s:
+            return [("00000030:000011f0:0004",)]
+        raise AssertionError(f"unexpected SQL: {sql}")
+
+
+def test_sqlserver_dialect_discovery_and_planning():
+    from flink_cdc_2_3_0_src_spark.sources.sqlserver import SqlServerDialect
+
+    keys = [1, 5, 9, 1000, 1004, 1009, 5000]
+    cfg = SourceConfig(database_list=["dbo"], chunk_size=3)
+    d = SqlServerDialect(cfg, SqlServerRunner(keys))
+    tables = d.discover_tables()
+    assert tables == [TableId("dbo", None, "orders")]
+    t = tables[0]
+    assert d.split_key(t) == "id"
+    splits = d.planner(t).plan_splits()
+    for k in keys:
+        assert sum(1 for s in splits if s.range.contains(k)) == 1
+    assert d.current_offset() == ("lsn", "00000030:000011f0:0004")
+    # bracket quoting in emitted SQL
+    assert any("[id]" in q_ for q_ in d.run_sql.log)
+
+
+class Db2Runner:
+    def __init__(self, keys):
+        self.keys = sorted(keys)
+        self.log = []
+
+    def __call__(self, sql: str):
+        self.log.append(sql)
+        s = sql.lower()
+        assert "limit" not in s, f"Db2 got a LIMIT clause: {sql}"
+        if "syscat.tables" in s and "tabschema" in s and "card" not in s:
+            return [("APP", "ORDERS")]
+        if "keycoluse" in s:
+            return [("ID",)]
+        if "min(" in s:
+            return [(self.keys[0], self.keys[-1])]
+        if "card" in s:
+            return [(-1,)]  # pre-RUNSTATS
+        if "fetch first" in s and "order by" in s:
+            low = int(sql.split(">=", 1)[1].split("ORDER")[0].strip())
+            n = int(s.split("fetch first", 1)[1].split("rows")[0].strip())
+            window = [k for k in self.keys if k >= low][:n]
+            return [(window[-1] if window else None,)]
+        if "ibmsnap_register" in s:
+            return [("0000AA02",)]
+        raise AssertionError(f"unexpected SQL: {sql}")
+
+
+def test_db2_dialect_discovery_and_planning():
+    from flink_cdc_2_3_0_src_spark.sources.db2 import Db2Dialect
+
+    keys = [10, 20, 30, 40]
+    cfg = SourceConfig(database_list=["APP"], chunk_size=2)
+    d = Db2Dialect(cfg, Db2Runner(keys))
+    tables = d.discover_tables()
+    assert tables == [TableId("APP", None, "ORDERS")]
+    t = tables[0]
+    assert d.split_key(t) == "ID"
+    # CARD = -1 before RUNSTATS must clamp, not go negative
+    assert d.approx_row_count(t) == 0
+    splits = d.planner(t).plan_splits()
+    for k in keys:
+        assert sum(1 for s in splits if s.range.contains(k)) == 1
+    assert d.current_offset() == ("lsn", "0000AA02")
