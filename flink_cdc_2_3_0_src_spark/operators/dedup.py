@@ -139,6 +139,95 @@ def lsh_pairs(
     )
 
 
+def lsh_pairs_jvm(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = JACCARD_THRESHOLD,
+    n: int = 3,
+) -> DataFrame:
+    """PRODUCTION path of lsh_pairs: identical banded-LSH +
+    exact-Jaccard-verify shape with ``xxhash64`` shingle hashing —
+    zero Python anywhere in the pipeline. Local single-node timing is
+    comparable to the pandas path (the permutation-min HOFs are
+    interpreted, not codegen'd, offsetting the UDF savings); the
+    cluster-scale win is operational — no Python worker processes, no
+    Arrow transfer, no per-executor GIL — which is why hashing.py
+    names xxhash64 the 100 TB choice. ``lsh_pairs`` keeps the
+    polynomial hash solely for DuckDB-oracle bit-parity.
+
+    The two paths agree exactly on verified EXACT duplicates (J=1
+    collides in every band under any hash) and never emit a false
+    positive (verification computes exact Jaccard on the shingle-hash
+    sets); near-threshold candidate recall differs hash-by-hash as LSH
+    theory says it must (tests/test_dedup_components.py pins the
+    properties).
+    """
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit(""))
+    # shingle strings via sequence+slice (JVM), short docs -> whole text
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    hashes = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    prof = docs.select("doc_id", hashes.alias("hashes")).persist()
+    params = minhash_params(bands * rows)
+
+    # k permutation-mins over the hash array — all codegen'd JVM HOFs.
+    # (closure factory: a second lambda parameter — even defaulted —
+    # makes transform() bind it as the array index)
+    def _perm(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(
+            MERSENNE_P
+        )
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("hashes"), _perm(a_, b_))).alias(f"sig_{j}")
+        for j, (a_, b_) in enumerate(params)
+    ]
+    sigs = prof.select("doc_id", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"sig_{b * rows + r}").cast("string") for r in range(rows)],
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand_ids = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    h = prof
+    cand = cand_ids.join(
+        h.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("h_a")), "doc_a"
+    ).join(
+        h.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("h_b")), "doc_b"
+    )
+    return (
+        cand.withColumn("jaccard", _jaccard("h_a", "h_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """32-bit SimHash from token-hash bit votes (with multiplicity).
 

@@ -1982,6 +1982,16 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.lsh_pairs(ld(spark, sf_dir, "documents"))
 
 
+# Production LSH path: xxhash64 in whole-stage codegen, zero Python.
+# No DuckDB oracle (xxhash64 isn't reproducible there) — rows-only
+# driver check; its correctness properties (exact-dup recall, no false
+# positives, parity-path agreement) are pinned in
+# tests/test_dedup_components.py.
+@register("dedup_minhash_lsh_pairs_jvm", None)
+def dedup_minhash_lsh_pairs_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.lsh_pairs_jvm(ld(spark, sf_dir, "documents"))
+
+
 # Iterative algorithm: connected components over the near-dup graph —
 # Spark side is a label-propagation loop with driver convergence check,
 # oracle side a recursive CTE. Same fixpoint.

@@ -66,3 +66,45 @@ def test_random_graph_matches_union_find(spark):
         for r in connected_components(edges, max_iters=20).collect()
     }
     assert labels == expect
+
+
+def _corpus(spark):
+    """Documents with exact dups, a near-dup pair, and distinct docs."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = [
+        (1, base), (2, base),            # exact duplicates
+        (3, near),                        # near-dup of 1/2 (high Jaccard)
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "completely different tokens here nothing shared at all ok"),
+        (6, base),                        # third exact copy
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_jvm_path_properties(spark):
+    """Production xxhash64 LSH path: exact dups always found, no false
+    positives, and agreement with the oracle-parity pandas path on
+    exact duplicates."""
+    from flink_cdc_2_3_0_src_spark.operators.dedup import lsh_pairs, lsh_pairs_jvm
+
+    docs = _corpus(spark)
+    jvm = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in lsh_pairs_jvm(docs).collect()}
+    # exact duplicates (J=1) collide in every band under ANY hash
+    for pair in [(1, 2), (1, 6), (2, 6)]:
+        assert pair in jvm and jvm[pair] == 1.0, (pair, jvm)
+    # no false positives: every emitted pair really is >= threshold
+    assert all(j >= 0.5 for j in jvm.values())
+    # dissimilar docs never pair
+    assert not any(4 in p or 5 in p for p in jvm)
+    # parity path agrees on the exact-dup core
+    par = {(r["doc_a"], r["doc_b"]) for r in lsh_pairs(docs).collect()}
+    assert {(1, 2), (1, 6), (2, 6)} <= par
+
+
+def test_lsh_jvm_path_has_no_python_in_plan(spark):
+    from flink_cdc_2_3_0_src_spark.operators.dedup import lsh_pairs_jvm
+
+    docs = _corpus(spark)
+    plan = lsh_pairs_jvm(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # fully JVM: the 100 TB configuration
