@@ -157,3 +157,33 @@ def test_minhash_params_fixed():
     assert minhash_params(8) == p16[:8]
     # regression pin of the first pair
     assert p16[0] == minhash_params(1)[0]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=40
+    ),
+    bounds=st.tuples(
+        st.one_of(st.none(), st.tuples(st.integers(0, 30), st.integers(0, 30))),
+        st.one_of(st.none(), st.tuples(st.integers(0, 30), st.integers(0, 30))),
+    ),
+)
+def test_composite_chunkrange_predicate_matches_contains(vals, bounds):
+    """For composite keys, the SQL lexicographic predicate and the
+    Python contains() check MUST classify every tuple identically —
+    this is the consistency A9's stream filter relies on (an event
+    routed by contains() must be the same set a chunk SELECT scanned)."""
+    import duckdb
+
+    start, end = bounds
+    rng = ChunkRange(start, end)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k1 BIGINT, k2 BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", vals)
+    pred = rng.predicate_sql(["k1", "k2"])
+    got = set(
+        map(tuple, con.execute(f"SELECT k1, k2 FROM t WHERE {pred}").fetchall())
+    )
+    expect = {v for v in vals if rng.contains(v)}
+    assert got == expect
