@@ -175,6 +175,73 @@ def test_session_windows_streaming(spark, tmp_path):
     ]
 
 
+def test_session_windows_crash_resume(spark, tmp_path):
+    """Stateful-operator recovery: kill the session-window query after
+    the first microbatch, restart from the same checkpoint — per-key
+    session state must survive the restart (a session spanning the kill
+    point is emitted once, with the pre-crash events included)."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.windows import session_windows
+
+    d = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return d + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, 1, ts(0, 0)),    # file 0 (processed before the kill)
+        (2, 1, ts(0, 10)),   # file 1 — same session, lands after restart
+        (3, 1, ts(0, 20)),   # file 2
+        (4, 99, ts(12, 0)),  # file 3: watermark pump
+        (5, 99, ts(20, 0)),  # file 4: timeout-firing batch
+    ]
+    log = spark.createDataFrame(rows, f"{SEQ_COL} long, user_id long, ts timestamp")
+    replay_dir = str(tmp_path / "replay_scr")
+    write_replay_files(log, replay_dir, n_files=5)
+    ckpt = str(tmp_path / "ckpt_scr")
+
+    out_dir = str(tmp_path / "sessions_out")
+
+    # phase 1: exactly one microbatch, then stop (parquet sink — memory
+    # sink does not support checkpoint recovery)
+    out1 = session_windows(read_replay_stream(spark, replay_dir, log.schema))
+    q1 = (
+        out1.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and not q1.recentProgress:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    # phase 2: restart from the checkpoint, drain the rest
+    out2 = session_windows(read_replay_stream(spark, replay_dir, log.schema))
+    q2 = (
+        out2.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = [
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] != 99
+    ]
+    # one session, all three events, emitted exactly once across restarts
+    assert got == [(1, ts(0, 0), ts(0, 20), 3)]
+
+
 def test_stream_distinct_first_occurrence_only(spark, tmp_path):
     """Streaming exact dedup: exactly one row per key survives — the
     first by sequence — across microbatches."""
