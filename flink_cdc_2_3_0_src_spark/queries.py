@@ -1264,6 +1264,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Retention cohort matrix: signup-week cohorts × activity-week offsets —
+# the standard product-analytics rollup (two aggregations + one join,
+# all on the (user, week) grain).
+@register(
+    "events_retention_cohorts",
+    """
+    WITH cohort AS (
+        SELECT user_id,
+               CAST(MIN(date_trunc('week', ts)) AS DATE) AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT cohort_week,
+           date_diff('week', cohort_week, week) AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity JOIN cohort USING (user_id)
+    WHERE week >= cohort_week
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = ld(spark, sf_dir, "events")
+    cohort = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", F.col("ts"))).cast("date").alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
 # Native session windows (the streaming session-window operator run in
 # batch) — oracle reconstructs the identical sessions with the gap rule
 # (a new session starts when the gap is >= 30 minutes, matching Spark's
