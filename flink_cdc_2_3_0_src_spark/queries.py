@@ -63,7 +63,7 @@ _PRIORITY: list[str] = [
     "cdc_chunked_snapshot_string_pk", "cdc_chunked_snapshot_composite_pk",
     "cdc_windowed_net_changes", "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
     "cdc_tidb_snapshot_stream", "cdc_oceanbase_snapshot_stream",
-    "cdc_scd2_history",
+    "cdc_scd2_history", "cdc_newly_added_tables",
     # LLM data-pipeline operators
     "text_stats", "text_lang_id", "text_quality", "dedup_exact_stats",
     "sample_stratified", "text_token_histogram", "text_length_percentiles",
@@ -80,8 +80,9 @@ _PRIORITY: list[str] = [
     "multimodal_audio_features", "decontam_ngram_overlap",
     "embedding_quantize_int8",
     # Relational surface representatives (B1-B3)
-    "b2_projection_filter", "events_sessionize", "skew_salted_agg",
-    # q1/q3/q5/q7/q10 (TPC-H join shapes, all still bench headliners so
+    "b2_projection_filter", "skew_salted_agg",
+    # q1/q3/q5/q7/q10 and events_sessionize (TPC-H join / window-fn
+    # shapes, all still bench headliners so
     # the driver measures them every round), events_hourly_window /
     # events_json_extract (SQL-surface shapes; sessionize keeps the
     # window-function slot), stats_approx (no oracle → weak rows-only
@@ -1382,6 +1383,45 @@ def cdc_multi_table_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# A24: newly-added-table capture — first start captures only customer;
+# the restart's widened regex snapshots supplier as a NEW table while
+# customer stays registered (the diff-and-snapshot path of
+# MySqlSourceEnumerator.java:112-196). The oracle is the plain union of
+# both tables' snapshots, which is exactly what the two-start flow must
+# converge to.
+@register(
+    "cdc_newly_added_tables",
+    """
+    SELECT 'customer' AS _table, COUNT(*) AS n_rows,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', COUNT(*), MIN(s_suppkey), MAX(s_suppkey) FROM supplier
+    """,
+)
+def cdc_newly_added_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_cdc_2_3_0_src_spark.streaming.orchestrate import CaptureGroup
+
+    with tempfile.TemporaryDirectory() as d:
+        cg = CaptureGroup(
+            spark, sf_dir, d,
+            {"customer": "c_custkey", "supplier": "s_suppkey"},
+        )
+        available = ["customer", "supplier", "orders"]
+        cg.start(["testdb"], ["testdb\\.customer"], available, current_offset=0)
+        out = cg.start(
+            ["testdb"], ["testdb\\.(customer|supplier)"], available,
+            current_offset=100,
+        )
+        return out.groupBy("_table").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("key").alias("min_key"),
+            F.max("key").alias("max_key"),
+        )
 
 
 # --------------------------------------------------------------------------
