@@ -83,3 +83,27 @@ def salted_join(
     )
     out = big_s.join(small_s, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_diagnose(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution diagnosis: the pre-flight check that decides
+    whether a join/agg needs salting — the runtime analogue of the chunk
+    planner's distribution-factor guard (plans/chunking.py, reference
+    MySqlChunkSplitter.calculateDistributionFactor:453-478).
+
+    Emits one row: key cardinality, row count, the heaviest key's share,
+    and skew_ratio = max_count * n_keys / n_rows (1.0 = perfectly
+    uniform; >> 1 = salt it). Two hash aggregations, the second over
+    n_keys rows only.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_key_count"),
+        (
+            F.max("cnt").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("skew_ratio"),
+    )

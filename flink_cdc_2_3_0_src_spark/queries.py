@@ -867,6 +867,26 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_suppkey", "n", F.col("qty").cast("double").alias("qty"))
 
 
+# Key-distribution diagnosis: decides whether an agg/join needs salting
+# (runtime analogue of the chunker's distribution-factor guard).
+@register(
+    "skew_diagnose_events",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MAX(cnt) AS max_key_count,
+           CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE)
+               AS skew_ratio
+    FROM c
+    """,
+)
+def skew_diagnose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.skew import skew_diagnose
+
+    return skew_diagnose(ld(spark, sf_dir, "events"), "user_id")
+
+
 # TPC-H Q15 shape: top supplier(s) by revenue — scalar-subquery max
 # over a derived view.
 @register(
