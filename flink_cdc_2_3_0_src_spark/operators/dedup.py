@@ -267,6 +267,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def fuzzy_pairs_levenshtein(
+    docs: DataFrame,
+    block_cols: list[str],
+    max_dist: int = 30,
+    max_len_diff: int = 30,
+) -> DataFrame:
+    """Edit-distance near-dup pairs within a blocking key — the
+    character-level complement to token-level Jaccard (catches small
+    in-word edits Jaccard's whole-token granularity misses).
+
+    Cheap length-difference pre-filter inside the join condition:
+    |len(a)-len(b)| > max_dist bounds levenshtein from below, so the
+    quadratic metric only runs on length-compatible pairs (and the
+    filter evaluates JVM-side inside the join). Blocked-join shape —
+    like ngram_jaccard, the LSH-off verification form, not a standalone
+    100 TB path.
+    """
+    d = docs.select(
+        *block_cols, "doc_id", F.col("text"), F.length("text").alias("len")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cond = cond & (
+        F.abs(F.col("a.len") - F.col("b.len")) <= F.lit(min(max_dist, max_len_diff))
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+FUZZY_LEVENSHTEIN_SQL = """
+    WITH d AS (
+        SELECT source, lang, doc_id, text, length(text) AS len FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM d a JOIN d b
+      ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.len - b.len) <= 30
+    WHERE levenshtein(a.text, b.text) <= 30
+"""
+
+
 def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label connected components with POINTER DOUBLING: each round
     (a) takes the min label over graph neighbors (one hop), then

@@ -1474,6 +1474,45 @@ def cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(log, ["user_id"])
 
 
+# A23: heartbeat handling — heartbeats are excluded from the data
+# stream but still advance the reported source offset (idle streams
+# make progress). Heartbeats are synthesized deterministically past the
+# log tip; the oracle computes the same split.
+@register(
+    "cdc_heartbeat_offsets",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    tip AS (SELECT MAX(_seq) AS t FROM log),
+    hb AS (
+        SELECT t + 1 AS _seq FROM tip UNION ALL SELECT t + 2 FROM tip
+    )
+    SELECT (SELECT COUNT(*) FROM log) AS n_data_rows,
+           (SELECT MAX(_seq) FROM log) AS data_tip,
+           (SELECT MAX(_seq) FROM hb) AS reported_offset
+    """,
+)
+def cdc_heartbeat_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import split_heartbeats
+
+    log = scripted_changelog(spark, sf_dir)
+    tip = log.agg(F.max(SEQ_COL)).collect()[0][0] or 0
+    # two heartbeat records past the tip (op +H, no payload)
+    hb = spark.range(tip + 1, tip + 3).select(
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast(dict(log.dtypes)["ts"]).alias("ts"),
+        F.lit("+H").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+    full = log.unionByName(hb)
+    data, reported = split_heartbeats(full)
+    return data.agg(
+        F.count(F.lit(1)).alias("n_data_rows"),
+        F.max(SEQ_COL).alias("data_tip"),
+        F.lit(reported).cast("long").alias("reported_offset"),
+    )
+
+
 # A12-adjacent: changelog op statistics.
 @register(
     "cdc_changelog_stats",
@@ -2086,6 +2125,15 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_minhash_lsh_pairs", _dedup.LSH_PAIRS_SQL)
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.lsh_pairs(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_fuzzy_levenshtein", _dedup.FUZZY_LEVENSHTEIN_SQL)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs within (source, lang) blocks with a
+    length-difference pre-filter in the join condition."""
+    return _dedup.fuzzy_pairs_levenshtein(
+        ld(spark, sf_dir, "documents"), ["source", "lang"]
+    )
 
 
 # Production LSH path: xxhash64 in whole-stage codegen, zero Python.
