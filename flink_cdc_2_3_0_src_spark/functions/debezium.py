@@ -31,6 +31,63 @@ from flink_cdc_2_3_0_src_spark.operators.changelog import expand_updates
 _OP_TO_DBZ = {OP_INSERT: "c", OP_UPDATE_AFTER: "u", OP_DELETE: "d"}
 
 
+_CONNECT_TYPES = {
+    "long": "int64",
+    "integer": "int32",
+    "short": "int16",
+    "byte": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+    "date": "int32",
+    "timestamp": "int64",
+    "timestamp_ntz": "int64",
+}
+
+
+def connect_schema_json(payload_schema: T.StructType, name: str = "envelope") -> str:
+    """Kafka-Connect-style schema descriptor for the envelope — what the
+    reference's ``includeSchema=true`` mode wraps around every record
+    (JsonDebeziumDeserializationSchema.java:47-56 delegates to the
+    Connect JsonConverter; this emits the same shape)."""
+    import json
+
+    def field_desc(f: T.StructField) -> dict:
+        t = _CONNECT_TYPES.get(f.dataType.typeName(), "string")
+        return {"type": t, "optional": True, "field": f.name}
+
+    row = {
+        "type": "struct",
+        "fields": [field_desc(f) for f in payload_schema.fields],
+        "optional": True,
+    }
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {**row, "field": "before"},
+                {**row, "field": "after"},
+                {
+                    "type": "struct",
+                    "fields": [
+                        {"type": "string", "optional": False, "field": "db"},
+                        {"type": "string", "optional": False, "field": "table"},
+                    ],
+                    "optional": False,
+                    "field": "source",
+                },
+                {"type": "string", "optional": False, "field": "op"},
+                {"type": "int64", "optional": True, "field": "ts_ms"},
+            ],
+            "optional": False,
+            "name": name,
+        },
+        separators=(",", ":"),
+    )
+
+
 def to_debezium_json(
     df: DataFrame,
     payload_cols: Sequence[str],
@@ -38,6 +95,7 @@ def to_debezium_json(
     table: str = "t",
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
+    include_schema: bool = False,
 ) -> DataFrame:
     """Changelog rows → one JSON envelope string per *change* (A15).
 
@@ -45,6 +103,11 @@ def to_debezium_json(
     are present keyed by seq; for upsert-shape inputs (no -U) ``before``
     is null — matching what a Debezium consumer sees from an upsert
     source. Output: (value STRING, _seq LONG).
+
+    ``include_schema=True`` wraps each record in the Connect
+    ``{"schema": ..., "payload": ...}`` envelope (the reference's
+    ``includeSchema`` flag); the descriptor is a static per-table JSON
+    literal, so the wrap is one codegen'd concat.
     """
     payload = F.struct(*[F.col(c) for c in payload_cols])
     before_rows = df.filter(F.col(op_col) == OP_UPDATE_BEFORE).select(
@@ -71,7 +134,13 @@ def to_debezium_json(
         _op_code(F.col(op_col)).alias("op"),
         F.col(seq_col).alias("ts_ms"),
     )
-    return joined.select(F.to_json(env).alias("value"), F.col(seq_col))
+    value = F.to_json(env)
+    if include_schema:
+        desc = connect_schema_json(payload_cols_type(df, payload_cols))
+        value = F.concat(
+            F.lit('{"schema":' + desc + ',"payload":'), value, F.lit("}")
+        )
+    return joined.select(value.alias("value"), F.col(seq_col))
 
 
 def payload_cols_type(df: DataFrame, payload_cols: Sequence[str]) -> T.StructType:
@@ -108,13 +177,24 @@ def from_debezium_json(
     df: DataFrame,
     payload_schema: T.StructType,
     value_col: str = "value",
+    include_schema: bool = False,
 ) -> DataFrame:
     """JSON envelope strings → changelog rows with _op/_seq (A13).
 
     op codes: c|r → +I, d → -D (before image), u → (-U before, +U after)
     pair — reference RowDataDebeziumDeserializeSchema.java:123-145.
+    ``include_schema=True`` unwraps the Connect ``{"schema", "payload"}``
+    envelope first (the schema part is carried, not interpreted — the
+    declared ``payload_schema`` drives decoding, §1.3).
     """
-    env = F.from_json(F.col(value_col), debezium_envelope_schema(payload_schema))
+    raw = F.col(value_col)
+    if include_schema:
+        wrapper = T.StructType(
+            [T.StructField("payload", debezium_envelope_schema(payload_schema))]
+        )
+        env = F.from_json(raw, wrapper)["payload"]
+    else:
+        env = F.from_json(raw, debezium_envelope_schema(payload_schema))
     flat = df.select(
         env["before"].alias("before"),
         env["after"].alias("after"),

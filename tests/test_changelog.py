@@ -160,3 +160,28 @@ def test_debezium_roundtrip(spark):
     dec = from_debezium_json(enc, log.select("k", "v").schema)
     got = {(r["k"], r["v"]) for r in materialize(dec, ["k"]).collect()}
     assert got == {(1, 20.0), (3, 9.0), (4, 4.0)}
+
+
+def test_debezium_roundtrip_with_connect_schema(spark):
+    """includeSchema mode: the Connect {"schema", "payload"} wrapper is
+    emitted around every record and the decoder unwraps it — the
+    round trip through the wrapped form equals the unwrapped one."""
+    import json
+
+    log = normalize_upsert(upsert_log(spark), ["k"])
+    enc = to_debezium_json(log, ["k", "v"], include_schema=True)
+    for r in enc.collect():
+        doc = json.loads(r["value"])  # valid JSON with both parts
+        assert set(doc) == {"schema", "payload"}
+        assert doc["schema"]["type"] == "struct"
+        assert {f["field"] for f in doc["schema"]["fields"]} == {
+            "before", "after", "source", "op", "ts_ms"
+        }
+    dec = from_debezium_json(
+        enc, log.select("k", "v").schema, include_schema=True
+    )
+    plain = from_debezium_json(
+        to_debezium_json(log, ["k", "v"]), log.select("k", "v").schema
+    )
+    key = lambda r: (r[SEQ_COL], r[OP_COL], r["k"])  # noqa: E731
+    assert sorted(map(key, dec.collect())) == sorted(map(key, plain.collect()))
