@@ -15,8 +15,13 @@ from flink_cdc_2_3_0_src_spark import queries as _catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _catalog.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the engine's heart: the full hybrid snapshot+stream
+    pipeline (watermark-bracketed chunked snapshot, backfill merge,
+    chunk-HW stream filter, upsert materialization — the DBLog offset
+    signal algorithm end to end)."""
+    return _catalog.cdc_hybrid_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
