@@ -2039,6 +2039,52 @@ def pipeline_training_set_clustered(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# Dedup impact report: per-source doc counts before dedup, after exact
+# dedup (distinct fingerprints), and after near-dup removal (LSH pair
+# losers dropped) — the summary a corpus curation run publishes.
+@register(
+    "pipeline_dedup_report",
+    f"""
+    WITH tk AS (
+        SELECT doc_id, source, {_text.sql_tokens('text')} AS toks FROM documents
+    ),
+    fp AS (
+        SELECT doc_id, source,
+               {_text.sql_poly_hash("array_to_string(toks, ' ')")} AS fp
+        FROM tk
+    ),
+    pairs AS ({_dedup.LSH_PAIRS_SQL}),
+    drop_docs AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS n_after_exact,
+           COUNT(CASE WHEN doc_id NOT IN (SELECT doc_id FROM drop_docs)
+                 THEN 1 END) AS n_after_near
+    FROM fp GROUP BY source
+    """,
+)
+def pipeline_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ld(spark, sf_dir, "documents")
+    from flink_cdc_2_3_0_src_spark.operators.text import fingerprint
+
+    fp = docs.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    drop = (
+        _dedup.lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        fp.join(F.broadcast(drop), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_after_exact"),
+            F.count(F.when(F.col("_dropped").isNull(), F.lit(1))).alias(
+                "n_after_near"
+            ),
+        )
+    )
+
+
 # Embedding corpus statistics: norms + per-label centroid dispersion
 # (decimal-summed for cross-engine exactness).
 @register(
