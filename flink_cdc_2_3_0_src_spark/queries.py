@@ -59,8 +59,11 @@ _PRIORITY: list[str] = [
     "cdc_signed_sum", "cdc_agg_auto_minmax", "cdc_join_enriched",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
     "cdc_metadata_columns", "cdc_compact_changelog", "b6_all_types_decode",
-    "cdc_startup_timestamp", "cdc_startup_specific_offset",
+    "cdc_startup_timestamp", "cdc_snapshot_resume",
     "cdc_chunked_snapshot_string_pk", "cdc_chunked_snapshot_composite_pk",
+    # (cdc_startup_specific_offset: B9's second witness, demoted —
+    # cdc_startup_timestamp keeps the startup-mode slot; the resume
+    # query gives A18/B13 a driver row)
     "cdc_windowed_net_changes", "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
     "cdc_tidb_snapshot_stream", "cdc_oceanbase_snapshot_stream",
     "cdc_scd2_history", "cdc_newly_added_tables",
@@ -2468,6 +2471,46 @@ def cdc_hybrid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = [ChunkRange(None, 8), ChunkRange(8, 16), ChunkRange(16, None)]
     final = p.run(chunks, "user_id", watermarks=lambda i: (200 + 100 * i, 250 + 150 * i))
     return final.select("user_id", "value", "ts")
+
+
+# A18/B13 on the driver board: snapshot-phase manifest resume. A first
+# run brackets and scans only the first two chunks (simulated crash:
+# the chunk list is truncated), a second pipeline instance loads the
+# manifest and completes — finished chunks keep their ORIGINAL
+# watermarks (not re-bracketed), and the final state still equals the
+# plain materialization.
+@register("cdc_snapshot_resume", _MATERIALIZED_SQL)
+def cdc_snapshot_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from flink_cdc_2_3_0_src_spark.model import ChunkRange
+    from flink_cdc_2_3_0_src_spark.streaming.hybrid import (
+        HybridPipeline,
+        SnapshotManifest,
+    )
+
+    log = scripted_changelog(spark, sf_dir)
+    chunks = [ChunkRange(None, 8), ChunkRange(8, 16), ChunkRange(16, None)]
+    wm = lambda i: (200 + 100 * i, 250 + 150 * i)  # noqa: E731
+    with tempfile.TemporaryDirectory() as d:
+        mpath = os.path.join(d, "manifest.json")
+        # run 1: crash after two chunks (truncated list, manifest saved)
+        p1 = HybridPipeline(spark, log, ["user_id"], manifest_path=mpath)
+        p1.run_snapshot_phase(chunks[:2], "user_id", watermarks=wm)
+        assert len(SnapshotManifest.load(mpath).chunks) == 2
+        # run 2: fresh pipeline resumes — done chunks keep original
+        # watermarks even though the watermark fn now disagrees
+        p2 = HybridPipeline(
+            spark, log, ["user_id"], manifest_path=mpath
+        )
+        final = p2.run(
+            chunks, "user_id",
+            watermarks=lambda i: (10_000, 10_000),  # would be wrong if re-used
+        )
+        resumed = SnapshotManifest.load(mpath)
+        assert [c.low_watermark for c in resumed.chunks[:2]] == [200, 300]
+        return final.select("user_id", "value", "ts")
 
 
 # ---- A29/A30: TiDB (TiKV two-phase) and OceanBase (overlap) sources ----
