@@ -1408,6 +1408,70 @@ def cdc_multi_table_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# §1.4 nested types (the Mongo-path ARRAY/ROW converters,
+# MongoDBConnectorDeserializationSchema.java:227-272): orders nested
+# with their line items as array<struct>, serialized to JSON and decoded
+# back through the declared schema — the schema-on-read path. The
+# flatten+aggregate after decode is order-independent, so the oracle
+# computes it relationally without JSON.
+@register(
+    "b6_nested_document_decode",
+    """
+    SELECT o_orderkey,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey < 1000
+    GROUP BY o_orderkey
+    """,
+)
+def b6_nested_document_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    l = ld(spark, sf_dir, "lineitem")
+    nested = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("l_linenumber"), F.col("l_quantity"))
+            ).alias("lines")
+        )
+    )
+    doc_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField(
+                "lines",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("l_linenumber", T.LongType()),
+                            T.StructField("l_quantity", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    as_json = nested.select(
+        F.to_json(F.struct("o_orderkey", "lines")).alias("doc")
+    )
+    decoded = as_json.select(F.from_json("doc", doc_schema).alias("d"))
+    return (
+        decoded.select(
+            F.col("d.o_orderkey").alias("o_orderkey"),
+            F.explode("d.lines").alias("line"),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec("line.l_quantity")).cast("double").alias("total_qty"),
+        )
+    )
+
+
 # A24: newly-added-table capture — first start captures only customer;
 # the restart's widened regex snapshots supplier as a NEW table while
 # customer stays registered (the diff-and-snapshot path of
