@@ -1628,6 +1628,46 @@ def cdc_signed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Changelog integrity audit: the invariant checks a CDC consumer runs
+# before trusting a feed — orphan deletes (no live image), double
+# deletes, and per-key change counts. One window pass.
+@register(
+    "cdc_changelog_audit",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    w AS (
+        SELECT user_id, _op, _seq,
+               lag(_op) OVER (PARTITION BY user_id ORDER BY _seq) AS prev_op
+        FROM log
+    )
+    SELECT COUNT(DISTINCT user_id) AS n_keys,
+           COUNT(*) AS n_changes,
+           CAST(SUM(CASE WHEN _op = '-D' AND prev_op IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_deletes,
+           CAST(SUM(CASE WHEN _op = '-D' AND prev_op = '-D'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_double_deletes
+    FROM w
+    """,
+)
+def cdc_changelog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    log = scripted_changelog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(SEQ_COL)
+    audited = log.withColumn("prev_op", F.lag(OP_COL).over(w))
+    is_del = F.col(OP_COL) == OP_DELETE
+    return audited.agg(
+        F.countDistinct("user_id").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum(
+            F.when(is_del & F.col("prev_op").isNull(), 1).otherwise(0)
+        ).alias("n_orphan_deletes"),
+        F.sum(
+            F.when(is_del & (F.col("prev_op") == OP_DELETE), 1).otherwise(0)
+        ).alias("n_double_deletes"),
+    )
+
+
 # SCD2 warehouse history: every row version with its validity interval
 # in change-sequence time — the standard downstream materialization of
 # a CDC changelog (one shuffle + per-key bounded sort).
