@@ -347,6 +347,79 @@ def sql_pack_sequences(seq_len: int = 256) -> str:
     """
 
 
+def source_drift(docs: DataFrame) -> DataFrame:
+    """Corpus drift per source: total-variation distance between a
+    source's token distribution and the rest of the corpus — the
+    monitoring signal that flags a source whose content shifted before
+    it poisons a training mix.
+
+    Exact cross-multiplied integer arithmetic (no per-token division):
+      TV_s = ( Σ_present |c_st·T_rest − (g_t − c_st)·T_s|
+               + T_s·(T_total − G_s) ) / (2·T_s·T_rest)
+    where G_s = Σ g_t over tokens PRESENT in s (the closed-form term
+    covers every token the source lacks). Everything before the single
+    final division is BIGINT-exact, so the DuckDB oracle bit-matches.
+
+    Scale: token counts are vocabulary-sized per source — the joins are
+    on (tok) against a broadcastable global table; no all-pairs work.
+    """
+    toks = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    glob = per_src.groupBy("tok").agg(F.sum("c").alias("g"))
+    totals = per_src.groupBy("source").agg(F.sum("c").alias("t_s"))
+    grand = totals.agg(F.sum("t_s").alias("t_total"))
+    j = (
+        per_src.join(F.broadcast(glob), "tok")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    term = F.abs(
+        F.col("c") * (F.col("t_total") - F.col("t_s"))
+        - (F.col("g") - F.col("c")) * F.col("t_s")
+    )
+    agg = j.groupBy("source").agg(
+        F.first("t_s").alias("t_s"),
+        F.first("t_total").alias("t_total"),
+        F.sum(term).alias("present_sum"),
+        F.sum("g").alias("g_present"),
+    )
+    num = F.col("present_sum") + F.col("t_s") * (
+        F.col("t_total") - F.col("g_present")
+    )
+    den = F.lit(2) * F.col("t_s") * (F.col("t_total") - F.col("t_s"))
+    return agg.select(
+        "source",
+        F.col("t_s").alias("n_tokens"),
+        (num.cast("double") / den.cast("double")).alias("tv_distance"),
+    )
+
+
+SOURCE_DRIFT_SQL = f"""
+    WITH tk AS (
+        SELECT source, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    per_src AS (
+        SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY source, tok
+    ),
+    gl AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS g FROM per_src GROUP BY tok),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t_s FROM per_src GROUP BY source),
+    grand AS (SELECT CAST(SUM(t_s) AS BIGINT) AS t_total FROM totals),
+    agg AS (
+        SELECT p.source, any_value(t.t_s) AS t_s, any_value(grand.t_total) AS t_total,
+               CAST(SUM(abs(p.c * (grand.t_total - t.t_s)
+                            - (gl.g - p.c) * t.t_s)) AS BIGINT) AS present_sum,
+               CAST(SUM(gl.g) AS BIGINT) AS g_present
+        FROM per_src p
+        JOIN gl USING (tok) JOIN totals t USING (source), grand
+        GROUP BY p.source
+    )
+    SELECT source, t_s AS n_tokens,
+           CAST(present_sum + t_s * (t_total - g_present) AS DOUBLE)
+               / CAST(2 * t_s * (t_total - t_s) AS DOUBLE) AS tv_distance
+    FROM agg
+"""
+
+
 def unigram_likelihood(docs: DataFrame) -> DataFrame:
     """Unigram-LM likelihood proxy per document: the average corpus
     frequency of the doc's tokens — the cheap first-pass fluency /

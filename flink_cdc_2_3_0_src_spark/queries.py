@@ -2250,6 +2250,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.pack_sequences(ld(spark, sf_dir, "documents"))
 
 
+@register("text_source_drift", _text.SOURCE_DRIFT_SQL)
+def text_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation drift vs the rest of the corpus —
+    exact cross-multiplied BIGINT arithmetic, one final division."""
+    return _text.source_drift(ld(spark, sf_dir, "documents"))
+
+
 @register("text_unigram_likelihood", _text.UNIGRAM_LIKELIHOOD_SQL)
 def text_unigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.unigram_likelihood(ld(spark, sf_dir, "documents"))
