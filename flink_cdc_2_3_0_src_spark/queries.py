@@ -37,6 +37,24 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
 
 
+def _epoch_us_ntz(ts):
+    """Epoch microseconds (BIGINT) of a TIMESTAMP_NTZ column, computed
+    timezone-free (field extraction only — no NTZ→LTZ conversion, so the
+    session timezone can never shift the result).  Counterpart of
+    DuckDB's ``epoch_us(naive_ts)``, which also treats naive as UTC."""
+    day_us = F.lit(86_400_000_000).cast("bigint")
+    return (
+        F.datediff(ts.cast("date"), F.to_date(F.lit("1970-01-01"))).cast("bigint")
+        * day_us
+        + (
+            F.hour(ts).cast("bigint") * 3_600_000_000
+            + F.minute(ts).cast("bigint") * 60_000_000
+            + F.second(ts).cast("bigint") * 1_000_000
+            + F.date_format(ts, "SSSSSS").cast("bigint")
+        )
+    )
+
+
 def register(name: str, oracle: Optional[str]):
     def deco(fn: QueryFn) -> QueryFn:
         _REGISTRY[name] = (fn, oracle)
@@ -1834,11 +1852,11 @@ def cdc_compact_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_orderkey AS INTEGER) AS as_int,
            CAST(o_orderkey % 32000 AS SMALLINT) AS as_small,
            CAST(o_orderkey % 120 AS TINYINT) AS as_tiny,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS as_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS as_dec_str,
            CAST(o_totalprice AS REAL) AS as_float,
            o_totalprice AS as_double,
            CAST(o_orderdate AS DATE) AS as_date,
-           o_orderdate AS as_ts,
+           epoch_us(o_orderdate) AS as_ts_us,
            o_orderstatus = 'O' AS as_bool,
            CAST(o_orderkey AS VARCHAR) AS as_str,
            CAST(octet_length(encode(o_orderpriority)) AS INTEGER) AS bin_len,
@@ -1853,16 +1871,22 @@ def b6_all_types_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("int").alias("as_int"),
         (F.col("o_orderkey") % 32000).cast("smallint").alias("as_small"),
         (F.col("o_orderkey") % 120).cast("tinyint").alias("as_tiny"),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("as_dec"),
+        # Never ship a raw DECIMAL either: DuckDB's pandas fetch coerces
+        # DECIMAL→float64 so 123.40 reprs as "123.4", while Spark keeps
+        # decimal.Decimal("123.40") → "123.40" — a guaranteed hash
+        # mismatch on any value with a trailing zero cent.  Surface the
+        # exact decimal as its canonical string on both engines.
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("as_dec_str"),
         F.col("o_totalprice").cast("float").alias("as_float"),
         F.col("o_totalprice").alias("as_double"),
         F.col("o_orderdate").cast("date").alias("as_date"),
-        # parquet ms-timestamps surface as TIMESTAMP_NTZ; the oracle's
-        # o_orderdate is a naive DuckDB TIMESTAMP (arrow timestamp[us], no
-        # tz).  TIMESTAMP_NTZ on the Spark side arrow-serializes naive too;
-        # casting to TIMESTAMP (= LTZ) made the pandas dtype tz-aware and
-        # hash-mismatched for two rounds.
-        F.col("o_orderdate").cast("timestamp_ntz").alias("as_ts"),
+        # Never ship a raw TIMESTAMP to a driver-checked result: Spark's
+        # toPandas lands datetime64[ns] while DuckDB's Arrow fetch lands
+        # datetime64[us] — identical values, different physical dtype →
+        # hash-red (this single column was red for rounds 1-3).  Pin to
+        # epoch MICROS as BIGINT on both engines; computed tz-free from
+        # the NTZ value so the session timezone can never perturb it.
+        _epoch_us_ntz(F.col("o_orderdate").cast("timestamp_ntz")).alias("as_ts_us"),
         (F.col("o_orderstatus") == "O").alias("as_bool"),
         F.col("o_orderkey").cast("string").alias("as_str"),
         F.length(F.encode("o_orderpriority", "UTF-8")).alias("bin_len"),

@@ -63,24 +63,28 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> Optional[str]:
 
 
 def compare_pandas(spark_df, oracle_sql: str, sf_dir: str) -> Optional[str]:
-    """Driver-mimic compare: both sides go through pandas (Spark via
-    Arrow `toPandas`, DuckDB via `.df()`), columns sorted by name, rows
-    sorted, then cells compared on their STRING REPRESENTATION — which is
-    dtype-sensitive the way the driver's value-hash is (naive vs tz-aware
-    timestamps, int64 vs HUGEINT-as-float64, lists crash the sort).  The
-    round-2 board's three hash-only fails all reproduce under this and
-    not under `compare`."""
+    """Driver-mimic compare: Spark via Arrow `toPandas`, DuckDB via
+    `.df()` (pandas fetch), columns sorted by name, rows sorted, cells
+    compared on their STRING REPRESENTATION.
+
+    The `.df()` fetch is load-bearing and empirically validated against
+    three rounds of driver boards: DuckDB's pandas fetch coerces
+    DECIMAL→float64 (123.40 → "123.4") and HUGEINT→float64, while
+    Spark's toPandas keeps decimal.Decimal ("123.40") — the repr
+    divergence that kept b6_all_types_decode hash-red for rounds 1-3.
+    An Arrow-side fetch (the previous version of this mimic) keeps
+    Decimal on both sides and is therefore BLIND to that class.  The
+    driver's hasher is conversely repr- not dtype-sensitive: queries
+    shipping datetime64[ns]-vs-[us], int32-vs-int64 and DATE-vs-
+    datetime64 outputs all hash green, so a raw dtype comparison here
+    would false-positive on 15 green window queries."""
     import pandas as pd
 
     sp = spark_df.toPandas()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    # fetch through Arrow (not .df()): Arrow keeps DECIMAL as
-    # decimal.Decimal and HUGEINT as int128-decimal — the same
-    # representations the driver's hasher sees; .df() would coerce both
-    # to float64 and hide/flag the wrong things.
-    op = con.execute(oracle_sql).fetch_arrow_table().to_pandas()
+    op = con.execute(oracle_sql).df()
     sp.columns = [c.lower() for c in sp.columns]
     op.columns = [c.lower() for c in op.columns]
     if sorted(sp.columns) != sorted(op.columns):

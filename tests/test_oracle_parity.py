@@ -26,3 +26,22 @@ def test_entry_runs(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql().keys()) <= set(e.queries().keys())
+
+
+# Driver-mimic sweep: both sides through pandas/Arrow, dtype-exact
+# (datetime64 resolution, int width, tz-awareness) BEFORE value reprs.
+# Round-3 lesson: `compare` above is dtype-blind, so b6_all_types_decode
+# passed locally while hash-failing at the driver for three rounds.
+# Only the driver-checked window (first 50 registered queries) gets this
+# stricter gate — past-window queries are covered by `compare`.
+WINDOW = [n for n in list(catalog.queries())[:50] if n in catalog.oracle_sql()]
+
+
+@pytest.mark.parametrize("name", WINDOW)
+def test_window_query_driver_mimic(spark, name):
+    from tests.oracle_harness import compare_pandas
+
+    fn = catalog.queries()[name]
+    sql = catalog.oracle_sql()[name]
+    diff = compare_pandas(fn(spark, SF_SMOKE), sql, SF_SMOKE)
+    assert diff is None, f"{name}: {diff}"
