@@ -173,14 +173,22 @@ def lsh_pairs_jvm(
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     hashes = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
-    prof = docs.select("doc_id", hashes.alias("hashes")).persist()
+    # localCheckpoint (not persist): truncates lineage once like the
+    # pandas path, and its blocks are released by the ContextCleaner
+    # when the plan is GC'd — an unmatched .persist() here leaked cached
+    # blocks for the session lifetime under repeated bench invocations.
+    prof = docs.select("doc_id", hashes.alias("hashes")).localCheckpoint()
     params = minhash_params(bands * rows)
 
     # k permutation-mins over the hash array — all codegen'd JVM HOFs.
     # (closure factory: a second lambda parameter — even defaulted —
     # makes transform() bind it as the array index)
     def _perm(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(
+        # pmod, not %: xxhash64 is signed and Spark's % keeps the sign,
+        # which would push ~half the permutation values outside [0, P)
+        # and skew array_min toward the negative tail (breaking the
+        # MinHash s-curve).  a*x+b stays within int64: a,b,x < 2^31.
+        return lambda h: (F.lit(a) * F.pmod(h, F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(
             MERSENNE_P
         )
 

@@ -231,25 +231,40 @@ AUDIO_SAMPLE_RATE = 8000
 
 
 def _decode_audio(content: bytes):
-    """Decode an audio payload. STUB: no codec libs in this container."""
+    """Decode an audio payload → (float samples in [-1, 1], sample_rate).
+
+    Real branch: ``soundfile`` (libsndfile) when the cluster image ships
+    it — parses WAV/FLAC/OGG containers.  Raises NotImplementedError when
+    the lib is absent (this container) and ValueError when the payload
+    isn't a parseable audio container; callers fall back to the
+    deterministic unsigned-8-bit-PCM interpretation in both cases."""
     try:
-        import soundfile  # noqa: F401
+        import soundfile
     except ImportError:
         raise NotImplementedError(
             "audio decode requires soundfile/ffmpeg on the cluster image; "
             "the fallback interprets the payload as unsigned 8-bit PCM."
         )
-    raise NotImplementedError("real decode path not exercised in this environment")
+    import io
+
+    try:
+        samples, rate = soundfile.read(io.BytesIO(content), dtype="float64")
+    except Exception as e:  # not a valid container — caller falls back
+        raise ValueError(f"unparseable audio payload: {e}") from e
+    if samples.ndim > 1:  # downmix channels
+        samples = samples.mean(axis=1)
+    return samples, int(rate)
 
 
 def audio_features(assets: DataFrame) -> DataFrame:
     """Loudness/duration features per audio asset — the silence/clipping
     screen an audio training pipeline runs before transcription.
 
-    Decode is import-guarded like the image path; the deterministic
-    fallback treats the payload as unsigned 8-bit PCM at 8 kHz. All
-    sample math is exact integer (sum of squared centered samples), so
-    the DuckDB oracle bit-matches the rounded doubles.
+    Decode: real soundfile branch when the cluster image ships libsndfile
+    (float samples at the container's true rate); otherwise — lib absent
+    or payload unparseable — the deterministic fallback treats the
+    payload as unsigned 8-bit PCM at 8 kHz with exact integer sample
+    math, so the DuckDB oracle bit-matches the rounded doubles.
 
     Scale: mapInPandas, numpy-vectorized per Arrow batch, bytes stay
     executor-local; output is 5 scalars per asset (narrow).
@@ -261,23 +276,34 @@ def audio_features(assets: DataFrame) -> DataFrame:
             ids, ns, durs, rmss, peaks = [], [], [], [], []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                try:
-                    _decode_audio(b)
-                except NotImplementedError:
-                    pass
-                s = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
-                n = int(s.shape[0])
-                sum_sq = int((s * s).sum())
-                peak_raw = int(np.abs(s).max()) if n else 0
                 # 6dp quantization via floor(x*1e6 + 0.5): Python round()
                 # is half-even, DuckDB round() half-away — this identical
                 # floor formula is the only tie-safe cross-engine choice
                 q6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+                try:
+                    fsamples, rate = _decode_audio(b)
+                except (NotImplementedError, ValueError):
+                    fsamples, rate = None, AUDIO_SAMPLE_RATE
+                if fsamples is not None:
+                    # real codec path: float samples already in [-1, 1]
+                    n = int(fsamples.shape[0])
+                    dur = n / rate
+                    rms = float(np.sqrt((fsamples * fsamples).sum() / max(n, 1)))
+                    peak = float(np.abs(fsamples).max()) if n else 0.0
+                else:
+                    # deterministic fallback: unsigned 8-bit PCM @ 8 kHz;
+                    # exact integer sample math so DuckDB bit-matches
+                    s = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                    n = int(s.shape[0])
+                    sum_sq = int((s * s).sum())
+                    dur = n / AUDIO_SAMPLE_RATE
+                    rms = (sum_sq / (max(n, 1) * 16384.0)) ** 0.5
+                    peak = (int(np.abs(s).max()) if n else 0) / 128.0
                 ids.append(asset_id)
                 ns.append(n)
-                durs.append(q6(n / AUDIO_SAMPLE_RATE))
-                rmss.append(q6((sum_sq / (max(n, 1) * 16384.0)) ** 0.5))
-                peaks.append(q6(peak_raw / 128.0))
+                durs.append(q6(dur))
+                rmss.append(q6(rms))
+                peaks.append(q6(peak))
             yield pd.DataFrame(
                 {
                     "asset_id": pd.Series(ids, dtype="int64"),

@@ -121,13 +121,21 @@ class JdbcDialect:
         )
         return int(cnt_rows[0][0]) if cnt_rows and cnt_rows[0][0] is not None else 0
 
+    def key_select_expr(self, key: str) -> str:
+        """Expression used wherever a split-key VALUE is read back as a
+        chunk boundary (A2 min/max, A4 next-chunk-max).  Dialect hook:
+        Oracle wraps the ROWID pseudo-column in ROWIDTOCHAR so bounds
+        come back as portable strings (OracleChunkSplitter.java:179-290)."""
+        return self.q(key)
+
     # ---- A2: analyze ----
     def analyze(self, table: TableId, key) -> TableAnalysis:
         if not isinstance(key, str):
             return self._analyze_composite(table, list(key))
         tref = self._tref(table)
+        kx = self.key_select_expr(key)
         mn, mx = self.run_sql(
-            f"SELECT MIN({self.q(key)}), MAX({self.q(key)}) FROM {tref}"
+            f"SELECT MIN({kx}), MAX({kx}) FROM {tref}"
         )[0]
         cnt = self.approx_row_count(table)
         numeric = isinstance(mn, (int, float)) and not isinstance(mn, bool)
@@ -165,8 +173,9 @@ class JdbcDialect:
             # Reference uses prepared statements here
             # (StatementUtils.queryNextChunkMax:99-130).
             rows = self.run_sql(
-                f"SELECT MAX({self.q(key)}) FROM ("
-                f"SELECT {self.q(key)} FROM {tref} WHERE {self.q(key)} >= {_sql_lit(low)} "
+                f"SELECT MAX(K_) FROM ("
+                f"SELECT {self.key_select_expr(key)} AS K_ FROM {tref} "
+                f"WHERE {self.q(key)} >= {_sql_lit(low)} "
                 f"ORDER BY {self.q(key)} ASC {self.fetch_first_sql(self.config.chunk_size)}) T"
             )
             return rows[0][0] if rows else None

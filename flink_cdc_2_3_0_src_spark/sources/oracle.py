@@ -22,7 +22,21 @@ _SYSTEM_OWNERS = (
 
 class OracleDialect(JdbcDialect):
     def q(self, ident: str) -> str:
+        # ROWID is a pseudo-column: a quoted "ROWID" makes Oracle look
+        # for a physical column of that name (ORA-00904).  The reference
+        # special-cases it too (OracleChunkSplitter.java:179-290) —
+        # emit it unquoted everywhere it appears as the split key.
+        if ident.upper() == "ROWID":
+            return "ROWID"
         return '"' + ident.replace('"', '""') + '"'
+
+    def key_select_expr(self, key: str) -> str:
+        # Chunk BOUNDS for ROWID splits come back through ROWIDTOCHAR so
+        # the planner holds portable 18-char strings; range predicates
+        # then compare ROWID >= '<char-form>' (implicit CHARTOROWID).
+        if key.upper() == "ROWID":
+            return "ROWIDTOCHAR(ROWID)"
+        return self.q(key)
 
     def fetch_first_sql(self, n: int) -> str:
         return f"FETCH FIRST {n} ROWS ONLY"

@@ -123,16 +123,43 @@ def session_windows(
         if not ts_ms:
             return
         ts_ms.sort()
+        # Interval-merge sessionization (Flink session-window merge
+        # semantics): the stored session is an interval; an event merges
+        # into any session it lies within `gap` of — INCLUDING backwards
+        # (watermark > 0 admits events older than the stored start; the
+        # old forward-only fold glued those onto the newer session
+        # without lowering start_ms, emitting an interval that did not
+        # cover its own events).  An event > gap older than every
+        # session opens its own.
+        sessions: list[list[int]] = []  # [start_ms, end_ms, n]
         if state.exists:
-            start_ms, end_ms, n = state.get
-        else:
-            start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+            sessions.append(list(state.get))
         for t in ts_ms:
-            if t - end_ms > gap_ms:  # strict: gap == threshold extends
-                yield _row(k, start_ms, end_ms, n)
-                start_ms, n = t, 0
-            end_ms = max(end_ms, t)
-            n += 1
+            for s in sessions:
+                # gap == threshold extends (strictly-greater splits),
+                # symmetric in both directions
+                if s[0] - gap_ms <= t <= s[1] + gap_ms:
+                    s[0] = min(s[0], t)
+                    s[1] = max(s[1], t)
+                    s[2] += 1
+                    break
+            else:
+                sessions.append([t, t, 1])
+        # an event can bridge two sessions — merge adjacent intervals
+        sessions.sort(key=lambda s: s[0])
+        merged = [sessions[0]]
+        for s in sessions[1:]:
+            if s[0] <= merged[-1][1] + gap_ms:
+                merged[-1][1] = max(merged[-1][1], s[1])
+                merged[-1][2] += s[2]
+            else:
+                merged.append(s)
+        # all but the chronologically-last close within this batch; the
+        # last stays open in state until the event-time timeout proves
+        # no event can extend it
+        for s in merged[:-1]:
+            yield _row(k, s[0], s[1], s[2])
+        start_ms, end_ms, n = merged[-1]
         state.update((start_ms, end_ms, n))
         state.setTimeoutTimestamp(end_ms + gap_ms)
 

@@ -253,8 +253,12 @@ def test_oracle_dialect_rowid_fallback_and_planning():
     for k in rowids:
         assert sum(1 for s in splits if s.range.contains(k)) == 1
     assert d.current_offset() == ("scn", 773344)
-    # identifier quoting is double-quote style
-    assert any('"ROWID"' in q_ for q_ in d.run_sql.log)
+    # ROWID must be emitted UNQUOTED (a quoted "ROWID" is ORA-00904 on
+    # real Oracle — it resolves to a physical column, not the
+    # pseudo-column); bounds are read back through ROWIDTOCHAR.
+    assert not any('"ROWID"' in q_ for q_ in d.run_sql.log)
+    assert any("ROWIDTOCHAR(ROWID)" in q_ for q_ in d.run_sql.log)
+    assert any(" ROWID " in q_ or "(ROWID)" in q_ for q_ in d.run_sql.log)
 
 
 class SqlServerRunner:

@@ -313,3 +313,60 @@ def test_first_seen_dedup_stateful(spark, tmp_path):
         maxn[r["user_id"]] = max(maxn.get(r["user_id"], 0), r["n_events"])
     for k in expect:
         assert maxn[k] == expect[k][1], f"count mismatch for {k}"
+
+
+def test_session_windows_out_of_order_merge(spark, tmp_path):
+    """Out-of-order events under a nonzero watermark (the round-3 ADVICE
+    defect): an event OLDER than the stored session start but within the
+    gap must extend the session BACKWARDS (start_ms lowered so the
+    emitted interval covers all counted events); an event late by more
+    than the gap before every session must open its own session, not be
+    glued onto the newer one."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.windows import session_windows
+
+    d = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return d + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        # batch 1: session seed at 03:00
+        (1, 1, ts(3, 0)),
+        # batch 2: 02:45 is OLDER than the stored start but within the
+        # 30m gap -> backward extension to [02:45, 03:00]
+        (2, 1, ts(2, 45)),
+        # batch 3: 00:30 is > gap older than everything -> own session
+        (3, 1, ts(0, 30)),
+        # watermark pumps (user 99): advance past every end+gap, then
+        # trigger the timeout-firing batch
+        (4, 99, ts(12, 0)),
+        (5, 99, ts(20, 0)),
+    ]
+    log = spark.createDataFrame(rows, f"{SEQ_COL} long, user_id long, ts timestamp")
+    replay_dir = str(tmp_path / "replay_ooo")
+    write_replay_files(log, replay_dir, n_files=5)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    # 10h watermark: every out-of-order event above is still admissible
+    out = session_windows(stream, gap_minutes=30, watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ooo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_ooo WHERE user_id <> 99").collect()
+    )
+    assert got == [
+        (1, ts(0, 30), ts(0, 30), 1),
+        (1, ts(2, 45), ts(3, 0), 2),
+    ]
