@@ -178,6 +178,7 @@ def from_debezium_json(
     payload_schema: T.StructType,
     value_col: str = "value",
     include_schema: bool = False,
+    converters: Optional[dict] = None,
 ) -> DataFrame:
     """JSON envelope strings → changelog rows with _op/_seq (A13).
 
@@ -186,6 +187,16 @@ def from_debezium_json(
     ``include_schema=True`` unwraps the Connect ``{"schema", "payload"}``
     envelope first (the schema part is carried, not interpreted — the
     declared ``payload_schema`` drives decoding, §1.3).
+
+    ``converters`` maps payload column name → (Column -> Column)
+    runtime converter, applied AFTER the update expansion — the Spark
+    analogue of the reference's per-column DeserializationRuntimeConverter
+    matrix (RowDataDebeziumDeserializeSchema.java:362-587): declare the
+    PHYSICAL encoding in ``payload_schema`` (string for Connect-Decimal
+    base64, struct for VariableScaleDecimal / geometry) and the
+    converter lifts it to the logical type — see
+    ``functions.converters`` for the stock decimal / SET / geometry
+    converters.
     """
     raw = F.col(value_col)
     if include_schema:
@@ -201,4 +212,12 @@ def from_debezium_json(
         env["op"].alias("op"),
         env["ts_ms"].alias(SEQ_COL),
     )
-    return expand_updates(flat, "before", "after", "op", SEQ_COL)
+    out = expand_updates(flat, "before", "after", "op", SEQ_COL)
+    if converters:
+        out = out.select(
+            *[
+                converters[c](F.col(c)).alias(c) if c in converters else F.col(c)
+                for c in out.columns
+            ]
+        )
+    return out

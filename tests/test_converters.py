@@ -1,0 +1,183 @@
+"""Unit tests for the §1.4 runtime converter matrix
+(functions/converters.py): the four decimal.handling.mode encodings,
+SET→array, and WKB geometry→GeoJSON — reference
+RowDataDebeziumDeserializeSchema.java:555-587 and
+MySqlDeserializationConverterFactory.java:68-148."""
+
+from __future__ import annotations
+
+import base64
+import json
+import struct
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.functions import converters as C
+
+
+def _b64(v: int, nbytes: int | None = None) -> str:
+    n = nbytes or max((v.bit_length() + 8) // 8, 1)
+    return base64.b64encode(v.to_bytes(n, "big", signed=True)).decode()
+
+
+def test_connect_decimal_precise_values(spark):
+    cases = [
+        (1557150, 2, Decimal("15571.50")),
+        (-1557150, 2, Decimal("-15571.50")),
+        (0, 2, Decimal("0.00")),
+        (-1, 2, Decimal("-0.01")),
+        (127, 2, Decimal("1.27")),
+        (-128, 2, Decimal("-1.28")),  # sign-bit boundary bytes
+        (255, 2, Decimal("2.55")),  # needs the 00-prefix byte
+    ]
+    df = spark.createDataFrame([(_b64(v),) for v, _, _ in cases], "b string")
+    got = df.select(C.connect_decimal_precise(F.col("b"), 12, 2).alias("d")).collect()
+    assert [r["d"] for r in got] == [e for _, _, e in cases]
+
+
+def test_connect_decimal_precise_wide_and_padded(spark):
+    # 35 significant digits and NON-minimal (padded) byte encodings —
+    # both legal Connect Decimal forms
+    v = 12345678901234567890123456789012345
+    rows = [(_b64(v),), (_b64(-v),), (_b64(123, nbytes=8),), (_b64(-123, nbytes=8),)]
+    df = spark.createDataFrame(rows, "b string")
+    got = [
+        r["d"]
+        for r in df.select(
+            C.connect_decimal_precise(F.col("b"), 38, 2).alias("d")
+        ).collect()
+    ]
+    assert got == [
+        Decimal("123456789012345678901234567890123.45"),
+        Decimal("-123456789012345678901234567890123.45"),
+        Decimal("1.23"),
+        Decimal("-1.23"),
+    ]
+
+
+def test_connect_decimal_string_and_double(spark):
+    df = spark.createDataFrame([("123.45", 123.45)], "s string, d double")
+    row = df.select(
+        C.connect_decimal_string(F.col("s"), 12, 2).alias("a"),
+        C.connect_decimal_double(F.col("d"), 12, 2).alias("b"),
+    ).collect()[0]
+    assert row["a"] == Decimal("123.45")
+    assert row["b"] == Decimal("123.45")
+
+
+def test_variable_scale_decimal_per_row_scale(spark):
+    # same unscaled value, four different row-level scales
+    rows = [((k, _b64(12345)),) for k in range(4)]
+    df = spark.createDataFrame(rows, "vs struct<scale:int, value:string>")
+    got = [
+        str(r["d"])
+        for r in df.select(
+            C.variable_scale_decimal(F.col("vs"), 18, 4).alias("d")
+        ).collect()
+    ]
+    assert got == ["12345.0000", "1234.5000", "123.4500", "12.3450"]
+
+
+def test_variable_scale_decimal_negative_and_small(spark):
+    rows = [((3, _b64(-7)),), ((0, _b64(-7)),)]
+    df = spark.createDataFrame(rows, "vs struct<scale:int, value:string>")
+    got = [
+        str(r["d"])
+        for r in df.select(
+            C.variable_scale_decimal(F.col("vs"), 18, 4).alias("d")
+        ).collect()
+    ]
+    assert got == ["-0.0070", "-7.0000"]
+
+
+def test_mysql_set_to_array(spark):
+    df = spark.createDataFrame(
+        [("a,b,c",), ("solo",), ("",), (None,)], "s string"
+    )
+    got = [
+        r["a"] for r in df.select(C.mysql_set_to_array(F.col("s")).alias("a")).collect()
+    ]
+    assert got == [["a", "b", "c"], ["solo"], [], []]
+
+
+def _geo_df(spark, wkb: bytes, srid: int = 4326):
+    return spark.createDataFrame(
+        [((base64.b64encode(wkb).decode(), srid),)],
+        "g struct<wkb:string, srid:int>",
+    )
+
+
+def _decode(spark, wkb: bytes, srid: int = 4326):
+    row = (
+        _geo_df(spark, wkb, srid)
+        .select(C.geometry_to_geojson(F.col("g")).alias("j"))
+        .collect()[0]
+    )
+    return json.loads(row["j"])
+
+
+def test_geometry_point_little_and_big_endian(spark):
+    le = struct.pack("<BIdd", 1, 1, -179.5, 42.25)
+    be = struct.pack(">BIdd", 0, 1, -179.5, 42.25)
+    for wkb in (le, be):
+        g = _decode(spark, wkb)
+        assert g == {"type": "Point", "coordinates": [-179.5, 42.25], "srid": 4326}
+
+
+def test_geometry_linestring_polygon_and_ewkb(spark):
+    ls = struct.pack("<BII", 1, 2, 2) + struct.pack("<dddd", 0.0, 0.0, 1.5, 2.5)
+    g = _decode(spark, ls)
+    assert g["type"] == "LineString"
+    assert g["coordinates"] == [[0.0, 0.0], [1.5, 2.5]]
+
+    ring = struct.pack("<I", 4) + struct.pack(
+        "<" + "d" * 8, 0, 0, 1, 0, 1, 1, 0, 0
+    )
+    poly = struct.pack("<BII", 1, 3, 1) + ring
+    g = _decode(spark, poly)
+    assert g["type"] == "Polygon"
+    assert g["coordinates"][0][0] == [0.0, 0.0]
+
+    # EWKB: srid flag bit + embedded srid dword before the coordinates
+    ewkb_pt = struct.pack("<BIIdd", 1, 1 | 0x20000000, 3857, 7.5, -8.25)
+    g = _decode(spark, ewkb_pt, srid=3857)
+    assert g == {"type": "Point", "coordinates": [7.5, -8.25], "srid": 3857}
+
+
+def test_geometry_unsupported_type_carries_hex(spark):
+    # geometry collection (type 7): not parsed — raw hex carried, srid kept
+    wkb = struct.pack("<BII", 1, 7, 0)
+    g = _decode(spark, wkb, srid=0)
+    assert g["type"] == "Geometry"
+    assert g["wkb_hex"] == wkb.hex().upper()
+    assert g["srid"] == 0
+
+
+def test_from_debezium_json_converters_hook(spark):
+    """Envelope decode end-to-end with a converters map (the reference's
+    per-column DeserializationRuntimeConverter seam)."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+
+    env = json.dumps(
+        {
+            "after": {"id": 1, "amount": _b64(999)},
+            "source": {"db": "d", "table": "t"},
+            "op": "c",
+            "ts_ms": 1,
+        }
+    )
+    df = spark.createDataFrame([(env,)], "value string")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("amount", T.StringType())]
+    )
+    out = from_debezium_json(
+        df,
+        schema,
+        converters={"amount": lambda c: C.connect_decimal_precise(c, 10, 2)},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["amount"] == Decimal("9.99")
+    assert out[0]["_op"] == "+I"
