@@ -532,3 +532,120 @@ NGRAM_JACCARD_SQL = f"""
       ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE {_J.format(a='a.sh', b='b.sh')} >= 0.1
 """
+
+
+def fuzzy_blocked_pairs(
+    docs: DataFrame,
+    q: int = 3,
+    max_dist: int = 5,
+) -> DataFrame:
+    """SCALE TWIN of ``fuzzy_pairs``: edit-distance near-dup pairs via
+    document-frequency-ordered prefix q-gram blocking — sub-quadratic,
+    no unbounded all-pairs join anywhere in the plan.
+
+    Prefix-filter guarantee (Chaudhuri/Ganjam/Kaushik SSJoin, Xiao et
+    al. PPJoin): strings within edit distance d share at least
+    ``max(|a|,|b|) - q + 1 - q*d`` q-grams, so under ANY global total
+    order of grams, the first ``q*d + 1`` grams of each doc must
+    intersect for every true pair.  Ordering grams by ascending document
+    frequency (rarest first) makes those prefix grams the most selective
+    ones, so candidate buckets stay small on natural text where common
+    grams ("th ", " an") would otherwise recreate the quadratic blow-up.
+
+    Completeness boundary: exact for docs with at least ``q*(d+1)``
+    characters (count filter >= 1).  Shorter docs keep ALL their grams
+    in the prefix (they have fewer than q*d+1) — best-effort blocking
+    that can only miss a pair sharing zero q-grams, which at these
+    lengths means edit distance ~len anyway.
+
+    100 TB shape: gram-DF aggregation (slim, combinable), one window by
+    doc_id for prefix ranking, candidate equi-join on single grams,
+    exact levenshtein ONLY on candidates.  Shuffles are keyed on grams
+    and doc_ids — never a cross join.  ``fuzzy_pairs`` stays as the
+    LSH-off verification shape (reference parity note: the reference
+    has no fuzzy dedup; this is pipeline-operator surface).
+    """
+    prefix_n = q * max_dist + 1
+    from pyspark.sql.window import Window
+
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.lower(F.col("text")).alias("t"),
+        F.length("text").alias("len"),
+    )
+    grams = d.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length("t") - (q - 1), F.lit(1))),
+                    lambda i: F.col("t").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("g"),
+    )
+    gdf = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df_"))
+    ranked = (
+        grams.join(gdf, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df_", "g")),
+        )
+        .filter(F.col("rn") <= prefix_n)
+        .select("doc_id", "len", "g")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    texts = d.select("doc_id", "text")
+    return (
+        cand.join(texts.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")), "doc_a")
+        .join(texts.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+FUZZY_BLOCKED_SQL = """
+    WITH d AS (
+        SELECT doc_id, text, lower(text) AS t, length(text) AS len FROM documents
+    ),
+    grams AS (
+        -- DuckDB range() takes only constant bounds (no lateral column
+        -- args): generate a static 1..8191 series and filter to the
+        -- doc's gram positions (documents cap out well below 8 KiB).
+        SELECT DISTINCT doc_id, len, substr(t, CAST(i AS INTEGER), 3) AS g
+        FROM d JOIN range(1, 8192) r(i) ON r.i <= d.len - 2
+    ),
+    gdf AS (SELECT g, count(DISTINCT doc_id) AS df_ FROM grams GROUP BY g),
+    ranked AS (
+        SELECT doc_id, len, g,
+               row_number() OVER (PARTITION BY doc_id ORDER BY df_, g) AS rn
+        FROM grams JOIN gdf USING (g)
+    ),
+    pref AS (SELECT doc_id, len, g FROM ranked WHERE rn <= 16),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pref a JOIN pref b
+          ON a.g = b.g AND a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+    )
+    SELECT c.doc_a, c.doc_b, levenshtein(da.text, db.text) AS edit_dist
+    FROM cand c
+    JOIN d da ON da.doc_id = c.doc_a
+    JOIN d db ON db.doc_id = c.doc_b
+    WHERE levenshtein(da.text, db.text) <= 5
+"""

@@ -2318,10 +2318,19 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_fuzzy_levenshtein", _dedup.FUZZY_LEVENSHTEIN_SQL)
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs within (source, lang) blocks with a
-    length-difference pre-filter in the join condition."""
+    length-difference pre-filter in the join condition — the LSH-off
+    VERIFICATION shape; ``dedup_fuzzy_blocked`` is its scale twin."""
     return _dedup.fuzzy_pairs_levenshtein(
         ld(spark, sf_dir, "documents"), ["source", "lang"]
     )
+
+
+@register("dedup_fuzzy_blocked", _dedup.FUZZY_BLOCKED_SQL)
+def dedup_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of dedup_fuzzy_levenshtein: DF-ordered prefix q-gram
+    blocking (PPJoin-style) — candidate generation is a gram equi-join,
+    exact levenshtein only on candidates, no all-pairs join anywhere."""
+    return _dedup.fuzzy_blocked_pairs(ld(spark, sf_dir, "documents"))
 
 
 # Production LSH path: xxhash64 in whole-stage codegen, zero Python.

@@ -108,3 +108,43 @@ def test_lsh_jvm_path_has_no_python_in_plan(spark):
     docs = _corpus(spark)
     plan = lsh_pairs_jvm(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # fully JVM: the 100 TB configuration
+
+
+def test_fuzzy_blocked_complete_vs_bruteforce(spark):
+    """Prefix-gram blocking must find EXACTLY the brute-force all-pairs
+    result for docs above the completeness boundary (all testdata docs
+    are >= 48 chars >= q*(d+1) = 18) — the scale twin loses no pairs."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.dedup import fuzzy_blocked_pairs
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"], r["edit_dist"])
+        for r in fuzzy_blocked_pairs(load_table(spark, sf, "documents")).collect()
+    }
+    brute = duckdb.sql(
+        f"""
+        WITH d AS (SELECT doc_id, text FROM '{sf}/documents.parquet')
+        SELECT a.doc_id, b.doc_id, levenshtein(a.text, b.text) ed
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 5
+        """
+    ).fetchall()
+    assert got == {(a, b, e) for a, b, e in brute}
+    assert len(got) > 0  # non-vacuous: testdata contains near-dup pairs
+
+
+def test_fuzzy_blocked_plan_has_no_cartesian(spark):
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.dedup import fuzzy_blocked_pairs
+
+    plan = (
+        fuzzy_blocked_pairs(load_table(spark, "/root/testdata/sf0.001", "documents"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
