@@ -21,19 +21,32 @@ from flink_cdc_2_3_0_src_spark.model import SEQ_COL
 
 def write_replay_files(log: DataFrame, out_dir: str, n_files: int = 5) -> T.StructType:
     """Split the log into n sequence-range files; returns the schema
-    (readStream needs it declared — §1.3 'declared schema')."""
+    (readStream needs it declared — §1.3 'declared schema').
+
+    Fully distributed: ``repartitionByRange`` on _seq assigns each row
+    its sequence-range file (distributed sample-based range sort — no
+    driver collect of the log, which the previous version did and which
+    caps replay size at driver memory).  Batch dirs are written
+    SEQUENTIALLY so their modification-time order matches seq order —
+    the file-stream source replays oldest-first."""
     os.makedirs(out_dir, exist_ok=True)
-    rows = log.orderBy(SEQ_COL).collect()
     schema = log.schema
-    spark = log.sparkSession
-    per = max(1, (len(rows) + n_files - 1) // n_files)
-    for i in range(0, len(rows), per):
-        chunk = rows[i : i + per]
-        df = spark.createDataFrame(chunk, schema)
-        # one parquet file per batch, names sorted in seq order
-        df.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_{i // per:05d}")
+    tagged = (
+        log.repartitionByRange(n_files, F.col(SEQ_COL))
+        .withColumn("_file", F.spark_partition_id())
+        .localCheckpoint()  # materialize the range assignment once
+    )
+    for i in range(n_files):
+        part = (
+            tagged.filter(F.col("_file") == i)
+            .drop("_file")
+            .sortWithinPartitions(SEQ_COL)
+            .coalesce(1)
         )
+        if not part.isEmpty():
+            part.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_{i:05d}")
+            )
     return schema
 
 
