@@ -226,3 +226,142 @@ def geometry_to_geojson(col: Column) -> Column:
     WKB carries raw IEEE-754 doubles and Spark SQL has no bits->double
     primitive; the UDF is Arrow-batched and emits one narrow string."""
     return _wkb_geojson_udf(col["wkb"], col["srid"])
+
+
+# ---- Mongo BSON scalar converters (Extended JSON v2) ----------------
+# Debezium's Mongo connector emits documents as MongoDB Extended JSON;
+# the reference decodes the BSON scalar wrappers in
+# MongoDBConnectorDeserializationSchema.java:274-530.  Here each wrapper
+# is declared as its struct shape in the raw from_json schema and lifted
+# by one of these converters — all pure JVM column expressions.
+
+def bson_object_id_schema() -> T.StructType:
+    return T.StructType([T.StructField("$oid", T.StringType())])
+
+
+def bson_object_id(col: Column) -> Column:
+    """{"$oid": "24-hex"} -> lowercase hex string (reference :304-311
+    maps ObjectId to its hex representation)."""
+    return F.lower(col.getField("$oid"))
+
+
+def bson_decimal128_schema() -> T.StructType:
+    return T.StructType([T.StructField("$numberDecimal", T.StringType())])
+
+
+def bson_decimal128(col: Column, precision: int, scale: int) -> Column:
+    """{"$numberDecimal": "123.45"} -> decimal(precision, scale)
+    (reference :330-344, Decimal128 -> BigDecimal)."""
+    return col.getField("$numberDecimal").cast(f"decimal({precision},{scale})")
+
+
+def bson_long_schema() -> T.StructType:
+    return T.StructType([T.StructField("$numberLong", T.StringType())])
+
+
+def bson_long(col: Column) -> Column:
+    """Canonical {"$numberLong": "123"} -> BIGINT."""
+    return col.getField("$numberLong").cast("long")
+
+
+def bson_date_schema() -> T.StructType:
+    return T.StructType(
+        [T.StructField("$date", bson_long_schema())]
+    )
+
+
+def bson_date_millis(col: Column) -> Column:
+    """Canonical {"$date": {"$numberLong": "<epoch-ms>"}} -> epoch
+    millis BIGINT (reference :346-360 converts BSON dates to epoch
+    millis before the temporal converters run)."""
+    return col.getField("$date").getField("$numberLong").cast("long")
+
+
+def bson_timestamp_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "$timestamp",
+                T.StructType(
+                    [
+                        T.StructField("t", T.LongType()),
+                        T.StructField("i", T.LongType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def bson_timestamp_millis(col: Column) -> Column:
+    """{"$timestamp": {"t": seconds, "i": ordinal}} -> epoch millis
+    BIGINT (reference :362-372: BsonTimestamp seconds * 1000)."""
+    return col.getField("$timestamp").getField("t").cast("long") * 1000
+
+
+def bson_regex_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "$regularExpression",
+                T.StructType(
+                    [
+                        T.StructField("pattern", T.StringType()),
+                        T.StructField("options", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def bson_regex(col: Column) -> Column:
+    """{"$regularExpression": {pattern, options}} -> "/pattern/options"
+    (the reference's string form for regex fields, :374-386)."""
+    r = col.getField("$regularExpression")
+    return F.concat(
+        F.lit("/"),
+        r.getField("pattern"),
+        F.lit("/"),
+        F.coalesce(r.getField("options"), F.lit("")),
+    )
+
+
+def bson_min_max_key_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("$minKey", T.IntegerType()),
+            T.StructField("$maxKey", T.IntegerType()),
+        ]
+    )
+
+
+def bson_min_max_key(col: Column) -> Column:
+    """MinKey/MaxKey sentinels -> marker strings (reference :388-398)."""
+    return (
+        F.when(col.getField("$minKey").isNotNull(), F.lit("MinKey"))
+        .when(col.getField("$maxKey").isNotNull(), F.lit("MaxKey"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def bson_binary_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                "$binary",
+                T.StructType(
+                    [
+                        T.StructField("base64", T.StringType()),
+                        T.StructField("subType", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+
+
+def bson_binary(col: Column) -> Column:
+    """{"$binary": {base64, subType}} -> BINARY payload (reference
+    :400-410 unwraps to the raw bytes)."""
+    return F.unbase64(col.getField("$binary").getField("base64"))

@@ -2941,3 +2941,116 @@ def cdc_dbz_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("set_s", "|").alias("set_joined"),
         F.col("geo").alias("geo_json"),
     )
+
+
+# Mongo BSON scalar converters (Extended JSON v2): ObjectId, Decimal128,
+# BSON date/timestamp, regex, min/max keys, binary — reference
+# MongoDBConnectorDeserializationSchema.java:274-530.  Complements
+# b6_nested_document_decode (which covers the nested ARRAY/ROW path):
+# the fixture document is BUILT from orders as canonical Extended JSON
+# (pure JVM string/struct work), decoded through from_debezium_json +
+# the bson_* converters, and the oracle recomputes the logical values
+# relationally.
+@register(
+    "cdc_mongo_bson_decode",
+    """
+    SELECT o_orderkey AS okey,
+           lpad(lower(to_hex(o_orderkey)), 24, '0') AS oid,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS amount_str,
+           epoch_ms(o_orderdate) AS created_ms,
+           CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT) * 1000 AS sync_ms,
+           '/' || o_orderpriority || '/i' AS pat,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'MinKey' ELSE 'MaxKey' END AS marker,
+           o_orderstatus AS payload_str
+    FROM orders WHERE o_orderkey % 17 = 0
+    """,
+)
+def cdc_mongo_bson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from flink_cdc_2_3_0_src_spark.functions import converters as C
+
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    ts_ntz = F.col("o_orderdate").cast("timestamp_ntz")
+    epoch_ms = (_epoch_us_ntz(ts_ntz) / 1000).cast("long")
+    epoch_s = (_epoch_us_ntz(ts_ntz) / 1_000_000).cast("long")
+    oid_hex = F.lower(F.lpad(F.hex(F.col("o_orderkey")), 24, "0"))
+    after = F.struct(
+        F.struct(oid_hex.alias("$oid")).alias("_id"),
+        F.struct(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias(
+                "$numberDecimal"
+            )
+        ).alias("amount"),
+        F.struct(
+            F.struct(epoch_ms.cast("string").alias("$numberLong")).alias("$date")
+        ).alias("created"),
+        F.struct(
+            F.struct(epoch_s.alias("t"), F.lit(1).alias("i")).alias("$timestamp")
+        ).alias("sync"),
+        F.struct(
+            F.struct(
+                F.col("o_orderpriority").alias("pattern"), F.lit("i").alias("options")
+            ).alias("$regularExpression")
+        ).alias("pat"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.struct(F.lit(1).alias("$minKey"), F.lit(None).cast("int").alias("$maxKey")),
+        )
+        .otherwise(
+            F.struct(F.lit(None).cast("int").alias("$minKey"), F.lit(1).alias("$maxKey"))
+        )
+        .alias("marker"),
+        F.struct(
+            F.struct(
+                F.base64(F.encode(F.col("o_orderstatus"), "UTF-8")).alias("base64"),
+                F.lit("00").alias("subType"),
+            ).alias("$binary")
+        ).alias("payload"),
+    )
+    env = o.select(
+        F.to_json(
+            F.struct(
+                after.alias("after"),
+                F.struct(
+                    F.lit("testdb").alias("db"), F.lit("orders").alias("table")
+                ).alias("source"),
+                F.lit("c").alias("op"),
+                F.col("o_orderkey").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("_id", C.bson_object_id_schema()),
+            T.StructField("amount", C.bson_decimal128_schema()),
+            T.StructField("created", C.bson_date_schema()),
+            T.StructField("sync", C.bson_timestamp_schema()),
+            T.StructField("pat", C.bson_regex_schema()),
+            T.StructField("marker", C.bson_min_max_key_schema()),
+            T.StructField("payload", C.bson_binary_schema()),
+        ]
+    )
+    decoded = from_debezium_json(
+        env,
+        raw_schema,
+        converters={
+            "_id": C.bson_object_id,
+            "amount": lambda c: C.bson_decimal128(c, 12, 2),
+            "created": C.bson_date_millis,
+            "sync": C.bson_timestamp_millis,
+            "pat": C.bson_regex,
+            "marker": C.bson_min_max_key,
+            "payload": C.bson_binary,
+        },
+    )
+    return decoded.select(
+        # okey recovered FROM the ObjectId hex — proves the roundtrip
+        F.conv(F.col("_id"), 16, 10).cast("long").alias("okey"),
+        F.col("_id").alias("oid"),
+        F.col("amount").cast("string").alias("amount_str"),
+        F.col("created").alias("created_ms"),
+        F.col("sync").alias("sync_ms"),
+        F.col("pat"),
+        F.col("marker"),
+        F.decode(F.col("payload"), "UTF-8").alias("payload_str"),
+    )

@@ -181,3 +181,59 @@ def test_from_debezium_json_converters_hook(spark):
     assert len(out) == 1
     assert out[0]["amount"] == Decimal("9.99")
     assert out[0]["_op"] == "+I"
+
+
+def test_bson_scalar_converters(spark):
+    """Extended-JSON v2 BSON wrappers → logical values (reference
+    MongoDBConnectorDeserializationSchema.java:274-530)."""
+    from pyspark.sql import types as T
+
+    doc = json.dumps(
+        {
+            "_id": {"$oid": "64A1B2C3D4E5F60718293A4B"},
+            "amt": {"$numberDecimal": "99.90"},
+            "created": {"$date": {"$numberLong": "907372800123"}},
+            "sync": {"$timestamp": {"t": 907372800, "i": 5}},
+            "pat": {"$regularExpression": {"pattern": "^a.*b$", "options": "im"}},
+            "lo": {"$minKey": 1},
+            "hi": {"$maxKey": 1},
+            "bin": {"$binary": {"base64": base64.b64encode(b"abc").decode(), "subType": "00"}},
+            "n": {"$numberLong": "-42"},
+        }
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_id", C.bson_object_id_schema()),
+            T.StructField("amt", C.bson_decimal128_schema()),
+            T.StructField("created", C.bson_date_schema()),
+            T.StructField("sync", C.bson_timestamp_schema()),
+            T.StructField("pat", C.bson_regex_schema()),
+            T.StructField("lo", C.bson_min_max_key_schema()),
+            T.StructField("hi", C.bson_min_max_key_schema()),
+            T.StructField("bin", C.bson_binary_schema()),
+            T.StructField("n", C.bson_long_schema()),
+        ]
+    )
+    df = spark.createDataFrame([(doc,)], "j string").select(
+        F.from_json("j", schema).alias("d")
+    )
+    row = df.select(
+        C.bson_object_id(F.col("d._id")).alias("oid"),
+        C.bson_decimal128(F.col("d.amt"), 10, 2).alias("amt"),
+        C.bson_date_millis(F.col("d.created")).alias("created"),
+        C.bson_timestamp_millis(F.col("d.sync")).alias("sync"),
+        C.bson_regex(F.col("d.pat")).alias("pat"),
+        C.bson_min_max_key(F.col("d.lo")).alias("lo"),
+        C.bson_min_max_key(F.col("d.hi")).alias("hi"),
+        C.bson_binary(F.col("d.bin")).alias("bin"),
+        C.bson_long(F.col("d.n")).alias("n"),
+    ).collect()[0]
+    assert row["oid"] == "64a1b2c3d4e5f60718293a4b"
+    assert row["amt"] == Decimal("99.90")
+    assert row["created"] == 907372800123
+    assert row["sync"] == 907372800000
+    assert row["pat"] == "/^a.*b$/im"
+    assert row["lo"] == "MinKey"
+    assert row["hi"] == "MaxKey"
+    assert bytes(row["bin"]) == b"abc"
+    assert row["n"] == -42
