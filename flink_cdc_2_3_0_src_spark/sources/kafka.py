@@ -30,14 +30,33 @@ from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
 from flink_cdc_2_3_0_src_spark.model import StartupMode
 
 
+def specific_offsets_json(offsets: dict[str, dict[int, int]]) -> str:
+    """``{topic: {partition: offset}}`` → the Kafka source's
+    ``startingOffsets`` JSON (A21 specific-offset for the Kafka path;
+    reference StartupOptions.java:29-95 ``specificOffset``).  Keys are
+    emitted in sorted order so the option string is deterministic;
+    offset -2 (earliest) / -1 (latest) sentinels pass through."""
+    import json
+
+    return json.dumps(
+        {
+            t: {str(p): int(o) for p, o in sorted(parts.items())}
+            for t, parts in sorted(offsets.items())
+        },
+        separators=(",", ":"),
+    )
+
+
 def kafka_options(
     config: SourceConfig,
     topic: str,
     bootstrap_servers: str,
+    specific_offsets: Optional[dict[str, dict[int, int]]] = None,
 ) -> dict[str, str]:
     """Map our startup modes onto Kafka source options (A21 for the
     Kafka path): initial/earliest → earliest offsets, latest → latest;
-    timestamp → startingTimestamp (broker-side lookup)."""
+    timestamp → startingTimestamp (broker-side lookup);
+    specific-offset → per-partition startingOffsets JSON."""
     opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
@@ -54,11 +73,40 @@ def kafka_options(
             raise ValueError("timestamp startup requires startup_timestamp_ms")
         opts["startingTimestamp"] = str(config.startup_timestamp_ms)
     elif mode == StartupMode.SPECIFIC_OFFSET:
-        raise ValueError(
-            "specific-offset startup on the Kafka path requires a "
-            "startingOffsets JSON per partition; supply it explicitly"
-        )
+        if not specific_offsets:
+            raise ValueError(
+                "specific-offset startup on the Kafka path requires a "
+                "{topic: {partition: offset}} map"
+            )
+        opts["startingOffsets"] = specific_offsets_json(specific_offsets)
     return opts
+
+
+def filter_from_offsets(
+    df: DataFrame,
+    offsets: dict[str, dict[int, int]],
+    topic_col: str = "topic",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Client-side enforcement of the same specific-offset semantics the
+    broker applies (row kept iff its offset >= the start offset of its
+    (topic, partition); partitions absent from the map start earliest).
+    Used by the file-backed stand-in streams — and as the documented
+    semantics contract for ``specific_offsets_json``."""
+    cond = F.lit(False)
+    has_rule = F.lit(False)
+    for t, parts in offsets.items():
+        for p, o in parts.items():
+            match = (F.col(topic_col) == t) & (F.col(partition_col) == int(p))
+            has_rule = has_rule | match
+            if int(o) == -2:  # earliest
+                cond = cond | match
+            elif int(o) == -1:  # latest: nothing historical
+                pass
+            else:
+                cond = cond | (match & (F.col(offset_col) >= int(o)))
+    return df.filter(cond | ~has_rule)
 
 
 def decode_debezium_values(
