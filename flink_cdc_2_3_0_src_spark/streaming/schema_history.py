@@ -47,6 +47,42 @@ class SchemaHistory:
     def versions(self, table: str) -> list[int]:
         return [e["offset"] for e in self._entries if e["table"] == table]
 
+    def record_ddl(self, table: str, offset: int, ddl: str) -> T.StructType:
+        """Record a RAW DDL statement: parse it into a structured
+        TableChange (streaming/table_changes.py — the
+        FlinkJsonTableChangeSerializer-style model), apply it to the
+        table's latest schema, and persist the evolved schema with the
+        structured change as the ddl payload.  This is the
+        interpret-the-DDL path the reference's history uses
+        (EmbeddedFlinkDatabaseHistory + MySqlAntlrDdlParser); ``record``
+        remains the opaque-payload fallback for pre-parsed schemas."""
+        from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+            apply_change,
+            parse_ddl,
+        )
+
+        change = parse_ddl(ddl)
+        prior_offsets = self.versions(table)
+        prior = self.schema_at(table, prior_offsets[-1]) if prior_offsets else None
+        evolved = apply_change(prior, change)
+        if evolved is None:
+            raise ValueError(f"DROP TABLE ends history for {table!r}")
+        self.record(table, offset, evolved, ddl=change.to_json())
+        return evolved
+
+    def change_at(self, table: str, offset: int):
+        """Structured TableChange recorded exactly at ``offset`` (None
+        for opaque-payload entries)."""
+        from flink_cdc_2_3_0_src_spark.streaming.table_changes import TableChange
+
+        for e in self._entries:
+            if e["table"] == table and e["offset"] == offset and e["ddl"]:
+                try:
+                    return TableChange.from_json(e["ddl"])
+                except (ValueError, KeyError):
+                    return None
+        return None
+
 
 def apply_schema_change_stream(
     log,

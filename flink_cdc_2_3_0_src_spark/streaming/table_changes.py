@@ -1,0 +1,328 @@
+"""Structured schema-change model + DDL parsing (A25 payload fidelity).
+
+The reference persists schema history as STRUCTURED TableChange records
+(FlinkJsonTableChangeSerializer.java: {type, id, table: {columns[...],
+primaryKeyColumnNames}}), not opaque DDL strings — consumers can
+interpret what changed.  This module supplies the Spark-side
+equivalent:
+
+  - ``TableChange`` / ``ColumnSpec``: the typed change record, with
+    ``to_json``/``from_json`` in the serializer's field layout.
+  - ``parse_ddl``: CREATE TABLE / ALTER TABLE ADD|DROP|MODIFY|RENAME
+    COLUMN / RENAME TO / DROP TABLE → TableChange, using the shared
+    MySQL type mapping (types.py, MySqlTypeUtils.java parity).
+  - ``apply_change``: evolve a StructType by a TableChange — the hook
+    SchemaHistory uses so a DDL payload yields the next decode schema
+    instead of being carried opaquely.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.types import mysql_type_to_spark
+
+CREATE, ALTER, DROP = "CREATE", "ALTER", "DROP"
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    type_expression: str  # source-side type DDL, e.g. "DECIMAL(12,2)"
+    optional: bool = True
+    position: int = 0
+
+    def spark_type(self) -> T.DataType:
+        return mysql_type_to_spark(self.type_expression)
+
+
+@dataclass
+class TableChange:
+    type: str  # CREATE | ALTER | DROP
+    table_id: str
+    columns: list[ColumnSpec] = field(default_factory=list)
+    primary_key: list[str] = field(default_factory=list)
+    dropped_columns: list[str] = field(default_factory=list)
+    renamed_columns: dict[str, str] = field(default_factory=dict)
+    new_table_id: Optional[str] = None
+
+    # -- FlinkJsonTableChangeSerializer-shaped JSON ------------------
+    def to_json(self) -> str:
+        doc = {
+            "type": self.type,
+            "id": self.table_id,
+            "table": {
+                "primaryKeyColumnNames": list(self.primary_key),
+                "columns": [
+                    {
+                        "name": c.name,
+                        "typeExpression": c.type_expression,
+                        "optional": c.optional,
+                        "position": c.position,
+                    }
+                    for c in self.columns
+                ],
+            },
+        }
+        if self.dropped_columns:
+            doc["droppedColumns"] = list(self.dropped_columns)
+        if self.renamed_columns:
+            doc["renamedColumns"] = dict(self.renamed_columns)
+        if self.new_table_id:
+            doc["newId"] = self.new_table_id
+        return json.dumps(doc, separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, s: str) -> "TableChange":
+        doc = json.loads(s)
+        t = doc.get("table", {})
+        return cls(
+            type=doc["type"],
+            table_id=doc["id"],
+            columns=[
+                ColumnSpec(
+                    name=c["name"],
+                    type_expression=c.get("typeExpression", "TEXT"),
+                    optional=c.get("optional", True),
+                    position=c.get("position", i + 1),
+                )
+                for i, c in enumerate(t.get("columns", []))
+            ],
+            primary_key=list(t.get("primaryKeyColumnNames", [])),
+            dropped_columns=list(doc.get("droppedColumns", [])),
+            renamed_columns=dict(doc.get("renamedColumns", {})),
+            new_table_id=doc.get("newId"),
+        )
+
+    def to_struct(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(c.name, c.spark_type(), c.optional)
+                for c in sorted(self.columns, key=lambda c: c.position)
+            ]
+        )
+
+
+_IDENT = r"(?:`(?P<q{n}>[^`]+)`|(?P<u{n}>[A-Za-z_][A-Za-z0-9_$]*))"
+
+
+def _ident(n: int) -> str:
+    return _IDENT.format(n=n)
+
+
+def _get_ident(m: re.Match, n: int) -> str:
+    return m.group(f"q{n}") or m.group(f"u{n}")
+
+
+_COL_DEF = re.compile(
+    r"^\s*" + _ident(1) + r"\s+(?P<type>[A-Za-z]+(?:\s*\([^)]*\))?(?:\s+unsigned)?)"
+    r"(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<id>\S+)\s*\((?P<body>.*)\)\s*"
+    r"(?:[A-Za-z]+=\S+\s*)*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<id>\S+)\s+(?P<rest>.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<id>\S+)\s*;?\s*$", re.IGNORECASE
+)
+
+_ADD_COL = re.compile(
+    r"^ADD\s+(?:COLUMN\s+)?" + _ident(1) + r"\s+(?P<type>[A-Za-z]+(?:\s*\([^)]*\))?"
+    r"(?:\s+unsigned)?)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_COL = re.compile(
+    r"^DROP\s+(?:COLUMN\s+)?" + _ident(1) + r"\s*$", re.IGNORECASE
+)
+_MODIFY_COL = re.compile(
+    r"^MODIFY\s+(?:COLUMN\s+)?" + _ident(1) + r"\s+(?P<type>[A-Za-z]+(?:\s*\([^)]*\))?"
+    r"(?:\s+unsigned)?)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_COL = re.compile(
+    r"^RENAME\s+COLUMN\s+" + _ident(1) + r"\s+TO\s+" + _ident(2) + r"\s*$",
+    re.IGNORECASE,
+)
+_CHANGE_COL = re.compile(
+    r"^CHANGE\s+(?:COLUMN\s+)?" + _ident(1) + r"\s+" + _ident(2)
+    + r"\s+(?P<type>[A-Za-z]+(?:\s*\([^)]*\))?(?:\s+unsigned)?)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_RENAME_TABLE = re.compile(
+    r"^RENAME\s+(?:TO|AS)\s+(?P<new>\S+)\s*$", re.IGNORECASE
+)
+
+
+def _strip_ticks(ident: str) -> str:
+    return ".".join(p.strip("`\"") for p in ident.split("."))
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split a CREATE TABLE body on commas not inside parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def parse_ddl(ddl: str) -> TableChange:
+    """Parse a DDL statement into a structured TableChange.
+
+    Covers the statements the reference's history actually sees from
+    MySQL (MySqlAntlrDdlParser by way of Debezium): CREATE TABLE with
+    column defs + PRIMARY KEY clause, ALTER TABLE ADD/DROP/MODIFY/
+    CHANGE/RENAME COLUMN and RENAME TO, DROP TABLE.  Raises ValueError
+    on statements outside that surface (callers keep the opaque-payload
+    path as the fallback)."""
+    m = _CREATE.match(ddl)
+    if m:
+        cols: list[ColumnSpec] = []
+        pk: list[str] = []
+        for i, part in enumerate(_split_top_level(m.group("body"))):
+            up = part.upper()
+            pkm = re.match(r"^PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)", part, re.IGNORECASE)
+            if pkm:
+                pk = [c.strip().strip("`\"") for c in pkm.group("cols").split(",")]
+                continue
+            if up.startswith(("UNIQUE", "KEY", "INDEX", "CONSTRAINT", "FOREIGN")):
+                continue
+            cm = _COL_DEF.match(part)
+            if not cm:
+                raise ValueError(f"unparseable column def: {part!r}")
+            rest = cm.group("rest") or ""
+            inline_pk = re.search(r"PRIMARY\s+KEY", rest, re.IGNORECASE)
+            notnull = re.search(r"NOT\s+NULL", rest, re.IGNORECASE)
+            name = _get_ident(cm, 1)
+            cols.append(
+                ColumnSpec(
+                    name=name,
+                    type_expression=cm.group("type").strip(),
+                    optional=not (notnull or inline_pk),
+                    position=len(cols) + 1,
+                )
+            )
+            if inline_pk:
+                pk.append(name)
+        # inline PRIMARY KEY + a PRIMARY KEY(...) clause may both name a
+        # column — keep first occurrence order, deduped
+        pk = list(dict.fromkeys(pk))
+        return TableChange(
+            CREATE, _strip_ticks(m.group("id")), columns=cols, primary_key=pk
+        )
+
+    m = _ALTER.match(ddl)
+    if m:
+        tid = _strip_ticks(m.group("id"))
+        rest = m.group("rest").strip()
+        am = _ADD_COL.match(rest)
+        if am:
+            notnull = re.search(r"NOT\s+NULL", am.group("rest") or "", re.IGNORECASE)
+            return TableChange(
+                ALTER,
+                tid,
+                columns=[
+                    ColumnSpec(
+                        name=_get_ident(am, 1),
+                        type_expression=am.group("type").strip(),
+                        optional=not notnull,
+                    )
+                ],
+            )
+        dm = _DROP_COL.match(rest)
+        if dm:
+            return TableChange(ALTER, tid, dropped_columns=[_get_ident(dm, 1)])
+        mm = _MODIFY_COL.match(rest)
+        if mm:
+            notnull = re.search(r"NOT\s+NULL", mm.group("rest") or "", re.IGNORECASE)
+            return TableChange(
+                ALTER,
+                tid,
+                columns=[
+                    ColumnSpec(
+                        name=_get_ident(mm, 1),
+                        type_expression=mm.group("type").strip(),
+                        optional=not notnull,
+                    )
+                ],
+            )
+        rm = _RENAME_COL.match(rest)
+        if rm:
+            return TableChange(
+                ALTER, tid, renamed_columns={_get_ident(rm, 1): _get_ident(rm, 2)}
+            )
+        chm = _CHANGE_COL.match(rest)
+        if chm:
+            old, new = _get_ident(chm, 1), _get_ident(chm, 2)
+            notnull = re.search(r"NOT\s+NULL", chm.group("rest") or "", re.IGNORECASE)
+            return TableChange(
+                ALTER,
+                tid,
+                renamed_columns={old: new},
+                columns=[
+                    ColumnSpec(
+                        name=new,
+                        type_expression=chm.group("type").strip(),
+                        optional=not notnull,
+                    )
+                ],
+            )
+        rt = _RENAME_TABLE.match(rest)
+        if rt:
+            return TableChange(ALTER, tid, new_table_id=_strip_ticks(rt.group("new")))
+        raise ValueError(f"unsupported ALTER clause: {rest!r}")
+
+    m = _DROP.match(ddl)
+    if m:
+        return TableChange(DROP, _strip_ticks(m.group("id")))
+    raise ValueError(f"unsupported DDL statement: {ddl!r}")
+
+
+def apply_change(schema: Optional[T.StructType], change: TableChange) -> Optional[T.StructType]:
+    """Evolve a decode schema by one structured change.  CREATE replaces
+    the schema; ALTER applies adds/modifies/renames/drops in the
+    reference's order (rename first, then type changes, then drops);
+    DROP TABLE returns None (table gone)."""
+    if change.type == CREATE:
+        return change.to_struct()
+    if change.type == DROP:
+        return None
+    if schema is None:
+        raise ValueError(f"ALTER against unknown table {change.table_id!r}")
+    fields = list(schema.fields)
+    if change.renamed_columns:
+        fields = [
+            T.StructField(change.renamed_columns.get(f.name, f.name), f.dataType, f.nullable)
+            for f in fields
+        ]
+    for c in change.columns:
+        existing = [i for i, f in enumerate(fields) if f.name == c.name]
+        nf = T.StructField(c.name, c.spark_type(), c.optional)
+        if existing:
+            fields[existing[0]] = nf  # MODIFY / CHANGE retype
+        else:
+            fields.append(nf)  # ADD appends
+    if change.dropped_columns:
+        fields = [f for f in fields if f.name not in change.dropped_columns]
+    return T.StructType(fields)

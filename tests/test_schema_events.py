@@ -109,3 +109,93 @@ def test_sharded_and_splitvector_chunks(spark):
     assert len(sv) > 1
     for probe in (1, 250, 999, 1000):
         assert sum(1 for c in sv if c.contains(probe)) == 1
+
+
+# ---- structured TableChange model + DDL parsing (A25 payload fidelity) ----
+
+
+def test_parse_create_table_ddl():
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import parse_ddl
+
+    ch = parse_ddl(
+        """CREATE TABLE `shop`.`orders` (
+            `id` BIGINT NOT NULL PRIMARY KEY,
+            `amount` DECIMAL(12,2),
+            `note` VARCHAR(255) NOT NULL,
+            `tags` TEXT,
+            KEY idx_note (`note`),
+            PRIMARY KEY (`id`)
+        ) ENGINE=InnoDB;"""
+    )
+    assert ch.type == "CREATE"
+    assert ch.table_id == "shop.orders"
+    assert [c.name for c in ch.columns] == ["id", "amount", "note", "tags"]
+    assert ch.primary_key == ["id", "id"] or ch.primary_key == ["id"]
+    st = ch.to_struct()
+    import pyspark.sql.types as T
+
+    assert st["id"].dataType == T.LongType() and not st["id"].nullable
+    assert st["amount"].dataType == T.DecimalType(12, 2)
+    assert not st["note"].nullable
+
+
+def test_parse_alter_ddl_and_apply():
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+        apply_change,
+        parse_ddl,
+    )
+
+    schema = parse_ddl(
+        "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)"
+    ).to_struct()
+    schema = apply_change(schema, parse_ddl("ALTER TABLE t ADD COLUMN note VARCHAR(64)"))
+    assert schema.fieldNames() == ["id", "v", "note"]
+    schema = apply_change(schema, parse_ddl("ALTER TABLE t MODIFY v BIGINT NOT NULL"))
+    assert schema["v"].dataType == T.LongType() and not schema["v"].nullable
+    schema = apply_change(schema, parse_ddl("ALTER TABLE t RENAME COLUMN note TO memo"))
+    assert schema.fieldNames() == ["id", "v", "memo"]
+    schema = apply_change(
+        schema, parse_ddl("ALTER TABLE t CHANGE memo memo2 TEXT NOT NULL")
+    )
+    assert schema.fieldNames() == ["id", "v", "memo2"]
+    assert not schema["memo2"].nullable
+    schema = apply_change(schema, parse_ddl("ALTER TABLE t DROP COLUMN v"))
+    assert schema.fieldNames() == ["id", "memo2"]
+    assert apply_change(schema, parse_ddl("DROP TABLE t")) is None
+
+
+def test_table_change_json_roundtrip():
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+        TableChange,
+        parse_ddl,
+    )
+
+    ch = parse_ddl("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v DECIMAL(10,2))")
+    back = TableChange.from_json(ch.to_json())
+    assert back.type == "CREATE" and back.table_id == "t"
+    assert [c.name for c in back.columns] == ["id", "v"]
+    assert back.to_struct() == ch.to_struct()
+    assert back.primary_key == ch.primary_key
+
+
+def test_schema_history_record_ddl(tmp_path):
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import SchemaHistory
+
+    h = SchemaHistory(str(tmp_path / "hist.json"))
+    s1 = h.record_ddl("t", 0, "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)")
+    assert s1.fieldNames() == ["id", "v"]
+    s2 = h.record_ddl("t", 100, "ALTER TABLE t ADD COLUMN note VARCHAR(32)")
+    assert s2.fieldNames() == ["id", "v", "note"]
+    # schema resolution honors the evolution boundary
+    assert h.schema_at("t", 50).fieldNames() == ["id", "v"]
+    assert h.schema_at("t", 100).fieldNames() == ["id", "v", "note"]
+    # the persisted payload is the STRUCTURED change, not opaque DDL
+    ch = h.change_at("t", 100)
+    assert ch is not None and ch.type == "ALTER"
+    assert [c.name for c in ch.columns] == ["note"]
+    # survives reload from disk
+    h2 = SchemaHistory(str(tmp_path / "hist.json"))
+    assert h2.schema_at("t", 200).fieldNames() == ["id", "v", "note"]
+    assert h2.change_at("t", 100).type == "ALTER"
