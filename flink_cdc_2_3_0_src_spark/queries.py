@@ -93,9 +93,19 @@ _PRIORITY: list[str] = [
     # pipeline_training_set with cluster-join dedup — demoted; its slot
     # goes to the §1.4 typed-decode converter matrix, which the judge
     # grades as a first-class missing piece.  Still locally swept.)
-    "embedding_stats", "dedup_minhash_sigs", "dedup_minhash_lsh_pairs",
+    "embedding_stats", "dedup_minhash_lsh_pairs",
+    # (dedup_minhash_sigs: signature projection alone — demoted; the
+    # end-to-end lsh_pairs pipeline recomputes the signatures it checks.
+    # Its slot goes to dedup_fuzzy_blocked, the round-4 sub-quadratic
+    # edit-distance scale twin.)
+    "dedup_fuzzy_blocked",
     "dedup_clusters", "dedup_char_ngram_sketch", "dedup_simhash",
-    "ann_topk_cosine", "ann_topk_matrix",
+    "ann_topk_cosine",
+    # (ann_topk_matrix: the blocked-matmul variant of ann_topk_cosine —
+    # demoted; cosine + lsh_bucketed + ivf keep three distinct ANN
+    # strategies in-window.  Its slot goes to cdc_mongo_bson_decode,
+    # the round-4 BSON scalar converter matrix.)
+    "cdc_mongo_bson_decode",
     "knn_graph", "ann_lsh_bucketed",
     "dedup_embedding_cosine_lsh", "ann_topk_ivf",
     # (dedup_ngram_jaccard / dedup_embedding_cosine are the documented
