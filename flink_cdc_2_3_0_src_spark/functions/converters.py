@@ -36,37 +36,48 @@ from pyspark.sql.functions import pandas_udf
 # precision<=38 Connect Decimal (the reference's own cap).
 _CHUNK_HEX = 12
 _CHUNK_RADIX = 16 ** _CHUNK_HEX
-# 2^(8*n) for n = 1..15 bytes, as exact decimal literals (two's-complement
-# modulus; 2^120 is the largest that fits decimal(38,0)).
-_TWO_POW_8N = [str(1 << (8 * n)) for n in range(1, 16)]
 
 
 def _unscaled_from_binary(bin_col: Column) -> tuple[Column, Column]:
     """Big-endian two's-complement bytes -> (negative?, exact magnitude
     as decimal(38,0)).  All JVM: hex + chunked conv + decimal
-    arithmetic.  Sign and magnitude stay SEPARATE end-to-end: Spark's
-    Abs/UnaryMinus on wide decimals round the 35th significant digit
-    (observed empirically), while decimal SUBTRACTION of exact (38,0)
-    operands does not — so the negative branch computes
-    ``modulus - unsigned`` and never negates."""
-    hx = F.lpad(F.hex(bin_col), 3 * _CHUNK_HEX, "0")
+    arithmetic.
+
+    Sign handling never negates or subtracts a power-of-two modulus:
+    for negative values the magnitude is computed as NOT(bytes) + 1 —
+    the bitwise complement is a hex-digit ``translate`` — which works
+    for ANY byte length (a 2^(8n) modulus cannot fit decimal(38,0) once
+    n >= 16, and Spark's Abs/UnaryMinus on wide decimals round the 35th
+    significant digit, so both of those routes are wrong).  Redundant
+    sign-extension prefixes (00…/FF… padded encodings of any length)
+    are stripped before the width check, so only the VALUE has to fit
+    36 hex digits, not the encoding."""
+    hx = F.hex(bin_col)
+    negative = F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") >= 128
+    # bitwise NOT in hex space: each digit d -> 15 - d
+    comp = F.translate(hx, "0123456789ABCDEF", "FEDCBA9876543210")
+    mag_hex = F.regexp_replace(F.when(negative, comp).otherwise(hx), "^0+", "")
+    # values beyond 36 hex digits (> 2^144) exceed every decimal(38)
+    # target -> null out rather than silently truncating
+    mag_hex = F.when(F.length(mag_hex) <= 3 * _CHUNK_HEX, mag_hex)
+    padded = F.lpad(F.coalesce(mag_hex, F.lit("")), 3 * _CHUNK_HEX, "0")
     chunks = [
-        F.conv(F.substring(hx, 1 + i * _CHUNK_HEX, _CHUNK_HEX), 16, 10).cast(
+        F.conv(F.substring(padded, 1 + i * _CHUNK_HEX, _CHUNK_HEX), 16, 10).cast(
             "decimal(38,0)"
         )
         for i in range(3)
     ]
-    unsigned = (
+    complement_mag = (
         chunks[0] * F.lit(_CHUNK_RADIX).cast("decimal(38,0)")
         + chunks[1]
     ) * F.lit(_CHUNK_RADIX).cast("decimal(38,0)") + chunks[2]
-    n_bytes = F.octet_length(bin_col)
-    # sign bit set (first byte >= 0x80) -> magnitude = 2^(8n) - unsigned
-    modulus = F.element_at(
-        F.array(*[F.lit(p).cast("decimal(38,0)") for p in _TWO_POW_8N]), n_bytes
+    magnitude = F.when(
+        mag_hex.isNull(), F.lit(None).cast("decimal(38,0)")
+    ).otherwise(
+        F.when(negative, complement_mag + F.lit(1).cast("decimal(38,0)")).otherwise(
+            complement_mag
+        )
     )
-    negative = F.conv(F.substring(F.hex(bin_col), 1, 2), 16, 10).cast("int") >= 128
-    magnitude = F.when(negative, modulus - unsigned).otherwise(unsigned)
     return negative, magnitude
 
 
@@ -75,17 +86,27 @@ def _apply_scale(
 ) -> Column:
     """(sign, magnitude) * 10^-scale -> decimal(precision, out_scale),
     via exact decimal-point insertion on the digit string (no floating
-    point, no power-of-ten arithmetic, any per-row scale)."""
+    point, no power-of-ten arithmetic, any per-row scale — including
+    NEGATIVE scales, which Oracle NUMBER(p, s<0) emits through
+    VariableScaleDecimal: those append |scale| zeros instead of
+    inserting a point)."""
     digits = magnitude.cast("string")
     pad_n = F.greatest(scale + 1 - F.length(digits), F.lit(0))
     padded = F.concat(F.lit("0" * 40).substr(F.lit(1), pad_n), digits)
     cut = F.length(padded) - scale
-    assembled = F.concat(
-        F.when(negative, F.lit("-")).otherwise(F.lit("")),
-        padded.substr(F.lit(1), cut),
-        F.when(
-            scale > 0, F.concat(F.lit("."), padded.substr(cut + 1, scale))
-        ).otherwise(F.lit("")),
+    sign = F.when(negative, F.lit("-")).otherwise(F.lit(""))
+    assembled = F.when(
+        scale < 0,
+        # negative scale: value = digits * 10^|scale|
+        F.concat(sign, digits, F.lit("0" * 40).substr(F.lit(1), -scale)),
+    ).otherwise(
+        F.concat(
+            sign,
+            padded.substr(F.lit(1), cut),
+            F.when(
+                scale > 0, F.concat(F.lit("."), padded.substr(cut + 1, scale))
+            ).otherwise(F.lit("")),
+        )
     )
     return assembled.cast(f"decimal({precision},{out_scale})")
 
@@ -121,11 +142,15 @@ def variable_scale_decimal(col: Column, precision: int, scale: int) -> Column:
 
 def mysql_set_to_array(col: Column) -> Column:
     """MySQL SET -> array<string>: Debezium emits the comma-joined member
-    list (MySqlDeserializationConverterFactory.java:68-96); empty set ->
-    empty array, not [""]."""
-    return F.when(
-        (col.isNull()) | (col == ""), F.array().cast("array<string>")
-    ).otherwise(F.split(col, ","))
+    list (MySqlDeserializationConverterFactory.java:68-96).  Empty set
+    ('') -> empty array, not [""]; SQL NULL stays NULL (the reference's
+    wrapIntoNullableInternalConverter passes null through — coercing it
+    to [] would make NULL indistinguishable from the empty set)."""
+    return (
+        F.when(col.isNull(), F.lit(None).cast("array<string>"))
+        .when(col == "", F.array().cast("array<string>"))
+        .otherwise(F.split(col, ","))
+    )
 
 
 _WKB_POINT = 1

@@ -574,17 +574,29 @@ def fuzzy_blocked_pairs(
         F.lower(F.col("text")).alias("t"),
         F.length("text").alias("len"),
     )
-    grams = d.select(
-        "doc_id",
-        "len",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length("t") - (q - 1), F.lit(1))),
-                    lambda i: F.col("t").substr(i, F.lit(q)),
+    grams = (
+        # docs shorter than q chars yield no q-grams (and can never
+        # pair) — matching FUZZY_BLOCKED_SQL, whose series join emits
+        # nothing for them; the old greatest(...,1) clamp emitted a
+        # short whole-text gram on the Spark side only, a latent
+        # cross-engine divergence.
+        d.filter(F.col("len") >= q)
+        .select(
+            "doc_id",
+            "len",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("t") - (q - 1)),
+                        lambda i: F.col("t").substr(i, F.lit(q)),
+                    )
                 )
-            )
-        ).alias("g"),
+            ).alias("g"),
+        )
+        # materialize once: gdf aggregates over this AND joins back to
+        # it — without lineage truncation the gram explode (the most
+        # expensive scan here) would run twice
+        .localCheckpoint()
     )
     gdf = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df_"))
     ranked = (

@@ -172,11 +172,18 @@ class JdbcDialect:
             # snapshot or injects SQL on keys containing a quote.
             # Reference uses prepared statements here
             # (StatementUtils.queryNextChunkMax:99-130).
+            # WHERE / ORDER BY / MAX all use key_select_expr so the
+            # whole chunk protocol lives in ONE ordering space — for
+            # Oracle ROWID that's the ROWIDTOCHAR string space the
+            # planner's Python comparisons use (raw-ROWID ordering
+            # disagrees with the char form's collation, which would
+            # make MAX() pick a non-boundary row).
+            kx = self.key_select_expr(key)
             rows = self.run_sql(
                 f"SELECT MAX(K_) FROM ("
-                f"SELECT {self.key_select_expr(key)} AS K_ FROM {tref} "
-                f"WHERE {self.q(key)} >= {_sql_lit(low)} "
-                f"ORDER BY {self.q(key)} ASC {self.fetch_first_sql(self.config.chunk_size)}) T"
+                f"SELECT {kx} AS K_ FROM {tref} "
+                f"WHERE {kx} >= {_sql_lit(low)} "
+                f"ORDER BY {kx} ASC {self.fetch_first_sql(self.config.chunk_size)}) T"
             )
             return rows[0][0] if rows else None
 
@@ -211,9 +218,15 @@ class JdbcDialect:
     # ---- A5: split-scan SQL (buildSplitScanQuery:132-188 parity) ----
     def split_scan_sql(self, table: TableId, split) -> str:
         """SELECT * with the chunk's range predicate — the statement each
-        snapshot split runs on the source DB."""
+        snapshot split runs on the source DB.  Single-key predicates use
+        key_select_expr so bounds captured in that space (e.g. Oracle
+        ROWIDTOCHAR) compare consistently."""
         key = split.split_key
-        qkey = self.q(key) if isinstance(key, str) else [self.q(k) for k in key]
+        qkey = (
+            self.key_select_expr(key)
+            if isinstance(key, str)
+            else [self.q(k) for k in key]
+        )
         return f"SELECT * FROM {self._tref(table)} WHERE {split.range.predicate_sql(qkey)}"
 
     def planner(self, table: TableId) -> ChunkPlanner:
@@ -248,7 +261,11 @@ class JdbcDialect:
         """One Spark partition per chunk via the ``predicates`` API;
         fetchsize keeps each partition a streaming cursor."""
         key = key or self.split_keys(table)
-        qkey = self.q(key) if isinstance(key, str) else [self.q(k) for k in key]
+        qkey = (
+            self.key_select_expr(key)
+            if isinstance(key, str)
+            else [self.q(k) for k in key]
+        )
         predicates = [
             s.range.predicate_sql(qkey) for s in self.planner(table).plan_splits()
         ]

@@ -91,9 +91,27 @@ def filter_from_offsets(
 ) -> DataFrame:
     """Client-side enforcement of the same specific-offset semantics the
     broker applies (row kept iff its offset >= the start offset of its
-    (topic, partition); partitions absent from the map start earliest).
-    Used by the file-backed stand-in streams — and as the documented
-    semantics contract for ``specific_offsets_json``."""
+    (topic, partition)).  Used by the file-backed stand-in streams — and
+    as the documented semantics contract for ``specific_offsets_json``.
+
+    Spark's Kafka source REJECTS a startingOffsets JSON that omits any
+    partition of a subscribed topic, so the stand-in enforces the same
+    completeness up front (one tiny distinct over (topic, partition))
+    instead of silently defaulting absent partitions — a stand-in that
+    passed on partial maps would validate configs the real path refuses."""
+    present = {
+        (r[0], int(r[1]))
+        for r in df.select(topic_col, partition_col).distinct().collect()
+    }
+    listed = {(t, int(p)) for t, parts in offsets.items() for p in parts}
+    missing = sorted(
+        (t, p) for (t, p) in present if t in offsets and (t, p) not in listed
+    )
+    if missing:
+        raise ValueError(
+            "startingOffsets must list every partition of a subscribed "
+            f"topic (Spark's Kafka source enforces this); missing: {missing}"
+        )
     cond = F.lit(False)
     has_rule = F.lit(False)
     for t, parts in offsets.items():
@@ -106,6 +124,7 @@ def filter_from_offsets(
                 pass
             else:
                 cond = cond | (match & (F.col(offset_col) >= int(o)))
+    # rows of topics not in the map at all (unsubscribed in this config)
     return df.filter(cond | ~has_rule)
 
 

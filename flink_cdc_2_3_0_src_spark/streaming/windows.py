@@ -84,15 +84,19 @@ def session_windows(
 
     A session = maximal run of a key's events where consecutive gaps
     are <= gap_minutes (strictly-greater gap splits — same rule as the
-    batch sessionizer in queries.events_sessionize). Sessions that
-    close WITHIN a microbatch are emitted immediately; the trailing
-    open session is held in per-key state with a timeout at
-    sess_end + gap, so it is emitted exactly when the watermark proves
-    no earlier event can extend it.
+    batch sessionizer in queries.events_sessionize). Emission is
+    WATERMARK-GATED: a session row is appended only once
+    ``sess_end + gap <= watermark`` — the proof that no admissible
+    event (on-time or late within the watermark delay) can still merge
+    into it, forward OR backward.  Emitting "sessions closed within the
+    batch" eagerly would fragment under late data: an event later than
+    an already-emitted session but within its gap would have to open a
+    spurious second session.
 
-    State is one (start, end, count) triple per ACTIVE key — bounded by
-    the number of keys active within the gap horizon, the minimum any
-    correct sessionizer needs; timeouts evict closed keys.
+    State is the key's list of OPEN sessions as (start, end, count)
+    arrays — bounded by the number of sessions inside the watermark
+    horizon (one, under the default 0-second watermark); the event-time
+    timeout at the earliest open ``end + gap`` flushes without new data.
     """
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -108,12 +112,33 @@ def session_windows(
             }
         )
 
+    def _flush(k, sessions: list[list[int]], state: GroupState, wm: int):
+        """Emit every session the watermark has sealed; keep the rest in
+        state with a timeout at the earliest open end + gap."""
+        keep: list[list[int]] = []
+        for s in sessions:
+            if s[1] + gap_ms <= wm:
+                yield _row(k, s[0], s[1], s[2])
+            else:
+                keep.append(s)
+        if keep:
+            state.update(
+                ([s[0] for s in keep], [s[1] for s in keep], [s[2] for s in keep])
+            )
+            # kept sessions have end+gap > wm, so the timeout is valid
+            state.setTimeoutTimestamp(min(s[1] for s in keep) + gap_ms)
+        else:
+            state.remove()
+
     def fn(key, pdfs, state: GroupState):
         k = key[0]
+        wm = state.getCurrentWatermarkMs()
+        sessions: list[list[int]] = []  # [start_ms, end_ms, n]
+        if state.exists:
+            starts, ends, ns = state.get
+            sessions = [[int(a), int(b), int(c)] for a, b, c in zip(starts, ends, ns)]
         if state.hasTimedOut:
-            start_ms, end_ms, n = state.get
-            state.remove()
-            yield _row(k, start_ms, end_ms, n)
+            yield from _flush(k, sessions, state, wm)
             return
         ts_ms: list[int] = []
         for pdf in pdfs:
@@ -124,16 +149,12 @@ def session_windows(
             return
         ts_ms.sort()
         # Interval-merge sessionization (Flink session-window merge
-        # semantics): the stored session is an interval; an event merges
-        # into any session it lies within `gap` of — INCLUDING backwards
-        # (watermark > 0 admits events older than the stored start; the
-        # old forward-only fold glued those onto the newer session
-        # without lowering start_ms, emitting an interval that did not
-        # cover its own events).  An event > gap older than every
-        # session opens its own.
-        sessions: list[list[int]] = []  # [start_ms, end_ms, n]
-        if state.exists:
-            sessions.append(list(state.get))
+        # semantics): an event merges into any open session it lies
+        # within `gap` of — INCLUDING backwards (watermark > 0 admits
+        # events older than a stored start; a forward-only fold would
+        # glue those onto the newer session without lowering start_ms,
+        # emitting an interval that did not cover its own events).  An
+        # event > gap away from every session opens its own.
         for t in ts_ms:
             for s in sessions:
                 # gap == threshold extends (strictly-greater splits),
@@ -154,14 +175,7 @@ def session_windows(
                 merged[-1][2] += s[2]
             else:
                 merged.append(s)
-        # all but the chronologically-last close within this batch; the
-        # last stays open in state until the event-time timeout proves
-        # no event can extend it
-        for s in merged[:-1]:
-            yield _row(k, s[0], s[1], s[2])
-        start_ms, end_ms, n = merged[-1]
-        state.update((start_ms, end_ms, n))
-        state.setTimeoutTimestamp(end_ms + gap_ms)
+        yield from _flush(k, merged, state, wm)
 
     return (
         stream.withWatermark(ts_col, watermark)
@@ -169,7 +183,7 @@ def session_windows(
         .applyInPandasWithState(
             fn,
             outputStructType=SESSION_SCHEMA,
-            stateStructType="start_ms LONG, end_ms LONG, n LONG",
+            stateStructType="starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

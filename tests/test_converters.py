@@ -56,6 +56,39 @@ def test_connect_decimal_precise_wide_and_padded(spark):
     ]
 
 
+def test_connect_decimal_precise_16_byte_and_beyond(spark):
+    # 16-byte minimal encodings (legal for precision 37-38) and
+    # heavily sign-extension-padded encodings of both signs
+    v = 10**36
+    rows = [
+        (_b64(-v),),            # needs 16 bytes minimal
+        (_b64(v),),
+        (_b64(-v, nbytes=20),),  # FF-padded beyond the chunk width
+        (_b64(v, nbytes=20),),
+    ]
+    df = spark.createDataFrame(rows, "b string")
+    got = [
+        str(r["d"])
+        for r in df.select(
+            C.connect_decimal_precise(F.col("b"), 38, 0).alias("d")
+        ).collect()
+    ]
+    assert got == [str(-v), str(v), str(-v), str(v)]
+
+
+def test_variable_scale_decimal_negative_scale(spark):
+    # Oracle NUMBER(p, s<0): scale -2 multiplies up by 100
+    rows = [((-2, _b64(5)),), ((-3, _b64(-7)),)]
+    df = spark.createDataFrame(rows, "vs struct<scale:int, value:string>")
+    got = [
+        str(r["d"])
+        for r in df.select(
+            C.variable_scale_decimal(F.col("vs"), 18, 0).alias("d")
+        ).collect()
+    ]
+    assert got == ["500", "-7000"]
+
+
 def test_connect_decimal_string_and_double(spark):
     df = spark.createDataFrame([("123.45", 123.45)], "s string, d double")
     row = df.select(
@@ -98,7 +131,7 @@ def test_mysql_set_to_array(spark):
     got = [
         r["a"] for r in df.select(C.mysql_set_to_array(F.col("s")).alias("a")).collect()
     ]
-    assert got == [["a", "b", "c"], ["solo"], [], []]
+    assert got == [["a", "b", "c"], ["solo"], [], None]  # NULL stays NULL
 
 
 def _geo_df(spark, wkb: bytes, srid: int = 4326):

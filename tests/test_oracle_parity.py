@@ -28,12 +28,16 @@ def test_entry_runs(spark):
     assert set(e.oracle_sql().keys()) <= set(e.queries().keys())
 
 
-# Driver-mimic sweep: both sides through pandas/Arrow, dtype-exact
-# (datetime64 resolution, int width, tz-awareness) BEFORE value reprs.
-# Round-3 lesson: `compare` above is dtype-blind, so b6_all_types_decode
-# passed locally while hash-failing at the driver for three rounds.
-# Only the driver-checked window (first 50 registered queries) gets this
-# stricter gate — past-window queries are covered by `compare`.
+# Driver-mimic sweep: Spark via Arrow toPandas, oracle via DuckDB's
+# .df() pandas fetch (coercion-faithful: DECIMAL/HUGEINT→float64), rows
+# compared on STRING REPRS — the empirically validated model of the
+# driver's hash (see compare_pandas' docstring; it is deliberately NOT
+# dtype-exact, since the driver tolerates ns-vs-us / int-width drift).
+# Round-3 lesson: `compare` above collects raw rows and so is blind to
+# pandas-fetch coercions — b6_all_types_decode passed it locally while
+# hash-failing at the driver for three rounds.  Only the driver-checked
+# window (first 50 registered queries) gets this extra gate —
+# past-window queries are covered by `compare`.
 WINDOW = [n for n in list(catalog.queries())[:50] if n in catalog.oracle_sql()]
 
 

@@ -130,7 +130,8 @@ def test_parse_create_table_ddl():
     assert ch.type == "CREATE"
     assert ch.table_id == "shop.orders"
     assert [c.name for c in ch.columns] == ["id", "amount", "note", "tags"]
-    assert ch.primary_key == ["id", "id"] or ch.primary_key == ["id"]
+    # inline PK + clause PK naming the same column must dedupe
+    assert ch.primary_key == ["id"]
     st = ch.to_struct()
     import pyspark.sql.types as T
 

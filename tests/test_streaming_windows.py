@@ -121,9 +121,9 @@ def test_windowed_counts_append_mode_evicts_late_rows(spark, tmp_path):
 
 
 def test_session_windows_streaming(spark, tmp_path):
-    """Event-time session windows via applyInPandasWithState: sessions
-    closed within a batch emit immediately; trailing sessions emit when
-    the watermark passes sess_end + gap (event-time timeout)."""
+    """Event-time session windows via applyInPandasWithState: a session
+    row is appended once the watermark passes sess_end + gap (via data
+    batches or the event-time timeout) — never earlier."""
     import datetime as dt
 
     from flink_cdc_2_3_0_src_spark.model import SEQ_COL
@@ -340,14 +340,17 @@ def test_session_windows_out_of_order_merge(spark, tmp_path):
         (2, 1, ts(2, 45)),
         # batch 3: 00:30 is > gap older than everything -> own session
         (3, 1, ts(0, 30)),
-        # watermark pumps (user 99): advance past every end+gap, then
-        # trigger the timeout-firing batch
+        # watermark pumps (user 99): under the 10h watermark delay, the
+        # [02:45, 03:00] session is sealed only once wm >= 03:30, i.e.
+        # after a batch whose max event time is >= 13:30 — so two pumps
+        # past that line, plus one more batch for the timeout to fire
         (4, 99, ts(12, 0)),
         (5, 99, ts(20, 0)),
+        (6, 99, ts(22, 0)),
     ]
     log = spark.createDataFrame(rows, f"{SEQ_COL} long, user_id long, ts timestamp")
     replay_dir = str(tmp_path / "replay_ooo")
-    write_replay_files(log, replay_dir, n_files=5)
+    write_replay_files(log, replay_dir, n_files=6)
     stream = read_replay_stream(spark, replay_dir, log.schema)
 
     # 10h watermark: every out-of-order event above is still admissible
@@ -369,4 +372,57 @@ def test_session_windows_out_of_order_merge(spark, tmp_path):
     assert got == [
         (1, ts(0, 30), ts(0, 30), 1),
         (1, ts(2, 45), ts(3, 0), 2),
+    ]
+
+
+def test_session_windows_no_fragmentation_on_late_event(spark, tmp_path):
+    """A late event within the gap of a session that an eager emitter
+    would ALREADY have flushed (because a later session existed in the
+    same batch) must still merge into it — watermark-gated emission
+    means at most one session row per true session, never a fragment."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.windows import session_windows
+
+    d = dt.datetime(2024, 1, 1)
+
+    def ts(h, m=0):
+        return d + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        # batch 1: two sessions at once — [1:00] and [3:00] (gap 30m)
+        (1, 1, ts(1, 0)),
+        (2, 1, ts(3, 0)),
+        # batch 2: 1:10 is late but within gap of [1:00] — an eager
+        # emitter has already flushed [1:00] and must fragment; the
+        # gated emitter merges to [1:00, 1:10]
+        (3, 1, ts(1, 10)),
+        # pumps: seal everything, then fire timeouts
+        (4, 99, ts(20, 0)),
+        (5, 99, ts(22, 0)),
+    ]
+    log = spark.createDataFrame(rows, f"{SEQ_COL} long, user_id long, ts timestamp")
+    replay_dir = str(tmp_path / "replay_frag")
+    write_replay_files(log, replay_dir, n_files=5)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    out = session_windows(stream, gap_minutes=30, watermark="6 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_frag")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_frag"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_frag WHERE user_id <> 99").collect()
+    )
+    assert got == [
+        (1, ts(1, 0), ts(1, 10), 2),
+        (1, ts(3, 0), ts(3, 0), 1),
     ]
