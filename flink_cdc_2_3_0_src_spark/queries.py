@@ -3064,3 +3064,44 @@ def cdc_mongo_bson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("marker"),
         F.decode(F.col("payload"), "UTF-8").alias("payload_str"),
     )
+
+
+# BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape, minus its
+# RE2-incompatible trailing-space lookahead): contraction suffixes,
+# space-prefixed letter/digit runs, punctuation runs, whitespace.  The
+# identical pattern tokenizes on both engines (Java regex and DuckDB
+# RE2 agree on \p{L}/\p{N} classes), so the corpus-wide token histogram
+# is exactly comparable.  Scale shape: regexp_extract_all is JVM
+# codegen, explode → partial agg → top-40 — same canonical form as
+# text_token_histogram.
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+@register(
+    "text_bpe_token_histogram",
+    f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text,
+            '{_BPE_PATTERN.replace("'", "''")}')) AS tok
+        FROM documents
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 40
+    """,
+)
+def text_bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ld(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_BPE_PATTERN), F.lit(0))
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(40)
+    )
