@@ -270,3 +270,57 @@ def test_bson_scalar_converters(spark):
     assert row["hi"] == "MaxKey"
     assert bytes(row["bin"]) == b"abc"
     assert row["n"] == -42
+
+
+def test_connect_decimal_precise_randomized_roundtrip(spark):
+    """Seeded random (value, scale, padding) cases through the
+    Connect-Decimal encode (Python reference: BigInteger.toByteArray
+    semantics) and the JVM decode, batched into TWO Spark jobs (one per
+    target type).  Covers up to 26 significant digits with scales 0..10
+    against decimal(38,10), plus every +/-2^k and sign-bit byte
+    boundary up to 2^120 against decimal(38,2), with minimal and
+    sign-extension-padded encodings of both signs."""
+    import random
+
+    rng = random.Random(20260814)
+    rand_cases = []
+    for _ in range(380):
+        digits = rng.randint(1, 26)
+        v = rng.randint(0, 10**digits - 1)
+        if rng.random() < 0.5:
+            v = -v
+        scale = rng.randint(0, 10)
+        nbytes = max((abs(v).bit_length() + 8) // 8, 1)
+        if rng.random() < 0.3:
+            nbytes += rng.randint(1, 6)  # legal sign-extension padding
+        rand_cases.append((v, scale, nbytes))
+    bound_cases = []
+    for k in (1, 7, 8, 15, 16, 31, 32, 63, 64, 119, 120):
+        for v in (2**k - 1, 2**k, -(2**k), -(2**k) - 1):
+            bound_cases.append((v, 2, max((abs(v).bit_length() + 8) // 8, 1)))
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        _apply_scale,
+        _unscaled_from_binary,
+    )
+
+    for cases, out_scale in ((rand_cases, 10), (bound_cases, 2)):
+        rows = [(_b64(v, nbytes=n), s) for v, s, n in cases]
+        df = spark.createDataFrame(rows, "b string, sc int")
+        neg, mag = _unscaled_from_binary(F.unbase64("b"))
+        got = [
+            r["d"]
+            for r in df.select(
+                _apply_scale(neg, mag, F.col("sc"), 38, out_scale).alias("d")
+            ).collect()
+        ]
+        import decimal as _dec
+
+        with _dec.localcontext(_dec.Context(prec=60)):
+            for (v, s_, n), d in zip(cases, got):
+                expect = Decimal(v).scaleb(-s_).quantize(
+                    Decimal(1).scaleb(-out_scale)
+                )
+                assert d == expect, (
+                    f"v={v} scale={s_} nbytes={n}: got {d}, want {expect}"
+                )

@@ -1,0 +1,37 @@
+"""Plan-hygiene gate over the ENTIRE driver window: the brief's scale
+rules ("no unbounded all-pairs joins", "UDFs are the slow path — never
+row-at-a-time Python in the hot path") enforced as a regression test,
+so a future query or operator change cannot silently reintroduce a
+cartesian join or a BatchEvalPython node into a driver-checked plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_2_3_0_src_spark import queries as catalog
+from tests.conftest import SF_SMOKE
+
+WINDOW = list(catalog.queries())[:50]
+
+# Deliberate exceptions, each a bounded broadcast of a TINY side:
+#   - ann_topk_cosine: the documented brute-force ANN baseline —
+#     broadcasts the small query set against the corpus (the scale
+#     paths are ann_lsh_bucketed / ann_topk_ivf, both equi-joins).
+#   - knn_graph: blocked cogrouped matmul over a broadcast block list;
+#     per-task memory bounded by the block size.
+NESTED_LOOP_ALLOWED = {"ann_topk_cosine", "knn_graph"}
+
+
+@pytest.mark.parametrize("name", WINDOW)
+def test_window_plan_hygiene(spark, name):
+    df = catalog.queries()[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in NESTED_LOOP_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join in plan (add to NESTED_LOOP_ALLOWED "
+            "only for a bounded tiny-side broadcast design)"
+        )
+    # row-at-a-time Python UDFs never belong in a driver-window plan;
+    # Arrow-batched pandas UDFs (ArrowEvalPython) are the sanctioned form
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
