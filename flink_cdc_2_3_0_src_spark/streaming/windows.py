@@ -100,24 +100,27 @@ def session_windows(
     """
     if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
         stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    gap_ms = gap_minutes * 60 * 1000
+    # all interval arithmetic in MICROS: event timestamps carry µs and
+    # truncating to ms would emit sessions whose bounds disagree with
+    # the batch sessionizer (the convergence test pins this)
+    gap_us = gap_minutes * 60 * 1_000_000
 
-    def _row(key, start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
+    def _row(key, start_us: int, end_us: int, n: int) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "user_id": [key],
-                "sess_start": [pd.Timestamp(start_ms, unit="ms")],
-                "sess_end": [pd.Timestamp(end_ms, unit="ms")],
+                "sess_start": [pd.Timestamp(start_us, unit="us")],
+                "sess_end": [pd.Timestamp(end_us, unit="us")],
                 "n_events": [n],
             }
         )
 
-    def _flush(k, sessions: list[list[int]], state: GroupState, wm: int):
+    def _flush(k, sessions: list[list[int]], state: GroupState, wm_ms: int):
         """Emit every session the watermark has sealed; keep the rest in
         state with a timeout at the earliest open end + gap."""
         keep: list[list[int]] = []
         for s in sessions:
-            if s[1] + gap_ms <= wm:
+            if s[1] + gap_us <= wm_ms * 1000:
                 yield _row(k, s[0], s[1], s[2])
             else:
                 keep.append(s)
@@ -125,29 +128,32 @@ def session_windows(
             state.update(
                 ([s[0] for s in keep], [s[1] for s in keep], [s[2] for s in keep])
             )
-            # kept sessions have end+gap > wm, so the timeout is valid
-            state.setTimeoutTimestamp(min(s[1] for s in keep) + gap_ms)
+            # kept sessions have end+gap > wm (in µs), so the CEIL of
+            # the earliest end+gap in ms is strictly > wm — a valid
+            # timeout that cannot re-fire without watermark progress
+            next_us = min(s[1] for s in keep) + gap_us
+            state.setTimeoutTimestamp(-(-next_us // 1000))
         else:
             state.remove()
 
     def fn(key, pdfs, state: GroupState):
         k = key[0]
         wm = state.getCurrentWatermarkMs()
-        sessions: list[list[int]] = []  # [start_ms, end_ms, n]
+        sessions: list[list[int]] = []  # [start_us, end_us, n]
         if state.exists:
             starts, ends, ns = state.get
             sessions = [[int(a), int(b), int(c)] for a, b, c in zip(starts, ends, ns)]
         if state.hasTimedOut:
             yield from _flush(k, sessions, state, wm)
             return
-        ts_ms: list[int] = []
+        ts_us: list[int] = []
         for pdf in pdfs:
             if len(pdf):
-                vals = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-                ts_ms.extend(int(v) for v in vals)
-        if not ts_ms:
+                vals = pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000
+                ts_us.extend(int(v) for v in vals)
+        if not ts_us:
             return
-        ts_ms.sort()
+        ts_us.sort()
         # Interval-merge sessionization (Flink session-window merge
         # semantics): an event merges into any open session it lies
         # within `gap` of — INCLUDING backwards (watermark > 0 admits
@@ -155,11 +161,11 @@ def session_windows(
         # glue those onto the newer session without lowering start_ms,
         # emitting an interval that did not cover its own events).  An
         # event > gap away from every session opens its own.
-        for t in ts_ms:
+        for t in ts_us:
             for s in sessions:
                 # gap == threshold extends (strictly-greater splits),
                 # symmetric in both directions
-                if s[0] - gap_ms <= t <= s[1] + gap_ms:
+                if s[0] - gap_us <= t <= s[1] + gap_us:
                     s[0] = min(s[0], t)
                     s[1] = max(s[1], t)
                     s[2] += 1
@@ -170,7 +176,7 @@ def session_windows(
         sessions.sort(key=lambda s: s[0])
         merged = [sessions[0]]
         for s in sessions[1:]:
-            if s[0] <= merged[-1][1] + gap_ms:
+            if s[0] <= merged[-1][1] + gap_us:
                 merged[-1][1] = max(merged[-1][1], s[1])
                 merged[-1][2] += s[2]
             else:

@@ -426,3 +426,55 @@ def test_session_windows_no_fragmentation_on_late_event(spark, tmp_path):
         (1, ts(1, 0), ts(1, 10), 2),
         (1, ts(3, 0), ts(3, 0), 1),
     ]
+
+
+def test_session_windows_converge_to_batch_sessionizer(spark, tmp_path):
+    """The streaming session operator must produce EXACTLY the batch
+    sessionizer's sessions on the real events table (same strict-gap
+    rule): replay events as 6 microbatches, pump the watermark past
+    every end+gap, and compare the full session sets."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.windows import session_windows
+
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id")
+    far = dt.datetime(2024, 6, 1)
+    pump = spark.createDataFrame(
+        [(10_000_001, -99, far), (10_000_002, -99, far + dt.timedelta(hours=1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    log = (
+        events.select("event_id", "user_id", "ts")
+        .unionByName(pump)
+        .withColumn(SEQ_COL, F.col("event_id"))
+    )
+    replay_dir = str(tmp_path / "replay_conv")
+    write_replay_files(log, replay_dir, n_files=6)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    out = session_windows(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_conv")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_conv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sessions_conv WHERE user_id <> -99"
+        ).collect()
+    }
+    from flink_cdc_2_3_0_src_spark.queries import events_sessionize
+
+    expect = {
+        (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
+        for r in events_sessionize(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert len(expect) > 10  # non-vacuous
