@@ -112,12 +112,18 @@ def apply_schema_change_stream(
     changes = log.filter(F.col(OP_COL) == OP_SCHEMA)
     rows = changes.select(SEQ_COL, payload_col).collect()
     for r in sorted(rows, key=lambda x: x[SEQ_COL]):
-        history.record(
-            table,
-            int(r[SEQ_COL]),
-            T.StructType.fromJson(_json.loads(r[payload_col])),
-            ddl=r[payload_col],
-        )
+        payload = r[payload_col]
+        try:
+            schema = T.StructType.fromJson(_json.loads(payload))
+        except (ValueError, KeyError, TypeError):
+            # not a pre-parsed schema JSON — a RAW DDL statement, the
+            # form a real binlog carries: parse it into a structured
+            # TableChange and evolve the table's schema (A25 payload
+            # fidelity; reference MySqlAntlrDdlParser by way of
+            # EmbeddedFlinkDatabaseHistory)
+            history.record_ddl(table, int(r[SEQ_COL]), payload)
+            continue
+        history.record(table, int(r[SEQ_COL]), schema, ddl=payload)
     data = log.filter(F.col(OP_COL) != OP_SCHEMA)
     return log if include_schema_changes else data
 

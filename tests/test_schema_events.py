@@ -200,3 +200,44 @@ def test_schema_history_record_ddl(tmp_path):
     h2 = SchemaHistory(str(tmp_path / "hist.json"))
     assert h2.schema_at("t", 200).fieldNames() == ["id", "v", "note"]
     assert h2.change_at("t", 100).type == "ALTER"
+
+
+def test_schema_change_stream_with_raw_ddl_payloads(spark, tmp_path):
+    """End-to-end A25: raw DDL statements flowing as +S records drive
+    the structured history, and decode_with_history then decodes
+    envelopes under the per-offset schema — the full
+    DDL → TableChange → evolved decode loop."""
+    import json
+
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, OP_SCHEMA, SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import (
+        SchemaHistory,
+        apply_schema_change_stream,
+        decode_with_history,
+    )
+
+    def env(seq, after):
+        return json.dumps(
+            {"after": after, "source": {"db": "d", "table": "t"},
+             "op": "c", "ts_ms": seq}
+        )
+
+    rows = [
+        (0, OP_SCHEMA, "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)"),
+        (1, "+I", env(1, {"id": 1, "v": 10})),
+        (2, "+I", env(2, {"id": 2, "v": 20})),
+        (3, OP_SCHEMA, "ALTER TABLE t ADD COLUMN note VARCHAR(32)"),
+        (4, "+I", env(4, {"id": 3, "v": 30, "note": "x"})),
+    ]
+    log = spark.createDataFrame(rows, f"{SEQ_COL} long, {OP_COL} string, value string")
+    hist = SchemaHistory(str(tmp_path / "hist.json"))
+    data = apply_schema_change_stream(log, hist, "t")
+    assert hist.schema_at("t", 2).fieldNames() == ["id", "v"]
+    assert hist.schema_at("t", 4).fieldNames() == ["id", "v", "note"]
+    assert hist.change_at("t", 3).type == "ALTER"
+
+    decoded = decode_with_history(data, hist, "t")
+    got = sorted(
+        (r["id"], r["v"], r["note"]) for r in decoded.filter("_op = '+I'").collect()
+    )
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, "x")]
