@@ -3069,12 +3069,18 @@ def cdc_mongo_bson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape, minus its
 # RE2-incompatible trailing-space lookahead): contraction suffixes,
 # space-prefixed letter/digit runs, punctuation runs, whitespace.  The
-# identical pattern tokenizes on both engines (Java regex and DuckDB
-# RE2 agree on \p{L}/\p{N} classes), so the corpus-wide token histogram
-# is exactly comparable.  Scale shape: regexp_extract_all is JVM
+# whitespace class is spelled EXPLICITLY ([ \t\n\x0B\f\r]) because
+# Java's \s includes U+000B while RE2's does not — with bare \s the two
+# engines tokenize VT-adjacent text differently.  With that pinned, the
+# identical pattern tokenizes identically on both engines (\p{L}/\p{N}
+# agree), so the corpus-wide token histogram is exactly comparable.  Scale shape: regexp_extract_all is JVM
 # codegen, explode → partial agg → top-40 — same canonical form as
 # text_token_histogram.
-_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_WS = r" \t\n\x0B\f\r"
+_BPE_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+|[{_WS}]+"
+)
 
 
 @register(

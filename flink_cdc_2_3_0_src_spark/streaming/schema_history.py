@@ -65,6 +65,10 @@ class SchemaHistory:
         prior_offsets = self.versions(table)
         prior = self.schema_at(table, prior_offsets[-1]) if prior_offsets else None
         evolved = apply_change(prior, change)
+        if change.type == "NOOP":
+            # index/constraint/truncate statements change no column
+            # layout — no version boundary recorded
+            return prior
         if evolved is None:
             raise ValueError(f"DROP TABLE ends history for {table!r}")
         self.record(table, offset, evolved, ddl=change.to_json())
@@ -90,6 +94,7 @@ def apply_schema_change_stream(
     table: str,
     include_schema_changes: bool = False,
     payload_col: str = "value",
+    skip_unparseable_ddl: bool = False,
 ):
     """Schema-change records flowing THROUGH the stream (reference
     ``includeSchemaChanges``, MySqlRecordEmitter.java:109-121): every
@@ -113,17 +118,25 @@ def apply_schema_change_stream(
     rows = changes.select(SEQ_COL, payload_col).collect()
     for r in sorted(rows, key=lambda x: x[SEQ_COL]):
         payload = r[payload_col]
-        try:
+        if payload.lstrip().startswith("{"):
+            # schema-JSON payload form; a malformed one must fail AS a
+            # JSON error, not get rerouted to the DDL parser
             schema = T.StructType.fromJson(_json.loads(payload))
-        except (ValueError, KeyError, TypeError):
-            # not a pre-parsed schema JSON — a RAW DDL statement, the
-            # form a real binlog carries: parse it into a structured
-            # TableChange and evolve the table's schema (A25 payload
-            # fidelity; reference MySqlAntlrDdlParser by way of
-            # EmbeddedFlinkDatabaseHistory)
-            history.record_ddl(table, int(r[SEQ_COL]), payload)
+            history.record(table, int(r[SEQ_COL]), schema, ddl=payload)
             continue
-        history.record(table, int(r[SEQ_COL]), schema, ddl=payload)
+        # RAW DDL statement, the form a real binlog carries: parse into
+        # a structured TableChange and evolve the table's schema (A25
+        # payload fidelity; reference MySqlAntlrDdlParser by way of
+        # EmbeddedFlinkDatabaseHistory).  Index/truncate-class
+        # statements are schema no-ops; anything unparseable either
+        # raises (default — silent schema drift is worse than a crash)
+        # or is skipped under ``skip_unparseable_ddl`` (the reference's
+        # database.history.skip.unparseable.ddl flag).
+        try:
+            history.record_ddl(table, int(r[SEQ_COL]), payload)
+        except ValueError:
+            if not skip_unparseable_ddl:
+                raise
     data = log.filter(F.col(OP_COL) != OP_SCHEMA)
     return log if include_schema_changes else data
 

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 from flink_cdc_2_3_0_src_spark.types import mysql_type_to_spark
 
-CREATE, ALTER, DROP = "CREATE", "ALTER", "DROP"
+CREATE, ALTER, DROP, NOOP = "CREATE", "ALTER", "DROP", "NOOP"
 
 
 @dataclass
@@ -137,6 +137,24 @@ _ALTER = re.compile(
 _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<id>\S+)\s*;?\s*$", re.IGNORECASE
 )
+# statements that change no column layout: recognized so a binlog replay
+# does not crash on them (Debezium likewise passes them through)
+_SCHEMA_NOOP = re.compile(
+    r"^\s*(?:TRUNCATE\s+TABLE\s+(?P<id1>\S+)"
+    r"|CREATE\s+(?:UNIQUE\s+)?INDEX\s+\S+\s+ON\s+(?P<id2>\S+)"
+    r"|DROP\s+INDEX\s+\S+\s+ON\s+(?P<id3>\S+)"
+    r"|ANALYZE\s+TABLE\s+(?P<id4>\S+)"
+    r"|OPTIMIZE\s+TABLE\s+(?P<id5>\S+))",
+    re.IGNORECASE,
+)
+# ALTER clauses that add/drop INDEXES or CONSTRAINTS, not columns — the
+# ADD-COLUMN regex must never see these (it would misparse 'ADD INDEX
+# idx_v (v)' as a column named INDEX)
+_ALTER_NOOP = re.compile(
+    r"^(?:ADD|DROP)\s+(?:UNIQUE\s+|FULLTEXT\s+|SPATIAL\s+)?"
+    r"(?:INDEX|KEY|CONSTRAINT|PRIMARY\s+KEY|FOREIGN\s+KEY|CHECK)\b",
+    re.IGNORECASE,
+)
 
 _ADD_COL = re.compile(
     r"^ADD\s+(?:COLUMN\s+)?" + _ident(1) + r"\s+(?P<type>[A-Za-z]+(?:\s*\([^)]*\))?"
@@ -232,10 +250,17 @@ def parse_ddl(ddl: str) -> TableChange:
             CREATE, _strip_ticks(m.group("id")), columns=cols, primary_key=pk
         )
 
+    nm = _SCHEMA_NOOP.match(ddl)
+    if nm:
+        tid = next(g for g in nm.groups() if g)
+        return TableChange(NOOP, _strip_ticks(tid))
+
     m = _ALTER.match(ddl)
     if m:
         tid = _strip_ticks(m.group("id"))
         rest = m.group("rest").strip()
+        if _ALTER_NOOP.match(rest):
+            return TableChange(NOOP, tid)
         am = _ADD_COL.match(rest)
         if am:
             notnull = re.search(r"NOT\s+NULL", am.group("rest") or "", re.IGNORECASE)
@@ -306,6 +331,8 @@ def apply_change(schema: Optional[T.StructType], change: TableChange) -> Optiona
     DROP TABLE returns None (table gone)."""
     if change.type == CREATE:
         return change.to_struct()
+    if change.type == NOOP:
+        return schema
     if change.type == DROP:
         return None
     if schema is None:

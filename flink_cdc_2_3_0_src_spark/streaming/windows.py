@@ -189,7 +189,10 @@ def session_windows(
         .applyInPandasWithState(
             fn,
             outputStructType=SESSION_SCHEMA,
-            stateStructType="starts ARRAY<LONG>, ends ARRAY<LONG>, ns ARRAY<LONG>",
+            # field names carry the unit: a checkpoint written by the old
+            # millis-unit state schema is INCOMPATIBLE by name and fails
+            # loudly on restore instead of silently reinterpreting ms as µs
+            stateStructType="starts_us ARRAY<LONG>, ends_us ARRAY<LONG>, ns ARRAY<LONG>",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

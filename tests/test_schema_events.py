@@ -241,3 +241,58 @@ def test_schema_change_stream_with_raw_ddl_payloads(spark, tmp_path):
         (r["id"], r["v"], r["note"]) for r in decoded.filter("_op = '+I'").collect()
     )
     assert got == [(1, 10, None), (2, 20, None), (3, 30, "x")]
+
+
+def test_parse_ddl_noop_and_index_guard():
+    """Index/constraint/truncate-class DDL must be schema NO-OPs — in
+    particular 'ALTER TABLE t ADD INDEX idx (v)' must NOT be misparsed
+    as adding a column named INDEX."""
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+        apply_change,
+        parse_ddl,
+    )
+
+    base = parse_ddl("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)").to_struct()
+    for ddl in (
+        "ALTER TABLE t ADD INDEX idx_v (v)",
+        "ALTER TABLE t ADD UNIQUE KEY uk_v (v)",
+        "ALTER TABLE t ADD CONSTRAINT c FOREIGN KEY (v) REFERENCES u(id)",
+        "ALTER TABLE t DROP INDEX idx_v",
+        "TRUNCATE TABLE t",
+        "CREATE INDEX idx_v ON t (v)",
+        "DROP INDEX idx_v ON t",
+        "ANALYZE TABLE t",
+    ):
+        ch = parse_ddl(ddl)
+        assert ch.type == "NOOP", ddl
+        assert apply_change(base, ch) == base, ddl
+
+
+def test_schema_change_stream_robustness(spark, tmp_path):
+    """NOOP DDL in-stream records no version; unparseable DDL raises by
+    default and is skipped under skip_unparseable_ddl (the reference's
+    database.history.skip.unparseable.ddl)."""
+    import pytest as _pytest
+
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, OP_SCHEMA, SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import (
+        SchemaHistory,
+        apply_schema_change_stream,
+    )
+
+    rows = [
+        (0, OP_SCHEMA, "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)"),
+        (1, OP_SCHEMA, "ALTER TABLE t ADD INDEX idx_v (v)"),   # noop
+        (2, OP_SCHEMA, "GRANT SELECT ON t TO alice"),          # unparseable
+    ]
+    log = spark.createDataFrame(rows, f"{SEQ_COL} long, {OP_COL} string, value string")
+    hist = SchemaHistory(str(tmp_path / "h1.json"))
+    with _pytest.raises(ValueError, match="unsupported DDL"):
+        apply_schema_change_stream(log, hist, "t")
+
+    hist2 = SchemaHistory(str(tmp_path / "h2.json"))
+    apply_schema_change_stream(log, hist2, "t", skip_unparseable_ddl=True)
+    # only the CREATE recorded a version; the index noop added none and
+    # the schema never grew a phantom INDEX column
+    assert hist2.versions("t") == [0]
+    assert hist2.schema_at("t", 10).fieldNames() == ["id", "v"]

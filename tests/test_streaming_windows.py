@@ -438,7 +438,7 @@ def test_session_windows_converge_to_batch_sessionizer(spark, tmp_path):
     from flink_cdc_2_3_0_src_spark.model import SEQ_COL
     from flink_cdc_2_3_0_src_spark.streaming.windows import session_windows
 
-    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "event_id")
+    events = load_table(spark, SF_SMOKE, "events")
     far = dt.datetime(2024, 6, 1)
     pump = spark.createDataFrame(
         [(10_000_001, -99, far), (10_000_002, -99, far + dt.timedelta(hours=1))],
@@ -462,7 +462,10 @@ def test_session_windows_converge_to_batch_sessionizer(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    finished = q.awaitTermination(180)
+    if not finished:
+        q.stop()
+    assert finished, "convergence stream did not finish within 180s"
 
     got = {
         (r["user_id"], r["sess_start"], r["sess_end"], r["n_events"])
