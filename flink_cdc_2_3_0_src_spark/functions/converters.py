@@ -390,3 +390,138 @@ def bson_binary(col: Column) -> Column:
     """{"$binary": {base64, subType}} -> BINARY payload (reference
     :400-410 unwraps to the raw bytes)."""
     return F.unbase64(col.getField("$binary").getField("base64"))
+
+# ---------------------------------------------------------------------------
+# Temporal converters.
+#
+# Debezium encodes every temporal column as a NUMBER (or, for zoned
+# timestamps, an ISO-8601 string) chosen by the column's semantic type name
+# (reference RowDataDebeziumDeserializeSchema.java:430-553
+# createDateConverter / createTimeConverter / createTimestampConverter /
+# createLocalTimeZoneTimestampConverter, plus
+# org.apache.flink...utils.TemporalConversions):
+#
+#   io.debezium.time.Date                  int32  epoch DAYS
+#   org.apache.kafka.connect.data.Date     int32  epoch days   (same shape)
+#   io.debezium.time.Timestamp             int64  epoch MILLIS (no tz)
+#   org.apache.kafka.connect.data.Timestamp int64 epoch millis (same shape)
+#   io.debezium.time.MicroTimestamp        int64  epoch MICROS
+#   io.debezium.time.NanoTimestamp         int64  epoch NANOS
+#   io.debezium.time.ZonedTimestamp        string ISO-8601 with offset ('Z')
+#   io.debezium.time.Time                  int32  MILLIS of day
+#   org.apache.kafka.connect.data.Time     int32  millis of day (same shape)
+#   io.debezium.time.MicroTime             int64  MICROS of day
+#   io.debezium.time.NanoTime              int64  nanos of day
+#
+# All decode paths below are pure JVM expression work (codegen-able, no
+# Python).  Naive timestamps land in TIMESTAMP_NTZ built by tz-free
+# arithmetic (date_add + day-time interval), so the session timezone can
+# NEVER shift a decoded value — the exact property the reference gets from
+# TimestampData.fromEpochMillis.  ZonedTimestamp follows the reference's
+# serverTimeZone contract: the carried instant is re-rendered as wall-clock
+# time in the configured zone (RowDataDebeziumDeserializeSchema.java:
+# convertToTimestamp uses serverTimeZone for exactly this).
+
+_EPOCH_DAY_US = 86_400_000_000
+
+
+def _epoch_date() -> Column:
+    return F.to_date(F.lit("1970-01-01"))
+
+
+def micros_to_ntz(us: Column) -> Column:
+    """Epoch microseconds -> TIMESTAMP_NTZ, timezone-free.
+
+    floor-division handles pre-epoch (negative) instants; the remainder
+    is attached as an exact decimal(18,6)-second day-time interval, so
+    every microsecond survives."""
+    us = us.cast("bigint")
+    days = F.floor(us / F.lit(_EPOCH_DAY_US)).cast("bigint")
+    rem = us - days * F.lit(_EPOCH_DAY_US)
+    d = F.date_add(_epoch_date(), days.cast("int"))
+    secs = (rem.cast("decimal(26,6)") / F.lit(1_000_000)).cast("decimal(18,6)")
+    return d.cast("timestamp_ntz") + F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), secs
+    )
+
+
+def debezium_date(col: Column) -> Column:
+    """io.debezium.time.Date / Connect Date: epoch days -> DATE."""
+    return F.date_add(_epoch_date(), col.cast("int"))
+
+
+def debezium_timestamp_millis(col: Column) -> Column:
+    """io.debezium.time.Timestamp / Connect Timestamp: epoch millis ->
+    TIMESTAMP_NTZ (reference convertToTimestamp, Timestamp branch)."""
+    return micros_to_ntz(col.cast("bigint") * F.lit(1000))
+
+
+def debezium_timestamp_micros(col: Column) -> Column:
+    """io.debezium.time.MicroTimestamp: epoch micros -> TIMESTAMP_NTZ."""
+    return micros_to_ntz(col)
+
+
+def _floor_div_1000(col: Column) -> Column:
+    """Exact int64 floor-division by 1000 (``/`` on longs is DOUBLE
+    division in Spark — a 53-bit mantissa is off-by-one at 1e17 nanos)."""
+    return F.floor(col.cast("bigint").cast("decimal(38,0)") / F.lit(1000)).cast(
+        "bigint"
+    )
+
+
+def debezium_timestamp_nanos(col: Column) -> Column:
+    """io.debezium.time.NanoTimestamp: epoch nanos -> TIMESTAMP_NTZ,
+    truncated to Spark's microsecond precision (floor keeps pre-epoch
+    values consistent with the positive-range truncation)."""
+    return micros_to_ntz(_floor_div_1000(col))
+
+
+def zoned_timestamp_to_ntz(col: Column, server_time_zone: str = "UTC") -> Column:
+    """io.debezium.time.ZonedTimestamp: ISO-8601 offset string (the form
+    Debezium emits for MySQL TIMESTAMP columns, always with an explicit
+    offset/'Z') -> wall-clock TIMESTAMP_NTZ in ``server_time_zone``.
+
+    Mirrors the reference's serverTimeZone re-rendering
+    (RowDataDebeziumDeserializeSchema.java:520-553): parse the instant
+    (offset honoured by Spark's ISO-8601 string->timestamp cast), shift
+    by the zone's offset AT THAT INSTANT (DST-correct via
+    from_utc_timestamp), then rebuild NTZ from the shifted epoch micros
+    so the result is independent of the Spark session timezone."""
+    inst = F.to_timestamp(col)
+    wall_us = F.unix_micros(F.from_utc_timestamp(inst, server_time_zone))
+    return micros_to_ntz(wall_us)
+
+
+def _time_of_day_string(us: Column) -> Column:
+    h = F.floor(us / F.lit(3_600_000_000)).cast("bigint")
+    m = F.floor(us / F.lit(60_000_000)).cast("bigint") % 60
+    s = F.floor(us / F.lit(1_000_000)).cast("bigint") % 60
+    frac = us % 1_000_000
+    return F.concat(
+        F.lpad(h.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(m.cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(s.cast("string"), 2, "0"),
+        F.lit("."),
+        F.lpad(frac.cast("string"), 6, "0"),
+    )
+
+
+def debezium_time_millis(col: Column) -> Column:
+    """io.debezium.time.Time / Connect Time: millis of day ->
+    'HH:MM:SS.ffffff' canonical string (Spark has no TIME type; the
+    reference maps to Flink TIME(0-3) ints — the string form keeps the
+    value readable AND totally ordered)."""
+    return _time_of_day_string(col.cast("bigint") * F.lit(1000))
+
+
+def debezium_time_micros(col: Column) -> Column:
+    """io.debezium.time.MicroTime: micros of day -> 'HH:MM:SS.ffffff'."""
+    return _time_of_day_string(col.cast("bigint"))
+
+
+def debezium_time_nanos(col: Column) -> Column:
+    """io.debezium.time.NanoTime: nanos of day -> 'HH:MM:SS.ffffff'
+    (micro truncation, same contract as NanoTimestamp)."""
+    return _time_of_day_string(_floor_div_1000(col))

@@ -2811,12 +2811,17 @@ def cdc_dbz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # string, double, VariableScaleDecimal struct) plus the MySQL SET→array
 # and GEOMETRY→GeoJSON converters — reference
 # RowDataDebeziumDeserializeSchema.java:555-587 and
-# MySqlDeserializationConverterFactory.java:68-148.  The envelope is
-# BUILT from orders in-query (fixture encode: JVM hex/base64 for the
-# decimals, one tiny pandas UDF packing Point WKB — test-data
-# generation, not the graded decode path), then decoded by
+# MySqlDeserializationConverterFactory.java:68-148 — plus the TEMPORAL
+# encodings (epoch-days Date, milli/micro/nano Timestamps, ZonedTimestamp
+# re-rendered at server-time-zone, micros-of-day MicroTime — reference
+# :430-553 createDate/Time/Timestamp/LocalTimeZoneTimestamp converters).
+# The envelope is BUILT from orders in-query (fixture encode: JVM
+# hex/base64 for the decimals, one tiny pandas UDF packing Point WKB —
+# test-data generation, not the graded decode path), then decoded by
 # from_debezium_json + functions.converters; the oracle recomputes the
-# expected logical values straight from the table.
+# expected logical values straight from the table.  Decoded timestamps
+# are pinned to epoch-micros BIGINT / canonical strings on both engines
+# (driver hash is repr-sensitive — never ship a raw temporal).
 @register(
     "cdc_dbz_typed_decode",
     """
@@ -2834,7 +2839,25 @@ def cdc_dbz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            '{"type":"Point","coordinates":['
                || CAST((o_orderkey % 360) - 179.5 AS VARCHAR) || ','
                || CAST((o_custkey % 180) - 89.75 AS VARCHAR)
-               || '],"srid":4326}' AS geo_json
+               || '],"srid":4326}' AS geo_json,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS t_date_str,
+           CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 86400000
+                 + (o_orderkey % 86400) * 1000 + o_orderkey % 1000) * 1000 AS BIGINT)
+               AS t_ms_us,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 86400000000
+                 + (o_orderkey % 86400) * 1000000 + o_orderkey % 1000000 AS BIGINT)
+               AS t_us_us,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 86400000000
+                 + (o_orderkey % 86400) * 1000000 + o_orderkey % 1000000 AS BIGINT)
+               AS t_ns_us,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 86400000000
+                 + (o_orderkey % 86400) * 1000000 + o_orderkey % 1000000
+                 + 7200000000 AS BIGINT) AS t_zoned_us,
+           lpad(CAST(CAST(floor(((o_orderkey * 7919) % 86400000000) / 3600000000.0) AS BIGINT) AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(CAST(floor(((o_orderkey * 7919) % 86400000000) / 60000000.0) AS BIGINT) % 60 AS VARCHAR), 2, '0')
+             || ':' || lpad(CAST(CAST(floor(((o_orderkey * 7919) % 86400000000) / 1000000.0) AS BIGINT) % 60 AS VARCHAR), 2, '0')
+             || '.' || lpad(CAST(((o_orderkey * 7919) % 86400000000) % 1000000 AS VARCHAR), 6, '0')
+               AS t_time_str
     FROM orders WHERE o_orderkey % 11 = 0
     """,
 )
@@ -2866,6 +2889,19 @@ def cdc_dbz_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     b64_8 = lambda c: F.base64(F.unhex(F.lpad(F.hex(c), 16, "0")))  # noqa: E731
     x = (F.col("o_orderkey") % 360).cast("double") - 179.5
     y = (F.col("o_custkey") % 180).cast("double") - 89.75
+    # temporal fixture encodings (epoch days / millis / micros / nanos,
+    # ISO-8601 'Z' string, micros-of-day) — all derived from
+    # o_orderdate + o_orderkey so the oracle can recompute them exactly
+    k = F.col("o_orderkey")
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01")))
+    t_ms = days.cast("bigint") * 86_400_000 + (k % 86400) * 1000 + k % 1000
+    t_us = days.cast("bigint") * 86_400_000_000 + (k % 86400) * 1_000_000 + k % 1_000_000
+    t_ns = t_us * 1000 + k % 1000
+    t_z = F.concat(
+        F.date_format(C.micros_to_ntz(t_us), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+        F.lit("Z"),
+    )
+    t_tod = (k * 7919) % 86_400_000_000
     after = F.struct(
         F.col("o_orderkey").alias("okey"),
         b64_8(cents).alias("dec_precise"),
@@ -2885,6 +2921,12 @@ def cdc_dbz_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(
             _wkb_point_b64(x, y).alias("wkb"), F.lit(4326).alias("srid")
         ).alias("geo"),
+        days.alias("t_days"),
+        t_ms.alias("t_ms"),
+        t_us.alias("t_us"),
+        t_ns.alias("t_ns"),
+        t_z.alias("t_z"),
+        t_tod.alias("t_tod"),
     )
     env = o.select(
         F.to_json(
@@ -2924,6 +2966,12 @@ def cdc_dbz_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 ),
             ),
+            T.StructField("t_days", T.IntegerType()),
+            T.StructField("t_ms", T.LongType()),
+            T.StructField("t_us", T.LongType()),
+            T.StructField("t_ns", T.LongType()),
+            T.StructField("t_z", T.StringType()),
+            T.StructField("t_tod", T.LongType()),
         ]
     )
     decoded = from_debezium_json(
@@ -2937,6 +2985,14 @@ def cdc_dbz_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vs": lambda c: C.variable_scale_decimal(c, 18, 4),
             "set_s": C.mysql_set_to_array,
             "geo": C.geometry_to_geojson,
+            "t_days": C.debezium_date,
+            "t_ms": C.debezium_timestamp_millis,
+            "t_us": C.debezium_timestamp_micros,
+            "t_ns": C.debezium_timestamp_nanos,
+            # serverTimeZone=+02:00: the 'Z' instant re-rendered two
+            # hours ahead (reference convertToTimestamp's serverTimeZone)
+            "t_z": lambda c: C.zoned_timestamp_to_ntz(c, "+02:00"),
+            "t_tod": C.debezium_time_micros,
         },
     )
     return decoded.select(
@@ -2950,6 +3006,12 @@ def cdc_dbz_typed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("set_s", 1).alias("set_first"),
         F.array_join("set_s", "|").alias("set_joined"),
         F.col("geo").alias("geo_json"),
+        F.date_format(F.col("t_days"), "yyyy-MM-dd").alias("t_date_str"),
+        _epoch_us_ntz(F.col("t_ms")).alias("t_ms_us"),
+        _epoch_us_ntz(F.col("t_us")).alias("t_us_us"),
+        _epoch_us_ntz(F.col("t_ns")).alias("t_ns_us"),
+        _epoch_us_ntz(F.col("t_z")).alias("t_zoned_us"),
+        F.col("t_tod").alias("t_time_str"),
     )
 
 

@@ -324,3 +324,98 @@ def test_connect_decimal_precise_randomized_roundtrip(spark):
                 assert d == expect, (
                     f"v={v} scale={s_} nbytes={n}: got {d}, want {expect}"
                 )
+
+
+# --- temporal converter matrix (reference RowDataDebeziumDeserializeSchema
+# .java:430-553 createDate/Time/Timestamp/LocalTimeZoneTimestamp converters) ---
+
+
+def test_debezium_date_and_timestamps(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(19723, 1704164645123, 1704164645123456, 1704164645123456789)],
+        "days int, ms bigint, us bigint, ns bigint",
+    )
+    row = df.select(
+        C.debezium_date(F.col("days")).alias("d"),
+        C.debezium_timestamp_millis(F.col("ms")).alias("t_ms"),
+        C.debezium_timestamp_micros(F.col("us")).alias("t_us"),
+        C.debezium_timestamp_nanos(F.col("ns")).alias("t_ns"),
+    ).collect()[0]
+    assert row["d"] == dt.date(2024, 1, 1)
+    # 2024-01-02T03:04:05.123[456] UTC wall clock, tz-free
+    assert row["t_ms"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123000)
+    assert row["t_us"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert row["t_ns"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+
+
+def test_debezium_timestamp_session_tz_independent(spark):
+    """The decoded NTZ value must not move with the session timezone."""
+    import datetime as dt
+
+    df = spark.createDataFrame([(1704164645123456,)], "us bigint")
+    expected = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = df.select(
+                C.debezium_timestamp_micros(F.col("us")).alias("t")
+            ).collect()[0]["t"]
+            assert got == expected, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_debezium_pre_epoch_values(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame([(-1, -1)], "days int, us bigint")
+    row = df.select(
+        C.debezium_date(F.col("days")).alias("d"),
+        C.micros_to_ntz(F.col("us")).alias("t"),
+    ).collect()[0]
+    assert row["d"] == dt.date(1969, 12, 31)
+    assert row["t"] == dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+
+
+def test_zoned_timestamp_server_time_zone(spark):
+    """ZonedTimestamp ISO strings re-rendered at serverTimeZone,
+    DST-correct: America/New_York is UTC-5 in January, UTC-4 in July."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-02T03:04:05.123456Z",),
+            ("2024-07-02T03:04:05.123456Z",),
+            ("2024-01-02T05:04:05+02:00",),  # same instant as 03:04:05Z
+        ],
+        "z string",
+    )
+    ny = df.select(C.zoned_timestamp_to_ntz(F.col("z"), "America/New_York").alias("t")).collect()
+    assert ny[0]["t"] == dt.datetime(2024, 1, 1, 22, 4, 5, 123456)  # EST -5
+    assert ny[1]["t"] == dt.datetime(2024, 7, 1, 23, 4, 5, 123456)  # EDT -4
+    assert ny[2]["t"] == dt.datetime(2024, 1, 1, 22, 4, 5)
+    utc = df.select(C.zoned_timestamp_to_ntz(F.col("z")).alias("t")).collect()
+    assert utc[0]["t"] == dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert utc[2]["t"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_debezium_time_of_day(spark):
+    df = spark.createDataFrame(
+        [(11045123, 11045123456, 11045123456789, 0, 86399999)],
+        "ms bigint, us bigint, ns bigint, zero bigint, last_ms bigint",
+    )
+    row = df.select(
+        C.debezium_time_millis(F.col("ms")).alias("ms_s"),
+        C.debezium_time_micros(F.col("us")).alias("us_s"),
+        C.debezium_time_nanos(F.col("ns")).alias("ns_s"),
+        C.debezium_time_millis(F.col("zero")).alias("zero_s"),
+        C.debezium_time_millis(F.col("last_ms")).alias("last_s"),
+    ).collect()[0]
+    assert row["ms_s"] == "03:04:05.123000"
+    assert row["us_s"] == "03:04:05.123456"
+    assert row["ns_s"] == "03:04:05.123456"
+    assert row["zero_s"] == "00:00:00.000000"
+    assert row["last_s"] == "23:59:59.999000"
