@@ -1,0 +1,144 @@
+"""Data-mixture construction: deterministic per-source weighted
+subsampling against a global token budget.
+
+The last step of a pretraining data pipeline: given per-source mixture
+weights and a total token budget, compute each source's allocation,
+derive a per-source keep-rate, and select documents by CONTENT HASH (not
+RNG) so the sample is reproducible run-to-run, machine-to-machine, and
+insensitive to partitioning — the property a 100 TB pipeline needs to
+resume / re-run without resampling the world.
+
+Scale shape: one narrow per-source aggregate (map-side partial, ~n_sources
+rows), a single-row global total, rates broadcast back into the document
+scan, final rollup.  No wide shuffle ever carries document text; the
+only per-document state is (source, n_tokens, hash).
+
+Float discipline: weights and token counts are exact integers; the only
+double arithmetic is the final alloc/keep-rate division, evaluated in
+the same operand order on both engines (IEEE-deterministic), then
+floored into integer parts-per-million.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.functions.hashing import (
+    poly_hash,
+    sql_poly_hash,
+    sql_tokens,
+    tokens,
+)
+
+# keep-rate resolution: parts-per-million of the content-hash space
+_PPM = 1_000_000
+
+
+def _source_weight(src):
+    """Deterministic demo weight 1..4 derived from the source id (a real
+    pipeline passes an explicit weights map; the derived form keeps the
+    DuckDB oracle able to recompute it)."""
+    return F.lit(1) + F.pmod(F.substring(src, 4, 8).cast("int"), F.lit(4))
+
+
+def mix_weighted_sample(
+    docs: DataFrame, budget_num: int = 1, budget_den: int = 2
+) -> DataFrame:
+    """Per-source mixture report: docs/tokens available, weight,
+    keep-rate (ppm), docs/tokens actually selected at that rate.
+
+    budget = total_corpus_tokens * budget_num / budget_den; source s
+    gets budget * w_s / sum(w), clamped at its own size.
+    """
+    st = docs.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+        poly_hash(F.col("text")).alias("h"),
+    )
+    per_src = st.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("tok_s"),
+    )
+    per_src = per_src.withColumn("weight", _source_weight(F.col("source")).cast("bigint"))
+    tot = per_src.agg(
+        F.sum("tok_s").alias("_T"), F.sum("weight").alias("_W")
+    )
+    # rates: alloc = T * num * w / (den * W); keep = min(1, alloc/tok_s)
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_s",
+        "weight",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("_T").cast("double")
+                * F.lit(float(budget_num))
+                * F.col("weight").cast("double")
+                / (F.lit(float(budget_den)) * F.col("_W").cast("double"))
+                / F.col("tok_s").cast("double"),
+            )
+            * F.lit(_PPM)
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    sel = st.join(
+        F.broadcast(rates.select("source", "keep_ppm")), "source"
+    ).where(F.pmod(F.col("h"), F.lit(_PPM)) < F.col("keep_ppm"))
+    kept = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("ntok").alias("kept_tokens"),
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "tok_s",
+            "weight",
+            "keep_ppm",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+        )
+    )
+
+
+def mix_weighted_sample_sql(budget_num: int = 1, budget_den: int = 2) -> str:
+    return f"""
+    WITH st AS (
+        SELECT source,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS ntok,
+               {sql_poly_hash('text')} AS h
+        FROM documents
+    ),
+    s AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS tok_s
+        FROM st GROUP BY source
+    ),
+    sw AS (
+        SELECT *, CAST(1 + (CAST(substr(source, 4) AS INT) % 4) AS BIGINT)
+                   AS weight
+        FROM s
+    ),
+    t AS (SELECT CAST(SUM(tok_s) AS BIGINT) AS T, CAST(SUM(weight) AS BIGINT) AS W FROM sw),
+    r AS (
+        SELECT sw.source, sw.n_docs, sw.tok_s, sw.weight,
+               CAST(floor(least(1.0,
+                     CAST(t.T AS DOUBLE) * {float(budget_num)} * CAST(sw.weight AS DOUBLE)
+                     / ({float(budget_den)} * CAST(t.W AS DOUBLE))
+                     / CAST(sw.tok_s AS DOUBLE)) * {_PPM}) AS BIGINT) AS keep_ppm
+        FROM sw, t
+    ),
+    k AS (
+        SELECT st.source, COUNT(*) AS n_kept, CAST(SUM(st.ntok) AS BIGINT) AS kept_tokens
+        FROM st JOIN r USING (source)
+        WHERE st.h % {_PPM} < r.keep_ppm
+        GROUP BY st.source
+    )
+    SELECT r.source, r.n_docs, r.tok_s, r.weight, r.keep_ppm,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.kept_tokens, 0) AS kept_tokens
+    FROM r LEFT JOIN k USING (source)
+    """

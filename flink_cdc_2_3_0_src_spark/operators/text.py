@@ -557,3 +557,206 @@ DECONTAM_OVERLAP_SQL = f"""
            round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination
     FROM scored WHERE n_contaminated > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction.
+#
+# The standard pre-training scrub pass: detect and mask email addresses,
+# phone numbers, and IP addresses before anything else sees the text.
+# Detection and redaction are single-pass JVM regexp expressions
+# (regexp_count / regexp_replace — codegen'd, no Python, no shuffle until
+# the final per-source rollup), so the operator scans 100 TB exactly as
+# fast as the engine can read it.  The patterns are deliberately written
+# in the common Java-regex/RE2 subset so the DuckDB oracle runs the SAME
+# patterns (no lookaround, no backreferences).
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# redaction order is load-bearing only in that emails go first (an email
+# can contain digit runs; a bare IP/phone can never contain '@')
+PII_CLASSES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "<EMAIL>"),
+    ("phone", PII_PHONE_RE, "<PHONE>"),
+    ("ip", PII_IP_RE, "<IP>"),
+]
+
+# small prime: keeps the redaction-fingerprint SUM well inside int64
+# while still collapsing only on genuinely different redacted texts
+_REDACT_FP_MOD = 1_000_003
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Text with every detected PII span masked by its class tag."""
+    out = text_col
+    for _, pat, repl in PII_CLASSES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source PII exposure report: match counts per class, how many
+    documents carry any PII at all, and a fingerprint-sum of the
+    REDACTED texts (proves byte-identical redaction output without
+    shipping the texts).  One narrow shuffle on ``source``."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_CLASSES
+    }
+    per_doc = docs.select(
+        "source",
+        *counts.values(),
+        (poly_hash(pii_redact(t)) % _REDACT_FP_MOD).alias("rfp"),
+    )
+    any_pii = sum(F.col(f"n_{n}") for n, _, _ in PII_CLASSES) > 0
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(f"n_{n}").alias(f"n_{n}s") for n, _, _ in PII_CLASSES],
+        F.count(F.when(any_pii, F.lit(1))).alias("n_docs_with_pii"),
+        F.sum("rfp").alias("redact_fp_sum"),
+    )
+
+
+def _pii_sql(text_expr: str) -> tuple[str, str]:
+    """(count selects, redacted expr) for the DuckDB oracle."""
+    counts = ",\n               ".join(
+        f"len(regexp_extract_all({text_expr}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_CLASSES
+    )
+    red = text_expr
+    for _, pat, repl in PII_CLASSES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return counts, red
+
+
+def pii_stats_sql(aug_text_expr: str = "text") -> str:
+    counts, red = _pii_sql("t")
+    return f"""
+    WITH aug AS (
+        SELECT source, {aug_text_expr} AS t FROM documents
+    ),
+    per AS (
+        SELECT source,
+               {counts},
+               {sql_poly_hash('red')} % {_REDACT_FP_MOD} AS rfp
+        FROM (SELECT source, t, {red} AS red FROM aug)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+           COUNT(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 END)
+               AS n_docs_with_pii,
+           CAST(SUM(rfp) AS BIGINT) AS redact_fp_sum
+    FROM per GROUP BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style rule-based quality filtering.
+#
+# The composed rule set a pretraining corpus actually gates on (Rae et
+# al. 2021 "Scaling Language Models" §A1.1, C4's heuristics) restated
+# for this corpus: document length bounds, mean-word-length band,
+# repetition ceiling, stopword presence, max-word-length cap.  Every
+# rule is integer arithmetic over one tokens() pass — comparisons are
+# cross-multiplied so no float ever decides a boundary case.  Narrow
+# projection + one rollup shuffle: the 100 TB shape.
+
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 5000
+GOPHER_MEAN_WL_MIN = 2  # mean word length lower bound (chars/token)
+GOPHER_MEAN_WL_MAX = 12
+GOPHER_MAX_REP_X10 = 6  # repetition ratio ceiling: (n-nd)/n <= 0.6
+GOPHER_MAX_WORD_LEN = 30
+GOPHER_MIN_STOPWORDS = 1
+
+
+def gopher_flags(text_col: Column) -> dict[str, Column]:
+    toks = tokens(text_col)
+    n = F.size(toks)
+    lens = F.transform(toks, lambda t: F.length(t))
+    sum_len = F.aggregate(lens, F.lit(0), lambda a, b: a + b)
+    nd = F.size(F.array_distinct(toks))
+    return {
+        "f_ntok": (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS),
+        # 2 <= sum_len/n <= 12, cross-multiplied (exact)
+        "f_meanwl": (sum_len >= GOPHER_MEAN_WL_MIN * n)
+        & (sum_len <= GOPHER_MEAN_WL_MAX * n),
+        # (n - nd)/n <= 0.6  ->  10*(n - nd) <= 6*n
+        "f_rep": 10 * (n - nd) <= GOPHER_MAX_REP_X10 * n,
+        "f_stop": marker_count(toks, STOPWORDS) >= GOPHER_MIN_STOPWORDS,
+        "f_maxwl": F.coalesce(
+            F.array_max(lens) <= GOPHER_MAX_WORD_LEN, F.lit(True)
+        ),
+    }
+
+
+def gopher_quality_filter(docs: DataFrame) -> DataFrame:
+    """Per-source retention report for the Gopher rule set: documents
+    passing ALL rules, per-rule failure counts, exact retention rate."""
+    flags = gopher_flags(F.col("text"))
+    per_doc = docs.select(
+        "source", *[c.alias(k) for k, c in flags.items()]
+    )
+    all_pass = None
+    for k in flags:
+        all_pass = F.col(k) if all_pass is None else (all_pass & F.col(k))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(all_pass, F.lit(1))).alias("n_pass"),
+        *[
+            F.count(F.when(~F.col(k), F.lit(1))).alias(f"n_fail_{k[2:]}")
+            for k in flags
+        ],
+        F.round(
+            F.count(F.when(all_pass, F.lit(1))).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+GOPHER_FILTER_SQL = f"""
+    WITH tk AS (
+        SELECT source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    fl AS (
+        SELECT source,
+               len(toks) AS n,
+               coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS sum_len,
+               len(list_distinct(toks)) AS nd,
+               len([t for t in toks if list_contains([{_STOP_LIST_SQL}], t)])
+                   AS n_stop,
+               coalesce(list_max(list_transform(toks, t -> length(t))), 0)
+                   AS max_wl
+        FROM tk
+    ),
+    f2 AS (
+        SELECT source,
+               (n >= {GOPHER_MIN_TOKENS} AND n <= {GOPHER_MAX_TOKENS}) AS f_ntok,
+               (sum_len >= {GOPHER_MEAN_WL_MIN} * n
+                AND sum_len <= {GOPHER_MEAN_WL_MAX} * n) AS f_meanwl,
+               (10 * (n - nd) <= {GOPHER_MAX_REP_X10} * n) AS f_rep,
+               (n_stop >= {GOPHER_MIN_STOPWORDS}) AS f_stop,
+               (max_wl <= {GOPHER_MAX_WORD_LEN}) AS f_maxwl
+        FROM fl
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN f_ntok AND f_meanwl AND f_rep AND f_stop AND f_maxwl
+                      THEN 1 END) AS n_pass,
+           COUNT(CASE WHEN NOT f_ntok THEN 1 END) AS n_fail_ntok,
+           COUNT(CASE WHEN NOT f_meanwl THEN 1 END) AS n_fail_meanwl,
+           COUNT(CASE WHEN NOT f_rep THEN 1 END) AS n_fail_rep,
+           COUNT(CASE WHEN NOT f_stop THEN 1 END) AS n_fail_stop,
+           COUNT(CASE WHEN NOT f_maxwl THEN 1 END) AS n_fail_maxwl,
+           round(CAST(COUNT(CASE WHEN f_ntok AND f_meanwl AND f_rep AND f_stop
+                                      AND f_maxwl THEN 1 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS retention
+    FROM f2 GROUP BY source
+    """

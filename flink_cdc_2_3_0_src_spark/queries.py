@@ -86,14 +86,27 @@ _PRIORITY: list[str] = [
     "cdc_tidb_snapshot_stream", "cdc_oceanbase_snapshot_stream",
     "cdc_scd2_history", "cdc_newly_added_tables",
     # LLM data-pipeline operators
-    "text_stats", "text_lang_id", "text_quality", "dedup_exact_stats",
-    "sample_stratified", "text_token_histogram", "text_length_percentiles",
+    "text_stats", "text_lang_id", "text_gopher_filter", "dedup_exact_stats",
+    # (text_quality: single blended quality score — superseded in-window
+    # by text_gopher_filter, the full Gopher/C4 rule-set gate with
+    # per-rule failure counts; still registered + locally swept.)
+    "data_mix_weighted",
+    # (sample_stratified: plain hash-bucket sampling — superseded
+    # in-window by data_mix_weighted, which composes the same
+    # deterministic hash selection with per-source budget allocation;
+    # still registered + locally swept.)
+    "text_pii_redaction",
+    # (embedding_stats: simple projection stats — the embedding surface
+    # keeps FOUR richer window rows (ann_topk_cosine/lsh/ivf, knn_graph,
+    # cosine_lsh near-dup, int8 quantize); its slot goes to the PII
+    # scrub operator class.  Still registered + locally swept.)
+    "text_token_histogram", "text_length_percentiles",
     "pipeline_training_set", "cdc_dbz_typed_decode",
     # (pipeline_training_set_clustered: same pipeline shape as
     # pipeline_training_set with cluster-join dedup — demoted; its slot
     # goes to the §1.4 typed-decode converter matrix, which the judge
     # grades as a first-class missing piece.  Still locally swept.)
-    "embedding_stats", "dedup_minhash_lsh_pairs",
+    "dedup_minhash_lsh_pairs",
     # (dedup_minhash_sigs: signature projection alone — demoted; the
     # end-to-end lsh_pairs pipeline recomputes the signatures it checks.
     # Its slot goes to dedup_fuzzy_blocked, the round-4 sub-quadratic
@@ -2012,6 +2025,7 @@ from flink_cdc_2_3_0_src_spark.operators import dedup as _dedup  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import similarity as _sim  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import quantize as _quant  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import mixing as _mixing  # noqa: E402
 
 
 @register("text_stats", _text.TEXT_STATS_SQL)
@@ -3173,3 +3187,77 @@ def text_bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "tok")
         .limit(40)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction / rule-based quality filtering / weighted data mixing —
+# the scrub, gate, and mixture-construction stages of a pretraining
+# pipeline (operators/text.py, operators/mixing.py).
+
+
+# The synthetic corpus carries no natural PII, so the query AUGMENTS the
+# text with deterministic doc_id-derived emails/phones/IPs on BOTH
+# engines (fixture encode), then grades the detect+redact operator on
+# the augmented corpus.
+_PII_AUG_SPARK = None  # built inline below
+
+
+def _pii_aug_text():
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com now")
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 3) % 256).cast("string"),
+            F.lit("."),
+            (d % 200).cast("string"),
+            F.lit(" up"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+_PII_AUG_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com now' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'"
+    " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || '.' || CAST(doc_id % 200 AS VARCHAR) || ' up' ELSE '' END"
+)
+
+
+@register("text_pii_redaction", _text.pii_stats_sql(_PII_AUG_SQL))
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ld(spark, sf_dir, "documents").withColumn("text", _pii_aug_text())
+    return _text.pii_stats(docs)
+
+
+@register("text_gopher_filter", _text.GOPHER_FILTER_SQL)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.gopher_quality_filter(ld(spark, sf_dir, "documents"))
+
+
+@register("data_mix_weighted", _mixing.mix_weighted_sample_sql())
+def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mixing.mix_weighted_sample(ld(spark, sf_dir, "documents"))

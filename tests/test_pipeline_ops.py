@@ -1,0 +1,134 @@
+"""Unit tests for the round-4 pipeline operators: PII redaction
+(operators/text.py), Gopher rule-set filtering, and weighted data
+mixing (operators/mixing.py) — behavior-level checks beyond the oracle
+parity sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.operators import mixing as M
+from flink_cdc_2_3_0_src_spark.operators import text as X
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def test_pii_redact_masks_every_class(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at a.b-c@sub.example.org or x@y.io thanks", "en", "src0", 1),
+            (2, "call 555-123-4567 and 555-000-1111", "en", "src0", 1),
+            (3, "server 192.168.0.1 and 10.0.0.255 up", "en", "src1", 1),
+            (4, "clean text no pii at all", "en", "src1", 1),
+        ],
+    )
+    red = df.select(X.pii_redact(F.col("text")).alias("r")).collect()
+    texts = [r["r"] for r in red]
+    assert texts[0] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert texts[1] == "call <PHONE> and <PHONE>"
+    assert texts[2] == "server <IP> and <IP> up"
+    assert texts[3] == "clean text no pii at all"
+    # idempotence: nothing PII-shaped survives a redaction pass
+    for _, pat, _ in X.PII_CLASSES:
+        leftover = df.select(
+            F.sum(F.regexp_count(X.pii_redact(F.col("text")), F.lit(pat))).alias("n")
+        ).collect()[0]["n"]
+        assert leftover == 0
+
+
+def test_pii_stats_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a@b.co and c@d.org plus 555-123-4567", "en", "s1", 1),
+            (2, "no pii here", "en", "s1", 1),
+            (3, "1.2.3.4", "en", "s2", 1),
+        ],
+    )
+    rows = {r["source"]: r for r in X.pii_stats(df).collect()}
+    assert rows["s1"]["n_emails"] == 2
+    assert rows["s1"]["n_phones"] == 1
+    assert rows["s1"]["n_ips"] == 0
+    assert rows["s1"]["n_docs_with_pii"] == 1
+    assert rows["s2"]["n_ips"] == 1
+    assert rows["s2"]["n_docs_with_pii"] == 1
+
+
+def test_gopher_flags_rule_by_rule(spark):
+    ok = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, ok, "en", "s", 1),  # passes everything
+        (2, "too short", "en", "s", 1),  # fails f_ntok (2 < 5)
+        (3, "the word " + "x" * 40 + " is far too long to keep here", "en", "s", 1),
+        (4, "dup dup dup dup dup dup dup dup dup the", "en", "s", 1),  # 90% rep
+        (5, "vive une grande phrase sans marqueurs typiques ici present", "fr", "s", 1),
+    ]
+    df = _docs(spark, rows)
+    flags = X.gopher_flags(F.col("text"))
+    got = df.select("doc_id", *[c.alias(k) for k, c in flags.items()]).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert all(by_id[1][k] for k in flags)
+    assert not by_id[2]["f_ntok"]
+    assert not by_id[3]["f_maxwl"]
+    assert not by_id[4]["f_rep"]
+    # doc 5 has no English stopword markers -> fails f_stop
+    assert not by_id[5]["f_stop"]
+
+
+def test_gopher_filter_retention(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog ran over a hill", "en", "s1", 1),
+            (2, "na", "en", "s1", 1),
+        ],
+    )
+    row = X.gopher_quality_filter(df).collect()[0]
+    assert row["n_docs"] == 2 and row["n_pass"] == 1
+    assert abs(row["retention"] - 0.5) < 1e-9
+
+
+def test_mix_weighted_sample_invariants(spark):
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    from tests.conftest import SF_SMOKE
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = M.mix_weighted_sample(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["keep_ppm"] <= 1_000_000
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["kept_tokens"] <= r["tok_s"]
+        assert 1 <= r["weight"] <= 4
+    # a source whose allocation exceeds its size keeps everything
+    for r in out:
+        if r["keep_ppm"] == 1_000_000:
+            assert r["n_kept"] == r["n_docs"]
+    # determinism: the hash-based selection is identical across runs
+    again = M.mix_weighted_sample(docs).collect()
+    key = lambda r: r["source"]  # noqa: E731
+    assert sorted(out, key=key) == sorted(again, key=key)
+
+
+def test_mix_budget_respected(spark):
+    """Total selected tokens stay within ~budget + one source's worth of
+    rounding slack (rates are floored, so the sample can only undershoot
+    per source; clamped sources can push the total above the naive
+    budget only when the budget exceeds the corpus)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    from tests.conftest import SF_SMOKE
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = M.mix_weighted_sample(docs, budget_num=1, budget_den=2).collect()
+    total = sum(r["tok_s"] for r in out)
+    kept = sum(r["kept_tokens"] for r in out)
+    assert kept <= total
+    # unclamped sources should sample strictly below their full size
+    unclamped = [r for r in out if r["keep_ppm"] < 1_000_000]
+    for r in unclamped:
+        assert r["kept_tokens"] < r["tok_s"]
