@@ -1,0 +1,205 @@
+"""Distributed k-means clustering over the embedding column — the
+semantic-clustering / semantic-dedup primitive of a training-data
+pipeline (cluster-then-keep-representatives, topic bucketing, IVF
+coarse quantizer training).
+
+Lloyd's algorithm in the shape MLlib uses it at scale: per-iteration,
+the ONLY driver-side state is the k x dim centroid table (k rows —
+independent of data size); assignment is a pure broadcast-literal
+column expression over the vectors, and the centroid update is one
+partial-aggregated groupBy(cluster, dim) shuffle that carries exactly
+k * dim * n_partitions rows off each stage.
+
+Everything is EXACT INTEGER arithmetic: vectors are quantized to
+micro-units (floor(x * 1e6) as int64) once, distances are int64
+squared-L2, the centroid update is an exact floored integer division,
+and ties break to the lowest cluster id.  Identical results on any
+partitioning, any engine — the DuckDB oracle unrolls the same
+iterations in SQL and matches hash-exactly, which is how an iterative
+algorithm earns a strict correctness row instead of a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# quantization scale: micro-units keep |q| < ~2^23 for unit-ish
+# embeddings, so a 64-dim squared distance stays far inside int64
+_SCALE = 1_000_000
+
+
+def quantize_vec(col):
+    """array<float> -> array<bigint> micro-unit quantization (exact:
+    float->double widening is lossless, floor is deterministic)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _SCALE).cast("long")
+    )
+
+
+def _assign_expr(vec_col, centroids: list[list[int]]):
+    """cluster id = argmin_j ||v - c_j||^2, ties to the lowest j.
+    Centroids enter the plan as literals (broadcast by construction)."""
+    carr = F.array(
+        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
+    )
+    dists = F.transform(
+        carr,
+        lambda c: F.aggregate(
+            F.zip_with(vec_col, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # array_position: 1-based FIRST occurrence -> lowest-j tie-break
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _floor_div(s, n):
+    """Exact floor(s / n) for int64 s, positive n: subtract the
+    mathematical remainder first so the double division is exact."""
+    rem = ((s % n) + n) % n
+    return ((s - rem) / n).cast("long")
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cluster, dim) -> floored per-dim centroid component."""
+    ex = assigned.select(
+        F.col("cl"), F.posexplode(F.col("v")).alias("d", "val")
+    )
+    return ex.groupBy("cl", "d").agg(
+        _floor_div(F.sum("val"), F.count(F.lit(1))).alias("cd")
+    )
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """k-means over ``embeddings(vec_id, embedding)``; returns one row
+    per non-empty cluster: size, vec_id aggregates, and the NEXT
+    centroid fingerprint (sum of floored components — proves the whole
+    iteration chain, not just the final assignment).
+
+    Init: the quantized vectors of vec_id 0..k-1 (deterministic).
+    """
+    q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
+    init = (
+        q.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("vec_id", "v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init]
+    assigned = None
+    for _ in range(iters):
+        assigned = q.select(
+            "vec_id", "v", _assign_expr(F.col("v"), centroids).alias("cl")
+        )
+        upd = {
+            r["cl"]: r
+            for r in _update(assigned)
+            .groupBy("cl")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("cd")))
+                ).alias("pairs")
+            )
+            .collect()
+        }
+        centroids = [
+            [p["cd"] for p in upd[j]["pairs"]] if j in upd else centroids[j]
+            for j in range(k)
+        ]
+    # final pass: stats of the last assignment + next-centroid fingerprint
+    fp = _update(assigned).groupBy("cl").agg(
+        F.sum("cd").alias("centroid_fp")
+    )
+    stats = assigned.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("vec_id").alias("sum_vec_id"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+    return (
+        stats.join(fp, "cl")
+        .select(
+            F.col("cl").alias("cluster"),
+            "n_vecs",
+            "sum_vec_id",
+            "min_vec_id",
+            "centroid_fp",
+        )
+    )
+
+
+def _sql_dist(v: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({v}, {c}),"
+        f" p -> CAST(p[1] - p[2] AS BIGINT) * (p[1] - p[2])))"
+    )
+
+
+def _sql_assign(q: str, cs: str, out: str) -> str:
+    """One assignment round: q(vec_id, v) x cs(j, c) -> out(vec_id, v, cl)."""
+    return f"""
+    {out} AS (
+        SELECT vec_id, v, j AS cl FROM (
+            SELECT {q}.vec_id, {q}.v, {cs}.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {q}.vec_id
+                       ORDER BY {_sql_dist(f'{q}.v', f'{cs}.c')}, {cs}.j
+                   ) AS rn
+            FROM {q} CROSS JOIN {cs}
+        ) WHERE rn = 1
+    )"""
+
+
+def _sql_update(a: str, prev_cs: str, u: str, cs: str, k: int) -> str:
+    """Centroid update round: a(vec_id, v, cl) -> cs(j, c); empty
+    clusters inherit their previous centroid."""
+    return f"""
+    {u} AS (
+        SELECT cl, d, CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS cd
+        FROM (
+            SELECT cl, gs AS d, CAST(SUM(val) AS BIGINT) AS s, COUNT(*) AS n
+            FROM (
+                SELECT cl, unnest(v) AS val, generate_subscripts(v, 1) AS gs
+                FROM {a}
+            ) GROUP BY cl, gs
+        )
+    ),
+    {cs} AS (
+        SELECT p.j, coalesce(nc.c, p.c) AS c
+        FROM {prev_cs} p LEFT JOIN (
+            SELECT cl AS j, list(cd ORDER BY d) AS c FROM {u} GROUP BY cl
+        ) nc ON p.j = nc.j
+    )"""
+
+
+def kmeans_clusters_sql(k: int = 8, iters: int = 2) -> str:
+    parts = [
+        f"""q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS j, v AS c FROM q WHERE vec_id < {k})"""
+    ]
+    cs = "c0"
+    for i in range(1, iters + 1):
+        parts.append(_sql_assign("q", cs, f"a{i}"))
+        parts.append(_sql_update(f"a{i}", cs, f"u{i}", f"c{i}", k))
+        cs = f"c{i}"
+    last_a, last_u = f"a{iters}", f"u{iters}"
+    body = ",".join(parts)
+    return f"""
+    WITH {body}
+    SELECT s.cl AS cluster, s.n_vecs, s.sum_vec_id, s.min_vec_id, f.centroid_fp
+    FROM (
+        SELECT cl, COUNT(*) AS n_vecs, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+               MIN(vec_id) AS min_vec_id
+        FROM {last_a} GROUP BY cl
+    ) s JOIN (
+        SELECT cl, CAST(SUM(cd) AS BIGINT) AS centroid_fp FROM {last_u} GROUP BY cl
+    ) f ON s.cl = f.cl
+    """

@@ -2026,6 +2026,7 @@ from flink_cdc_2_3_0_src_spark.operators import similarity as _sim  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import quantize as _quant  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import mixing as _mixing  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import clustering as _clust  # noqa: E402
 
 
 @register("text_stats", _text.TEXT_STATS_SQL)
@@ -3261,3 +3262,14 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("data_mix_weighted", _mixing.mix_weighted_sample_sql())
 def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mixing.mix_weighted_sample(ld(spark, sf_dir, "documents"))
+
+
+# Semantic clustering: exact integer-arithmetic Lloyd's k-means over the
+# embedding table (operators/clustering.py) — the cluster-then-dedup /
+# topic-bucketing / IVF-coarse-quantizer primitive.  Iterative algorithm
+# with a STRICT oracle: the DuckDB SQL unrolls the same two iterations
+# and matches hash-exactly (quantized int64 vectors, exact floored
+# centroid updates, lowest-id tie-breaks).
+@register("embedding_kmeans", _clust.kmeans_clusters_sql())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clust.kmeans_clusters(ld(spark, sf_dir, "embeddings"))

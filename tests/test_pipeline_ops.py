@@ -132,3 +132,41 @@ def test_mix_budget_respected(spark):
     unclamped = [r for r in out if r["keep_ppm"] < 1_000_000]
     for r in unclamped:
         assert r["kept_tokens"] < r["tok_s"]
+
+
+# --- k-means clustering (operators/clustering.py) ---
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_recovers_separated_groups(spark):
+    from flink_cdc_2_3_0_src_spark.operators import clustering as C
+
+    near_a = [(i, [1.0 + 0.01 * i, 1.0, 0.0, 0.0]) for i in range(0, 4)]
+    near_b = [(i, [-1.0, -1.0 - 0.01 * i, 0.0, 0.0]) for i in range(4, 8)]
+    # ids laid out so init centroid 0 sits in group A and centroid 1 in
+    # group B; two Lloyd's rounds must keep the groups separated
+    df = _emb(spark, [(0, near_a[0][1]), (1, near_b[0][1])]
+              + [(i + 2, v) for i, (_, v) in enumerate(near_a[1:] + near_b[1:])])
+    out = C.kmeans_clusters(df, k=2, iters=2).collect()
+    by_cl = {r["cluster"]: r for r in out}
+    assert len(by_cl) == 2
+    assert by_cl[0]["n_vecs"] == 4 and by_cl[1]["n_vecs"] == 4
+    # group A = ids {0, 2, 3, 4}, group B = ids {1, 5, 6, 7}
+    assert by_cl[0]["sum_vec_id"] == 0 + 2 + 3 + 4
+    assert by_cl[1]["sum_vec_id"] == 1 + 5 + 6 + 7
+
+
+def test_kmeans_partition_invariant(spark):
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators import clustering as C
+
+    from tests.conftest import SF_SMOKE
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = sorted(C.kmeans_clusters(emb).collect())
+    b = sorted(C.kmeans_clusters(emb.repartition(7)).collect())
+    assert a == b
+    total = emb.count()
+    assert sum(r["n_vecs"] for r in a) == total
