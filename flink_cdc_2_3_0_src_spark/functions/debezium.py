@@ -156,6 +156,17 @@ def _op_code(op_col_expr):
     )
 
 
+#: Debezium transaction block (provide.transaction.metadata=true):
+#: sibling of before/after in every data event
+TRANSACTION_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("total_order", T.LongType()),
+        T.StructField("data_collection_order", T.LongType()),
+    ]
+)
+
+
 def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
     return T.StructType(
         [
@@ -169,6 +180,9 @@ def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
             ),
             T.StructField("op", T.StringType()),
             T.StructField("ts_ms", T.LongType()),
+            # absent from the JSON unless transaction metadata is on;
+            # from_json yields NULL then, so the field is always safe
+            T.StructField("transaction", TRANSACTION_SCHEMA),
         ]
     )
 
@@ -179,6 +193,7 @@ def from_debezium_json(
     value_col: str = "value",
     include_schema: bool = False,
     converters: Optional[dict] = None,
+    include_transaction: bool = False,
 ) -> DataFrame:
     """JSON envelope strings → changelog rows with _op/_seq (A13).
 
@@ -197,6 +212,13 @@ def from_debezium_json(
     converter lifts it to the logical type — see
     ``functions.converters`` for the stock decimal / SET / geometry
     converters.
+
+    ``include_transaction=True`` surfaces the Debezium transaction
+    block (provide.transaction.metadata) as ``txn_id`` / ``txn_order``
+    columns — feed the result to
+    ``streaming.transactions.committed_changelog`` for
+    transaction-consistent emission; envelopes without the block yield
+    NULLs.
     """
     raw = F.col(value_col)
     if include_schema:
@@ -206,11 +228,20 @@ def from_debezium_json(
         env = F.from_json(raw, wrapper)["payload"]
     else:
         env = F.from_json(raw, debezium_envelope_schema(payload_schema))
+    txn_cols = (
+        [
+            env["transaction"]["id"].alias("txn_id"),
+            env["transaction"]["total_order"].alias("txn_order"),
+        ]
+        if include_transaction
+        else []
+    )
     flat = df.select(
         env["before"].alias("before"),
         env["after"].alias("after"),
         env["op"].alias("op"),
         env["ts_ms"].alias(SEQ_COL),
+        *txn_cols,
     )
     out = expand_updates(flat, "before", "after", "op", SEQ_COL)
     if converters:

@@ -3273,3 +3273,72 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_kmeans", _clust.kmeans_clusters_sql())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clust.kmeans_clusters(ld(spark, sf_dir, "embeddings"))
+
+
+# Transaction-consistent emission (Debezium provide.transaction.metadata):
+# data events carry (txn_id, total_order); the boundary stream carries
+# END markers with event_count + commit position.  Only COMPLETE,
+# COMMITTED transactions are released — in-flight transactions
+# (txn_id % 7 = 3 has no END marker) and incomplete ones (txn_id % 11 = 5
+# promises one more event than observed) are withheld — then the
+# released log is re-sequenced in commit order and materialized
+# (streaming/transactions.py).
+@register(
+    "cdc_txn_consistent",
+    f"""
+    WITH log AS ({{log}}),
+    tx AS (
+        SELECT *, CAST((_seq - (_seq % 5)) / 5 AS BIGINT) AS txn_id,
+               _seq % 5 AS txn_order
+        FROM log
+    ),
+    b AS (
+        SELECT txn_id,
+               CASE WHEN txn_id % 11 = 5 THEN COUNT(*) + 1
+                    ELSE COUNT(*) END AS event_count,
+               MAX(_seq) + 10 AS commit_seq
+        FROM tx GROUP BY txn_id HAVING txn_id % 7 <> 3
+    ),
+    obs AS (SELECT txn_id, COUNT(*) AS n_obs FROM tx GROUP BY txn_id),
+    ok AS (
+        SELECT b.txn_id, b.commit_seq FROM b JOIN obs USING (txn_id)
+        WHERE b.event_count = obs.n_obs
+    ),
+    com AS (
+        SELECT tx.user_id, tx.value, tx._op,
+               tx.commit_seq * 1000000 + tx.txn_order AS seq2
+        FROM (SELECT tx.*, ok.commit_seq FROM tx JOIN ok USING (txn_id)) tx
+    ),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq2 DESC) AS rn
+        FROM com
+    )
+    SELECT user_id, value FROM latest WHERE rn = 1 AND _op <> '-D'
+    """.format(log=_SCRIPTED_LOG_SQL),
+)
+def cdc_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        committed_changelog,
+    )
+
+    log = scripted_changelog(spark, sf_dir)
+    seq = F.col(SEQ_COL)
+    tx = log.withColumn(
+        "txn_id", ((seq - seq % 5) / 5).cast("long")
+    ).withColumn("txn_order", seq % 5)
+    grouped = tx.groupBy("txn_id").agg(
+        F.count(F.lit(1)).alias("_c"),
+        (F.max(seq) + 10).alias("commit_seq"),
+    )
+    boundaries = grouped.where(F.col("txn_id") % 7 != 3).select(
+        "txn_id",
+        F.when(F.col("txn_id") % 11 == 5, F.col("_c") + 1)
+        .otherwise(F.col("_c"))
+        .alias("event_count"),
+        "commit_seq",
+        F.lit("END").alias("status"),
+    )
+    committed = committed_changelog(tx, boundaries)
+    return materialize(
+        committed.select("user_id", "value", OP_COL, SEQ_COL), ["user_id"]
+    ).select("user_id", "value")

@@ -264,3 +264,99 @@ def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
     state = sink2.read_state()
     got = {(r["user_id"], r["value"]) for r in state.collect()}
     assert got == oracle_state(spark)
+
+
+def test_committed_changelog_withholds_and_reorders(spark):
+    """Debezium transaction metadata (streaming/transactions.py):
+    transactions release only when END-marked AND complete; released
+    events are re-sequenced by (commit position, total_order)."""
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        committed_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # txn 1: two events, committed EARLY (commit_seq 100)
+            (1, 10.0, "+I", 0, 1, 0),
+            (1, 11.0, "+U", 1, 1, 1),
+            # txn 2: committed LATER (commit_seq 200) but written first
+            # in the log — commit order must win
+            (1, 20.0, "+U", 2, 2, 0),
+            # txn 3: no END marker (in-flight) -> withheld
+            (9, 90.0, "+I", 3, 3, 0),
+            # txn 4: END marker promises 2 events, only 1 seen -> withheld
+            (8, 80.0, "+I", 4, 4, 0),
+        ],
+        "user_id int, value double, _op string, _seq long, txn_id long, txn_order long",
+    )
+    boundaries = spark.createDataFrame(
+        [
+            (1, "END", 2, 100),
+            (2, "END", 1, 200),
+            (4, "END", 2, 300),
+            (2, "BEGIN", 1, 150),  # BEGIN markers never commit
+        ],
+        "txn_id long, status string, event_count long, commit_seq long",
+    )
+    out = committed_changelog(log, boundaries)
+    rows = sorted(out.collect(), key=lambda r: r["_seq"])
+    assert [r["txn_id"] for r in rows] == [1, 1, 2]
+    assert [r["value"] for r in rows] == [10.0, 11.0, 20.0]
+    # commit-ordered: txn 1 (commit 100) precedes txn 2 (commit 200)
+    assert rows[0]["_seq"] == 100 * 1_000_000 + 0
+    assert rows[-1]["_seq"] == 200 * 1_000_000 + 0
+    assert all(r["user_id"] != 9 and r["user_id"] != 8 for r in rows)
+
+
+def test_from_debezium_json_transaction_block(spark):
+    """Envelope decode surfaces the Debezium transaction block; decoded
+    events feed committed_changelog end-to-end."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        committed_changelog,
+    )
+
+    def env(uid, val, op, ts, txn, order):
+        e = {
+            "before": None,
+            "after": {"user_id": uid, "value": val},
+            "op": op,
+            "ts_ms": ts,
+            "transaction": {
+                "id": txn,
+                "total_order": order,
+                "data_collection_order": order,
+            },
+        }
+        return (_json.dumps(e),)
+
+    rows = [
+        env(1, 1.0, "c", 0, "txA", 1),
+        env(1, 2.0, "u", 1, "txA", 2),
+        env(2, 9.0, "c", 2, "txB", 1),  # txB has no END marker
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded = from_debezium_json(df, schema, include_transaction=True)
+    assert {"txn_id", "txn_order"} <= set(decoded.columns)
+    # the 'u' op expands to -U/+U, BOTH carrying the txn metadata —
+    # Debezium counts the update as ONE event, so compare against the
+    # envelope-level count: collapse the -U half before counting
+    data = decoded.filter(F.col("_op") != "-U")
+    boundaries = spark.createDataFrame(
+        [("txA", "END", 2, 50)],
+        "txn_id string, status string, event_count long, commit_seq long",
+    )
+    out = committed_changelog(data, boundaries)
+    got = sorted(out.collect(), key=lambda r: r["_seq"])
+    assert [r["value"] for r in got] == [1.0, 2.0]
+    assert all(r["txn_id"] == "txA" for r in got)
