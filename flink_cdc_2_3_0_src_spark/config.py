@@ -47,6 +47,10 @@ class SourceConfig:
     startup_specific_offset_pos: Optional[int] = None
     startup_specific_gtid_set: Optional[str] = None
     startup_timestamp_ms: Optional[int] = None
+    # column projection (Debezium column.include.list): capture only
+    # these columns; split-key/PK columns are always retained so the
+    # chunk protocol and upsert merge stay keyed.  None = all columns.
+    column_include_list: Optional[list[str]] = None
     # misc
     heartbeat_interval_sec: int = 30                         # :188-190
     scan_newly_added_table_enabled: bool = False             # :233-235
@@ -86,6 +90,13 @@ class SourceConfig:
                 raise ValueError(
                     f"server-id range {self.server_id} smaller than "
                     f"parallelism {self.parallelism}"
+                )
+        if self.column_include_list is not None:
+            if not self.column_include_list or any(
+                not isinstance(c, str) or not c for c in self.column_include_list
+            ):
+                raise ValueError(
+                    "column.include.list must be a non-empty list of column names"
                 )
         if self.startup_mode == StartupMode.SPECIFIC_OFFSET:
             if self.startup_specific_gtid_set is None and (

@@ -216,18 +216,38 @@ class JdbcDialect:
         return _next
 
     # ---- A5: split-scan SQL (buildSplitScanQuery:132-188 parity) ----
+    def scan_select_list(self, table: TableId, split) -> str:
+        """Projection for the chunk scan: ``*`` by default, or the
+        configured column.include.list (Debezium column projection) with
+        the split-key columns prepended when missing — the chunk
+        protocol and the downstream upsert merge always need the key.
+        At scale this is the difference between shipping a wide table's
+        every column through every snapshot split and shipping only what
+        the pipeline declared it needs."""
+        include = self.config.column_include_list
+        if not include:
+            return "*"
+        key = split.split_key
+        key_cols = [key] if isinstance(key, str) else list(key)
+        cols = [c for c in key_cols if c not in include] + list(include)
+        return ", ".join(self.q(c) for c in cols)
+
     def split_scan_sql(self, table: TableId, split) -> str:
-        """SELECT * with the chunk's range predicate — the statement each
-        snapshot split runs on the source DB.  Single-key predicates use
-        key_select_expr so bounds captured in that space (e.g. Oracle
-        ROWIDTOCHAR) compare consistently."""
+        """Chunk-range scan statement each snapshot split runs on the
+        source DB: projected select list + the chunk's range predicate.
+        Single-key predicates use key_select_expr so bounds captured in
+        that space (e.g. Oracle ROWIDTOCHAR) compare consistently."""
         key = split.split_key
         qkey = (
             self.key_select_expr(key)
             if isinstance(key, str)
             else [self.q(k) for k in key]
         )
-        return f"SELECT * FROM {self._tref(table)} WHERE {split.range.predicate_sql(qkey)}"
+        sel = self.scan_select_list(table, split)
+        return (
+            f"SELECT {sel} FROM {self._tref(table)} "
+            f"WHERE {split.range.predicate_sql(qkey)}"
+        )
 
     def planner(self, table: TableId) -> ChunkPlanner:
         key = self.split_keys(table)

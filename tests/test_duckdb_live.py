@@ -127,3 +127,50 @@ def test_live_composite_pk_snapshot_roundtrip(con):
     # lexicographic membership is exclusive across splits
     for probe in [(1, 1), (60, 3), (120, 4)]:
         assert sum(1 for s in splits if s.range.contains(probe)) == 1
+
+
+def test_live_column_projection_pushdown(con):
+    """column.include.list projects the chunk scan SQL on the live DB;
+    split-key columns are always retained even when not listed."""
+    # wide-ish table where only one payload column is wanted
+    con.execute(
+        "CREATE TABLE wide_live (id BIGINT PRIMARY KEY, a INT, b INT, c VARCHAR)"
+    )
+    con.execute(
+        "INSERT INTO wide_live SELECT i, i*2, i*3, 'x' || i "
+        "FROM generate_series(1, 200) t(i)"
+    )
+    d = _dialect(con, chunk_size=64, column_include_list=["b"])
+    t = TableId("main", None, "wide_live")
+    splits = d.planner(t).plan_splits()
+    sql = d.split_scan_sql(t, splits[0])
+    assert sql.startswith('SELECT "id", "b" FROM')
+    rows = d.snapshot_rows(t)
+    # every row is (id, b) — two columns, key first
+    assert all(len(r) == 2 for r in rows)
+    assert sorted(r[0] for r in rows) == list(range(1, 201))
+    assert all(r[1] == r[0] * 3 for r in rows)
+    # listing the key explicitly must not duplicate it
+    d2 = _dialect(con, chunk_size=64, column_include_list=["id", "b"])
+    sql2 = d2.split_scan_sql(t, d2.planner(t).plan_splits()[0])
+    assert sql2.startswith('SELECT "id", "b" FROM')
+
+
+def test_live_composite_key_projection(con):
+    d = _dialect(con, chunk_size=100, column_include_list=["qty"])
+    t = TableId("main", None, "line_live")
+    splits = d.planner(t).plan_splits()
+    sql = d.split_scan_sql(t, splits[0])
+    assert sql.startswith('SELECT "order_id", "line_no", "qty" FROM')
+    rows = d.snapshot_rows(t)
+    assert len(rows) == 480 and all(len(r) == 3 for r in rows)
+
+
+def test_column_include_list_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SourceConfig(column_include_list=[]).validate()
+    with _pytest.raises(ValueError):
+        SourceConfig(column_include_list=[""]).validate()
+    SourceConfig(column_include_list=["a"]).validate()
