@@ -57,7 +57,10 @@ def _assign_expr(vec_col, centroids: list[list[int]]):
 
 def _floor_div(s, n):
     """Exact floor(s / n) for int64 s, positive n: subtract the
-    mathematical remainder first so the double division is exact."""
+    mathematical remainder first, so the (IEEE double) division has an
+    integral, exactly-representable result.  Envelope: |s| < 2^53 —
+    with micro-unit components that is ~10^9 vectors per cluster; shard
+    the update by a vector-id salt before exceeding it."""
     rem = ((s % n) + n) % n
     return ((s - rem) / n).cast("long")
 
@@ -89,6 +92,10 @@ def kmeans_clusters(
         .select("vec_id", "v")
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans init needs vec_id 0..{k - 1} present; found {len(init)}"
+        )
     centroids = [list(r["v"]) for r in init]
     assigned = None
     for _ in range(iters):

@@ -36,20 +36,39 @@ _PPM = 1_000_000
 
 
 def _source_weight(src):
-    """Deterministic demo weight 1..4 derived from the source id (a real
-    pipeline passes an explicit weights map; the derived form keeps the
-    DuckDB oracle able to recompute it)."""
-    return F.lit(1) + F.pmod(F.substring(src, 4, 8).cast("int"), F.lit(4))
+    """Deterministic demo weight 1..4 derived from the source id (used
+    when no explicit weights map is given; the derived form keeps the
+    DuckDB oracle able to recompute it).  Sources not shaped like
+    ``src<N>`` fall back to weight 1."""
+    idx = F.substring(src, 4, 8).cast("int")
+    return F.coalesce(F.lit(1) + F.pmod(idx, F.lit(4)), F.lit(1))
+
+
+def _weight_expr(src, weights: dict | None):
+    if weights is None:
+        return _source_weight(src)
+    w = F.lit(1)  # unlisted sources keep weight 1
+    for name, val in weights.items():
+        if not isinstance(val, int) or val < 0:
+            raise ValueError(f"weight for {name!r} must be a non-negative int")
+        w = F.when(src == name, F.lit(val)).otherwise(w)
+    return w
 
 
 def mix_weighted_sample(
-    docs: DataFrame, budget_num: int = 1, budget_den: int = 2
+    docs: DataFrame,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    weights: dict | None = None,
 ) -> DataFrame:
     """Per-source mixture report: docs/tokens available, weight,
     keep-rate (ppm), docs/tokens actually selected at that rate.
 
     budget = total_corpus_tokens * budget_num / budget_den; source s
-    gets budget * w_s / sum(w), clamped at its own size.
+    gets budget * w_s / sum(w), clamped at its own size.  ``weights``
+    maps source name -> integer weight (weight 0 drops the source);
+    unlisted sources default to 1.  Without a map, the deterministic
+    demo weight keeps the operator oracle-comparable.
     """
     st = docs.select(
         "source",
@@ -60,7 +79,9 @@ def mix_weighted_sample(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").alias("tok_s"),
     )
-    per_src = per_src.withColumn("weight", _source_weight(F.col("source")).cast("bigint"))
+    per_src = per_src.withColumn(
+        "weight", _weight_expr(F.col("source"), weights).cast("bigint")
+    )
     tot = per_src.agg(
         F.sum("tok_s").alias("_T"), F.sum("weight").alias("_W")
     )

@@ -3200,9 +3200,6 @@ def text_bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text with deterministic doc_id-derived emails/phones/IPs on BOTH
 # engines (fixture encode), then grades the detect+redact operator on
 # the augmented corpus.
-_PII_AUG_SPARK = None  # built inline below
-
-
 def _pii_aug_text():
     d = F.col("doc_id")
     email = F.when(

@@ -223,7 +223,13 @@ class JdbcDialect:
         protocol and the downstream upsert merge always need the key.
         At scale this is the difference between shipping a wide table's
         every column through every snapshot split and shipping only what
-        the pipeline declared it needs."""
+        the pipeline declared it needs.
+
+        Simplification vs Debezium: the reference's column.include.list
+        takes per-table ``db.table.column`` regexes; this config is one
+        flat column list applied to every captured table — fine for the
+        single-table and homogeneous-capture shapes, revisit if a
+        multi-table capture needs per-table projections."""
         include = self.config.column_include_list
         if not include:
             return "*"

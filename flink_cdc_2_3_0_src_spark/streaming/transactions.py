@@ -56,9 +56,18 @@ def committed_changelog(
     (commit_seq * 1e6 + total_order) and a ``_commit_seq`` column; rows
     of in-flight or incomplete transactions are withheld (exactly what
     a restarting consumer must do — a BEGIN without END replays later).
+    Rows with a NULL transaction id (metadata disabled upstream) are
+    withheld too: with provide.transaction.metadata on, every data
+    event carries the block, so a NULL id means the event cannot be
+    attributed to any commit.
     """
-    ends = boundaries.filter(F.col("status") == "END").select(
-        txn_col, "event_count", "commit_seq"
+    # transaction topics are at-least-once: a replayed END marker must
+    # not double-release its transaction (markers replay identically, so
+    # any surviving duplicate row is byte-equal and the pick is stable)
+    ends = (
+        boundaries.filter(F.col("status") == "END")
+        .select(txn_col, "event_count", "commit_seq")
+        .dropDuplicates([txn_col])
     )
     observed = log.groupBy(txn_col).agg(F.count(F.lit(1)).alias("_n_obs"))
     committed = (

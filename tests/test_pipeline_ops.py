@@ -170,3 +170,29 @@ def test_kmeans_partition_invariant(spark):
     assert a == b
     total = emb.count()
     assert sum(r["n_vecs"] for r in a) == total
+
+
+def test_mix_explicit_weights_map(spark):
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    from tests.conftest import SF_SMOKE
+    docs = load_table(spark, SF_SMOKE, "documents")
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    heavy, zero = srcs[0], srcs[1]
+    out = {
+        r["source"]: r
+        for r in M.mix_weighted_sample(
+            docs, weights={heavy: 10, zero: 0}
+        ).collect()
+    }
+    assert out[heavy]["weight"] == 10
+    assert out[zero]["weight"] == 0
+    # weight 0 -> nothing sampled from that source
+    assert out[zero]["keep_ppm"] == 0 and out[zero]["n_kept"] == 0
+    # unlisted sources default to weight 1
+    others = [s for s in srcs if s not in (heavy, zero)]
+    assert all(out[s]["weight"] == 1 for s in others)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        M.mix_weighted_sample(docs, weights={heavy: -1}).collect()

@@ -360,3 +360,22 @@ def test_from_debezium_json_transaction_block(spark):
     got = sorted(out.collect(), key=lambda r: r["_seq"])
     assert [r["value"] for r in got] == [1.0, 2.0]
     assert all(r["txn_id"] == "txA" for r in got)
+
+
+def test_committed_changelog_replayed_end_marker(spark):
+    """At-least-once transaction topic: a replayed END marker must not
+    double-release the transaction's events."""
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        committed_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [(1, 10.0, "+I", 0, 1, 0)],
+        "user_id int, value double, _op string, _seq long, txn_id long, txn_order long",
+    )
+    boundaries = spark.createDataFrame(
+        [(1, "END", 1, 100), (1, "END", 1, 100)],  # replay
+        "txn_id long, status string, event_count long, commit_seq long",
+    )
+    out = committed_changelog(log, boundaries).collect()
+    assert len(out) == 1 and out[0]["value"] == 10.0
