@@ -419,3 +419,50 @@ def test_debezium_time_of_day(spark):
     assert row["ns_s"] == "03:04:05.123456"
     assert row["zero_s"] == "00:00:00.000000"
     assert row["last_s"] == "23:59:59.999000"
+
+
+def test_temporal_randomized_roundtrip(spark):
+    """Seeded randomized roundtrip: epoch-micros -> micros_to_ntz ->
+    Python datetime must equal the datetime the stdlib derives from the
+    same micros, across the full practical range (1900-2200, including
+    pre-epoch), plus ZonedTimestamp strings rendered from those instants
+    at fixed offsets."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    lo = int(dt.datetime(1900, 1, 1).timestamp() * 1_000_000)
+    hi = int(dt.datetime(2200, 1, 1).timestamp() * 1_000_000)
+    cases = [rng.randrange(lo, hi) for _ in range(200)] + [0, -1, 1]
+    df = spark.createDataFrame([(v,) for v in cases], "us bigint")
+    got = (
+        df.select("us", C.micros_to_ntz(F.col("us")).alias("t"))
+        .orderBy("us")
+        .collect()
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    for r in got:
+        assert r["t"] == epoch + dt.timedelta(microseconds=r["us"]), r["us"]
+    # zoned strings with explicit offsets re-rendered at the SAME offset
+    # must invert exactly
+    zcases = [
+        (v, off)
+        for v in cases[:50]
+        for off in ("+00:00", "+05:30", "-08:00")
+    ]
+    zrows = []
+    for v, off in zcases:
+        wall = epoch + dt.timedelta(microseconds=v)
+        zrows.append((wall.strftime("%Y-%m-%dT%H:%M:%S.%f") + off, off, v))
+    zdf = spark.createDataFrame(zrows, "z string, off string, us bigint")
+    for off in ("+00:00", "+05:30", "-08:00"):
+        sub = (
+            zdf.filter(F.col("off") == off)
+            .select("us", C.zoned_timestamp_to_ntz(F.col("z"), off).alias("t"))
+            .collect()
+        )
+        for r in sub:
+            assert r["t"] == epoch + dt.timedelta(microseconds=r["us"]), (
+                off,
+                r["us"],
+            )
