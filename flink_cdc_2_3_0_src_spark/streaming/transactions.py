@@ -87,3 +87,112 @@ def committed_changelog(
             ).alias(SEQ_COL),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (stateful) variant: applyInPandasWithState keyed by txn id.
+
+from pyspark.sql import types as T  # noqa: E402
+from pyspark.sql.streaming.state import (  # noqa: E402
+    GroupState,
+    GroupStateTimeout,
+)
+
+TXN_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("_op", T.StringType()),
+        T.StructField("_commit_seq", T.LongType()),
+        T.StructField("_seq", T.LongType()),
+    ]
+)
+
+_TXN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_expected", T.LongType()),  # -1 until END seen
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("uids", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+        T.StructField("ops", T.ArrayType(T.StringType())),
+        T.StructField("orders", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def streaming_committed_changelog(stream) -> "DataFrame":
+    """Unbounded transaction-consistent emission: the streaming twin of
+    ``committed_changelog`` for a UNIFIED stream carrying both data
+    events (kind='D') and transaction END markers (kind='E').
+
+    Input columns: txn_id long, kind string ('D'|'E'), user_id long,
+    value double, _op string, txn_order long, event_count long,
+    commit_seq long (the marker fields are NULL on data rows and vice
+    versa).
+
+    Per-transaction state buffers events until the END marker has
+    arrived AND the observed count equals the promised event_count,
+    then releases the WHOLE transaction (commit-ordered _seq) exactly
+    once and clears the state.  In-flight transactions survive
+    checkpoint/restart inside the state store — the exactly-once story
+    is Structured Streaming's, not reimplemented here.  State per open
+    transaction is its buffered events; transactions are bounded by the
+    source's open-transaction window (an abandoned transaction never
+    commits upstream either — GC it with a processing-time timeout if
+    the source can truly orphan transactions)."""
+    import pandas as pd  # noqa: F811
+
+    def _fn(key, pdfs, state: GroupState):
+        n_expected, commit_seq = -1, -1
+        uids, vals, ops, orders = [], [], [], []
+        if state.exists:
+            n_expected, commit_seq, uids, vals, ops, orders = state.get
+            uids, vals, ops, orders = (
+                list(uids),
+                list(vals),
+                list(ops),
+                list(orders),
+            )
+        for pdf in pdfs:
+            # explicit column zip: itertuples would RENAME _op (namedtuple
+            # fields cannot start with an underscore)
+            for kind, uid, val, op, order, ec, cs in zip(
+                pdf["kind"],
+                pdf["user_id"],
+                pdf["value"],
+                pdf["_op"],
+                pdf["txn_order"],
+                pdf["event_count"],
+                pdf["commit_seq"],
+            ):
+                if kind == "E":
+                    n_expected = int(ec)
+                    commit_seq = int(cs)
+                else:
+                    uids.append(int(uid))
+                    vals.append(float(val))
+                    ops.append(str(op))
+                    orders.append(int(order))
+        if 0 <= n_expected == len(uids):
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "value": vals,
+                    "_op": ops,
+                    "_commit_seq": [commit_seq] * len(uids),
+                    "_seq": [
+                        commit_seq * _ORDER_SPAN + o for o in orders
+                    ],
+                }
+            )
+        else:
+            state.update((n_expected, commit_seq, uids, vals, ops, orders))
+
+    return stream.groupBy("txn_id").applyInPandasWithState(
+        _fn,
+        TXN_OUT_SCHEMA,
+        _TXN_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

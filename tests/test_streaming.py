@@ -379,3 +379,73 @@ def test_committed_changelog_replayed_end_marker(spark):
     )
     out = committed_changelog(log, boundaries).collect()
     assert len(out) == 1 and out[0]["value"] == 10.0
+
+
+def test_streaming_committed_changelog_end_to_end(spark, tmp_path):
+    """Stateful streaming transaction emission: events arrive in one
+    microbatch, END markers in a LATER one — transactions must stay
+    buffered across batches, release exactly once when complete, and an
+    in-flight transaction must never appear in the sink."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        streaming_committed_changelog,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("txn_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_op", T.StringType()),
+            T.StructField("txn_order", T.LongType()),
+            T.StructField("event_count", T.LongType()),
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("_seq", T.LongType()),  # replay-file ordering
+        ]
+    )
+    rows = [
+        # txn 1: two data events early, END marker LATE (seq 100)
+        (1, "D", 1, 10.0, "+I", 0, None, None, 0),
+        (1, "D", 1, 11.0, "+U", 1, None, None, 1),
+        # txn 2: one event, END inside the same early range
+        (2, "D", 2, 20.0, "+I", 0, None, None, 2),
+        (2, "E", None, None, None, None, 1, 50, 3),
+        # txn 3: in-flight forever
+        (3, "D", 9, 90.0, "+I", 0, None, None, 4),
+        # txn 1's END arrives last
+        (1, "E", None, None, None, None, 2, 100, 100),
+    ]
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay")
+    write_replay_files(log, replay_dir, n_files=3)
+    stream = read_replay_stream(spark, replay_dir, schema).drop("_seq")
+
+    out = streaming_committed_changelog(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("txn_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        spark.sql("SELECT * FROM txn_out").collect(), key=lambda r: r["_seq"]
+    )
+    # txn 2 commits first (commit_seq 50), then txn 1 (100); txn 3 never
+    assert [(r["user_id"], r["value"]) for r in got] == [
+        (2, 20.0),
+        (1, 10.0),
+        (1, 11.0),
+    ]
+    assert [r["_commit_seq"] for r in got] == [50, 100, 100]
+    assert got[1]["_seq"] == 100 * 1_000_000 + 0
+    assert got[2]["_seq"] == 100 * 1_000_000 + 1
