@@ -51,6 +51,11 @@ class SourceConfig:
     # these columns; split-key/PK columns are always retained so the
     # chunk protocol and upsert merge stay keyed.  None = all columns.
     column_include_list: Optional[list[str]] = None
+    # per-table snapshot statement override (Debezium
+    # snapshot.select.statement.overrides): dotted table name -> SELECT
+    # used as the snapshot source (wrapped as a derived table; chunk
+    # predicates and projection apply on top)
+    snapshot_select_overrides: Optional[dict] = None
     # misc
     heartbeat_interval_sec: int = 30                         # :188-190
     scan_newly_added_table_enabled: bool = False             # :233-235
@@ -98,6 +103,15 @@ class SourceConfig:
                 raise ValueError(
                     "column.include.list must be a non-empty list of column names"
                 )
+        if self.snapshot_select_overrides is not None:
+            for t, sql in self.snapshot_select_overrides.items():
+                if not isinstance(sql, str) or not sql.strip().lower().startswith(
+                    "select"
+                ):
+                    raise ValueError(
+                        "snapshot.select.statement.overrides entry for "
+                        f"{t!r} must be a SELECT statement"
+                    )
         if self.startup_mode == StartupMode.SPECIFIC_OFFSET:
             if self.startup_specific_gtid_set is None and (
                 self.startup_specific_offset_file is None

@@ -111,6 +111,20 @@ class JdbcDialect:
     def _tref(self, table: TableId) -> str:
         return f"{self.q(table.catalog)}.{self.q(table.table)}" if table.catalog else self.q(table.table)
 
+    def _scan_source(self, table: TableId) -> str:
+        """FROM-clause source for chunk scans: the table itself, or the
+        configured snapshot.select.statement.overrides subquery for this
+        table (Debezium's per-table snapshot statement override — e.g. a
+        soft-delete filter or a pre-joined view).  The override is
+        wrapped as a derived table so the chunk-range predicate and
+        projection still apply ON TOP of it: chunking stays correct
+        because the split key's min/max/next-chunk queries run against
+        the SAME wrapped source."""
+        override = (self.config.snapshot_select_overrides or {}).get(
+            table.dotted()
+        )
+        return f"({override}) SNAP_" if override else self._tref(table)
+
     def approx_row_count(self, table: TableId) -> int:
         """Dialect hook: approximate row count (A2; reference
         queryApproximateRowCnt:58-76 uses SHOW TABLE STATUS)."""
@@ -132,7 +146,7 @@ class JdbcDialect:
     def analyze(self, table: TableId, key) -> TableAnalysis:
         if not isinstance(key, str):
             return self._analyze_composite(table, list(key))
-        tref = self._tref(table)
+        tref = self._scan_source(table)
         kx = self.key_select_expr(key)
         mn, mx = self.run_sql(
             f"SELECT MIN({kx}), MAX({kx}) FROM {tref}"
@@ -145,7 +159,7 @@ class JdbcDialect:
         """Composite-PK analyze: lexicographic extrema via ORDER BY LIMIT 1
         (MIN/MAX don't compose across columns); always non-numeric so the
         planner takes the lazy uneven path."""
-        tref = self._tref(table)
+        tref = self._scan_source(table)
         cols = ", ".join(self.q(k) for k in keys)
         asc = ", ".join(f"{self.q(k)} ASC" for k in keys)
         desc = ", ".join(f"{self.q(k)} DESC" for k in keys)
@@ -164,7 +178,7 @@ class JdbcDialect:
     def query_next_chunk_max(self, table: TableId, key) -> Callable[[Any], Any]:
         if not isinstance(key, str):
             return self._query_next_chunk_max_composite(table, list(key))
-        tref = self._tref(table)
+        tref = self._scan_source(table)
 
         def _next(low: Any) -> Any:
             # data-derived boundary: MUST go through _sql_lit (escapes
@@ -197,7 +211,7 @@ class JdbcDialect:
         over the subquery, since SQL MAX() can't take a column tuple)."""
         from flink_cdc_2_3_0_src_spark.model import ChunkRange
 
-        tref = self._tref(table)
+        tref = self._scan_source(table)
         qkeys = [self.q(k) for k in keys]
         cols = ", ".join(qkeys)
         asc = ", ".join(f"{k} ASC" for k in qkeys)
@@ -251,7 +265,7 @@ class JdbcDialect:
         )
         sel = self.scan_select_list(table, split)
         return (
-            f"SELECT {sel} FROM {self._tref(table)} "
+            f"SELECT {sel} FROM {self._scan_source(table)} "
             f"WHERE {split.range.predicate_sql(qkey)}"
         )
 

@@ -174,3 +174,52 @@ def test_column_include_list_validation():
     with _pytest.raises(ValueError):
         SourceConfig(column_include_list=[""]).validate()
     SourceConfig(column_include_list=["a"]).validate()
+
+
+def test_live_snapshot_select_override(con):
+    """snapshot.select.statement.overrides: a soft-delete filter wrapped
+    as the snapshot source — analyze, next-chunk-max, and every chunk
+    scan run against the SAME filtered derived table."""
+    con.execute(
+        "CREATE TABLE soft_live (id BIGINT PRIMARY KEY, val INT, deleted BOOLEAN)"
+    )
+    con.execute(
+        "INSERT INTO soft_live SELECT i, i*10, i % 3 = 0 "
+        "FROM generate_series(1, 300) t(i)"
+    )
+    d = _dialect(
+        con,
+        chunk_size=50,
+        snapshot_select_overrides={
+            "main.soft_live": "SELECT * FROM soft_live WHERE NOT deleted"
+        },
+    )
+    t = TableId("main", None, "soft_live")
+    a = d.analyze(t, "id")
+    assert a.min_key == 1 and a.max_key == 299  # 300 is soft-deleted
+    rows = d.snapshot_rows(t)
+    ids = sorted(r[0] for r in rows)
+    assert ids == [i for i in range(1, 301) if i % 3 != 0]
+    # composes with column projection
+    d2 = _dialect(
+        con,
+        chunk_size=50,
+        column_include_list=["val"],
+        snapshot_select_overrides={
+            "main.soft_live": "SELECT * FROM soft_live WHERE NOT deleted"
+        },
+    )
+    rows2 = d2.snapshot_rows(t)
+    assert all(len(r) == 2 for r in rows2) and len(rows2) == len(rows)
+
+
+def test_snapshot_override_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SourceConfig(
+            snapshot_select_overrides={"db.t": "DROP TABLE x"}
+        ).validate()
+    SourceConfig(
+        snapshot_select_overrides={"db.t": "SELECT * FROM t"}
+    ).validate()
