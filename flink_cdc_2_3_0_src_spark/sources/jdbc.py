@@ -230,6 +230,36 @@ class JdbcDialect:
         return _next
 
     # ---- A5: split-scan SQL (buildSplitScanQuery:132-188 parity) ----
+    def columns_for_table(self, table: TableId) -> Optional[list[str]]:
+        """Resolve column.include.list for ONE table.  Entries are
+        either bare column names (apply to every captured table) or
+        Debezium-style qualified ``db.table.column`` entries (apply to
+        that table only).  Debezium semantics for qualified lists: a
+        table with at least one matching entry captures only those
+        columns (+ key); a table no entry references captures ALL its
+        columns.  Returns None for 'all columns'."""
+        inc = self.config.column_include_list
+        if not inc:
+            return None
+        dotted = table.dotted()
+        cols: list[str] = []
+        qualified_seen = False
+        for e in inc:
+            if "." in e:
+                qualified_seen = True
+                prefix, _, col = e.rpartition(".")
+                if prefix == dotted:
+                    cols.append(col)
+            else:
+                cols.append(e)
+        if not cols:
+            # a qualified list that never references this table -> all
+            # columns (Debezium's per-table filter semantics); an empty
+            # list cannot otherwise occur (validate() rejects [])
+            assert qualified_seen
+            return None
+        return cols
+
     def scan_select_list(self, table: TableId, split) -> str:
         """Projection for the chunk scan: ``*`` by default, or the
         configured column.include.list (Debezium column projection) with
@@ -237,14 +267,8 @@ class JdbcDialect:
         protocol and the downstream upsert merge always need the key.
         At scale this is the difference between shipping a wide table's
         every column through every snapshot split and shipping only what
-        the pipeline declared it needs.
-
-        Simplification vs Debezium: the reference's column.include.list
-        takes per-table ``db.table.column`` regexes; this config is one
-        flat column list applied to every captured table — fine for the
-        single-table and homogeneous-capture shapes, revisit if a
-        multi-table capture needs per-table projections."""
-        include = self.config.column_include_list
+        the pipeline declared it needs."""
+        include = self.columns_for_table(table)
         if not include:
             return "*"
         key = split.split_key

@@ -223,3 +223,29 @@ def test_snapshot_override_validation():
     SourceConfig(
         snapshot_select_overrides={"db.t": "SELECT * FROM t"}
     ).validate()
+
+
+def test_live_per_table_column_projection(con):
+    """Qualified db.table.column entries project ONLY their table; a
+    table no entry references keeps all columns (Debezium semantics)."""
+    con.execute(
+        "CREATE TABLE wt_a (id BIGINT PRIMARY KEY, a INT, b INT)"
+    )
+    con.execute("INSERT INTO wt_a SELECT i, i, i*2 FROM generate_series(1, 50) t(i)")
+    con.execute(
+        "CREATE TABLE wt_b (id BIGINT PRIMARY KEY, x INT, y INT)"
+    )
+    con.execute("INSERT INTO wt_b SELECT i, i, i*3 FROM generate_series(1, 50) t(i)")
+    d = _dialect(con, chunk_size=64, column_include_list=["main.wt_a.b"])
+    ta, tb = TableId("main", None, "wt_a"), TableId("main", None, "wt_b")
+    rows_a = d.snapshot_rows(ta)
+    rows_b = d.snapshot_rows(tb)
+    assert all(len(r) == 2 for r in rows_a)  # (id, b)
+    assert all(r[1] == r[0] * 2 for r in rows_a)
+    assert all(len(r) == 3 for r in rows_b)  # untouched table: all cols
+    # mixed bare + qualified: bare applies everywhere
+    d2 = _dialect(
+        con, chunk_size=64, column_include_list=["main.wt_a.b", "x"]
+    )
+    sql_b = d2.split_scan_sql(tb, d2.planner(tb).plan_splits()[0])
+    assert sql_b.startswith('SELECT "id", "x" FROM')
