@@ -119,7 +119,10 @@ class JdbcDialect:
         wrapped as a derived table so the chunk-range predicate and
         projection still apply ON TOP of it: chunking stays correct
         because the split key's min/max/next-chunk queries run against
-        the SAME wrapped source."""
+        the SAME wrapped source.  (approx_row_count still reads the
+        UNFILTERED information_schema estimate — with a selective
+        override the distribution factor skews toward more/lazier
+        chunks, which affects chunk sizing only, never coverage.)"""
         override = (self.config.snapshot_select_overrides or {}).get(
             table.dotted()
         )
@@ -258,7 +261,7 @@ class JdbcDialect:
             # list cannot otherwise occur (validate() rejects [])
             assert qualified_seen
             return None
-        return cols
+        return list(dict.fromkeys(cols))  # bare + qualified may repeat
 
     def scan_select_list(self, table: TableId, split) -> str:
         """Projection for the chunk scan: ``*`` by default, or the
