@@ -449,3 +449,73 @@ def test_streaming_committed_changelog_end_to_end(spark, tmp_path):
     assert [r["_commit_seq"] for r in got] == [50, 100, 100]
     assert got[1]["_seq"] == 100 * 1_000_000 + 0
     assert got[2]["_seq"] == 100 * 1_000_000 + 1
+
+
+def test_streaming_committed_changelog_crash_resume(spark, tmp_path):
+    """Kill the transaction query after the first microbatch (events
+    buffered, END not yet seen), restart from the checkpoint: the
+    buffered transaction must survive in the state store and release
+    EXACTLY ONCE when its END marker arrives post-restart."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        streaming_committed_changelog,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("txn_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("_op", T.StringType()),
+            T.StructField("txn_order", T.LongType()),
+            T.StructField("event_count", T.LongType()),
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("_seq", T.LongType()),
+        ]
+    )
+    rows = [
+        (1, "D", 1, 10.0, "+I", 0, None, None, 0),   # pre-crash
+        (1, "D", 1, 11.0, "+U", 1, None, None, 1),   # pre-crash
+        (1, "E", None, None, None, None, 2, 100, 50),  # post-restart
+    ]
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay_txn")
+    write_replay_files(log, replay_dir, n_files=3)
+    ckpt = str(tmp_path / "ckpt_txn")
+    out_dir = str(tmp_path / "txn_out")
+
+    def start(trigger_kwargs):
+        stream = read_replay_stream(spark, replay_dir, schema).drop("_seq")
+        return (
+            streaming_committed_changelog(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q1 = start({"processingTime": "1 second"})
+    deadline = time.time() + 60
+    while time.time() < deadline and not q1.recentProgress:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(30)
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(120)
+
+    got = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r["_seq"]
+    )
+    assert [(r["user_id"], r["value"]) for r in got] == [(1, 10.0), (1, 11.0)]
+    assert all(r["_commit_seq"] == 100 for r in got)
