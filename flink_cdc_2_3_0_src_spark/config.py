@@ -46,6 +46,8 @@ class SourceConfig:
     startup_specific_offset_file: Optional[str] = None
     startup_specific_offset_pos: Optional[int] = None
     startup_specific_gtid_set: Optional[str] = None
+    startup_specific_skip_events: int = 0
+    startup_specific_skip_rows: int = 0
     startup_timestamp_ms: Optional[int] = None
     # column projection (Debezium column.include.list): capture only
     # these columns; split-key/PK columns are always retained so the
@@ -58,9 +60,20 @@ class SourceConfig:
     snapshot_select_overrides: Optional[dict] = None
     # misc
     heartbeat_interval_sec: int = 30                         # :188-190
+    chunk_meta_group_size: int = 1000                        # :199-201 (driver-local
+    #   manifest makes the split-meta RPC grouping a no-op in Spark; parsed
+    #   for option-surface parity and surfaced on the manifest writer)
     scan_newly_added_table_enabled: bool = False             # :233-235
     include_schema_changes: bool = False
     parallelism: int = 1
+    # Debezium embedded-engine passthrough: every `debezium.*`-prefixed
+    # option lands here with the prefix stripped (reference
+    # DebeziumOptions.java getDebeziumProperties).  Recognized keys are
+    # ALSO lifted onto first-class fields below.
+    debezium_properties: dict = field(default_factory=dict)
+    # debezium.decimal.handling.mode → converters.decimal_converter mode
+    # (RowDataDebeziumDeserializeSchema.java:555-587)
+    decimal_handling_mode: str = "precise"
 
     def validate(self) -> "SourceConfig":
         """A33 build-time checks; raises ValueError like the reference
@@ -122,7 +135,33 @@ class SourceConfig:
                 )
         if self.startup_mode == StartupMode.TIMESTAMP and self.startup_timestamp_ms is None:
             raise ValueError("timestamp startup requires startup_timestamp_ms")
+        if self.startup_specific_skip_events < 0 or self.startup_specific_skip_rows < 0:
+            raise ValueError("specific-offset skip-events/skip-rows must be >= 0")
+        if self.chunk_meta_group_size < 1:
+            raise ValueError("chunk-meta.group.size must be >= 1")
+        if self.decimal_handling_mode not in ("precise", "string", "double"):
+            raise ValueError(
+                "decimal.handling.mode must be precise|string|double, got "
+                f"{self.decimal_handling_mode!r}"
+            )
         return self
+
+    def startup_offset(self):
+        """Materialize the SPECIFIC_OFFSET startup position as a comparable
+        BinlogOffset (file/pos + skip-events/skip-rows sub-position, or a
+        GTID set — reference BinlogOffsetUtils.initializeEffectiveOffset +
+        StartupOptions.specificOffset).  Returns None for other modes."""
+        from flink_cdc_2_3_0_src_spark.model import BinlogOffset
+
+        if self.startup_mode != StartupMode.SPECIFIC_OFFSET:
+            return None
+        return BinlogOffset(
+            gtids=self.startup_specific_gtid_set,
+            file=self.startup_specific_offset_file or "",
+            pos=self.startup_specific_offset_pos or 0,
+            skip_events=self.startup_specific_skip_events,
+            skip_rows=self.startup_specific_skip_rows,
+        )
 
     @staticmethod
     def from_options(opts: dict[str, str]) -> "SourceConfig":
@@ -146,6 +185,7 @@ class SourceConfig:
             "connect.timeout": ("connect_timeout_sec", lambda v: int(v.rstrip("s"))),
             "connect.max-retries": ("connect_max_retries", int),
             "heartbeat.interval": ("heartbeat_interval_sec", lambda v: int(v.rstrip("s"))),
+            "chunk-meta.group.size": ("chunk_meta_group_size", int),
             "scan.newly-added-table.enabled": ("scan_newly_added_table_enabled", lambda v: v == "true"),
             "include-schema-changes": ("include_schema_changes", lambda v: v == "true"),
         }
@@ -162,8 +202,31 @@ class SourceConfig:
                 c.startup_specific_offset_pos = int(v)
             elif k == "scan.startup.specific-offset.gtid-set":
                 c.startup_specific_gtid_set = v
+            elif k == "scan.startup.specific-offset.skip-events":
+                c.startup_specific_skip_events = int(v)
+            elif k == "scan.startup.specific-offset.skip-rows":
+                c.startup_specific_skip_rows = int(v)
             elif k == "scan.startup.timestamp-millis":
                 c.startup_timestamp_ms = int(v)
+            elif k.startswith("debezium."):
+                # embedded-engine passthrough (reference DebeziumOptions
+                # .getDebeziumProperties strips the prefix and forwards);
+                # recognized engine keys are ALSO lifted to typed fields
+                prop = k[len("debezium."):]
+                c.debezium_properties[prop] = v
+                if prop == "decimal.handling.mode":
+                    c.decimal_handling_mode = v
+                elif prop == "column.include.list":
+                    c.column_include_list = [
+                        s.strip() for s in v.split(",") if s.strip()
+                    ]
+                elif prop.startswith("snapshot.select.statement.overrides."):
+                    table = prop[len("snapshot.select.statement.overrides."):]
+                    if c.snapshot_select_overrides is None:
+                        c.snapshot_select_overrides = {}
+                    c.snapshot_select_overrides[table] = v
+                # bare snapshot.select.statement.overrides (the table
+                # LIST) needs no action: per-table keys carry the SQL
             elif k in simple:
                 attr, conv = simple[k]
                 setattr(c, attr, conv(v))

@@ -130,6 +130,24 @@ def connect_decimal_double(col: Column, precision: int, scale: int) -> Column:
     return col.cast("double").cast(f"decimal({precision},{scale})")
 
 
+def decimal_converter_for_mode(mode: str):
+    """Pick the decimal converter for a connector-level
+    ``decimal.handling.mode`` (reference RowDataDebeziumDeserialize
+    Schema.createDecimalConverter branches on the schema name/type that
+    each mode produces; ``SourceConfig.decimal_handling_mode`` carries
+    the user's ``debezium.decimal.handling.mode`` option here)."""
+    try:
+        return {
+            "precise": connect_decimal_precise,
+            "string": connect_decimal_string,
+            "double": connect_decimal_double,
+        }[mode]
+    except KeyError:
+        raise ValueError(
+            f"unknown decimal.handling.mode {mode!r} (precise|string|double)"
+        ) from None
+
+
 def variable_scale_decimal(col: Column, precision: int, scale: int) -> Column:
     """Oracle NUMBER without fixed scale -> Debezium
     ``VariableScaleDecimal`` struct {scale: int32, value: b64 bytes};

@@ -87,6 +87,66 @@ def test_config_from_reference_options():
     c.validate()
 
 
+def test_config_specific_offset_skip_counters_and_startup_offset():
+    c = SourceConfig.from_options(
+        {
+            "scan.startup.mode": "specific-offset",
+            "scan.startup.specific-offset.file": "mysql-bin.000003",
+            "scan.startup.specific-offset.pos": "4567",
+            "scan.startup.specific-offset.skip-events": "2",
+            "scan.startup.specific-offset.skip-rows": "7",
+        }
+    ).validate()
+    off = c.startup_offset()
+    assert (off.file, off.pos, off.skip_events, off.skip_rows) == (
+        "mysql-bin.000003",
+        4567,
+        2,
+        7,
+    )
+    # skip-counters participate in the A22 total order after file/pos
+    from flink_cdc_2_3_0_src_spark.model import BinlogOffset
+
+    assert off > BinlogOffset(file="mysql-bin.000003", pos=4567, skip_events=2, skip_rows=6)
+    # other modes have no specific offset
+    assert SourceConfig().startup_offset() is None
+    with pytest.raises(ValueError, match="skip-events"):
+        SourceConfig(startup_specific_skip_events=-1).validate()
+
+
+def test_config_debezium_passthrough():
+    c = SourceConfig.from_options(
+        {
+            "chunk-meta.group.size": "500",
+            "debezium.decimal.handling.mode": "string",
+            "debezium.column.include.list": "db.orders.id, db.orders.total",
+            "debezium.snapshot.select.statement.overrides": "db.orders",
+            "debezium.snapshot.select.statement.overrides.db.orders":
+                "SELECT * FROM db.orders WHERE deleted = 0",
+            "debezium.max.batch.size": "4096",
+        }
+    ).validate()
+    assert c.chunk_meta_group_size == 500
+    assert c.decimal_handling_mode == "string"
+    assert c.column_include_list == ["db.orders.id", "db.orders.total"]
+    assert c.snapshot_select_overrides == {
+        "db.orders": "SELECT * FROM db.orders WHERE deleted = 0"
+    }
+    # unrecognized engine keys still land in the passthrough map
+    assert c.debezium_properties["max.batch.size"] == "4096"
+    with pytest.raises(ValueError, match="decimal.handling.mode"):
+        SourceConfig(decimal_handling_mode="exact").validate()
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        connect_decimal_string,
+        decimal_converter_for_mode,
+    )
+
+    assert decimal_converter_for_mode(c.decimal_handling_mode) is connect_decimal_string
+    with pytest.raises(ValueError, match="decimal.handling.mode"):
+        decimal_converter_for_mode("exact")
+
+
 class ScriptedRunner:
     """Fake DB: answers the dialect's SQL by pattern."""
 
