@@ -858,3 +858,87 @@ def source_kmv_similarity_sql(k: int = KMV_K) -> str:
            CAST(n_common AS DOUBLE) / {float(k)} AS est_jaccard
     FROM p
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+# Document-level dedup (exact / MinHash) misses boilerplate: spans that
+# repeat across otherwise-distinct documents (headers, licenses, templated
+# paragraphs).  The standard fix is exact substring dedup over the
+# concatenated corpus (suffix-array style); the distributed re-expression
+# is rolling token windows: every k-token window of every doc, a corpus-
+# wide window-frequency aggregation, then per-doc merging of adjacent
+# duplicated windows into maximal spans (an islands-and-gaps window
+# function — consecutive positions share `pos - row_number()`).
+#
+# Scale shape: the only corpus-wide shuffle is the groupBy on the window
+# key.  With `hashed=True` the key is xxhash64(span) — an 8-byte shuffle
+# key instead of a ~50-byte string — and the join back to positions is a
+# slim (doc_id, pos, key) exchange; per-doc island merging partitions by
+# doc_id.  No all-pairs work anywhere; survives 1000 executors.
+SPAN_K = 8
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans: (doc_id, span_start, span_end,
+    n_windows) for every run of k-token windows that appear in at least
+    ``min_docs`` distinct documents.  Token indices are 0-based,
+    ``span_end`` exclusive."""
+    from pyspark.sql import Window
+
+    win = docs.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("text"), k)).alias("pos", "span"),
+    )
+    key = F.xxhash64("span").alias("key") if hashed else F.col("span").alias("key")
+    win = win.select("doc_id", F.col("pos").cast("bigint").alias("pos"), key)
+    dup = (
+        win.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("key")
+    )
+    hit = win.join(dup, "key").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hit.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+DUPLICATED_SPANS_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ),
+    win AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+               array_to_string(toks[i:i+{SPAN_K - 1}], ' ') AS span
+        FROM tk, UNNEST(range(1, greatest(len(toks) - {SPAN_K - 2}, 1))) AS t(i)
+    ),
+    dup AS (
+        SELECT span FROM win GROUP BY span
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hit AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (span)),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hit
+    )
+    SELECT doc_id, MIN(pos) AS span_start,
+           MAX(pos) + {SPAN_K} AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, grp
+"""

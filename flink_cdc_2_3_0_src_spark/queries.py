@@ -100,7 +100,12 @@ _PRIORITY: list[str] = [
     # keeps FOUR richer window rows (ann_topk_cosine/lsh/ivf, knn_graph,
     # cosine_lsh near-dup, int8 quantize); its slot goes to the PII
     # scrub operator class.  Still registered + locally swept.)
-    "text_token_histogram", "text_length_percentiles",
+    "text_token_histogram", "dedup_spans",
+    # (text_length_percentiles: approx-percentile projection over the
+    # same token counts text_token_histogram aggregates — demoted; its
+    # slot goes to dedup_spans, the substring-level dedup operator class
+    # (exact duplicated-span detection), which no other window row
+    # covers.  Still registered + locally swept.)
     "pipeline_training_set", "cdc_dbz_typed_decode",
     # (pipeline_training_set_clustered: same pipeline shape as
     # pipeline_training_set with cluster-join dedup — demoted; its slot
@@ -2321,6 +2326,17 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a held-out benchmark source): broadcast the benchmark
     shingle set, left-join the exploded corpus shingles."""
     return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
+
+
+@register("dedup_spans", _text.DUPLICATED_SPANS_SQL)
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (substring-level dedup): maximal
+    runs of 8-token windows shared by >= 2 documents, via one corpus-wide
+    window-frequency groupBy + per-doc islands merge.  The distributed
+    re-expression of suffix-array substring dedup; ``hashed=True`` is the
+    production 8-byte-key path (equality with this string-keyed shape is
+    pinned by tests/test_pipeline_ops.py)."""
+    return _text.duplicated_spans(ld(spark, sf_dir, "documents"))
 
 
 @register("embedding_quantize_int8", _quant.QUANTIZE_INT8_SQL)

@@ -224,3 +224,47 @@ def test_kmv_similarity_estimator(spark):
     assert out[("sA", "sC")]["n_common"] == 0
     assert out[("sB", "sC")]["n_common"] == 0
     assert out[("sA", "sC")]["est_jaccard"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_spans (exact duplicated-span detection)
+# ---------------------------------------------------------------------------
+def test_duplicated_spans_island_merge(spark):
+    """Two docs sharing a 10-token run (k=8 -> 3 overlapping duplicated
+    windows each) produce ONE merged span per doc covering tokens 0..10;
+    a doc with no shared window produces no row."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " unique1 tail1 one", "en", "src0", 1),
+            (2, shared + " unique2 tail2 two", "en", "src1", 1),
+            (3, "totally different words that repeat nowhere at all ok", "en", "src2", 1),
+        ],
+    )
+    out = X.duplicated_spans(df, k=8).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"]) for r in out] == [
+        (1, 0, 10, 3),
+        (2, 0, 10, 3),
+    ]
+
+
+def test_duplicated_spans_hashed_key_equals_string_key(spark):
+    """The production path (xxhash64 8-byte shuffle key) returns exactly
+    the oracle-checked string-keyed result on the real corpus."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    key = ["doc_id", "span_start", "span_end", "n_windows"]
+    a = sorted(map(tuple, X.duplicated_spans(docs, hashed=False).select(key).collect()))
+    b = sorted(map(tuple, X.duplicated_spans(docs, hashed=True).select(key).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_duplicated_spans_respects_min_docs(spark):
+    """A window repeated WITHIN one document only is not a duplicate
+    across the corpus (min_docs=2 counts distinct documents)."""
+    run = "one two three four five six seven eight"
+    df = _docs(spark, [(1, run + " filler " + run, "en", "src0", 1)])
+    assert X.duplicated_spans(df, k=8).count() == 0
