@@ -75,16 +75,11 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_clusters(
-    emb: DataFrame, k: int = 8, iters: int = 2
-) -> DataFrame:
-    """k-means over ``embeddings(vec_id, embedding)``; returns one row
-    per non-empty cluster: size, vec_id aggregates, and the NEXT
-    centroid fingerprint (sum of floored components — proves the whole
-    iteration chain, not just the final assignment).
-
-    Init: the quantized vectors of vec_id 0..k-1 (deterministic).
-    """
+def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """The Lloyd's loop: returns the final assignment DataFrame
+    ``(vec_id, v, cl)`` after ``iters`` rounds.  Init: the quantized
+    vectors of vec_id 0..k-1 (deterministic).  Shared by
+    ``kmeans_clusters`` (stats) and ``semantic_dedup`` (SemDeDup)."""
     q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
     init = (
         q.filter(F.col("vec_id") < k)
@@ -117,6 +112,18 @@ def kmeans_clusters(
             [p["cd"] for p in upd[j]["pairs"]] if j in upd else centroids[j]
             for j in range(k)
         ]
+    return assigned
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """k-means over ``embeddings(vec_id, embedding)``; returns one row
+    per non-empty cluster: size, vec_id aggregates, and the NEXT
+    centroid fingerprint (sum of floored components — proves the whole
+    iteration chain, not just the final assignment).
+    """
+    assigned = kmeans_assign(emb, k, iters)
     # final pass: stats of the last assignment + next-centroid fingerprint
     fp = _update(assigned).groupBy("cl").agg(
         F.sum("cd").alias("centroid_fp")
@@ -209,4 +216,103 @@ def kmeans_clusters_sql(k: int = 8, iters: int = 2) -> str:
     ) s JOIN (
         SELECT cl, CAST(SUM(cd) AS BIGINT) AS centroid_fp FROM {last_u} GROUP BY cl
     ) f ON s.cl = f.cl
+    """
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): cluster, then prune near-identical pairs
+# WITHIN clusters only
+# ---------------------------------------------------------------------------
+# The published recipe (Abbas et al. 2023, "SemDeDup"): k-means the
+# embedding space, then compare pairs only inside each cluster and drop
+# all but one member of every near-duplicate group.  Clustering turns
+# the corpus-wide O(n^2) pair problem into k independent O((n/k)^2)
+# problems — and at 100 TB, k grows with the corpus so per-cluster work
+# stays bounded; the pair join co-partitions by cluster id, no
+# cross-cluster data motion.
+#
+# Exactness: cosine-threshold testing needs no sqrt — with quantized
+# int64 vectors, ``cos(a,b) >= tau`` (dot > 0) is equivalent to
+# ``dot^2 * 1e6 >= tau_e3^2 * |a|^2 * |b|^2``, evaluated in
+# decimal(38,0) (Spark) / HUGEINT (DuckDB): every comparison is exact
+# integer arithmetic, so both engines agree bit-for-bit.
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame, k: int = 8, iters: int = 2, tau_e3: int = 400
+) -> DataFrame:
+    """SemDeDup prune list: one row per pruned vector —
+    ``(cluster, pruned_vec_id, kept_by)`` where ``kept_by`` is the
+    lowest-id cluster member within ``tau`` cosine of it.  Keep rule =
+    "survives iff no lower-id near-duplicate in its cluster"."""
+    assigned = kmeans_assign(emb, k, iters)
+    withn = assigned.select(
+        "vec_id", "cl", "v", _dot(F.col("v"), F.col("v")).alias("n2")
+    ).localCheckpoint()  # the Lloyd's loop above is driver-iterated; don't replay it per join side
+    a = withn.alias("a")
+    b = withn.alias("b")
+    dot = _dot(F.col("a.v"), F.col("b.v"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    near = (dot > 0) & (
+        dec(dot) * dec(dot) * F.lit(1_000_000).cast("decimal(38,0)")
+        >= F.lit(int(tau_e3) ** 2).cast("decimal(38,0)")
+        * dec(F.col("a.n2"))
+        * dec(F.col("b.n2"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cl") == F.col("b.cl")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).filter(near)
+    return pairs.groupBy(
+        F.col("b.cl").alias("cluster"),
+        F.col("b.vec_id").alias("pruned_vec_id"),
+    ).agg(F.min(F.col("a.vec_id")).alias("kept_by"))
+
+
+def semantic_dedup_sql(k: int = 8, iters: int = 2, tau_e3: int = 400) -> str:
+    """DuckDB twin: unrolls the same Lloyd's iterations (shared CTE
+    builder), then the same exact-integer within-cluster pair prune."""
+    parts = [
+        f"""q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS j, v AS c FROM q WHERE vec_id < {k})"""
+    ]
+    cs = "c0"
+    for i in range(1, iters + 1):
+        parts.append(_sql_assign("q", cs, f"a{i}"))
+        parts.append(_sql_update(f"a{i}", cs, f"u{i}", f"c{i}", k))
+        cs = f"c{i}"
+    body = ",".join(parts)
+    dot = (
+        "list_sum(list_transform(list_zip(a.v, b.v),"
+        " p -> CAST(p[1] AS BIGINT) * p[2]))"
+    )
+    n2 = lambda t: (  # noqa: E731
+        f"list_sum(list_transform({t}.v, x -> x * x))"
+    )
+    return f"""
+    WITH {body},
+    pr AS (
+        SELECT b.cl AS cluster, b.vec_id AS pruned_vec_id,
+               a.vec_id AS a_id
+        FROM a{iters} a JOIN a{iters} b
+          ON a.cl = b.cl AND a.vec_id < b.vec_id
+        WHERE {dot} > 0
+          AND CAST({dot} AS HUGEINT) * CAST({dot} AS HUGEINT) * 1000000
+              >= {int(tau_e3) ** 2}::HUGEINT * CAST({n2('a')} AS HUGEINT)
+                 * CAST({n2('b')} AS HUGEINT)
+    )
+    SELECT cluster, pruned_vec_id, MIN(a_id) AS kept_by
+    FROM pr GROUP BY cluster, pruned_vec_id
     """

@@ -117,7 +117,12 @@ _PRIORITY: list[str] = [
     # Its slot goes to dedup_fuzzy_blocked, the round-4 sub-quadratic
     # edit-distance scale twin.)
     "dedup_fuzzy_blocked",
-    "dedup_clusters", "dedup_char_ngram_sketch", "dedup_simhash",
+    "dedup_clusters", "dedup_semantic", "dedup_simhash",
+    # (dedup_char_ngram_sketch: per-doc KMV sketch projection — demoted;
+    # the KMV sketch class stays represented by source_kmv_similarity's
+    # set algebra and the sketch query remains locally swept.  Its slot
+    # goes to dedup_semantic: SemDeDup cluster-then-prune, the semantic
+    # dedup operator class no other window row covers.)
     "ann_topk_cosine",
     # (ann_topk_matrix: the blocked-matmul variant of ann_topk_cosine —
     # demoted; cosine + lsh_bucketed + ivf keep three distinct ANN
@@ -3286,6 +3291,17 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_kmeans", _clust.kmeans_clusters_sql())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clust.kmeans_clusters(ld(spark, sf_dir, "embeddings"))
+
+
+@register("dedup_semantic", _clust.semantic_dedup_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space (exact
+    integer Lloyd's — same chain the oracle unrolls), then prune
+    near-identical pairs WITHIN clusters only — the cluster pass turns
+    corpus-wide O(n^2) into co-partitioned per-cluster joins.  The
+    cosine threshold is tested sqrt-free in decimal(38,0)/HUGEINT, so
+    both engines agree exactly on every pair."""
+    return _clust.semantic_dedup(ld(spark, sf_dir, "embeddings"))
 
 
 # Transaction-consistent emission (Debezium provide.transaction.metadata):

@@ -268,3 +268,39 @@ def test_duplicated_spans_respects_min_docs(spark):
     run = "one two three four five six seven eight"
     df = _docs(spark, [(1, run + " filler " + run, "en", "src0", 1)])
     assert X.duplicated_spans(df, k=8).count() == 0
+
+
+# --- SemDeDup (operators/clustering.py semantic_dedup) ---
+
+
+def test_semantic_dedup_prunes_exact_duplicates(spark):
+    """Identical vectors land in the same cluster at cosine 1.0: every
+    copy except the lowest id is pruned, attributed to that lowest id."""
+    from flink_cdc_2_3_0_src_spark.operators import clustering as C
+
+    a = [1.0, 0.5, 0.0, 0.0]
+    b = [-1.0, 0.0, 0.5, 0.0]
+    df = _emb(
+        spark,
+        [(0, a), (1, b), (2, a), (3, a), (4, b), (5, [0.0, 0.0, 0.0, 1.0])],
+    )
+    out = sorted(
+        (r["pruned_vec_id"], r["kept_by"])
+        for r in C.semantic_dedup(df, k=2, iters=2, tau_e3=999).collect()
+    )
+    assert out == [(2, 0), (3, 0), (4, 1)]
+
+
+def test_semantic_dedup_threshold_monotone(spark):
+    """Lowering tau can only grow the prune list (supset), and no pruned
+    vector ever cites itself or a higher id as its keeper."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators import clustering as C
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    hi = {tuple(r) for r in C.semantic_dedup(emb, tau_e3=450).collect()}
+    lo = {tuple(r) for r in C.semantic_dedup(emb, tau_e3=350).collect()}
+    assert {(c, p) for c, p, _ in hi} <= {(c, p) for c, p, _ in lo}
+    for _, pruned, kept in lo:
+        assert kept < pruned
