@@ -2037,6 +2037,7 @@ from flink_cdc_2_3_0_src_spark.operators import text as _text  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import quantize as _quant  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import mixing as _mixing  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import clustering as _clust  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import bloom as _bloom  # noqa: E402
 
 
 @register("text_stats", _text.TEXT_STATS_SQL)
@@ -3291,6 +3292,30 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_kmeans", _clust.kmeans_clusters_sql())
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clust.kmeans_clusters(ld(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "join_bloom_prefilter",
+    _bloom.bloom_semi_join_sql(
+        "orders",
+        "o_custkey",
+        "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'",
+    ),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter runtime semi-join: build an 8192-bit bitmap
+    from BUILDING-segment customer keys, broadcast it, and pre-filter the
+    orders scan before any join shuffle — with the exact (deterministic)
+    false-positive residue reported.  The engine-portable form of Spark's
+    runtime bloom-filter join, verified bit-for-bit by the oracle."""
+    from pyspark.sql import functions as _F
+
+    dim = ld(spark, sf_dir, "customer").filter(
+        _F.col("c_mktsegment") == "BUILDING"
+    ).select(_F.col("c_custkey"))
+    return _bloom.bloom_semi_join_stats(
+        ld(spark, sf_dir, "orders"), "o_custkey", dim, "c_custkey"
+    )
 
 
 @register("dedup_semantic", _clust.semantic_dedup_sql())

@@ -304,3 +304,38 @@ def test_semantic_dedup_threshold_monotone(spark):
     assert {(c, p) for c, p, _ in hi} <= {(c, p) for c, p, _ in lo}
     for _, pruned, kept in lo:
         assert kept < pruned
+
+
+# --- Bloom-filter runtime semi-join (operators/bloom.py) ---
+
+
+def test_bloom_never_false_negative(spark):
+    """Every true match survives the pre-filter, and the filtered fact
+    keeps its full row schema."""
+    from flink_cdc_2_3_0_src_spark.operators import bloom as B
+
+    fact = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(500)], "fk bigint, payload string"
+    )
+    dim = spark.createDataFrame(
+        [(i,) for i in range(0, 500, 7)], "dk bigint"
+    )
+    out = B.bloom_prefilter(fact, "fk", dim, "dk")
+    assert out.columns == ["fk", "payload"]
+    kept = {r["fk"] for r in out.collect()}
+    assert set(range(0, 500, 7)) <= kept  # no false negatives
+    stats = B.bloom_semi_join_stats(fact, "fk", dim, "dk").collect()[0]
+    assert stats["n_true_match"] == len(range(0, 500, 7))
+    assert stats["n_bloom_pass"] == len(kept)
+    assert stats["n_false_pos"] == stats["n_bloom_pass"] - stats["n_true_match"]
+
+
+def test_bloom_probe_plan_has_no_join_on_fact_side(spark):
+    """The probe must be a scan-level filter: the pre-filtered fact
+    plan contains no join and no exchange at all."""
+    from flink_cdc_2_3_0_src_spark.operators import bloom as B
+
+    fact = spark.range(1000).withColumnRenamed("id", "fk")
+    dim = spark.range(100).withColumnRenamed("id", "dk")
+    plan = B.bloom_prefilter(fact, "fk", dim, "dk")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
