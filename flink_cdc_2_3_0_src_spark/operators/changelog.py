@@ -394,3 +394,76 @@ def append_metadata(
     if op_ts_col is not None and op_ts_col not in out.columns:
         out = out.withColumn(op_ts_col, F.lit(0).cast("timestamp"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Event-time as-of join (temporal / versioned-table join)
+# ---------------------------------------------------------------------------
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    seq_col: str = SEQ_COL,
+) -> DataFrame:
+    """Enrich each probe row with the latest build-side version at or
+    before its event time — Flink SQL's ``FOR SYSTEM_TIME AS OF`` event-
+    time temporal join over a versioned (changelog-materialized) table,
+    the canonical CDC enrichment pattern.
+
+    Spark re-expression: tag and union both sides, then one window pass
+    per key ordered by (ts, side, seq) carrying the last build version
+    forward — the sort-merge shape: a single exchange on the join key,
+    no per-row point lookups, no range explosion; skew on the key column
+    behaves exactly like any sort-merge join (salt upstream if needed).
+
+    ``strict=True`` matches only versions strictly older than the probe
+    row (``v.ts < p.ts``) — at equal timestamps probe rows sort before
+    build rows so a row never sees a same-instant version; False gives
+    ``v.ts <= p.ts``.  Build rows may carry NULLs in ``value_cols``
+    (e.g. a delete tombstone): the match is still recorded, with the
+    NULL payload — distinguishing "no version yet" (no match) from
+    "deleted" (matched NULL).
+    """
+    vals = list(value_cols)
+    probe_side = probe.select(
+        F.col(key).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0 if strict else 1).alias("_side"),
+        F.col(seq_col).alias("_sq") if seq_col in probe.columns else F.lit(0).alias("_sq"),
+        F.lit(None).cast("long").alias("_vseq"),
+        *[F.lit(None).cast(dict(build.dtypes)[c]).alias(f"_v_{c}") for c in vals],
+        F.struct(*probe.columns).alias("_p"),
+    ).withColumn("_isb", F.lit(False))
+    build_side = build.select(
+        F.col(key).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1 if strict else 0).alias("_side"),
+        F.col(seq_col).alias("_sq") if seq_col in build.columns else F.lit(0).alias("_sq"),
+        F.col(seq_col).cast("long").alias("_vseq")
+        if seq_col in build.columns
+        else F.lit(0).cast("long").alias("_vseq"),
+        *[F.col(c).alias(f"_v_{c}") for c in vals],
+        F.lit(None).cast(probe_side.schema["_p"].dataType).alias("_p"),
+    ).withColumn("_isb", F.lit(True))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    version = F.struct(F.col("_vseq"), *[F.col(f"_v_{c}") for c in vals])
+    carried = (
+        probe_side.unionByName(build_side)
+        .withColumn(
+            "_asof",
+            F.last(F.when(F.col("_isb"), version), ignorenulls=True).over(w),
+        )
+        .filter(F.col("_p").isNotNull())
+    )
+    return carried.select(
+        *[F.col("_p")[c].alias(c) for c in probe.columns],
+        F.col("_asof")["_vseq"].alias("version_seq"),
+        *[F.col("_asof")[f"_v_{c}"].alias(f"asof_{c}") for c in vals],
+    )

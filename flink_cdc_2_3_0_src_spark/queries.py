@@ -76,7 +76,13 @@ _PRIORITY: list[str] = [
     "cdc_multi_table_capture", "cdc_materialize", "cdc_changelog_stats",
     "cdc_signed_sum", "cdc_agg_auto_minmax", "cdc_join_enriched",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
-    "cdc_metadata_columns", "cdc_compact_changelog", "b6_all_types_decode",
+    "cdc_metadata_columns", "cdc_asof_prior_image", "b6_all_types_decode",
+    # (cdc_compact_changelog: log compaction — demoted; its upsert-by-PK
+    # semantics are already witnessed in-window by cdc_materialize and
+    # the envelope round trip by cdc_dbz_roundtrip.  Its slot goes to
+    # cdc_asof_prior_image: the event-time temporal join (Flink
+    # FOR SYSTEM_TIME AS OF), verified against DuckDB's NATIVE ASOF
+    # JOIN.  Still registered + locally swept.)
     "cdc_startup_timestamp", "cdc_snapshot_resume",
     "cdc_chunked_snapshot_string_pk", "cdc_chunked_snapshot_composite_pk",
     # (cdc_startup_specific_offset: B9's second witness, demoted —
@@ -1746,6 +1752,45 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = scripted_changelog(spark, sf_dir)
     return scd2_history(log, ["user_id"])
+
+
+# Event-time as-of join (Flink FOR SYSTEM_TIME AS OF): reconstruct each
+# change's before-image from an upsert stream by joining it against its
+# own versioned history strictly before its event time.  The oracle is
+# DuckDB's NATIVE ASOF LEFT JOIN — an independent implementation of the
+# same temporal-join semantics, not a transliteration of ours.
+@register(
+    "cdc_asof_prior_image",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    v AS (
+        SELECT user_id, ts, _seq,
+               CASE WHEN _op = '-D' THEN NULL ELSE value END AS vv
+        FROM log
+    )
+    SELECT l._seq AS change_seq, l.user_id, l._op AS op,
+           v._seq AS version_seq, v.vv AS prev_value
+    FROM log l ASOF LEFT JOIN v
+      ON l.user_id = v.user_id AND l.ts > v.ts
+    """,
+)
+def cdc_asof_prior_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import OP_DELETE
+    from flink_cdc_2_3_0_src_spark.operators.changelog import asof_join
+
+    log = scripted_changelog(spark, sf_dir)
+    build = log.withColumn(
+        "value",
+        F.when(F.col("_op") == OP_DELETE, F.lit(None)).otherwise(F.col("value")),
+    )
+    out = asof_join(log, build, "user_id", "ts", ["value"], strict=True)
+    return out.select(
+        F.col("_seq").alias("change_seq"),
+        "user_id",
+        F.col("_op").alias("op"),
+        "version_seq",
+        F.col("asof_value").alias("prev_value"),
+    )
 
 
 # B4 extended: MIN/MAX over a changelog are not retraction-computable —

@@ -185,3 +185,36 @@ def test_debezium_roundtrip_with_connect_schema(spark):
     )
     key = lambda r: (r[SEQ_COL], r[OP_COL], r["k"])  # noqa: E731
     assert sorted(map(key, dec.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_asof_join_semantics(spark):
+    """Temporal-join contract: latest version at-or-before (non-strict) /
+    strictly-before (strict); no version yet -> NULL match; a delete
+    tombstone matches with a NULL payload (distinguishable from no
+    match via version_seq)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import asof_join
+
+    build = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 20, 101, None), (1, 30, 102, 3.0)],
+        "k bigint, t bigint, _seq bigint, value double",
+    )
+    probe = spark.createDataFrame(
+        [(1, 5, 900), (1, 10, 901), (1, 25, 902), (1, 35, 903), (2, 50, 904)],
+        "k bigint, t bigint, _seq bigint",
+    )
+    res = {
+        r["t"]: (r["version_seq"], r["asof_value"])
+        for r in asof_join(probe, build, "k", "t", ["value"]).collect()
+    }
+    assert res[5] == (None, None)          # before any version
+    assert res[10] == (100, 1.0)           # non-strict: same-instant matches
+    assert res[25] == (101, None)          # deleted: matched, NULL payload
+    assert res[35] == (102, 3.0)
+    assert res[50] == (None, None)         # key never versioned
+
+    strict = {
+        r["t"]: (r["version_seq"], r["asof_value"])
+        for r in asof_join(probe, build, "k", "t", ["value"], strict=True).collect()
+    }
+    assert strict[10] == (None, None)      # strict: same instant excluded
+    assert strict[25] == (101, None)
