@@ -467,3 +467,64 @@ def asof_join(
         F.col("_asof")["_vseq"].alias("version_seq"),
         *[F.col("_asof")[f"_v_{c}"].alias(f"asof_{c}") for c in vals],
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time interval join (Flink DataStream intervalJoin)
+# ---------------------------------------------------------------------------
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_ts_us: Column,
+    r_ts_us: Column,
+    lower_us: int,
+    upper_us: int,
+) -> DataFrame:
+    """Pairs (l, r) with the same key and ``r.ts in [l.ts + lower,
+    l.ts + upper]`` — Flink's event-time interval join
+    (DataStream ``intervalJoin().between(lower, upper)``).
+
+    Scale shape: a raw (key)-equi-join explodes on hot keys.  Instead
+    both sides are bucketed by ``floor(ts / span)`` (span = the interval
+    width): each right row lands in exactly ONE bucket, each left row
+    probes the constant few buckets its window can overlap — so the join
+    is an equi-join on (key, bucket) whose per-task work is bounded by
+    the events per interval-width, not per key.  Pairs are emitted once
+    (right's bucket is unique), no post-dedup.
+
+    Both timestamp expressions must be epoch-microsecond BIGINTs (cast
+    upstream — keeps the window arithmetic timezone-free).
+    """
+    if upper_us <= lower_us:
+        raise ValueError("interval upper bound must exceed lower bound")
+    span = upper_us - lower_us
+    lb = left.select(
+        F.struct(*left.columns).alias("_l"),
+        F.col(key).alias("_k"),
+        l_ts_us.alias("_lt"),
+    )
+    rb = right.select(
+        F.struct(*right.columns).alias("_r"),
+        F.col(key).alias("_k"),
+        r_ts_us.alias("_rt"),
+    ).withColumn("_b", F.floor(F.col("_rt") / span))
+    probe = lb.select(
+        "_l",
+        "_k",
+        "_lt",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lt") + lower_us) / span),
+                F.floor((F.col("_lt") + upper_us) / span),
+            )
+        ).alias("_b"),
+    )
+    pairs = probe.join(rb, ["_k", "_b"]).filter(
+        (F.col("_rt") >= F.col("_lt") + lower_us)
+        & (F.col("_rt") <= F.col("_lt") + upper_us)
+    )
+    return pairs.select(
+        *[F.col("_l")[c].alias(f"l_{c}") for c in left.columns],
+        *[F.col("_r")[c].alias(f"r_{c}") for c in right.columns],
+    )

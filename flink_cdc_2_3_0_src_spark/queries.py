@@ -1793,6 +1793,49 @@ def cdc_asof_prior_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Event-time interval join (Flink DataStream intervalJoin): click ->
+# purchase attribution within a 10-minute window, bucketized so per-task
+# work is bounded by events-per-interval, not events-per-key.
+@register(
+    "events_interval_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS delta_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(p.ts) BETWEEN epoch_us(c.ts)
+                            AND epoch_us(c.ts) + 600000000
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import interval_join
+
+    ev = ld(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", _epoch_us_ntz(F.col("ts")).alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _epoch_us_ntz(F.col("ts")).alias("ts_us")
+    )
+    out = interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        F.col("ts_us"),
+        F.col("ts_us"),
+        0,
+        600_000_000,
+    )
+    return out.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        F.col("l_user_id").alias("user_id"),
+        (F.col("r_ts_us") - F.col("l_ts_us")).alias("delta_us"),
+    )
+
+
 # B4 extended: MIN/MAX over a changelog are not retraction-computable —
 # agg_auto transparently materializes first, while SUM/COUNT stay on the
 # signed-delta fast path. Both must equal aggregates over final state.

@@ -218,3 +218,45 @@ def test_asof_join_semantics(spark):
     }
     assert strict[10] == (None, None)      # strict: same instant excluded
     assert strict[25] == (101, None)
+
+
+def test_interval_join_bounds_and_buckets(spark):
+    """Pairs appear exactly once (bucketization must not duplicate a
+    pair whose window spans a bucket boundary) and bounds are inclusive."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import interval_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000)], "id bigint, k bigint, t bigint"
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 999), (11, 1, 1000), (12, 1, 1500), (13, 1, 2000),
+         (14, 1, 2001), (15, 2, 1500)],
+        "id bigint, k bigint, t bigint",
+    )
+    out = interval_join(
+        left, right, "k", F.col("t"), F.col("t"), 0, 1000
+    ).collect()
+    got = sorted((r["l_id"], r["r_id"]) for r in out)
+    # inclusive [t, t+1000]; different key excluded; 999 too early
+    assert got == [(1, 11), (1, 12), (1, 13)]
+    assert len(got) == len(set(got))  # no bucket-boundary duplicates
+
+
+def test_interval_join_negative_lower_bound(spark):
+    """A [-500, +500] window picks up rows before AND after."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import interval_join
+    from pyspark.sql import functions as F
+    import pytest
+
+    left = spark.createDataFrame([(1, 1, 1000)], "id bigint, k bigint, t bigint")
+    right = spark.createDataFrame(
+        [(10, 1, 499), (11, 1, 500), (12, 1, 1500), (13, 1, 1501)],
+        "id bigint, k bigint, t bigint",
+    )
+    out = interval_join(
+        left, right, "k", F.col("t"), F.col("t"), -500, 500
+    ).collect()
+    assert sorted(r["r_id"] for r in out) == [11, 12]
+    with pytest.raises(ValueError, match="upper"):
+        interval_join(left, right, "k", F.col("t"), F.col("t"), 500, 500)
