@@ -20,6 +20,11 @@ Builders exist for every connector family the engine models:
     MySqlSource.builder()      — incremental chunked snapshot + binlog
     PostgresSource.builder()   — + slot/plugin options, changelog-mode
     MongoDBSource.builder()    — upsert stream, sample/splitVector hints
+    OracleSource.builder()     — schema list, LogMiner knobs
+    SqlServerSource.builder()  — legacy Debezium wrapper options
+    Db2Source.builder()        — legacy Debezium wrapper options
+    TiDBSource.builder()       — PD endpoints, initial|latest only
+    OceanBaseSource.builder()  — log-proxy endpoint, tenant
 
 ``build()`` returns a :class:`CdcSource` — a thin, inert value object:
 ``.config`` feeds the planner/pipeline layer (``plans.chunking``,
@@ -361,3 +366,91 @@ class _SourceEntry:
 MySqlSource = _SourceEntry(MySqlSourceBuilder)
 PostgresSource = _SourceEntry(PostgresSourceBuilder)
 MongoDBSource = _SourceEntry(MongoDBSourceBuilder)
+
+
+class OracleSourceBuilder(MySqlSourceBuilder):
+    """OracleSource.builder() parity (OracleSource.java:38-180): schema
+    include list + LogMiner/XStream knobs through the passthrough map."""
+
+    connector = "oracle-cdc"
+
+    def schema_list(self, *schemas: str):
+        self._c.debezium_properties["schema.whitelist"] = ",".join(schemas)
+        return self
+
+    def database(self, name: str):
+        self._c.debezium_properties["database.dbname"] = name
+        return self
+
+
+class SqlServerSourceBuilder(MySqlSourceBuilder):
+    """SqlServerSource.builder() parity (legacy Debezium wrapper)."""
+
+    connector = "sqlserver-cdc"
+
+    def database(self, name: str):
+        self._c.debezium_properties["database.dbname"] = name
+        return self
+
+
+class Db2SourceBuilder(MySqlSourceBuilder):
+    """Db2Source.builder() parity (legacy Debezium wrapper)."""
+
+    connector = "db2-cdc"
+
+    def database(self, name: str):
+        self._c.debezium_properties["database.dbname"] = name
+        return self
+
+
+class TiDBSourceBuilder(MySqlSourceBuilder):
+    """TiDBSource.builder() parity (TiDBSource.java:27-90): PD endpoints
+    and TiKV client options; startup is initial|latest-offset only, as in
+    the reference's switch."""
+
+    connector = "tidb-cdc"
+
+    def pd_addresses(self, addrs: str):
+        self._c.debezium_properties["pd.addresses"] = addrs
+        return self
+
+    def tikv_grpc_timeout_ms(self, ms: int):
+        self._c.debezium_properties["tikv.grpc.timeout_in_ms"] = str(ms)
+        return self
+
+    def build(self) -> CdcSource:
+        from flink_cdc_2_3_0_src_spark.model import StartupMode as _SM
+
+        if self._c.startup_mode not in (_SM.INITIAL, _SM.LATEST):
+            raise ValueError(
+                "tidb-cdc supports initial | latest-offset startup only "
+                "(TiDBSource.java startup switch)"
+            )
+        src = super().build()
+        src.connector = self.connector
+        return src
+
+
+class OceanBaseSourceBuilder(MySqlSourceBuilder):
+    """OceanBaseSource.builder() parity: log-proxy endpoint + tenant."""
+
+    connector = "oceanbase-cdc"
+
+    def log_proxy_host(self, host: str):
+        self._c.debezium_properties["logproxy.host"] = host
+        return self
+
+    def log_proxy_port(self, port: int):
+        self._c.debezium_properties["logproxy.port"] = str(port)
+        return self
+
+    def tenant_name(self, tenant: str):
+        self._c.debezium_properties["tenant-name"] = tenant
+        return self
+
+
+OracleSource = _SourceEntry(OracleSourceBuilder)
+SqlServerSource = _SourceEntry(SqlServerSourceBuilder)
+Db2Source = _SourceEntry(Db2SourceBuilder)
+TiDBSource = _SourceEntry(TiDBSourceBuilder)
+OceanBaseSource = _SourceEntry(OceanBaseSourceBuilder)

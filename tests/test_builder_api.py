@@ -151,3 +151,41 @@ def test_postgres_and_mongo_builders():
     mg = MongoDBSource.builder().copy_existing(True).build()
     assert mg.connector == "mongodb-cdc"
     assert mg.config.debezium_properties["copy.existing"] == "true"
+
+
+def test_all_connector_builders():
+    from flink_cdc_2_3_0_src_spark.sources.api import (
+        Db2Source,
+        OceanBaseSource,
+        OracleSource,
+        SqlServerSource,
+        TiDBSource,
+    )
+    import pytest as _pytest
+
+    ora = OracleSource.builder().schema_list("HR", "SALES").database("ORCLCDB").build()
+    assert ora.connector == "oracle-cdc"
+    assert ora.config.debezium_properties["schema.whitelist"] == "HR,SALES"
+
+    assert SqlServerSource.builder().database("db").build().connector == "sqlserver-cdc"
+    assert Db2Source.builder().database("db").build().connector == "db2-cdc"
+
+    tidb = (
+        TiDBSource.builder()
+        .pd_addresses("pd0:2379,pd1:2379")
+        .startup_options(StartupOptions.latest())
+        .build()
+    )
+    assert tidb.connector == "tidb-cdc"
+    with _pytest.raises(ValueError, match="tidb-cdc supports"):
+        TiDBSource.builder().startup_options(
+            StartupOptions.timestamp(1)
+        ).build()
+
+    ob = (
+        OceanBaseSource.builder()
+        .log_proxy_host("lp").log_proxy_port(2983).tenant_name("sys")
+        .build()
+    )
+    assert ob.connector == "oceanbase-cdc"
+    assert ob.config.debezium_properties["tenant-name"] == "sys"
