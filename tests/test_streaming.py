@@ -519,3 +519,79 @@ def test_streaming_committed_changelog_crash_resume(spark, tmp_path):
     )
     assert [(r["user_id"], r["value"]) for r in got] == [(1, 10.0), (1, 11.0)]
     assert all(r["_commit_seq"] == 100 for r in got)
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """The interval join's streaming form: Spark's native stream-stream
+    inner join with symmetric watermarks and a time-range condition
+    (the Structured Streaming expression of Flink's intervalJoin).
+    Replayed over file microbatches it must emit exactly the batch
+    operator's pairs."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.operators.changelog import interval_join
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias(SEQ_COL),
+    )
+    replay_dir = str(tmp_path / "replay_ij")
+    schema = write_replay_files(ev, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, schema)
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "30 minutes")
+        .alias("c")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "30 minutes")
+        .alias("p")
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND p.ts >= c.ts "
+            "AND p.ts <= c.ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ij_stream_out").collect()
+    }
+
+    span_us = 30 * 60 * 1_000_000
+    us = lambda col: F.unix_micros(col)  # noqa: E731
+    cb = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", us(F.col("ts")).alias("ts_us")
+    )
+    pb = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", us(F.col("ts")).alias("ts_us")
+    )
+    exp = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in interval_join(
+            cb, pb, "user_id", F.col("ts_us"), F.col("ts_us"), 0, span_us
+        ).collect()
+    }
+    assert len(exp) > 0 and got == exp
