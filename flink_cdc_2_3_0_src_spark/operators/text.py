@@ -942,3 +942,77 @@ DUPLICATED_SPANS_SQL = f"""
            CAST(COUNT(*) AS BIGINT) AS n_windows
     FROM isl GROUP BY doc_id, grp
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (integer-exact)
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Scoring is INTEGER-exact so any engine ranks identically: idf is the
+    milli-unit rational ``N * 1000 // df`` (floor), score = tf * idf_milli;
+    ties break lexicographically.  (The log in textbook idf only dampens
+    the ordering; the rational form preserves the df-ranking exactly and
+    stays engine-portable — no float log in the comparison path.)
+
+    Scale shape: one explode + (doc, term) count, a vocab-sized df
+    aggregate joined back ON THE TERM KEY (hash join on the shuffled
+    vocab — broadcastable when the vocab fits), and a per-doc top-k
+    window.  No driver-side state."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf") * F.floor(F.col("n_docs") * 1000 / F.col("df")).cast("bigint"))
+            .alias("score_milli"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "rank", "tok", "tf", "df", "score_milli")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tk GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               tf.tf * CAST(floor(n.n_docs * 1000 / df.df) AS BIGINT) AS score_milli
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df, score_milli
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score_milli DESC, tok
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {TFIDF_TOP_K}
+"""

@@ -2422,6 +2422,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
 
 
+@register("text_tfidf_top_terms", _text.TFIDF_TOP_TERMS_SQL)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by integer-exact tf-idf
+    (milli-unit rational idf keeps the ranking engine-portable — no
+    float log in the comparison path)."""
+    return _text.tfidf_top_terms(ld(spark, sf_dir, "documents"))
+
+
 @register("dedup_spans", _text.DUPLICATED_SPANS_SQL)
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection (substring-level dedup): maximal
