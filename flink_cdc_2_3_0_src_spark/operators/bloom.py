@@ -32,8 +32,10 @@ DEFAULT_M_BITS = 8_192
 
 
 def _bit_positions(key_col, m_bits: int):
-    """List of Bloom bit positions for an integer key column."""
-    x = key_col.cast("long") % _P
+    """List of Bloom bit positions for an integer key column.  pmod
+    keeps positions in [0, m_bits) for negative keys too (Spark's and
+    DuckDB's `%` both take the dividend's sign)."""
+    x = (key_col.cast("long") % _P + _P) % _P
     return [
         ((F.lit(a) * x + F.lit(b)) % _P) % m_bits for a, b in _HASHES
     ]
@@ -136,11 +138,11 @@ def bloom_semi_join_sql(
     must select one column named ``k`` (the dim keys, pre-filtered)."""
     n_h = len(_HASHES)
     hash_list = ", ".join(
-        f"(({a} * (CAST(k AS BIGINT) % {_P}) + {b}) % {_P}) % {m_bits}"
+        f"(({a} * ((CAST(k AS BIGINT) % {_P} + {_P}) % {_P}) + {b}) % {_P}) % {m_bits}"
         for a, b in _HASHES
     )
     probe_hashes = ", ".join(
-        f"(({a} * (CAST(k AS BIGINT) % {_P}) + {b}) % {_P}) % {m_bits}"
+        f"(({a} * ((CAST(k AS BIGINT) % {_P} + {_P}) % {_P}) + {b}) % {_P}) % {m_bits}"
         for a, b in _HASHES
     )
     return f"""

@@ -499,6 +499,15 @@ def interval_join(
     if upper_us <= lower_us:
         raise ValueError("interval upper bound must exceed lower bound")
     span = upper_us - lower_us
+
+    def _floor_div(c, n):
+        # exact floor division for BIGINT timestamps: Spark's `/` is a
+        # double divide whose rounding can flip floor() at bucket
+        # boundaries once |c| nears 2^53 (epoch-micros is ~2^50) —
+        # subtract the mathematical remainder first so the divide is
+        # integral and exactly representable
+        rem = ((c % n) + n) % n
+        return ((c - rem) / n).cast("long")
     lb = left.select(
         F.struct(*left.columns).alias("_l"),
         F.col(key).alias("_k"),
@@ -508,15 +517,15 @@ def interval_join(
         F.struct(*right.columns).alias("_r"),
         F.col(key).alias("_k"),
         r_ts_us.alias("_rt"),
-    ).withColumn("_b", F.floor(F.col("_rt") / span))
+    ).withColumn("_b", _floor_div(F.col("_rt"), span))
     probe = lb.select(
         "_l",
         "_k",
         "_lt",
         F.explode(
             F.sequence(
-                F.floor((F.col("_lt") + lower_us) / span),
-                F.floor((F.col("_lt") + upper_us) / span),
+                _floor_div(F.col("_lt") + lower_us, span),
+                _floor_div(F.col("_lt") + upper_us, span),
             )
         ).alias("_b"),
     )

@@ -339,3 +339,17 @@ def test_bloom_probe_plan_has_no_join_on_fact_side(spark):
     dim = spark.range(100).withColumnRenamed("id", "dk")
     plan = B.bloom_prefilter(fact, "fk", dim, "dk")._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_bloom_handles_negative_keys(spark):
+    """pmod keeps bit positions in range for negative keys; matches are
+    still exact."""
+    from flink_cdc_2_3_0_src_spark.operators import bloom as B
+
+    fact = spark.createDataFrame(
+        [(i,) for i in range(-250, 250)], "fk bigint"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(-250, 250, 11)], "dk bigint")
+    stats = B.bloom_semi_join_stats(fact, "fk", dim, "dk").collect()[0]
+    assert stats["n_true_match"] == len(range(-250, 250, 11))
+    assert stats["n_bloom_pass"] >= stats["n_true_match"]
