@@ -595,3 +595,61 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert len(exp) > 0 and got == exp
+
+
+def test_sql_upsert_sink_exactly_once_live_duckdb(spark, tmp_path):
+    """B5/B13/B15 on a LIVE SQL engine: the scripted changelog streams
+    through foreachBatch into a DuckDB table via SqlUpsertSink; the
+    batch-ledger transaction makes redelivery a no-op; final table
+    equals the materialized oracle."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.sink import SqlUpsertSink
+
+    con = duckdb.connect()
+    # no PK constraint: the sink's delete-then-insert protocol enforces
+    # key uniqueness itself, and DuckDB's documented ART limitation
+    # rejects delete+reinsert of a PK key inside one transaction
+    con.execute(
+        "CREATE TABLE user_state (user_id BIGINT, value DOUBLE, ts TIMESTAMP)"
+    )
+
+    def run_sql(sql):
+        return con.execute(sql).fetchall()
+
+    sink = SqlUpsertSink(run_sql, "user_state", ["user_id"])
+    log = scripted_changelog(spark, SF_SMOKE)
+    replay_dir = str(tmp_path / "replay_sqlsink")
+    schema = write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, schema)
+    q = (
+        stream.writeStream.foreachBatch(sink.merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sqlsink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r[0], r[1])
+        for r in con.execute("SELECT user_id, value FROM user_state").fetchall()
+    }
+    assert got == oracle_state(spark)
+
+    # exactly-once: re-applying an already-ledgered batch changes nothing
+    n_before = con.execute("SELECT count(*) FROM user_state").fetchone()[0]
+    sink.merge_batch(log.limit(50), 0)  # batch 0 replay
+    assert con.execute("SELECT count(*) FROM user_state").fetchone()[0] == n_before
+    assert {
+        (r[0], r[1])
+        for r in con.execute("SELECT user_id, value FROM user_state").fetchall()
+    } == oracle_state(spark)
+    # ledger recorded every real batch exactly once
+    n_batches = con.execute(
+        "SELECT count(*), count(DISTINCT batch_id) FROM user_state__batches"
+    ).fetchone()
+    assert n_batches[0] == n_batches[1] >= 4
