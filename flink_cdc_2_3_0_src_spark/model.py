@@ -337,10 +337,20 @@ def _lex_bound_sql(keys: Sequence[str], vals: Sequence[Any], final_op: str) -> s
 
 
 def _sql_lit(v: Any) -> str:
+    import datetime
+
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, bytes):
         return "X'" + v.hex() + "'"
+    # typed temporal literals — an unquoted date would parse as integer
+    # arithmetic (2024-01-01 == 2022); the ANSI forms below are accepted
+    # by Spark SQL, DuckDB, SQLite (as a string compare) and the JDBC
+    # dialects alike.  datetime BEFORE date: datetime is a date subclass.
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v}'"
     return str(v)
 
 

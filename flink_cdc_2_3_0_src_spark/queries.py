@@ -1911,6 +1911,20 @@ def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.chunked_scan().drop(OP_COL, SEQ_COL)
 
 
+# B10 extended: DATE split key — non-numeric AND non-unique, so the
+# planner takes the lazy uneven path with typed DATE range literals
+# (the boundary semantics [b_i, b_{i+1}) keep duplicate key values in
+# exactly one chunk).  Mirrors chunking a table on a created_at-style
+# column via scan.incremental.snapshot.chunk.key-column.
+@register("cdc_chunked_snapshot_date_key", "SELECT * FROM orders")
+def cdc_chunked_snapshot_date_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = ParquetTableSource(
+        spark, sf_dir, "orders", split_key="o_orderdate",
+        chunk_size=2000, max_chunks=16,
+    )
+    return src.chunked_scan().drop(OP_COL, SEQ_COL)
+
+
 # A26: sample/bucket (equi-height percentile) chunking — one aggregation
 # plans all chunks; union of chunk scans == full table.
 @register("cdc_sample_bucket_snapshot", "SELECT * FROM orders")

@@ -141,3 +141,26 @@ def test_table_regex_capture():
     assert got == [TableId("db1", None, "users")]
     got = match_tables(tids, ["db."], ["users"])
     assert len(got) == 2
+
+
+def test_date_split_key_chunking(spark):
+    """B10 over a DATE split key: typed DATE range literals, lazy uneven
+    planning over a non-unique temporal key, exact union."""
+    import datetime
+
+    from flink_cdc_2_3_0_src_spark.model import ChunkRange
+    from flink_cdc_2_3_0_src_spark.sources.parquet_dialect import ParquetTableSource
+    from tests.conftest import SF_SMOKE
+
+    pred = ChunkRange(
+        datetime.date(1995, 3, 15), datetime.date(1996, 1, 1)
+    ).predicate_sql("o_orderdate")
+    assert pred == "o_orderdate >= DATE '1995-03-15' AND o_orderdate < DATE '1996-01-01'"
+
+    src = ParquetTableSource(
+        spark, SF_SMOKE, "orders", split_key="o_orderdate", chunk_size=300
+    )
+    splits = src.planner().plan_splits()
+    assert len(splits) > 1  # genuinely chunked
+    total = src.raw().count()
+    assert src.chunked_scan(splits).count() == total
