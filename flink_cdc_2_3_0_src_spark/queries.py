@@ -3428,6 +3428,32 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "layout_zorder_orders",
+    __import__("flink_cdc_2_3_0_src_spark.operators.layout", fromlist=["x"]).zorder_layout_sql(
+        "(SELECT o_orderkey, o_custkey,"
+        " (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS o_days FROM orders)",
+        ["o_custkey", "o_days"],
+    ),
+)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout quality report: Morton-interleave (o_custkey,
+    order date) and measure each curve-range bucket's min/max envelope
+    in both dimensions — the file-statistics view a scan planner prunes
+    against after OPTIMIZE ZORDER.  Pure projections + one groupBy; the
+    curve is exact integer arithmetic on both engines."""
+    from flink_cdc_2_3_0_src_spark.operators.layout import zorder_layout_stats
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("o_days"),
+    )
+    return zorder_layout_stats(o, ["o_custkey", "o_days"])
+
+
 @register("dedup_semantic", _clust.semantic_dedup_sql())
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means the embedding space (exact

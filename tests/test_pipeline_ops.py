@@ -353,3 +353,49 @@ def test_bloom_handles_negative_keys(spark):
     stats = B.bloom_semi_join_stats(fact, "fk", dim, "dk").collect()[0]
     assert stats["n_true_match"] == len(range(-250, 250, 11))
     assert stats["n_bloom_pass"] >= stats["n_true_match"]
+
+
+# --- Z-order layout (operators/layout.py) ---
+
+
+def test_zorder_interleave_hand_case(spark):
+    """Morton code of 2-bit values: z(x=0b10, y=0b01) with x in slot 0 ->
+    bits x0,y0,x1,y1 = 0,1,1,0 -> 0b0110 = 6."""
+    from flink_cdc_2_3_0_src_spark.operators.layout import zorder_value
+
+    df = spark.createDataFrame([(2, 1)], "x bigint, y bigint")
+    z = df.select(
+        zorder_value([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()[0]["z"]
+    assert z == 6
+
+
+def test_zorder_buckets_shrink_envelopes(spark):
+    """The point of z-order: per-bucket min/max envelopes cover far less
+    of each dimension than the full span, in BOTH dimensions at once."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.layout import zorder_layout_stats
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1970-01-01")))
+        .cast("bigint")
+        .alias("o_days"),
+    )
+    rows = zorder_layout_stats(o, ["o_custkey", "o_days"]).collect()
+    assert sum(r["n"] for r in rows) == o.count()
+    full_ck = max(r["max_o_custkey"] for r in rows) - min(
+        r["min_o_custkey"] for r in rows
+    )
+    full_d = max(r["max_o_days"] for r in rows) - min(r["min_o_days"] for r in rows)
+    # average envelope fraction per bucket, per dimension
+    frac_ck = sum(
+        (r["max_o_custkey"] - r["min_o_custkey"]) / full_ck for r in rows
+    ) / len(rows)
+    frac_d = sum((r["max_o_days"] - r["min_o_days"]) / full_d for r in rows) / len(rows)
+    # 16 z-range buckets over 2 dims -> each dimension's envelope should
+    # average well under the full span (a 1-D sort would give ~1.0 on
+    # the second dimension)
+    assert frac_ck < 0.6 and frac_d < 0.6
