@@ -187,3 +187,35 @@ def test_composite_chunkrange_predicate_matches_contains(vals, bounds):
     )
     expect = {v for v in vals if rng.contains(v)}
     assert got == expect
+
+
+# ---- compaction planner (plans/compaction.py) ----
+
+from flink_cdc_2_3_0_src_spark.plans.compaction import plan_compaction
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=500), min_size=0, max_size=80),
+    target=st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=200, deadline=None)
+def test_compaction_plan_invariants(sizes, target):
+    files = {f"f{i:03d}": s for i, s in enumerate(sizes)}
+    plan = plan_compaction(files, target)
+    # conservation: every file appears exactly once
+    seen = list(plan.untouched) + [f for b in plan.bins for f in b.files]
+    assert sorted(seen) == sorted(files)
+    # bins respect the target and have >= 2 inputs
+    for b in plan.bins:
+        assert b.total_bytes == sum(files[f] for f in b.files)
+        assert b.total_bytes <= target
+        assert len(b.files) >= 2
+    # oversized files are never rewritten
+    for f, s in files.items():
+        if s >= target:
+            assert f in plan.untouched
+    # compaction never increases file count
+    assert plan.files_after <= plan.files_before
+    # determinism
+    again = plan_compaction(files, target)
+    assert again.bins == plan.bins and again.untouched == plan.untouched
