@@ -1016,3 +1016,121 @@ TFIDF_TOP_TERMS_SQL = f"""
         FROM scored
     ) WHERE rank <= {TFIDF_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based filtering (hashed-feature linear inference)
+# ---------------------------------------------------------------------------
+# The fasttext-style quality/domain classifier is a standard pipeline
+# gate (e.g. pretraining-data "educational value" filters).  Inference
+# is a hashed bag-of-words linear model: bucket = H(token) mod D,
+# score_c = sum of W[c][bucket] — which Spark executes as a pure
+# codegen'd expression over the token array with the weight matrix as
+# literal arrays (broadcast by construction, zero Python, zero shuffle
+# until the report aggregation).  The weights here are a deterministic
+# fixture standing in for a trained model; swapping in real weights
+# changes only the literals.
+CLASSIFY_DIM = 64
+CLASSIFY_CLASSES = ("web", "code", "academic")
+
+
+def _fixture_weight(c: int, j: int) -> int:
+    return ((j + 1) * (2 * c + 3) * 2_654_435_761 % 1_999) - 999
+
+
+def classify_scores(text_col: Column) -> dict[str, Column]:
+    """Per-class integer scores for one document."""
+    from flink_cdc_2_3_0_src_spark.functions.hashing import poly_hash_expr, tokens
+
+    buckets = F.transform(
+        tokens(text_col), lambda t: poly_hash_expr(t) % CLASSIFY_DIM
+    )
+    def _score(w):
+        return F.aggregate(
+            buckets,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(w, b.cast("int") + 1),
+        )
+
+    out = {}
+    for ci, cname in enumerate(CLASSIFY_CLASSES):
+        w = F.array(
+            *[F.lit(_fixture_weight(ci, j)).cast("long") for j in range(CLASSIFY_DIM)]
+        )
+        out[cname] = _score(w)
+    return out
+
+
+def classify_documents(docs: DataFrame) -> DataFrame:
+    """Per-source predicted-class distribution (argmax, ties to the
+    earlier class) — the gate report a classifier-filter stage emits."""
+    s = classify_scores(F.col("text"))
+    sc = docs.select(
+        "doc_id",
+        "source",
+        *[c.alias(f"s_{n}") for n, c in s.items()],
+    )
+    pred = (
+        F.when(
+            (F.col("s_web") >= F.col("s_code"))
+            & (F.col("s_web") >= F.col("s_academic")),
+            F.lit("web"),
+        )
+        .when(F.col("s_code") >= F.col("s_academic"), F.lit("code"))
+        .otherwise(F.lit("academic"))
+    )
+    return (
+        sc.withColumn("pred", pred)
+        .groupBy("source", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("s_web")).alias("sum_s_web"),
+            F.sum(F.col("s_code")).alias("sum_s_code"),
+            F.sum(F.col("s_academic")).alias("sum_s_academic"),
+        )
+    )
+
+
+def _classify_sql_scores() -> list[str]:
+    exprs = []
+    for ci in range(len(CLASSIFY_CLASSES)):
+        ws = ", ".join(str(_fixture_weight(ci, j)) for j in range(CLASSIFY_DIM))
+        exprs.append(
+            f"list_sum([ [{ws}][({sql_poly_hash('t')} % {CLASSIFY_DIM}) + 1] "
+            f"for t in toks ])"
+        )
+    return exprs
+
+
+CLASSIFY_DOCUMENTS_SQL = None  # assembled below (needs the score exprs)
+
+
+def _build_classify_sql() -> str:
+    s_web, s_code, s_acad = _classify_sql_scores()
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    sc AS (
+        SELECT doc_id, source,
+               CAST(coalesce({s_web}, 0) AS BIGINT) AS s_web,
+               CAST(coalesce({s_code}, 0) AS BIGINT) AS s_code,
+               CAST(coalesce({s_acad}, 0) AS BIGINT) AS s_academic
+        FROM tk
+    ),
+    p AS (
+        SELECT *, CASE
+            WHEN s_web >= s_code AND s_web >= s_academic THEN 'web'
+            WHEN s_code >= s_academic THEN 'code'
+            ELSE 'academic' END AS pred
+        FROM sc
+    )
+    SELECT source, pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s_web) AS BIGINT) AS sum_s_web,
+           CAST(SUM(s_code) AS BIGINT) AS sum_s_code,
+           CAST(SUM(s_academic) AS BIGINT) AS sum_s_academic
+    FROM p GROUP BY source, pred
+    """
+
+
+CLASSIFY_DOCUMENTS_SQL = _build_classify_sql()

@@ -2436,6 +2436,15 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
 
 
+@register("text_classifier_gate", _text.CLASSIFY_DOCUMENTS_SQL)
+def text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (the fasttext-style
+    quality/domain gate): per-class scores as codegen'd expressions over
+    the token array with a literal weight matrix; per-source predicted-
+    class distribution report."""
+    return _text.classify_documents(ld(spark, sf_dir, "documents"))
+
+
 @register("text_tfidf_top_terms", _text.TFIDF_TOP_TERMS_SQL)
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 characteristic terms by integer-exact tf-idf
