@@ -344,9 +344,12 @@ def _sql_lit(v: Any) -> str:
     if isinstance(v, bytes):
         return "X'" + v.hex() + "'"
     # typed temporal literals — an unquoted date would parse as integer
-    # arithmetic (2024-01-01 == 2022); the ANSI forms below are accepted
-    # by Spark SQL, DuckDB, SQLite (as a string compare) and the JDBC
-    # dialects alike.  datetime BEFORE date: datetime is a date subclass.
+    # arithmetic (2024-01-01 == 2022).  The ANSI forms below are accepted
+    # by Spark SQL, DuckDB and the JDBC dialects; SQLite is NOT in that
+    # set (it has no temporal literals — but it also stores dates as
+    # TEXT, so temporal Python values never reach a SQLite-bound
+    # predicate; string keys take the quoted-string branch above).
+    # datetime BEFORE date: datetime is a date subclass.
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v}'"
     if isinstance(v, datetime.date):

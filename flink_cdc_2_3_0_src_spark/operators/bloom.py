@@ -41,6 +41,15 @@ def _bit_positions(key_col, m_bits: int):
     ]
 
 
+def _check_m_bits(m_bits: int) -> None:
+    # the bitmap is stored as 32-bit words and the probe derives m_bits
+    # back from the word count — a non-multiple of 32 would drop the
+    # tail bits on the build side and hash with a DIFFERENT modulus on
+    # the probe side (false negatives)
+    if m_bits <= 0 or m_bits % 32 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 32, got {m_bits}")
+
+
 def bloom_build(dim: DataFrame, dim_key: str, m_bits: int = DEFAULT_M_BITS) -> list[int]:
     """Aggregate the dim side's keys into the m-bit bitmap.  The
     groupBy folds (distinct keys × 3) bit rows into at most m/32 words —
@@ -136,6 +145,7 @@ def bloom_semi_join_sql(
 ) -> str:
     """DuckDB twin: rebuilds the identical bitmap and probe.  ``dim_sql``
     must select one column named ``k`` (the dim keys, pre-filtered)."""
+    _check_m_bits(m_bits)
     n_h = len(_HASHES)
     hash_list = ", ".join(
         f"(({a} * ((CAST(k AS BIGINT) % {_P} + {_P}) % {_P}) + {b}) % {_P}) % {m_bits}"

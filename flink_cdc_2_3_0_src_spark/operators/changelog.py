@@ -496,8 +496,25 @@ def interval_join(
     Both timestamp expressions must be epoch-microsecond BIGINTs (cast
     upstream — keeps the window arithmetic timezone-free).
     """
-    if upper_us <= lower_us:
-        raise ValueError("interval upper bound must exceed lower bound")
+    if upper_us < lower_us:
+        raise ValueError("interval upper bound must be >= lower bound")
+    if upper_us == lower_us:
+        # degenerate window (Flink permits between(x, x)): an exact-offset
+        # match is a plain equi-join on (key, ts + offset)
+        lb = left.select(
+            F.struct(*left.columns).alias("_l"),
+            F.col(key).alias("_k"),
+            (l_ts_us + lower_us).alias("_jt"),
+        )
+        rb = right.select(
+            F.struct(*right.columns).alias("_r"),
+            F.col(key).alias("_k"),
+            r_ts_us.alias("_jt"),
+        )
+        return lb.join(rb, ["_k", "_jt"]).select(
+            *[F.col("_l")[c].alias(f"l_{c}") for c in left.columns],
+            *[F.col("_r")[c].alias(f"r_{c}") for c in right.columns],
+        )
     span = upper_us - lower_us
 
     def _floor_div(c, n):

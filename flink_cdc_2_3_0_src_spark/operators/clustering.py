@@ -93,10 +93,15 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
         )
     centroids = [list(r["v"]) for r in init]
     assigned = None
-    for _ in range(iters):
+    for it in range(iters):
         assigned = q.select(
             "vec_id", "v", _assign_expr(F.col("v"), centroids).alias("cl")
         )
+        if it == iters - 1:
+            # the post-final-assignment centroid update is never used by
+            # any caller (kmeans_clusters recomputes _update for its
+            # fingerprint) — skip the wasted full-corpus aggregation
+            break
         upd = {
             r["cl"]: r
             for r in _update(assigned)

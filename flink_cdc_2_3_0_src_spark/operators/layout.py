@@ -37,9 +37,23 @@ def _quantize(col, mn: int, mx: int, bits: int):
     return ((a - (a % span)) / span).cast("long")
 
 
+def _check_zorder_params(n_cols: int, bits: int, n_buckets: int = 2) -> None:
+    # the Morton code lives in a signed int64: bits*n_cols must stay
+    # below 63 or the top term weights overflow LongType (and DuckDB
+    # would silently widen to HUGEINT, diverging)
+    if bits * n_cols > 63:
+        raise ValueError(
+            f"bits*n_cols = {bits * n_cols} exceeds 63 (signed int64 Morton code); "
+            "lower bits for higher arity"
+        )
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+
+
 def zorder_value(qcols: Sequence, bits: int = ZORDER_BITS):
     """Interleave pre-quantized columns (each in [0, 2^bits)) into one
     Morton code.  bits * n_cols literal terms, all JVM-side."""
+    _check_zorder_params(len(qcols), bits)
     n = len(qcols)
     terms = []
     for b in range(bits):
@@ -61,6 +75,7 @@ def zorder_layout_stats(
     """Bucket the table by z-curve range and report each bucket's
     (count, min, max) envelope per dimension — the file-statistics view
     a scan planner would prune against."""
+    _check_zorder_params(len(cols), bits, n_buckets)
     stats = df.agg(
         *[f(c).alias(f"{f.__name__}_{c}") for c in cols for f in (F.min, F.max)]
     ).collect()[0]
@@ -91,6 +106,7 @@ def zorder_layout_sql(
     bits: int = ZORDER_BITS,
 ) -> str:
     """DuckDB twin: identical quantization, interleave, top-bit buckets."""
+    _check_zorder_params(len(cols), bits, n_buckets)
     mins = ", ".join(f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in cols)
     q_exprs = []
     for c in cols:

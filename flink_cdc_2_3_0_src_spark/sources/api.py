@@ -331,8 +331,7 @@ class PostgresSourceBuilder(MySqlSourceBuilder):
         return self
 
     def build(self) -> CdcSource:
-        src = super().build()
-        src.connector = self.connector
+        src = super().build()  # connector resolves via the class attribute
         # carried for the consumer: upsert mode emits no -U images
         src.config.debezium_properties.setdefault("changelog.mode", self.changelog_mode)
         return src
@@ -426,9 +425,7 @@ class TiDBSourceBuilder(MySqlSourceBuilder):
                 "tidb-cdc supports initial | latest-offset startup only "
                 "(TiDBSource.java startup switch)"
             )
-        src = super().build()
-        src.connector = self.connector
-        return src
+        return super().build()  # connector resolves via the class attribute
 
 
 class OceanBaseSourceBuilder(MySqlSourceBuilder):

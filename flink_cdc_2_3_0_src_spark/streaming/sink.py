@@ -125,16 +125,14 @@ class SqlUpsertSink:
 
     @staticmethod
     def _lit(v) -> str:
-        import datetime
-
         from flink_cdc_2_3_0_src_spark.model import _sql_lit
 
         if v is None:
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (datetime.datetime, datetime.date)):
-            return "'" + str(v) + "'"
+        # temporals render via the one canonical _sql_lit (typed
+        # TIMESTAMP '...' / DATE '...' literals)
         return _sql_lit(v)
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -152,22 +150,38 @@ class SqlUpsertSink:
             if self._applied(batch_id):
                 self.run_sql("ROLLBACK")
                 return
-            # delete-then-insert upsert: every touched key is first
-            # deleted, live images are re-inserted — portable to any SQL
-            # engine (no ON CONFLICT / MERGE dialect dependence), and a
-            # single statement pair per terminal image
-            for r in rows:
-                key_pred = " AND ".join(
-                    f"{k} = {self._lit(r[k])}" for k in self.keys
-                )
-                self.run_sql(f"DELETE FROM {self.table} WHERE {key_pred}")
-            for r in rows:
-                if r[OP_COL] != OP_DELETE:
-                    vals = ", ".join(self._lit(r[c]) for c in cols)
+            # delete-then-insert upsert, BATCHED: one chunked DELETE for
+            # all touched keys and one chunked multi-row INSERT for the
+            # live images — O(n/chunk) statements per microbatch, not
+            # O(2n) per-row round-trips; portable to any SQL engine (no
+            # ON CONFLICT / MERGE dialect dependence)
+            CHUNK = 500
+            for i in range(0, len(rows), CHUNK):
+                part = rows[i : i + CHUNK]
+                if len(self.keys) == 1:
+                    k = self.keys[0]
+                    in_list = ", ".join(self._lit(r[k]) for r in part)
                     self.run_sql(
-                        f"INSERT INTO {self.table} "
-                        f"({', '.join(cols)}) VALUES ({vals})"
+                        f"DELETE FROM {self.table} WHERE {k} IN ({in_list})"
                     )
+                else:
+                    ors = " OR ".join(
+                        "("
+                        + " AND ".join(f"{k} = {self._lit(r[k])}" for k in self.keys)
+                        + ")"
+                        for r in part
+                    )
+                    self.run_sql(f"DELETE FROM {self.table} WHERE {ors}")
+            live = [r for r in rows if r[OP_COL] != OP_DELETE]
+            for i in range(0, len(live), CHUNK):
+                part = live[i : i + CHUNK]
+                values = ", ".join(
+                    "(" + ", ".join(self._lit(r[c]) for c in cols) + ")"
+                    for r in part
+                )
+                self.run_sql(
+                    f"INSERT INTO {self.table} ({', '.join(cols)}) VALUES {values}"
+                )
             self.run_sql(
                 f"INSERT INTO {self.ledger} VALUES ({int(batch_id)})"
             )

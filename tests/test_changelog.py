@@ -258,5 +258,10 @@ def test_interval_join_negative_lower_bound(spark):
         left, right, "k", F.col("t"), F.col("t"), -500, 500
     ).collect()
     assert sorted(r["r_id"] for r in out) == [11, 12]
+    # equal bounds = Flink's between(x, x): exact-offset equi-join
+    eq = interval_join(
+        left, right, "k", F.col("t"), F.col("t"), 500, 500
+    ).collect()
+    assert [r["r_id"] for r in eq] == [12]
     with pytest.raises(ValueError, match="upper"):
-        interval_join(left, right, "k", F.col("t"), F.col("t"), 500, 500)
+        interval_join(left, right, "k", F.col("t"), F.col("t"), 501, 500)
