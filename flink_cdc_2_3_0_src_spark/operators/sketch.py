@@ -1,0 +1,138 @@
+"""Count-Min sketch — sublinear frequency estimation for heavy-hitter
+queries over streams/corpora too large for exact per-key counts.
+
+The 100 TB shape: exact token counts need a corpus-wide shuffle keyed by
+token (unbounded key cardinality); a CMS needs ONE aggregation into a
+fixed d × w counter matrix (d hash rows, w buckets — kilobytes), which
+partial-aggregates map-side and merges by cell addition (the sketch is
+a commutative monoid, so executor-local sketches combine exactly).
+Estimates only ever OVER-count (min over d rows bounds collisions).
+
+Determinism: the hash family is the same fixed affine-mod-P family the
+bloom filter uses, over the engine-portable polynomial string hash — so
+the DuckDB oracle builds the identical matrix cell for cell, and the
+estimate/overestimate columns match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.functions.hashing import (
+    POLY_MOD,
+    POLY_MULT,
+    poly_hash_expr,
+    sql_poly_hash,
+    sql_tokens,
+    tokens,
+)
+
+_P = 2_147_483_647
+_ROWS = [(998_244_353, 12_289), (805_306_457, 37), (1_000_000_007, 65_537)]
+CMS_WIDTH = 1_024
+
+
+def _cms_bucket(hcol, a: int, b: int, width: int):
+    x = (hcol % _P + _P) % _P
+    return ((F.lit(a) * x + F.lit(b)) % _P) % width
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Estimate the corpus's top-k token frequencies through a Count-Min
+    sketch and report estimate vs exact (the overestimate is the
+    sketch's collision cost — never negative).
+
+    Build: one explode + ONE fixed-size aggregation (d*w cells max) —
+    collected to the driver (kilobytes, data-size independent) and
+    folded into the probe as literal arrays, like the bloom bitmap and
+    the kmeans centroids.  Probe: the exact top-k tokens (computed here
+    for the comparison; a production probe set is whatever keys you
+    care about)."""
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    h = toks.select("tok", poly_hash_expr(F.col("tok")).alias("h"))
+    # one aggregation builds all d rows: explode each token into its d
+    # (row, bucket) cells, count per cell
+    cells = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ri).alias("r"),
+                        _cms_bucket(F.col("h"), a, b, width).alias("c"),
+                    )
+                    for ri, (a, b) in enumerate(_ROWS)
+                ]
+            )
+        ).alias("cell")
+    ).groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mat = {(int(r["r"]), int(r["c"])): int(r["n"]) for r in cells.collect()}
+    row_arrays = [
+        F.array(*[F.lit(mat.get((ri, c), 0)).cast("long") for c in range(width)])
+        for ri in range(len(_ROWS))
+    ]
+    exact = (
+        h.groupBy("tok", "h")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok"))
+        .limit(top_k)
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                row_arrays[ri],
+                _cms_bucket(F.col("h"), a, b, width).cast("int") + 1,
+            )
+            for ri, (a, b) in enumerate(_ROWS)
+        ]
+    )
+    return exact.select(
+        "tok",
+        "exact_n",
+        est.alias("cms_n"),
+        (est - F.col("exact_n")).alias("overestimate"),
+    )
+
+
+def cms_heavy_hitters_sql(top_k: int = 20, width: int = CMS_WIDTH) -> str:
+    """DuckDB twin: identical hash family, matrix, min-over-rows probe."""
+    buckets = [
+        f"((({a} * ((h % {_P} + {_P}) % {_P}) + {b}) % {_P}) % {width})"
+        for a, b in _ROWS
+    ]
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {ri} AS r, {buckets[ri]} AS c, h FROM th"
+        for ri in range(len(_ROWS))
+    )
+    ests = [
+        f"(SELECT n FROM cells WHERE r = {ri} AND c = {buckets[ri]})"
+        for ri in range(len(_ROWS))
+    ]
+    est = f"least({', '.join(ests)})"
+    return f"""
+    WITH tk AS (
+        SELECT unnest({sql_tokens('text')}) AS tok FROM documents
+    ),
+    th AS (SELECT tok, {sql_poly_hash('tok')} AS h FROM tk),
+    cells AS (
+        SELECT r, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ({cell_rows}) GROUP BY r, c
+    ),
+    exact AS (
+        SELECT tok, h, CAST(COUNT(*) AS BIGINT) AS exact_n
+        FROM th GROUP BY tok, h
+        ORDER BY exact_n DESC, tok LIMIT {top_k}
+    )
+    SELECT tok, exact_n,
+           CAST({est} AS BIGINT) AS cms_n,
+           CAST({est} - exact_n AS BIGINT) AS overestimate
+    FROM exact
+    """
+
+
+__all__ = ["cms_heavy_hitters", "cms_heavy_hitters_sql", "CMS_WIDTH"]
+_ = (POLY_MOD, POLY_MULT)  # re-exported hash constants used by tests

@@ -2436,6 +2436,22 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
 
 
+@register(
+    "sketch_count_min",
+    __import__(
+        "flink_cdc_2_3_0_src_spark.operators.sketch", fromlist=["x"]
+    ).cms_heavy_hitters_sql(),
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters: one fixed-size mergeable counter
+    matrix instead of an unbounded-key exact count; estimate vs exact
+    with the (non-negative) collision overestimate, bit-identical on
+    both engines."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(ld(spark, sf_dir, "documents"))
+
+
 @register("text_classifier_gate", _text.CLASSIFY_DOCUMENTS_SQL)
 def text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (the fasttext-style

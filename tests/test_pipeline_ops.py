@@ -399,3 +399,23 @@ def test_zorder_buckets_shrink_envelopes(spark):
     # average well under the full span (a 1-D sort would give ~1.0 on
     # the second dimension)
     assert frac_ck < 0.6 and frac_d < 0.6
+
+
+# --- Count-Min sketch (operators/sketch.py) ---
+
+
+def test_cms_never_undercounts_and_collides_when_narrow(spark):
+    """CMS property: estimate >= exact always; with a tiny width,
+    collisions produce strictly positive overestimates somewhere."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import cms_heavy_hitters
+
+    rng_words = [f"w{i}" for i in range(40)]
+    docs = _docs(
+        spark,
+        [(i, " ".join(rng_words[(i * 7 + j) % 40] for j in range(15)), "en", "s", 1)
+         for i in range(30)],
+    )
+    out = cms_heavy_hitters(docs, top_k=40, width=4).collect()
+    assert all(r["overestimate"] >= 0 for r in out)
+    assert all(r["cms_n"] == r["exact_n"] + r["overestimate"] for r in out)
+    assert any(r["overestimate"] > 0 for r in out)  # width 4 must collide
