@@ -1134,3 +1134,119 @@ def _build_classify_sql() -> str:
 
 
 CLASSIFY_DOCUMENTS_SQL = _build_classify_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (tokenizer training)
+# ---------------------------------------------------------------------------
+# The classic byte-pair-encoding trainer: aggregate the corpus to a
+# word-frequency dictionary (the ONLY corpus-sized pass — one groupBy),
+# split words into symbols, then iteratively merge the
+# highest-total-count adjacent symbol pair.  Distribution shape per
+# round: explode adjacent pairs weighted by word count -> partial-agg
+# groupBy(pair) -> a ONE-ROW argmax collect (like the kmeans centroid
+# collect), then a pure fold projection applies the merge.  The merge
+# application is a left-to-right non-overlapping fold (a merged symbol
+# cannot immediately re-merge in the same round) — expressed with
+# F.aggregate here and list_reduce in the oracle, so both engines
+# produce identical vocabularies, tie-broken by (count desc, pair asc).
+BPE_ROUNDS = 4
+
+
+def _bpe_apply(syms, a: str, b: str):
+    """Fold one merge over a symbol array, left-to-right non-overlap."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, cur: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (cur == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a + b)),
+            ),
+        ).otherwise(F.concat(acc, F.array(cur))),
+    )
+
+
+def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Learn ``rounds`` BPE merges from the corpus; returns one row per
+    merge: (merge_rank, sym_a, sym_b, pair_count)."""
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
+    cur = words.select("w", "cnt", syms.alias("syms")).localCheckpoint()
+    out = []
+    for rank in range(1, rounds + 1):
+        pairs = cur.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        out.append((rank, a, b, n))
+        cur = cur.select(
+            "w", "cnt", _bpe_apply(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
+    """DuckDB twin: unrolls the same rounds; each round's argmax is a
+    scalar-subquery struct and the merge application is the identical
+    left-to-right list_reduce fold."""
+    parts = [f"""w0 AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+               [c for c in string_split(w, '') if c <> ''] AS syms
+        FROM (SELECT unnest({sql_tokens('text')}) AS w FROM documents)
+        GROUP BY w
+    )"""]
+    sel = []
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        parts.append(f"""p{r} AS (
+        SELECT syms[i] AS a, syms[i+1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM {prev}, UNNEST(range(1, len(syms))) AS t(i)
+        GROUP BY a, b
+        ORDER BY n DESC, a, b LIMIT 1
+    )""")
+        # the one-row argmax joins in as plain columns (DuckDB forbids
+        # subqueries inside lambdas)
+        parts.append(f"""w{r} AS (
+        SELECT w, cnt,
+               list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+                   (acc, cur) -> CASE
+                       WHEN len(acc) > 0
+                            AND acc[-1] = m.a
+                            AND cur[1] = m.b
+                       THEN acc[1:len(acc)-1] || [m.a || m.b]
+                       ELSE acc || cur END
+               ) AS syms
+        FROM {prev} CROSS JOIN p{r} m
+    )""")
+        sel.append(
+            f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b, n AS pair_count FROM p{r}"
+        )
+    return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(sel)

@@ -2436,6 +2436,16 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
 
 
+@register("text_bpe_train", _text.bpe_train_sql())
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: word-frequency dictionary (one corpus
+    pass) + iterative highest-count pair merges; one-row argmax collect
+    per round (the kmeans-centroid pattern), merges applied by an exact
+    left-to-right fold.  A second iterative algorithm with a STRICT
+    unrolled-SQL oracle."""
+    return _text.bpe_train(ld(spark, sf_dir, "documents"))
+
+
 @register(
     "sketch_count_min",
     __import__(

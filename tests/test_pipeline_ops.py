@@ -419,3 +419,30 @@ def test_cms_never_undercounts_and_collides_when_narrow(spark):
     assert all(r["overestimate"] >= 0 for r in out)
     assert all(r["cms_n"] == r["exact_n"] + r["overestimate"] for r in out)
     assert any(r["overestimate"] > 0 for r in out)  # width 4 must collide
+
+
+# --- BPE vocabulary induction (operators/text.py bpe_train) ---
+
+
+def test_bpe_train_hand_case(spark):
+    """Known corpus: 'aaab' x3 + 'ab'.  Round 1: pairs a-a (count 2*3=6),
+    a-b (4) -> merge (a,a).  Non-overlap fold: 'aaab' -> [aa, a, b]
+    (the merged 'aa' cannot immediately re-merge).  Round 2 candidates:
+    aa-a (3), a-b (3+1=4) -> merge (a,b)."""
+    docs = _docs(
+        spark,
+        [(1, "aaab aaab", "en", "s", 1), (2, "aaab ab", "en", "s", 1)],
+    )
+    out = [
+        (r["merge_rank"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in X.bpe_train(docs, rounds=2).orderBy("merge_rank").collect()
+    ]
+    assert out == [(1, "a", "a", 6), (2, "a", "b", 4)]
+
+
+def test_bpe_apply_nonoverlap_fold(spark):
+    """[b,b,b,b] under merge (b,b) -> [bb, bb], never [bb, b, b] or
+    overlapping [bb, bb, bb]."""
+    df = spark.createDataFrame([(["b", "b", "b", "b"],)], "syms array<string>")
+    got = df.select(X._bpe_apply(F.col("syms"), "b", "b").alias("m")).collect()[0]["m"]
+    assert got == ["bb", "bb"]
