@@ -2436,6 +2436,22 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.decontam_overlap(ld(spark, sf_dir, "documents"))
 
 
+@register(
+    "stats_table_analyze",
+    _text.analyze_column_stats_sql(
+        "lineitem", ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"]
+    ),
+)
+def stats_table_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog ANALYZE: per-column non-null/null counts, exact NDV,
+    min/max — the A2 split-key analyze extended to the full CBO
+    statistics surface, one aggregation pass."""
+    return _text.analyze_column_stats(
+        ld(spark, sf_dir, "lineitem"),
+        ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"],
+    )
+
+
 @register("text_bpe_train", _text.bpe_train_sql())
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training: word-frequency dictionary (one corpus
