@@ -75,3 +75,41 @@ def listener(log: list):
             log.append(("terminated", event.id))
 
     return _L()
+
+
+def observe_cdc(df: DataFrame, ts_col: str = "ts", name: str = "cdc") -> DataFrame:
+    """Attach the A32 metrics as ``Dataset.observe`` accumulators —
+    computed DURING the sink pass, no extra job per batch (the scale
+    form of ``CdcMetrics.wrap``, whose agg().collect() re-scans each
+    microbatch).  Read results per batch via ``observed_listener``."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(ts_col).alias("max_event_ts"),
+    )
+
+
+def observed_listener(sink: list, name: str = "cdc"):
+    """StreamingQueryListener draining the ``observe`` metrics of each
+    batch into ``sink`` as (batch_id, n_rows, max_event_ts)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            om = event.progress.observedMetrics
+            if name in om:
+                row = om[name]
+                sink.append(
+                    (event.progress.batchId, row["n_rows"], row["max_event_ts"])
+                )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    return _L()

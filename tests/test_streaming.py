@@ -653,3 +653,45 @@ def test_sql_upsert_sink_exactly_once_live_duckdb(spark, tmp_path):
         "SELECT count(*), count(DISTINCT batch_id) FROM user_state__batches"
     ).fetchone()
     assert n_batches[0] == n_batches[1] >= 4
+
+
+def test_observe_metrics_no_extra_pass(spark, tmp_path):
+    """A32 via Dataset.observe: per-batch row counts and event-time
+    highwater arrive through the listener with NO extra job per batch;
+    totals equal the replayed log exactly."""
+    import time as _time
+
+    from flink_cdc_2_3_0_src_spark.streaming.metrics import (
+        observe_cdc,
+        observed_listener,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    replay_dir = str(tmp_path / "replay_obs")
+    schema = write_replay_files(log, replay_dir, n_files=4)
+    stream = observe_cdc(read_replay_stream(spark, replay_dir, schema))
+    seen = []
+    listener = observed_listener(seen)
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async after termination
+        deadline = _time.time() + 30
+        while _time.time() < deadline and sum(n for _, n, _ in seen) < log.count():
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert sum(n for _, n, _ in seen) == log.count()
+    assert len(seen) >= 4  # one observation per microbatch file
+    hw = max(ts for _, _, ts in seen if ts is not None)
+    assert hw == log.agg(F.max("ts")).collect()[0][0]
