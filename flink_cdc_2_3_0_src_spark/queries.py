@@ -2140,6 +2140,7 @@ from flink_cdc_2_3_0_src_spark.operators import quantize as _quant  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import mixing as _mixing  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import clustering as _clust  # noqa: E402
 from flink_cdc_2_3_0_src_spark.operators import bloom as _bloom  # noqa: E402
+from flink_cdc_2_3_0_src_spark.operators import stats as _stats_ops  # noqa: E402
 
 
 @register("text_stats", _text.TEXT_STATS_SQL)
@@ -2438,7 +2439,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_table_analyze",
-    _text.analyze_column_stats_sql(
+    _stats_ops.analyze_column_stats_sql(
         "lineitem", ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"]
     ),
 )
@@ -2446,7 +2447,9 @@ def stats_table_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog ANALYZE: per-column non-null/null counts, exact NDV,
     min/max — the A2 split-key analyze extended to the full CBO
     statistics surface, one aggregation pass."""
-    return _text.analyze_column_stats(
+    from flink_cdc_2_3_0_src_spark.operators import stats as _s
+
+    return _s.analyze_column_stats(
         ld(spark, sf_dir, "lineitem"),
         ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"],
     )
