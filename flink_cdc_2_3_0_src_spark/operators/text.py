@@ -898,6 +898,11 @@ def duplicated_spans(
     )
     key = F.xxhash64("span").alias("key") if hashed else F.col("span").alias("key")
     win = win.select("doc_id", F.col("pos").cast("bigint").alias("pos"), key)
+    # `win` feeds both the frequency aggregate and the join-back: the
+    # window expansion is recomputed rather than cached — it's a cheap
+    # codegen'd explode, while checkpointing (doc_id, pos, key) for the
+    # whole corpus would cost more I/O than the second scan (same
+    # two-pass trade-off every tf/df-style operator makes).
     dup = (
         win.groupBy("key")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -1038,13 +1043,25 @@ def _fixture_weight(c: int, j: int) -> int:
     return ((j + 1) * (2 * c + 3) * 2_654_435_761 % 1_999) - 999
 
 
-def classify_scores(text_col: Column) -> dict[str, Column]:
-    """Per-class integer scores for one document."""
+def classify_scores(text_col: Column, bucket_hash: str = "poly") -> dict[str, Column]:
+    """Per-class integer scores for one document.
+
+    ``bucket_hash="poly"`` uses the engine-portable polynomial hash (the
+    oracle-parity path; a per-character fold).  ``"xxhash"`` is the
+    production hot path: one JVM xxhash64 call per token — same plan
+    shape, not DuckDB-reproducible (the trained-weights analogue of the
+    minhash poly/xxhash twin pair)."""
     from flink_cdc_2_3_0_src_spark.functions.hashing import poly_hash_expr, tokens
 
-    buckets = F.transform(
-        tokens(text_col), lambda t: poly_hash_expr(t) % CLASSIFY_DIM
-    )
+    if bucket_hash == "xxhash":
+        buckets = F.transform(
+            tokens(text_col),
+            lambda t: ((F.xxhash64(t) % CLASSIFY_DIM) + CLASSIFY_DIM) % CLASSIFY_DIM,
+        )
+    else:
+        buckets = F.transform(
+            tokens(text_col), lambda t: poly_hash_expr(t) % CLASSIFY_DIM
+        )
     def _score(w):
         return F.aggregate(
             buckets,

@@ -446,3 +446,16 @@ def test_bpe_apply_nonoverlap_fold(spark):
     df = spark.createDataFrame([(["b", "b", "b", "b"],)], "syms array<string>")
     got = df.select(X._bpe_apply(F.col("syms"), "b", "b").alias("m")).collect()[0]["m"]
     assert got == ["bb", "bb"]
+
+
+def test_classifier_xxhash_production_path(spark):
+    """The xxhash64 bucket variant (zero per-char folding) runs on the
+    same plan shape and scores every document."""
+    docs = _docs(
+        spark,
+        [(i, "the quick brown fox " * (i + 1), "en", "s", 1) for i in range(5)],
+    )
+    s = X.classify_scores(F.col("text"), bucket_hash="xxhash")
+    rows = docs.select("doc_id", *[c.alias(n) for n, c in s.items()]).collect()
+    assert len(rows) == 5
+    assert all(isinstance(r["web"], int) for r in rows)
