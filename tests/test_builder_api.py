@@ -189,3 +189,31 @@ def test_all_connector_builders():
     )
     assert ob.connector == "oceanbase-cdc"
     assert ob.config.debezium_properties["tenant-name"] == "sys"
+
+
+def test_builder_config_drives_chunked_snapshot(spark):
+    """End-to-end §3.2 story: a source built with the fluent API drives
+    the chunk planner exactly as its options say — custom chunk key
+    column and split size land in the executed snapshot plan."""
+    from flink_cdc_2_3_0_src_spark.sources.parquet_dialect import ParquetTableSource
+
+    src = (
+        MySqlSource.builder()
+        .database_list("testdb")
+        .table_list("testdb.orders")
+        .chunk_key_column("o_custkey")
+        .split_size(400)
+        .build()
+    )
+    c = src.config
+    pts = ParquetTableSource(
+        spark,
+        SF_SMOKE,
+        "orders",
+        split_key=c.chunk_key_column,
+        chunk_size=c.chunk_size,
+    )
+    splits = pts.planner().plan_splits()
+    assert len(splits) > 1
+    # non-unique custkey chunking still partitions exactly
+    assert pts.chunked_scan(splits).count() == pts.raw().count()
