@@ -38,24 +38,15 @@ def _cms_bucket(hcol, a: int, b: int, width: int):
     return ((F.lit(a) * x + F.lit(b)) % _P) % width
 
 
-def cms_heavy_hitters(
-    docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH
-) -> DataFrame:
-    """Estimate the corpus's top-k token frequencies through a Count-Min
-    sketch and report estimate vs exact (the overestimate is the
-    sketch's collision cost — never negative).
-
-    Build: one explode + ONE fixed-size aggregation (d*w cells max) —
-    collected to the driver (kilobytes, data-size independent) and
-    folded into the probe as literal arrays, like the bloom bitmap and
-    the kmeans centroids.  Probe: the exact top-k tokens (computed here
-    for the comparison; a production probe set is whatever keys you
-    care about)."""
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    h = toks.select("tok", poly_hash_expr(F.col("tok")).alias("h"))
-    # one aggregation builds all d rows: explode each token into its d
-    # (row, bucket) cells, count per cell
-    cells = h.select(
+def cms_build(hashed, width: int = CMS_WIDTH) -> dict:
+    """Build the d × w counter matrix from a DataFrame with an ``h``
+    hash column.  One aggregation: explode each value into its d
+    (row, bucket) cells, count per cell.  The matrix is a commutative
+    monoid under cell-wise addition — sketches built on partitions of
+    the data merge EXACTLY into the whole-data sketch (pinned by
+    tests), which is why executor-local partial aggregation is lossless
+    here."""
+    cells = hashed.select(
         F.explode(
             F.array(
                 *[
@@ -70,7 +61,31 @@ def cms_heavy_hitters(
     ).groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    mat = {(int(r["r"]), int(r["c"])): int(r["n"]) for r in cells.collect()}
+    return {(int(r["r"]), int(r["c"])): int(r["n"]) for r in cells.collect()}
+
+
+def cms_merge(a: dict, b: dict) -> dict:
+    """Cell-wise sum — the sketch monoid's merge."""
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return out
+
+
+def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) -> DataFrame:
+    """Estimate the corpus's top-k token frequencies through a Count-Min
+    sketch and report estimate vs exact (the overestimate is the
+    sketch's collision cost — never negative).
+
+    Build: one explode + ONE fixed-size aggregation (d*w cells max) —
+    collected to the driver (kilobytes, data-size independent) and
+    folded into the probe as literal arrays, like the bloom bitmap and
+    the kmeans centroids.  Probe: the exact top-k tokens (computed here
+    for the comparison; a production probe set is whatever keys you
+    care about)."""
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    h = toks.select("tok", poly_hash_expr(F.col("tok")).alias("h"))
+    mat = cms_build(h, width)
     row_arrays = [
         F.array(*[F.lit(mat.get((ri, c), 0)).cast("long") for c in range(width)])
         for ri in range(len(_ROWS))

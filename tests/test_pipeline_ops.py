@@ -459,3 +459,29 @@ def test_classifier_xxhash_production_path(spark):
     rows = docs.select("doc_id", *[c.alias(n) for n, c in s.items()]).collect()
     assert len(rows) == 5
     assert all(isinstance(r["web"], int) for r in rows)
+
+
+def test_cms_mergeability(spark):
+    """The distributed-correctness claim: sketches built on disjoint
+    halves merge cell-wise into EXACTLY the whole-corpus sketch."""
+    from flink_cdc_2_3_0_src_spark.functions.hashing import poly_hash_expr, tokens
+    from flink_cdc_2_3_0_src_spark.operators.sketch import cms_build, cms_merge
+
+    docs = _docs(
+        spark,
+        [(i, f"tok{i % 9} tok{i % 5} common word", "en", "s", 1) for i in range(40)],
+    )
+    h = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).select(
+        poly_hash_expr(F.col("tok")).alias("h")
+    )
+    whole = cms_build(h, width=64)
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def hh(d):
+        return d.select(F.explode(tokens(F.col("text"))).alias("tok")).select(
+            poly_hash_expr(F.col("tok")).alias("h")
+        )
+
+    merged = cms_merge(cms_build(hh(half_a), width=64), cms_build(hh(half_b), width=64))
+    assert merged == whole
