@@ -307,9 +307,12 @@ def fuzzy_pairs_levenshtein(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+            # thresholded: banded O(len*max_dist) DP, -1 past the bound
+            F.levenshtein(F.col("a.text"), F.col("b.text"), max_dist).alias(
+                "edit_dist"
+            ),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
@@ -626,9 +629,14 @@ def fuzzy_blocked_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+            # thresholded levenshtein: banded O(len*d) DP with early
+            # exit (returns -1 past the bound) instead of the full
+            # O(len^2) matrix — the verify step is the hot path once
+            # blocking has done its job, and kept pairs carry the exact
+            # distance either way
+            F.levenshtein("text_a", "text_b", max_dist).alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= max_dist)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
