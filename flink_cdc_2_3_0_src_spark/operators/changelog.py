@@ -554,3 +554,76 @@ def interval_join(
         *[F.col("_l")[c].alias(f"l_{c}") for c in left.columns],
         *[F.col("_r")[c].alias(f"r_{c}") for c in right.columns],
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-diff changelog generation (CDC without a log)
+# ---------------------------------------------------------------------------
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Derive a changelog from two table versions: +I for keys only in
+    ``new``, -D for keys only in ``old``, (-U, +U) pairs for keys whose
+    payload changed — the diff-based CDC a lakehouse computes between
+    snapshots when no transaction log exists (and how the reference's
+    snapshot reconciliation can be validated against any two states).
+
+    One full-outer sort-merge join on the key; payload equality is a
+    null-safe struct compare (codegen'd).  _seq orders -U before +U for
+    a given key (0/1) so replaying the diff through ``materialize``
+    yields exactly ``new``.
+    """
+    payload = [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.struct(*payload).alias("_po"))
+    n = new.select(*keys, F.struct(*payload).alias("_pn"))
+    j = o.join(n, list(keys), "full_outer")
+    ins = j.filter(F.col("_po").isNull()).select(
+        *keys, F.col("_pn").alias("_p"), F.lit(OP_INSERT).alias(OP_COL),
+        F.lit(1).cast("long").alias(SEQ_COL),
+    )
+    dels = j.filter(F.col("_pn").isNull()).select(
+        *keys, F.col("_po").alias("_p"), F.lit(OP_DELETE).alias(OP_COL),
+        F.lit(1).cast("long").alias(SEQ_COL),
+    )
+    changed = j.filter(
+        F.col("_po").isNotNull()
+        & F.col("_pn").isNotNull()
+        & ~F.col("_po").eqNullSafe(F.col("_pn"))
+    )
+    ub = changed.select(
+        *keys, F.col("_po").alias("_p"), F.lit(OP_UPDATE_BEFORE).alias(OP_COL),
+        F.lit(0).cast("long").alias(SEQ_COL),
+    )
+    ua = changed.select(
+        *keys, F.col("_pn").alias("_p"), F.lit(OP_UPDATE_AFTER).alias(OP_COL),
+        F.lit(1).cast("long").alias(SEQ_COL),
+    )
+    out = ins.unionByName(dels).unionByName(ub).unionByName(ua)
+    return out.select(
+        *keys, *[F.col("_p")[c].alias(c) for c in payload], OP_COL, SEQ_COL
+    )
+
+
+def forget_keys(
+    state: DataFrame,
+    forget: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Right-to-be-forgotten scrub: remove the listed keys from a
+    materialized state AND emit the -D changelog rows downstream
+    consumers need to retract them (data-governance surface of a CDC
+    pipeline).  Returns the (kept_state, delete_changelog) DataFrame
+    pair.
+
+    Anti-join for the kept state (broadcast when the forget list is
+    small — the common case), semi-join for the retraction log."""
+    kept = state.join(F.broadcast(forget), list(keys), "left_anti")
+    deleted = state.join(F.broadcast(forget), list(keys), "left_semi")
+    log = deleted.select(
+        *state.columns,
+    ).withColumn(OP_COL, F.lit(OP_DELETE)).withColumn(
+        SEQ_COL, F.lit(0).cast("long")
+    )
+    return kept, log

@@ -1754,6 +1754,62 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(log, ["user_id"])
 
 
+# Snapshot-diff CDC: derive the changelog between two table versions
+# (no transaction log needed — the lakehouse-snapshot CDC shape).
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    n AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    j AS (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_custkey AS oc, o.o_totalprice AS ot,
+               n.o_custkey AS nc, n.o_totalprice AS nt,
+               o.o_orderkey IS NOT NULL AS has_o,
+               n.o_orderkey IS NOT NULL AS has_n
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey, nc AS o_custkey, nt AS o_totalprice,
+           '+I' AS _op, CAST(1 AS BIGINT) AS _seq
+    FROM j WHERE NOT has_o
+    UNION ALL
+    SELECT o_orderkey, oc, ot, '-D', 1 FROM j WHERE NOT has_n
+    UNION ALL
+    SELECT o_orderkey, oc, ot, '-U', 0 FROM j
+    WHERE has_o AND has_n AND (oc IS DISTINCT FROM nc OR ot IS DISTINCT FROM nt)
+    UNION ALL
+    SELECT o_orderkey, nc, nt, '+U', 1 FROM j
+    WHERE has_o AND has_n AND (oc IS DISTINCT FROM nc OR ot IS DISTINCT FROM nt)
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog from two snapshots: +I / -D / (-U,+U) via one full-outer
+    join with null-safe struct payload compare; replaying the diff
+    through materialize() reproduces the new version exactly (pinned by
+    tests)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import snapshot_diff
+
+    orders = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
 # Event-time as-of join (Flink FOR SYSTEM_TIME AS OF): reconstruct each
 # change's before-image from an upsert stream by joining it against its
 # own versioned history strictly before its event time.  The oracle is

@@ -265,3 +265,44 @@ def test_interval_join_negative_lower_bound(spark):
     assert [r["r_id"] for r in eq] == [12]
     with pytest.raises(ValueError, match="upper"):
         interval_join(left, right, "k", F.col("t"), F.col("t"), 501, 500)
+
+
+def test_snapshot_diff_replay_reproduces_new(spark):
+    """The defining invariant: materialize(old-as-log + diff) == new."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        materialize,
+        snapshot_diff,
+    )
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    base = old.withColumn("_op", F.lit("+I")).withColumn(
+        "_seq", F.lit(-1).cast("long")
+    )
+    replayed = materialize(base.unionByName(diff), ["o_orderkey"])
+    a = {tuple(r) for r in replayed.collect()}
+    b = {tuple(r) for r in new.collect()}
+    assert a == b
+
+
+def test_forget_keys_scrub_and_retractions(spark):
+    from flink_cdc_2_3_0_src_spark.operators.changelog import forget_keys
+
+    state = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    forget = spark.createDataFrame([(2,), (9,)], "k bigint")
+    kept, log = forget_keys(state, forget, ["k"])
+    assert {r["k"] for r in kept.collect()} == {1, 3}
+    rows = log.collect()
+    assert [(r["k"], r["_op"]) for r in rows] == [(2, "-D")]
