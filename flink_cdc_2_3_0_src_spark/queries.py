@@ -1754,6 +1754,48 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(log, ["user_id"])
 
 
+# Event-stream anomaly hours: per-type hourly counts flagged by an
+# EXACT integer z-score test — (n*H - tot)^2 > 9*(H*sq - tot^2) is
+# z^2 > 9 cross-multiplied, so no float sqrt/mean ever enters the
+# comparison and both engines agree bit-for-bit.
+@register(
+    "events_anomaly_hours",
+    """
+    WITH h AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS hour_id,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h_cnt,
+               CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(SUM(n * n) AS BIGINT) AS sq
+        FROM h GROUP BY 1
+    )
+    SELECT h.event_type, h.hour_id, h.n
+    FROM h JOIN s USING (event_type)
+    WHERE (n * h_cnt - tot) * (n * h_cnt - tot) > 9 * (h_cnt * sq - tot * tot)
+    """,
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ld(spark, sf_dir, "events")
+    us = _epoch_us_ntz(F.col("ts"))
+    hour_id = ((us - (us % 3_600_000_000)) / 3_600_000_000).cast("long")
+    h = ev.select("event_type", hour_id.alias("hour_id")).groupBy(
+        "event_type", "hour_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    st = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("h_cnt"),
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    j = h.join(st, "event_type")
+    dev = F.col("n") * F.col("h_cnt") - F.col("tot")
+    var_n = F.col("h_cnt") * F.col("sq") - F.col("tot") * F.col("tot")
+    return j.filter(dev * dev > 9 * var_n).select("event_type", "hour_id", "n")
+
+
 # Snapshot-diff CDC: derive the changelog between two table versions
 # (no transaction log needed — the lakehouse-snapshot CDC shape).
 @register(
