@@ -1775,7 +1775,8 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT h.event_type, h.hour_id, h.n
     FROM h JOIN s USING (event_type)
-    WHERE (n * h_cnt - tot) * (n * h_cnt - tot) > 9 * (h_cnt * sq - tot * tot)
+    WHERE CAST(n * h_cnt - tot AS HUGEINT) * CAST(n * h_cnt - tot AS HUGEINT)
+          > 9 * (CAST(h_cnt AS HUGEINT) * sq - CAST(tot AS HUGEINT) * tot)
     """,
 )
 def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1791,9 +1792,17 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("sq"),
     )
     j = h.join(st, "event_type")
-    dev = F.col("n") * F.col("h_cnt") - F.col("tot")
-    var_n = F.col("h_cnt") * F.col("sq") - F.col("tot") * F.col("tot")
-    return j.filter(dev * dev > 9 * var_n).select("event_type", "hour_id", "n")
+    # decimal(38,0)/HUGEINT comparison: tot*tot reaches ~1e26 at real
+    # event volumes — far past int64 — while every operand is exact in
+    # 38-digit decimal on both engines
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dev = dec(F.col("n") * F.col("h_cnt") - F.col("tot"))
+    var_n = dec(F.col("h_cnt")) * dec(F.col("sq")) - dec(F.col("tot")) * dec(
+        F.col("tot")
+    )
+    return j.filter(dev * dev > F.lit(9).cast("decimal(38,0)") * var_n).select(
+        "event_type", "hour_id", "n"
+    )
 
 
 # Snapshot-diff CDC: derive the changelog between two table versions
