@@ -56,6 +56,10 @@ def bloom_build(dim: DataFrame, dim_key: str, m_bits: int = DEFAULT_M_BITS) -> l
     the collect is bounded by m_bits, independent of data size (the
     centroid-collect pattern; Spark's own runtime bloom join ships the
     filter the same way, as a subquery result)."""
+    # validate here too (not only in the SQL twin): a non-multiple-of-32
+    # m_bits would build a truncated bitmap while the probe derives a
+    # DIFFERENT modulus from len(bitmap)*32 — false negatives
+    _check_m_bits(m_bits)
     dk = dim.select(F.col(dim_key).alias("k")).filter(F.col("k").isNotNull()).distinct()
     bits = dk.select(
         F.explode(F.array(*_bit_positions(F.col("k"), m_bits))).alias("bit")

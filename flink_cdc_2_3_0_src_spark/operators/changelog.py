@@ -610,7 +610,7 @@ def forget_keys(
     state: DataFrame,
     forget: DataFrame,
     keys: Sequence[str],
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Right-to-be-forgotten scrub: remove the listed keys from a
     materialized state AND emit the -D changelog rows downstream
     consumers need to retract them (data-governance surface of a CDC

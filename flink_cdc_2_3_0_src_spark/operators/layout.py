@@ -79,6 +79,21 @@ def zorder_layout_stats(
     stats = df.agg(
         *[f(c).alias(f"{f.__name__}_{c}") for c in cols for f in (F.min, F.max)]
     ).collect()[0]
+    for c in cols:
+        mn, mx = stats[f"min_{c}"], stats[f"max_{c}"]
+        if mn is None or mx is None:
+            # empty input or all-NULL dimension: no envelope to build
+            raise ValueError(
+                f"zorder column {c!r} has no non-NULL values (empty input?) — "
+                "cannot quantize"
+            )
+        # the scaled numerator (mx - mn) * (2^bits - 1) must stay in
+        # int64: Spark would silently wrap while DuckDB raises
+        if (int(mx) - int(mn)) * ((1 << bits) - 1) > (1 << 63) - 1:
+            raise ValueError(
+                f"zorder column {c!r} range {int(mx) - int(mn)} overflows int64 "
+                f"when scaled by 2^{bits}-1; lower bits or pre-bucket the column"
+            )
     qcols = [
         _quantize(F.col(c), stats[f"min_{c}"], stats[f"max_{c}"], bits)
         for c in cols

@@ -1768,15 +1768,15 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     s AS (
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS h_cnt,
-               CAST(SUM(n) AS BIGINT) AS tot,
-               CAST(SUM(n * n) AS BIGINT) AS sq
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS h_cnt,
+               CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS tot,
+               SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sq
         FROM h GROUP BY 1
     )
     SELECT h.event_type, h.hour_id, h.n
     FROM h JOIN s USING (event_type)
-    WHERE CAST(n * h_cnt - tot AS HUGEINT) * CAST(n * h_cnt - tot AS HUGEINT)
-          > 9 * (CAST(h_cnt AS HUGEINT) * sq - CAST(tot AS HUGEINT) * tot)
+    WHERE (CAST(n AS HUGEINT) * h_cnt - tot) * (CAST(n AS HUGEINT) * h_cnt - tot)
+          > 9 * (h_cnt * sq - tot * tot)
     """,
 )
 def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1786,20 +1786,23 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = ev.select("event_type", hour_id.alias("hour_id")).groupBy(
         "event_type", "hour_id"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # decimal(38,0)/HUGEINT arithmetic THROUGHOUT — not just the final
+    # comparison: sq = SUM(n*n) and n*h_cnt already overflow int64 at
+    # production volumes (tot ~1e13 → n*n ~1e20, tot*tot ~1e26), where
+    # Spark would silently wrap while the DuckDB oracle errors.  Every
+    # product is widened BEFORE it is computed, so both engines stay
+    # exact in 38-digit space end-to-end.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     st = h.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("h_cnt"),
-        F.sum("n").alias("tot"),
-        F.sum(F.col("n") * F.col("n")).alias("sq"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("h_cnt"),
+        F.sum(dec(F.col("n"))).cast("decimal(38,0)").alias("tot"),
+        F.sum(dec(F.col("n")) * dec(F.col("n")))
+        .cast("decimal(38,0)")
+        .alias("sq"),
     )
     j = h.join(st, "event_type")
-    # decimal(38,0)/HUGEINT comparison: tot*tot reaches ~1e26 at real
-    # event volumes — far past int64 — while every operand is exact in
-    # 38-digit decimal on both engines
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    dev = dec(F.col("n") * F.col("h_cnt") - F.col("tot"))
-    var_n = dec(F.col("h_cnt")) * dec(F.col("sq")) - dec(F.col("tot")) * dec(
-        F.col("tot")
-    )
+    dev = dec(dec(F.col("n")) * F.col("h_cnt") - F.col("tot"))
+    var_n = dec(F.col("h_cnt") * F.col("sq")) - dec(F.col("tot") * F.col("tot"))
     return j.filter(dev * dev > F.lit(9).cast("decimal(38,0)") * var_n).select(
         "event_type", "hour_id", "n"
     )
