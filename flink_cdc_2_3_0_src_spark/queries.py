@@ -2746,10 +2746,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Scale path for embedding near-dup: hyperplane-LSH bucket equi-join
 # instead of per-label all-pairs (label blocks grow with the corpus; LSH
-# buckets don't). Exact cosine verifies candidates.
-@register("dedup_embedding_cosine_lsh", _sim.neardup_cosine_lsh_sql(64))
+# buckets don't). Exact cosine verifies candidates.  tau = 0.3 here (not
+# the 0.4 default): the synthetic fixture's closest same-bucket pair is
+# cos 0.3946, so 0.4 made the driver row a trivially-green 0==0 — at 0.3
+# the row returns 16/20/288 pairs at sf0.001/0.01/0.1 and actually
+# exercises the candidate-generation path (r4 VERDICT item 1).
+@register("dedup_embedding_cosine_lsh", _sim.neardup_cosine_lsh_sql(64, threshold=0.3))
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.neardup_cosine_lsh(ld(spark, sf_dir, "embeddings"), dim=64)
+    return _sim.neardup_cosine_lsh(
+        ld(spark, sf_dir, "embeddings"), dim=64, threshold=0.3
+    )
 
 
 # IVF coarse-quantizer ANN: assignment to max-cosine centroid, nprobe

@@ -32,3 +32,99 @@ def test_knn_graph_has_no_driver_collect_of_corpus(spark):
     df = knn_graph(emb, k=3, block_size=64)
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+# --- neardup_cosine_lsh: planted-pair completeness + soundness (r5) ---
+#
+# LSH is not recall-complete in general, so (unlike fuzzy_blocked) a
+# blanket equality-to-brute-force would be wrong.  The guarantees that
+# CAN be pinned, mirroring the reference's golden-changelog method
+# (MySqlConnectorITCase.java:259-271):
+#   completeness on planted near-identical pairs — a vector and a tiny
+#     perturbation of it sit on the same side of every hyperplane (no
+#     hyperplane dot is near zero by construction), so the pair MUST
+#     share a bucket and MUST be emitted;
+#   soundness — every emitted pair is confirmed by an independent
+#     brute-force all-pairs pass (same bucket AND cos6 >= tau).
+
+
+def _planted_embeddings(spark, n_base=40, dim=16):
+    import numpy as np
+
+    rng = np.random.RandomState(20260814)
+    base = rng.randn(n_base, dim)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], "lab"))
+        # planted near-dup: 1% relative nudge -> cos ~ 0.9999
+        nudge = v * (1.0 + 0.01 * rng.randn(dim) * 0.1) + 0.001 * rng.randn(dim)
+        rows.append((1000 + i, [float(x) for x in nudge], "lab"))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label string"
+    )
+
+
+def test_neardup_cosine_lsh_planted_pairs_found(spark):
+    from flink_cdc_2_3_0_src_spark.operators.similarity import (
+        _bucket_udf,
+        neardup_cosine_lsh,
+    )
+    from pyspark.sql import functions as F
+
+    dim = 16
+    emb = _planted_embeddings(spark, dim=dim)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos6"]
+        for r in neardup_cosine_lsh(emb, dim=dim, threshold=0.9).collect()
+    }
+    # completeness: every planted (i, 1000+i) pair found with cos >= 0.9
+    for i in range(40):
+        assert (i, 1000 + i) in got, f"planted pair {i} missed by LSH"
+        assert got[(i, 1000 + i)] >= 0.9
+    assert len(got) >= 40
+
+
+def test_neardup_cosine_lsh_sound_vs_brute_force(spark):
+    """Every LSH-emitted pair must appear in an independent brute-force
+    all-pairs pass restricted to shared buckets — and the LSH result
+    must equal that restriction EXACTLY (it is the blocked brute force,
+    so any difference is a candidate-generation bug)."""
+    import itertools
+
+    import numpy as np
+
+    from flink_cdc_2_3_0_src_spark.operators.similarity import (
+        hyperplanes,
+        neardup_cosine_lsh,
+    )
+
+    dim = 16
+    tau = 0.3
+    emb = _planted_embeddings(spark, dim=dim)
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos6"]
+        for r in neardup_cosine_lsh(emb, dim=dim, threshold=tau).collect()
+    }
+
+    rows = emb.collect()
+    planes = np.array(hyperplanes(dim)).T
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    bucket = {
+        vid: int(
+            sum(
+                (1 << j)
+                for j in range(planes.shape[1])
+                if np.round(v @ planes[:, j], 6) >= 0
+            )
+        )
+        for vid, v in vecs.items()
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if bucket[a] != bucket[b]:
+            continue
+        va, vb = vecs[a], vecs[b]
+        c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        if c >= tau:
+            expect[(a, b)] = c
+    assert got == expect
