@@ -695,3 +695,142 @@ def test_observe_metrics_no_extra_pass(spark, tmp_path):
     assert len(seen) >= 4  # one observation per microbatch file
     hw = max(ts for _, _, ts in seen if ts is not None)
     assert hw == log.agg(F.max("ts")).collect()[0][0]
+
+
+def _sqlite_factory(path):
+    """Picklable per-partition connection factory: sqlite is the one
+    embedded engine whose FILE databases support concurrent writers from
+    SEPARATE processes (PySpark workers) via its native lock protocol —
+    the busy timeout serializes partition transactions."""
+    import functools
+    import sqlite3
+
+    return functools.partial(sqlite3.connect, path, timeout=60)
+
+
+def _sqlite_state(path):
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        return set(con.execute("SELECT user_id, value FROM user_state").fetchall())
+    finally:
+        con.close()
+
+
+def test_partitioned_sql_sink_exactly_once_live_sqlite(spark, tmp_path):
+    """Scale path for the SQL upsert sink (r4 VERDICT item 2): the batch
+    is written with foreachPartition — per-partition connections,
+    per-partition ledger rows, driver commit marker — with NO driver
+    collect of batch data.  Final table equals the materialized oracle;
+    redelivery is a no-op at both the marker and ledger layers."""
+    import sqlite3
+
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.sink import PartitionedSqlUpsertSink
+
+    db = str(tmp_path / "sink.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE user_state (user_id BIGINT, value DOUBLE)")
+    con.commit()
+    con.close()
+
+    # ts dropped: sqlite has no typed TIMESTAMP literal; the sink's
+    # portable SQL is exercised on the key + value columns
+    log = scripted_changelog(spark, SF_SMOKE).select(
+        "user_id", "value", "_op", "_seq"
+    )
+    sink = PartitionedSqlUpsertSink(
+        _sqlite_factory(db), "user_state", ["user_id"], n_partitions=5
+    )
+    replay_dir = str(tmp_path / "replay_psink")
+    schema = write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, schema)
+    q = (
+        stream.writeStream.foreachBatch(sink.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt_psink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    exp = {
+        (r["user_id"], r["value"])
+        for r in materialize(
+            scripted_changelog(spark, SF_SMOKE), ["user_id"]
+        ).select("user_id", "value").collect()
+    }
+    assert _sqlite_state(db) == exp
+
+    con = sqlite3.connect(db)
+    n_before = con.execute("SELECT count(*) FROM user_state").fetchone()[0]
+    # full-batch replay: commit marker short-circuits
+    sink.merge_batch(log.limit(50), 0)
+    assert (
+        con.execute("SELECT count(*) FROM user_state").fetchone()[0] == n_before
+    )
+    # torn replay: marker lost after all partitions committed (crash
+    # between foreachPartition and the marker insert) — the partition
+    # ledger skips every task, state unchanged, marker restored
+    con.execute("DELETE FROM user_state__commits WHERE batch_id = 0")
+    con.commit()
+    first_batch = spark.read.schema(schema).json(
+        os.path.join(replay_dir, "batch_00000")
+    )
+    sink.merge_batch(first_batch, 0)
+    assert _sqlite_state(db) == exp
+    marks = con.execute(
+        "SELECT count(*) FROM user_state__commits WHERE batch_id = 0"
+    ).fetchone()[0]
+    assert marks == 1
+    # one ledger row per (batch, non-empty partition), never duplicated
+    dup = con.execute(
+        "SELECT count(*) FROM (SELECT batch_id, partition_id, count(*) c "
+        "FROM user_state__batches GROUP BY 1, 2 HAVING c > 1)"
+    ).fetchone()[0]
+    assert dup == 0
+    con.close()
+
+
+def test_partitioned_sql_sink_never_collects_on_driver(spark, tmp_path, monkeypatch):
+    """Structural guard for the scale claim: merge_batch must complete
+    with DataFrame.collect forbidden — batch data reaches the engine
+    only through executor-side foreachPartition tasks."""
+    import sqlite3
+
+    from pyspark.sql import DataFrame
+
+    from flink_cdc_2_3_0_src_spark.streaming.sink import PartitionedSqlUpsertSink
+
+    db = str(tmp_path / "nocollect.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE user_state (user_id BIGINT, value DOUBLE)")
+    con.commit()
+    con.close()
+
+    log = scripted_changelog(spark, SF_SMOKE).select(
+        "user_id", "value", "_op", "_seq"
+    )
+    sink = PartitionedSqlUpsertSink(
+        _sqlite_factory(db), "user_state", ["user_id"], n_partitions=4
+    )
+
+    def boom(self):
+        raise AssertionError("driver-side collect in the scale sink path")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    try:
+        sink.merge_batch(log, 1)
+    finally:
+        monkeypatch.undo()
+
+    exp = {
+        (r["user_id"], r["value"])
+        for r in materialize(
+            scripted_changelog(spark, SF_SMOKE), ["user_id"]
+        ).select("user_id", "value").collect()
+    }
+    assert _sqlite_state(db) == exp
