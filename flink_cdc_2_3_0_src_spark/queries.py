@@ -84,7 +84,15 @@ _PRIORITY: list[str] = [
     # FOR SYSTEM_TIME AS OF), verified against DuckDB's NATIVE ASOF
     # JOIN.  Still registered + locally swept.)
     "cdc_startup_timestamp", "cdc_snapshot_resume",
-    "cdc_chunked_snapshot_string_pk", "cdc_chunked_snapshot_composite_pk",
+    "cdc_charset_decode", "cdc_chunked_snapshot_composite_pk",
+    # (cdc_chunked_snapshot_string_pk: the lexicographic-PK chunking
+    # variant — demoted; B10's driver row stays
+    # cdc_chunked_snapshot_composite_pk (composite keys subsume the
+    # non-numeric ordering logic) and the string-PK variant remains
+    # locally swept.  Its slot goes to cdc_charset_decode: A13 charset
+    # fidelity (latin1/gbk byte decode through the table charset —
+    # reference MysqlConnectorCharsetITCase), an operator class the r4
+    # VERDICT ranked the #1 missing item and no other row covers.)
     # (cdc_startup_specific_offset: B9's second witness, demoted —
     # cdc_startup_timestamp keeps the startup-mode slot; the resume
     # query gives A18/B13 a driver row)
@@ -3711,3 +3719,91 @@ def cdc_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("source_kmv_similarity", _text.source_kmv_similarity_sql())
 def source_kmv_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.source_kmv_similarity(ld(spark, sf_dir, "documents"))
+
+
+# A13 charset fidelity (reference MysqlConnectorCharsetITCase.java +
+# charset_test fixtures): char columns from non-UTF8 tables arrive as
+# raw column BYTES (base64 in the envelope) and must decode through the
+# table's charset — assuming UTF-8 yields mojibake.  Fixture encode
+# in-query (latin1 via JVM encode(); gbk via one tiny pandas UDF — test
+# data generation, not the graded path), decode through
+# from_debezium_json + charset_converter; the oracle recomputes the
+# expected plaintext directly, so any decode infidelity hash-mismatches.
+@register(
+    "cdc_charset_decode",
+    """
+    SELECT c_custkey AS ckey,
+           CASE CAST(c_custkey % 3 AS INTEGER)
+             WHEN 0 THEN 'Crème brûlée à côté'
+             WHEN 1 THEN 'España señor año'
+             ELSE 'Zürich Müller Straße'
+           END || ' #' || CAST(c_custkey AS VARCHAR) AS name_latin1,
+           CASE CAST(c_custkey % 3 AS INTEGER)
+             WHEN 0 THEN '数据库系统'
+             WHEN 1 THEN '你好，世界'
+             ELSE '测试数据流'
+           END || ' #' || CAST(c_custkey AS VARCHAR) AS name_gbk
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def cdc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from flink_cdc_2_3_0_src_spark.functions import converters as C
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+
+    @pandas_udf("string")
+    def _gbk_b64(s):  # FIXTURE encoder (decode under test is charset_decode)
+        import base64
+
+        return s.map(lambda v: base64.b64encode(v.encode("gbk")).decode())
+
+    c = ld(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 == 0)
+    suffix = F.concat(F.lit(" #"), F.col("c_custkey").cast("string"))
+    latin1_plain = F.concat(
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("Crème brûlée à côté"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("España señor año"))
+        .otherwise(F.lit("Zürich Müller Straße")),
+        suffix,
+    )
+    gbk_plain = F.concat(
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("数据库系统"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("你好，世界"))
+        .otherwise(F.lit("测试数据流")),
+        suffix,
+    )
+    after = F.struct(
+        F.col("c_custkey").alias("ckey"),
+        F.base64(F.encode(latin1_plain, "ISO-8859-1")).alias("name_latin1"),
+        _gbk_b64(gbk_plain).alias("name_gbk"),
+    )
+    env = c.select(
+        F.to_json(
+            F.struct(
+                after.alias("after"),
+                F.struct(
+                    F.lit("testdb").alias("db"), F.lit("customer").alias("table")
+                ).alias("source"),
+                F.lit("c").alias("op"),
+                F.col("c_custkey").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    raw_schema = T.StructType(
+        [
+            T.StructField("ckey", T.LongType()),
+            T.StructField("name_latin1", T.StringType()),
+            T.StructField("name_gbk", T.StringType()),
+        ]
+    )
+    decoded = from_debezium_json(
+        env,
+        raw_schema,
+        converters={
+            "name_latin1": C.charset_converter("latin1"),
+            "name_gbk": C.charset_converter("gbk"),
+        },
+    )
+    return decoded.select("ckey", "name_latin1", "name_gbk")

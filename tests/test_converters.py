@@ -466,3 +466,82 @@ def test_temporal_randomized_roundtrip(spark):
                 off,
                 r["us"],
             )
+
+
+# --- charset decode (A13 fidelity; MysqlConnectorCharsetITCase) ------
+
+
+def test_charset_decode_known_bytes(spark):
+    """Hand-pinned byte fixtures: latin1 0xE9 -> 'é', gbk C4E3BAC3 ->
+    '你好' — a UTF-8 assumption would mojibake or error on both."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    df = spark.createDataFrame(
+        [
+            (1, bytes([0x63, 0x61, 0x66, 0xE9]), bytes([0xC4, 0xE3, 0xBA, 0xC3])),
+            (2, bytes([0xDF]), bytes([0xB2, 0xE2, 0xCA, 0xD4])),
+            (3, None, None),
+        ],
+        "id bigint, lat binary, gbk binary",
+    )
+    rows = {
+        r["id"]: (r["lat_s"], r["gbk_s"])
+        for r in df.select(
+            "id",
+            charset_decode(F.col("lat"), "latin1").alias("lat_s"),
+            charset_decode(F.col("gbk"), "gbk").alias("gbk_s"),
+        ).collect()
+    }
+    assert rows[1] == ("café", "你好")
+    assert rows[2] == ("ß", "测试")
+    assert rows[3] == (None, None)
+
+
+def test_charset_decode_unknown_charset_fails_at_plan_time(spark):
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    with pytest.raises(LookupError):
+        charset_decode(F.col("x"), "no-such-charset-xyz")
+
+
+def test_charset_decode_jvm_path_stays_codegen(spark):
+    """latin1 must take the JVM decode() path — no Python eval node in
+    the plan (the pandas-UDF path is reserved for charsets Spark's
+    allowlist rejects, e.g. gbk)."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    df = spark.createDataFrame([(bytes([0xE9]),)], "b binary")
+    plan = (
+        df.select(charset_decode(F.col("b"), "latin1").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_charset_roundtrip_property(spark):
+    """Round trip: text -> charset bytes -> charset_decode == text, for
+    every charset in both dispatch families that can represent it."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    cases = [
+        ("latin1", "Àéîõü ÿ ±"),
+        ("iso-8859-1", "façade naïve"),
+        ("ascii", "plain ascii 123"),
+        ("gbk", "汉字编码测试"),
+        ("big5", "繁體中文"),
+        ("shift-jis", "日本語テスト"),
+        ("cp1251", "Привет мир"),
+    ]
+    py_codec = {
+        "latin1": "latin-1", "iso-8859-1": "latin-1", "ascii": "ascii",
+        "gbk": "gbk", "big5": "big5", "shift-jis": "shift_jis",
+        "cp1251": "cp1251",
+    }
+    for cs, text in cases:
+        df = spark.createDataFrame([(text.encode(py_codec[cs]),)], "b binary")
+        got = df.select(charset_decode(F.col("b"), cs).alias("s")).collect()[0]["s"]
+        assert got == text, f"{cs}: {got!r} != {text!r}"
