@@ -176,12 +176,18 @@ def decode_with_history(
         if upper is not None:
             sl = sl.filter(F.col(seq_col) < upper)
         decoded = from_debezium_json(sl, schema, value_col)
-        # null-fill columns added by later schema versions
+        # columns added by later schema versions: backfill with the
+        # column's DDL DEFAULT when one was recorded (MySQL backfills
+        # existing rows with the default at ALTER time, so pre-ALTER
+        # slices must show it — Debezium default-value converters;
+        # reference customer.sql default_value_test), else typed NULL
+        from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+            default_fill_expr,
+        )
+
         for f in latest.fields:
             if f.name not in decoded.columns:
-                decoded = decoded.withColumn(
-                    f.name, F.lit(None).cast(f.dataType)
-                )
+                decoded = decoded.withColumn(f.name, default_fill_expr(f))
         parts.append(decoded.select(*[f.name for f in latest.fields], "_op", "_seq"))
     out = parts[0]
     for p in parts[1:]:

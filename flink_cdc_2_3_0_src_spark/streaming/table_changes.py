@@ -36,9 +36,19 @@ class ColumnSpec:
     type_expression: str  # source-side type DDL, e.g. "DECIMAL(12,2)"
     optional: bool = True
     position: int = 0
+    # raw DDL DEFAULT expression (Debezium carries this as
+    # defaultValueExpression in its table-change JSON; the reference's
+    # customer.sql default_value_test table exercises it) — None when
+    # the column has no default
+    default_value: Optional[str] = None
 
     def spark_type(self) -> T.DataType:
         return mysql_type_to_spark(self.type_expression)
+
+    def metadata(self) -> dict:
+        """StructField metadata carrying the default through schema
+        persistence (StructType.json() round-trips metadata)."""
+        return {"default": self.default_value} if self.default_value is not None else {}
 
 
 @dataclass
@@ -64,6 +74,11 @@ class TableChange:
                         "typeExpression": c.type_expression,
                         "optional": c.optional,
                         "position": c.position,
+                        **(
+                            {"defaultValueExpression": c.default_value}
+                            if c.default_value is not None
+                            else {}
+                        ),
                     }
                     for c in self.columns
                 ],
@@ -90,6 +105,7 @@ class TableChange:
                     type_expression=c.get("typeExpression", "TEXT"),
                     optional=c.get("optional", True),
                     position=c.get("position", i + 1),
+                    default_value=c.get("defaultValueExpression"),
                 )
                 for i, c in enumerate(t.get("columns", []))
             ],
@@ -102,7 +118,7 @@ class TableChange:
     def to_struct(self) -> T.StructType:
         return T.StructType(
             [
-                T.StructField(c.name, c.spark_type(), c.optional)
+                T.StructField(c.name, c.spark_type(), c.optional, c.metadata())
                 for c in sorted(self.columns, key=lambda c: c.position)
             ]
         )
@@ -183,6 +199,52 @@ _RENAME_TABLE = re.compile(
 )
 
 
+_DEFAULT_CLAUSE = re.compile(
+    r"DEFAULT\s+(?:'(?P<s>(?:[^']|'')*)'"          # 'string' ('' escape)
+    r'|"(?P<d>[^"]*)"'                             # "string"
+    r"|(?P<e>[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d*\s*\))?"  # bare word/fn
+    r"|[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?))",        # number
+    re.IGNORECASE,
+)
+
+# non-constant defaults: MySQL evaluates these per-row at write time, so
+# a metadata-only backfill has no single value to fill — Debezium's
+# default-value converters likewise surface them as NULL for backfill
+_NON_CONSTANT_DEFAULTS = re.compile(
+    r"^(?:CURRENT_TIMESTAMP|CURRENT_DATE|CURRENT_TIME|NOW|LOCALTIME(?:STAMP)?|"
+    r"UUID|UUID_SHORT|RAND)\s*(?:\(\s*\d*\s*\))?$",
+    re.IGNORECASE,
+)
+
+
+def _parse_default(rest: str) -> Optional[str]:
+    """Extract the DEFAULT expression from a column-def tail, or None."""
+    m = _DEFAULT_CLAUSE.search(rest or "")
+    if not m:
+        return None
+    if m.group("s") is not None:
+        return m.group("s").replace("''", "'")
+    if m.group("d") is not None:
+        return m.group("d")
+    return m.group("e")
+
+
+def default_fill_expr(f: T.StructField):
+    """Backfill Column for a field added by schema evolution: its typed
+    DEFAULT literal when the field metadata carries a constant default,
+    else typed NULL (no default, DEFAULT NULL, or a non-constant default
+    like CURRENT_TIMESTAMP, which has no single backfill value)."""
+    from pyspark.sql import functions as F
+
+    md = f.metadata or {}
+    dv = md.get("default")
+    if dv is None or str(dv).strip().upper() == "NULL" or _NON_CONSTANT_DEFAULTS.match(
+        str(dv).strip()
+    ):
+        return F.lit(None).cast(f.dataType)
+    return F.lit(str(dv)).cast(f.dataType)
+
+
 def _strip_ticks(ident: str) -> str:
     return ".".join(p.strip("`\"") for p in ident.split("."))
 
@@ -239,6 +301,7 @@ def parse_ddl(ddl: str) -> TableChange:
                     type_expression=cm.group("type").strip(),
                     optional=not (notnull or inline_pk),
                     position=len(cols) + 1,
+                    default_value=_parse_default(rest),
                 )
             )
             if inline_pk:
@@ -272,6 +335,7 @@ def parse_ddl(ddl: str) -> TableChange:
                         name=_get_ident(am, 1),
                         type_expression=am.group("type").strip(),
                         optional=not notnull,
+                        default_value=_parse_default(am.group("rest")),
                     )
                 ],
             )
@@ -289,6 +353,7 @@ def parse_ddl(ddl: str) -> TableChange:
                         name=_get_ident(mm, 1),
                         type_expression=mm.group("type").strip(),
                         optional=not notnull,
+                        default_value=_parse_default(mm.group("rest")),
                     )
                 ],
             )
@@ -310,6 +375,7 @@ def parse_ddl(ddl: str) -> TableChange:
                         name=new,
                         type_expression=chm.group("type").strip(),
                         optional=not notnull,
+                        default_value=_parse_default(chm.group("rest")),
                     )
                 ],
             )
@@ -345,7 +411,7 @@ def apply_change(schema: Optional[T.StructType], change: TableChange) -> Optiona
         ]
     for c in change.columns:
         existing = [i for i, f in enumerate(fields) if f.name == c.name]
-        nf = T.StructField(c.name, c.spark_type(), c.optional)
+        nf = T.StructField(c.name, c.spark_type(), c.optional, c.metadata())
         if existing:
             fields[existing[0]] = nf  # MODIFY / CHANGE retype
         else:

@@ -296,3 +296,104 @@ def test_schema_change_stream_robustness(spark, tmp_path):
     # the schema never grew a phantom INDEX column
     assert hist2.versions("t") == [0]
     assert hist2.schema_at("t", 10).fieldNames() == ["id", "v"]
+
+
+# --- DDL DEFAULT-value propagation (r5; Debezium default values,
+# reference customer.sql default_value_test) ---
+
+
+def test_parse_ddl_default_values():
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import parse_ddl
+
+    ch = parse_ddl(
+        "CREATE TABLE d (id BIGINT NOT NULL PRIMARY KEY, "
+        "n INT DEFAULT 42, "
+        "s VARCHAR(16) NOT NULL DEFAULT 'it''s ok', "
+        "f DOUBLE DEFAULT -1.5e2, "
+        "t TIMESTAMP DEFAULT CURRENT_TIMESTAMP, "
+        "x INT DEFAULT NULL, "
+        "plain INT)"
+    )
+    by_name = {c.name: c.default_value for c in ch.columns}
+    assert by_name == {
+        "id": None,
+        "n": "42",
+        "s": "it's ok",
+        "f": "-1.5e2",
+        "t": "CURRENT_TIMESTAMP",
+        "x": "NULL",
+        "plain": None,
+    }
+    ch2 = parse_ddl("ALTER TABLE d ADD COLUMN w INT NOT NULL DEFAULT 7")
+    assert ch2.columns[0].default_value == "7"
+    ch3 = parse_ddl("ALTER TABLE d MODIFY COLUMN n BIGINT DEFAULT 43")
+    assert ch3.columns[0].default_value == "43"
+    ch4 = parse_ddl("ALTER TABLE d CHANGE n m INT DEFAULT 44")
+    assert ch4.columns[0].default_value == "44"
+    # defaults survive the serializer JSON layout
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import TableChange
+
+    rt = TableChange.from_json(ch.to_json())
+    assert {c.name: c.default_value for c in rt.columns} == by_name
+
+
+def test_default_fill_expr_typing(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import default_fill_expr
+
+    one = spark.range(1)
+    fields = [
+        T.StructField("a", T.LongType(), True, {"default": "42"}),
+        T.StructField("b", T.StringType(), True, {"default": "x"}),
+        T.StructField("c", T.DoubleType(), True, {"default": "-1.5"}),
+        T.StructField("d", T.LongType(), True, {"default": "NULL"}),
+        T.StructField("e", T.TimestampNTZType(), True, {"default": "CURRENT_TIMESTAMP"}),
+        T.StructField("f", T.LongType(), True, {}),
+    ]
+    row = one.select(
+        *[default_fill_expr(f).alias(f.name) for f in fields]
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == (42, "x", -1.5)
+    assert row["d"] is None and row["e"] is None and row["f"] is None
+
+
+def test_decode_with_history_backfills_alter_default(spark, tmp_path):
+    """An ALTER ADD ... DEFAULT column must show the DEFAULT (not NULL)
+    on rows decoded under the pre-ALTER schema — MySQL backfills
+    existing rows with the default at ALTER time."""
+    import json as J
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import (
+        SchemaHistory,
+        decode_with_history,
+    )
+
+    h = SchemaHistory(str(tmp_path / "hist_def.json"))
+    h.record_ddl("t", 0, "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)")
+    h.record_ddl(
+        "t", 100, "ALTER TABLE t ADD COLUMN grade VARCHAR(8) NOT NULL DEFAULT 'std'"
+    )
+    h.record_ddl("t", 200, "ALTER TABLE t ADD COLUMN seen TIMESTAMP DEFAULT CURRENT_TIMESTAMP")
+
+    def env(seq, payload):
+        return (J.dumps({"after": payload, "op": "c", "ts_ms": seq}), seq)
+
+    envs = spark.createDataFrame(
+        [
+            env(10, {"id": 1, "v": 5}),                      # pre-ALTER
+            env(150, {"id": 2, "v": 6, "grade": "vip"}),     # post first ALTER
+            env(250, {"id": 3, "v": 7, "grade": "eco", "seen": None}),
+        ],
+        "value string, _seq long",
+    )
+    out = {
+        r["id"]: (r["grade"], r["seen"])
+        for r in decode_with_history(envs, h, "t").collect()
+    }
+    assert out[1] == ("std", None)   # DEFAULT backfilled, non-constant -> NULL
+    assert out[2] == ("vip", None)
+    assert out[3][0] == "eco"
