@@ -37,6 +37,19 @@ HEADLINE = [
     "ann_topk_cosine",
 ]
 
+# Heavy tail: the expensive non-headline operators (blocked fuzzy dedup,
+# semantic dedup, span dedup, BPE training, CMS sketch).  Timed in a
+# SECOND section so regressions in the costly operators are caught per
+# round WITHOUT disturbing the frozen 15-headliner series the driver
+# compares across rounds ("value" stays headline-only).
+HEAVY_TAIL = [
+    "dedup_fuzzy_blocked",
+    "dedup_semantic",
+    "dedup_spans",
+    "text_bpe_train",
+    "sketch_count_min",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,13 +69,18 @@ def main() -> None:
         shingle_profile(F.col("text"))
     ).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
+    def run(query_names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in query_names:
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            out[name] = round(time.perf_counter() - t0, 4)
+            _ = n
+        return out
+
+    timings = run(names)
+    heavy = run([n for n in HEAVY_TAIL if n in qs])
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -71,6 +89,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "heavy_tail": heavy,
+                "heavy_tail_total": round(sum(heavy.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
