@@ -545,3 +545,116 @@ def test_charset_roundtrip_property(spark):
         df = spark.createDataFrame([(text.encode(py_codec[cs]),)], "b binary")
         got = df.select(charset_decode(F.col("b"), cs).alias("s")).collect()[0]["s"]
         assert got == text, f"{cs}: {got!r} != {text!r}"
+
+
+# --- r5: the MySqlTimezoneITCase-style matrix sweep ------------------
+# {session timezone} × {server-time-zone} × the full temporal converter
+# matrix in ONE parametrized test: every decoded value must (a) equal
+# the stdlib-derived expectation and (b) be bit-identical across all
+# session timezones (the reference's per-DB timezone ITCases pin the
+# same two properties: MySqlTimezoneITCase, MongoDBTimeZoneITCase,
+# SqlServerTimezoneITCase; RowDataDebeziumDeserializeSchema.java:469-519).
+
+_SESSION_TZS = ["UTC", "America/New_York", "Asia/Shanghai", "Europe/Berlin"]
+_SERVER_TZS = ["UTC", "America/New_York", "Asia/Shanghai", "+05:30", "-08:00"]
+# winter + summer (DST flip), pre-epoch, epoch, sub-second edge
+_MATRIX_INSTANTS_US = [
+    1705322096123456,   # 2024-01-15T12:34:56.123456Z (EST/CST winter)
+    1721086701000001,   # 2024-07-15T23:38:21.000001Z (EDT summer)
+    -500000,            # 1969-12-31T23:59:59.5Z pre-epoch
+    0,                  # epoch
+    951827696999999,    # 2000-02-29 leap day
+]
+
+
+def _expected_wall(us, server_tz):
+    """Stdlib-independent expectation: instant -> server_tz wall clock."""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    inst = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+        microseconds=us
+    )
+    if server_tz.startswith(("+", "-")):
+        sign = 1 if server_tz[0] == "+" else -1
+        hh, mm = server_tz[1:].split(":")
+        tz = dt.timezone(sign * dt.timedelta(hours=int(hh), minutes=int(mm)))
+    else:
+        tz = ZoneInfo(server_tz)
+    return inst.astimezone(tz).replace(tzinfo=None)
+
+
+def _decode_matrix(spark, server_tz):
+    import datetime as dt
+
+    rows = []
+    for us in _MATRIX_INSTANTS_US:
+        inst = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc) + dt.timedelta(
+            microseconds=us
+        )
+        z = inst.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        rows.append(
+            (
+                us,
+                us // 86_400_000_000,            # days (floor toward -inf for >=0 only; pre-epoch handled below)
+                (us - (us % 1000)) // 1000,      # millis (truncate toward -inf)
+                us,
+                us * 1000,                       # nanos
+                z,
+                abs(us) % 86_400_000_000,        # micros of day
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "us bigint, days bigint, ms bigint, us2 bigint, ns bigint, z string, tod bigint"
+    )
+    out = df.select(
+        "us",
+        C.debezium_date(F.col("days").cast("int")).alias("d"),
+        C.debezium_timestamp_millis(F.col("ms")).alias("t_ms"),
+        C.debezium_timestamp_micros(F.col("us2")).alias("t_us"),
+        C.debezium_timestamp_nanos(F.col("ns")).alias("t_ns"),
+        C.zoned_timestamp_to_ntz(F.col("z"), server_tz).alias("t_z"),
+        C.debezium_time_micros(F.col("tod")).alias("tod_s"),
+    ).orderBy("us")
+    return [tuple(r) for r in out.collect()]
+
+
+def test_timezone_matrix_sweep(spark):
+    """All converters, all server tzs, all session tzs: decode equals
+    the stdlib expectation AND is invariant to the session timezone."""
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    baseline = {}
+    try:
+        for session_tz in _SESSION_TZS:
+            spark.conf.set("spark.sql.session.timeZone", session_tz)
+            for server_tz in _SERVER_TZS:
+                got = _decode_matrix(spark, server_tz)
+                # (b) session-tz invariance, field by field
+                if server_tz in baseline:
+                    assert got == baseline[server_tz], (session_tz, server_tz)
+                else:
+                    baseline[server_tz] = got
+                # (a) absolute expectations
+                for us, d, t_ms, t_us, t_ns, t_z, tod_s in got:
+                    wall = epoch + dt.timedelta(microseconds=us)
+                    days = us // 86_400_000_000  # Python floor: -1 pre-epoch
+                    assert d == (epoch + dt.timedelta(days=days)).date(), (us, "d")
+                    assert t_us == wall, (us, "t_us")
+                    ms_trunc = us - (us % 1000)
+                    assert t_ms == epoch + dt.timedelta(microseconds=ms_trunc)
+                    assert t_ns == wall, (us, "t_ns")
+                    assert t_z == _expected_wall(us, server_tz), (
+                        us,
+                        server_tz,
+                        "t_z",
+                    )
+                    tod = abs(us) % 86_400_000_000
+                    h, rem = divmod(tod, 3_600_000_000)
+                    m, rem = divmod(rem, 60_000_000)
+                    s, frac = divmod(rem, 1_000_000)
+                    assert tod_s == f"{h:02d}:{m:02d}:{s:02d}.{frac:06d}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
