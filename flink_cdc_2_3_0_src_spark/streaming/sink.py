@@ -70,9 +70,16 @@ class UpsertParquetSink:
         new_state = materialize(incoming, self.keys)
         version = f"v{batch_id:010d}"
         out_dir = os.path.join(self.path, version)
+        # stage-then-swap: a REPLAYED batch whose version dir is the
+        # current pointer would otherwise delete the very files its own
+        # merge plan is lazily reading (write-while-read self-destruct)
+        stage = out_dir + ".stage"
+        if os.path.exists(stage):
+            shutil.rmtree(stage)
+        new_state.write.mode("overwrite").parquet(stage)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)  # replayed batch: overwrite, same result
-        new_state.write.mode("overwrite").parquet(out_dir)
+        os.rename(stage, out_dir)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(version)

@@ -10,7 +10,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from flink_cdc_2_3_0_src_spark.model import SEQ_COL, ChunkRange
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL, ChunkRange
 from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
 from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
 from flink_cdc_2_3_0_src_spark.streaming.hybrid import HybridPipeline
@@ -834,3 +834,147 @@ def test_partitioned_sql_sink_never_collects_on_driver(spark, tmp_path, monkeypa
         ).select("user_id", "value").collect()
     }
     assert _sqlite_state(db) == exp
+
+
+def test_crash_mid_backfill_resumes_with_original_watermarks(spark, tmp_path):
+    """B13 failover matrix, mid-BACKFILL kill (reference
+    MySqlSourceITCase.java:187-241 snapshot-phase failover): the job
+    dies between a chunk's LOW and HIGH watermark — its manifest entry
+    is durable but none of its data ever reached the sink, and by the
+    time the job restarts the log has ADVANCED.  The restart must
+    recompute the torn chunk with its ORIGINAL (lw, hw) bracketing (not
+    re-bracket at the new tip), and the final materialized table must be
+    exact."""
+    log = scripted_changelog(spark, SF_SMOKE)
+    mpath = str(tmp_path / "manifest_bf.json")
+    ckpt = str(tmp_path / "ckpt_bf")
+    sink = UpsertParquetSink(spark, str(tmp_path / "state_bf"), ["user_id"])
+    wm = lambda i: (150 + 100 * i, 350 + 100 * i)  # lw < hw: real backfill
+
+    # phase 1: the crashing run sees only a PREFIX of the log (the
+    # database as of the crash).  All three chunk brackets get recorded
+    # (each chunk is mid-backfill: lw < hw), chunks 0-1 reach the sink,
+    # chunk 2's scan dies before any write.
+    log_at_crash = log.filter(F.col(SEQ_COL) <= 800)
+    p1 = HybridPipeline(spark, log_at_crash, ["user_id"], manifest_path=mpath)
+    torn, manifest1 = p1.run_snapshot_phase(CHUNKS, "user_id", watermarks=wm)
+    survived = torn.filter(F.col("user_id") < 16)  # chunks 0-1 only
+    sink.merge_batch(survived, -1)
+    assert manifest1.chunks[2].low_watermark == 350  # bracket durable
+    assert manifest1.chunks[2].high_watermark == 550
+
+    # phase 2: restart against the FULL (advanced) log.  The later-tip
+    # watermark fn must be ignored for every resumed chunk.
+    p2 = HybridPipeline(spark, log, ["user_id"], manifest_path=mpath)
+    replay_dir = str(tmp_path / "replay_bf")
+    write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    manifest2, _q = p2.run_streaming(
+        CHUNKS, "user_id", stream, sink, ckpt,
+        watermarks=lambda i: (2900, 2900),  # would skip backfill if used
+    )
+    assert [c.high_watermark for c in manifest2.chunks] == [350, 450, 550]
+    got = {(r["user_id"], r["value"]) for r in sink.read_state().collect()}
+    assert got == oracle_state(spark)
+
+
+def test_crash_with_open_transactions_final_table_exact(spark, tmp_path):
+    """B13 failover matrix, mid-stream kill with OPEN transactions
+    (transaction-metadata path): transactions span microbatch files, the
+    query dies while several are open, restarts from the checkpoint, and
+    the FINAL MATERIALIZED TABLE must equal the batch
+    committed_changelog oracle — complete txns exactly once, in-flight
+    and incomplete txns withheld entirely."""
+    import time as _t
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        committed_changelog,
+        streaming_committed_changelog,
+    )
+
+    base = scripted_changelog(spark, SF_SMOKE)
+    seq = F.col(SEQ_COL)
+    tx = base.withColumn("txn_id", ((seq - seq % 5) / 5).cast("long")).withColumn(
+        "txn_order", seq % 5
+    )
+    grouped = tx.groupBy("txn_id").agg(
+        F.count(F.lit(1)).alias("_c"), (F.max(seq) + 10).alias("commit_seq")
+    )
+    # txn_id % 7 == 3 never commits (no END) -> withheld forever
+    boundaries = grouped.where(F.col("txn_id") % 7 != 3).select(
+        "txn_id", F.col("_c").alias("event_count"), "commit_seq"
+    )
+
+    # unified D/E stream, END markers sequenced AFTER their last event
+    # so file-split replay leaves transactions open across batches
+    d_rows = tx.select(
+        "txn_id", F.lit("D").alias("kind"), "user_id", "value", OP_COL,
+        "txn_order", F.lit(None).cast("long").alias("event_count"),
+        F.lit(None).cast("long").alias("commit_seq"), SEQ_COL,
+    )
+    e_rows = boundaries.select(
+        "txn_id", F.lit("E").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("string").alias(OP_COL),
+        F.lit(None).cast("long").alias("txn_order"),
+        "event_count", "commit_seq",
+        F.col("commit_seq").alias(SEQ_COL),
+    )
+    unified = d_rows.unionByName(e_rows)
+    replay_dir = str(tmp_path / "replay_otx")
+    write_replay_files(unified, replay_dir, n_files=8)
+    ckpt = str(tmp_path / "ckpt_otx")
+    out_dir = str(tmp_path / "otx_out")
+    schema = unified.schema
+
+    def start(trigger_kwargs):
+        stream = read_replay_stream(spark, replay_dir, schema).drop(SEQ_COL)
+        return (
+            streaming_committed_changelog(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    q1 = start({"processingTime": "1 second"})
+    deadline = _t.time() + 90
+    while _t.time() < deadline and not any(
+        p["numInputRows"] > 0 for p in q1.recentProgress
+    ):
+        _t.sleep(0.5)
+    q1.stop()  # kill: several txns have events buffered, END unseen
+    q1.awaitTermination(30)
+
+    q2 = start({"availableNow": True})
+    q2.awaitTermination(180)
+
+    released = spark.read.parquet(out_dir).select(
+        "user_id", "value", OP_COL, SEQ_COL
+    )
+    final = {
+        (r["user_id"], r["value"])
+        for r in materialize(released, ["user_id"]).collect()
+    }
+    oracle_rel = committed_changelog(
+        tx, boundaries.withColumn("status", F.lit("END"))
+    ).select("user_id", "value", OP_COL, SEQ_COL)
+    expect = {
+        (r["user_id"], r["value"])
+        for r in materialize(oracle_rel, ["user_id"]).collect()
+    }
+    assert len(expect) > 0 and final == expect
+    # exactly-once: no event row released twice
+    dup = (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id", "value", OP_COL, SEQ_COL)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
