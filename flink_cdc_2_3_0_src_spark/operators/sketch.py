@@ -38,15 +38,21 @@ def _cms_bucket(hcol, a: int, b: int, width: int):
     return ((F.lit(a) * x + F.lit(b)) % _P) % width
 
 
-def cms_build(hashed, width: int = CMS_WIDTH) -> dict:
+def cms_build(hashed, width: int = CMS_WIDTH, weight_col: str | None = None) -> dict:
     """Build the d × w counter matrix from a DataFrame with an ``h``
     hash column.  One aggregation: explode each value into its d
     (row, bucket) cells, count per cell.  The matrix is a commutative
     monoid under cell-wise addition — sketches built on partitions of
     the data merge EXACTLY into the whole-data sketch (pinned by
     tests), which is why executor-local partial aggregation is lossless
-    here."""
+    here.
+
+    ``weight_col``: build from PRE-AGGREGATED (value, count) rows
+    instead of one row per occurrence — cell n becomes SUM(weight),
+    bit-identical to the occurrence-level build (cells are sums either
+    way) while hashing each distinct value exactly once."""
     cells = hashed.select(
+        *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
         F.explode(
             F.array(
                 *[
@@ -57,9 +63,9 @@ def cms_build(hashed, width: int = CMS_WIDTH) -> dict:
                     for ri, (a, b) in enumerate(_ROWS)
                 ]
             )
-        ).alias("cell")
+        ).alias("cell"),
     ).groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c")).agg(
-        F.count(F.lit(1)).alias("n")
+        (F.sum("_w") if weight_col else F.count(F.lit(1))).alias("n")
     )
     return {(int(r["r"]), int(r["c"])): int(r["n"]) for r in cells.collect()}
 
@@ -82,20 +88,31 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
     folded into the probe as literal arrays, like the bloom bitmap and
     the kmeans centroids.  Probe: the exact top-k tokens (computed here
     for the comparison; a production probe set is whatever keys you
-    care about)."""
+    care about).
+
+    Cost shape: tokens are counted FIRST (cheap codegen'd groupBy), so
+    the per-character polynomial hash runs once per DISTINCT token
+    (vocabulary-sized) instead of once per occurrence, and the matrix
+    is built from (hash, count) weighted rows — bit-identical cells,
+    ~corpus/vocabulary times less hash work.  One localCheckpoint keeps
+    the vocabulary pass shared between the matrix build and the exact
+    top-k (it would otherwise recompute)."""
     toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    h = toks.select("tok", poly_hash_expr(F.col("tok")).alias("h"))
-    mat = cms_build(h, width)
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select("tok", "exact_n", poly_hash_expr(F.col("tok")).alias("h"))
+        .localCheckpoint()
+    )
+    mat = cms_build(vocab, width, weight_col="exact_n")
+    # ONE array literal per sketch row (not w nested Literal nodes —
+    # a 3×1024-literal expression tree costs more to compile than the
+    # probe costs to run)
     row_arrays = [
-        F.array(*[F.lit(mat.get((ri, c), 0)).cast("long") for c in range(width)])
+        F.lit([int(mat.get((ri, c), 0)) for c in range(width)]).cast("array<bigint>")
         for ri in range(len(_ROWS))
     ]
-    exact = (
-        h.groupBy("tok", "h")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
-        .orderBy(F.col("exact_n").desc(), F.col("tok"))
-        .limit(top_k)
-    )
+    exact = vocab.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(top_k)
     est = F.least(
         *[
             F.element_at(
