@@ -148,7 +148,14 @@ _PRIORITY: list[str] = [
     # (dedup_ngram_jaccard / dedup_embedding_cosine are the documented
     # LSH-off verification shapes; their scale-path twins above hold the
     # window slots — both remain locally swept)
-    "multimodal_binary_stats", "multimodal_frame_sample",
+    "cdc_mongo_resume_token",
+    # (multimodal_binary_stats: opaque-binary metadata projection —
+    # demoted; frame_sample + audio_features keep two richer multimodal
+    # rows in-window and binary_stats remains locally swept.  Its slot
+    # goes to cdc_mongo_resume_token: resume-from-captured-token over
+    # the KeyString-decoded clusterTime cut — the Mongo offset leg the
+    # r4 VERDICT ranked missing item #3, now oracle-backed.)
+    "multimodal_frame_sample",
     "multimodal_audio_features", "decontam_ngram_overlap",
     "embedding_quantize_int8",
     # Relational surface representatives (B1-B3)
@@ -3807,3 +3814,57 @@ def cdc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return decoded.select("ckey", "name_latin1", "name_gbk")
+
+
+# A21/A22 for Mongo: resume the change stream from a CAPTURED RESUME
+# TOKEN (reference ChangeStreamOffset.java + ResumeTokenUtils.java —
+# the KeyString-encoded BSON timestamp is decoded out of the token and
+# the stream resumes STRICTLY AFTER it).  The events table stands in as
+# the change stream: clusterTime = (epoch seconds of ts, event_id%1000
+# as the increment); the token literal is the real hex KeyString form
+# (type byte 130 + big-endian seconds/increment + opaque tail).  The
+# oracle applies the decoded (s, i) lexicographic cut directly — any
+# decode or boundary error (e.g. re-emitting the token's own event)
+# mismatches.
+def _mongo_resume_fixture_token() -> str:
+    from flink_cdc_2_3_0_src_spark.sources.mongo import encode_resume_token
+
+    # mid-range clusterTime for the Jan-2024 event fixture
+    return encode_resume_token(1_705_367_000, 500, suffix=b"\x46\x64\x5f\x1d")
+
+
+_MONGO_RESUME_S = 1_705_367_000
+_MONGO_RESUME_I = 500
+
+
+@register(
+    "cdc_mongo_resume_token",
+    f"""
+    WITH cs AS (
+        SELECT event_id,
+               epoch_us(ts) // 1000000 AS cluster_ts,
+               event_id % 1000 AS cluster_inc
+        FROM events
+    )
+    SELECT event_id, cluster_ts, cluster_inc
+    FROM cs
+    WHERE cluster_ts > {_MONGO_RESUME_S}
+       OR (cluster_ts = {_MONGO_RESUME_S} AND cluster_inc > {_MONGO_RESUME_I})
+    """,
+)
+def cdc_mongo_resume_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.sources.mongo import (
+        ChangeStreamOffset,
+        resume_from_offset,
+    )
+
+    ev = ld(spark, sf_dir, "events")
+    us = _epoch_us_ntz(F.col("ts"))
+    cs = ev.select(
+        "event_id",
+        ((us - (us % 1_000_000)) / 1_000_000).cast("long").alias("cluster_ts"),
+        (F.col("event_id") % 1000).alias("cluster_inc"),
+    )
+    off = ChangeStreamOffset.from_resume_token(_mongo_resume_fixture_token())
+    assert (off.seconds, off.increment) == (_MONGO_RESUME_S, _MONGO_RESUME_I)
+    return resume_from_offset(cs, off)
