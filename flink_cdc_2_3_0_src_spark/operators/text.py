@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from flink_cdc_2_3_0_src_spark.functions.hashing import (
     POLY_MOD,
@@ -1267,3 +1268,78 @@ def bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
             f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b, n AS pair_count FROM p{r}"
         )
     return "WITH " + ",".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalization (r5) — the first transform of every real
+# training-data pipeline: NFC composition (é as one codepoint, not
+# e + U+0301), control-character strip, whitespace collapse, trim.
+# Skipping it splits otherwise-identical documents across dedup,
+# fingerprinting and tokenization (the byte sequences differ while the
+# rendered text doesn't).
+#
+# Cross-engine contract, applied IN THIS ORDER on both engines:
+#   1. NFC normalize            (Python unicodedata / DuckDB nfc_normalize)
+#   2. strip control chars      [\x00-\x08\x0B-\x1F\x7F]  (keeps \t \n)
+#   3. collapse [ \t\n]+ -> ' ' (explicit class: RE2's \s is ASCII-only
+#                                while Python's is Unicode-wide — an
+#                                engine-portable regex never uses \s here)
+#   4. trim ASCII spaces
+# Python is the only NFC implementation available to Spark, so this is
+# one Arrow-batched pandas UDF; everything downstream stays JVM-side.
+
+_CTRL_RE = r"[\x00-\x08\x0B-\x1F\x7F]"
+_WS_RE = r"[ \t\n]+"
+
+
+def normalize_text(text_col: Column) -> Column:
+    """NFC + control-strip + whitespace-collapse + trim (see contract
+    above).  One vectorized pandas UDF."""
+
+    @pandas_udf("string")
+    def _norm(s):
+        import re
+        import unicodedata
+
+        ctrl = re.compile(_CTRL_RE)
+        ws = re.compile(_WS_RE)
+
+        def one(v):
+            if v is None:
+                return None
+            v = unicodedata.normalize("NFC", v)
+            v = ctrl.sub("", v)
+            v = ws.sub(" ", v)
+            return v.strip(" ")
+
+        return s.map(one)
+
+    return _norm(text_col)
+
+
+def normalize_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc normalized text + before/after char counts (the audit
+    view: how much the cleaner actually changed)."""
+    norm = normalize_text(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+def normalize_stats_sql(dirty_expr: str = "text") -> str:
+    """DuckDB twin: nfc_normalize + the identical explicit-class regex
+    chain (same operation ORDER — NFC, strip, collapse, trim)."""
+    norm = (
+        "trim(regexp_replace(regexp_replace(nfc_normalize({e}), "
+        "'[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'), '[ \\t\\n]+', ' ', 'g'), ' ')"
+    ).format(e=dirty_expr)
+    return f"""
+    SELECT doc_id,
+           {norm} AS norm_text,
+           CAST(length({dirty_expr}) AS INTEGER) AS n_chars_raw,
+           CAST(length({norm}) AS INTEGER) AS n_chars_norm
+    FROM documents
+    """

@@ -3868,3 +3868,21 @@ def cdc_mongo_resume_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = ChangeStreamOffset.from_resume_token(_mongo_resume_fixture_token())
     assert (off.seconds, off.increment) == (_MONGO_RESUME_S, _MONGO_RESUME_I)
     return resume_from_offset(cs, off)
+
+
+# Unicode normalization gate (operators/text.py normalize_text): the
+# dirty fixture is built IN-QUERY (decomposed e + combining acute that
+# NFC must compose, a BEL control char, tab + double-space runs,
+# trailing spaces) so the row exercises composition, stripping,
+# collapsing and trimming — the oracle runs DuckDB's NATIVE
+# nfc_normalize + the identical explicit-class regex chain, making this
+# a genuine two-implementation check of the normalization contract.
+_DIRTY_SQL = "text || '  cafe' || chr(769) || ' ' || chr(9) || chr(7) || 'fi  end  '"
+
+
+@register("text_normalize", _text.normalize_stats_sql(_DIRTY_SQL))
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = ld(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit("  cafe\u0301 \t\x07fi  end  "))
+    )
+    return _text.normalize_stats(docs)

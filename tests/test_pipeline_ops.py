@@ -549,3 +549,35 @@ def test_forget_keys_returns_pair(spark):
     assert {r["k"] for r in kept.collect()} == {1, 3}
     lrows = log.collect()
     assert [r["k"] for r in lrows] == [2] and lrows[0]["_op"] == "-D"
+
+
+def test_normalize_text_contract(spark):
+    """NFC composition, control strip, whitespace collapse, trim — and
+    idempotence (normalizing twice changes nothing)."""
+    from flink_cdc_2_3_0_src_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "café latte"),          # decomposed -> composed
+            (2, "café latte"),           # already NFC: same result
+            (3, "a\x00b\x07c\x1fd"),          # controls stripped
+            (4, "  x \t\t y \n\n z  "),       # runs collapsed, trimmed
+            (5, None),
+            (6, "ﬁn"),                   # ﬁ ligature: NFC keeps it
+        ],
+        "id bigint, t string",
+    )
+    once = df.select("id", normalize_text(F.col("t")).alias("n"))
+    rows = {r["id"]: r["n"] for r in once.collect()}
+    assert rows[1] == rows[2] == "café latte"
+    assert rows[3] == "abcd"
+    assert rows[4] == "x y z"
+    assert rows[5] is None
+    assert rows[6] == "ﬁn"  # NFC != NFKC: no compatibility expansion
+    twice = {
+        r["id"]: r["n2"]
+        for r in once.select(
+            "id", normalize_text(F.col("n")).alias("n2")
+        ).collect()
+    }
+    assert twice == rows
