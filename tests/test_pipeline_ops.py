@@ -558,7 +558,7 @@ def test_normalize_text_contract(spark):
 
     df = spark.createDataFrame(
         [
-            (1, "café latte"),          # decomposed -> composed
+            (1, "cafe\u0301 latte"),
             (2, "café latte"),           # already NFC: same result
             (3, "a\x00b\x07c\x1fd"),          # controls stripped
             (4, "  x \t\t y \n\n z  "),       # runs collapsed, trimmed
