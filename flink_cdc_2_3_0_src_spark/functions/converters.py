@@ -558,54 +558,85 @@ def debezium_time_nanos(col: Column) -> Column:
 # row-at-a-time.
 
 _JVM_CHARSETS = {
-    # MySQL charset name -> Spark/JVM decode() charset
+    # MySQL charset name -> Spark/JVM decode() charset.  NOTE byte
+    # order: MySQL's utf16/utf32/ucs2 are BIG-endian; never map them to
+    # a BOM-less little-endian-default codec.
     "utf8": "UTF-8",
     "utf-8": "UTF-8",
     "utf8mb3": "UTF-8",
     "utf8mb4": "UTF-8",
-    "latin1": "ISO-8859-1",
     "iso-8859-1": "ISO-8859-1",
     "iso8859-1": "ISO-8859-1",
     "ascii": "US-ASCII",
     "us-ascii": "US-ASCII",
     "ucs2": "UTF-16BE",
+    "utf16": "UTF-16BE",
     "utf-16be": "UTF-16BE",
+    "utf16le": "UTF-16LE",
     "utf-16le": "UTF-16LE",
     "utf-16": "UTF-16",
 }
 
 _PY_CODECS = {
-    # MySQL charset name -> Python codec
+    # MySQL charset name -> Python codec.  CLOSED map: names outside
+    # both tables raise (an unmapped name that happens to resolve in
+    # Python's registry can silently mean a DIFFERENT encoding — e.g.
+    # Python's 'utf16' default-decodes little-endian while MySQL's
+    # utf16 is big-endian).
     "gbk": "gbk",
     "gb2312": "gb2312",
     "gb18030": "gb18030",
     "big5": "big5",
     "sjis": "shift_jis",
     "shift-jis": "shift_jis",
+    "shift_jis": "shift_jis",
     "cp932": "cp932",
     "ujis": "euc_jp",
+    "euc-jp": "euc_jp",
     "euckr": "euc_kr",
+    "euc-kr": "euc_kr",
     "cp1250": "cp1250",
     "cp1251": "cp1251",
+    "cp1252": "cp1252",
     "cp1256": "cp1256",
     "latin2": "iso8859_2",
     "greek": "iso8859_7",
     "hebrew": "iso8859_8",
+    "utf32": "utf_32_be",
+    "utf-32be": "utf_32_be",
+    "utf-32le": "utf_32_le",
 }
+
+# MySQL's `latin1` is NOT ISO-8859-1: it is cp1252 ("latin1 = the
+# Windows West European superset" per the MySQL charset docs) with the
+# five cp1252 holes (0x81 8D 8F 90 9D) kept as C1 controls.  Decoding a
+# MySQL latin1 '€' (byte 0x80) through ISO-8859-1 yields U+0080 — the
+# exact mojibake class this converter exists to prevent.  JVM path:
+# ISO-8859-1 decode (raw byte->U+00XX lift) + one translate() of the
+# 27 differing codepoints.
+_CP1252_FROM = "".join(chr(b) for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D))
+_CP1252_TO = "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+assert len(_CP1252_FROM) == len(_CP1252_TO) == 27
 
 
 def charset_decode(col: Column, charset: str) -> Column:
     """BINARY column -> STRING decoded with the named (MySQL-style)
-    charset.  JVM ``decode()`` when Spark supports the charset natively;
-    otherwise one vectorized pandas UDF over Python's codec registry.
-    Unknown charsets fail at PLAN time (codecs.lookup), not per-row."""
+    charset.  JVM ``decode()`` when Spark supports the charset natively
+    (plus the cp1252 translate for MySQL latin1); otherwise one
+    vectorized pandas UDF over an explicitly-mapped Python codec.
+    Unknown charsets fail at PLAN time, not per-row."""
     name = charset.strip().lower().replace("_", "-")
+    if name in ("latin1", "cp1252", "windows-1252"):
+        lifted = F.decode(col, "ISO-8859-1")
+        return F.translate(lifted, _CP1252_FROM, _CP1252_TO)
     if name in _JVM_CHARSETS:
         return F.decode(col, _JVM_CHARSETS[name])
-    codec = _PY_CODECS.get(name, name)
-    import codecs
-
-    codecs.lookup(codec)  # raises LookupError for unknown charsets
+    codec = _PY_CODECS.get(name)
+    if codec is None:
+        raise LookupError(
+            f"unmapped charset {charset!r}: add it to _JVM_CHARSETS or "
+            "_PY_CODECS with the correct MySQL byte-order semantics"
+        )
 
     @pandas_udf("string")
     def _dec(s):

@@ -3826,15 +3826,18 @@ def cdc_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle applies the decoded (s, i) lexicographic cut directly — any
 # decode or boundary error (e.g. re-emitting the token's own event)
 # mismatches.
+# mid-range clusterTime for the Jan-2024 event fixture — the ONE source
+# of truth for both the token literal and the oracle's decoded cut
+_MONGO_RESUME_S = 1_705_367_000
+_MONGO_RESUME_I = 500
+
+
 def _mongo_resume_fixture_token() -> str:
     from flink_cdc_2_3_0_src_spark.sources.mongo import encode_resume_token
 
-    # mid-range clusterTime for the Jan-2024 event fixture
-    return encode_resume_token(1_705_367_000, 500, suffix=b"\x46\x64\x5f\x1d")
-
-
-_MONGO_RESUME_S = 1_705_367_000
-_MONGO_RESUME_I = 500
+    return encode_resume_token(
+        _MONGO_RESUME_S, _MONGO_RESUME_I, suffix=b"\x46\x64\x5f\x1d"
+    )
 
 
 @register(

@@ -19,7 +19,6 @@ change-stream envelope carries.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import total_ordering
 from typing import Optional, Union
 
 from pyspark.sql import DataFrame
@@ -66,7 +65,6 @@ def encode_resume_token(seconds: int, increment: int, suffix: bytes = b"") -> st
 _MAX_I32 = 2**31 - 1
 
 
-@total_ordering
 @dataclass(frozen=True)
 class ChangeStreamOffset:
     """Comparable Mongo change-stream position (ChangeStreamOffset.java).
@@ -74,7 +72,13 @@ class ChangeStreamOffset:
     ``timestamp_value`` is BsonTimestamp.getValue(): ``seconds << 32 |
     increment``.  ``resume_token`` keeps the verbatim ``_data`` hex for
     exact resumeAfter positioning; it does not participate in ordering
-    (compareTo uses the timestamp only — reference :131-138)."""
+    (compareTo uses the timestamp only — reference :131-138).
+
+    All four order comparisons are written out timestamp-only (NOT
+    @total_ordering): deriving ``>`` from a timestamp-only ``<`` plus a
+    token-inclusive ``==`` would make two same-timestamp offsets each
+    "greater than" the other.  Like the reference, ``==`` is stricter
+    than order-equivalence — same compareTo/equals split as the Java."""
 
     timestamp_value: int
     resume_token: Optional[str] = None
@@ -104,6 +108,15 @@ class ChangeStreamOffset:
 
     def __lt__(self, other: "ChangeStreamOffset") -> bool:
         return self.timestamp_value < other.timestamp_value
+
+    def __le__(self, other: "ChangeStreamOffset") -> bool:
+        return self.timestamp_value <= other.timestamp_value
+
+    def __gt__(self, other: "ChangeStreamOffset") -> bool:
+        return self.timestamp_value > other.timestamp_value
+
+    def __ge__(self, other: "ChangeStreamOffset") -> bool:
+        return self.timestamp_value >= other.timestamp_value
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, ChangeStreamOffset):

@@ -167,10 +167,11 @@ def decode_with_history(
     offsets = history.versions(table)
     if not offsets:
         raise ValueError(f"no schema history for table {table!r}")
-    latest = history.schema_at(table, offsets[-1])
+    schemas = [history.schema_at(table, off) for off in offsets]
+    latest = schemas[-1]
     parts = []
     for i, off in enumerate(offsets):
-        schema = history.schema_at(table, off)
+        schema = schemas[i]
         upper = offsets[i + 1] if i + 1 < len(offsets) else None
         sl = envelopes.filter(F.col(seq_col) >= off)
         if upper is not None:
@@ -180,14 +181,29 @@ def decode_with_history(
         # column's DDL DEFAULT when one was recorded (MySQL backfills
         # existing rows with the default at ALTER time, so pre-ALTER
         # slices must show it — Debezium default-value converters;
-        # reference customer.sql default_value_test), else typed NULL
+        # reference customer.sql default_value_test), else typed NULL.
+        # The default in force is the one from the FIRST version where
+        # the column appears after this slice (its ADD-time default) —
+        # a later MODIFY ... DEFAULT changes defaults only for future
+        # inserts, never rewriting the backfilled rows.
         from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
             default_fill_expr,
         )
 
         for f in latest.fields:
             if f.name not in decoded.columns:
-                decoded = decoded.withColumn(f.name, default_fill_expr(f))
+                add_time = next(
+                    (
+                        s[f.name]
+                        for s in schemas[i + 1 :]
+                        if f.name in s.fieldNames()
+                    ),
+                    f,
+                )
+                decoded = decoded.withColumn(
+                    f.name,
+                    default_fill_expr(add_time).cast(f.dataType),
+                )
         parts.append(decoded.select(*[f.name for f in latest.fields], "_op", "_seq"))
     out = parts[0]
     for p in parts[1:]:

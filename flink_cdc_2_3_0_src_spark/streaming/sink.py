@@ -43,7 +43,17 @@ class UpsertParquetSink:
         if not os.path.exists(self._pointer):
             return None
         with open(self._pointer) as f:
-            return f.read().strip() or None
+            v = f.read().strip() or None
+        if v is not None:
+            # self-heal the replay crash window: death between
+            # rmtree(out_dir) and rename(stage, out_dir) leaves the
+            # pointer at a deleted dir with the (complete) staged result
+            # beside it — finish the swap on the next read
+            out_dir = os.path.join(self.path, v)
+            stage = out_dir + ".stage"
+            if not os.path.exists(out_dir) and os.path.exists(stage):
+                os.rename(stage, out_dir)
+        return v
 
     def read_state(self) -> Optional[DataFrame]:
         v = self.current_version()
@@ -257,10 +267,16 @@ class PartitionedSqlUpsertSink:
         con = connect()
         try:
             cur = con.cursor()
+            # n_partitions is part of the ledger row identity: a replay
+            # under a DIFFERENT partition count re-forms different
+            # partitions, so old (batch, pid) rows must not match — the
+            # replay then re-applies everything (idempotent
+            # delete-then-insert), instead of skipping keys an old
+            # same-numbered partition happened to cover
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {self.ledger} "
-                "(batch_id BIGINT, partition_id INTEGER, "
-                "PRIMARY KEY (batch_id, partition_id))"
+                "(batch_id BIGINT, partition_id INTEGER, n_partitions INTEGER, "
+                "PRIMARY KEY (batch_id, partition_id, n_partitions))"
             )
             cur.execute(
                 f"CREATE TABLE IF NOT EXISTS {self.commits} "
@@ -293,7 +309,7 @@ class PartitionedSqlUpsertSink:
         target = folded.repartition(self.n_partitions, *[F.col(k) for k in self.keys])
 
         connect, table, ledger, keys = self.connect, self.table, self.ledger, self.keys
-        bid = int(batch_id)
+        bid, npart = int(batch_id), self.n_partitions
 
         def write_partition(rows_iter) -> None:
             rows = list(rows_iter)  # ONE partition, bounded by the partitioning
@@ -308,14 +324,15 @@ class PartitionedSqlUpsertSink:
                 cur = con.cursor()
                 cur.execute(
                     f"SELECT count(*) FROM {ledger} "
-                    f"WHERE batch_id = {bid} AND partition_id = {pid}"
+                    f"WHERE batch_id = {bid} AND partition_id = {pid} "
+                    f"AND n_partitions = {npart}"
                 )
                 if cur.fetchone()[0]:
                     con.rollback()
                     return
                 for stmt in _render_partition_statements(rows, table, keys, cols):
                     cur.execute(stmt)
-                cur.execute(f"INSERT INTO {ledger} VALUES ({bid}, {pid})")
+                cur.execute(f"INSERT INTO {ledger} VALUES ({bid}, {pid}, {npart})")
                 con.commit()
             except Exception:
                 con.rollback()

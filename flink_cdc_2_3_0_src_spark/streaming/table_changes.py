@@ -199,9 +199,10 @@ _RENAME_TABLE = re.compile(
 )
 
 
-_DEFAULT_CLAUSE = re.compile(
-    r"DEFAULT\s+(?:'(?P<s>(?:[^']|'')*)'"          # 'string' ('' escape)
+_DEFAULT_VALUE = re.compile(
+    r"^\s*(?:'(?P<s>(?:[^']|'')*)'"                # 'string' ('' escape)
     r'|"(?P<d>[^"]*)"'                             # "string"
+    r"|(?P<h>0[xX][0-9A-Fa-f]+)"                   # hex literal (opaque)
     r"|(?P<e>[A-Za-z_][A-Za-z0-9_]*(?:\s*\(\s*\d*\s*\))?"  # bare word/fn
     r"|[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?))",        # number
     re.IGNORECASE,
@@ -218,15 +219,44 @@ _NON_CONSTANT_DEFAULTS = re.compile(
 
 
 def _parse_default(rest: str) -> Optional[str]:
-    """Extract the DEFAULT expression from a column-def tail, or None."""
-    m = _DEFAULT_CLAUSE.search(rest or "")
-    if not m:
-        return None
-    if m.group("s") is not None:
-        return m.group("s").replace("''", "'")
-    if m.group("d") is not None:
-        return m.group("d")
-    return m.group("e")
+    """Extract the DEFAULT expression from a column-def tail, or None.
+
+    The DEFAULT keyword is located by a quote-aware scan, NOT a bare
+    regex search — the word DEFAULT inside a COMMENT '...' string (or
+    any quoted literal) must never be parsed as a column default."""
+    s = rest or ""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            q = c
+            i += 1
+            while i < n:
+                if s[i] == q:
+                    if q == "'" and i + 1 < n and s[i + 1] == "'":
+                        i += 2  # '' escape inside 'string'
+                        continue
+                    break
+                i += 1
+            i += 1  # past the closing quote
+            continue
+        if (
+            s[i : i + 7].upper() == "DEFAULT"
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + 7 >= n or not (s[i + 7].isalnum() or s[i + 7] == "_"))
+        ):
+            m = _DEFAULT_VALUE.match(s[i + 7 :])
+            if not m:
+                return None
+            if m.group("s") is not None:
+                return m.group("s").replace("''", "'")
+            if m.group("d") is not None:
+                return m.group("d")
+            if m.group("h") is not None:
+                return m.group("h")  # opaque: backfill treats as non-constant
+            return m.group("e")
+        i += 1
+    return None
 
 
 def default_fill_expr(f: T.StructField):
@@ -238,8 +268,13 @@ def default_fill_expr(f: T.StructField):
 
     md = f.metadata or {}
     dv = md.get("default")
-    if dv is None or str(dv).strip().upper() == "NULL" or _NON_CONSTANT_DEFAULTS.match(
-        str(dv).strip()
+    if (
+        dv is None
+        or str(dv).strip().upper() == "NULL"
+        or _NON_CONSTANT_DEFAULTS.match(str(dv).strip())
+        # hex literals are type-dependent in MySQL (int for numeric
+        # columns, bytes for strings) — no single portable backfill
+        or re.match(r"^0[xX][0-9A-Fa-f]+$", str(dv).strip())
     ):
         return F.lit(None).cast(f.dataType)
     return F.lit(str(dv)).cast(f.dataType)

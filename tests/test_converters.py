@@ -658,3 +658,70 @@ def test_timezone_matrix_sweep(spark):
                     assert tod_s == f"{h:02d}:{m:02d}:{s:02d}.{frac:06d}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_mysql_latin1_is_cp1252(spark):
+    """MySQL 'latin1' is cp1252, not ISO-8859-1: 0x80 must decode to €
+    (and 0x99 to ™), while the five cp1252 holes stay C1 controls —
+    decoding through plain ISO-8859-1 yields control chars instead."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    df = spark.createDataFrame(
+        [
+            (1, bytes([0x80])),            # €
+            (2, bytes([0x93, 0x94])),      # “ ”
+            (3, bytes([0x96, 0x99])),      # – ™
+            (4, bytes([0x81])),            # cp1252 hole -> stays U+0081
+            (5, bytes([0xE9])),            # é (shared with ISO-8859-1)
+        ],
+        "id bigint, b binary",
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", charset_decode(F.col("b"), "latin1").alias("s")
+        ).collect()
+    }
+    assert rows[1] == "€"
+    assert rows[2] == "“”"
+    assert rows[3] == "–™"
+    assert rows[4] == "\x81"
+    assert rows[5] == "é"
+    # and it stays a pure JVM plan (decode + translate, no Python)
+    plan = (
+        df.select(charset_decode(F.col("b"), "latin1").alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+
+
+def test_mysql_utf16_is_big_endian(spark):
+    """MySQL utf16/utf32 are BIG-endian; the BOM-less little-endian
+    Python default must never be used."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    df = spark.createDataFrame(
+        [("A".encode("utf-16-be"), "汉".encode("utf-16-be"), "A".encode("utf-32-be"))],
+        "u16 binary, u16cjk binary, u32 binary",
+    )
+    row = df.select(
+        charset_decode(F.col("u16"), "utf16").alias("a"),
+        charset_decode(F.col("u16cjk"), "utf16").alias("b"),
+        charset_decode(F.col("u32"), "utf32").alias("c"),
+    ).collect()[0]
+    assert (row["a"], row["b"], row["c"]) == ("A", "汉", "A")
+
+
+def test_charset_unmapped_name_raises(spark):
+    """Names outside the explicit maps raise at plan time — a verbatim
+    fall-through to Python's registry could silently pick a codec with
+    different byte-order semantics than the MySQL charset of the same
+    name."""
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    with pytest.raises(LookupError, match="unmapped charset"):
+        charset_decode(F.col("x"), "armscii8")

@@ -397,3 +397,58 @@ def test_decode_with_history_backfills_alter_default(spark, tmp_path):
     assert out[1] == ("std", None)   # DEFAULT backfilled, non-constant -> NULL
     assert out[2] == ("vip", None)
     assert out[3][0] == "eco"
+
+
+def test_parse_default_ignores_comment_strings():
+    """The word DEFAULT inside a COMMENT '...' (or any quoted literal)
+    must not be parsed as a column default; hex defaults are carried
+    opaquely and backfill as NULL (type-dependent in MySQL)."""
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import parse_ddl
+
+    ch = parse_ddl(
+        "ALTER TABLE t ADD COLUMN n INT COMMENT 'DEFAULT behavior notes'"
+    )
+    assert ch.columns[0].default_value is None
+    ch2 = parse_ddl(
+        "ALTER TABLE t ADD COLUMN s VARCHAR(8) DEFAULT 'a' COMMENT 'not DEFAULT b'"
+    )
+    assert ch2.columns[0].default_value == "a"
+    ch3 = parse_ddl("ALTER TABLE t ADD COLUMN h INT DEFAULT 0x41")
+    assert ch3.columns[0].default_value == "0x41"
+
+
+def test_decode_with_history_uses_add_time_default(spark, tmp_path):
+    """A later MODIFY ... DEFAULT changes the default for FUTURE inserts
+    only — rows backfilled for the ADD must show the ADD-time default,
+    exactly as the real MySQL table would."""
+    import json as J
+
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import (
+        SchemaHistory,
+        decode_with_history,
+    )
+
+    h = SchemaHistory(str(tmp_path / "hist_addtime.json"))
+    h.record_ddl("t", 0, "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v INT)")
+    h.record_ddl(
+        "t", 100, "ALTER TABLE t ADD COLUMN grade VARCHAR(8) DEFAULT 'std'"
+    )
+    h.record_ddl("t", 200, "ALTER TABLE t MODIFY COLUMN grade VARCHAR(8) DEFAULT 'pro'")
+
+    def env(seq, payload):
+        return (J.dumps({"after": payload, "op": "c", "ts_ms": seq}), seq)
+
+    envs = spark.createDataFrame(
+        [
+            env(10, {"id": 1, "v": 5}),                    # pre-ADD
+            env(150, {"id": 2, "v": 6, "grade": "vip"}),
+            env(250, {"id": 3, "v": 7, "grade": None}),
+        ],
+        "value string, _seq long",
+    )
+    out = {
+        r["id"]: r["grade"] for r in decode_with_history(envs, h, "t").collect()
+    }
+    assert out[1] == "std"  # ADD-time default, NOT the later 'pro'
+    assert out[2] == "vip"
+    assert out[3] is None

@@ -978,3 +978,73 @@ def test_crash_with_open_transactions_final_table_exact(spark, tmp_path):
         .count()
     )
     assert dup == 0
+
+
+def test_partitioned_sink_ledger_keyed_by_partition_count(spark, tmp_path):
+    """A torn batch replayed under a DIFFERENT partition count must not
+    match old ledger rows (they describe different key sets): the replay
+    re-applies everything and the final state is exact."""
+    import sqlite3
+
+    from flink_cdc_2_3_0_src_spark.streaming.sink import PartitionedSqlUpsertSink
+
+    db = str(tmp_path / "npart.sqlite")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE user_state (user_id BIGINT, value DOUBLE)")
+    con.commit()
+    con.close()
+
+    log = scripted_changelog(spark, SF_SMOKE).select(
+        "user_id", "value", "_op", "_seq"
+    )
+    # run 1 (8 partitions) commits its partitions but the batch marker
+    # is lost (crash before publish)
+    s1 = PartitionedSqlUpsertSink(_sqlite_factory(db), "user_state", ["user_id"], 8)
+    s1.merge_batch(log, 5)
+    con = sqlite3.connect(db)
+    con.execute("DELETE FROM user_state__commits WHERE batch_id = 5")
+    # sabotage: drop some of run-1's written keys to simulate a torn
+    # apply — a pid-matching skip would leave them missing forever
+    con.execute("DELETE FROM user_state WHERE user_id % 3 = 0")
+    con.commit()
+    con.close()
+
+    # replay under n_partitions=5: old (5, pid, 8) ledger rows must not
+    # suppress the new (5, pid, 5) partitions
+    s2 = PartitionedSqlUpsertSink(_sqlite_factory(db), "user_state", ["user_id"], 5)
+    s2.merge_batch(log, 5)
+
+    exp = {
+        (r["user_id"], r["value"])
+        for r in materialize(
+            scripted_changelog(spark, SF_SMOKE), ["user_id"]
+        ).select("user_id", "value").collect()
+    }
+    assert _sqlite_state(db) == exp
+
+
+def test_upsert_parquet_sink_self_heals_staged_swap(spark, tmp_path):
+    """Crash window between rmtree(out_dir) and rename(stage): the
+    pointer names a deleted dir while the complete staged result sits
+    beside it — the next read must finish the swap instead of failing."""
+    import os as _os
+    import shutil as _shutil
+
+    sink = UpsertParquetSink(spark, str(tmp_path / "heal"), ["user_id"])
+    log = scripted_changelog(spark, SF_SMOKE).select(
+        "user_id", "value", "_op", "_seq"
+    )
+    sink.merge_batch(log, 0)
+    v = sink.current_version()
+    out_dir = _os.path.join(sink.path, v)
+    # simulate the torn swap
+    _shutil.move(out_dir, out_dir + ".stage")
+    assert not _os.path.exists(out_dir)
+    state = sink.read_state()  # must self-heal, not raise
+    exp = {
+        (r["user_id"], r["value"])
+        for r in materialize(
+            scripted_changelog(spark, SF_SMOKE), ["user_id"]
+        ).select("user_id", "value").collect()
+    }
+    assert {(r["user_id"], r["value"]) for r in state.collect()} == exp
