@@ -95,3 +95,71 @@ class OracleDialect(JdbcDialect):
     def jdbc_url(self) -> str:
         c = self.config
         return f"jdbc:oracle:thin:@//{c.hostname}:{c.port or 1521}/ORCLCDB"
+
+
+# ---------------------------------------------------------------------------
+# Redo-log offset (A22 for Oracle; reference RedoLogOffset.java)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+from typing import Optional as _Optional
+
+
+@_dataclass(frozen=True)
+class RedoLogOffset:
+    """Comparable Oracle redo-log position
+    (flink-connector-oracle-cdc .../meta/offset/RedoLogOffset.java).
+
+    ``scn`` is the system change number (unbounded — Oracle's Scn is a
+    BigInteger; Python int).  ``commit_scn``/``lcr_position`` ride along
+    exactly like the reference's offset map; ordering uses the SCN only
+    (compareTo :67-95), with the NO_STOPPING sentinel greater than
+    everything and an absent SCN less than any present one.  ``==``
+    compares the whole record (reference equals() compares the map) —
+    order comparisons are written out explicitly for the same reason as
+    the Mongo offset: a derived ``>`` from scn-only ``<`` plus
+    record-wide ``==`` would be inconsistent."""
+
+    scn: _Optional[int]
+    commit_scn: int = 0
+    lcr_position: _Optional[str] = None
+    no_stopping: bool = False
+
+    @staticmethod
+    def initial() -> "RedoLogOffset":
+        return RedoLogOffset(0)
+
+    @staticmethod
+    def of_scn(scn: int, commit_scn: int = 0) -> "RedoLogOffset":
+        return RedoLogOffset(int(scn), int(commit_scn))
+
+    @staticmethod
+    def non_stopping() -> "RedoLogOffset":
+        return RedoLogOffset(None, no_stopping=True)
+
+    def _cmp(self, other: "RedoLogOffset") -> int:
+        if self.no_stopping and other.no_stopping:
+            return 0
+        if self.no_stopping:
+            return 1
+        if other.no_stopping:
+            return -1
+        if other.scn is not None:
+            if self.scn is not None:
+                return (self.scn > other.scn) - (self.scn < other.scn)
+            return -1
+        if self.scn is not None:
+            return 1
+        return 0
+
+    def __lt__(self, other: "RedoLogOffset") -> bool:
+        return self._cmp(other) < 0
+
+    def __le__(self, other: "RedoLogOffset") -> bool:
+        return self._cmp(other) <= 0
+
+    def __gt__(self, other: "RedoLogOffset") -> bool:
+        return self._cmp(other) > 0
+
+    def __ge__(self, other: "RedoLogOffset") -> bool:
+        return self._cmp(other) >= 0

@@ -409,3 +409,25 @@ def test_db2_dialect_discovery_and_planning():
     for k in keys:
         assert sum(1 for s in splits if s.range.contains(k)) == 1
     assert d.current_offset() == ("lsn", "0000AA02")
+
+
+def test_oracle_redo_log_offset_ordering():
+    """RedoLogOffset compareTo parity (RedoLogOffset.java:67-95):
+    NO_STOPPING dominates, SCNs compare numerically (BigInteger-wide),
+    absent SCN sorts below any present one; == is record-wide."""
+    from flink_cdc_2_3_0_src_spark.sources.oracle import RedoLogOffset as R
+
+    a, b = R.of_scn(100), R.of_scn(200)
+    big = R.of_scn(10**30)  # past int64: Oracle Scn is unbounded
+    ns = R.non_stopping()
+    empty = R(None)
+    assert a < b < big < ns
+    assert ns >= ns and not (ns > ns)
+    assert empty < a and a > empty
+    assert not (empty < R(None)) and not (empty > R(None))
+    # scn ties with different commit_scn: order-equal, not ==
+    t1, t2 = R(100, commit_scn=5), R(100, commit_scn=9)
+    assert not (t1 < t2) and not (t1 > t2) and t1 >= t2 and t1 <= t2
+    assert t1 != t2
+    assert R.initial() == R(0) and R.initial() < a
+    assert sorted([ns, big, a, empty, b]) == [empty, a, b, big, ns]
