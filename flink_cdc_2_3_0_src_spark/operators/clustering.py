@@ -75,11 +75,26 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's loop returning BOTH the final assignment ``(vec_id, v,
+    cl)`` and the centroid table it was assigned against — the trained
+    coarse quantizer ``ann_topk_ivf_trained`` probes."""
+    assigned, centroids = _kmeans_loop(emb, k, iters)
+    return assigned, centroids
+
+
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
     """The Lloyd's loop: returns the final assignment DataFrame
     ``(vec_id, v, cl)`` after ``iters`` rounds.  Init: the quantized
     vectors of vec_id 0..k-1 (deterministic).  Shared by
     ``kmeans_clusters`` (stats) and ``semantic_dedup`` (SemDeDup)."""
+    assigned, _ = _kmeans_loop(emb, k, iters)
+    return assigned
+
+
+def _kmeans_loop(emb: DataFrame, k: int, iters: int):
     q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
     init = (
         q.filter(F.col("vec_id") < k)
@@ -117,7 +132,7 @@ def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
             [p["cd"] for p in upd[j]["pairs"]] if j in upd else centroids[j]
             for j in range(k)
         ]
-    return assigned
+    return assigned, centroids
 
 
 def kmeans_clusters(
@@ -320,4 +335,135 @@ def semantic_dedup_sql(k: int = 8, iters: int = 2, tau_e3: int = 400) -> str:
     )
     SELECT cluster, pruned_vec_id, MIN(a_id) AS kept_by
     FROM pr GROUP BY cluster, pruned_vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# IVF with a TRAINED coarse quantizer (r5) — kmeans centroids instead of
+# ann_topk_ivf's first-k-vectors placeholder.  The composition the module
+# docstring promises ("IVF coarse quantizer training"), made real:
+# train -> assign every vector to its cell -> probe each query's nprobe
+# nearest cells -> rank candidates.  EVERYTHING is exact int64 squared-L2
+# in the micro-unit quantized space — no floats anywhere, so the DuckDB
+# oracle (the same unrolled Lloyd's CTEs + probe) matches hash-exactly.
+#
+# 100 TB shape: centroids are a k x dim literal (broadcast by
+# construction), assignment and probe are pure column expressions, and
+# the candidate join is an equi-join on cell id carrying ~nprobe/k of
+# the corpus — the inverted-file contract.
+
+
+def ann_topk_ivf_trained(
+    emb: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> DataFrame:
+    assigned, centroids = kmeans_fit(emb, k, iters)
+    base = assigned.localCheckpoint()  # Lloyd's is driver-iterated; don't replay per join side
+
+    carr = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in centroids])
+    dist_to = lambda c, v: F.aggregate(  # noqa: E731
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # nprobe nearest cells: struct sort orders by (dist, j) — ties to
+    # the lowest centroid id, the kmeans tie-break
+    probe_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                carr,
+                lambda c, i: F.struct(
+                    dist_to(c, F.col("v")).alias("dist"), i.alias("j")
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.transform(probe_cells, lambda s: s["j"])).alias("cl"),
+        )
+    )
+    cand = base.join(F.broadcast(q), "cl").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist2"), F.col("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist_to(F.col("qv"), F.col("v")).alias("dist2"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def ann_topk_ivf_trained_sql(
+    n_queries: int = 10,
+    top_k: int = 5,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin: the same unrolled Lloyd's CTEs, probe and integer
+    ranking."""
+    parts = [
+        f"""q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * {_SCALE}) AS BIGINT)) AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS j, v AS c FROM q WHERE vec_id < {k})"""
+    ]
+    cs = "c0"
+    for i in range(1, iters + 1):
+        parts.append(_sql_assign("q", cs, f"a{i}"))
+        parts.append(_sql_update(f"a{i}", cs, f"u{i}", f"c{i}", k))
+        cs = f"c{i}"
+    body = ",".join(parts)
+    last_a = f"a{iters}"
+    # probe against the centroid table the FINAL assignment used
+    # (c{iters-1}) — kmeans_fit skips the post-final update, so c{iters}
+    # exists only in SQL and is never the trained quantizer
+    probe_cs = f"c{iters - 1}" if iters >= 1 else "c0"
+    return f"""
+    WITH {body},
+    probes AS (
+        SELECT query_id, qv, j AS cl FROM (
+            SELECT q0.vec_id AS query_id, q0.v AS qv, {probe_cs}.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q0.vec_id
+                       ORDER BY {_sql_dist('q0.v', f'{probe_cs}.c')}, {probe_cs}.j
+                   ) AS rn
+            FROM (SELECT * FROM q WHERE vec_id < {n_queries}) q0
+            CROSS JOIN {probe_cs}
+        ) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+               {_sql_dist('p.qv', 'c.v')} AS dist2
+        FROM {last_a} c JOIN probes p ON c.cl = p.cl
+        WHERE c.vec_id != p.query_id
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY dist2, neighbor_id
+        ) AS rnk FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM r WHERE rnk <= {top_k}
     """

@@ -3889,3 +3889,13 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit("  cafe\u0301 \t\x07fi  end  "))
     )
     return _text.normalize_stats(docs)
+
+
+# IVF with a TRAINED coarse quantizer: kmeans centroids (exact-int
+# Lloyd's) replace ann_topk_ivf's first-k-vectors placeholder; probe =
+# nprobe nearest trained cells; ranking = exact int64 squared-L2 in the
+# quantized space — no floats end-to-end, so the unrolled-SQL oracle
+# (same Lloyd's CTEs + probe) matches hash-exactly.
+@register("ann_topk_ivf_trained", _clust.ann_topk_ivf_trained_sql())
+def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clust.ann_topk_ivf_trained(ld(spark, sf_dir, "embeddings"))

