@@ -651,3 +651,25 @@ def charset_converter(charset: str):
     bytes base64-encoded (Debezium ``binary.handling.mode=base64``):
     base64 -> bytes -> charset-decoded string."""
     return lambda c: charset_decode(F.unbase64(c), charset)
+
+
+def postgres_geometry_to_json(col: Column) -> Column:
+    """PostGIS geometry/geography struct ``{wkb: b64, srid: int}`` ->
+    the reference's Postgres JSON form ``{"hexewkb": "...", "srid": n}``
+    (PostgreSQLDeserializationConverterFactory.java:63-97 — Postgres
+    emits hex EWKB verbatim rather than parsing to GeoJSON the way the
+    MySQL factory does).  Pure JVM expression: unbase64 -> hex ->
+    canonical JSON; NULL srid renders 0 like the reference's orElse(0).
+    NULL input stays NULL."""
+    hexewkb = F.upper(F.hex(F.unbase64(col["wkb"])))
+    srid = F.coalesce(col["srid"], F.lit(0)).cast("int")
+    return F.when(
+        col.isNotNull(),
+        F.concat(
+            F.lit('{"hexewkb":"'),
+            hexewkb,
+            F.lit('","srid":'),
+            srid.cast("string"),
+            F.lit("}"),
+        ),
+    )

@@ -725,3 +725,40 @@ def test_charset_unmapped_name_raises(spark):
 
     with pytest.raises(LookupError, match="unmapped charset"):
         charset_decode(F.col("x"), "armscii8")
+
+
+def test_postgres_geometry_hexewkb_json(spark):
+    """Postgres factory parity: geometry -> {"hexewkb", "srid"} JSON
+    (NOT GeoJSON — that's the MySQL factory's shape)."""
+    import base64
+    import json as J
+    import struct as st
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        postgres_geometry_to_json,
+    )
+
+    wkb = st.pack("<BIdd", 1, 1, -179.5, 42.25)
+    df = spark.createDataFrame(
+        [
+            ((base64.b64encode(wkb).decode(), 4326),),
+            ((base64.b64encode(wkb).decode(), None),),  # srid -> 0
+            (None,),
+        ],
+        "g struct<wkb:string, srid:int>",
+    )
+    got = [
+        r["j"]
+        for r in df.select(postgres_geometry_to_json(F.col("g")).alias("j")).collect()
+    ]
+    assert J.loads(got[0]) == {"hexewkb": wkb.hex().upper(), "srid": 4326}
+    assert J.loads(got[1]) == {"hexewkb": wkb.hex().upper(), "srid": 0}
+    assert got[2] is None
+    # stays JVM-side
+    plan = (
+        df.select(postgres_geometry_to_json(F.col("g")).alias("j"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
