@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Auto-generate the per-round physical-plan audit (SCALE_r{N}.md body).
+
+For each audited query: run it at the given SF (default sf0.01) so AQE
+finalizes the plan, then count shuffle exchanges, broadcasts, sort-merge
+joins, cartesian / broadcast-nested-loop joins, WholeStageCodegen spans,
+parquet filter pushdown, row-at-a-time Python UDF stages (must be 0) and
+Arrow-batched Python stages.
+
+Usage: python scripts/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_cdc_2_3_0_src_spark import queries as catalog
+from flink_cdc_2_3_0_src_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "cdc_materialize",
+    "cdc_chunked_snapshot",
+    "cdc_hybrid_pipeline",
+    "dedup_minhash_lsh_pairs",
+    "text_token_histogram",
+    "ann_topk_cosine",
+    "dedup_spans",
+    "dedup_semantic",
+    "cdc_asof_prior_image",
+    "layout_zorder_orders",
+    # round-5 additions
+    "cdc_charset_decode",
+    "cdc_mongo_resume_token",
+    "text_normalize",
+    "ann_topk_ivf_trained",
+    "dedup_embedding_cosine_lsh",
+    "sketch_count_min",
+    "dedup_fuzzy_blocked",
+]
+
+
+def audit(plan: str) -> dict:
+    return {
+        "exch": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)),
+        "bcast": len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan)) // 2
+        if "BroadcastExchange" in plan
+        else len(re.findall(r"BroadcastHashJoin", plan)),
+        "smj": plan.count("SortMergeJoin"),
+        "cart": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "pushdown": "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "-",
+        "pyUDF": plan.count("BatchEvalPython"),
+        "arrow": plan.count("ArrowEvalPython") + plan.count("FlatMapGroupsInPandas")
+        + plan.count("MapInPandas") + plan.count("FlatMapCoGroupsInPandas"),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.queries()
+    print("| query | exch | bcast | smj | cart | bnlj | codegen | pushdown | pyUDF | arrow |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for name in names:
+        if name not in qs:
+            continue
+        df = qs[name](spark, sf_dir)
+        df.count()  # let AQE finalize
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        a = audit(plan)
+        print(
+            f"| {name} | {a['exch']} | {a['bcast']} | {a['smj']} | {a['cart']} | "
+            f"{a['bnlj']} | {a['codegen']} | {a['pushdown']} | {a['pyUDF']} | {a['arrow']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
