@@ -243,6 +243,16 @@ def from_debezium_json(
         env["ts_ms"].alias(SEQ_COL),
         *txn_cols,
     )
+    # Kafka TOMBSTONES (value IS NULL — Debezium emits one after every
+    # delete for log compaction) and unparseable payloads must be
+    # dropped, not expanded: a NULL envelope would otherwise explode
+    # into a -U/+U pair of all-NULL rows (the reference's deserializer
+    # skips null-value records before decode)
+    flat = flat.filter(
+        F.col("op").isNotNull()
+        | F.col("before").isNotNull()
+        | F.col("after").isNotNull()
+    )
     out = expand_updates(flat, "before", "after", "op", SEQ_COL)
     if converters:
         out = out.select(

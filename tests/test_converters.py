@@ -762,3 +762,27 @@ def test_postgres_geometry_hexewkb_json(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_from_debezium_json_drops_tombstones(spark):
+    """Kafka tombstones (value IS NULL — emitted after every delete for
+    log compaction) and unparseable payloads must be dropped, never
+    expanded into all-NULL ±U row pairs."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+
+    df = spark.createDataFrame(
+        [
+            (None,),                                        # tombstone
+            ('not json at all',),                           # unparseable
+            ('{"after":{"id":1},"op":"c","ts_ms":5}',),
+            ('{"before":{"id":2},"op":"d","ts_ms":6}',),
+        ],
+        "value string",
+    )
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    rows = sorted(
+        from_debezium_json(df, schema).collect(), key=lambda r: r["_seq"]
+    )
+    assert [(r["id"], r["_op"]) for r in rows] == [(1, "+I"), (2, "-D")]
