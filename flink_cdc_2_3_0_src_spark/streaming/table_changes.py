@@ -41,14 +41,23 @@ class ColumnSpec:
     # customer.sql default_value_test table exercises it) — None when
     # the column has no default
     default_value: Optional[str] = None
+    # column-level CHARACTER SET (Debezium's column JSON carries this
+    # as charsetName; the charset ITCase's tables declare per-column
+    # charsets) — None means the table/connection default (UTF-8 here)
+    charset: Optional[str] = None
 
     def spark_type(self) -> T.DataType:
         return mysql_type_to_spark(self.type_expression)
 
     def metadata(self) -> dict:
-        """StructField metadata carrying the default through schema
-        persistence (StructType.json() round-trips metadata)."""
-        return {"default": self.default_value} if self.default_value is not None else {}
+        """StructField metadata carrying the default + charset through
+        schema persistence (StructType.json() round-trips metadata)."""
+        md: dict = {}
+        if self.default_value is not None:
+            md["default"] = self.default_value
+        if self.charset is not None:
+            md["charset"] = self.charset
+        return md
 
 
 @dataclass
@@ -79,6 +88,11 @@ class TableChange:
                             if c.default_value is not None
                             else {}
                         ),
+                        **(
+                            {"charsetName": c.charset}
+                            if c.charset is not None
+                            else {}
+                        ),
                     }
                     for c in self.columns
                 ],
@@ -106,6 +120,7 @@ class TableChange:
                     optional=c.get("optional", True),
                     position=c.get("position", i + 1),
                     default_value=c.get("defaultValueExpression"),
+                    charset=c.get("charsetName"),
                 )
                 for i, c in enumerate(t.get("columns", []))
             ],
@@ -218,14 +233,12 @@ _NON_CONSTANT_DEFAULTS = re.compile(
 )
 
 
-def _parse_default(rest: str) -> Optional[str]:
-    """Extract the DEFAULT expression from a column-def tail, or None.
-
-    The DEFAULT keyword is located by a quote-aware scan, NOT a bare
-    regex search — the word DEFAULT inside a COMMENT '...' string (or
-    any quoted literal) must never be parsed as a column default."""
-    s = rest or ""
-    i, n = 0, len(s)
+def _find_keyword_outside_quotes(s: str, kw: str) -> int:
+    """Index just past ``kw`` at top level (outside '...'/"..."
+    literals), or -1.  The quote-aware scan keeps keywords inside a
+    COMMENT '...' (or any quoted literal) from being parsed as column
+    attributes."""
+    i, n, kn = 0, len(s), len(kw)
     while i < n:
         c = s[i]
         if c in ("'", '"'):
@@ -241,22 +254,47 @@ def _parse_default(rest: str) -> Optional[str]:
             i += 1  # past the closing quote
             continue
         if (
-            s[i : i + 7].upper() == "DEFAULT"
+            s[i : i + kn].upper() == kw
             and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + 7 >= n or not (s[i + 7].isalnum() or s[i + 7] == "_"))
+            and (i + kn >= n or not (s[i + kn].isalnum() or s[i + kn] == "_"))
         ):
-            m = _DEFAULT_VALUE.match(s[i + 7 :])
-            if not m:
-                return None
-            if m.group("s") is not None:
-                return m.group("s").replace("''", "'")
-            if m.group("d") is not None:
-                return m.group("d")
-            if m.group("h") is not None:
-                return m.group("h")  # opaque: backfill treats as non-constant
-            return m.group("e")
+            return i + kn
         i += 1
-    return None
+    return -1
+
+
+def _parse_default(rest: str) -> Optional[str]:
+    """Extract the DEFAULT expression from a column-def tail, or None."""
+    s = rest or ""
+    j = _find_keyword_outside_quotes(s, "DEFAULT")
+    if j < 0:
+        return None
+    m = _DEFAULT_VALUE.match(s[j:])
+    if not m:
+        return None
+    if m.group("s") is not None:
+        return m.group("s").replace("''", "'")
+    if m.group("d") is not None:
+        return m.group("d")
+    if m.group("h") is not None:
+        return m.group("h")  # opaque: backfill treats as non-constant
+    return m.group("e")
+
+
+_CHARSET_NAME = re.compile(r"^\s*=?\s*([A-Za-z0-9_\-]+)")
+
+
+def _parse_charset(rest: str) -> Optional[str]:
+    """Column-level CHARACTER SET / CHARSET name from a column-def
+    tail, or None (table/connection default)."""
+    s = rest or ""
+    j = _find_keyword_outside_quotes(s, "CHARACTER SET")
+    if j < 0:
+        j = _find_keyword_outside_quotes(s, "CHARSET")
+    if j < 0:
+        return None
+    m = _CHARSET_NAME.match(s[j:])
+    return m.group(1).lower() if m else None
 
 
 def default_fill_expr(f: T.StructField):
@@ -337,6 +375,7 @@ def parse_ddl(ddl: str) -> TableChange:
                     optional=not (notnull or inline_pk),
                     position=len(cols) + 1,
                     default_value=_parse_default(rest),
+                    charset=_parse_charset(rest),
                 )
             )
             if inline_pk:
@@ -371,6 +410,7 @@ def parse_ddl(ddl: str) -> TableChange:
                         type_expression=am.group("type").strip(),
                         optional=not notnull,
                         default_value=_parse_default(am.group("rest")),
+                        charset=_parse_charset(am.group("rest")),
                     )
                 ],
             )
@@ -389,6 +429,7 @@ def parse_ddl(ddl: str) -> TableChange:
                         type_expression=mm.group("type").strip(),
                         optional=not notnull,
                         default_value=_parse_default(mm.group("rest")),
+                        charset=_parse_charset(mm.group("rest")),
                     )
                 ],
             )
@@ -411,6 +452,7 @@ def parse_ddl(ddl: str) -> TableChange:
                         type_expression=chm.group("type").strip(),
                         optional=not notnull,
                         default_value=_parse_default(chm.group("rest")),
+                        charset=_parse_charset(chm.group("rest")),
                     )
                 ],
             )
@@ -454,3 +496,21 @@ def apply_change(schema: Optional[T.StructType], change: TableChange) -> Optiona
     if change.dropped_columns:
         fields = [f for f in fields if f.name not in change.dropped_columns]
     return T.StructType(fields)
+
+
+def charset_converters(schema: T.StructType) -> dict:
+    """``from_debezium_json`` converters map for every column whose
+    field metadata names a non-UTF8 charset: the envelope carries the
+    raw column bytes base64-encoded and the decode lifts them through
+    the table's declared charset (MysqlConnectorCharsetITCase end to
+    end: DDL -> ColumnSpec.charset -> StructField metadata -> this map
+    -> charset-correct strings).  UTF-8-family charsets need no
+    converter (the JSON envelope already carries them as text)."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_converter
+
+    out = {}
+    for f in schema.fields:
+        cs = (f.metadata or {}).get("charset")
+        if cs and cs.lower() not in ("utf8", "utf-8", "utf8mb3", "utf8mb4"):
+            out[f.name] = charset_converter(cs)
+    return out

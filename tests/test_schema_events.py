@@ -452,3 +452,66 @@ def test_decode_with_history_uses_add_time_default(spark, tmp_path):
     assert out[1] == "std"  # ADD-time default, NOT the later 'pro'
     assert out[2] == "vip"
     assert out[3] is None
+
+
+def test_ddl_charset_to_decode_loop(spark):
+    """End-to-end charset fidelity from the DDL: CREATE declares
+    per-column charsets, the parsed TableChange carries them through
+    the schema, charset_converters builds the decode map, and the
+    envelope's raw latin1/gbk bytes decode to the right text."""
+    import base64
+    import json as J
+
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+        charset_converters,
+        parse_ddl,
+    )
+
+    ch = parse_ddl(
+        "CREATE TABLE cs (id BIGINT NOT NULL PRIMARY KEY, "
+        "name_l VARCHAR(32) CHARACTER SET latin1, "
+        "name_g VARCHAR(32) CHARSET gbk COMMENT 'has CHARACTER SET words', "
+        "plain VARCHAR(32))"
+    )
+    by = {c.name: c.charset for c in ch.columns}
+    assert by == {"id": None, "name_l": "latin1", "name_g": "gbk", "plain": None}
+    # the COMMENT string must not have confused the charset scan
+    schema = ch.to_struct()
+    convs = charset_converters(schema)
+    assert set(convs) == {"name_l", "name_g"}
+
+    def env(i, latin1_text, gbk_text, plain):
+        return (
+            J.dumps(
+                {
+                    "after": {
+                        "id": i,
+                        "name_l": base64.b64encode(
+                            latin1_text.encode("cp1252")
+                        ).decode(),
+                        "name_g": base64.b64encode(gbk_text.encode("gbk")).decode(),
+                        "plain": plain,
+                    },
+                    "op": "c",
+                    "ts_ms": i,
+                }
+            ),
+        )
+
+    # decode schema: charset columns arrive as base64 STRINGS
+    from pyspark.sql import types as T
+
+    raw = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name_l", T.StringType(), True, {"charset": "latin1"}),
+            T.StructField("name_g", T.StringType(), True, {"charset": "gbk"}),
+            T.StructField("plain", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([env(1, "café €9", "你好", "ok")], "value string")
+    out = from_debezium_json(df, raw, converters=charset_converters(raw)).collect()
+    assert out[0]["name_l"] == "café €9"  # € is the cp1252 proof byte
+    assert out[0]["name_g"] == "你好"
+    assert out[0]["plain"] == "ok"
