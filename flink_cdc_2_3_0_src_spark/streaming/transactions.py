@@ -196,3 +196,89 @@ def streaming_committed_changelog(stream) -> "DataFrame":
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_committed_changelog_generic(stream, payload_schema: T.StructType):
+    """``streaming_committed_changelog`` for ANY payload schema.
+
+    The fixed-shape variant above hardcodes the scripted fixture's
+    (user_id, value) columns because applyInPandasWithState needs a
+    static state schema; this generic form keeps the state schema
+    payload-independent by buffering each event's payload as ONE JSON
+    string (encoded with ``to_json`` upstream, decoded with
+    ``from_json`` on release) — a real table's arbitrary columns ride
+    through unchanged.
+
+    Input columns: ``txn_id long, kind string ('D'|'E'), payload_json
+    string, txn_order long, event_count long, commit_seq long`` (marker
+    fields NULL on data rows and vice versa).  Build ``payload_json``
+    with ``F.to_json(F.struct(*payload_cols))``.
+
+    Output: the payload columns restored (``from_json``) +
+    ``_commit_seq`` + commit-ordered ``_seq`` — same release contract
+    as the fixed-shape operator (END seen AND observed == promised →
+    whole transaction exactly once)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("payload_json", T.StringType()),
+            T.StructField("_commit_seq", T.LongType()),
+            T.StructField("_seq", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_expected", T.LongType()),
+            T.StructField("commit_seq", T.LongType()),
+            T.StructField("payloads", T.ArrayType(T.StringType())),
+            T.StructField("orders", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _fn(key, pdfs, state: GroupState):
+        n_expected, commit_seq = -1, -1
+        payloads, orders = [], []
+        if state.exists:
+            n_expected, commit_seq, payloads, orders = state.get
+            payloads, orders = list(payloads), list(orders)
+        for pdf in pdfs:
+            for kind, pj, order, ec, cs in zip(
+                pdf["kind"],
+                pdf["payload_json"],
+                pdf["txn_order"],
+                pdf["event_count"],
+                pdf["commit_seq"],
+            ):
+                if kind == "E":
+                    n_expected = int(ec)
+                    commit_seq = int(cs)
+                else:
+                    payloads.append(str(pj))
+                    orders.append(int(order))
+        if 0 <= n_expected == len(payloads):
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "payload_json": payloads,
+                    "_commit_seq": [commit_seq] * len(payloads),
+                    "_seq": [commit_seq * _ORDER_SPAN + o for o in orders],
+                }
+            )
+        else:
+            state.update((n_expected, commit_seq, payloads, orders))
+
+    released = stream.groupBy("txn_id").applyInPandasWithState(
+        _fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+    parsed = released.select(
+        F.from_json(F.col("payload_json"), payload_schema).alias("p"),
+        "_commit_seq",
+        "_seq",
+    )
+    return parsed.select(
+        *[F.col("p")[f.name].alias(f.name) for f in payload_schema.fields],
+        "_commit_seq",
+        "_seq",
+    )

@@ -1048,3 +1048,59 @@ def test_upsert_parquet_sink_self_heals_staged_swap(spark, tmp_path):
         ).select("user_id", "value").collect()
     }
     assert {(r["user_id"], r["value"]) for r in state.collect()} == exp
+
+
+def test_streaming_committed_changelog_generic_payload(spark, tmp_path):
+    """The generic (any-payload-schema) streaming transaction operator:
+    a 3-column payload rides through the JSON-buffered state and
+    releases exactly the batch oracle's committed rows."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.streaming.transactions import (
+        streaming_committed_changelog_generic,
+    )
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [
+        # txn 1: two events, committed
+        (1, "D", '{"k":1,"name":"a","score":1.5}', 0, None, None, 0),
+        (1, "D", '{"k":2,"name":"b","score":2.5}', 1, None, None, 1),
+        (1, "E", None, None, 2, 100, 50),
+        # txn 2: never commits
+        (2, "D", '{"k":9,"name":"x","score":9.0}', 0, None, None, 2),
+        # txn 3: END promises 2, only 1 arrives -> withheld
+        (3, "D", '{"k":5,"name":"c","score":5.0}', 0, None, None, 3),
+        (3, "E", None, None, 2, 200, 60),
+    ]
+    schema = (
+        "txn_id long, kind string, payload_json string, txn_order long, "
+        "event_count long, commit_seq long, _seq long"
+    )
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay_gtx")
+    write_replay_files(log, replay_dir, n_files=3)
+    stream = read_replay_stream(spark, replay_dir, log.schema).drop("_seq")
+    out_dir = str(tmp_path / "gtx_out")
+    q = (
+        streaming_committed_changelog_generic(stream, payload_schema)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gtx"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r["_seq"]
+    )
+    assert [(r["k"], r["name"], r["score"], r["_commit_seq"]) for r in got] == [
+        (1, "a", 1.5, 100),
+        (2, "b", 2.5, 100),
+    ]
