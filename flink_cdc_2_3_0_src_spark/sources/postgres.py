@@ -75,3 +75,33 @@ class PostgresDialect(JdbcDialect):
     def jdbc_url(self) -> str:
         c = self.config
         return f"jdbc:postgresql://{c.hostname}:{c.port or 5432}/postgres"
+
+
+# ---------------------------------------------------------------------------
+# WAL LSN position (A22 for Postgres)
+# ---------------------------------------------------------------------------
+# The 2.3 reference consumes Postgres through the legacy Debezium source
+# (PostgreSQLSource.java), whose offsets carry the WAL LSN as the
+# Debezium long; the pg textual form is 'XXXXXXXX/YYYYYYYY' (two hex
+# words: high 32 bits / low 32 bits).  These helpers give the planner
+# the same comparable-position contract the other connectors' offsets
+# have (BinlogOffset, ChangeStreamOffset, RedoLogOffset).
+
+
+def parse_pg_lsn(lsn: str) -> int:
+    """'16/B374D848' -> 64-bit WAL position (high<<32 | low)."""
+    try:
+        hi, lo = lsn.strip().split("/")
+        value = (int(hi, 16) << 32) | int(lo, 16)
+    except (ValueError, AttributeError) as e:
+        raise ValueError(f"malformed pg LSN {lsn!r} (want 'X/Y' hex)") from e
+    if int(lo, 16) > 0xFFFFFFFF or value < 0:
+        raise ValueError(f"pg LSN word out of range in {lsn!r}")
+    return value
+
+
+def format_pg_lsn(value: int) -> str:
+    """64-bit WAL position -> the canonical 'X/Y' textual form."""
+    if value < 0:
+        raise ValueError(f"negative LSN {value}")
+    return f"{value >> 32:X}/{value & 0xFFFFFFFF:X}"

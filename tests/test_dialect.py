@@ -431,3 +431,22 @@ def test_oracle_redo_log_offset_ordering():
     assert t1 != t2
     assert R.initial() == R(0) and R.initial() < a
     assert sorted([ns, big, a, empty, b]) == [empty, a, b, big, ns]
+
+
+def test_pg_lsn_parse_format_roundtrip():
+    from flink_cdc_2_3_0_src_spark.sources.postgres import (
+        format_pg_lsn,
+        parse_pg_lsn,
+    )
+
+    assert parse_pg_lsn("16/B374D848") == (0x16 << 32) | 0xB374D848
+    assert parse_pg_lsn("0/0") == 0
+    assert format_pg_lsn(parse_pg_lsn("1A2B/00000010")) == "1A2B/10"
+    # ordering is plain integer ordering across the word boundary
+    assert parse_pg_lsn("1/0") > parse_pg_lsn("0/FFFFFFFF")
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed"):
+        parse_pg_lsn("nope")
+    with pytest.raises(ValueError, match="out of range"):
+        parse_pg_lsn("0/100000000")
