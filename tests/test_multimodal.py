@@ -76,3 +76,95 @@ def test_resize_media_shape_and_determinism(spark):
     # deterministic: same input -> same resized bytes
     again = {r["asset_id"]: r for r in resize_media(assets, 8, 8).collect()}
     assert bytes(out[1]["content"]) == bytes(again[1]["content"])
+
+
+# --- r5: REAL container probing (no codec libs needed) ---------------
+
+
+def _png(w, h):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02"
+        + b"\x00" * 7
+    )
+
+
+def _jpeg(w, h):
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03"
+        + b"\x00" * 10
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav(channels, rate, n_samples, bits=16):
+    frame = channels * bits // 8
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * frame).to_bytes(4, "little")
+        + frame.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + (n_samples * frame).to_bytes(4, "little")
+    return b"RIFF" + (36 + n_samples * frame).to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def test_probe_container_real_headers():
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import probe_container
+
+    assert probe_container(_png(640, 480)) == {
+        "format": "png", "width": 640, "height": 480,
+        "n_channels": None, "sample_rate": None, "n_samples": None,
+    }
+    j = probe_container(_jpeg(1920, 1080))
+    assert (j["format"], j["width"], j["height"]) == ("jpeg", 1920, 1080)
+    w = probe_container(_wav(2, 44100, 1000))
+    assert (w["format"], w["n_channels"], w["sample_rate"], w["n_samples"]) == (
+        "wav", 2, 44100, 1000,
+    )
+    g = probe_container(b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little"))
+    assert (g["format"], g["width"], g["height"]) == ("gif", 320, 200)
+    b = probe_container(
+        b"BM" + b"\x00" * 16 + (12).to_bytes(4, "little") + (-34).to_bytes(4, "little", signed=True)
+    )
+    assert (b["format"], b["width"], b["height"]) == ("bmp", 12, 34)
+    # malformed / truncated / empty degrade to unknown, never raise
+    for junk in (b"", b"garbage", _png(1, 1)[:10], b"\xff\xd8\xff", b"RIFFxxxx"):
+        assert probe_container(junk)["format"] in ("unknown", "wav", "jpeg")
+
+
+def test_probe_media_distributed(spark):
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import probe_media
+
+    assets = spark.createDataFrame(
+        [
+            (1, "image", _png(64, 32)),
+            (2, "image", _jpeg(320, 240)),
+            (3, "audio", _wav(1, 16000, 16000)),
+            (4, "image", b"not media"),
+        ],
+        "asset_id long, media_type string, content binary",
+    )
+    got = {r["asset_id"]: r.asDict() for r in probe_media(assets).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 64, 32)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("jpeg", 320, 240)
+    assert (
+        got[3]["format"], got[3]["n_channels"], got[3]["sample_rate"], got[3]["n_samples"]
+    ) == ("wav", 1, 16000, 16000)
+    assert got[4]["format"] == "unknown"
+    plan = probe_media(assets)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
