@@ -3899,3 +3899,46 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_topk_ivf_trained", _clust.ann_topk_ivf_trained_sql())
 def ann_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _clust.ann_topk_ivf_trained(ld(spark, sf_dir, "embeddings"))
+
+
+# Multimodal container probe with an ORACLE: the PNG fixture is built
+# JVM-side IN-QUERY (literal IHDR hex + big-endian width/height words
+# derived from doc_id), probe_media PARSES the genuine container bytes
+# back, and the oracle recomputes the expected dimensions directly from
+# doc_id — any header-layout or endianness bug in the parser
+# hash-mismatches.  (probe_container itself is dependency-free header
+# parsing — the ffprobe-style first pass of a multimodal pipeline.)
+@register(
+    "multimodal_probe",
+    """
+    SELECT doc_id AS asset_id,
+           'image' AS media_type,
+           'png' AS format,
+           CAST(doc_id % 512 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 256 + 1 AS INTEGER) AS height,
+           CAST(NULL AS INTEGER) AS n_channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           CAST(NULL AS BIGINT) AS n_samples
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import probe_media
+
+    d = ld(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    w = (F.col("doc_id") % 512 + 1).cast("long")
+    h = (F.col("doc_id") % 256 + 1).cast("long")
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),  # magic + IHDR
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("080200000000000000"),  # bitdepth/colortype/CRC pad
+        )
+    )
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        png.alias("content"),
+    )
+    return probe_media(assets)
