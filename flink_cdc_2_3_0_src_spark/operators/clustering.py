@@ -271,29 +271,63 @@ def semantic_dedup(
     """SemDeDup prune list: one row per pruned vector —
     ``(cluster, pruned_vec_id, kept_by)`` where ``kept_by`` is the
     lowest-id cluster member within ``tau`` cosine of it.  Keep rule =
-    "survives iff no lower-id near-duplicate in its cluster"."""
+    "survives iff no lower-id near-duplicate in its cluster".
+
+    Verify stage: one ``applyInPandas`` per cluster running an EXACT
+    int64 matmul (quantized components stay < 2^23, so a 64-dim dot is
+    < 2^53 — exact in int64), then the sqrt-free threshold
+    ``dot^2 * 1e6 >= tau_e3^2 * |a|^2 * |b|^2``.  dot^2 would overflow
+    int64, so the comparison runs as a float64 SCREEN with a relative
+    safety band and an arbitrary-precision Python-int check ONLY for
+    pairs inside the band — bit-identical to the all-decimal form the
+    DuckDB oracle computes, at matmul speed instead of one interpreted
+    zip_with/aggregate per pair.  Per-task memory is one cluster's
+    (n/k)^2 dot matrix — the SemDeDup contract (k grows with the
+    corpus) already bounds n/k."""
+    import numpy as np
+    import pandas as pd
+
     assigned = kmeans_assign(emb, k, iters)
-    withn = assigned.select(
-        "vec_id", "cl", "v", _dot(F.col("v"), F.col("v")).alias("n2")
-    ).localCheckpoint()  # the Lloyd's loop above is driver-iterated; don't replay it per join side
-    a = withn.alias("a")
-    b = withn.alias("b")
-    dot = _dot(F.col("a.v"), F.col("b.v"))
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    near = (dot > 0) & (
-        dec(dot) * dec(dot) * F.lit(1_000_000).cast("decimal(38,0)")
-        >= F.lit(int(tau_e3) ** 2).cast("decimal(38,0)")
-        * dec(F.col("a.n2"))
-        * dec(F.col("b.n2"))
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.cl") == F.col("b.cl")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).filter(near)
-    return pairs.groupBy(
-        F.col("b.cl").alias("cluster"),
-        F.col("b.vec_id").alias("pruned_vec_id"),
-    ).agg(F.min(F.col("a.vec_id")).alias("kept_by"))
+    base = assigned.localCheckpoint()  # Lloyd's loop is driver-iterated; don't replay it
+    tau2 = int(tau_e3) ** 2
+
+    out_schema = "cluster int, pruned_vec_id long, kept_by long"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"cluster": [], "pruned_vec_id": [], "kept_by": []})
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        M = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf["v"].to_numpy()[order]]
+        )
+        dots = M @ M.T
+        n2 = np.diag(dots).astype(np.float64)
+        fd = dots.astype(np.float64)
+        lhs = fd * fd * 1e6
+        rhs = float(tau2) * n2[:, None] * n2[None, :]
+        pos = dots > 0
+        BAND = 1e-9
+        sure = pos & (lhs >= rhs * (1 + BAND))
+        maybe = pos & ~sure & (lhs >= rhs * (1 - BAND))
+        near = sure
+        for i, j in zip(*np.nonzero(maybe)):
+            d_ = int(dots[i, j])
+            near[i, j] = d_ * d_ * 1_000_000 >= tau2 * int(dots[i, i]) * int(
+                dots[j, j]
+            )
+        cl = int(pdf["cl"].iloc[0])
+        rows = {"cluster": [], "pruned_vec_id": [], "kept_by": []}
+        n = len(ids)
+        for j in range(1, n):
+            hits = np.nonzero(near[:j, j])[0]
+            if len(hits):
+                rows["cluster"].append(cl)
+                rows["pruned_vec_id"].append(int(ids[j]))
+                rows["kept_by"].append(int(ids[hits[0]]))  # ids sorted -> min
+        return pd.DataFrame(rows)
+
+    return base.groupBy("cl").applyInPandas(prune, out_schema)
 
 
 def semantic_dedup_sql(k: int = 8, iters: int = 2, tau_e3: int = 400) -> str:
