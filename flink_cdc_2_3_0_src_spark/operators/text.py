@@ -898,12 +898,16 @@ def duplicated_spans(
         F.posexplode(shingles(F.col("text"), k)).alias("pos", "span"),
     )
     key = F.xxhash64("span").alias("key") if hashed else F.col("span").alias("key")
-    win = win.select("doc_id", F.col("pos").cast("bigint").alias("pos"), key)
-    # `win` feeds both the frequency aggregate and the join-back: the
-    # window expansion is recomputed rather than cached — it's a cheap
-    # codegen'd explode, while checkpointing (doc_id, pos, key) for the
-    # whole corpus would cost more I/O than the second scan (same
-    # two-pass trade-off every tf/df-style operator makes).
+    # `win` feeds both the frequency aggregate and the join-back —
+    # materialize it ONCE: the expansion is an interpreted HOF chain
+    # (tokenize + slice + array_to_string per window), measured at ~45%
+    # of the operator's cost per scan at sf0.1, while the checkpointed
+    # (doc_id, pos, key) projection is a few MB per 100k docs.  (The
+    # opposite trade — recompute — was originally shipped here on the
+    # assumption the explode was codegen-cheap; profiling falsified it.)
+    win = win.select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), key
+    ).localCheckpoint()
     dup = (
         win.groupBy("key")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
