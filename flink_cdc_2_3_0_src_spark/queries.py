@@ -155,7 +155,13 @@ _PRIORITY: list[str] = [
     # goes to cdc_mongo_resume_token: resume-from-captured-token over
     # the KeyString-decoded clusterTime cut — the Mongo offset leg the
     # r4 VERDICT ranked missing item #3, now oracle-backed.)
-    "multimodal_frame_sample",
+    "multimodal_probe",
+    # (multimodal_frame_sample: deterministic-fake frame sampling —
+    # demoted; its slot goes to multimodal_probe, REAL dependency-free
+    # container parsing (PNG/JPEG/GIF/BMP/WAV headers) whose oracle
+    # recomputes the fixture dimensions — a genuine-decode row beats a
+    # fake-backed one for the same modality class.  audio_features keeps
+    # the second multimodal row; frame_sample stays locally swept.)
     "multimodal_audio_features", "decontam_ngram_overlap",
     "embedding_quantize_int8",
     # Relational surface representatives (B1-B3)

@@ -219,3 +219,110 @@ def test_compaction_plan_invariants(sizes, target):
     # determinism
     again = plan_compaction(files, target)
     assert again.bins == plan.bins and again.untouched == plan.untouched
+
+
+# --- r5 surfaces -----------------------------------------------------
+
+
+@given(
+    s=st.integers(min_value=0, max_value=2**32 - 1),
+    i=st.integers(min_value=0, max_value=2**32 - 1),
+    tail=st.binary(max_size=24),
+)
+@settings(max_examples=200, deadline=None)
+def test_resume_token_roundtrip_property(s, i, tail):
+    from flink_cdc_2_3_0_src_spark.sources.mongo import (
+        ChangeStreamOffset,
+        decode_resume_token,
+        encode_resume_token,
+    )
+
+    tok = encode_resume_token(s, i, suffix=tail)
+    assert decode_resume_token(tok) == (s, i)
+    off = ChangeStreamOffset.from_resume_token(tok)
+    assert (off.seconds, off.increment) == (s, i)
+
+
+@given(
+    hi=st.integers(min_value=0, max_value=2**32 - 1),
+    lo=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_pg_lsn_roundtrip_property(hi, lo):
+    from flink_cdc_2_3_0_src_spark.sources.postgres import (
+        format_pg_lsn,
+        parse_pg_lsn,
+    )
+
+    v = (hi << 32) | lo
+    assert parse_pg_lsn(format_pg_lsn(v)) == v
+    assert parse_pg_lsn(f"{hi:X}/{lo:X}") == v
+
+
+@given(
+    value=st.one_of(
+        st.integers(min_value=-10**12, max_value=10**12).map(str),
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="'\"\\", blacklist_categories=("Cs", "Cc")
+            ),
+            max_size=20,
+        ),
+    ),
+    comment=st.text(
+        alphabet=st.characters(
+            blacklist_characters="'\"\\", blacklist_categories=("Cs", "Cc")
+        ),
+        max_size=30,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_parse_default_property(value, comment):
+    """For ANY default literal and ANY comment text (quotes excluded —
+    they terminate the literal), the parsed default is the declared one
+    and the comment never leaks into it."""
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import _parse_default
+
+    is_num = value.lstrip("-").isdigit()
+    lit = value if is_num else "'" + value.replace("'", "''") + "'"
+    rest = f" NOT NULL DEFAULT {lit} COMMENT '{comment}'"
+    got = _parse_default(rest)
+    assert got == value
+    # no DEFAULT clause at all -> None, whatever the comment says
+    assert _parse_default(f" NOT NULL COMMENT '{comment}'") is None
+
+
+@given(data=st.binary(max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_probe_container_never_raises(data):
+    """Total function over arbitrary bytes: the 100 TB scan must not
+    die on any payload."""
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import probe_container
+
+    out = probe_container(data)
+    assert out["format"] in ("unknown", "png", "jpeg", "gif", "bmp", "wav")
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_charset_utf8_roundtrip_property(text):
+    """Python-side contract check of the codec tables: for every mapped
+    Python-codec charset that can encode the text, the decode of those
+    bytes is a FIXED POINT (re-encoding reproduces the bytes).  Exact
+    x-round-trip would be too strong: legacy CJK codecs are not
+    injective (e.g. ¢ and ￠ share a big5 byte sequence), and the
+    decode side — the only direction the engine runs — is what must be
+    stable."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import _PY_CODECS
+
+    for codec in set(_PY_CODECS.values()):
+        try:
+            enc = text.encode(codec)
+        except (UnicodeEncodeError, ValueError):
+            continue
+        dec = enc.decode(codec)
+        assert dec.encode(codec) == enc, codec
