@@ -75,26 +75,23 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fit(
-    emb: DataFrame, k: int = 8, iters: int = 2
-) -> tuple[DataFrame, list[list[int]]]:
-    """Lloyd's loop returning BOTH the final assignment ``(vec_id, v,
-    cl)`` and the centroid table it was assigned against — the trained
-    coarse quantizer ``ann_topk_ivf_trained`` probes."""
-    assigned, centroids = _kmeans_loop(emb, k, iters)
-    return assigned, centroids
-
-
 def kmeans_assign(emb: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
-    """The Lloyd's loop: returns the final assignment DataFrame
-    ``(vec_id, v, cl)`` after ``iters`` rounds.  Init: the quantized
-    vectors of vec_id 0..k-1 (deterministic).  Shared by
-    ``kmeans_clusters`` (stats) and ``semantic_dedup`` (SemDeDup)."""
-    assigned, _ = _kmeans_loop(emb, k, iters)
+    """The Lloyd's loop's final assignment ``(vec_id, v, cl)`` —
+    shared by ``kmeans_clusters`` (stats) and ``semantic_dedup``
+    (SemDeDup); callers needing the trained centroid table too use
+    ``kmeans_fit`` directly."""
+    assigned, _ = kmeans_fit(emb, k, iters)
     return assigned
 
 
-def _kmeans_loop(emb: DataFrame, k: int, iters: int):
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, iters: int = 2
+) -> tuple[DataFrame, list[list[int]]]:
+    """Lloyd's loop: ``iters`` rounds of assign + centroid update,
+    returning BOTH the final assignment DataFrame ``(vec_id, v, cl)``
+    and the centroid table it was assigned against (the trained coarse
+    quantizer ``ann_topk_ivf_trained`` probes).  Init: the quantized
+    vectors of vec_id 0..k-1 (deterministic)."""
     q = emb.select("vec_id", quantize_vec(F.col("embedding")).alias("v"))
     init = (
         q.filter(F.col("vec_id") < k)

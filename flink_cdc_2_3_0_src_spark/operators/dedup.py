@@ -641,7 +641,9 @@ def fuzzy_blocked_pairs(
             for c in hist_chars
         ]
     )
-    texts = d.select("doc_id", "text", hist.alias("h"))
+    # materialize once: the a- and b-side joins would otherwise each
+    # re-run the 27 translate scans (and the source scan) per side
+    texts = d.select("doc_id", "text", hist.alias("h")).localCheckpoint()
     joined = cand.join(
         texts.select(
             F.col("doc_id").alias("doc_a"),

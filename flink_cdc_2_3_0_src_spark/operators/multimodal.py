@@ -340,12 +340,24 @@ _JPEG_SOF = frozenset(
 )
 
 
+_MAX_I32 = 2**31 - 1
+
+
+def _i32_or_none(v):
+    """Hostile/corrupt headers can encode values past int32 (a PNG
+    width of 0xFFFFFFFF) — surfacing them would blow up the Int32
+    output arrays and kill the task; a dimension that big is corrupt by
+    definition, so it degrades to NULL."""
+    return int(v) if v is not None and 0 <= int(v) <= _MAX_I32 else None
+
+
 def probe_container(content: bytes) -> dict:
     """Parse a media container header: ``{format, width, height,
     n_channels, sample_rate, n_samples}`` (irrelevant fields None;
     ``format`` 'unknown' when no signature matches; malformed payloads
-    of a recognized signature also degrade to 'unknown' rather than
-    raising — a 100 TB scan must not die on one truncated file)."""
+    of a recognized signature degrade to NULL fields or 'unknown'
+    rather than raising — a 100 TB scan must not die on one truncated
+    or hostile file)."""
     out = {
         "format": "unknown",
         "width": None,
@@ -359,14 +371,18 @@ def probe_container(content: bytes) -> dict:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
             out.update(
                 format="png",
-                width=int.from_bytes(b[16:20], "big"),
-                height=int.from_bytes(b[20:24], "big"),
+                width=_i32_or_none(int.from_bytes(b[16:20], "big")),
+                height=_i32_or_none(int.from_bytes(b[20:24], "big")),
             )
         elif b[:2] == b"\xff\xd8":
             i = 2
             while i + 4 <= len(b):
                 if b[i] != 0xFF:
                     break
+                # spec-legal fill padding: any run of 0xFF precedes the
+                # marker byte — skip to the last 0xFF of the run
+                while i + 1 < len(b) and b[i + 1] == 0xFF:
+                    i += 1
                 marker = b[i + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
@@ -375,22 +391,24 @@ def probe_container(content: bytes) -> dict:
                 if marker in _JPEG_SOF and i + 9 <= len(b):
                     out.update(
                         format="jpeg",
-                        height=int.from_bytes(b[i + 5 : i + 7], "big"),
-                        width=int.from_bytes(b[i + 7 : i + 9], "big"),
+                        height=_i32_or_none(int.from_bytes(b[i + 5 : i + 7], "big")),
+                        width=_i32_or_none(int.from_bytes(b[i + 7 : i + 9], "big")),
                     )
                     break
                 i += 2 + seg_len
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             out.update(
                 format="gif",
-                width=int.from_bytes(b[6:8], "little"),
-                height=int.from_bytes(b[8:10], "little"),
+                width=_i32_or_none(int.from_bytes(b[6:8], "little")),
+                height=_i32_or_none(int.from_bytes(b[8:10], "little")),
             )
         elif b[:2] == b"BM" and len(b) >= 26:
             out.update(
                 format="bmp",
-                width=int.from_bytes(b[18:22], "little"),
-                height=abs(int.from_bytes(b[22:26], "little", signed=True)),
+                width=_i32_or_none(int.from_bytes(b[18:22], "little")),
+                height=_i32_or_none(
+                    abs(int.from_bytes(b[22:26], "little", signed=True))
+                ),
             )
         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
             out["format"] = "wav"
@@ -403,20 +421,18 @@ def probe_container(content: bytes) -> dict:
                     n_channels = int.from_bytes(b[i + 10 : i + 12], "little")
                     sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
                     bits = int.from_bytes(b[i + 22 : i + 24], "little")
-                elif cid == b"data" and n_channels and bits:
+                elif cid == b"data" and n_channels and bits and bits >= 8:
+                    # sub-byte bit depths (4-bit ADPCM) have no integral
+                    # frame size — n_samples stays NULL, the already-
+                    # parsed channels/rate survive
                     out["n_samples"] = clen // (n_channels * (bits // 8))
                 i += 8 + clen + (clen & 1)  # chunks are word-aligned
-            out["n_channels"] = n_channels
-            out["sample_rate"] = sample_rate
-    except (IndexError, ZeroDivisionError):
-        return {
-            "format": "unknown",
-            "width": None,
-            "height": None,
-            "n_channels": None,
-            "sample_rate": None,
-            "n_samples": None,
-        }
+            out["n_channels"] = _i32_or_none(n_channels)
+            out["sample_rate"] = _i32_or_none(sample_rate)
+    except IndexError:
+        # truncated header mid-parse: keep whatever was parsed before
+        # the cut (fields are only assigned once complete)
+        pass
     return out
 
 

@@ -92,12 +92,12 @@ def parse_pg_lsn(lsn: str) -> int:
     """'16/B374D848' -> 64-bit WAL position (high<<32 | low)."""
     try:
         hi, lo = lsn.strip().split("/")
-        value = (int(hi, 16) << 32) | int(lo, 16)
+        hi_v, lo_v = int(hi, 16), int(lo, 16)
     except (ValueError, AttributeError) as e:
         raise ValueError(f"malformed pg LSN {lsn!r} (want 'X/Y' hex)") from e
-    if int(lo, 16) > 0xFFFFFFFF or value < 0:
+    if not (0 <= hi_v <= 0xFFFFFFFF and 0 <= lo_v <= 0xFFFFFFFF):
         raise ValueError(f"pg LSN word out of range in {lsn!r}")
-    return value
+    return (hi_v << 32) | lo_v
 
 
 def format_pg_lsn(value: int) -> str:

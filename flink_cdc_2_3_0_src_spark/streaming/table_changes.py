@@ -237,8 +237,10 @@ def _find_keyword_outside_quotes(s: str, kw: str) -> int:
     """Index just past ``kw`` at top level (outside '...'/"..."
     literals), or -1.  The quote-aware scan keeps keywords inside a
     COMMENT '...' (or any quoted literal) from being parsed as column
-    attributes."""
-    i, n, kn = 0, len(s), len(kw)
+    attributes.  Multi-word keywords ('CHARACTER SET') match across ANY
+    run of whitespace between the words, as MySQL's parser does."""
+    words = kw.split(" ")
+    i, n = 0, len(s)
     while i < n:
         c = s[i]
         if c in ("'", '"'):
@@ -253,12 +255,24 @@ def _find_keyword_outside_quotes(s: str, kw: str) -> int:
                 i += 1
             i += 1  # past the closing quote
             continue
-        if (
-            s[i : i + kn].upper() == kw
-            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
-            and (i + kn >= n or not (s[i + kn].isalnum() or s[i + kn] == "_"))
-        ):
-            return i + kn
+        if i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"):
+            j = i
+            matched = True
+            for w_idx, w in enumerate(words):
+                if w_idx > 0:
+                    k = j
+                    while k < n and s[k].isspace():
+                        k += 1
+                    if k == j:  # words must be whitespace-separated
+                        matched = False
+                        break
+                    j = k
+                if s[j : j + len(w)].upper() != w:
+                    matched = False
+                    break
+                j += len(w)
+            if matched and (j >= n or not (s[j].isalnum() or s[j] == "_")):
+                return j
         i += 1
     return -1
 

@@ -39,6 +39,7 @@ DEFAULT_QUERIES = [
     "cdc_mongo_resume_token",
     "text_normalize",
     "ann_topk_ivf_trained",
+    "multimodal_probe",
     "dedup_embedding_cosine_lsh",
     "sketch_count_min",
     "dedup_fuzzy_blocked",
@@ -48,9 +49,10 @@ DEFAULT_QUERIES = [
 def audit(plan: str) -> dict:
     return {
         "exch": len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan)),
-        "bcast": len(re.findall(r"BroadcastHashJoin|BroadcastExchange", plan)) // 2
-        if "BroadcastExchange" in plan
-        else len(re.findall(r"BroadcastHashJoin", plan)),
+        # count join NODES directly (BNLJ has its own column) — deriving
+        # the count from exchange/join ratios miscounts under AQE's
+        # ReusedExchange / BroadcastQueryStage wrapping
+        "bcast": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
         "cart": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
