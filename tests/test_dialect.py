@@ -450,3 +450,12 @@ def test_pg_lsn_parse_format_roundtrip():
         parse_pg_lsn("nope")
     with pytest.raises(ValueError, match="out of range"):
         parse_pg_lsn("0/100000000")
+
+
+def test_pg_lsn_high_word_validated():
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.sources.postgres import parse_pg_lsn
+
+    with pytest.raises(ValueError, match="out of range"):
+        parse_pg_lsn("FFFFFFFFF/0")  # 36-bit high word

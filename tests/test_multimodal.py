@@ -168,3 +168,58 @@ def test_probe_media_distributed(spark):
     assert got[4]["format"] == "unknown"
     plan = probe_media(assets)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_probe_container_hostile_and_edge_headers():
+    """Second-review regressions: hostile 32-bit-overflow dimensions
+    degrade to NULL (never a task-killing Int32 cast), fill-padded
+    JPEG markers still parse, sub-byte-depth WAV keeps channels/rate
+    with NULL n_samples."""
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import probe_container
+
+    hostile_png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + b"\xff\xff\xff\xff" + (480).to_bytes(4, "big") + b"\x08\x02" + b"\x00" * 7
+    )
+    r = probe_container(hostile_png)
+    assert (r["format"], r["width"], r["height"]) == ("png", None, 480)
+
+    padded_jpeg = (
+        b"\xff\xd8" + b"\xff\xff\xff\xc0" + (17).to_bytes(2, "big")
+        + b"\x08" + (480).to_bytes(2, "big") + (640).to_bytes(2, "big")
+        + b"\x03" + b"\x00" * 10
+    )
+    r = probe_container(padded_jpeg)
+    assert (r["format"], r["width"], r["height"]) == ("jpeg", 640, 480)
+
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little") + (2).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+        + (4000).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + (4).to_bytes(2, "little")  # 4-bit ADPCM
+    )
+    wav = (
+        b"RIFF" + (136).to_bytes(4, "little") + b"WAVE" + fmt
+        + b"data" + (100).to_bytes(4, "little") + b"\x00" * 100
+    )
+    r = probe_container(wav)
+    assert (r["format"], r["n_channels"], r["sample_rate"], r["n_samples"]) == (
+        "wav", 1, 8000, None,
+    )
+
+
+def test_probe_media_handles_hostile_rows(spark):
+    """The distributed path survives hostile headers in the batch."""
+    from flink_cdc_2_3_0_src_spark.operators.multimodal import probe_media
+
+    hostile = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + b"\xff\xff\xff\xff" + b"\xff\xff\xff\xff" + b"\x08\x02" + b"\x00" * 7
+    )
+    assets = spark.createDataFrame(
+        [(1, "image", hostile), (2, "image", _png(8, 8))],
+        "asset_id long, media_type string, content binary",
+    )
+    got = {r["asset_id"]: r for r in probe_media(assets).collect()}
+    assert got[1]["width"] is None and got[1]["format"] == "png"
+    assert (got[2]["width"], got[2]["height"]) == (8, 8)

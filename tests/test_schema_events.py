@@ -515,3 +515,14 @@ def test_ddl_charset_to_decode_loop(spark):
     assert out[0]["name_l"] == "café €9"  # € is the cp1252 proof byte
     assert out[0]["name_g"] == "你好"
     assert out[0]["plain"] == "ok"
+
+
+def test_parse_charset_whitespace_variants():
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import _parse_charset
+
+    assert _parse_charset(" CHARACTER SET latin1") == "latin1"
+    assert _parse_charset(" CHARACTER  SET latin1") == "latin1"
+    assert _parse_charset(" CHARACTER\n\tSET gbk COLLATE gbk_chinese_ci") == "gbk"
+    assert _parse_charset(" CHARSET=utf8mb4") == "utf8mb4"
+    assert _parse_charset(" CHARACTERSET latin1") is None
+    assert _parse_charset(" COMMENT 'CHARACTER SET fake'") is None
