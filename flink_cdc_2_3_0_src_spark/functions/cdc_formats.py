@@ -1,0 +1,254 @@
+"""Canal-JSON / Maxwell-JSON / (deprecated) changelog-json decoders.
+
+The reference's own format guidance (docs/content/formats/
+changelog-json.md) deprecates its changelog-json format and points
+users at the Debezium / CANAL / MAXWELL CDC formats — so a user
+switching from the reference to this engine arrives with topics in any
+of the three.  ``functions/debezium.py`` covers Debezium; this module
+covers the other two plus the deprecated reference format itself, each
+as PURE Spark expressions (from_json + explode + struct surgery — no
+Python anywhere).
+
+Envelope shapes:
+
+  canal-json     {"data": [row...], "old": [changed-field rows]|null,
+                  "type": "INSERT"|"UPDATE"|"DELETE", "ts": ms,
+                  "database", "table", "pkNames": [...]}
+                 — data is an ARRAY (one message may carry a batch);
+                 for UPDATE, old[i] holds the PREVIOUS values of the
+                 fields that changed in data[i].
+  maxwell-json   {"database", "table", "type": "insert"|"update"|
+                  "delete", "ts": sec, "data": {row},
+                  "old": {changed fields}} — one row per message.
+  changelog-json {"data": {row}, "op": "+I"|"-U"|"+U"|"-D"}
+                 (flink-format-changelog-json 2.1 layout).
+
+Before-image reconstruction (canal/maxwell UPDATE): the old block
+carries ONLY changed fields, so the -U image = data overridden by
+old's non-null fields.  A field changed *to or from* SQL NULL is
+indistinguishable from an absent field in plain JSON — the same
+documented ambiguity Flink's canal/maxwell formats carry; columns
+where that matters should flow through Debezium's full-image
+envelope instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.model import (
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    SEQ_COL,
+)
+
+
+def _merged_before(data_col, old_col, payload_schema: T.StructType):
+    """-U image: data's fields overridden by old's non-null fields."""
+    return F.struct(
+        *[
+            F.coalesce(old_col[f.name], data_col[f.name]).alias(f.name)
+            for f in payload_schema.fields
+        ]
+    )
+
+
+def from_canal_json(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Canal-JSON envelope strings → changelog rows (+I/-U/+U/-D with
+    ``_seq`` = ts).  Handles the batch ``data`` array (rows explode
+    with their positional ``old`` entry via arrays_zip)."""
+    env_schema = T.StructType(
+        [
+            T.StructField("data", T.ArrayType(payload_schema)),
+            T.StructField("old", T.ArrayType(payload_schema)),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("pkNames", T.ArrayType(T.StringType())),
+        ]
+    )
+    env = F.from_json(F.col(value_col), env_schema)
+    base = df.select(env.alias("e")).filter(
+        F.col("e").isNotNull() & F.col("e.data").isNotNull()
+    )
+    # pair each data row with its positional old row via posexplode +
+    # element_at (NOT arrays_zip: zipping with a NULL old array yields
+    # NULL and would drop every INSERT/DELETE batch; element_at on a
+    # NULL array is just NULL)
+    paired = base.select(
+        F.col("e.type").alias("t"),
+        F.col("e.ts").alias(SEQ_COL),
+        F.col("e.old").alias("olds"),
+        F.posexplode(F.col("e.data")).alias("pos", "d"),
+    ).select(
+        "t",
+        SEQ_COL,
+        "d",
+        F.element_at(F.col("olds"), F.col("pos") + 1).alias("o"),
+    )
+    ins = paired.filter(F.col("t") == "INSERT").select(
+        F.col("d").alias("_p"), F.lit(OP_INSERT).alias(OP_COL), SEQ_COL
+    )
+    dels = paired.filter(F.col("t") == "DELETE").select(
+        F.col("d").alias("_p"), F.lit(OP_DELETE).alias(OP_COL), SEQ_COL
+    )
+    upd = paired.filter(F.col("t") == "UPDATE")
+    ub = upd.select(
+        _merged_before(F.col("d"), F.col("o"), payload_schema).alias("_p"),
+        F.lit(OP_UPDATE_BEFORE).alias(OP_COL),
+        SEQ_COL,
+    )
+    ua = upd.select(
+        F.col("d").alias("_p"), F.lit(OP_UPDATE_AFTER).alias(OP_COL), SEQ_COL
+    )
+    out = ins.unionByName(ub).unionByName(ua).unionByName(dels)
+    return out.select(
+        *[F.col("_p")[f.name].alias(f.name) for f in payload_schema.fields],
+        OP_COL,
+        SEQ_COL,
+    )
+
+
+def from_maxwell_json(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Maxwell-JSON envelope strings → changelog rows.  Maxwell's ts is
+    SECONDS; ``_seq`` keeps it as-is (callers needing sub-second order
+    thread their own sequence)."""
+    env_schema = T.StructType(
+        [
+            T.StructField("data", payload_schema),
+            T.StructField("old", payload_schema),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+        ]
+    )
+    env = F.from_json(F.col(value_col), env_schema)
+    base = df.select(env.alias("e")).filter(
+        F.col("e").isNotNull() & F.col("e.data").isNotNull()
+    )
+    flat = base.select(
+        F.col("e.type").alias("t"),
+        F.col("e.ts").alias(SEQ_COL),
+        F.col("e.data").alias("d"),
+        F.col("e.old").alias("o"),
+    )
+    ins = flat.filter(F.col("t") == "insert").select(
+        F.col("d").alias("_p"), F.lit(OP_INSERT).alias(OP_COL), SEQ_COL
+    )
+    dels = flat.filter(F.col("t") == "delete").select(
+        F.col("d").alias("_p"), F.lit(OP_DELETE).alias(OP_COL), SEQ_COL
+    )
+    upd = flat.filter(F.col("t") == "update")
+    ub = upd.select(
+        _merged_before(F.col("d"), F.col("o"), payload_schema).alias("_p"),
+        F.lit(OP_UPDATE_BEFORE).alias(OP_COL),
+        SEQ_COL,
+    )
+    ua = upd.select(
+        F.col("d").alias("_p"), F.lit(OP_UPDATE_AFTER).alias(OP_COL), SEQ_COL
+    )
+    out = ins.unionByName(ub).unionByName(ua).unionByName(dels)
+    return out.select(
+        *[F.col("_p")[f.name].alias(f.name) for f in payload_schema.fields],
+        OP_COL,
+        SEQ_COL,
+    )
+
+
+def from_changelog_json(
+    df: DataFrame,
+    payload_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """The reference's own (deprecated) changelog-json:
+    {"data": {row}, "op": "+I"|"-U"|"+U"|"-D"} — already changelog-
+    shaped, so decode is one from_json + flatten; rows with an
+    unrecognized op are dropped (format parity: the 2.1 deserializer
+    recognizes exactly these four RowKinds)."""
+    env_schema = T.StructType(
+        [
+            T.StructField("data", payload_schema),
+            T.StructField("op", T.StringType()),
+        ]
+    )
+    env = F.from_json(F.col(value_col), env_schema)
+    flat = df.select(env.alias("e")).filter(
+        F.col("e").isNotNull() & F.col("e.data").isNotNull()
+    )
+    known = flat.filter(
+        F.col("e.op").isin(OP_INSERT, OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE)
+    )
+    return known.select(
+        *[F.col("e.data")[f.name].alias(f.name) for f in payload_schema.fields],
+        F.col("e.op").alias(OP_COL),
+    )
+
+
+def to_canal_json(
+    df: DataFrame,
+    payload_cols,
+    db: str = "testdb",
+    table: str = "t",
+    op_col: str = OP_COL,
+    seq_col: str = SEQ_COL,
+) -> DataFrame:
+    """Changelog rows → canal-JSON envelope strings (one data row per
+    message; -U/+U pairs become ONE UPDATE whose old block carries the
+    full before image — canal writers may emit changed-fields-only, the
+    full image is the lossless superset).  FIXTURE/SINK encoder for the
+    round-trip tests and for feeding canal-consuming systems."""
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    d = df.withColumn("_p", payload)
+    ins = d.filter(F.col(op_col) == OP_INSERT).select(
+        F.col("_p").alias("drow"),
+        F.lit(None).cast(d.schema["_p"].dataType).alias("orow"),
+        F.lit("INSERT").alias("type"),
+        F.col(seq_col).alias("ts"),
+    )
+    dels = d.filter(F.col(op_col) == OP_DELETE).select(
+        F.col("_p").alias("drow"),
+        F.lit(None).cast(d.schema["_p"].dataType).alias("orow"),
+        F.lit("DELETE").alias("type"),
+        F.col(seq_col).alias("ts"),
+    )
+    # pair -U with its +U partner by shared seq — the same keying
+    # to_debezium_json folds `before` with
+    ua = d.filter(F.col(op_col) == OP_UPDATE_AFTER).select(
+        F.col("_p").alias("drow"), F.col(seq_col).alias("ts")
+    )
+    ub = d.filter(F.col(op_col) == OP_UPDATE_BEFORE).select(
+        F.col("_p").alias("orow"), F.col(seq_col).alias("ts")
+    )
+    upd = ua.join(ub, "ts", "left").select(
+        "drow", "orow", F.lit("UPDATE").alias("type"), "ts"
+    )
+    rows = ins.unionByName(dels).unionByName(upd)
+    return rows.select(
+        F.to_json(
+            F.struct(
+                F.array(F.col("drow")).alias("data"),
+                F.when(F.col("orow").isNotNull(), F.array(F.col("orow"))).alias(
+                    "old"
+                ),
+                F.col("type"),
+                F.col("ts"),
+                F.lit(db).alias("database"),
+                F.lit(table).alias("table"),
+            )
+        ).alias("value")
+    )

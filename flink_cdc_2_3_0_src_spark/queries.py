@@ -3948,3 +3948,115 @@ def multimodal_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         png.alias("content"),
     )
     return probe_media(assets)
+
+
+# Canal-JSON round trip (functions/cdc_formats.py): the reference's own
+# format docs deprecate changelog-json and point consumers at
+# Debezium/CANAL/MAXWELL — encode the scripted changelog as canal
+# envelopes (batched data arrays, old = full before image), decode with
+# the pure-expression canal decoder, materialize; the oracle
+# materializes the same log directly, so any envelope/merge bug in
+# either direction mismatches.
+@register(
+    "cdc_canal_roundtrip",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, value FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.cdc_formats import (
+        from_canal_json,
+        to_canal_json,
+    )
+
+    log = scripted_changelog(spark, sf_dir).select(
+        "user_id", "value", OP_COL, SEQ_COL
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    enc = to_canal_json(log, ["user_id", "value"])
+    dec = from_canal_json(enc, payload)
+    return materialize(dec, ["user_id"]).select("user_id", "value")
+
+
+# Maxwell-JSON decode (single-row envelopes, old = changed fields only):
+# built from the scripted log in-query with the changed-fields-only old
+# block Maxwell actually writes; the decoded changelog must materialize
+# to the same end state.
+@register(
+    "cdc_maxwell_roundtrip",
+    f"""
+    WITH log AS ({_SCRIPTED_LOG_SQL}),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, value FROM latest WHERE rn = 1 AND _op <> '-D'
+    """,
+)
+def cdc_maxwell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.cdc_formats import from_maxwell_json
+
+    log = scripted_changelog(spark, sf_dir).select(
+        "user_id", "value", OP_COL, SEQ_COL
+    )
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    # fixture encode: one maxwell message per change; -U folds into its
+    # +U partner's old block (changed fields only = the value column)
+    d = log
+    ua = d.filter(F.col(OP_COL) == "+U").alias("ua")
+    ub = d.filter(F.col(OP_COL) == "-U").select(
+        F.col(SEQ_COL).alias("_bseq"), F.col("value").alias("_bval")
+    )
+    upd = ua.join(ub, F.col(f"ua.{SEQ_COL}") == F.col("_bseq"), "left").select(
+        F.to_json(
+            F.struct(
+                F.lit("d").alias("database"),
+                F.lit("t").alias("table"),
+                F.lit("update").alias("type"),
+                F.col(f"ua.{SEQ_COL}").alias("ts"),
+                F.struct(
+                    F.col("ua.user_id").alias("user_id"),
+                    F.col("ua.value").alias("value"),
+                ).alias("data"),
+                F.struct(F.col("_bval").alias("value")).alias("old"),
+            )
+        ).alias("value")
+    )
+    simple = d.filter(F.col(OP_COL).isin("+I", "-D")).select(
+        F.to_json(
+            F.struct(
+                F.lit("d").alias("database"),
+                F.lit("t").alias("table"),
+                F.when(F.col(OP_COL) == "+I", F.lit("insert"))
+                .otherwise(F.lit("delete"))
+                .alias("type"),
+                F.col(SEQ_COL).alias("ts"),
+                F.struct(
+                    F.col("user_id").alias("user_id"),
+                    F.col("value").alias("value"),
+                ).alias("data"),
+            )
+        ).alias("value")
+    )
+    env = simple.unionByName(upd)
+    dec = from_maxwell_json(env, payload)
+    return materialize(dec, ["user_id"]).select("user_id", "value")

@@ -1,0 +1,167 @@
+"""Canal-JSON / Maxwell-JSON / changelog-json decoders
+(functions/cdc_formats.py) — the CDC formats the reference's own docs
+point users at (docs/content/formats/changelog-json.md deprecation
+note), decoded as pure Spark expressions."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.functions.cdc_formats import (
+    from_canal_json,
+    from_changelog_json,
+    from_maxwell_json,
+    to_canal_json,
+)
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+
+def _rows(df):
+    return sorted(
+        [(r["id"], r["v"], r["s"], r[OP_COL]) for r in df.collect()]
+    )
+
+
+def test_canal_decode_batch_insert_update_delete(spark):
+    msgs = [
+        json.dumps(
+            {
+                "data": [
+                    {"id": 1, "v": 1.5, "s": "a"},
+                    {"id": 2, "v": 2.5, "s": "b"},
+                ],
+                "old": None,
+                "type": "INSERT",
+                "ts": 100,
+                "database": "d",
+                "table": "t",
+                "pkNames": ["id"],
+            }
+        ),
+        json.dumps(
+            {
+                # batch UPDATE: old[i] carries ONLY the changed fields
+                "data": [
+                    {"id": 1, "v": 9.5, "s": "a"},
+                    {"id": 2, "v": 2.5, "s": "bb"},
+                ],
+                "old": [{"v": 1.5}, {"s": "b"}],
+                "type": "UPDATE",
+                "ts": 200,
+                "database": "d",
+                "table": "t",
+                "pkNames": ["id"],
+            }
+        ),
+        json.dumps(
+            {
+                "data": [{"id": 2, "v": 2.5, "s": "bb"}],
+                "old": None,
+                "type": "DELETE",
+                "ts": 300,
+                "database": "d",
+                "table": "t",
+                "pkNames": ["id"],
+            }
+        ),
+        "not json",
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    out = from_canal_json(df, PAYLOAD)
+    got = _rows(out)
+    assert (1, 1.5, "a", "+I") in got and (2, 2.5, "b", "+I") in got
+    # -U images: data overridden by old's changed fields
+    assert (1, 1.5, "a", "-U") in got and (1, 9.5, "a", "+U") in got
+    assert (2, 2.5, "b", "-U") in got and (2, 2.5, "bb", "+U") in got
+    assert (2, 2.5, "bb", "-D") in got
+    assert len(got) == 7  # malformed message dropped
+    # materialized end state: id 1 updated, id 2 deleted
+    state = {(r["id"], r["v"]) for r in materialize(out, ["id"]).collect()}
+    assert state == {(1, 9.5)}
+
+
+def test_maxwell_decode(spark):
+    msgs = [
+        json.dumps(
+            {"database": "d", "table": "t", "type": "insert", "ts": 1,
+             "data": {"id": 5, "v": 1.0, "s": "x"}}
+        ),
+        json.dumps(
+            {"database": "d", "table": "t", "type": "update", "ts": 2,
+             "data": {"id": 5, "v": 2.0, "s": "x"}, "old": {"v": 1.0}}
+        ),
+        json.dumps(
+            {"database": "d", "table": "t", "type": "delete", "ts": 3,
+             "data": {"id": 5, "v": 2.0, "s": "x"}}
+        ),
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    got = _rows(from_maxwell_json(df, PAYLOAD))
+    assert got == [
+        (5, 1.0, "x", "+I"),
+        (5, 1.0, "x", "-U"),
+        (5, 2.0, "x", "+U"),
+        (5, 2.0, "x", "-D"),
+    ]
+
+
+def test_changelog_json_decode(spark):
+    msgs = [
+        json.dumps({"data": {"id": 1, "v": 1.0, "s": "a"}, "op": "+I"}),
+        json.dumps({"data": {"id": 1, "v": 1.0, "s": "a"}, "op": "-U"}),
+        json.dumps({"data": {"id": 1, "v": 2.0, "s": "a"}, "op": "+U"}),
+        json.dumps({"data": {"id": 1, "v": 2.0, "s": "a"}, "op": "??"}),  # dropped
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    got = _rows(from_changelog_json(df, PAYLOAD))
+    # sorted by (id, v, s, op): (1.0,+I), (1.0,-U), (2.0,+U); '??' dropped
+    assert [op for _, _, _, op in got] == ["+I", "-U", "+U"]
+
+
+def test_canal_roundtrip_preserves_state(spark):
+    """encode(changelog) -> decode == same materialized state, on the
+    full scripted log (the cdc_dbz_roundtrip shape for canal)."""
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
+    from tests.conftest import SF_SMOKE
+
+    log = scripted_changelog(spark, SF_SMOKE).select(
+        "user_id", "value", OP_COL, SEQ_COL
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    enc = to_canal_json(log, ["user_id", "value"])
+    dec = from_canal_json(enc, schema)
+    got = {
+        (r["user_id"], r["value"])
+        for r in materialize(dec, ["user_id"]).collect()
+    }
+    exp = {
+        (r["user_id"], r["value"])
+        for r in materialize(log, ["user_id"]).collect()
+    }
+    assert len(exp) > 0 and got == exp
+
+
+def test_format_decoders_stay_jvm_side(spark):
+    df = spark.createDataFrame([("{}",)], "value string")
+    for fn in (from_canal_json, from_maxwell_json, from_changelog_json):
+        plan = (
+            fn(df, PAYLOAD)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan, fn.__name__
