@@ -119,3 +119,39 @@ def test_duplicated_spans_matches_brute_force(spark):
         if run:
             exp.append((did, run[0], run[-1] + k, len(run)))
     assert got == sorted(exp)
+
+
+def test_hybrid_pipeline_random_watermark_brackets(spark):
+    """The DBLog reconciliation must produce the exact oracle state for
+    ANY watermark bracketing — chunks snapshotting at wildly different
+    moments, backfill-skip (lw == hw), brackets at the log tip, and
+    narrow/wide backfill windows.  Seeded randomized sweep."""
+    import random
+
+    from flink_cdc_2_3_0_src_spark.model import ChunkRange
+    from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
+    from flink_cdc_2_3_0_src_spark.streaming.hybrid import HybridPipeline
+    from tests.conftest import SF_SMOKE
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    tip = log.agg({"_seq": "max"}).collect()[0][0]
+    oracle = {
+        (r["user_id"], r["value"])
+        for r in materialize(log, ["user_id"]).collect()
+    }
+    chunks = [ChunkRange(None, 8), ChunkRange(8, 16), ChunkRange(16, None)]
+    rng = random.Random(0x5EED5)
+    for trial in range(4):
+        brackets = []
+        for _ in chunks:
+            lw = rng.randrange(0, tip + 1)
+            if rng.random() < 0.25:
+                hw = lw  # backfill skip
+            else:
+                hw = rng.randrange(lw, tip + 1)
+            brackets.append((lw, hw))
+        p = HybridPipeline(spark, log, ["user_id"])
+        final = p.run(chunks, "user_id", watermarks=lambda i: brackets[i])
+        got = {(r["user_id"], r["value"]) for r in final.collect()}
+        assert got == oracle, (trial, brackets)
