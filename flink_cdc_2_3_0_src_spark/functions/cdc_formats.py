@@ -77,14 +77,18 @@ def from_canal_json(
             T.StructField("pkNames", T.ArrayType(T.StringType())),
         ]
     )
+    from flink_cdc_2_3_0_src_spark.operators.changelog import expand_updates
+
     env = F.from_json(F.col(value_col), env_schema)
     base = df.select(env.alias("e")).filter(
         F.col("e").isNotNull() & F.col("e.data").isNotNull()
     )
     # pair each data row with its positional old row via posexplode +
-    # element_at (NOT arrays_zip: zipping with a NULL old array yields
-    # NULL and would drop every INSERT/DELETE batch; element_at on a
-    # NULL array is just NULL)
+    # try_element_at (NOT arrays_zip: zipping with a NULL old array
+    # yields NULL and would drop every INSERT/DELETE batch; NOT plain
+    # element_at: a truncated old array — hostile/malformed producer —
+    # would throw under ANSI and kill the scan, try_element_at yields
+    # NULL instead)
     paired = base.select(
         F.col("e.type").alias("t"),
         F.col("e.ts").alias(SEQ_COL),
@@ -94,29 +98,23 @@ def from_canal_json(
         "t",
         SEQ_COL,
         "d",
-        F.element_at(F.col("olds"), F.col("pos") + 1).alias("o"),
+        F.try_element_at(F.col("olds"), F.col("pos") + 1).alias("o"),
     )
-    ins = paired.filter(F.col("t") == "INSERT").select(
-        F.col("d").alias("_p"), F.lit(OP_INSERT).alias(OP_COL), SEQ_COL
-    )
-    dels = paired.filter(F.col("t") == "DELETE").select(
-        F.col("d").alias("_p"), F.lit(OP_DELETE).alias(OP_COL), SEQ_COL
-    )
-    upd = paired.filter(F.col("t") == "UPDATE")
-    ub = upd.select(
-        _merged_before(F.col("d"), F.col("o"), payload_schema).alias("_p"),
-        F.lit(OP_UPDATE_BEFORE).alias(OP_COL),
+    # map onto the Debezium (before, after, op) envelope and reuse the
+    # single-scan update expansion — ONE pass, no 4-way union re-parsing
+    # the JSON per branch
+    flat = paired.filter(F.col("t").isin("INSERT", "UPDATE", "DELETE")).select(
+        F.when(F.col("t") == "UPDATE", _merged_before(F.col("d"), F.col("o"), payload_schema))
+        .when(F.col("t") == "DELETE", F.col("d"))
+        .alias("before"),
+        F.when(F.col("t") != "DELETE", F.col("d")).alias("after"),
+        F.when(F.col("t") == "INSERT", F.lit("c"))
+        .when(F.col("t") == "DELETE", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
         SEQ_COL,
     )
-    ua = upd.select(
-        F.col("d").alias("_p"), F.lit(OP_UPDATE_AFTER).alias(OP_COL), SEQ_COL
-    )
-    out = ins.unionByName(ub).unionByName(ua).unionByName(dels)
-    return out.select(
-        *[F.col("_p")[f.name].alias(f.name) for f in payload_schema.fields],
-        OP_COL,
-        SEQ_COL,
-    )
+    return expand_updates(flat, "before", "after", "op", SEQ_COL)
 
 
 def from_maxwell_json(
@@ -137,37 +135,28 @@ def from_maxwell_json(
             T.StructField("table", T.StringType()),
         ]
     )
+    from flink_cdc_2_3_0_src_spark.operators.changelog import expand_updates
+
     env = F.from_json(F.col(value_col), env_schema)
     base = df.select(env.alias("e")).filter(
         F.col("e").isNotNull() & F.col("e.data").isNotNull()
     )
-    flat = base.select(
-        F.col("e.type").alias("t"),
+    # same single-scan expand_updates routing as the canal decoder
+    flat = base.filter(F.col("e.type").isin("insert", "update", "delete")).select(
+        F.when(
+            F.col("e.type") == "update",
+            _merged_before(F.col("e.data"), F.col("e.old"), payload_schema),
+        )
+        .when(F.col("e.type") == "delete", F.col("e.data"))
+        .alias("before"),
+        F.when(F.col("e.type") != "delete", F.col("e.data")).alias("after"),
+        F.when(F.col("e.type") == "insert", F.lit("c"))
+        .when(F.col("e.type") == "delete", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
         F.col("e.ts").alias(SEQ_COL),
-        F.col("e.data").alias("d"),
-        F.col("e.old").alias("o"),
     )
-    ins = flat.filter(F.col("t") == "insert").select(
-        F.col("d").alias("_p"), F.lit(OP_INSERT).alias(OP_COL), SEQ_COL
-    )
-    dels = flat.filter(F.col("t") == "delete").select(
-        F.col("d").alias("_p"), F.lit(OP_DELETE).alias(OP_COL), SEQ_COL
-    )
-    upd = flat.filter(F.col("t") == "update")
-    ub = upd.select(
-        _merged_before(F.col("d"), F.col("o"), payload_schema).alias("_p"),
-        F.lit(OP_UPDATE_BEFORE).alias(OP_COL),
-        SEQ_COL,
-    )
-    ua = upd.select(
-        F.col("d").alias("_p"), F.lit(OP_UPDATE_AFTER).alias(OP_COL), SEQ_COL
-    )
-    out = ins.unionByName(ub).unionByName(ua).unionByName(dels)
-    return out.select(
-        *[F.col("_p")[f.name].alias(f.name) for f in payload_schema.fields],
-        OP_COL,
-        SEQ_COL,
-    )
+    return expand_updates(flat, "before", "after", "op", SEQ_COL)
 
 
 def from_changelog_json(
@@ -202,6 +191,7 @@ def from_changelog_json(
 def to_canal_json(
     df: DataFrame,
     payload_cols,
+    key_cols=None,
     db: str = "testdb",
     table: str = "t",
     op_col: str = OP_COL,
@@ -211,7 +201,14 @@ def to_canal_json(
     message; -U/+U pairs become ONE UPDATE whose old block carries the
     full before image — canal writers may emit changed-fields-only, the
     full image is the lossless superset).  FIXTURE/SINK encoder for the
-    round-trip tests and for feeding canal-consuming systems."""
+    round-trip tests and for feeding canal-consuming systems.
+
+    ``key_cols``: the primary-key columns the -U/+U pairing joins on IN
+    ADDITION to seq — two keys updated at the same seq (one transaction,
+    shared commit position) would otherwise cross-match and emit phantom
+    UPDATE envelopes with wrong old blocks.  Defaults to all payload
+    columns being key-paired by seq only when omitted — pass the real
+    keys whenever seq ties are possible."""
     payload = F.struct(*[F.col(c) for c in payload_cols])
     d = df.withColumn("_p", payload)
     ins = d.filter(F.col(op_col) == OP_INSERT).select(
@@ -226,15 +223,16 @@ def to_canal_json(
         F.lit("DELETE").alias("type"),
         F.col(seq_col).alias("ts"),
     )
-    # pair -U with its +U partner by shared seq — the same keying
-    # to_debezium_json folds `before` with
+    # pair -U with its +U partner by (key, seq) — seq alone cross-
+    # matches when one commit position covers several keys
+    pair_keys = list(key_cols) if key_cols else []
     ua = d.filter(F.col(op_col) == OP_UPDATE_AFTER).select(
-        F.col("_p").alias("drow"), F.col(seq_col).alias("ts")
+        *pair_keys, F.col("_p").alias("drow"), F.col(seq_col).alias("ts")
     )
     ub = d.filter(F.col(op_col) == OP_UPDATE_BEFORE).select(
-        F.col("_p").alias("orow"), F.col(seq_col).alias("ts")
+        *pair_keys, F.col("_p").alias("orow"), F.col(seq_col).alias("ts")
     )
-    upd = ua.join(ub, "ts", "left").select(
+    upd = ua.join(ub, pair_keys + ["ts"], "left").select(
         "drow", "orow", F.lit("UPDATE").alias("type"), "ts"
     )
     rows = ins.unionByName(dels).unionByName(upd)

@@ -3976,16 +3976,23 @@ def cdc_canal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_canal_json,
     )
 
-    log = scripted_changelog(spark, sf_dir).select(
-        "user_id", "value", OP_COL, SEQ_COL
-    )
+    # normalize_upsert reconstructs the -U before-images (the scripted
+    # log is upsert-shape) so the canal old-block encode AND the
+    # decoder's before-merge path are genuinely exercised; pairing joins
+    # on (user_id, seq) — key-aware, seq ties safe
+    log = normalize_upsert(
+        scripted_changelog(spark, sf_dir).select(
+            "user_id", "value", OP_COL, SEQ_COL
+        ),
+        ["user_id"],
+    ).select("user_id", "value", OP_COL, SEQ_COL)
     payload = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
             T.StructField("value", T.DoubleType()),
         ]
     )
-    enc = to_canal_json(log, ["user_id", "value"])
+    enc = to_canal_json(log, ["user_id", "value"], key_cols=["user_id"])
     dec = from_canal_json(enc, payload)
     return materialize(dec, ["user_id"]).select("user_id", "value")
 
@@ -4010,9 +4017,14 @@ def cdc_maxwell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flink_cdc_2_3_0_src_spark.functions.cdc_formats import from_maxwell_json
 
-    log = scripted_changelog(spark, sf_dir).select(
-        "user_id", "value", OP_COL, SEQ_COL
-    )
+    # normalize_upsert reconstructs -U rows so the old block carries a
+    # REAL previous value and the decoder's before-merge is exercised
+    log = normalize_upsert(
+        scripted_changelog(spark, sf_dir).select(
+            "user_id", "value", OP_COL, SEQ_COL
+        ),
+        ["user_id"],
+    ).select("user_id", "value", OP_COL, SEQ_COL)
     payload = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -4020,13 +4032,21 @@ def cdc_maxwell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # fixture encode: one maxwell message per change; -U folds into its
-    # +U partner's old block (changed fields only = the value column)
+    # +U partner's old block (changed fields only = the value column),
+    # paired on (key, seq)
     d = log
     ua = d.filter(F.col(OP_COL) == "+U").alias("ua")
     ub = d.filter(F.col(OP_COL) == "-U").select(
-        F.col(SEQ_COL).alias("_bseq"), F.col("value").alias("_bval")
+        F.col("user_id").alias("_bkey"),
+        F.col(SEQ_COL).alias("_bseq"),
+        F.col("value").alias("_bval"),
     )
-    upd = ua.join(ub, F.col(f"ua.{SEQ_COL}") == F.col("_bseq"), "left").select(
+    upd = ua.join(
+        ub,
+        (F.col(f"ua.{SEQ_COL}") == F.col("_bseq"))
+        & (F.col("ua.user_id") == F.col("_bkey")),
+        "left",
+    ).select(
         F.to_json(
             F.struct(
                 F.lit("d").alias("database"),

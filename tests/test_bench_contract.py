@@ -41,13 +41,18 @@ def test_bench_emits_contract_json(spark):
     from contextlib import redirect_stdout
 
     bench = _load_bench()
+    prior = os.environ.get("SPARK_GRAFT_SF_DIR")
     os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     try:
         buf = io.StringIO()
         with redirect_stdout(buf):
             bench.main()
     finally:
-        del os.environ["SPARK_GRAFT_SF_DIR"]
+        # restore, don't destroy, any pre-existing value
+        if prior is None:
+            del os.environ["SPARK_GRAFT_SF_DIR"]
+        else:
+            os.environ["SPARK_GRAFT_SF_DIR"] = prior
     line = buf.getvalue().strip().splitlines()[-1]
     doc = json.loads(line)
     assert doc["metric"] == "headline_queries_total"

@@ -165,3 +165,44 @@ def test_format_decoders_stay_jvm_side(spark):
             fn(df, PAYLOAD)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan, fn.__name__
+
+
+def test_canal_truncated_old_array_does_not_crash(spark):
+    """Hostile/truncated producer: old shorter than data must yield a
+    NULL old entry (before = data) — plain element_at would throw under
+    Spark 4's default ANSI mode and kill the scan."""
+    msg = json.dumps(
+        {
+            "data": [{"id": 1, "v": 2.0, "s": "a"}, {"id": 2, "v": 3.0, "s": "b"}],
+            "old": [{"v": 1.0}],
+            "type": "UPDATE",
+            "ts": 100,
+        }
+    )
+    df = spark.createDataFrame([(msg,)], "value string")
+    got = _rows(from_canal_json(df, PAYLOAD))
+    assert (1, 1.0, "a", "-U") in got and (1, 2.0, "a", "+U") in got
+    # second row had no old entry: before falls back to the data image
+    assert (2, 3.0, "b", "-U") in got and (2, 3.0, "b", "+U") in got
+
+
+def test_to_canal_json_key_aware_pairing(spark):
+    """Two keys updated at the SAME seq (one transaction/commit
+    position) must pair -U/+U per key — seq-only pairing cross-matches
+    into phantom UPDATEs with wrong old blocks."""
+    rows = [
+        (1, 1.0, "x", "-U", 10),
+        (1, 2.0, "x", "+U", 10),
+        (2, 5.0, "y", "-U", 10),
+        (2, 6.0, "y", "+U", 10),
+    ]
+    log = spark.createDataFrame(
+        rows, "id long, v double, s string, _op string, _seq long"
+    )
+    enc = to_canal_json(log, ["id", "v", "s"], key_cols=["id"])
+    msgs = [json.loads(r["value"]) for r in enc.collect()]
+    upds = [m for m in msgs if m["type"] == "UPDATE"]
+    assert len(upds) == 2  # no phantom cross-matches
+    by_id = {m["data"][0]["id"]: m for m in upds}
+    assert by_id[1]["old"][0]["v"] == 1.0
+    assert by_id[2]["old"][0]["v"] == 5.0
