@@ -140,6 +140,31 @@ class RowDataDeserializationSchema:
         )
 
 
+class CanalJsonDeserializationSchema:
+    """Canal-JSON topics → changelog rows: the format the reference's
+    own docs point canal consumers at (functions/cdc_formats.py)."""
+
+    def __init__(self, payload_schema: T.StructType):
+        self.payload_schema = payload_schema
+
+    def apply(self, raw: DataFrame, config: SourceConfig) -> DataFrame:
+        from flink_cdc_2_3_0_src_spark.functions.cdc_formats import from_canal_json
+
+        return from_canal_json(raw, self.payload_schema)
+
+
+class MaxwellJsonDeserializationSchema:
+    """Maxwell-JSON topics → changelog rows (functions/cdc_formats.py)."""
+
+    def __init__(self, payload_schema: T.StructType):
+        self.payload_schema = payload_schema
+
+    def apply(self, raw: DataFrame, config: SourceConfig) -> DataFrame:
+        from flink_cdc_2_3_0_src_spark.functions.cdc_formats import from_maxwell_json
+
+        return from_maxwell_json(raw, self.payload_schema)
+
+
 # ---------------------------------------------------------------------------
 # The built source
 # ---------------------------------------------------------------------------

@@ -217,3 +217,48 @@ def test_builder_config_drives_chunked_snapshot(spark):
     assert len(splits) > 1
     # non-unique custkey chunking still partitions exactly
     assert pts.chunked_scan(splits).count() == pts.raw().count()
+
+
+def test_builder_with_canal_and_maxwell_deserializers(spark):
+    """The pluggable-deserializer seam accepts the canal/maxwell format
+    schemas: a builder-configured source decodes those topics into the
+    standard changelog shape."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.sources.api import (
+        CanalJsonDeserializationSchema,
+        MaxwellJsonDeserializationSchema,
+    )
+
+    payload = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    canal_raw = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {"data": [{"id": 1, "v": 2.0}], "old": None,
+                     "type": "INSERT", "ts": 7}
+                ),
+            )
+        ],
+        "value string",
+    )
+    out = CanalJsonDeserializationSchema(payload).apply(canal_raw, None)
+    assert [(r["id"], r["v"], r["_op"]) for r in out.collect()] == [(1, 2.0, "+I")]
+
+    mx_raw = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {"database": "d", "table": "t", "type": "delete",
+                     "ts": 9, "data": {"id": 3, "v": 1.0}}
+                ),
+            )
+        ],
+        "value string",
+    )
+    out = MaxwellJsonDeserializationSchema(payload).apply(mx_raw, None)
+    assert [(r["id"], r["_op"]) for r in out.collect()] == [(3, "-D")]
