@@ -203,12 +203,18 @@ def to_canal_json(
     full image is the lossless superset).  FIXTURE/SINK encoder for the
     round-trip tests and for feeding canal-consuming systems.
 
-    ``key_cols``: the primary-key columns the -U/+U pairing joins on IN
-    ADDITION to seq — two keys updated at the same seq (one transaction,
-    shared commit position) would otherwise cross-match and emit phantom
-    UPDATE envelopes with wrong old blocks.  Defaults to all payload
-    columns being key-paired by seq only when omitted — pass the real
-    keys whenever seq ties are possible."""
+    ``key_cols``: REQUIRED — the primary-key columns the -U/+U pairing
+    joins on IN ADDITION to seq.  Two keys updated at the same seq (one
+    transaction, shared commit position) would cross-match under
+    seq-only pairing and emit phantom UPDATE envelopes with wrong old
+    blocks, so the unsafe seq-only mode is not offered: omitting
+    key_cols raises at plan time."""
+    if not key_cols:
+        raise ValueError(
+            "to_canal_json requires key_cols: -U/+U pairing on seq alone "
+            "cross-matches keys that share a commit position and emits "
+            "phantom UPDATE envelopes — pass the primary-key columns"
+        )
     payload = F.struct(*[F.col(c) for c in payload_cols])
     d = df.withColumn("_p", payload)
     ins = d.filter(F.col(op_col) == OP_INSERT).select(
@@ -225,7 +231,7 @@ def to_canal_json(
     )
     # pair -U with its +U partner by (key, seq) — seq alone cross-
     # matches when one commit position covers several keys
-    pair_keys = list(key_cols) if key_cols else []
+    pair_keys = list(key_cols)
     ua = d.filter(F.col(op_col) == OP_UPDATE_AFTER).select(
         *pair_keys, F.col("_p").alias("drow"), F.col(seq_col).alias("ts")
     )

@@ -640,7 +640,18 @@ def charset_decode(col: Column, charset: str) -> Column:
 
     @pandas_udf("string")
     def _dec(s):
-        return s.map(lambda b: None if b is None else bytes(b).decode(codec))
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return bytes(b).decode(codec)
+            except (UnicodeDecodeError, ValueError):
+                # degrade-to-NULL: one hostile/corrupt byte sequence must
+                # not kill the whole task (same policy as try_element_at
+                # in the canal decoder and probe_container)
+                return None
+
+        return s.map(one)
 
     return _dec(col)
 

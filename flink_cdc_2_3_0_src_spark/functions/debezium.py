@@ -244,15 +244,15 @@ def from_debezium_json(
         *txn_cols,
     )
     # Kafka TOMBSTONES (value IS NULL — Debezium emits one after every
-    # delete for log compaction) and unparseable payloads must be
-    # dropped, not expanded: a NULL envelope would otherwise explode
-    # into a -U/+U pair of all-NULL rows (the reference's deserializer
-    # skips null-value records before decode)
-    flat = flat.filter(
-        F.col("op").isNotNull()
-        | F.col("before").isNotNull()
-        | F.col("after").isNotNull()
-    )
+    # delete for log compaction), unparseable payloads, and non-data
+    # ops must be dropped, not expanded.  The op filter is a CLOSED set
+    # (c/r/u/d): Debezium 't' (truncate) and 'm' (message) events carry
+    # null before AND after, so letting them reach expand_updates'
+    # update branch would explode each into a -U/+U pair of all-NULL
+    # rows (Debezium itself defaults to skipping truncate events —
+    # skipped.operations=t).  An envelope with a missing op but a
+    # non-null image is a producer bug, not data — also dropped.
+    flat = flat.filter(F.col("op").isin("c", "r", "u", "d"))
     out = expand_updates(flat, "before", "after", "op", SEQ_COL)
     if converters:
         out = out.select(

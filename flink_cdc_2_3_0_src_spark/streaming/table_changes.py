@@ -247,6 +247,12 @@ def _find_keyword_outside_quotes(s: str, kw: str) -> int:
             q = c
             i += 1
             while i < n:
+                if s[i] == "\\" and i + 1 < n:
+                    # MySQL backslash escape (\' \" \\ ...): the next
+                    # char is part of the literal, never a terminator —
+                    # 'it\'s DEFAULT 5' must not end at the \'
+                    i += 2
+                    continue
                 if s[i] == q:
                     if q == "'" and i + 1 < n and s[i + 1] == "'":
                         i += 2  # '' escape inside 'string'

@@ -145,7 +145,7 @@ def test_canal_roundtrip_preserves_state(spark):
             T.StructField("value", T.DoubleType()),
         ]
     )
-    enc = to_canal_json(log, ["user_id", "value"])
+    enc = to_canal_json(log, ["user_id", "value"], key_cols=["user_id"])
     dec = from_canal_json(enc, schema)
     got = {
         (r["user_id"], r["value"])
@@ -206,3 +206,16 @@ def test_to_canal_json_key_aware_pairing(spark):
     by_id = {m["data"][0]["id"]: m for m in upds}
     assert by_id[1]["old"][0]["v"] == 1.0
     assert by_id[2]["old"][0]["v"] == 5.0
+
+
+def test_to_canal_json_requires_key_cols(spark):
+    """Seq-only -U/+U pairing cross-matches keys sharing a commit
+    position (phantom UPDATEs) — the unsafe mode must not be reachable:
+    omitting key_cols raises at plan time."""
+    import pytest
+
+    log = spark.createDataFrame(
+        [(1, 1.0, "+I", 10)], "id long, v double, _op string, _seq long"
+    )
+    with pytest.raises(ValueError, match="key_cols"):
+        to_canal_json(log, ["id", "v"])

@@ -786,3 +786,48 @@ def test_from_debezium_json_drops_tombstones(spark):
         from_debezium_json(df, schema).collect(), key=lambda r: r["_seq"]
     )
     assert [(r["id"], r["_op"]) for r in rows] == [(1, "+I"), (2, "-D")]
+
+
+def test_from_debezium_json_skips_truncate_and_message_ops(spark):
+    """Debezium 't' (truncate) and 'm' (message) events carry null
+    before AND after — they must be skipped (Debezium's own default,
+    skipped.operations=t), never expanded into all-NULL ±U pairs."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.debezium import from_debezium_json
+
+    df = spark.createDataFrame(
+        [
+            ('{"op":"t","ts_ms":1}',),                       # truncate
+            ('{"op":"m","ts_ms":2}',),                       # message
+            ('{"after":{"id":9},"ts_ms":3}',),               # missing op
+            ('{"after":{"id":1},"op":"c","ts_ms":5}',),
+        ],
+        "value string",
+    )
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    rows = from_debezium_json(df, schema).collect()
+    assert [(r["id"], r["_op"]) for r in rows] == [(1, "+I")]
+
+
+def test_charset_decode_malformed_bytes_degrade_to_null(spark):
+    """One malformed byte sequence in a Python-codec charset must yield
+    NULL for that row, not a task-killing UnicodeDecodeError (same
+    degrade-to-NULL policy as the canal decoder / probe_container)."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import charset_decode
+
+    df = spark.createDataFrame(
+        [
+            (1, "汉字".encode("gbk")),
+            (2, bytes([0x81, 0x00])),   # invalid GBK second byte
+            (3, None),
+        ],
+        "id long, b binary",
+    )
+    rows = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", charset_decode(F.col("b"), "gbk").alias("s")
+        ).collect()
+    }
+    assert rows == {1: "汉字", 2: None, 3: None}

@@ -526,3 +526,20 @@ def test_parse_charset_whitespace_variants():
     assert _parse_charset(" CHARSET=utf8mb4") == "utf8mb4"
     assert _parse_charset(" CHARACTERSET latin1") is None
     assert _parse_charset(" COMMENT 'CHARACTER SET fake'") is None
+
+
+def test_parse_ddl_backslash_escaped_quote_in_literal():
+    """MySQL backslash escapes inside string literals: a COMMENT like
+    'it\\'s DEFAULT 5' must not terminate the literal early and leak a
+    phantom DEFAULT (or CHARACTER SET) out of the quoted text."""
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import parse_ddl
+
+    ch = parse_ddl(
+        "CREATE TABLE e (id BIGINT PRIMARY KEY, "
+        "c1 VARCHAR(32) COMMENT 'it\\'s DEFAULT 5', "
+        "c2 VARCHAR(32) COMMENT 'say \\\"CHARACTER SET latin1\\\"' DEFAULT 'x')"
+    )
+    by_name = {c.name: c for c in ch.columns}
+    assert by_name["c1"].default_value is None
+    assert by_name["c2"].default_value == "x"
+    assert by_name["c2"].charset is None
