@@ -409,6 +409,137 @@ def bson_binary(col: Column) -> Column:
     :400-410 unwraps to the raw bytes)."""
     return F.unbase64(col.getField("$binary").getField("base64"))
 
+
+def bson_int_schema() -> T.StructType:
+    return T.StructType([T.StructField("$numberInt", T.StringType())])
+
+
+def bson_double_schema() -> T.StructType:
+    return T.StructType([T.StructField("$numberDouble", T.StringType())])
+
+
+# ---- Mongo nested document types (ARRAY / MAP / nested ROW) ---------
+# The reference converts DECLARED nested schemas recursively:
+# MongoDBConnectorDeserializationSchema.java:261-266 routes ROW/ARRAY/
+# MAP to createRowConverter / createArrayConverter / createMapConverter
+# (:693-771), each of which recurses into createConverter for its
+# element/field/value types, and wrapIntoNullableConverter (:781-792)
+# makes every level null-safe.  Spark re-expression: the nested shape
+# is declared ONCE as a Spark DataType; ``bson_raw_schema_for`` derives
+# the canonical-Extended-JSON parse schema (wrapper structs at the
+# leaves, arrays/maps/structs preserved), and ``bson_convert`` lifts
+# the parsed value with pure JVM expressions — ``transform`` for
+# arrays, ``map_from_arrays``+``transform`` for maps (BSON documents
+# with dynamic keys parse natively as MapType under from_json), and a
+# null-guarded ``struct`` for embedded documents.  No Python in the
+# data path at any nesting depth.
+
+def bson_raw_schema_for(dtype: T.DataType) -> T.DataType:
+    """Canonical Extended-JSON v2 parse shape for a declared logical
+    Spark type (the from_json schema feeding ``bson_convert``)."""
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, bson_raw_schema_for(f.dataType))
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(bson_raw_schema_for(dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        if not isinstance(dtype.keyType, T.StringType):
+            raise TypeError(
+                "BSON document keys are strings: MapType key must be "
+                f"StringType, got {dtype.keyType} (reference "
+                "createMapConverter checks supportsInputConversion(String))"
+            )
+        return T.MapType(T.StringType(), bson_raw_schema_for(dtype.valueType))
+    if isinstance(dtype, T.DecimalType):
+        return bson_decimal128_schema()
+    if isinstance(dtype, T.LongType):
+        return bson_long_schema()
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return bson_int_schema()
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return bson_double_schema()
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return bson_date_schema()
+    if isinstance(dtype, T.DateType):
+        return bson_date_schema()
+    if isinstance(dtype, T.BinaryType):
+        return bson_binary_schema()
+    if isinstance(dtype, (T.StringType, T.BooleanType)):
+        return dtype
+    raise TypeError(f"no BSON mapping for declared type {dtype}")
+
+
+def bson_convert(col: Column, dtype: T.DataType) -> Column:
+    """Lift a parsed canonical-Extended-JSON value to its declared
+    logical type, recursively and null-safely (reference
+    createNotNullConverter + wrapIntoNullableConverter)."""
+    if isinstance(dtype, T.StructType):
+        converted = F.struct(
+            *[
+                bson_convert(col.getField(f.name), f.dataType).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+        # a missing/null embedded document must stay NULL, not become a
+        # struct of NULLs (wrapIntoNullableConverter)
+        return F.when(col.isNull(), F.lit(None).cast(dtype)).otherwise(converted)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: bson_convert(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(
+                F.map_values(col), lambda v: bson_convert(v, dtype.valueType)
+            ),
+        )
+    if isinstance(dtype, T.DecimalType):
+        return col.getField("$numberDecimal").cast(dtype)
+    if isinstance(dtype, T.LongType):
+        return col.getField("$numberLong").cast("long")
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return col.getField("$numberInt").cast(dtype)
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return col.getField("$numberDouble").cast(dtype)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        ms = col.getField("$date").getField("$numberLong").cast("long")
+        return F.timestamp_millis(ms).cast(dtype)
+    if isinstance(dtype, T.DateType):
+        ms = col.getField("$date").getField("$numberLong").cast("long")
+        return F.timestamp_millis(ms).cast("date")
+    if isinstance(dtype, T.BinaryType):
+        return bson_binary(col)
+    if isinstance(dtype, (T.StringType, T.BooleanType)):
+        return col
+    raise TypeError(f"no BSON converter for declared type {dtype}")
+
+
+def bson_document_converters(
+    declared: T.StructType,
+) -> tuple[T.StructType, dict]:
+    """(raw_parse_schema, converters) for a declared document schema —
+    plug both straight into ``from_debezium_json``: the raw schema
+    drives the envelope parse, the converter dict lifts every non-
+    passthrough column.  This is the Spark seam equivalent to the
+    reference building its converter array once per declared RowType
+    (createRowConverter:693-711)."""
+    raw = T.StructType(
+        [
+            T.StructField(f.name, bson_raw_schema_for(f.dataType))
+            for f in declared.fields
+        ]
+    )
+    convs = {
+        f.name: (lambda t: (lambda c: bson_convert(c, t)))(f.dataType)
+        for f in declared.fields
+        if not isinstance(f.dataType, (T.StringType, T.BooleanType))
+    }
+    return raw, convs
+
+
 # ---------------------------------------------------------------------------
 # Temporal converters.
 #

@@ -140,9 +140,15 @@ _PRIORITY: list[str] = [
     "ann_topk_cosine",
     # (ann_topk_matrix: the blocked-matmul variant of ann_topk_cosine —
     # demoted; cosine + lsh_bucketed + ivf keep three distinct ANN
-    # strategies in-window.  Its slot goes to cdc_mongo_bson_decode,
-    # the round-4 BSON scalar converter matrix.)
-    "cdc_mongo_bson_decode",
+    # strategies in-window.  Its slot went to cdc_mongo_bson_decode in
+    # r5; r6 swaps that scalar matrix for cdc_mongo_nested_decode — the
+    # recursive ARRAY/MAP/nested-ROW document decode (r5 VERDICT's #1
+    # missing item), whose fixture still exercises the $oid/$numberInt/
+    # $numberLong/$numberDecimal/$date scalar wrappers as the leaves of
+    # the nested shapes.  The full scalar matrix (regex, min/max keys,
+    # binary, $timestamp) stays registered + locally swept as
+    # cdc_mongo_bson_decode.)
+    "cdc_mongo_nested_decode",
     "knn_graph", "ann_lsh_bucketed",
     "dedup_embedding_cosine_lsh", "ann_topk_ivf",
     # (dedup_ngram_jaccard / dedup_embedding_cosine are the documented
@@ -3463,6 +3469,187 @@ def cdc_mongo_bson_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pat"),
         F.col("marker"),
         F.decode(F.col("payload"), "UTF-8").alias("payload_str"),
+    )
+
+
+# Mongo NESTED document types — declared ARRAY / MAP / nested ROW
+# schemas converted recursively from canonical Extended JSON (reference
+# MongoDBConnectorDeserializationSchema.java:261-266 createRowConverter/
+# createArrayConverter/createMapConverter :693-771).  The fixture
+# document per order embeds: a nested customer sub-document (ROW), an
+# ARRAY of line-item sub-documents (each with $numberInt/$numberLong/
+# $numberDecimal leaves), a dynamic-key MAP (NULL for okey%5==0 orders
+# — null-safety through the map path), a string ARRAY, and a $date
+# leaf.  Decode goes through from_debezium_json with the recursive
+# bson_document_converters seam; the oracle recomputes every projected
+# scalar relationally from orders/lineitem/customer.  Scale shape: the
+# array build is one sort_array(collect_list) groupBy on l_orderkey,
+# decode is pure JVM from_json + transform/map_from_arrays — no Python
+# at any nesting depth.
+@register(
+    "cdc_mongo_nested_decode",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 19 = 0),
+    li AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS INT) AS n_items,
+               (array_agg(l_partkey ORDER BY l_linenumber, l_partkey))[1]
+                   AS first_sku,
+               CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS total_qty,
+               CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+                   AS max_price_str
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS okey,
+           c.c_name AS cust_name,
+           CAST(c.c_nationkey AS INT) AS cust_nation,
+           li.n_items,
+           li.first_sku,
+           li.total_qty,
+           li.max_price_str,
+           CASE WHEN o.o_orderkey % 5 <> 0
+                THEN CAST(length(o.o_orderpriority) AS BIGINT) END AS attr_letters,
+           CASE WHEN o.o_orderkey % 5 <> 0
+                THEN CAST(o.o_orderkey % 7 AS BIGINT) END AS attr_bucket,
+           CAST(len(string_split(o.o_orderpriority, '-')) AS INT) AS n_tags,
+           string_split(o.o_orderpriority, '-')[1] AS tag_first,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS placed_day
+    FROM o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN li ON li.l_orderkey = o.o_orderkey
+    """,
+)
+def cdc_mongo_nested_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from flink_cdc_2_3_0_src_spark.functions import converters as C
+
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 19 == 0)
+    cust = ld(spark, sf_dir, "customer")
+    li = ld(spark, sf_dir, "lineitem")
+
+    # per-line canonical Extended-JSON sub-document
+    item_raw = F.struct(
+        F.struct(F.col("l_linenumber").cast("string").alias("$numberInt")).alias("ln"),
+        F.struct(F.col("l_partkey").cast("string").alias("$numberLong")).alias("sku"),
+        F.struct(
+            F.col("l_quantity").cast("int").cast("string").alias("$numberInt")
+        ).alias("qty"),
+        F.struct(
+            F.col("l_extendedprice")
+            .cast("decimal(12,2)")
+            .cast("string")
+            .alias("$numberDecimal")
+        ).alias("price"),
+    )
+    items = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "inner")
+        .select(
+            "l_orderkey",
+            # (l_linenumber, l_partkey) sort key: linenumber alone is
+            # NOT unique per order in this data, and first_sku must be
+            # deterministic on both engines
+            F.struct(
+                F.col("l_linenumber").alias("k"),
+                F.col("l_partkey").alias("k2"),
+                item_raw.alias("v"),
+            ).alias("kv"),
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list("kv")), lambda x: x["v"]
+            ).alias("items_raw")
+        )
+    )
+
+    epoch_ms = (_epoch_us_ntz(F.col("o_orderdate").cast("timestamp_ntz")) / 1000).cast(
+        "long"
+    )
+    oid_hex = F.lower(F.lpad(F.hex(F.col("o_orderkey")), 24, "0"))
+    num_long = lambda c: F.struct(c.cast("string").alias("$numberLong"))  # noqa: E731
+    after = F.struct(
+        F.struct(oid_hex.alias("$oid")).alias("_id"),
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(
+                F.col("c_nationkey").cast("string").alias("$numberInt")
+            ).alias("nation"),
+        ).alias("cust"),
+        F.col("items_raw").alias("items"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.create_map(
+                F.lit("letters"), num_long(F.length("o_orderpriority")),
+                F.lit("bucket"), num_long(F.col("o_orderkey") % 7),
+            ),
+        ).alias("attrs"),
+        F.split(F.col("o_orderpriority"), "-").alias("tags"),
+        F.struct(num_long(epoch_ms).alias("$date")).alias("placed"),
+    )
+    env = (
+        o.join(cust, o.o_custkey == cust.c_custkey, "inner")
+        .join(items, o.o_orderkey == items.l_orderkey, "inner")
+        .select(
+            F.to_json(
+                F.struct(
+                    after.alias("after"),
+                    F.lit("c").alias("op"),
+                    F.col("o_orderkey").alias("ts_ms"),
+                )
+            ).alias("value")
+        )
+    )
+
+    declared = T.StructType(
+        [
+            T.StructField(
+                "cust",
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("nation", T.IntegerType()),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("ln", T.IntegerType()),
+                            T.StructField("sku", T.LongType()),
+                            T.StructField("qty", T.IntegerType()),
+                            T.StructField("price", T.DecimalType(12, 2)),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType())),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField("placed", T.TimestampNTZType()),
+        ]
+    )
+    raw, convs = C.bson_document_converters(declared)
+    raw = T.StructType([T.StructField("_id", C.bson_object_id_schema())] + raw.fields)
+    convs["_id"] = C.bson_object_id
+    decoded = from_debezium_json(env, raw, converters=convs)
+    return decoded.select(
+        F.conv(F.col("_id"), 16, 10).cast("long").alias("okey"),
+        F.col("cust")["name"].alias("cust_name"),
+        F.col("cust")["nation"].alias("cust_nation"),
+        F.size("items").alias("n_items"),
+        F.element_at("items", 1)["sku"].alias("first_sku"),
+        F.aggregate(
+            "items", F.lit(0).cast("long"), lambda acc, x: acc + x["qty"]
+        ).alias("total_qty"),
+        F.array_max(F.transform("items", lambda x: x["price"]))
+        .cast("string")
+        .alias("max_price_str"),
+        F.try_element_at("attrs", F.lit("letters")).alias("attr_letters"),
+        F.try_element_at("attrs", F.lit("bucket")).alias("attr_bucket"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1).alias("tag_first"),
+        F.date_format("placed", "yyyy-MM-dd").alias("placed_day"),
     )
 
 

@@ -831,3 +831,146 @@ def test_charset_decode_malformed_bytes_degrade_to_null(spark):
         ).collect()
     }
     assert rows == {1: "汉字", 2: None, 3: None}
+
+
+def test_bson_nested_document_decode_deep(spark):
+    """Recursive declared-schema decode: array-of-struct-of-array,
+    nested row, dynamic-key map (reference
+    MongoDBConnectorDeserializationSchema.java:261-266, :693-771)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        bson_convert,
+        bson_raw_schema_for,
+    )
+
+    declared = T.StructType(
+        [
+            T.StructField(
+                "a",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("n", T.LongType()),
+                            T.StructField("inner", T.ArrayType(T.IntegerType())),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField(
+                "row",
+                T.StructType(
+                    [
+                        T.StructField("s", T.StringType()),
+                        T.StructField(
+                            "deep",
+                            T.StructType([T.StructField("d", T.DecimalType(10, 3))]),
+                        ),
+                    ]
+                ),
+            ),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType())),
+        ]
+    )
+    doc = {
+        "a": [
+            {"n": {"$numberLong": "7"}, "inner": [{"$numberInt": "1"}, {"$numberInt": "2"}]},
+            {"n": {"$numberLong": "9"}, "inner": []},
+        ],
+        "row": {"s": "x", "deep": {"d": {"$numberDecimal": "12.345"}}},
+        "m": {"k1": {"$numberDouble": "1.5"}, "k2": {"$numberDouble": "-2.25"}},
+    }
+    raw = bson_raw_schema_for(declared)
+    df = spark.createDataFrame([(json.dumps(doc),)], "value string")
+    out = df.select(
+        bson_convert(F.from_json("value", raw), declared).alias("o")
+    ).collect()[0]["o"]
+    assert out["a"][0]["n"] == 7 and list(out["a"][0]["inner"]) == [1, 2]
+    assert out["a"][1]["n"] == 9 and list(out["a"][1]["inner"]) == []
+    assert out["row"]["s"] == "x"
+    assert str(out["row"]["deep"]["d"]) == "12.345"
+    assert out["m"] == {"k1": 1.5, "k2": -2.25}
+
+
+def test_bson_nested_null_safety(spark):
+    """wrapIntoNullableConverter parity at every level: a missing/null
+    embedded document stays NULL (not a struct of NULLs), null array
+    elements and map values pass through, a null array stays NULL."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        bson_convert,
+        bson_raw_schema_for,
+    )
+
+    declared = T.StructType(
+        [
+            T.StructField(
+                "row", T.StructType([T.StructField("n", T.LongType())])
+            ),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    raw = bson_raw_schema_for(declared)
+    docs = [
+        {"row": None, "arr": [{"$numberLong": "1"}, None], "m": {"k": None}},
+        {},  # everything missing
+    ]
+    df = spark.createDataFrame(
+        [(json.dumps(d),) for d in docs], "value string"
+    )
+    rows = df.select(
+        bson_convert(F.from_json("value", raw), declared).alias("o")
+    ).collect()
+    r0, r1 = rows[0]["o"], rows[1]["o"]
+    assert r0["row"] is None  # null doc, NOT Row(n=None)
+    assert list(r0["arr"]) == [1, None]
+    assert r0["m"] == {"k": None}
+    assert r1["row"] is None and r1["arr"] is None and r1["m"] is None
+
+
+def test_bson_nested_decode_stays_jvm_side(spark):
+    """The recursive decode must be pure JVM expressions — no Python
+    eval node at any nesting depth."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        bson_convert,
+        bson_raw_schema_for,
+    )
+
+    declared = T.StructType(
+        [
+            T.StructField(
+                "a",
+                T.ArrayType(
+                    T.StructType([T.StructField("n", T.LongType())])
+                ),
+            ),
+            T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+        ]
+    )
+    raw = bson_raw_schema_for(declared)
+    df = spark.createDataFrame([("{}",)], "value string")
+    plan = (
+        df.select(bson_convert(F.from_json("value", raw), declared).alias("o"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_bson_raw_schema_rejects_non_string_map_keys():
+    import pytest
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import bson_raw_schema_for
+
+    with pytest.raises(TypeError, match="StringType"):
+        bson_raw_schema_for(T.MapType(T.LongType(), T.StringType()))
