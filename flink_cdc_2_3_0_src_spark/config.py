@@ -65,6 +65,12 @@ class SourceConfig:
     #   for option-surface parity and surfaced on the manifest writer)
     scan_newly_added_table_enabled: bool = False             # :233-235
     include_schema_changes: bool = False
+    # per-dialect identity parts: schema-name (Postgres/Oracle/SqlServer/
+    # Db2 — JdbcSourceOptions.java SCHEMA_NAME) and tenant-name
+    # (OceanBase only — OceanBaseTableSourceFactory.java:57); surfaced
+    # as _schema/_tenant metadata columns via append_metadata
+    schema_name: Optional[str] = None
+    tenant_name: Optional[str] = None
     parallelism: int = 1
     # Debezium embedded-engine passthrough: every `debezium.*`-prefixed
     # option lands here with the prefix stripped (reference
@@ -188,6 +194,8 @@ class SourceConfig:
             "chunk-meta.group.size": ("chunk_meta_group_size", int),
             "scan.newly-added-table.enabled": ("scan_newly_added_table_enabled", lambda v: v == "true"),
             "include-schema-changes": ("include_schema_changes", lambda v: v == "true"),
+            "schema-name": ("schema_name", str),
+            "tenant-name": ("tenant_name", str),
         }
         for k, v in opts.items():
             if k == "database-name":

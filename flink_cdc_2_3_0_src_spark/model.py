@@ -43,6 +43,10 @@ SEQ_COL = "_seq"        # monotonically increasing change sequence (per key orde
 TS_COL = "_op_ts"       # operation timestamp (0/epoch for snapshot rows, §1.5)
 DB_COL = "_db"          # metadata: database name (§1.5)
 TABLE_COL = "_table"    # metadata: table name (§1.5)
+SCHEMA_COL = "_schema"  # metadata: schema name — Oracle/SqlServer/Db2/Postgres
+                        # expose it (OracleReadableMetaData.java:49-62)
+TENANT_COL = "_tenant"  # metadata: tenant name — OceanBase only
+                        # (OceanBaseReadableMetadata.java:28-38)
 META_COLS = (OP_COL, SEQ_COL, TS_COL, DB_COL, TABLE_COL)
 
 

@@ -382,15 +382,29 @@ def append_metadata(
     database: Optional[str] = None,
     table: Optional[str] = None,
     op_ts_col: Optional[str] = None,
+    schema: Optional[str] = None,
+    tenant: Optional[str] = None,
 ) -> DataFrame:
     """§1.5 virtual metadata columns (_db, _table), snapshot op_ts = epoch 0
     (reference MySqlReadableMetadata.java:33-81: op_ts is 0 for snapshot
-    rows; AppendMetadataCollector appends after physical columns)."""
+    rows; AppendMetadataCollector appends after physical columns).
+
+    Per-dialect extras: ``schema`` -> ``_schema`` (Oracle's schema_name,
+    OracleReadableMetaData.java:49-62 — also meaningful for SqlServer/
+    Db2/Postgres, whose TableIds carry a schema part) and ``tenant`` ->
+    ``_tenant`` (OceanBase's tenant_name,
+    OceanBaseReadableMetadata.java:28-38 — OceanBase only)."""
+    from flink_cdc_2_3_0_src_spark.model import SCHEMA_COL, TENANT_COL
+
     out = df
     if database is not None:
         out = out.withColumn(DB_COL, F.lit(database))
+    if schema is not None:
+        out = out.withColumn(SCHEMA_COL, F.lit(schema))
     if table is not None:
         out = out.withColumn(TABLE_COL, F.lit(table))
+    if tenant is not None:
+        out = out.withColumn(TENANT_COL, F.lit(tenant))
     if op_ts_col is not None and op_ts_col not in out.columns:
         out = out.withColumn(op_ts_col, F.lit(0).cast("timestamp"))
     return out

@@ -306,3 +306,43 @@ def test_forget_keys_scrub_and_retractions(spark):
     assert {r["k"] for r in kept.collect()} == {1, 3}
     rows = log.collect()
     assert [(r["k"], r["_op"]) for r in rows] == [(2, "-D")]
+
+
+def test_append_metadata_oracle_four_column_shape(spark):
+    """Oracle exposes database_name + schema_name + table_name + op_ts
+    (OracleReadableMetaData.java:34-97): append_metadata(schema=...)
+    must yield the four-column shape, in physical-then-metadata order
+    (AppendMetadataCollector appends after physical columns)."""
+    from flink_cdc_2_3_0_src_spark.model import (
+        DB_COL,
+        SCHEMA_COL,
+        TABLE_COL,
+        TENANT_COL,
+    )
+    from flink_cdc_2_3_0_src_spark.operators.changelog import append_metadata
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    out = append_metadata(
+        df, database="ORCLCDB", schema="INVENTORY", table="PRODUCTS",
+        op_ts_col="_op_ts",
+    )
+    assert out.columns == ["id", "v", DB_COL, SCHEMA_COL, TABLE_COL, "_op_ts"]
+    r = out.collect()[0]
+    assert (r[DB_COL], r[SCHEMA_COL], r[TABLE_COL]) == (
+        "ORCLCDB", "INVENTORY", "PRODUCTS",
+    )
+    # snapshot rows: op_ts pinned to epoch 0
+    assert r["_op_ts"].timestamp() == 0
+    assert TENANT_COL not in out.columns  # tenant is OceanBase-only
+
+
+def test_append_metadata_oceanbase_tenant_column(spark):
+    """OceanBase adds tenant_name (OceanBaseReadableMetadata.java:28-38)
+    — no schema part in its identity."""
+    from flink_cdc_2_3_0_src_spark.model import DB_COL, TABLE_COL, TENANT_COL
+    from flink_cdc_2_3_0_src_spark.operators.changelog import append_metadata
+
+    df = spark.createDataFrame([(1,)], "id long")
+    out = append_metadata(df, database="test", table="t1", tenant="sys")
+    assert out.columns == ["id", DB_COL, TABLE_COL, TENANT_COL]
+    assert out.collect()[0][TENANT_COL] == "sys"

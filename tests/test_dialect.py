@@ -459,3 +459,14 @@ def test_pg_lsn_high_word_validated():
 
     with pytest.raises(ValueError, match="out of range"):
         parse_pg_lsn("FFFFFFFFF/0")  # 36-bit high word
+
+
+def test_config_schema_and_tenant_options():
+    """Per-dialect identity parts: schema-name (Postgres/Oracle/
+    SqlServer/Db2, JdbcSourceOptions.java SCHEMA_NAME) and tenant-name
+    (OceanBase, OceanBaseTableSourceFactory.java:57)."""
+    c = SourceConfig.from_options(
+        {"schema-name": "INVENTORY", "tenant-name": "sys"}
+    )
+    assert c.schema_name == "INVENTORY"
+    assert c.tenant_name == "sys"
