@@ -24,6 +24,8 @@ holds raw IEEE-754 doubles and Spark has no bits→double built-in.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -793,6 +795,93 @@ def charset_converter(charset: str):
     bytes base64-encoded (Debezium ``binary.handling.mode=base64``):
     base64 -> bytes -> charset-decoded string."""
     return lambda c: charset_decode(F.unbase64(c), charset)
+
+
+# ---------------------------------------------------------------------------
+# Per-dialect converter factories.
+#
+# The reference threads a DeserializationRuntimeConverterFactory into
+# RowDataDebeziumDeserializeSchema: the dialect's factory gets first
+# refusal on every logical type (createUserDefinedConverter) and
+# returns Optional.empty() to fall back to the stock matrix
+# (RowDataDebeziumDeserializeSchema.java:349-360 createConverter =
+# factory.orElse(default)).  Spark seam: a factory is a dict
+# {semantic type name -> (Column -> Column)}; ``converters_for_types``
+# resolves a declared column->semantic-type map through the factory
+# with stock-matrix fallback, yielding the per-column dict
+# ``from_debezium_json`` takes.
+
+
+def _default_semantic_converters(server_time_zone: str = "UTC") -> dict:
+    """The stock Debezium temporal matrix keyed by semantic type name
+    (short form of io.debezium.time.*)."""
+    return {
+        "Date": debezium_date,
+        "Timestamp": debezium_timestamp_millis,
+        "MicroTimestamp": debezium_timestamp_micros,
+        "NanoTimestamp": debezium_timestamp_nanos,
+        "ZonedTimestamp": lambda c: zoned_timestamp_to_ntz(c, server_time_zone),
+        "Time": debezium_time_millis,
+        "MicroTime": debezium_time_micros,
+        "NanoTime": debezium_time_nanos,
+    }
+
+
+def sqlserver_zoned_timestamp(col: Column, server_time_zone: str = "UTC") -> Column:
+    """SQL Server DATETIMEOFFSET -> wall-clock NTZ in serverTimeZone
+    (SqlServerDeserializationConverterFactory.java:55-79: parse the
+    ISO-8601 offset string, re-render at serverTimeZone).
+
+    DATETIMEOFFSET carries 100 ns precision (7 fractional digits);
+    Spark's ISO parse reads at most 6, so the fraction is truncated —
+    not rounded — to micros first, matching TimestampData's micro
+    precision in the reference."""
+    trimmed = F.regexp_replace(col, r"(\.\d{6})\d+", "$1")
+    return zoned_timestamp_to_ntz(trimmed, server_time_zone)
+
+
+def sqlserver_converter_factory(server_time_zone: str = "UTC") -> dict:
+    """SqlServerDeserializationConverterFactory.java:40-52: the ONLY
+    user-defined converter is TIMESTAMP_LTZ (Debezium emits SQL Server
+    DATETIMEOFFSET as an ISO-8601 offset ZonedTimestamp string); every
+    other type falls back to the default matrix."""
+    return {
+        "ZonedTimestamp": lambda c: sqlserver_zoned_timestamp(c, server_time_zone)
+    }
+
+
+def db2_converter_factory(server_time_zone: str = "UTC") -> dict:
+    """Db2TableSource registers NO custom converter factory (the
+    reference's db2/table package contains no
+    Db2DeserializationConverterFactory — its DATE/TIME/TIMESTAMP all
+    decode through the default matrix).  Kept as an explicit empty
+    factory so the dialect seam is uniform across all four legacy
+    connectors (B15)."""
+    return {}
+
+
+def converters_for_types(
+    semantic_types: dict,
+    factory: Optional[dict] = None,
+    server_time_zone: str = "UTC",
+) -> dict:
+    """column name -> semantic type name, resolved dialect-factory-first
+    with stock-matrix fallback — the createUserDefinedConverter /
+    orElse(default) chain as one dict build.  Unknown semantic types
+    fail at PLAN time (the reference throws in createNotNullConverter
+    for unsupported types)."""
+    stock = _default_semantic_converters(server_time_zone)
+    out = {}
+    for col_name, sem in semantic_types.items():
+        conv = (factory or {}).get(sem) or stock.get(sem)
+        if conv is None:
+            raise LookupError(
+                f"no converter for semantic type {sem!r} (column "
+                f"{col_name!r}): not in the dialect factory or the "
+                "default matrix"
+            )
+        out[col_name] = conv
+    return out
 
 
 def postgres_geometry_to_json(col: Column) -> Column:

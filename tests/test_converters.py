@@ -974,3 +974,94 @@ def test_bson_raw_schema_rejects_non_string_map_keys():
 
     with pytest.raises(TypeError, match="StringType"):
         bson_raw_schema_for(T.MapType(T.LongType(), T.StringType()))
+
+
+def test_sqlserver_converter_factory_datetimeoffset(spark):
+    """SqlServer factory (SqlServerDeserializationConverterFactory.java
+    :40-79): DATETIMEOFFSET ISO strings — including 7-digit 100 ns
+    fractions — re-render as wall-clock NTZ in serverTimeZone, swept
+    over server timezones and session timezones (invariance)."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        converters_for_types,
+        sqlserver_converter_factory,
+    )
+
+    cases = [
+        # (iso string, expected UTC wall microseconds)
+        ("2023-06-15T12:30:45.1234567+02:00", "2023-06-15T10:30:45.123456"),
+        ("1969-12-31T23:59:59.9999999Z", "1969-12-31T23:59:59.999999"),
+        ("2021-11-07T06:30:00Z", "2021-11-07T06:30:00"),  # DST fall-back hour
+    ]
+    old = spark.conf.get("spark.sql.session.timeZone")
+    baseline = {}
+    try:
+        for session_tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", session_tz)
+            for server_tz in ("UTC", "America/New_York", "Asia/Shanghai"):
+                convs = converters_for_types(
+                    {"t": "ZonedTimestamp"},
+                    factory=sqlserver_converter_factory(server_tz),
+                )
+                df = spark.createDataFrame(
+                    [(s,) for s, _ in cases], "t string"
+                )
+                got = [
+                    r["o"]
+                    for r in df.select(convs["t"](F.col("t")).alias("o")).collect()
+                ]
+                if server_tz in baseline:
+                    assert got == baseline[server_tz], (session_tz, server_tz)
+                else:
+                    baseline[server_tz] = got
+                for (iso, utc_wall), val in zip(cases, got):
+                    utc = dt.datetime.fromisoformat(utc_wall)
+                    import zoneinfo
+
+                    exp = (
+                        utc.replace(tzinfo=dt.timezone.utc)
+                        .astimezone(zoneinfo.ZoneInfo(server_tz))
+                        .replace(tzinfo=None)
+                    )
+                    assert val == exp, (iso, server_tz, val, exp)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_db2_factory_falls_back_to_default_matrix(spark):
+    """Db2 registers no user-defined converters (no
+    Db2DeserializationConverterFactory in the reference): every
+    semantic type must resolve to the stock matrix converter."""
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        converters_for_types,
+        db2_converter_factory,
+    )
+
+    assert db2_converter_factory() == {}
+    convs = converters_for_types(
+        {"d": "Date", "ts": "MicroTimestamp", "t": "Time"},
+        factory=db2_converter_factory(),
+    )
+    df = spark.createDataFrame([(19000, 5_000_000, 3_600_001)], "d long, ts long, t long")
+    r = df.select(
+        convs["d"](F.col("d")).alias("d"),
+        convs["ts"](F.col("ts")).alias("ts"),
+        convs["t"](F.col("t")).alias("t"),
+    ).collect()[0]
+    assert r["d"] == dt.date(1970, 1, 1) + dt.timedelta(days=19000)
+    assert r["ts"] == dt.datetime(1970, 1, 1, 0, 0, 5)
+    assert r["t"] == "01:00:00.001000"
+
+
+def test_converter_factory_unknown_semantic_type_fails_at_plan_time():
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        converters_for_types,
+    )
+
+    with pytest.raises(LookupError, match="NoSuchType"):
+        converters_for_types({"x": "NoSuchType"})
