@@ -168,7 +168,15 @@ _PRIORITY: list[str] = [
     # recomputes the fixture dimensions — a genuine-decode row beats a
     # fake-backed one for the same modality class.  audio_features keeps
     # the second multimodal row; frame_sample stays locally swept.)
-    "multimodal_audio_features", "decontam_ngram_overlap",
+    # (multimodal_audio_features: deterministic-fake audio features —
+    # demoted in r6; multimodal_probe keeps the modality class in-window
+    # with REAL container parsing, and audio_features stays locally
+    # swept.  Its slot goes to cdc_schema_evolution: A25's end-to-end
+    # driver witness — include-schema-changes=true emission of a raw-DDL
+    # +S control row, history recording, and offset-exact schema switch
+    # with ADD-time DEFAULT backfill (MySqlRecordEmitter.java:109-121),
+    # an operator class that was local-only for five rounds.)
+    "cdc_schema_evolution", "decontam_ngram_overlap",
     "embedding_quantize_int8",
     # Relational surface representatives (B1-B3)
     "b2_projection_filter", "skew_salted_agg",
@@ -3651,6 +3659,107 @@ def cdc_mongo_nested_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tags", 1).alias("tag_first"),
         F.date_format("placed", "yyyy-MM-dd").alias("placed_day"),
     )
+
+
+# A25 end-to-end on the driver board: schema-change EMISSION through
+# the stream (reference includeSchemaChanges, MySqlRecordEmitter.java:
+# 109-121).  A raw-DDL +S control row (ALTER TABLE ... ADD COLUMN ...
+# DEFAULT 'none') is interleaved in the scripted envelope log at a
+# fixed offset; apply_schema_change_stream records it into the history
+# AND keeps it visible downstream (include-schema-changes=true,
+# asserted), and decode_with_history switches the payload schema at
+# exactly that offset — pre-DDL rows get the ADD-time DEFAULT backfill,
+# post-DDL rows decode the new column from the envelope.  The oracle
+# recomputes both phases relationally from customer.
+@register(
+    "cdc_schema_evolution",
+    """
+    SELECT c_custkey AS id,
+           c_name AS name,
+           CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+                ELSE 'none' END AS segment,
+           CASE WHEN c_custkey % 3 = 0 THEN 'v2' ELSE 'v1' END AS phase
+    FROM customer
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, OP_SCHEMA, SEQ_COL
+    from flink_cdc_2_3_0_src_spark.streaming.schema_history import (
+        SchemaHistory,
+        apply_schema_change_stream,
+        decode_with_history,
+    )
+
+    cust = ld(spark, sf_dir, "customer")
+    ddl_offset = 500_000_000
+    # phase 1 (v1 schema, seq = custkey): customers with custkey%3 != 0
+    # inserted BEFORE the DDL; phase 2 (v2 schema, seq = custkey + 1e9):
+    # the %3 == 0 customers inserted after it, envelope carrying the new
+    # column — deterministic at every SF, both phases non-empty
+    v1 = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.lit("+I").alias(OP_COL),
+        F.col("c_custkey").alias(SEQ_COL),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+                ).alias("after"),
+                F.lit("c").alias("op"),
+                F.col("c_custkey").alias("ts_ms"),
+            )
+        ).alias("value"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.lit("+I").alias(OP_COL),
+        (F.col("c_custkey") + 1_000_000_000).alias(SEQ_COL),
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("c_custkey").alias("id"),
+                    F.col("c_name").alias("name"),
+                    F.col("c_mktsegment").alias("segment"),
+                ).alias("after"),
+                F.lit("c").alias("op"),
+                (F.col("c_custkey") + 1_000_000_000).alias("ts_ms"),
+            )
+        ).alias("value"),
+    )
+    ddl = "ALTER TABLE t ADD COLUMN segment VARCHAR(16) NOT NULL DEFAULT 'none'"
+    control = spark.createDataFrame(
+        [(OP_SCHEMA, ddl_offset, ddl)], f"{OP_COL} string, {SEQ_COL} long, value string"
+    )
+    log = v1.unionByName(control).unionByName(v2)
+
+    v1_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        history = SchemaHistory(os.path.join(d, "history.json"))
+        history.record("t", 0, v1_schema)
+        stream = apply_schema_change_stream(
+            log, history, "t", include_schema_changes=True
+        )
+        # the +S control row IS emitted downstream (includeSchemaChanges)
+        assert stream.filter(F.col(OP_COL) == OP_SCHEMA).count() == 1
+        # ... and the history now has the evolved schema at the DDL offset
+        assert history.versions("t") == [0, ddl_offset]
+        data = stream.filter(F.col(OP_COL) != OP_SCHEMA)
+        decoded = decode_with_history(
+            data.select("value", SEQ_COL), history, "t"
+        )
+        return decoded.select(
+            F.col("id"),
+            F.col("name"),
+            F.col("segment"),
+            F.when(F.col(SEQ_COL) >= ddl_offset, F.lit("v2"))
+            .otherwise(F.lit("v1"))
+            .alias("phase"),
+        )
 
 
 # BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape, minus its
