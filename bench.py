@@ -3,12 +3,25 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Noise defense (round 6): box load on the shared runner has twice swamped
+the cross-round signal (r3->r4 and r4->r5 drifted every query uniformly
+by 10-30% with unchanged code).  Two countermeasures, neither changing
+the frozen 15-headliner contract:
+  - every headliner runs k=3 times (SPARK_GRAFT_BENCH_REPS) and
+    "queries" reports per-query MEDIANS ("value" = sum of medians), so
+    one slow rep under transient load cannot poison a number;
+  - a fixed-size, sf-independent CALIBRATION workload (20M-row codegen
+    aggregate over spark.range — no I/O, no Python) is timed the same
+    way and reported as "calibration_sec": cross-round comparisons can
+    divide by it to separate a real plan regression from a slow box.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -41,7 +54,8 @@ HEADLINE = [
 # semantic dedup, span dedup, BPE training, CMS sketch).  Timed in a
 # SECOND section so regressions in the costly operators are caught per
 # round WITHOUT disturbing the frozen 15-headliner series the driver
-# compares across rounds ("value" stays headline-only).
+# compares across rounds ("value" stays headline-only).  Single-rep
+# (they are 2-12s each); use calibration_sec to normalize their drift.
 HEAVY_TAIL = [
     "dedup_fuzzy_blocked",
     "dedup_semantic",
@@ -51,8 +65,29 @@ HEAVY_TAIL = [
 ]
 
 
+def _calibrate(spark, reps: int) -> float:
+    """Fixed-size shuffle+codegen workload, independent of sf and of the
+    repo's own code: median seconds over ``reps`` runs."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(((F.col("id") * 2654435761) % 1_000_003).alias("k"))
+            .groupBy((F.col("k") % 64).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .orderBy("g")
+            .collect()
+        )
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -69,18 +104,25 @@ def main() -> None:
         shingle_profile(F.col("text"))
     ).count()
 
-    def run(query_names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in query_names:
-            t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            out[name] = round(time.perf_counter() - t0, 4)
-            _ = n
-        return out
+    def run_once(name: str) -> float:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        return time.perf_counter() - t0
 
-    timings = run(names)
-    heavy = run([n for n in HEAVY_TAIL if n in qs])
+    def run(query_names: list[str], k: int) -> dict[str, float]:
+        # rep-major order (all queries once, then again) so a transient
+        # load spike hits one rep of many queries, not all reps of one
+        samples: dict[str, list[float]] = {n: [] for n in query_names}
+        for _ in range(k):
+            for name in query_names:
+                samples[name].append(run_once(name))
+        return {
+            n: round(statistics.median(ts), 4) for n, ts in samples.items()
+        }
+
+    calibration = _calibrate(spark, reps)
+    timings = run(names, reps)
+    heavy = run([n for n in HEAVY_TAIL if n in qs], 1)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -89,6 +131,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps,
+                "calibration_sec": calibration,
                 "heavy_tail": heavy,
                 "heavy_tail_total": round(sum(heavy.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -61,3 +61,7 @@ def test_bench_emits_contract_json(spark):
     assert set(doc["heavy_tail"]) == set(bench.HEAVY_TAIL)
     assert doc["heavy_tail_total"] > 0
     assert doc["sf"] == 0.001
+    # noise defense (r6): per-query medians over k reps + an
+    # sf-independent calibration number for cross-round normalization
+    assert doc["reps"] >= 1
+    assert doc["calibration_sec"] > 0
