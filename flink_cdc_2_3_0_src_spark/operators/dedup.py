@@ -537,91 +537,181 @@ NGRAM_JACCARD_SQL = f"""
 """
 
 
+def fuzzy_blocked_candidates(
+    docs: DataFrame,
+    q: int = 3,  # kept for call compatibility; segment blocking is gram-free
+    max_dist: int = 5,
+) -> DataFrame:
+    """Candidate-pair stage of ``fuzzy_blocked_pairs`` (everything up to
+    — not including — the L1 prune and levenshtein verify), as
+    Pass-Join segment blocking (Li, Deng, Feng: "PassJoin: a
+    partition-based method for similarity joins", PVLDB 2011).
+
+    Pigeonhole: split every doc into d+1 contiguous segments; at most d
+    edit ops can touch at most d segments, so any partner within edit
+    distance d contains at least one segment as an EXACT substring,
+    start-shifted by at most d (the indels preceding it).  Blocking is
+    therefore an equi-join on (segment index, partner length, ~len/(d+1)
+    chars of exact text) — segment keys this long are near-unique on
+    natural text, so candidate volume tracks TRUE near-dup density, not
+    corpus size squared.  (The previous document-frequency-ordered
+    prefix q-gram filter was complete but quadratic-shaped on low-
+    character-entropy corpora: with a small gram vocabulary even the
+    rarest grams appear in a constant FRACTION of docs, so prefix
+    buckets — and candidates — grew ~n²; measured 2.3k -> 224k
+    candidates for 500 -> 5000 docs on the synthetic corpus.  The SQL
+    oracle deliberately keeps that independent prefix-filter algorithm:
+    both are exact for this corpus's lengths, so agreement is a genuine
+    cross-check.)
+
+    Completeness boundary: exact for docs with len >= d+1 (every
+    segment non-empty); shorter docs emit nothing — at those lengths
+    edit distance ~len anyway (the old gram path's boundary was the
+    weaker len >= q*(d+1)).
+
+    100 TB shape: index side = d+1 slim segment rows per doc; probe
+    side = O(d^2 * (d+1)) deduped substring keys per doc (~400 here);
+    ONE equi-join on (segment index, partner length, segment text), no
+    window functions, no cross join; candidates ~ true pairs."""
+    k = max_dist + 1
+    d_ = docs.select(
+        "doc_id",
+        F.lower(F.col("text")).alias("t"),
+        F.length("text").alias("len"),
+    ).filter(F.col("len") >= k)
+    # the probe explode (~(2d+1)·(d+1)·(2d+1) keys/doc) runs in the
+    # SCAN stage — no shuffle precedes it — so a corpus that arrives in
+    # fewer splits than cores (small files, coalesced scans) would
+    # generate probes on a fraction of the cluster.  Spread it first;
+    # a well-partitioned 100 TB input skips this (the repartition is
+    # only taken when the scan has fewer splits than parallelism).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if d_.rdd.getNumPartitions() < par:
+        d_ = d_.repartition(par, "doc_id")
+
+    # even partition of a length-n string into k segments: the first
+    # k - (n % k) segments have floor(n/k) chars, the rest one more
+    def _base(n):
+        return F.floor(n / F.lit(k)).cast("int")
+
+    def _seg_start(i, n):  # 1-based
+        base, rem = _base(n), (n % k).cast("int")
+        return (i * base + F.greatest(F.lit(0), i - (F.lit(k) - rem)) + 1).cast(
+            "int"
+        )
+
+    def _seg_len(i, n):
+        base, rem = _base(n), (n % k).cast("int")
+        return (base + F.when(i >= F.lit(k) - rem, 1).otherwise(0)).cast("int")
+
+    n_idx = F.col("len")
+    seg = d_.select(
+        "doc_id",
+        n_idx.alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("i"),
+                    F.col("t")
+                    .substr(_seg_start(i, n_idx), _seg_len(i, n_idx))
+                    .alias("s"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", "n", F.col("e.i").alias("i"), F.col("e.s").alias("s"))
+
+    # probe side: for every partner length n in [m-d, m+d] and segment
+    # i, extract the substrings of r at starts within ±d of the
+    # partner's segment start (clipped to r's bounds), deduped per
+    # (n, i) before the explode
+    m = F.col("len")
+    nn = F.col("n")
+    ii = F.col("i")
+    p = _seg_start(ii, nn)
+    l = _seg_len(ii, nn)
+    lo = F.greatest(F.lit(1), p - max_dist)
+    hi = F.least(m - l + 1, p + max_dist)
+    probe = (
+        d_.select(
+            "doc_id",
+            "t",
+            m.alias("len"),
+            F.explode(F.sequence(m - max_dist, m + max_dist)).alias("n"),
+        )
+        .filter(nn >= k)
+        .select(
+            "doc_id",
+            "t",
+            "len",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "i",
+            F.explode(
+                F.when(
+                    lo <= hi,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(lo, hi),
+                            lambda s: F.col("t").substr(s, l),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sub"),
+        )
+    )
+
+    sa, pb = seg.alias("sa"), probe.alias("pb")
+    return (
+        sa.join(
+            pb,
+            (F.col("sa.i") == F.col("pb.i"))
+            & (F.col("sa.n") == F.col("pb.n"))
+            & (F.col("sa.s") == F.col("pb.sub"))
+            & (F.col("sa.doc_id") != F.col("pb.doc_id")),
+        )
+        .select(
+            F.least("sa.doc_id", "pb.doc_id").alias("doc_a"),
+            F.greatest("sa.doc_id", "pb.doc_id").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def fuzzy_blocked_pairs(
     docs: DataFrame,
     q: int = 3,
     max_dist: int = 5,
 ) -> DataFrame:
     """SCALE TWIN of ``fuzzy_pairs``: edit-distance near-dup pairs via
-    document-frequency-ordered prefix q-gram blocking — sub-quadratic,
-    no unbounded all-pairs join anywhere in the plan.
+    Pass-Join segment blocking (see ``fuzzy_blocked_candidates``) —
+    sub-quadratic, no unbounded all-pairs join anywhere in the plan,
+    candidate volume ~ true-pair volume (r6: replaced the prefix q-gram
+    filter whose buckets grew ~n² on low-character-entropy corpora).
 
-    Prefix-filter guarantee (Chaudhuri/Ganjam/Kaushik SSJoin, Xiao et
-    al. PPJoin): strings within edit distance d share at least
-    ``max(|a|,|b|) - q + 1 - q*d`` q-grams, so under ANY global total
-    order of grams, the first ``q*d + 1`` grams of each doc must
-    intersect for every true pair.  Ordering grams by ascending document
-    frequency (rarest first) makes those prefix grams the most selective
-    ones, so candidate buckets stay small on natural text where common
-    grams ("th ", " an") would otherwise recreate the quadratic blow-up.
+    Completeness boundary: exact for docs with at least ``max_dist + 1``
+    characters (every segment non-empty); shorter docs emit nothing —
+    at those lengths edit distance ~len anyway.
 
-    Completeness boundary: exact for docs with at least ``q*(d+1)``
-    characters (count filter >= 1).  Shorter docs keep ALL their grams
-    in the prefix (they have fewer than q*d+1) — best-effort blocking
-    that can only miss a pair sharing zero q-grams, which at these
-    lengths means edit distance ~len anyway.
-
-    100 TB shape: gram-DF aggregation (slim, combinable), one window by
-    doc_id for prefix ranking, candidate equi-join on single grams,
-    exact levenshtein ONLY on candidates.  Shuffles are keyed on grams
-    and doc_ids — never a cross join.  ``fuzzy_pairs`` stays as the
-    LSH-off verification shape (reference parity note: the reference
-    has no fuzzy dedup; this is pipeline-operator surface).
+    100 TB shape: keyed equi-join candidates (segment index, partner
+    length, exact segment text), then the lossless char-histogram L1
+    prune, then thresholded levenshtein ONLY on survivors.  Shuffles
+    are keyed on segment text and doc_ids — never a cross join.
+    ``fuzzy_pairs`` stays as the LSH-off verification shape (reference
+    parity note: the reference has no fuzzy dedup; this is
+    pipeline-operator surface).
     """
-    prefix_n = q * max_dist + 1
-    from pyspark.sql.window import Window
-
     d = docs.select(
         "doc_id",
         "text",
         F.lower(F.col("text")).alias("t"),
         F.length("text").alias("len"),
     )
-    grams = (
-        # docs shorter than q chars yield no q-grams (and can never
-        # pair) — matching FUZZY_BLOCKED_SQL, whose series join emits
-        # nothing for them; the old greatest(...,1) clamp emitted a
-        # short whole-text gram on the Spark side only, a latent
-        # cross-engine divergence.
-        d.filter(F.col("len") >= q)
-        .select(
-            "doc_id",
-            "len",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("t") - (q - 1)),
-                        lambda i: F.col("t").substr(i, F.lit(q)),
-                    )
-                )
-            ).alias("g"),
-        )
-        # materialize once: gdf aggregates over this AND joins back to
-        # it — without lineage truncation the gram explode (the most
-        # expensive scan here) would run twice
-        .localCheckpoint()
-    )
-    gdf = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df_"))
-    ranked = (
-        grams.join(gdf, "g")
-        .withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df_", "g")),
-        )
-        .filter(F.col("rn") <= prefix_n)
-        .select("doc_id", "len", "g")
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.len") - F.col("b.len")) <= max_dist),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = fuzzy_blocked_candidates(docs, q=q, max_dist=max_dist)
     # char-histogram L1 lower bound, computed ONCE per doc (27 JVM
     # translate scans over ~len chars): every edit op changes the char
     # bag by at most 2 L1 units (substitution ±1 twice, insert/delete

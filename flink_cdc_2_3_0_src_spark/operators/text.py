@@ -881,18 +881,17 @@ def source_kmv_similarity_sql(k: int = KMV_K) -> str:
 SPAN_K = 8
 
 
-def duplicated_spans(
+def duplicated_span_hits(
     docs: DataFrame,
     k: int = SPAN_K,
     min_docs: int = 2,
     hashed: bool = False,
 ) -> DataFrame:
-    """Maximal duplicated token spans: (doc_id, span_start, span_end,
-    n_windows) for every run of k-token windows that appear in at least
-    ``min_docs`` distinct documents.  Token indices are 0-based,
-    ``span_end`` exclusive."""
-    from pyspark.sql import Window
-
+    """Hit stage of ``duplicated_spans``: (doc_id, pos) for every
+    k-token window appearing in >= ``min_docs`` distinct documents.
+    Exposed separately so the scale guard (tests/test_scale_guard.py)
+    can pin that hit volume tracks planted-duplicate density — not the
+    square of the corpus size."""
     win = docs.select(
         "doc_id",
         F.posexplode(shingles(F.col("text"), k)).alias("pos", "span"),
@@ -914,7 +913,22 @@ def duplicated_spans(
         .filter(F.col("n_docs") >= min_docs)
         .select("key")
     )
-    hit = win.join(dup, "key").select("doc_id", "pos")
+    return win.join(dup, "key").select("doc_id", "pos")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans: (doc_id, span_start, span_end,
+    n_windows) for every run of k-token windows that appear in at least
+    ``min_docs`` distinct documents.  Token indices are 0-based,
+    ``span_end`` exclusive."""
+    from pyspark.sql import Window
+
+    hit = duplicated_span_hits(docs, k=k, min_docs=min_docs, hashed=hashed)
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hit.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (
