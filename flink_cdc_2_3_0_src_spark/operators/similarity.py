@@ -412,9 +412,22 @@ def ann_topk_ivf(
 
 
 def neardup_cosine(
-    emb: DataFrame, threshold: float = COSINE_NEARDUP_THRESHOLD
+    emb: DataFrame,
+    threshold: float = COSINE_NEARDUP_THRESHOLD,
+    verification: bool = False,
 ) -> DataFrame:
-    """Same-label blocked near-dup pairs above a cosine threshold."""
+    """Same-label blocked near-dup pairs above a cosine threshold.
+
+    VERIFICATION-ONLY: all-pairs within label blocks whose size grows
+    with the corpus — the ground-truth twin for testing
+    ``neardup_cosine_lsh`` on bounded fixtures, never a production
+    path; requires explicit ``verification=True`` (r5 VERDICT item 6)."""
+    if not verification:
+        raise ValueError(
+            "neardup_cosine is an all-pairs-per-block verification "
+            "shape: pass verification=True on a bounded fixture, or use "
+            "neardup_cosine_lsh as the scale path"
+        )
     base = emb.select("vec_id", "label", _vec().alias("v"))
     a, b = base.alias("a"), base.alias("b")
     return (

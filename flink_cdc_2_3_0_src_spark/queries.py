@@ -151,9 +151,11 @@ _PRIORITY: list[str] = [
     "cdc_mongo_nested_decode",
     "knn_graph", "ann_lsh_bucketed",
     "dedup_embedding_cosine_lsh", "ann_topk_ivf",
-    # (dedup_ngram_jaccard / dedup_embedding_cosine are the documented
-    # LSH-off verification shapes; their scale-path twins above hold the
-    # window slots — both remain locally swept)
+    # (dedup_ngram_jaccard / dedup_embedding_cosine — the LSH-off
+    # verification shapes — were UNREGISTERED in r6: no O(n²)-per-block
+    # query remains in the registry.  The operators live on behind an
+    # explicit verification=True flag with their oracles exercised by
+    # tests/test_verification_twins.py.)
     "cdc_mongo_resume_token",
     # (multimodal_binary_stats: opaque-binary metadata projection —
     # demoted; frame_sample + audio_features keep two richer multimodal
@@ -2741,11 +2743,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.simhash(ld(spark, sf_dir, "documents"))
 
 
-@register("dedup_ngram_jaccard", _dedup.NGRAM_JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.ngram_jaccard_pairs(
-        ld(spark, sf_dir, "documents"), ["source", "lang"], 0.1
-    )
+# (dedup_ngram_jaccard — the all-pairs-within-(source,lang)-block exact
+# Jaccard — was UNREGISTERED in r6: O(n²)-per-block shapes no longer
+# appear anywhere in the registry (r5 VERDICT item 6).  The operator
+# survives as ngram_jaccard_pairs(verification=True), exercised with
+# its DuckDB oracle on the bounded fixture by
+# tests/test_verification_twins.py; the scale paths are
+# dedup_minhash_lsh_pairs / dedup_fuzzy_blocked.)
 
 
 @register("ann_topk_cosine", _sim.ANN_TOPK_SQL)
@@ -2774,9 +2778,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ann_lsh(ld(spark, sf_dir, "embeddings"), dim=64)
 
 
-@register("dedup_embedding_cosine", _sim.NEARDUP_COSINE_SQL)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.neardup_cosine(ld(spark, sf_dir, "embeddings"))
+# (dedup_embedding_cosine — all-pairs within label blocks — was
+# UNREGISTERED in r6 like dedup_ngram_jaccard above: the operator
+# survives as neardup_cosine(verification=True) with its oracle in
+# tests/test_verification_twins.py; dedup_embedding_cosine_lsh is the
+# scale path.)
 
 
 # Scale path for embedding near-dup: hyperplane-LSH bucket equi-join
