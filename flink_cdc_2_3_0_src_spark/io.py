@@ -81,3 +81,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def spread_small_scan(df: DataFrame, key: str = None) -> DataFrame:
+    """Repartition to the session's default parallelism when the plan
+    has fewer input splits than cores.
+
+    Pre-shuffle stages (explode / higher-order-function projections)
+    run with the SCAN's partitioning: a corpus that arrives in one or
+    two splits (small files, coalesced scans) would execute its most
+    expensive projection on a fraction of the cluster.  A
+    well-partitioned 100 TB input is untouched — the repartition is
+    taken only when split count < parallelism, so production scans pay
+    no extra shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key) if key else df.repartition(par)

@@ -596,14 +596,11 @@ def fuzzy_blocked_candidates(
         F.length("text").alias("len"),
     ).filter(F.col("len") >= k)
     # the probe explode (~(2d+1)·(d+1)·(2d+1) keys/doc) runs in the
-    # SCAN stage — no shuffle precedes it — so a corpus that arrives in
-    # fewer splits than cores (small files, coalesced scans) would
-    # generate probes on a fraction of the cluster.  Spread it first;
-    # a well-partitioned 100 TB input skips this (the repartition is
-    # only taken when the scan has fewer splits than parallelism).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if d_.rdd.getNumPartitions() < par:
-        d_ = d_.repartition(par, "doc_id")
+    # SCAN stage — no shuffle precedes it — so an under-partitioned
+    # corpus would generate probes on a fraction of the cluster
+    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+    d_ = spread_small_scan(d_, "doc_id")
 
     # even partition of a length-n string into k segments: the first
     # k - (n % k) segments have floor(n/k) chars, the rest one more

@@ -97,7 +97,11 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
     ~corpus/vocabulary times less hash work.  One localCheckpoint keeps
     the vocabulary pass shared between the matrix build and the exact
     top-k (it would otherwise recompute)."""
-    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+    toks = spread_small_scan(docs.select("text")).select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))

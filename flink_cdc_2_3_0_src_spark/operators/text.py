@@ -892,7 +892,12 @@ def duplicated_span_hits(
     Exposed separately so the scale guard (tests/test_scale_guard.py)
     can pin that hit volume tracks planted-duplicate density — not the
     square of the corpus size."""
-    win = docs.select(
+    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+    # the window expansion (tokenize + slice + array_to_string per
+    # window) runs in the SCAN stage — spread an under-partitioned
+    # corpus first so it parallelizes (no-op on well-split inputs)
+    win = spread_small_scan(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.posexplode(shingles(F.col("text"), k)).alias("pos", "span"),
     )
