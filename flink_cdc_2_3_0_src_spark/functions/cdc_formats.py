@@ -256,3 +256,98 @@ def to_canal_json(
             )
         ).alias("value")
     )
+
+
+def from_mongodb_changestream_json(
+    df: DataFrame,
+    declared_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """MongoDB change-stream envelopes -> UPSERT-mode changelog rows
+    (reference MongoDBConnectorDeserializationSchema.java:120-167).
+
+    The Mongo envelope is NOT Debezium's before/after shape: it carries
+    ``operationType`` plus ``fullDocument`` / ``documentKey`` as
+    Extended-JSON STRINGS (extractBsonDocument:175-183 re-parses them).
+    Op mapping, exactly as the reference:
+
+      insert      -> fullDocument as +I
+      update      -> fullDocument as +U ONLY (no -U: change streams have
+                     no before image — upsert changelog mode); SKIPPED
+                     when fullDocument is null (document deleted before
+                     the fullDocument lookup ran, :146-149)
+      replace     -> fullDocument as +U
+      delete      -> documentKey as -D (key fields only; non-key columns
+                     NULL)
+      invalidate / drop / dropDatabase / rename / other -> dropped
+
+    ``_seq`` is the clusterTime total order ``t * 2^32 + i`` — the same
+    (seconds, increment) lexicographic order ChangeStreamOffset uses.
+    Decode of both documents goes through the recursive declared-schema
+    BSON converters (bson_document_converters), so nested ARRAY/MAP/ROW
+    fields work here too.  Pure JVM: two-level from_json + struct
+    surgery, no Python."""
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        bson_document_converters,
+    )
+
+    raw_schema, convs = bson_document_converters(declared_schema)
+    env_schema = T.StructType(
+        [
+            T.StructField("operationType", T.StringType()),
+            T.StructField("fullDocument", T.StringType()),
+            T.StructField("documentKey", T.StringType()),
+            T.StructField(
+                "clusterTime",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "$timestamp",
+                            T.StructType(
+                                [
+                                    T.StructField("t", T.LongType()),
+                                    T.StructField("i", T.LongType()),
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            ),
+        ]
+    )
+    env = F.from_json(F.col(value_col), env_schema)
+    ct = env["clusterTime"]["$timestamp"]
+    seq = (
+        F.coalesce(ct["t"], F.lit(0)) * F.lit(4294967296)
+        + F.coalesce(ct["i"], F.lit(0))
+    ).alias(SEQ_COL)
+    base = df.select(
+        env["operationType"].alias("op_type"),
+        env["fullDocument"].alias("full_doc"),
+        env["documentKey"].alias("doc_key"),
+        seq,
+    )
+    # the document that becomes the row: fullDocument for insert/
+    # update/replace, documentKey for delete (reference :134-158)
+    picked = base.select(
+        F.when(F.col("op_type") == "delete", F.col("doc_key"))
+        .otherwise(F.col("full_doc"))
+        .alias("doc"),
+        F.when(F.col("op_type") == "insert", F.lit(OP_INSERT))
+        .when(F.col("op_type").isin("update", "replace"), F.lit(OP_UPDATE_AFTER))
+        .when(F.col("op_type") == "delete", F.lit(OP_DELETE))
+        .alias(OP_COL),
+        SEQ_COL,
+    ).filter(
+        # unknown/invalidate ops dropped; update with null fullDocument
+        # (deleted before the lookup) skipped like the reference
+        F.col(OP_COL).isNotNull() & F.col("doc").isNotNull()
+    )
+    parsed = picked.select(
+        F.from_json(F.col("doc"), raw_schema).alias("d"), OP_COL, SEQ_COL
+    )
+    cols = []
+    for f in declared_schema.fields:
+        c = F.col("d")[f.name]
+        cols.append(convs[f.name](c).alias(f.name) if f.name in convs else c.alias(f.name))
+    return parsed.select(*cols, OP_COL, SEQ_COL)

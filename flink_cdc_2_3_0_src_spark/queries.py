@@ -3768,6 +3768,106 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+# Mongo CHANGE-STREAM envelope decode (not the Debezium before/after
+# shape): operationType + fullDocument/documentKey as nested Extended-
+# JSON strings, upsert-mode changelog (+I / +U-only / -D from the key
+# doc), clusterTime (t,i) total order — reference
+# MongoDBConnectorDeserializationSchema.java:120-167.  Fixture built
+# from orders (insert for every captured key, update for %3==0, delete
+# for %4==0); oracle recomputes the changelog relationally.
+@register(
+    "cdc_mongo_changestream_decode",
+    """
+    WITH o AS (SELECT * FROM orders WHERE o_orderkey % 13 = 0),
+    ins AS (
+        SELECT o_orderkey AS _id, o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS total_str,
+               '+I' AS _op,
+               o_orderkey * 4294967296 AS _seq
+        FROM o
+    ),
+    upd AS (
+        SELECT o_orderkey AS _id, o_orderstatus AS status,
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 1
+                    AS DECIMAL(12,2)) AS VARCHAR) AS total_str,
+               '+U' AS _op,
+               o_orderkey * 4294967296 + 1 AS _seq
+        FROM o WHERE o_orderkey % 3 = 0
+    ),
+    del AS (
+        SELECT o_orderkey AS _id, CAST(NULL AS VARCHAR) AS status,
+               CAST(NULL AS VARCHAR) AS total_str,
+               '-D' AS _op,
+               o_orderkey * 4294967296 + 2 AS _seq
+        FROM o WHERE o_orderkey % 4 = 0
+    )
+    SELECT * FROM ins UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM del
+    """,
+)
+def cdc_mongo_changestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.cdc_formats import (
+        from_mongodb_changestream_json,
+    )
+
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    num_long = lambda c: F.struct(c.cast("string").alias("$numberLong"))  # noqa: E731
+    num_dec = lambda c: F.struct(c.cast("string").alias("$numberDecimal"))  # noqa: E731
+
+    def full_doc(total_col):
+        return F.to_json(
+            F.struct(
+                num_long(F.col("o_orderkey")).alias("_id"),
+                F.col("o_orderstatus").alias("status"),
+                num_dec(total_col).alias("total"),
+            )
+        )
+
+    doc_key = F.to_json(F.struct(num_long(F.col("o_orderkey")).alias("_id")))
+
+    def env(op, full, key, inc):
+        fields = [
+            F.lit(op).alias("operationType"),
+            F.struct(
+                F.struct(
+                    F.col("o_orderkey").alias("t"), F.lit(inc).alias("i")
+                ).alias("$timestamp")
+            ).alias("clusterTime"),
+            key.alias("documentKey"),
+        ]
+        if full is not None:
+            fields.insert(1, full.alias("fullDocument"))
+        return F.to_json(F.struct(*fields))
+
+    total = F.col("o_totalprice").cast("decimal(12,2)")
+    ins = o.select(env("insert", full_doc(total), doc_key, 0).alias("value"))
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        env("update", full_doc((total + 1).cast("decimal(12,2)")), doc_key, 1).alias(
+            "value"
+        )
+    )
+    dels = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        env("delete", None, doc_key, 2).alias("value")
+    )
+    envs = ins.unionByName(upd).unionByName(dels)
+    declared = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.DecimalType(12, 2)),
+        ]
+    )
+    out = from_mongodb_changestream_json(envs, declared)
+    return out.select(
+        "_id",
+        "status",
+        F.col("total").cast("string").alias("total_str"),
+        F.col("_op"),
+        F.col("_seq"),
+    )
+
+
 # BPE-ish regex tokenization (the GPT-2 pre-tokenizer shape, minus its
 # RE2-incompatible trailing-space lookahead): contraction suffixes,
 # space-prefixed letter/digit runs, punctuation runs, whitespace.  The

@@ -53,11 +53,17 @@ class ParquetTableSource:
         split_key: Optional[str] = None,
         chunk_size: int = DEFAULT_CHUNK_SIZE,
         max_chunks: Optional[int] = None,
+        schema_name: Optional[str] = None,
+        tenant_name: Optional[str] = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.table = table
-        self.table_id = TableId("testdb", None, table)
+        # per-dialect identity parts (SourceConfig.schema_name /
+        # tenant_name): surfaced as _schema/_tenant metadata columns
+        self.schema_name = schema_name
+        self.tenant_name = tenant_name
+        self.table_id = TableId("testdb", schema_name, table)
         self.path = f"{sf_dir}/{table}.parquet"
         self.split_key = split_key
         self.chunk_size = chunk_size
@@ -140,7 +146,13 @@ class ParquetTableSource:
             .withColumn(SEQ_COL, F.lit(0).cast("long"))
         )
         if with_metadata:
-            df = append_metadata(df, database="testdb", table=self.table)
+            df = append_metadata(
+                df,
+                database="testdb",
+                table=self.table,
+                schema=self.schema_name,
+                tenant=self.tenant_name,
+            )
         return df
 
     def read_chunk(self, chunk: ChunkRange) -> DataFrame:

@@ -43,6 +43,9 @@ DEFAULT_QUERIES = [
     "dedup_embedding_cosine_lsh",
     "sketch_count_min",
     "dedup_fuzzy_blocked",
+    # round-6 additions
+    "cdc_mongo_nested_decode",
+    "cdc_schema_evolution",
 ]
 
 

@@ -219,3 +219,81 @@ def test_to_canal_json_requires_key_cols(spark):
     )
     with pytest.raises(ValueError, match="key_cols"):
         to_canal_json(log, ["id", "v"])
+
+
+def test_mongodb_changestream_decode(spark):
+    """Reference MongoDBConnectorDeserializationSchema.java:120-167:
+    insert -> +I from fullDocument; update/replace -> +U only (upsert
+    mode, no -U); update with null fullDocument skipped (deleted before
+    the lookup); delete -> -D from documentKey (non-key columns NULL);
+    drop/invalidate dropped; _seq = clusterTime t*2^32 + i.  Nested
+    fields decode through the recursive BSON converters."""
+    from flink_cdc_2_3_0_src_spark.functions.cdc_formats import (
+        from_mongodb_changestream_json,
+    )
+
+    def env(op, full=None, key=None, t=1, i=0):
+        d = {"operationType": op,
+             "clusterTime": {"$timestamp": {"t": t, "i": i}}}
+        if full is not None:
+            d["fullDocument"] = json.dumps(full)
+        if key is not None:
+            d["documentKey"] = json.dumps(key)
+        return json.dumps(d)
+
+    doc1 = {"_id": {"$numberLong": "1"}, "name": "a",
+            "tags": ["x", "y"],
+            "meta": {"n": {"$numberInt": "7"}}}
+    doc1b = {"_id": {"$numberLong": "1"}, "name": "a2",
+             "tags": ["x"], "meta": {"n": {"$numberInt": "8"}}}
+    msgs = [
+        env("insert", full=doc1, key={"_id": {"$numberLong": "1"}}, t=1, i=1),
+        env("update", full=doc1b, key={"_id": {"$numberLong": "1"}}, t=1, i=2),
+        env("update", full=None, key={"_id": {"$numberLong": "1"}}, t=1, i=3),
+        env("replace", full=doc1b, key={"_id": {"$numberLong": "1"}}, t=2, i=0),
+        env("delete", key={"_id": {"$numberLong": "1"}}, t=2, i=1),
+        env("drop", t=3, i=0),
+    ]
+    declared = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+            T.StructField(
+                "meta", T.StructType([T.StructField("n", T.IntegerType())])
+            ),
+        ]
+    )
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    rows = sorted(
+        from_mongodb_changestream_json(df, declared).collect(),
+        key=lambda r: r[SEQ_COL],
+    )
+    ops = [(r["_id"], r["name"], r[OP_COL]) for r in rows]
+    assert ops == [
+        (1, "a", "+I"),
+        (1, "a2", "+U"),   # update; the null-fullDocument update skipped
+        (1, "a2", "+U"),   # replace
+        (1, None, "-D"),   # documentKey only: non-key columns NULL
+    ]
+    assert list(rows[0]["tags"]) == ["x", "y"] and rows[0]["meta"]["n"] == 7
+    assert rows[1]["meta"]["n"] == 8
+    # clusterTime total order: (t=1,i=1) < (1,2) < (2,0) < (2,1)
+    seqs = [r[SEQ_COL] for r in rows]
+    assert seqs == sorted(seqs) and seqs[0] == (1 << 32) + 1
+
+
+def test_mongodb_changestream_stays_jvm_side(spark):
+    from flink_cdc_2_3_0_src_spark.functions.cdc_formats import (
+        from_mongodb_changestream_json,
+    )
+
+    declared = T.StructType([T.StructField("_id", T.LongType())])
+    df = spark.createDataFrame([("{}",)], "value string")
+    plan = (
+        from_mongodb_changestream_json(df, declared)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan

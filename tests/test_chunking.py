@@ -164,3 +164,24 @@ def test_date_split_key_chunking(spark):
     assert len(splits) > 1  # genuinely chunked
     total = src.raw().count()
     assert src.chunked_scan(splits).count() == total
+
+
+def test_parquet_source_surfaces_schema_and_tenant_metadata(spark):
+    """Source-level wiring of the per-dialect identity parts: a source
+    configured with schema-name/tenant-name exposes _schema/_tenant on
+    its metadata scan (OracleReadableMetaData schema_name,
+    OceanBaseReadableMetadata tenant_name)."""
+    from flink_cdc_2_3_0_src_spark.model import SCHEMA_COL, TENANT_COL
+    from flink_cdc_2_3_0_src_spark.sources.parquet_dialect import (
+        ParquetTableSource,
+    )
+    from tests.conftest import SF_SMOKE
+
+    src = ParquetTableSource(
+        spark, SF_SMOKE, "region",
+        schema_name="INVENTORY", tenant_name="sys",
+    )
+    out = src.scan(with_metadata=True)
+    r = out.limit(1).collect()[0]
+    assert r[SCHEMA_COL] == "INVENTORY" and r[TENANT_COL] == "sys"
+    assert src.table_id.schema == "INVENTORY"
