@@ -44,6 +44,11 @@ SIMHASH_BITS = 32
 
 def shingle_sets(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
     """doc_id + distinct shingle hashes + minhash signature, one UDF pass."""
+    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+    # the Arrow-batched profile UDF runs in the SCAN stage: spread an
+    # under-partitioned corpus so every Python worker participates
+    docs = spread_small_scan(docs.select("doc_id", "text"), "doc_id")
     return docs.select(
         "doc_id", shingle_profile(F.col("text"), k, n).alias("p")
     ).select(

@@ -283,7 +283,11 @@ def test_parse_default_property(value, comment):
     and the comment never leaks into it."""
     from flink_cdc_2_3_0_src_spark.streaming.table_changes import _parse_default
 
-    is_num = value.lstrip("-").isdigit()
+    # ASCII digits only: Python's isdigit() accepts Unicode digits like
+    # '²', which MySQL would not lex as a bare numeric literal — those
+    # must take the quoted-string branch
+    stripped = value.lstrip("-")
+    is_num = stripped.isascii() and stripped.isdigit()
     lit = value if is_num else "'" + value.replace("'", "''") + "'"
     rest = f" NOT NULL DEFAULT {lit} COMMENT '{comment}'"
     got = _parse_default(rest)
