@@ -54,8 +54,10 @@ HEADLINE = [
 # semantic dedup, span dedup, BPE training, CMS sketch).  Timed in a
 # SECOND section so regressions in the costly operators are caught per
 # round WITHOUT disturbing the frozen 15-headliner series the driver
-# compares across rounds ("value" stays headline-only).  Single-rep
-# (they are 2-12s each); use calibration_sec to normalize their drift.
+# compares across rounds ("value" stays headline-only).  Medians over
+# the same k reps as the headliners: single-rep heavy-tail numbers
+# swung 2x between identical runs (GC/first-plan effects), which
+# defeats the regression tracking they exist for.
 HEAVY_TAIL = [
     "dedup_fuzzy_blocked",
     "dedup_semantic",
@@ -122,7 +124,7 @@ def main() -> None:
 
     calibration = _calibrate(spark, reps)
     timings = run(names, reps)
-    heavy = run([n for n in HEAVY_TAIL if n in qs], 1)
+    heavy = run([n for n in HEAVY_TAIL if n in qs], reps)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
