@@ -163,3 +163,104 @@ def mix_weighted_sample_sql(budget_num: int = 1, budget_den: int = 2) -> str:
            coalesce(k.kept_tokens, 0) AS kept_tokens
     FROM r LEFT JOIN k USING (source)
     """
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 10,
+) -> DataFrame:
+    """Quality-ranked greedy corpus selection under a global token
+    budget — "keep the best documents until the token budget is spent",
+    the final selection step of a pretraining-data pipeline.
+
+    Semantics (deterministic, engine-portable): rank docs by
+    (quality DESC, doc_id ASC); keep every doc whose INCLUSIVE running
+    token total is <= budget = floor(total_tokens * num / den).
+
+    Scale shape: the naive form is one global-ORDER-BY window — a
+    single-partition sort of the whole corpus, a scale-killer.  Here
+    the running total is two-phase: (1) aggregate tokens per DISTINCT
+    quality value (quality is rounded to 6dp, so this frame is bounded
+    by the value domain — <= 1e6+1 rows — NOT the corpus) and prefix-
+    sum that small frame; (2) buckets that fit entirely are kept with
+    no per-doc window at all, and only the single BOUNDARY bucket gets
+    a per-doc running sum (partitioned window over that bucket's docs,
+    ordered by doc_id).  Caveat: a pathological corpus where most docs
+    share one quality value makes the boundary-bucket window large;
+    on natural corpora quality is near-continuous.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_cdc_2_3_0_src_spark.operators.text import quality_score, tokens
+
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    tot = base.agg(
+        F.floor(
+            F.sum("ntok") * F.lit(budget_num) / F.lit(budget_den)
+        ).cast("bigint").alias("budget")
+    )
+    # phase 1: per-quality-value totals; prefix over the SMALL frame
+    per_q = base.groupBy("quality").agg(F.sum("ntok").alias("tok_q"))
+    wq = (
+        Window.orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_q = per_q.withColumn(
+        "cum_before", F.coalesce(F.sum("tok_q").over(wq), F.lit(0))
+    ).crossJoin(F.broadcast(tot))
+    joined = base.join(
+        per_q.select("quality", "tok_q", "cum_before", "budget"), "quality"
+    )
+    # buckets that fit entirely: no per-doc window needed
+    full = joined.filter(
+        F.col("cum_before") + F.col("tok_q") <= F.col("budget")
+    ).select("doc_id", "source", "ntok", "quality")
+    # the one boundary bucket: per-doc inclusive running sum by doc_id
+    boundary = joined.filter(
+        (F.col("cum_before") < F.col("budget"))
+        & (F.col("cum_before") + F.col("tok_q") > F.col("budget"))
+    )
+    wb = (
+        Window.partitionBy("quality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    part = (
+        boundary.withColumn("cum_in", F.sum("ntok").over(wb))
+        .filter(F.col("cum_before") + F.col("cum_in") <= F.col("budget"))
+        .select("doc_id", "source", "ntok", "quality")
+    )
+    return full.unionByName(part)
+
+
+def token_budget_select_sql(budget_num: int = 3, budget_den: int = 10) -> str:
+    from flink_cdc_2_3_0_src_spark.operators.text import (
+        _STOP_LIST_SQL,
+        sql_tokens,
+    )
+
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, source, {sql_tokens('text')} AS toks FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
+               round(0.5 * (CAST(len([t for t in toks if list_contains([{_STOP_LIST_SQL}], t)]) AS DOUBLE)
+                            / CAST(greatest(len(toks), 1) AS DOUBLE))
+                   + 0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 64.0), 6) AS quality
+        FROM tk
+    ),
+    t AS (SELECT CAST(floor(SUM(ntok) * {budget_num} / {budget_den}) AS BIGINT) AS budget FROM scored),
+    c AS (
+        SELECT scored.*, t.budget,
+               SUM(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum
+        FROM scored, t
+    )
+    SELECT doc_id, source, ntok, quality FROM c WHERE cum <= budget
+"""

@@ -3986,6 +3986,17 @@ def data_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mixing.mix_weighted_sample(ld(spark, sf_dir, "documents"))
 
 
+# Token-budget corpus selection: keep the highest-quality docs until a
+# global token budget is spent — the final selection step of a
+# pretraining pipeline.  Scale-safe two-phase running total (per-quality
+# prefix over a value-domain-bounded frame + one boundary-bucket
+# window); the oracle computes the same greedy semantics with a plain
+# global-window cumsum.
+@register("pipeline_token_budget", _mixing.token_budget_select_sql())
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mixing.token_budget_select(ld(spark, sf_dir, "documents"))
+
+
 # Semantic clustering: exact integer-arithmetic Lloyd's k-means over the
 # embedding table (operators/clustering.py) — the cluster-then-dedup /
 # topic-bucketing / IVF-coarse-quantizer primitive.  Iterative algorithm

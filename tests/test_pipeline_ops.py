@@ -581,3 +581,34 @@ def test_normalize_text_contract(spark):
         ).collect()
     }
     assert twice == rows
+
+
+def test_token_budget_select_greedy_semantics(spark):
+    """Constructed fixture pins the greedy contract: rank by (quality
+    DESC, doc_id ASC), keep while the INCLUSIVE running token total fits
+    the budget — including the partial boundary bucket where several
+    docs share the cutoff quality value."""
+    from flink_cdc_2_3_0_src_spark.operators.mixing import token_budget_select
+
+    # quality here is driven by token count (len factor); craft doc
+    # texts from stopword-free unique tokens so quality orders by size
+    def text(n, tag):
+        return " ".join(f"w{tag}{i}" for i in range(n))
+
+    rows = [
+        (1, text(40, "a"), "s"),   # highest quality (40 toks)
+        (2, text(30, "b"), "s"),
+        (3, text(30, "c"), "s"),   # same quality as doc 2 -> id tiebreak
+        (4, text(10, "d"), "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # total = 110 tokens; budget_num/den = 7/11 -> budget = 70
+    out = token_budget_select(docs, budget_num=7, budget_den=11)
+    got = sorted(r["doc_id"] for r in out.collect())
+    # greedy: 40 (doc1) + 30 (doc2) = 70 fits; doc3 would exceed; doc4
+    # is lower quality and never reached
+    assert got == [1, 2]
+    # raise the budget to 100: doc3 now fits too, doc4 (10) would push
+    # to 110 > 100
+    out2 = token_budget_select(docs, budget_num=10, budget_den=11)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 3]
