@@ -264,3 +264,85 @@ def token_budget_select_sql(budget_num: int = 3, budget_den: int = 10) -> str:
     )
     SELECT doc_id, source, ntok, quality FROM c WHERE cum <= budget
 """
+
+
+def sequence_pack_spans(
+    docs: DataFrame,
+    capacity: int = 2048,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in doc_id
+    order and chunk the token stream into fixed-``capacity`` training
+    windows; per doc, report its global token offset and the window
+    (bin) range it lands in — the example-construction step between a
+    cleaned corpus and a training run.
+
+    (doc_id, ntok, start, first_bin, last_bin): ``start`` = exclusive
+    running token total before the doc; bins are ``start div capacity``
+    through ``(start + ntok - 1) div capacity`` (a doc may straddle
+    windows — exactly what concat-and-chunk packing does).  Zero-token
+    docs are dropped (they occupy no window).
+
+    Scale shape: the global running total is two-phase like
+    ``token_budget_select`` — per-coarse-bucket (doc_id div 4096)
+    partial sums prefixed over the 4096×-smaller aggregated frame, then
+    a within-bucket window partitioned by bucket.  Integer arithmetic
+    throughout (no float div), so offsets are exact at any corpus size.
+    """
+    from pyspark.sql.window import Window
+
+    from flink_cdc_2_3_0_src_spark.operators.text import tokens
+
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
+    ).filter(F.col("ntok") > 0)
+    b = base.withColumn("bkt", (F.col("doc_id") - F.pmod("doc_id", F.lit(4096))) / 4096)
+    per_b = b.groupBy("bkt").agg(F.sum("ntok").alias("tok_b"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    per_b = per_b.withColumn(
+        "bkt_before", F.coalesce(F.sum("tok_b").over(wb), F.lit(0))
+    )
+    wd = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        b.join(per_b.select("bkt", "bkt_before"), "bkt")
+        .withColumn(
+            "start",
+            F.col("bkt_before") + F.coalesce(F.sum("ntok").over(wd), F.lit(0)),
+        )
+    )
+    cap = F.lit(capacity)
+    fdiv = lambda c: ((c - F.pmod(c, cap)) / cap).cast("bigint")  # noqa: E731
+    return placed.select(
+        "doc_id",
+        "ntok",
+        "start",
+        fdiv(F.col("start")).alias("first_bin"),
+        fdiv(F.col("start") + F.col("ntok") - 1).alias("last_bin"),
+    )
+
+
+def sequence_pack_spans_sql(capacity: int = 2048) -> str:
+    from flink_cdc_2_3_0_src_spark.operators.text import sql_tokens
+
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, CAST(len({sql_tokens('text')}) AS BIGINT) AS ntok
+        FROM documents
+    ),
+    nz AS (SELECT * FROM tk WHERE ntok > 0),
+    c AS (
+        SELECT doc_id, ntok,
+               COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start
+        FROM nz
+    )
+    SELECT doc_id, ntok, start,
+           start // {capacity} AS first_bin,
+           (start + ntok - 1) // {capacity} AS last_bin
+    FROM c
+"""

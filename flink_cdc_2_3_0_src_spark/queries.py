@@ -3997,6 +3997,14 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mixing.token_budget_select(ld(spark, sf_dir, "documents"))
 
 
+# GPT-style sequence packing: concat docs in order, chunk into
+# fixed-capacity training windows; per-doc global offset + bin span.
+# Same scale-safe two-phase running total as pipeline_token_budget.
+@register("pipeline_sequence_pack", _mixing.sequence_pack_spans_sql())
+def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mixing.sequence_pack_spans(ld(spark, sf_dir, "documents"))
+
+
 # Semantic clustering: exact integer-arithmetic Lloyd's k-means over the
 # embedding table (operators/clustering.py) — the cluster-then-dedup /
 # topic-bucketing / IVF-coarse-quantizer primitive.  Iterative algorithm

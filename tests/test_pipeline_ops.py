@@ -612,3 +612,30 @@ def test_token_budget_select_greedy_semantics(spark):
     # to 110 > 100
     out2 = token_budget_select(docs, budget_num=10, budget_den=11)
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 3]
+
+
+def test_sequence_pack_spans_contract(spark):
+    """Constructed fixture: exact offsets, window straddling, zero-token
+    doc dropped, bucket-boundary continuity (doc_ids straddling the
+    4096 coarse-bucket edge must see a continuous running total)."""
+    from flink_cdc_2_3_0_src_spark.operators.mixing import sequence_pack_spans
+
+    def text(n, tag):
+        return " ".join(f"w{tag}{i}" for i in range(n))
+
+    rows = [
+        (1, text(5, "a"), "s"),
+        (2, "", "s"),                 # zero tokens -> dropped
+        (3, text(9, "b"), "s"),       # starts at 5, ends 13 -> bins 0..1
+        (4095, text(4, "c"), "s"),    # last doc of bucket 0
+        (4096, text(4, "d"), "s"),    # first doc of bucket 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in sequence_pack_spans(docs, capacity=8).collect()}
+    assert set(out) == {1, 3, 4095, 4096}
+    assert (out[1]["start"], out[1]["first_bin"], out[1]["last_bin"]) == (0, 0, 0)
+    # doc 3: tokens 5..13 -> straddles windows 0 and 1 at capacity 8
+    assert (out[3]["start"], out[3]["first_bin"], out[3]["last_bin"]) == (5, 0, 1)
+    # continuity across the coarse-bucket edge: 5 + 9 + 4 = 18
+    assert out[4095]["start"] == 14
+    assert out[4096]["start"] == 18
