@@ -25,6 +25,9 @@ NESTED_LOOP_ALLOWED = {
     # single-row global-totals broadcast (T, W scalars) crossed into the
     # 20-row per-source frame — bounded by design, never grows with data
     "data_mix_weighted",
+    # same shape: the 1-row budget scalar crossed into the per-quality
+    # frame (bounded by the 6dp quality value domain, not the corpus)
+    "pipeline_token_budget",
 }
 
 
