@@ -199,7 +199,9 @@ def token_budget_select(
         "source",
         F.size(tokens(F.col("text"))).cast("bigint").alias("ntok"),
         quality_score(F.col("text")).alias("quality"),
-    )
+    ).filter(F.col("ntok").isNotNull())  # null text: Spark's null join
+    # key would silently drop it while a window cumsum would keep it —
+    # pin the cross-engine behavior to "dropped" explicitly
     tot = base.agg(
         F.floor(
             F.sum("ntok") * F.lit(budget_num) / F.lit(budget_den)
@@ -256,11 +258,12 @@ def token_budget_select_sql(budget_num: int = 3, budget_den: int = 10) -> str:
                    + 0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 64.0), 6) AS quality
         FROM tk
     ),
-    t AS (SELECT CAST(floor(SUM(ntok) * {budget_num} / {budget_den}) AS BIGINT) AS budget FROM scored),
+    nn AS (SELECT * FROM scored WHERE ntok IS NOT NULL),
+    t AS (SELECT CAST(floor(SUM(ntok) * {budget_num} / {budget_den}) AS BIGINT) AS budget FROM nn),
     c AS (
-        SELECT scored.*, t.budget,
+        SELECT nn.*, t.budget,
                SUM(ntok) OVER (ORDER BY quality DESC, doc_id) AS cum
-        FROM scored, t
+        FROM nn, t
     )
     SELECT doc_id, source, ntok, quality FROM c WHERE cum <= budget
 """
