@@ -41,3 +41,45 @@ def test_span_hits_track_density_not_corpus_squared(spark):
     assert small > 0
     assert large <= 3 * CORPUS_RATIO * small, (small, large)
     assert large >= small
+
+
+def test_passjoin_blocking_completeness_randomized(spark):
+    """Pigeonhole completeness of the segment blocking: for 60 planted
+    pairs (random base string, <= d random single-char edits — inserts,
+    deletes, substitutions at random positions), fuzzy_blocked_pairs
+    must report every pair with the exact edit distance bound.  One
+    Spark job for all pairs; fixed seed for reproducibility."""
+    import random
+
+    from flink_cdc_2_3_0_src_spark.operators.dedup import fuzzy_blocked_pairs
+
+    rng = random.Random(0xC0FFEE)
+    alpha = "abcdefghij "
+    rows = []
+    expected = set()
+    for p in range(60):
+        n = rng.randint(20, 120)
+        base = "".join(rng.choice(alpha) for _ in range(n))
+        d = rng.randint(0, 5)
+        s = list(base)
+        for _ in range(d):
+            op = rng.choice("ids")
+            if op == "i":
+                s.insert(rng.randint(0, len(s)), rng.choice(alpha))
+            elif op == "d" and len(s) > 8:
+                s.pop(rng.randrange(len(s)))
+            else:
+                s[rng.randrange(len(s))] = rng.choice(alpha)
+        a_id, b_id = 2 * p, 2 * p + 1
+        rows.append((a_id, base))
+        rows.append((b_id, "".join(s)))
+        expected.add((a_id, b_id))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in fuzzy_blocked_pairs(docs, max_dist=5).collect()
+    }
+    # every planted pair must be found (candidates may legitimately
+    # include cross-pair coincidences; completeness is the guarantee)
+    missing = expected - got
+    assert not missing, f"planted pairs missed by blocking: {sorted(missing)[:5]}"
