@@ -640,16 +640,24 @@ def fuzzy_blocked_candidates(
     ).select("doc_id", "n", F.col("e.i").alias("i"), F.col("e.s").alias("s"))
 
     # probe side: for every partner length n in [m-d, m+d] and segment
-    # i, extract the substrings of r at starts within ±d of the
-    # partner's segment start (clipped to r's bounds), deduped per
-    # (n, i) before the explode
+    # i, extract the substrings of r at the starts a valid alignment
+    # allows.  Shift bound (lossless): an untouched segment's image
+    # starts at p + x where x = net indels before it and Δ - x = net
+    # indels after (Δ = m - n), so |x| + |Δ - x| <= d —
+    # x ∈ [⌈(Δ-d)/2⌉, ⌊(Δ+d)/2⌋], a (d+1)-wide window instead of the
+    # naive ±d (2d+1): ~2× fewer probe keys, zero recall loss (the
+    # PassJoin paper's multi-match-aware selection, simplified to the
+    # alignment-counting core).  Deduped per (n, i) before the explode.
     m = F.col("len")
     nn = F.col("n")
     ii = F.col("i")
     p = _seg_start(ii, nn)
     l = _seg_len(ii, nn)
-    lo = F.greatest(F.lit(1), p - max_dist)
-    hi = F.least(m - l + 1, p + max_dist)
+    delta = m - nn
+    x_lo = F.floor((delta - max_dist + 1) / 2).cast("int")  # ceil((Δ-d)/2)
+    x_hi = F.floor((delta + max_dist) / 2).cast("int")
+    lo = F.greatest(F.lit(1), p + x_lo)
+    hi = F.least(m - l + 1, p + x_hi)
     probe = (
         d_.select(
             "doc_id",
