@@ -111,20 +111,25 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         return time.perf_counter() - t0
 
-    def run(query_names: list[str], k: int) -> dict[str, float]:
+    def run(query_names: list[str], k: int):
         # rep-major order (all queries once, then again) so a transient
         # load spike hits one rep of many queries, not all reps of one
         samples: dict[str, list[float]] = {n: [] for n in query_names}
         for _ in range(k):
             for name in query_names:
                 samples[name].append(run_once(name))
-        return {
+        medians = {
             n: round(statistics.median(ts), 4) for n, ts in samples.items()
         }
+        # rep 1 is what rounds 1-5 measured (single cold-ish run) —
+        # emitted alongside so the cross-round series stays comparable
+        # and the medians methodology change is transparent
+        first = {n: round(ts[0], 4) for n, ts in samples.items()}
+        return medians, first
 
     calibration = _calibrate(spark, reps)
-    timings = run(names, reps)
-    heavy = run([n for n in HEAVY_TAIL if n in qs], reps)
+    timings, first_run = run(names, reps)
+    heavy, heavy_first = run([n for n in HEAVY_TAIL if n in qs], reps)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -133,9 +138,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "first_run": first_run,
+                "first_run_total": round(sum(first_run.values()), 4),
                 "reps": reps,
                 "calibration_sec": calibration,
                 "heavy_tail": heavy,
+                "heavy_tail_first_run": heavy_first,
                 "heavy_tail_total": round(sum(heavy.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
