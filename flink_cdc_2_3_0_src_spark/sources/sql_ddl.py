@@ -1,0 +1,236 @@
+"""SQL DDL entry point — ``CREATE TABLE ... WITH ('connector'=...)``.
+
+The reference's MAIN user surface (SURVEY §3.1): the planner looks up a
+table factory by the ``connector`` option, the factory validates the
+WITH options, resolves startup mode, and builds the source with the
+declared physical schema plus requested metadata columns
+(MySqlTableSourceFactory.java:81-150, MySqlTableSource.java:94-251).
+
+Spark re-expression: ``create_table_source(ddl)`` parses the DDL once
+and returns a ``ResolvedTable`` — declared physical schema
+(Flink-DDL-typed), the per-dialect metadata column plan, the primary
+key, and a configured ``CdcSource`` built through the same builder
+classes the DataStream API uses (one option-validation path, exactly
+like the reference routing both APIs through the same config).
+
+Scope: physical columns, ``METADATA [FROM 'key'] [VIRTUAL]`` columns,
+``PRIMARY KEY (...) NOT ENFORCED``; computed columns (``AS expr``) are
+rejected with a clear error (the reference delegates those to the
+planner — in Spark you add them with ``withColumn`` downstream).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.config import SourceConfig
+from flink_cdc_2_3_0_src_spark.sources import api as _api
+from flink_cdc_2_3_0_src_spark.types import flink_type_to_spark
+
+# factory registry — identifier -> builder class, mirroring Flink's
+# Factory.factoryIdentifier() discovery (unknown identifiers fail with
+# the same "could not find factory" shape)
+FACTORIES = {
+    "mysql-cdc": _api.MySqlSourceBuilder,
+    "postgres-cdc": _api.PostgresSourceBuilder,
+    "mongodb-cdc": _api.MongoDBSourceBuilder,
+    "oracle-cdc": _api.OracleSourceBuilder,
+    "sqlserver-cdc": _api.SqlServerSourceBuilder,
+    "db2-cdc": _api.Db2SourceBuilder,
+    "tidb-cdc": _api.TiDBSourceBuilder,
+    "oceanbase-cdc": _api.OceanBaseSourceBuilder,
+}
+
+# per-dialect readable-metadata keys (§1.5): MySqlReadableMetadata,
+# MongoDBReadableMetadata (collection_name), OracleReadableMetaData
+# (schema_name), OceanBaseReadableMetadata (tenant_name)
+_COMMON_META = {"database_name", "table_name", "op_ts"}
+METADATA_KEYS = {
+    "mysql-cdc": _COMMON_META,
+    "postgres-cdc": _COMMON_META | {"schema_name"},
+    "mongodb-cdc": {"database_name", "collection_name", "op_ts"},
+    "oracle-cdc": _COMMON_META | {"schema_name"},
+    "sqlserver-cdc": _COMMON_META | {"schema_name"},
+    "db2-cdc": _COMMON_META | {"schema_name"},
+    "tidb-cdc": _COMMON_META,
+    "oceanbase-cdc": _COMMON_META | {"tenant_name"},
+}
+
+_CREATE_WITH = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[`\"\w.]+)\s*\((?P<body>.*)\)\s*"
+    r"WITH\s*\((?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPT_PAIR = re.compile(
+    r"'(?P<k>(?:[^']|'')*)'\s*=\s*'(?P<v>(?:[^']|'')*)'"
+)
+_META_COL = re.compile(
+    r"^[`\"]?(?P<name>\w+)[`\"]?\s+(?P<type>.+?)\s+METADATA"
+    r"(?:\s+FROM\s+'(?P<key>[^']+)')?(?:\s+VIRTUAL)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PHYS_COL = re.compile(
+    r"^[`\"]?(?P<name>\w+)[`\"]?\s+(?P<type>.+?)"
+    r"(?P<rest>(?:\s+NOT\s+NULL|\s+COMMENT\s+'(?:[^']|'')*')*)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PK_CLAUSE = re.compile(
+    r"^(?:CONSTRAINT\s+[`\"\w]+\s+)?PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)"
+    r"(?:\s+NOT\s+ENFORCED)?\s*$",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class ResolvedTable:
+    name: str
+    connector: str
+    physical_schema: T.StructType
+    primary_key: list[str]
+    # (output column name, metadata key) in declaration order
+    metadata_columns: list = field(default_factory=list)
+    source: object = None
+    options: dict = field(default_factory=dict)
+
+    def append_metadata(self, df: DataFrame) -> DataFrame:
+        """Project the declared metadata columns onto a decoded frame
+        that carries the engine's _db/_schema/_table/_tenant/_op_ts
+        columns (applyReadableMetadata: metadata appended after
+        physical columns, in declaration order)."""
+        from pyspark.sql import functions as F
+
+        from flink_cdc_2_3_0_src_spark.model import (
+            DB_COL,
+            SCHEMA_COL,
+            TABLE_COL,
+            TENANT_COL,
+            TS_COL,
+        )
+
+        src = {
+            "database_name": DB_COL,
+            "schema_name": SCHEMA_COL,
+            "table_name": TABLE_COL,
+            "collection_name": TABLE_COL,  # Mongo: collection IS the table part
+            "tenant_name": TENANT_COL,
+            "op_ts": TS_COL,
+        }
+        out = df
+        for col_name, key in self.metadata_columns:
+            out = out.withColumn(col_name, F.col(src[key]))
+        return out
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split column defs on commas outside (), <> and '...'."""
+    parts, depth, cur, in_str = [], 0, [], False
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < n and body[i + 1] == "'":
+                    cur.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def parse_with_options(opts: str) -> dict:
+    """The WITH ('k'='v', ...) option list ('' = escaped quote)."""
+    return {
+        m.group("k").replace("''", "'"): m.group("v").replace("''", "'")
+        for m in _OPT_PAIR.finditer(opts)
+    }
+
+
+def create_table_source(ddl: str) -> ResolvedTable:
+    m = _CREATE_WITH.match(ddl)
+    if not m:
+        raise ValueError(
+            "not a CREATE TABLE ... WITH (...) statement (the §3.1 SQL "
+            "entry point needs both the column list and the WITH options)"
+        )
+    options = parse_with_options(m.group("opts"))
+    connector = options.pop("connector", None)
+    if connector not in FACTORIES:
+        raise ValueError(
+            f"could not find a factory for connector {connector!r}; "
+            f"available identifiers: {sorted(FACTORIES)}"
+        )
+    fields: list[T.StructField] = []
+    meta_cols: list = []
+    pk: list[str] = []
+    allowed_meta = METADATA_KEYS[connector]
+    for part in _split_top_level(m.group("body")):
+        pkm = _PK_CLAUSE.match(part)
+        if pkm:
+            pk = [c.strip().strip('`" ') for c in pkm.group("cols").split(",")]
+            continue
+        if re.search(r"\bAS\b", part, re.IGNORECASE) and "METADATA" not in part.upper():
+            raise ValueError(
+                f"computed column not supported here: {part!r} — add it "
+                "with withColumn on the decoded DataFrame instead"
+            )
+        mm = _META_COL.match(part)
+        if mm:
+            key = mm.group("key") or mm.group("name")
+            if key not in allowed_meta:
+                raise ValueError(
+                    f"connector {connector!r} exposes no metadata key "
+                    f"{key!r}; available: {sorted(allowed_meta)}"
+                )
+            meta_cols.append((mm.group("name"), key))
+            continue
+        cm = _PHYS_COL.match(part)
+        if not cm:
+            raise ValueError(f"unparseable column def: {part!r}")
+        nullable = not re.search(r"NOT\s+NULL", cm.group("rest") or "", re.IGNORECASE)
+        fields.append(
+            T.StructField(
+                cm.group("name"),
+                flink_type_to_spark(cm.group("type")),
+                nullable,
+            )
+        )
+    phys_names = {f_.name for f_ in fields}
+    missing_pk = [c for c in pk if c not in phys_names]
+    if missing_pk:
+        raise ValueError(f"PRIMARY KEY names unknown columns: {missing_pk}")
+    builder = FACTORIES[connector]()
+    builder._c = SourceConfig.from_options(options)
+    source = builder.build()
+    return ResolvedTable(
+        name=m.group("name").strip('`"'),
+        connector=connector,
+        physical_schema=T.StructType(fields),
+        primary_key=pk,
+        metadata_columns=meta_cols,
+        source=source,
+        options=options,
+    )

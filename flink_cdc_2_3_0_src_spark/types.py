@@ -115,3 +115,94 @@ def mysql_schema_to_struct(columns: list[tuple[str, str]]) -> T.StructType:
     return T.StructType(
         [T.StructField(n, mysql_type_to_spark(t), True) for n, t in columns]
     )
+
+
+# ---------------------------------------------------------------------------
+# Flink SQL DDL types (the CREATE TABLE ... WITH () surface, §3.1)
+# ---------------------------------------------------------------------------
+
+def _split_angle_args(s: str) -> list[str]:
+    """Split 'a, b<c, d>, e' on top-level commas (angle- and
+    paren-aware)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def flink_type_to_spark(decl: str) -> T.DataType:
+    """Flink SQL DDL type -> Spark type (the declared-schema side of the
+    reference's CREATE TABLE path — LogicalTypeParser by way of the
+    planner; TIME maps to IntegerType millis-of-day and TIMESTAMP to
+    NTZ per SURVEY §1.4's documented Spark mapping)."""
+    s = decl.strip()
+    up = s.upper()
+    if up.endswith(" NOT NULL"):
+        s, up = s[: -len(" NOT NULL")].rstrip(), up[: -len(" NOT NULL")].rstrip()
+    m = re.match(r"^ROW\s*<(?P<body>.*)>$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for part in _split_angle_args(m.group("body")):
+            fm = re.match(r"^[`\"]?(?P<n>[\w]+)[`\"]?\s+(?P<t>.+)$", part, re.DOTALL)
+            if not fm:
+                raise ValueError(f"unparseable ROW field: {part!r}")
+            fields.append(
+                T.StructField(fm.group("n"), flink_type_to_spark(fm.group("t")))
+            )
+        return T.StructType(fields)
+    m = re.match(r"^ARRAY\s*<(?P<e>.*)>$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        return T.ArrayType(flink_type_to_spark(m.group("e")))
+    m = re.match(r"^MAP\s*<(?P<body>.*)>$", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        kv = _split_angle_args(m.group("body"))
+        if len(kv) != 2:
+            raise ValueError(f"MAP needs exactly <key, value>: {decl!r}")
+        return T.MapType(flink_type_to_spark(kv[0]), flink_type_to_spark(kv[1]))
+    m = re.match(r"^(?P<base>[A-Z_ ]+?)\s*(?:\((?P<args>[\d,\s]*)\))?$", up)
+    if not m:
+        raise ValueError(f"unparseable Flink type: {decl!r}")
+    base = " ".join(m.group("base").split())
+    args = [int(a) for a in (m.group("args") or "").replace(" ", "").split(",") if a]
+    if base in ("STRING", "CHAR", "VARCHAR"):
+        return T.StringType()
+    if base == "BOOLEAN":
+        return T.BooleanType()
+    if base in ("BYTES", "BINARY", "VARBINARY"):
+        return T.BinaryType()
+    if base in ("DECIMAL", "NUMERIC", "DEC"):
+        p = args[0] if args else 10
+        sc = args[1] if len(args) > 1 else 0
+        return T.DecimalType(p, sc)
+    if base == "TINYINT":
+        return T.ByteType()
+    if base == "SMALLINT":
+        return T.ShortType()
+    if base in ("INT", "INTEGER"):
+        return T.IntegerType()
+    if base == "BIGINT":
+        return T.LongType()
+    if base == "FLOAT":
+        return T.FloatType()
+    if base == "DOUBLE":
+        return T.DoubleType()
+    if base == "DATE":
+        return T.DateType()
+    if base == "TIME":
+        return T.IntegerType()  # millis-of-day (SURVEY §1.4: no TimeType)
+    if base == "TIMESTAMP":
+        return T.TimestampNTZType()
+    if base in ("TIMESTAMP_LTZ", "TIMESTAMP WITH LOCAL TIME ZONE"):
+        return T.TimestampType()
+    raise ValueError(f"unsupported Flink DDL type: {decl!r}")

@@ -1,0 +1,142 @@
+"""§3.1 SQL DDL entry point: CREATE TABLE ... WITH ('connector'=...)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_2_3_0_src_spark.sources.sql_ddl import (
+    FACTORIES,
+    create_table_source,
+    parse_with_options,
+)
+
+MYSQL_DDL = """
+CREATE TABLE orders_src (
+    db_name STRING METADATA FROM 'database_name' VIRTUAL,
+    table_name STRING METADATA VIRTUAL,
+    op_ts TIMESTAMP_LTZ(3) METADATA FROM 'op_ts' VIRTUAL,
+    order_id BIGINT NOT NULL,
+    customer ROW<name STRING, nation INT>,
+    amounts ARRAY<DECIMAL(10, 2)>,
+    attrs MAP<STRING, STRING>,
+    note STRING COMMENT 'it''s a note, with a comma',
+    created TIMESTAMP(3),
+    PRIMARY KEY (order_id) NOT ENFORCED
+) WITH (
+    'connector' = 'mysql-cdc',
+    'hostname' = 'db.example',
+    'port' = '3307',
+    'database-name' = 'app_db',
+    'table-name' = 'app_db\\.orders_.*',
+    'server-id' = '5400-5404',
+    'scan.incremental.snapshot.chunk.size' = '4096',
+    'scan.startup.mode' = 'initial'
+)
+"""
+
+
+def test_mysql_ddl_full_resolution():
+    rt = create_table_source(MYSQL_DDL)
+    assert rt.name == "orders_src" and rt.connector == "mysql-cdc"
+    assert rt.primary_key == ["order_id"]
+    f = {x.name: x for x in rt.physical_schema.fields}
+    assert set(f) == {"order_id", "customer", "amounts", "attrs", "note", "created"}
+    assert isinstance(f["order_id"].dataType, T.LongType) and not f["order_id"].nullable
+    assert f["customer"].dataType == T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("nation", T.IntegerType()),
+        ]
+    )
+    assert f["amounts"].dataType == T.ArrayType(T.DecimalType(10, 2))
+    assert isinstance(f["created"].dataType, T.TimestampNTZType)
+    # metadata plan: FROM key, bare-name fallback, op_ts — in order
+    assert rt.metadata_columns == [
+        ("db_name", "database_name"),
+        ("table_name", "table_name"),
+        ("op_ts", "op_ts"),
+    ]
+    # the factory routed the options into the SAME SourceConfig the
+    # DataStream builder produces
+    c = rt.source.config
+    assert c.hostname == "db.example" and c.port == 3307
+    assert c.chunk_size == 4096 and c.server_id == "5400-5404"
+
+
+def test_metadata_projection(spark):
+    from flink_cdc_2_3_0_src_spark.operators.changelog import append_metadata
+
+    rt = create_table_source(MYSQL_DDL)
+    df = spark.createDataFrame([(1,)], "order_id long")
+    decoded = append_metadata(
+        df, database="app_db", table="orders_1", op_ts_col="_op_ts"
+    )
+    out = rt.append_metadata(decoded)
+    r = out.collect()[0]
+    assert (r["db_name"], r["table_name"]) == ("app_db", "orders_1")
+    assert r["op_ts"].timestamp() == 0  # snapshot rows: epoch 0
+
+
+def test_unknown_connector_lists_identifiers():
+    with pytest.raises(ValueError, match="could not find a factory"):
+        create_table_source(
+            "CREATE TABLE t (id INT) WITH ('connector' = 'no-such-cdc')"
+        )
+
+
+def test_dialect_metadata_keys_validated():
+    # tenant_name is OceanBase-only
+    with pytest.raises(ValueError, match="tenant_name"):
+        create_table_source(
+            "CREATE TABLE t (tn STRING METADATA FROM 'tenant_name', id INT) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+    rt = create_table_source(
+        "CREATE TABLE t (tn STRING METADATA FROM 'tenant_name', id INT) "
+        "WITH ('connector' = 'oceanbase-cdc', 'tenant-name' = 'sys')"
+    )
+    assert rt.metadata_columns == [("tn", "tenant_name")]
+    assert rt.source.config.tenant_name == "sys"
+    # Oracle exposes schema_name; Mongo uses collection_name
+    rt2 = create_table_source(
+        "CREATE TABLE t (sn STRING METADATA FROM 'schema_name', id INT) "
+        "WITH ('connector' = 'oracle-cdc', 'schema-name' = 'INVENTORY')"
+    )
+    assert rt2.source.config.schema_name == "INVENTORY"
+    with pytest.raises(ValueError, match="collection_name"):
+        create_table_source(
+            "CREATE TABLE t (c STRING METADATA FROM 'table_name', id INT) "
+            "WITH ('connector' = 'mongodb-cdc')"
+        )
+
+
+def test_computed_column_rejected():
+    with pytest.raises(ValueError, match="computed column"):
+        create_table_source(
+            "CREATE TABLE t (id INT, total AS price * qty) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+
+
+def test_pk_must_name_physical_columns():
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        create_table_source(
+            "CREATE TABLE t (id INT, PRIMARY KEY (nope) NOT ENFORCED) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+
+
+def test_with_options_quote_escapes():
+    opts = parse_with_options("'password' = 'it''s', 'a' = 'b'")
+    assert opts == {"password": "it's", "a": "b"}
+
+
+def test_every_factory_identifier_builds():
+    for ident in FACTORIES:
+        rt = create_table_source(
+            f"CREATE TABLE t (id BIGINT NOT NULL, PRIMARY KEY (id) NOT ENFORCED) "
+            f"WITH ('connector' = '{ident}')"
+        )
+        assert rt.source.connector == ident
+        assert rt.physical_schema.fieldNames() == ["id"]
