@@ -4014,6 +4014,92 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mixing.sequence_pack_spans(ld(spark, sf_dir, "documents"))
 
 
+# §3.1 end to end: the SQL DDL entry point drives a full pipeline —
+# CREATE TABLE ... WITH ('connector'='mysql-cdc') resolves the declared
+# physical schema + metadata plan + configured source; envelopes built
+# from orders decode through from_debezium_json USING THE DDL-DECLARED
+# SCHEMA; the declared metadata columns project from the engine's
+# _db/_table/_op_ts; the upsert materialization keys on the DDL's
+# PRIMARY KEY.  Oracle recomputes the final state relationally.
+@register(
+    "cdc_sql_ddl_pipeline",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS total_str,
+           'testdb' AS db_name,
+           'orders' AS tbl_name
+    FROM orders WHERE o_orderkey % 23 = 0
+    """,
+)
+def cdc_sql_ddl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        append_metadata,
+        materialize,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(
+        """
+        CREATE TABLE orders_src (
+            db_name STRING METADATA FROM 'database_name' VIRTUAL,
+            tbl_name STRING METADATA FROM 'table_name' VIRTUAL,
+            order_id BIGINT NOT NULL,
+            status STRING,
+            total DECIMAL(12, 2),
+            PRIMARY KEY (order_id) NOT ENFORCED
+        ) WITH (
+            'connector' = 'mysql-cdc',
+            'hostname' = 'db.example',
+            'database-name' = 'testdb',
+            'table-name' = 'testdb\\.orders'
+        )
+        """
+    )
+    o = ld(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 23 == 0)
+    env = o.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.col("o_orderkey").alias("order_id"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_totalprice")
+                    .cast("decimal(12,2)")
+                    .cast("string")
+                    .alias("total"),
+                ).alias("after"),
+                F.lit("c").alias("op"),
+                F.col("o_orderkey").alias("ts_ms"),
+            )
+        ).alias("value")
+    )
+    from pyspark.sql import types as T
+
+    # decode with the DDL-DECLARED physical schema (decimal carried as
+    # string in the envelope, lifted by the declared DecimalType)
+    raw = T.StructType(
+        [
+            T.StructField("order_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.StringType()),
+        ]
+    )
+    total_type = rt.physical_schema["total"].dataType
+    decoded = from_debezium_json(
+        env, raw, converters={"total": lambda c: c.cast(total_type)}
+    )
+    decoded = append_metadata(decoded, database="testdb", table="orders")
+    with_meta = rt.append_metadata(decoded)
+    state = materialize(with_meta, rt.primary_key)
+    return state.select(
+        "order_id",
+        "status",
+        F.col("total").cast("string").alias("total_str"),
+        "db_name",
+        "tbl_name",
+    )
+
+
 # Semantic clustering: exact integer-arithmetic Lloyd's k-means over the
 # embedding table (operators/clustering.py) — the cluster-then-dedup /
 # topic-bucketing / IVF-coarse-quantizer primitive.  Iterative algorithm
