@@ -192,7 +192,15 @@ def create_table_source(ddl: str) -> ResolvedTable:
         if pkm:
             pk = [c.strip().strip('`" ') for c in pkm.group("cols").split(",")]
             continue
-        if re.search(r"\bAS\b", part, re.IGNORECASE) and "METADATA" not in part.upper():
+        from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+            _find_keyword_outside_quotes,
+        )
+
+        # quote-aware: a COMMENT 'used AS label' must not trip this
+        if (
+            _find_keyword_outside_quotes(part, "AS") >= 0
+            and "METADATA" not in part.upper()
+        ):
             raise ValueError(
                 f"computed column not supported here: {part!r} — add it "
                 "with withColumn on the decoded DataFrame instead"

@@ -140,3 +140,11 @@ def test_every_factory_identifier_builds():
         )
         assert rt.source.connector == ident
         assert rt.physical_schema.fieldNames() == ["id"]
+
+
+def test_comment_containing_as_is_not_a_computed_column():
+    rt = create_table_source(
+        "CREATE TABLE t (id INT, note STRING COMMENT 'used AS a label') "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt.physical_schema.fieldNames() == ["id", "note"]
