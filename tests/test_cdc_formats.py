@@ -297,3 +297,69 @@ def test_mongodb_changestream_stays_jvm_side(spark):
         .toString()
     )
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_mongodb_changestream_decode_streaming(spark, tmp_path):
+    """The change-stream decoder is pure expressions, so it runs
+    unchanged under Structured Streaming: replay envelope files through
+    readStream -> decode -> memory sink and get the same changelog as
+    the batch path (availableNow microbatches)."""
+    from flink_cdc_2_3_0_src_spark.functions.cdc_formats import (
+        from_mongodb_changestream_json,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    def env(op, doc, t, i):
+        d = {"operationType": op,
+             "clusterTime": {"$timestamp": {"t": t, "i": i}},
+             "documentKey": json.dumps({"_id": {"$numberLong": str(doc["_id"])}})}
+        if op != "delete":
+            d["fullDocument"] = json.dumps(
+                {"_id": {"$numberLong": str(doc["_id"])}, "v": doc.get("v")}
+            )
+        return json.dumps(d)
+
+    msgs = [
+        env("insert", {"_id": 1, "v": "a"}, 1, 0),
+        env("update", {"_id": 1, "v": "b"}, 1, 1),
+        env("insert", {"_id": 2, "v": "c"}, 2, 0),
+        env("delete", {"_id": 2}, 2, 1),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("value", T.StringType()),
+            T.StructField("_seq", T.LongType()),  # replay-file ordering
+        ]
+    )
+    log = spark.createDataFrame(
+        [(m, i) for i, m in enumerate(msgs)], schema
+    )
+    replay_dir = str(tmp_path / "cs_replay")
+    write_replay_files(log, replay_dir, n_files=2)
+    stream = read_replay_stream(spark, replay_dir, schema).select("value")
+
+    declared = T.StructType(
+        [T.StructField("_id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    out = from_mongodb_changestream_json(stream, declared)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cs_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        spark.sql("SELECT * FROM cs_out").collect(), key=lambda r: r[SEQ_COL]
+    )
+    assert [(r["_id"], r["v"], r[OP_COL]) for r in got] == [
+        (1, "a", "+I"),
+        (1, "b", "+U"),
+        (2, "c", "+I"),
+        (2, None, "-D"),
+    ]
