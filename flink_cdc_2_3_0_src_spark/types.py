@@ -170,6 +170,18 @@ def flink_type_to_spark(decl: str) -> T.DataType:
         if len(kv) != 2:
             raise ValueError(f"MAP needs exactly <key, value>: {decl!r}")
         return T.MapType(flink_type_to_spark(kv[0]), flink_type_to_spark(kv[1]))
+    # Flink also spells precision mid-form: TIMESTAMP(3) WITH LOCAL
+    # TIME ZONE / TIME(0) WITHOUT TIME ZONE — normalize to suffix form
+    mz = re.match(
+        r"^(?P<b>TIMESTAMP|TIME)\s*(?:\((?P<p>\d+)\))?\s+"
+        r"(?P<tz>WITH(?:OUT)?\s+LOCAL\s+TIME\s+ZONE|WITH(?:OUT)?\s+TIME\s+ZONE)$",
+        up,
+    )
+    if mz:
+        with_ltz = "WITHOUT" not in mz.group("tz") and "LOCAL" in mz.group("tz")
+        if mz.group("b") == "TIMESTAMP":
+            return T.TimestampType() if with_ltz else T.TimestampNTZType()
+        return T.IntegerType()  # TIME: millis-of-day
     m = re.match(r"^(?P<base>[A-Z_ ]+?)\s*(?:\((?P<args>[\d,\s]*)\))?$", up)
     if not m:
         raise ValueError(f"unparseable Flink type: {decl!r}")

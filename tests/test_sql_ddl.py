@@ -148,3 +148,12 @@ def test_comment_containing_as_is_not_a_computed_column():
         "WITH ('connector' = 'mysql-cdc')"
     )
     assert rt.physical_schema.fieldNames() == ["id", "note"]
+
+
+def test_flink_type_timezone_mid_precision_forms():
+    from flink_cdc_2_3_0_src_spark.types import flink_type_to_spark as f
+
+    assert isinstance(f("TIMESTAMP(3) WITH LOCAL TIME ZONE"), T.TimestampType)
+    assert isinstance(f("TIMESTAMP(6) WITHOUT TIME ZONE"), T.TimestampNTZType)
+    assert isinstance(f("TIMESTAMP_LTZ(3)"), T.TimestampType)
+    assert isinstance(f("TIME(0) WITHOUT TIME ZONE"), T.IntegerType)
