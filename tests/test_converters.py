@@ -1065,3 +1065,135 @@ def test_converter_factory_unknown_semantic_type_fails_at_plan_time():
 
     with pytest.raises(LookupError, match="NoSuchType"):
         converters_for_types({"x": "NoSuchType"})
+
+
+def test_bson_nested_roundtrip_randomized(spark):
+    """Randomized round-trip over random declared schemas: values
+    generated in Python, encoded as canonical Extended JSON, decoded by
+    the recursive JVM converters — decode(encode(v)) == v at every
+    nesting level.  Seeded; one Spark job for all 40 documents."""
+    import json
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from flink_cdc_2_3_0_src_spark.functions.converters import (
+        bson_convert,
+        bson_raw_schema_for,
+    )
+
+    rng = random.Random(0xBEEF)
+
+    def rand_scalar_type():
+        return rng.choice(
+            [
+                T.LongType(),
+                T.IntegerType(),
+                T.StringType(),
+                T.BooleanType(),
+                T.DoubleType(),
+                T.DecimalType(10, 3),
+            ]
+        )
+
+    def rand_type(depth):
+        if depth <= 0:
+            return rand_scalar_type()
+        kind = rng.choice(["scalar", "array", "map", "row"])
+        if kind == "scalar":
+            return rand_scalar_type()
+        if kind == "array":
+            return T.ArrayType(rand_type(depth - 1))
+        if kind == "map":
+            return T.MapType(T.StringType(), rand_type(depth - 1))
+        return T.StructType(
+            [
+                T.StructField(f"f{i}", rand_type(depth - 1))
+                for i in range(rng.randint(1, 3))
+            ]
+        )
+
+    def rand_value(dtype):
+        if rng.random() < 0.15:
+            return None
+        if isinstance(dtype, T.LongType):
+            return rng.randint(-(2**62), 2**62)
+        if isinstance(dtype, T.IntegerType):
+            return rng.randint(-(2**31), 2**31 - 1)
+        if isinstance(dtype, T.StringType):
+            return "".join(rng.choice("abc xyz") for _ in range(rng.randint(0, 8)))
+        if isinstance(dtype, T.BooleanType):
+            return rng.random() < 0.5
+        if isinstance(dtype, T.DoubleType):
+            return round(rng.uniform(-1e6, 1e6), 6)
+        if isinstance(dtype, T.DecimalType):
+            return Decimal(rng.randint(-(10**9), 10**9)) / 1000
+        if isinstance(dtype, T.ArrayType):
+            return [rand_value(dtype.elementType) for _ in range(rng.randint(0, 4))]
+        if isinstance(dtype, T.MapType):
+            return {
+                f"k{i}": rand_value(dtype.valueType)
+                for i in range(rng.randint(0, 3))
+            }
+        if isinstance(dtype, T.StructType):
+            return {f.name: rand_value(f.dataType) for f in dtype.fields}
+        raise AssertionError(dtype)
+
+    def encode(v, dtype):
+        """Python value -> canonical Extended JSON shape."""
+        if v is None:
+            return None
+        if isinstance(dtype, T.LongType):
+            return {"$numberLong": str(v)}
+        if isinstance(dtype, T.IntegerType):
+            return {"$numberInt": str(v)}
+        if isinstance(dtype, T.DoubleType):
+            return {"$numberDouble": repr(v)}
+        if isinstance(dtype, T.DecimalType):
+            return {"$numberDecimal": str(v)}
+        if isinstance(dtype, (T.StringType, T.BooleanType)):
+            return v
+        if isinstance(dtype, T.ArrayType):
+            return [encode(x, dtype.elementType) for x in v]
+        if isinstance(dtype, T.MapType):
+            return {k: encode(x, dtype.valueType) for k, x in v.items()}
+        if isinstance(dtype, T.StructType):
+            return {
+                f.name: encode(v.get(f.name), f.dataType) for f in dtype.fields
+            }
+        raise AssertionError(dtype)
+
+    def normalize(v, dtype):
+        """Spark Row/array results -> plain Python for comparison."""
+        if v is None:
+            return None
+        if isinstance(dtype, T.ArrayType):
+            return [normalize(x, dtype.elementType) for x in v]
+        if isinstance(dtype, T.MapType):
+            return {k: normalize(x, dtype.valueType) for k, x in v.items()}
+        if isinstance(dtype, T.StructType):
+            return {
+                f.name: normalize(v[f.name], f.dataType) for f in dtype.fields
+            }
+        return v
+
+    for trial in range(4):
+        declared = T.StructType(
+            [T.StructField(f"c{i}", rand_type(2)) for i in range(3)]
+        )
+        vals = [rand_value(declared) or {} for _ in range(10)]
+        docs = [json.dumps(encode(v, declared)) for v in vals]
+        raw = bson_raw_schema_for(declared)
+        df = spark.createDataFrame([(d,) for d in docs], "value string")
+        out = [
+            normalize(r["o"], declared)
+            for r in df.select(
+                bson_convert(F.from_json("value", raw), declared).alias("o")
+            ).collect()
+        ]
+        for got, exp in zip(out, vals):
+            exp_n = {
+                f.name: (exp or {}).get(f.name) for f in declared.fields
+            }
+            assert got == exp_n, (trial, declared.simpleString(), got, exp_n)
