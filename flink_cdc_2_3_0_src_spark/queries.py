@@ -76,13 +76,22 @@ _PRIORITY: list[str] = [
     "cdc_multi_table_capture", "cdc_materialize", "cdc_changelog_stats",
     "cdc_signed_sum", "cdc_agg_auto_minmax", "cdc_join_enriched",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
-    "cdc_metadata_columns", "cdc_asof_prior_image", "b6_all_types_decode",
+    "cdc_metadata_columns", "cdc_mongo_changestream_decode",
+    "b6_all_types_decode",
     # (cdc_compact_changelog: log compaction — demoted; its upsert-by-PK
     # semantics are already witnessed in-window by cdc_materialize and
-    # the envelope round trip by cdc_dbz_roundtrip.  Its slot goes to
-    # cdc_asof_prior_image: the event-time temporal join (Flink
-    # FOR SYSTEM_TIME AS OF), verified against DuckDB's NATIVE ASOF
-    # JOIN.  Still registered + locally swept.)
+    # the envelope round trip by cdc_dbz_roundtrip.  Its slot went to
+    # cdc_asof_prior_image in r4; r7 demotes THAT too — the event-time
+    # temporal join class stays witnessed in-window by cdc_scd2_history
+    # (same FOR SYSTEM_TIME AS OF semantics, richer validity-interval
+    # output), and asof stays registered + locally swept against
+    # DuckDB's native ASOF JOIN.  Its slot goes to
+    # cdc_mongo_changestream_decode: the Mongo-NATIVE change-stream
+    # envelope (operationType + fullDocument/documentKey nested
+    # Extended-JSON, upsert-mode +I/+U/-D mapping, clusterTime (t,i)
+    # total order — reference MongoDBConnectorDeserializationSchema),
+    # a distinct operator class from the Debezium envelope rows and the
+    # r6 VERDICT's #1 window-completion ask.)
     "cdc_startup_timestamp", "cdc_snapshot_resume",
     "cdc_charset_decode", "cdc_chunked_snapshot_composite_pk",
     # (cdc_chunked_snapshot_string_pk: the lexicographic-PK chunking
@@ -149,7 +158,17 @@ _PRIORITY: list[str] = [
     # binary, $timestamp) stays registered + locally swept as
     # cdc_mongo_bson_decode.)
     "cdc_mongo_nested_decode",
-    "knn_graph", "ann_lsh_bucketed",
+    "knn_graph", "pipeline_sequence_pack",
+    # (ann_lsh_bucketed: hyperplane-LSH bucketed ANN — demoted in r7;
+    # the hyperplane-bucket machinery stays witnessed in-window by
+    # dedup_embedding_cosine_lsh (same sign-bucket equi-join core) and
+    # TWO ANN strategies remain in-window (brute-force cosine +
+    # IVF/nprobe); lsh_bucketed stays registered + locally swept.  Its
+    # slot goes to pipeline_sequence_pack: GPT-style training-example
+    # construction (concat-and-chunk token spans into fixed-length
+    # sequences via the coarse-bucket two-phase cumsum) — the r6
+    # VERDICT's #1 window-completion ask, an operator class no other
+    # window row covers.)
     "dedup_embedding_cosine_lsh", "ann_topk_ivf",
     # (dedup_ngram_jaccard / dedup_embedding_cosine — the LSH-off
     # verification shapes — were UNREGISTERED in r6: no O(n²)-per-block
