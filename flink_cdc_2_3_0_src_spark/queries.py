@@ -4047,7 +4047,8 @@ def pipeline_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderstatus AS status,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS total_str,
            'testdb' AS db_name,
-           'orders' AS tbl_name
+           'orders' AS tbl_name,
+           CAST(o_orderkey % 7 AS BIGINT) AS okey_bucket
     FROM orders WHERE o_orderkey % 23 = 0
     """,
 )
@@ -4066,6 +4067,7 @@ def cdc_sql_ddl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             order_id BIGINT NOT NULL,
             status STRING,
             total DECIMAL(12, 2),
+            okey_bucket AS CAST(order_id % 7 AS BIGINT),
             PRIMARY KEY (order_id) NOT ENFORCED
         ) WITH (
             'connector' = 'mysql-cdc',
@@ -4108,7 +4110,7 @@ def cdc_sql_ddl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         env, raw, converters={"total": lambda c: c.cast(total_type)}
     )
     decoded = append_metadata(decoded, database="testdb", table="orders")
-    with_meta = rt.append_metadata(decoded)
+    with_meta = rt.apply_computed(rt.append_metadata(decoded))
     state = materialize(with_meta, rt.primary_key)
     return state.select(
         "order_id",
@@ -4116,6 +4118,7 @@ def cdc_sql_ddl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("string").alias("total_str"),
         "db_name",
         "tbl_name",
+        "okey_bucket",
     )
 
 

@@ -14,9 +14,17 @@ classes the DataStream API uses (one option-validation path, exactly
 like the reference routing both APIs through the same config).
 
 Scope: physical columns, ``METADATA [FROM 'key'] [VIRTUAL]`` columns,
-``PRIMARY KEY (...) NOT ENFORCED``; computed columns (``AS expr``) are
-rejected with a clear error (the reference delegates those to the
-planner — in Spark you add them with ``withColumn`` downstream).
+computed columns (``name AS expr [COMMENT '...']``), and
+``PRIMARY KEY (...) NOT ENFORCED``.  Computed columns are EXCLUDED from
+the physical schema exactly like the reference (physical-schema
+extraction at MySqlTableSourceFactory.java:101-102 filters to
+``Column.isPhysical()``; the Flink planner applies the expressions as a
+projection after decode) — here ``apply_computed`` lifts each stored
+expression with ``F.expr`` onto the decoded frame, in declaration order
+so later computed columns may reference earlier ones.  ``PROCTIME()``
+is rejected with a clear error: a processing-time attribute has no
+meaning on a replayed/batch changelog (use ``current_timestamp()``
+downstream if wall-clock tagging is really wanted).
 """
 
 from __future__ import annotations
@@ -95,6 +103,8 @@ class ResolvedTable:
     primary_key: list[str]
     # (output column name, metadata key) in declaration order
     metadata_columns: list = field(default_factory=list)
+    # (output column name, SQL expression string) in declaration order
+    computed_columns: list = field(default_factory=list)
     source: object = None
     options: dict = field(default_factory=dict)
 
@@ -124,6 +134,20 @@ class ResolvedTable:
         out = df
         for col_name, key in self.metadata_columns:
             out = out.withColumn(col_name, F.col(src[key]))
+        return out
+
+    def apply_computed(self, df: DataFrame) -> DataFrame:
+        """Apply the DDL's computed columns (``name AS expr``) onto a
+        decoded frame, in declaration order — so a later computed
+        column may reference an earlier one, as in Flink.  Mirrors the
+        planner-side projection the reference delegates computed
+        columns to (they are never part of the physical row the
+        deserializer produces)."""
+        from pyspark.sql import functions as F
+
+        out = df
+        for col_name, expr_str in self.computed_columns:
+            out = out.withColumn(col_name, F.expr(expr_str))
         return out
 
 
@@ -169,6 +193,43 @@ def parse_with_options(opts: str) -> dict:
     }
 
 
+_TRAILING_COMMENT = re.compile(
+    r"\s+COMMENT\s+'(?:[^']|'')*'\s*$", re.IGNORECASE
+)
+_PROCTIME = re.compile(r"\bPROCTIME\s*\(", re.IGNORECASE)
+
+
+def _parse_computed(part: str, as_end: int) -> tuple[str, str]:
+    """Split ``name AS expr [COMMENT '...']`` at the (quote-aware)
+    ``AS`` whose end index is ``as_end``; returns (name, expr)."""
+    name = part[: as_end - 2].strip().strip('`" ')
+    if not re.fullmatch(r"\w+", name):
+        raise ValueError(f"unparseable computed column def: {part!r}")
+    expr_str = part[as_end:].strip()
+    # a trailing column COMMENT is DDL syntax, not part of the
+    # expression — strip it only when the COMMENT keyword itself sits
+    # outside any quoted literal of the expression
+    from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
+        _find_keyword_outside_quotes,
+    )
+
+    j = _find_keyword_outside_quotes(expr_str, "COMMENT")
+    if j >= 0:
+        m = _TRAILING_COMMENT.search(expr_str)
+        if m and m.start() < j <= m.end():
+            expr_str = expr_str[: m.start()].strip()
+    if _PROCTIME.search(expr_str):
+        raise ValueError(
+            f"PROCTIME() computed column not supported: {part!r} — a "
+            "processing-time attribute has no meaning on a replayed or "
+            "batch changelog; use current_timestamp() downstream if "
+            "wall-clock tagging is wanted"
+        )
+    if not expr_str:
+        raise ValueError(f"computed column has empty expression: {part!r}")
+    return name, expr_str
+
+
 def create_table_source(ddl: str) -> ResolvedTable:
     m = _CREATE_WITH.match(ddl)
     if not m:
@@ -185,6 +246,7 @@ def create_table_source(ddl: str) -> ResolvedTable:
         )
     fields: list[T.StructField] = []
     meta_cols: list = []
+    computed_cols: list = []
     pk: list[str] = []
     allowed_meta = METADATA_KEYS[connector]
     for part in _split_top_level(m.group("body")):
@@ -197,14 +259,10 @@ def create_table_source(ddl: str) -> ResolvedTable:
         )
 
         # quote-aware: a COMMENT 'used AS label' must not trip this
-        if (
-            _find_keyword_outside_quotes(part, "AS") >= 0
-            and "METADATA" not in part.upper()
-        ):
-            raise ValueError(
-                f"computed column not supported here: {part!r} — add it "
-                "with withColumn on the decoded DataFrame instead"
-            )
+        as_end = _find_keyword_outside_quotes(part, "AS")
+        if as_end >= 0 and "METADATA" not in part.upper():
+            computed_cols.append(_parse_computed(part, as_end))
+            continue
         mm = _META_COL.match(part)
         if mm:
             key = mm.group("key") or mm.group("name")
@@ -230,6 +288,16 @@ def create_table_source(ddl: str) -> ResolvedTable:
     missing_pk = [c for c in pk if c not in phys_names]
     if missing_pk:
         raise ValueError(f"PRIMARY KEY names unknown columns: {missing_pk}")
+    from collections import Counter
+
+    counts = Counter(
+        [f_.name for f_ in fields]
+        + [n for n, _ in meta_cols]
+        + [n for n, _ in computed_cols]
+    )
+    dupes = sorted(n for n, c in counts.items() if c > 1)
+    if dupes:
+        raise ValueError(f"duplicate column names in DDL: {dupes}")
     builder = FACTORIES[connector]()
     builder._c = SourceConfig.from_options(options)
     source = builder.build()
@@ -239,6 +307,7 @@ def create_table_source(ddl: str) -> ResolvedTable:
         physical_schema=T.StructType(fields),
         primary_key=pk,
         metadata_columns=meta_cols,
+        computed_columns=computed_cols,
         source=source,
         options=options,
     )

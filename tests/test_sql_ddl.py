@@ -111,10 +111,55 @@ def test_dialect_metadata_keys_validated():
         )
 
 
-def test_computed_column_rejected():
-    with pytest.raises(ValueError, match="computed column"):
+def test_computed_column_parsed_and_excluded_from_physical_schema():
+    # the reference excludes computed columns from the physical row
+    # (MySqlTableSourceFactory.java:101-102, Column.isPhysical()); the
+    # expression is applied as a post-decode projection
+    rt = create_table_source(
+        "CREATE TABLE t (id INT, price DECIMAL(10,2), qty INT, "
+        "total AS price * qty, "
+        "total_sq AS total * total COMMENT 'refs an earlier computed col') "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt.physical_schema.fieldNames() == ["id", "price", "qty"]
+    assert rt.computed_columns == [
+        ("total", "price * qty"),
+        ("total_sq", "total * total"),
+    ]
+
+
+def test_computed_column_applied_in_order(spark):
+    rt = create_table_source(
+        "CREATE TABLE t (id INT, price DOUBLE, qty INT, "
+        "total AS price * qty, total_sq AS total * total) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    df = spark.createDataFrame([(1, 2.5, 4)], "id int, price double, qty int")
+    r = rt.apply_computed(df).collect()[0]
+    assert (r["total"], r["total_sq"]) == (10.0, 100.0)
+
+
+def test_proctime_computed_column_rejected_clearly():
+    with pytest.raises(ValueError, match="PROCTIME"):
         create_table_source(
-            "CREATE TABLE t (id INT, total AS price * qty) "
+            "CREATE TABLE t (id INT, pt AS PROCTIME()) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+
+
+def test_computed_column_comment_stripped_but_literal_kept():
+    rt = create_table_source(
+        "CREATE TABLE t (id INT, "
+        "tag AS CONCAT('a COMMENT ''x''', '-b') COMMENT 'real comment') "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt.computed_columns == [("tag", "CONCAT('a COMMENT ''x''', '-b')")]
+
+
+def test_duplicate_column_names_rejected():
+    with pytest.raises(ValueError, match="duplicate"):
+        create_table_source(
+            "CREATE TABLE t (id INT, id AS 1 + 1) "
             "WITH ('connector' = 'mysql-cdc')"
         )
 
