@@ -71,6 +71,17 @@ class SourceConfig:
     # as _schema/_tenant metadata columns via append_metadata
     schema_name: Optional[str] = None
     tenant_name: Optional[str] = None
+    # Mongo legacy copy-existing surface (MongoDBSourceOptions.java:71-85,
+    # MongoDBSource.java:181-226): copy.existing gates the initial
+    # snapshot; copy.existing.pipeline is a JSON array of aggregation
+    # stages (a $match pre-filter pushed into the snapshot scan);
+    # queue.size / max.threads are the copy manager's buffering knobs
+    # (Spark's scan parallelism supersedes them — parsed and validated
+    # for option-surface parity, surfaced on the config).
+    copy_existing: bool = True
+    copy_existing_pipeline: Optional[str] = None
+    copy_existing_queue_size: int = 10240
+    copy_existing_max_threads: Optional[int] = None
     parallelism: int = 1
     # Debezium embedded-engine passthrough: every `debezium.*`-prefixed
     # option lands here with the prefix stripped (reference
@@ -150,6 +161,26 @@ class SourceConfig:
                 "decimal.handling.mode must be precise|string|double, got "
                 f"{self.decimal_handling_mode!r}"
             )
+        # checkArgument parity: MongoDBSource.Builder requires > 0 for
+        # both knobs (MongoDBSource.java:198-211)
+        if self.copy_existing_queue_size < 1:
+            raise ValueError("copy.existing.queue.size must be > 0")
+        if self.copy_existing_max_threads is not None and self.copy_existing_max_threads < 1:
+            raise ValueError("copy.existing.max.threads must be > 0")
+        if self.copy_existing_pipeline is not None:
+            import json
+
+            try:
+                stages = json.loads(self.copy_existing_pipeline)
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"copy.existing.pipeline is not valid JSON: {e}"
+                ) from e
+            if not isinstance(stages, list):
+                raise ValueError(
+                    "copy.existing.pipeline must be a JSON ARRAY of "
+                    "aggregation stages, e.g. [{\"$match\": {...}}]"
+                )
         return self
 
     def startup_offset(self):
@@ -196,6 +227,10 @@ class SourceConfig:
             "include-schema-changes": ("include_schema_changes", lambda v: v == "true"),
             "schema-name": ("schema_name", str),
             "tenant-name": ("tenant_name", str),
+            "copy.existing": ("copy_existing", lambda v: v == "true"),
+            "copy.existing.pipeline": ("copy_existing_pipeline", str),
+            "copy.existing.queue.size": ("copy_existing_queue_size", int),
+            "copy.existing.max.threads": ("copy_existing_max_threads", int),
         }
         for k, v in opts.items():
             if k == "database-name":

@@ -374,6 +374,30 @@ class MongoDBSourceBuilder(MySqlSourceBuilder):
 
     def copy_existing(self, flag: bool):
         self._c.debezium_properties["copy.existing"] = str(flag).lower()
+        self._c.copy_existing = flag
+        return self
+
+    def copy_existing_pipeline(self, pipeline_json: str):
+        """copy.existing.pipeline — JSON array of aggregation stages run
+        over the snapshot copy, e.g. ``[{"$match": {"closed": false}}]``
+        (MongoDBSource.java:215-226).  The $match stages become a scan
+        predicate on the snapshot (see ``sources.mongo.match_pipeline_
+        filter``), so the filter pushes into the parquet/collection
+        scan."""
+        self._c.copy_existing_pipeline = pipeline_json
+        return self
+
+    def copy_existing_queue_size(self, size: int):
+        """copy.existing.queue.size (MongoDBSource.java:204-213); the
+        copy manager's buffer bound — validated > 0 for parity, with
+        Spark's scan batching superseding the actual queueing."""
+        self._c.copy_existing_queue_size = size
+        return self
+
+    def copy_existing_max_threads(self, n: int):
+        """copy.existing.max.threads (MongoDBSource.java:193-202);
+        Spark's scan parallelism supersedes it — parsed and validated."""
+        self._c.copy_existing_max_threads = n
         return self
 
 

@@ -147,3 +147,111 @@ def resume_from_offset(
     sec = F.col(seconds_col).cast("long")
     inc = F.col(increment_col).cast("long")
     return stream.filter((sec > F.lit(s)) | ((sec == F.lit(s)) & (inc > F.lit(i))))
+
+
+# ---------------------------------------------------------------------------
+# copy.existing.pipeline — $match pre-filter on the snapshot copy
+# (MongoDBSource.java:215-226: "pipeline operations to run when copying
+# existing data ... improve the use of indexes and make copying more
+# efficient").  Spark mapping: the $match document becomes a Column
+# predicate applied to the snapshot scan, so Catalyst pushes it into the
+# file scan — the same index-friendly pre-filter intent at 100 TB.
+# ---------------------------------------------------------------------------
+
+_MATCH_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin", "$exists"}
+
+
+def _match_condition(doc: dict):
+    """Column predicate for one $match document (implicit AND across
+    fields, Mongo query-operator subset that maps to relational
+    predicates).  Unsupported operators fail loudly — a silently-dropped
+    filter would return MORE data than the user asked to copy."""
+    if not isinstance(doc, dict) or not doc:
+        raise ValueError(f"$match stage must be a non-empty document, got {doc!r}")
+    conds = []
+    for key, spec in doc.items():
+        if key == "$and" or key == "$or":
+            if not isinstance(spec, list) or not spec:
+                raise ValueError(f"{key} takes a non-empty array of documents")
+            parts = [_match_condition(d) for d in spec]
+            acc = parts[0]
+            for p in parts[1:]:
+                acc = (acc & p) if key == "$and" else (acc | p)
+            conds.append(acc)
+            continue
+        if key.startswith("$"):
+            raise ValueError(
+                f"unsupported $match operator {key!r}; supported: "
+                f"$and, $or, field predicates {sorted(_MATCH_OPS)}"
+            )
+        col = F.col(key)
+        if isinstance(spec, dict):
+            for op, val in spec.items():
+                if op not in _MATCH_OPS:
+                    raise ValueError(
+                        f"unsupported operator {op!r} on field {key!r}; "
+                        f"supported: {sorted(_MATCH_OPS)}"
+                    )
+                if op == "$eq":
+                    conds.append(col == F.lit(val))
+                elif op == "$ne":
+                    conds.append(col != F.lit(val))
+                elif op == "$gt":
+                    conds.append(col > F.lit(val))
+                elif op == "$gte":
+                    conds.append(col >= F.lit(val))
+                elif op == "$lt":
+                    conds.append(col < F.lit(val))
+                elif op == "$lte":
+                    conds.append(col <= F.lit(val))
+                elif op == "$in":
+                    conds.append(col.isin(list(val)))
+                elif op == "$nin":
+                    conds.append(~col.isin(list(val)))
+                else:  # $exists: field presence → NULL-ness on a schema'd row
+                    conds.append(col.isNotNull() if val else col.isNull())
+        else:
+            conds.append(col == F.lit(spec))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def match_pipeline_filter(df: DataFrame, pipeline_json: str) -> DataFrame:
+    """Apply a ``copy.existing.pipeline`` JSON array to a snapshot frame.
+
+    Only ``$match`` stages are accepted (the reference forwards the
+    pipeline verbatim to Mongo's copy manager; here each $match becomes
+    a pushdown-able scan predicate).  Non-$match stages ($project,
+    $sort, ...) raise — reshaping the copied documents would silently
+    change the decode schema."""
+    import json
+
+    stages = json.loads(pipeline_json)
+    if not isinstance(stages, list):
+        raise ValueError("copy.existing.pipeline must be a JSON array of stages")
+    out = df
+    for stage in stages:
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise ValueError(f"each pipeline stage must be a single-key document, got {stage!r}")
+        (op, body), = stage.items()
+        if op != "$match":
+            raise ValueError(
+                f"unsupported copy.existing.pipeline stage {op!r}: only "
+                "$match pre-filters map to a snapshot scan predicate"
+            )
+        out = out.filter(_match_condition(body))
+    return out
+
+
+def apply_copy_existing(df: DataFrame, config) -> Optional[DataFrame]:
+    """Snapshot-copy gate for the legacy Mongo surface: returns the
+    (optionally $match-filtered) snapshot frame, or ``None`` when
+    ``copy.existing=false`` (the connector then starts from the change
+    stream only — MongoDBSourceOptions.java:71-78)."""
+    if not config.copy_existing:
+        return None
+    if config.copy_existing_pipeline:
+        return match_pipeline_filter(df, config.copy_existing_pipeline)
+    return df

@@ -86,3 +86,133 @@ def test_resume_filter_is_pure_predicate(spark):
         .toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# copy.existing option surface (MongoDBSourceOptions.java:71-85,
+# MongoDBSource.java:181-226)
+# ---------------------------------------------------------------------------
+import pytest
+
+from flink_cdc_2_3_0_src_spark.config import SourceConfig
+from flink_cdc_2_3_0_src_spark.sources.api import MongoDBSource
+from flink_cdc_2_3_0_src_spark.sources.mongo import (
+    apply_copy_existing,
+    match_pipeline_filter,
+)
+
+
+def test_copy_existing_options_parsed():
+    c = SourceConfig.from_options(
+        {
+            "copy.existing": "false",
+            "copy.existing.pipeline": '[{"$match": {"closed": false}}]',
+            "copy.existing.queue.size": "20480",
+            "copy.existing.max.threads": "4",
+        }
+    ).validate()
+    assert c.copy_existing is False
+    assert c.copy_existing_queue_size == 20480
+    assert c.copy_existing_max_threads == 4
+    assert '"$match"' in c.copy_existing_pipeline
+    # defaults match the reference (queue 10240, copy on)
+    d = SourceConfig()
+    assert d.copy_existing is True and d.copy_existing_queue_size == 10240
+
+
+def test_copy_existing_validation_errors():
+    with pytest.raises(ValueError, match="queue.size"):
+        SourceConfig.from_options({"copy.existing.queue.size": "0"}).validate()
+    with pytest.raises(ValueError, match="max.threads"):
+        SourceConfig.from_options({"copy.existing.max.threads": "-1"}).validate()
+    with pytest.raises(ValueError, match="not valid JSON"):
+        SourceConfig.from_options({"copy.existing.pipeline": "{nope"}).validate()
+    with pytest.raises(ValueError, match="JSON ARRAY"):
+        SourceConfig.from_options(
+            {"copy.existing.pipeline": '{"$match": {}}'}
+        ).validate()
+
+
+def test_copy_existing_builder_routing():
+    src = (
+        MongoDBSource.builder()
+        .copy_existing(True)
+        .copy_existing_pipeline('[{"$match": {"o_orderstatus": "F"}}]')
+        .copy_existing_queue_size(4096)
+        .copy_existing_max_threads(2)
+        .build()
+    )
+    c = src.config
+    assert c.copy_existing and c.copy_existing_queue_size == 4096
+    assert c.copy_existing_max_threads == 2
+    assert "o_orderstatus" in c.copy_existing_pipeline
+
+
+def test_match_pipeline_filter_semantics(spark):
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    pipeline = (
+        '[{"$match": {"o_orderstatus": "F", "o_totalprice": {"$gt": 100000}}},'
+        ' {"$match": {"$or": [{"o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}},'
+        '                     {"o_custkey": {"$lte": 500}}]}}]'
+    )
+    got = match_pipeline_filter(o, pipeline)
+    import pyspark.sql.functions as F
+
+    want = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_totalprice") > 100000)
+        & (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            | (F.col("o_custkey") <= 500)
+        )
+    )
+    n = got.count()
+    assert n == want.count() and 0 < n < o.count()
+
+
+def test_match_pipeline_filter_is_scan_predicate(spark):
+    """The $match lands as a pushed scan filter — no exchange, no
+    Python eval (the index-friendly pre-filter intent at scale)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    got = match_pipeline_filter(o, '[{"$match": {"o_orderstatus": "F"}}]')
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_match_pipeline_rejects_non_match_stages(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="only .?\\$match"):
+        match_pipeline_filter(df, '[{"$project": {"id": 1}}]')
+    with pytest.raises(ValueError, match="unsupported operator"):
+        match_pipeline_filter(df, '[{"$match": {"id": {"$regex": "x"}}}]')
+    with pytest.raises(ValueError, match="single-key"):
+        match_pipeline_filter(df, '[{"$match": {}, "$limit": 5}]')
+
+
+def test_match_exists_maps_to_nullness(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, v string")
+    keep = match_pipeline_filter(df, '[{"$match": {"v": {"$exists": true}}}]')
+    drop = match_pipeline_filter(df, '[{"$match": {"v": {"$exists": false}}}]')
+    assert [r["id"] for r in keep.collect()] == [1]
+    assert [r["id"] for r in drop.collect()] == [2]
+
+
+def test_apply_copy_existing_gate(spark):
+    df = spark.range(10)
+    on = SourceConfig(copy_existing=True)
+    off = SourceConfig(copy_existing=False)
+    filt = SourceConfig(
+        copy_existing=True,
+        copy_existing_pipeline='[{"$match": {"id": {"$lt": 3}}}]',
+    )
+    assert apply_copy_existing(df, on).count() == 10
+    assert apply_copy_existing(df, off) is None
+    assert apply_copy_existing(df, filt).count() == 3

@@ -202,3 +202,16 @@ def test_flink_type_timezone_mid_precision_forms():
     assert isinstance(f("TIMESTAMP(6) WITHOUT TIME ZONE"), T.TimestampNTZType)
     assert isinstance(f("TIMESTAMP_LTZ(3)"), T.TimestampType)
     assert isinstance(f("TIME(0) WITHOUT TIME ZONE"), T.IntegerType)
+
+
+def test_mongo_copy_existing_options_via_ddl():
+    rt = create_table_source(
+        "CREATE TABLE t (id BIGINT NOT NULL, PRIMARY KEY (id) NOT ENFORCED) "
+        "WITH ('connector' = 'mongodb-cdc', "
+        "'copy.existing' = 'true', "
+        "'copy.existing.pipeline' = '[{\"$match\": {\"closed\": false}}]', "
+        "'copy.existing.queue.size' = '16384')"
+    )
+    c = rt.source.config
+    assert c.copy_existing and c.copy_existing_queue_size == 16384
+    assert "closed" in c.copy_existing_pipeline
