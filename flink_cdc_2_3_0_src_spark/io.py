@@ -83,8 +83,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_small_scan(df: DataFrame, key: str = None) -> DataFrame:
-    """Repartition to the session's default parallelism when the plan
+def spread_small_scan(
+    df: DataFrame, key: str = None, expected_splits: int = None
+) -> DataFrame:
+    """Repartition to the session's default parallelism when the scan
     has fewer input splits than cores.
 
     Pre-shuffle stages (explode / higher-order-function projections)
@@ -92,9 +94,31 @@ def spread_small_scan(df: DataFrame, key: str = None) -> DataFrame:
     two splits (small files, coalesced scans) would execute its most
     expensive projection on a fraction of the cluster.  A
     well-partitioned 100 TB input is untouched — the repartition is
-    taken only when split count < parallelism, so production scans pay
-    no extra shuffle."""
+    taken only when the split estimate < parallelism, so production
+    scans pay no extra shuffle.
+
+    The split estimate is plan-time metadata only: an explicit
+    ``expected_splits`` hint (from a source that already planned its
+    chunks), else the leaf file count from the already-built FileIndex
+    (``df.inputFiles()``).  Neither converts the plan to an RDD — the
+    old ``df.rdd.getNumPartitions()`` probe forced scan-split
+    enumeration through the whole query plan on the driver, a real cost
+    once a table has millions of files.  A file-less plan (in-memory
+    local relation) is left untouched: those are driver-built fixtures
+    whose parallelize partitioning is already ``defaultParallelism``.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
+    if expected_splits is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return df
+        if not files:
+            return df
+        # a file larger than maxPartitionBytes yields multiple splits;
+        # file count is the floor of the true split count, which only
+        # errs toward spreading — the cheap side of the trade
+        expected_splits = len(files)
+    if expected_splits >= par:
         return df
     return df.repartition(par, key) if key else df.repartition(par)

@@ -44,3 +44,23 @@ def test_window_plan_hygiene(spark, name):
     # row-at-a-time Python UDFs never belong in a driver-window plan;
     # Arrow-batched pandas UDFs (ArrowEvalPython) are the sanctioned form
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_spread_small_scan_is_plan_time_metadata(spark):
+    """The spread decision must come from the FileIndex / an explicit
+    hint — never a df.rdd conversion (which forces scan-split
+    enumeration on the driver; real cost at millions of files)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table, spread_small_scan
+
+    par = spark.sparkContext.defaultParallelism
+    one_file = load_table(spark, SF_SMOKE, "region")
+    spread = spread_small_scan(one_file.select("r_regionkey"))
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # single split < cores → repartitioned
+    # a source that already planned >= par splits is untouched
+    hinted = spread_small_scan(one_file.select("r_regionkey"), expected_splits=par)
+    plan2 = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan2
+    # in-memory local relations (no files) are left alone
+    local = spark.createDataFrame([(1,)], "x int")
+    assert spread_small_scan(local) is local
