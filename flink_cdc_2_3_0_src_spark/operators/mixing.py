@@ -185,10 +185,10 @@ def token_budget_select(
     by the value domain — <= 1e6+1 rows — NOT the corpus) and prefix-
     sum that small frame; (2) buckets that fit entirely are kept with
     no per-doc window at all, and only the single BOUNDARY bucket gets
-    a per-doc running sum (partitioned window over that bucket's docs,
-    ordered by doc_id).  Caveat: a pathological corpus where most docs
-    share one quality value makes the boundary-bucket window large;
-    on natural corpora quality is near-continuous.
+    a per-doc running sum — itself two-phase over order-aligned doc_id
+    ranges (div 4096), so even a pathological corpus where most docs
+    share one rounded quality value never sorts more than a range's
+    worth of docs in one partition.
     """
     from pyspark.sql.window import Window
 
@@ -223,18 +223,36 @@ def token_budget_select(
     full = joined.filter(
         F.col("cum_before") + F.col("tok_q") <= F.col("budget")
     ).select("doc_id", "source", "ntok", "quality")
-    # the one boundary bucket: per-doc inclusive running sum by doc_id
+    # the one boundary bucket: per-doc inclusive running sum by doc_id.
+    # The bucket is a SINGLE quality value, so a window partitioned by
+    # quality alone would sort all its docs in one partition — a corpus
+    # where most docs share one rounded quality value degenerates that
+    # to a near-global sort.  Same cure as sequence_pack_spans: the
+    # running sum is two-phase over ORDER-ALIGNED doc_id ranges (div
+    # 4096) — per-sub-bucket totals prefixed over the 4096×-smaller
+    # frame, then a per-doc window partitioned by (quality, sub-bucket)
+    # whose sort is bounded by the range width, never the corpus.
     boundary = joined.filter(
         (F.col("cum_before") < F.col("budget"))
         & (F.col("cum_before") + F.col("tok_q") > F.col("budget"))
+    ).withColumn("sbkt", F.floor(F.col("doc_id") / F.lit(4096)).cast("long"))
+    per_s = boundary.groupBy("quality", "sbkt").agg(F.sum("ntok").alias("tok_sb"))
+    ws = (
+        Window.partitionBy("quality")
+        .orderBy("sbkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_s = per_s.withColumn(
+        "s_before", F.coalesce(F.sum("tok_sb").over(ws), F.lit(0))
     )
     wb = (
-        Window.partitionBy("quality")
+        Window.partitionBy("quality", "sbkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     part = (
-        boundary.withColumn("cum_in", F.sum("ntok").over(wb))
+        boundary.join(per_s.select("quality", "sbkt", "s_before"), ["quality", "sbkt"])
+        .withColumn("cum_in", F.col("s_before") + F.sum("ntok").over(wb))
         .filter(F.col("cum_before") + F.col("cum_in") <= F.col("budget"))
         .select("doc_id", "source", "ntok", "quality")
     )
@@ -339,13 +357,13 @@ def sequence_pack_spans_sql(capacity: int = 2048) -> str:
     nz AS (SELECT * FROM tk WHERE ntok > 0),
     c AS (
         SELECT doc_id, ntok,
-               COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+               CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS start
+                   AS BIGINT) AS start
         FROM nz
     )
     SELECT doc_id, ntok, start,
-           start // {capacity} AS first_bin,
-           (start + ntok - 1) // {capacity} AS last_bin
+           CAST(start // {capacity} AS BIGINT) AS first_bin,
+           CAST((start + ntok - 1) // {capacity} AS BIGINT) AS last_bin
     FROM c
 """

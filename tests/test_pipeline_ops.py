@@ -639,3 +639,36 @@ def test_sequence_pack_spans_contract(spark):
     # continuity across the coarse-bucket edge: 5 + 9 + 4 = 18
     assert out[4095]["start"] == 14
     assert out[4096]["start"] == 18
+
+
+def test_token_budget_boundary_bucket_bounded(spark):
+    """Pathological corpus: every doc shares ONE rounded quality value,
+    so the whole corpus IS the boundary bucket.  The two-phase doc_id-
+    range subdivision must (a) keep the greedy-by-doc_id semantics
+    exact across the 4096-range edges, and (b) leave no window in the
+    plan partitioned by quality alone (which would sort the full bucket
+    in one partition)."""
+    from flink_cdc_2_3_0_src_spark.operators.mixing import token_budget_select
+
+    # identical texts -> identical quality; doc_ids straddle the 4096
+    # sub-bucket boundary so the prefix hand-off is exercised
+    ids = list(range(4090, 4102))
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "s") for i in ids],
+        "doc_id long, text string, source string",
+    )
+    # 12 docs x 4 tokens = 48 total; budget 7/12 -> floor(48*7/12) = 28
+    # -> greedy by doc_id keeps the first 7 docs (28 tokens inclusive)
+    out = token_budget_select(docs, budget_num=7, budget_den=12)
+    assert sorted(r["doc_id"] for r in out.collect()) == ids[:7]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every per-doc window (the one ordered by doc_id) must be keyed by
+    # (quality, sbkt), never quality alone
+    doc_windows = [
+        line
+        for line in plan.splitlines()
+        if "windowspecdefinition" in line and "doc_id#" in line
+    ]
+    assert doc_windows, plan  # the boundary window must exist
+    for line in doc_windows:
+        assert "sbkt#" in line, line
