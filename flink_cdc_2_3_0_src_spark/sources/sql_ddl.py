@@ -14,7 +14,9 @@ classes the DataStream API uses (one option-validation path, exactly
 like the reference routing both APIs through the same config).
 
 Scope: physical columns, ``METADATA [FROM 'key'] [VIRTUAL]`` columns,
-computed columns (``name AS expr [COMMENT '...']``), and
+computed columns (``name AS expr [COMMENT '...']``),
+``WATERMARK FOR ts AS ts - INTERVAL '<n>' <unit>`` (mapped onto
+Spark's ``withWatermark`` delay via ``apply_watermark``), and
 ``PRIMARY KEY (...) NOT ENFORCED``.  Computed columns are EXCLUDED from
 the physical schema exactly like the reference (physical-schema
 extraction at MySqlTableSourceFactory.java:101-102 filters to
@@ -93,6 +95,18 @@ _PK_CLAUSE = re.compile(
     r"(?:\s+NOT\s+ENFORCED)?\s*$",
     re.IGNORECASE,
 )
+# WATERMARK FOR ts_col AS ts_col - INTERVAL '5' SECOND — Flink's
+# event-time declaration; Spark's counterpart is
+# df.withWatermark(ts_col, "5 seconds") on the stream
+_WATERMARK_CLAUSE = re.compile(
+    r"^WATERMARK\s+FOR\s+[`\"]?(?P<col>\w+)[`\"]?\s+AS\s+(?P<expr>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WATERMARK_DELAY = re.compile(
+    r"^[`\"]?(?P<col>\w+)[`\"]?\s*-\s*INTERVAL\s+'(?P<n>\d+(?:\.\d+)?)'\s+"
+    r"(?P<unit>SECOND|SECONDS|MINUTE|MINUTES|HOUR|HOURS|DAY|DAYS)\s*$",
+    re.IGNORECASE,
+)
 
 
 @dataclass
@@ -105,6 +119,9 @@ class ResolvedTable:
     metadata_columns: list = field(default_factory=list)
     # (output column name, SQL expression string) in declaration order
     computed_columns: list = field(default_factory=list)
+    # (event-time column, Spark delay string like "5 seconds"), from the
+    # DDL's WATERMARK FOR clause; None when the DDL declares none
+    watermark: Optional[tuple] = None
     source: object = None
     options: dict = field(default_factory=dict)
 
@@ -135,6 +152,17 @@ class ResolvedTable:
         for col_name, key in self.metadata_columns:
             out = out.withColumn(col_name, F.col(src[key]))
         return out
+
+    def apply_watermark(self, stream_df: DataFrame) -> DataFrame:
+        """Apply the DDL's WATERMARK declaration to a streaming frame —
+        Flink's ``WATERMARK FOR ts AS ts - INTERVAL '5' SECOND`` maps
+        one-to-one onto Spark's ``withWatermark(ts, '5 seconds')`` (the
+        late-data bound for windowed aggregation/dedup state eviction).
+        No-op when the DDL declares no watermark."""
+        if self.watermark is None:
+            return stream_df
+        col, delay = self.watermark
+        return stream_df.withWatermark(col, delay)
 
     def apply_computed(self, df: DataFrame) -> DataFrame:
         """Apply the DDL's computed columns (``name AS expr``) onto a
@@ -249,10 +277,24 @@ def create_table_source(ddl: str) -> ResolvedTable:
     computed_cols: list = []
     pk: list[str] = []
     allowed_meta = METADATA_KEYS[connector]
+    watermark = None
     for part in _split_top_level(m.group("body")):
         pkm = _PK_CLAUSE.match(part)
         if pkm:
             pk = [c.strip().strip('`" ') for c in pkm.group("cols").split(",")]
+            continue
+        wm = _WATERMARK_CLAUSE.match(part)
+        if wm:
+            expr_str = wm.group("expr").strip()
+            dm = _WATERMARK_DELAY.match(expr_str)
+            if not dm or dm.group("col") != wm.group("col"):
+                raise ValueError(
+                    f"unsupported WATERMARK expression {expr_str!r}: only "
+                    "the canonical '<ts_col> - INTERVAL '<n>' <unit>' form "
+                    "maps onto Spark's withWatermark delay"
+                )
+            unit = dm.group("unit").lower().rstrip("s") + "s"
+            watermark = (wm.group("col"), f"{dm.group('n')} {unit}")
             continue
         from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
             _find_keyword_outside_quotes,
@@ -298,6 +340,10 @@ def create_table_source(ddl: str) -> ResolvedTable:
     dupes = sorted(n for n, c in counts.items() if c > 1)
     if dupes:
         raise ValueError(f"duplicate column names in DDL: {dupes}")
+    if watermark is not None and watermark[0] not in counts:
+        raise ValueError(
+            f"WATERMARK column {watermark[0]!r} is not a declared column"
+        )
     builder = FACTORIES[connector]()
     builder._c = SourceConfig.from_options(options)
     source = builder.build()
@@ -308,6 +354,7 @@ def create_table_source(ddl: str) -> ResolvedTable:
         primary_key=pk,
         metadata_columns=meta_cols,
         computed_columns=computed_cols,
+        watermark=watermark,
         source=source,
         options=options,
     )

@@ -215,3 +215,53 @@ def test_mongo_copy_existing_options_via_ddl():
     c = rt.source.config
     assert c.copy_existing and c.copy_existing_queue_size == 16384
     assert "closed" in c.copy_existing_pipeline
+
+
+def test_watermark_clause_parsed_and_mapped():
+    rt = create_table_source(
+        "CREATE TABLE t (id BIGINT NOT NULL, ts TIMESTAMP_LTZ(3), "
+        "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND, "
+        "PRIMARY KEY (id) NOT ENFORCED) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt.watermark == ("ts", "5 seconds")
+    # physical schema is unaffected by the watermark declaration
+    assert rt.physical_schema.fieldNames() == ["id", "ts"]
+    rt2 = create_table_source(
+        "CREATE TABLE t (id INT, op_ts TIMESTAMP_LTZ(3) METADATA FROM 'op_ts', "
+        "WATERMARK FOR op_ts AS op_ts - INTERVAL '30' MINUTES) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt2.watermark == ("op_ts", "30 minutes")
+
+
+def test_watermark_rejects_non_canonical_or_unknown():
+    with pytest.raises(ValueError, match="WATERMARK expression"):
+        create_table_source(
+            "CREATE TABLE t (id INT, ts TIMESTAMP(3), "
+            "WATERMARK FOR ts AS some_udf(ts)) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+    with pytest.raises(ValueError, match="not a declared column"):
+        create_table_source(
+            "CREATE TABLE t (id INT, ts TIMESTAMP(3), "
+            "WATERMARK FOR nope AS nope - INTERVAL '5' SECOND) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+
+
+def test_apply_watermark_on_stream(spark):
+    rt = create_table_source(
+        "CREATE TABLE t (value BIGINT, timestamp TIMESTAMP_LTZ(3), "
+        "WATERMARK FOR timestamp AS timestamp - INTERVAL '10' SECOND) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    out = rt.apply_watermark(stream)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in analyzed and "10 seconds" in analyzed
+    # DDL without a watermark: identity
+    rt0 = create_table_source(
+        "CREATE TABLE t (id INT) WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt0.watermark is None and rt0.apply_watermark(stream) is stream
