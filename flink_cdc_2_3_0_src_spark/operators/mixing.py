@@ -202,13 +202,31 @@ def token_budget_select(
     ).filter(F.col("ntok").isNotNull())  # null text: Spark's null join
     # key would silently drop it while a window cumsum would keep it —
     # pin the cross-engine behavior to "dropped" explicitly
-    tot = base.agg(
+    base = base.withColumn(
+        "sbkt", F.floor(F.col("doc_id") / F.lit(4096)).cast("long")
+    )
+    # ONE corpus aggregation: per (quality, doc_id-range) totals.  The
+    # per-quality totals and the budget scalar roll up from it, and the
+    # boundary bucket's sub-range prefix reads it directly.
+    per_s = base.groupBy("quality", "sbkt").agg(F.sum("ntok").alias("tok_sb"))
+    # materialize the per-quality frame once: it is VALUE-DOMAIN bounded
+    # (<= 1e6+1 rows at 6dp rounding, regardless of corpus size) and
+    # referenced three times (budget scalar, broadcast metadata,
+    # boundary-bucket pick) — without this, each reference re-runs the
+    # scan+tokenize+aggregate subtree (double-typed group keys defeat
+    # Spark's exchange reuse across the references)
+    per_q = (
+        per_s.groupBy("quality")
+        .agg(F.sum("tok_sb").alias("tok_q"))
+        .localCheckpoint()
+    )
+    tot = per_q.agg(
         F.floor(
-            F.sum("ntok") * F.lit(budget_num) / F.lit(budget_den)
+            F.sum("tok_q") * F.lit(budget_num) / F.lit(budget_den)
         ).cast("bigint").alias("budget")
     )
-    # phase 1: per-quality-value totals; prefix over the SMALL frame
-    per_q = base.groupBy("quality").agg(F.sum("ntok").alias("tok_q"))
+    # prefix over the SMALL per-quality frame (bounded by the 6dp value
+    # domain, not the corpus)
     wq = (
         Window.orderBy(F.col("quality").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -216,47 +234,54 @@ def token_budget_select(
     per_q = per_q.withColumn(
         "cum_before", F.coalesce(F.sum("tok_q").over(wq), F.lit(0))
     ).crossJoin(F.broadcast(tot))
-    joined = base.join(
-        per_q.select("quality", "tok_q", "cum_before", "budget"), "quality"
-    )
-    # buckets that fit entirely: no per-doc window needed
-    full = joined.filter(
-        F.col("cum_before") + F.col("tok_q") <= F.col("budget")
-    ).select("doc_id", "source", "ntok", "quality")
-    # the one boundary bucket: per-doc inclusive running sum by doc_id.
-    # The bucket is a SINGLE quality value, so a window partitioned by
-    # quality alone would sort all its docs in one partition — a corpus
-    # where most docs share one rounded quality value degenerates that
-    # to a near-global sort.  Same cure as sequence_pack_spans: the
-    # running sum is two-phase over ORDER-ALIGNED doc_id ranges (div
-    # 4096) — per-sub-bucket totals prefixed over the 4096×-smaller
-    # frame, then a per-doc window partitioned by (quality, sub-bucket)
-    # whose sort is bounded by the range width, never the corpus.
-    boundary = joined.filter(
+    # the one BOUNDARY bucket (straddles the budget) gets a sub-range
+    # prefix: s_before = tokens in the same quality's EARLIER doc_id
+    # ranges, read straight off per_s — never a per-doc pass
+    bq = per_q.filter(
         (F.col("cum_before") < F.col("budget"))
         & (F.col("cum_before") + F.col("tok_q") > F.col("budget"))
-    ).withColumn("sbkt", F.floor(F.col("doc_id") / F.lit(4096)).cast("long"))
-    per_s = boundary.groupBy("quality", "sbkt").agg(F.sum("ntok").alias("tok_sb"))
+    )
     ws = (
         Window.partitionBy("quality")
         .orderBy("sbkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    per_s = per_s.withColumn(
-        "s_before", F.coalesce(F.sum("tok_sb").over(ws), F.lit(0))
+    per_sb = (
+        per_s.join(F.broadcast(bq.select("quality")), "quality")
+        .withColumn("s_before", F.coalesce(F.sum("tok_sb").over(ws), F.lit(0)))
     )
+    # ONE pass over the docs: broadcast the per-quality metadata in,
+    # left-join the boundary sub-range prefixes (same (quality, sbkt)
+    # keys the window below shuffles on, so they share the exchange),
+    # and compute the per-doc running sum for every row with a window
+    # whose partitions are doc_id ranges — bounded at 4096 docs each,
+    # never the corpus.  Keep = the bucket fits entirely, or the doc is
+    # in the boundary bucket and its inclusive running total still fits.
     wb = (
         Window.partitionBy("quality", "sbkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    part = (
-        boundary.join(per_s.select("quality", "sbkt", "s_before"), ["quality", "sbkt"])
-        .withColumn("cum_in", F.col("s_before") + F.sum("ntok").over(wb))
-        .filter(F.col("cum_before") + F.col("cum_in") <= F.col("budget"))
-        .select("doc_id", "source", "ntok", "quality")
+    joined = (
+        base.join(
+            F.broadcast(per_q.select("quality", "tok_q", "cum_before", "budget")),
+            "quality",
+        )
+        .join(
+            per_sb.select("quality", "sbkt", "s_before"),
+            ["quality", "sbkt"],
+            "left",
+        )
+        .withColumn("cum_in", F.sum("ntok").over(wb))
     )
-    return full.unionByName(part)
+    keep = (F.col("cum_before") + F.col("tok_q") <= F.col("budget")) | (
+        F.col("s_before").isNotNull()
+        & (
+            F.col("cum_before") + F.col("s_before") + F.col("cum_in")
+            <= F.col("budget")
+        )
+    )
+    return joined.filter(keep).select("doc_id", "source", "ntok", "quality")
 
 
 def token_budget_select_sql(budget_num: int = 3, budget_den: int = 10) -> str:

@@ -46,6 +46,12 @@ DEFAULT_QUERIES = [
     # round-6 additions
     "cdc_mongo_nested_decode",
     "cdc_schema_evolution",
+    # round-7 additions (window promotions + the DDL e2e carrying a
+    # computed column)
+    "pipeline_token_budget",
+    "pipeline_sequence_pack",
+    "cdc_mongo_changestream_decode",
+    "cdc_sql_ddl_pipeline",
 ]
 
 
