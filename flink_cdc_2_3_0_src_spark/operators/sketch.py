@@ -16,6 +16,8 @@ estimate/overestimate columns match exactly.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,5 +172,192 @@ def cms_heavy_hitters_sql(top_k: int = 20, width: int = CMS_WIDTH) -> str:
     """
 
 
-__all__ = ["cms_heavy_hitters", "cms_heavy_hitters_sql", "CMS_WIDTH"]
+# --------------------------------------------------------------------------
+# HyperLogLog — sublinear DISTINCT-count estimation (the cardinality
+# complement of the Count-Min frequency sketch above).
+#
+# The 100 TB shape: exact per-source vocabulary size needs a corpus-wide
+# shuffle keyed by (source, token) — unbounded key cardinality, the
+# single most expensive pattern in a dedup/statistics pipeline.  An HLL
+# needs ONE aggregation into m fixed registers per group: each doc is
+# reduced executor-side (Arrow-batched UDF) to its 64-register partial,
+# and registers merge by element-wise MIN/MAX — a commutative monoid, so
+# Spark's map-side partial aggregation is lossless and the shuffle
+# carries n_groups rows of 64 longs regardless of corpus size.
+# (Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+# cardinality estimation algorithm", AofA 2007.)
+#
+# Exact cross-engine determinism: HLL is normally float-laden (2^-M
+# sums, alpha correction, log corrections).  Here every step is exact
+# integer arithmetic so the DuckDB oracle hash-matches bit for bit:
+#   - register value stores the SCALED CONTRIBUTION 2^bitlen(w) =
+#     2^(26-rho) directly (min over items == max over rho), so the
+#     indicator sum  S = sum_j 2^(26-M_j)  is a plain integer SUM;
+#   - alpha_m = 0.7213/(1 + 1.079/m) is the exact rational
+#     7213*m / (10000*m + 10790), so the raw estimate
+#     floor(alpha * m^2 / sum 2^-M_j) = NUM // (DEN * S) is one int div;
+#   - the small-range linear-counting branch m*ln(m/V) has only m
+#     possible inputs, precomputed once in Python and embedded as the
+#     same literal lookup array in both engines.
+# --------------------------------------------------------------------------
+
+HLL_M = 64  # registers (p = 6 index bits); std error ~1.04/sqrt(64) = 13%
+_HLL_A = 1_103_515_245  # fixed affine mix over the portable poly hash,
+_HLL_B = 12_345  # mod P = 2^31-1: 6 index bits + 25 rank bits
+_HLL_W_BITS = 25
+_HLL_EMPTY = 1 << (_HLL_W_BITS + 1)  # empty register: 2^26 (rho = 0)
+# raw estimate = alpha_m * m^2 / sum(2^-M_j) with the sum scaled by 2^26:
+#   NUM // (DEN * S), exact int64 (NUM = 7213 * 64^3 * 2^26 ~ 1.27e17)
+_HLL_NUM = 7213 * HLL_M**3 * _HLL_EMPTY
+_HLL_DEN = 10000 * HLL_M + 10790
+_HLL_SMALL = 5 * HLL_M // 2  # linear-counting threshold 2.5m
+# linear counting m*ln(m/V) for V = 1..m, rounded half-up — identical
+# literals on both engines keep the branch float-free at query time
+_HLL_LINEAR = [
+    int(__import__("math").floor(HLL_M * __import__("math").log(HLL_M / v) + 0.5))
+    for v in range(1, HLL_M + 1)
+]
+
+
+def _make_hll_doc_regs_udf():
+    from flink_cdc_2_3_0_src_spark.functions.hashing import (
+        _py_poly_hash_cached,
+        _py_tokens,
+    )
+
+    @F.pandas_udf("array<long>")
+    def _regs(s: pd.Series) -> pd.Series:
+        def regs(text):
+            if text is None:
+                return None
+            out = np.full(HLL_M, _HLL_EMPTY, dtype=np.int64)
+            hs = {_py_poly_hash_cached(t) for t in _py_tokens(text)}
+            if hs:
+                h = np.fromiter(hs, dtype=np.int64, count=len(hs))
+                h2 = (_HLL_A * h + _HLL_B) % _P
+                idx = h2 & (HLL_M - 1)
+                w = h2 >> 6
+                # contribution 2^bitlen(w): frexp's exponent IS bitlen for
+                # integer w > 0 (and (0.0, 0) for w = 0 -> 2^0 = 1), exact
+                # in double since w < 2^25
+                _, e = np.frexp(w.astype(np.float64))
+                c = np.left_shift(np.int64(1), e.astype(np.int64))
+                np.minimum.at(out, idx, c)
+            return [int(x) for x in out]
+
+        return s.map(regs)
+
+    return _regs
+
+
+def hll_doc_registers(text_col):
+    """text → 64-long array: this doc's HLL register partial (min scaled
+    contribution per register; 2^26 where untouched)."""
+    from flink_cdc_2_3_0_src_spark.functions.hashing import _cached
+
+    return _cached("hll_regs", _make_hll_doc_regs_udf)(text_col)
+
+
+def hll_merge_registers(regs_col: str = "regs"):
+    """Element-wise MIN aggregate expressions across a group's register
+    arrays — the sketch monoid's merge (min of scaled contributions ==
+    max of ranks); null partials (null-text docs) are ignored by MIN."""
+    return [
+        F.coalesce(
+            F.min(F.element_at(F.col(regs_col), j + 1)), F.lit(_HLL_EMPTY)
+        ).alias(f"_r{j}")
+        for j in range(HLL_M)
+    ]
+
+
+def _hll_estimate_cols(arr):
+    """(zero_registers, sum_scaled, est_distinct) from a merged register
+    array — all exact integer arithmetic, see module note."""
+    sum_scaled = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    ).alias("sum_scaled")
+    zeros = F.size(F.filter(arr, lambda x: x == F.lit(_HLL_EMPTY))).cast(
+        "long"
+    ).alias("zero_registers")
+    return zeros, sum_scaled
+
+
+def hll_distinct(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group distinct-token cardinality via a 64-register HyperLogLog.
+
+    Plan shape: one Arrow-batched projection (doc → register partial),
+    one fixed-width groupBy (64 MIN aggregates, map-side partial), then
+    pure column math — no token-keyed shuffle at any width.  Columns are
+    bit-identical to the DuckDB oracle (`hll_distinct_sql`)."""
+    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+    regs = spread_small_scan(docs.select(group_col, "text")).select(
+        group_col, hll_doc_registers(F.col("text")).alias("regs")
+    )
+    merged = regs.groupBy(group_col).agg(*hll_merge_registers())
+    arr = F.array(*[F.col(f"_r{j}") for j in range(HLL_M)])
+    zeros, sum_scaled = _hll_estimate_cols(arr)
+    out = merged.select(group_col, zeros, sum_scaled)
+    raw = F.expr(f"{_HLL_NUM} div ({_HLL_DEN} * sum_scaled)")
+    linear = F.element_at(
+        F.lit(_HLL_LINEAR).cast("array<bigint>"), F.col("zero_registers").cast("int")
+    )
+    est = F.when(
+        (F.col("zero_registers") > 0) & (raw <= F.lit(_HLL_SMALL)), linear
+    ).otherwise(raw)
+    return out.withColumn("est_distinct", est.cast("long")).orderBy(group_col)
+
+
+def _sql_hll_contrib(w: str) -> str:
+    """2^bitlen(w) as an exact integer CASE chain (no float log)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << k} THEN {1 << (k + 1)}"
+        for k in range(_HLL_W_BITS - 1, 0, -1)
+    )
+    return f"(CASE {branches} WHEN {w} >= 1 THEN 2 ELSE 1 END)"
+
+
+def hll_distinct_sql(group_col: str = "source") -> str:
+    """DuckDB twin: identical mix, registers, integer estimate."""
+    lin = ", ".join(str(x) for x in _HLL_LINEAR)
+    raw = f"({_HLL_NUM} // ({_HLL_DEN} * sum_scaled))"
+    return f"""
+    WITH tk AS (
+        SELECT {group_col} AS g, unnest({sql_tokens('text')}) AS tok
+        FROM documents WHERE text IS NOT NULL
+    ),
+    dt AS (SELECT DISTINCT g, tok FROM tk),
+    mixed AS (
+        SELECT g, (({_HLL_A} * {sql_poly_hash('tok')} + {_HLL_B}) % {_P}) AS h2
+        FROM dt
+    ),
+    cells AS (
+        SELECT g, h2 % {HLL_M} AS idx,
+               MIN({_sql_hll_contrib(f'(h2 // {HLL_M})')}) AS c
+        FROM mixed GROUP BY g, idx
+    ),
+    regs AS (
+        SELECT g,
+               CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers,
+               CAST(SUM(c) + ({HLL_M} - COUNT(*)) * {_HLL_EMPTY} AS BIGINT)
+                   AS sum_scaled
+        FROM cells GROUP BY g
+    )
+    SELECT g AS {group_col}, zero_registers, sum_scaled,
+           CAST(CASE WHEN zero_registers > 0 AND {raw} <= {_HLL_SMALL}
+                THEN ([{lin}])[zero_registers]
+                ELSE {raw} END AS BIGINT) AS est_distinct
+    FROM regs ORDER BY {group_col}
+    """
+
+
+__all__ = [
+    "cms_heavy_hitters",
+    "cms_heavy_hitters_sql",
+    "CMS_WIDTH",
+    "HLL_M",
+    "hll_distinct",
+    "hll_distinct_sql",
+    "hll_doc_registers",
+]
 _ = (POLY_MOD, POLY_MULT)  # re-exported hash constants used by tests

@@ -2656,6 +2656,22 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(ld(spark, sf_dir, "documents"))
 
 
+@register(
+    "sketch_hll_distinct",
+    __import__(
+        "flink_cdc_2_3_0_src_spark.operators.sketch", fromlist=["x"]
+    ).hll_distinct_sql(),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-source vocabulary cardinality: 64 mergeable
+    registers per group instead of an unbounded (source, token) shuffle;
+    all-integer estimate path (scaled-power registers, rational alpha,
+    literal linear-counting lookup) so both engines agree bit for bit."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(ld(spark, sf_dir, "documents"))
+
+
 @register("text_classifier_gate", _text.CLASSIFY_DOCUMENTS_SQL)
 def text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (the fasttext-style

@@ -487,6 +487,87 @@ def test_cms_mergeability(spark):
     assert merged == whole
 
 
+# --- HyperLogLog cardinality sketch (operators/sketch.py) ---
+
+
+def test_hll_accuracy_large_vocab(spark):
+    """Raw-estimate branch: a vocabulary far above the 2.5m linear-
+    counting threshold estimates within the 3-sigma band of the m=64
+    standard error (~13%); every register is hit."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+    # 200 docs x 40 tokens, all distinct: exact vocabulary = 8000
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"tok{i}_{j}" for j in range(40)), "en", "s", 1)
+         for i in range(200)],
+    )
+    r = hll_distinct(docs).collect()[0]
+    assert r["zero_registers"] == 0
+    assert abs(r["est_distinct"] - 8000) / 8000 < 0.40  # 3 sigma = 39%
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A tiny vocabulary routes through the linear-counting lookup
+    (zero registers present) and lands within +-3 of exact."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+    docs = _docs(
+        spark, [(i, "alpha beta gamma delta epsilon", "en", "s", 1) for i in range(9)]
+    )
+    r = hll_distinct(docs).collect()[0]
+    assert r["zero_registers"] > 0
+    assert abs(r["est_distinct"] - 5) <= 3
+
+
+def test_hll_duplicate_insensitive(spark):
+    """Cardinality sketches ignore multiplicity: a corpus with every
+    token repeated 50x yields the identical register state and estimate
+    as the deduplicated corpus."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+    base = [(i, f"u{i} v{i} shared", "en", "s", 1) for i in range(20)]
+    dup = [(i + 1000 * k, t, l, s, n) for (i, t, l, s, n) in base for k in range(50)]
+    a = hll_distinct(_docs(spark, base)).collect()[0]
+    b = hll_distinct(_docs(spark, dup)).collect()[0]
+    assert (a["zero_registers"], a["sum_scaled"], a["est_distinct"]) == (
+        b["zero_registers"], b["sum_scaled"], b["est_distinct"])
+
+
+def test_hll_register_mergeability(spark):
+    """The distributed-correctness claim: element-wise MIN of register
+    states built on disjoint halves reproduces the whole-corpus state,
+    and re-running the module's integer estimate math on the merged
+    state reproduces hll_distinct's answer exactly."""
+    from flink_cdc_2_3_0_src_spark.operators import sketch as S
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_distinct, hll_doc_registers)
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{(i * 13 + j) % 500}" for j in range(25)), "en", "s", 1)
+         for i in range(60)],
+    )
+    whole = hll_distinct(docs).collect()[0]
+
+    def merged_regs(d):
+        rows = d.select(hll_doc_registers(F.col("text")).alias("r")).collect()
+        out = [S._HLL_EMPTY] * S.HLL_M
+        for row in rows:
+            out = [min(a, b) for a, b in zip(out, row["r"])]
+        return out
+
+    half_a = merged_regs(docs.filter(F.col("doc_id") % 2 == 0))
+    half_b = merged_regs(docs.filter(F.col("doc_id") % 2 == 1))
+    regs = [min(a, b) for a, b in zip(half_a, half_b)]
+    ss = sum(regs)
+    zeros = sum(1 for x in regs if x == S._HLL_EMPTY)
+    raw = S._HLL_NUM // (S._HLL_DEN * ss)
+    est = S._HLL_LINEAR[zeros - 1] if zeros > 0 and raw <= S._HLL_SMALL else raw
+    assert (zeros, ss, est) == (
+        whole["zero_registers"], whole["sum_scaled"], whole["est_distinct"])
+
+
 # --- round-5 ADVICE regression guards ---
 
 
