@@ -2672,6 +2672,22 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ld(spark, sf_dir, "documents"))
 
 
+@register(
+    "pipeline_priority_sample",
+    __import__(
+        "flink_cdc_2_3_0_src_spark.operators.sampling", fromlist=["x"]
+    ).priority_sample_sql(50),
+)
+def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a 50-doc token-weighted
+    sample whose adjusted weights give unbiased subset-sum estimates —
+    selection is a TakeOrderedAndProject top-k (per-partition heaps, no
+    global sort), integer-only priorities match the oracle bit for bit."""
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
+
+    return priority_sample(ld(spark, sf_dir, "documents"), k=50)
+
+
 @register("text_classifier_gate", _text.CLASSIFY_DOCUMENTS_SQL)
 def text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (the fasttext-style

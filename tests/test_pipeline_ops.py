@@ -568,6 +568,74 @@ def test_hll_register_mergeability(spark):
         whole["zero_registers"], whole["sum_scaled"], whole["est_distinct"])
 
 
+# --- priority sampling (operators/sampling.py) ---
+
+
+def test_priority_sample_matches_exact_rational_ordering(spark):
+    """The integer floor(w*P/u) key must induce the same selection and
+    order as the exact rational priority w/(u/P) with doc_id
+    tie-breaks — cross-checked against Fractions in Python."""
+    from fractions import Fraction
+
+    from flink_cdc_2_3_0_src_spark.operators import sampling as S
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"t{j}" for j in range((i * 7) % 23 + 1)), "en", "s", 1)
+         for i in range(120)],
+    )
+    got = [r["doc_id"] for r in S.priority_sample(docs, k=15).collect()]
+
+    def u_of(doc_id):
+        return ((S._A2 * ((S._A1 * doc_id + S._B1) % S._P) + S._B2) % S._P) + 1
+
+    exact = sorted(
+        ((Fraction((((i * 7) % 23 + 1)) * S._P, u_of(i)), -i) for i in range(120)),
+        reverse=True,
+    )
+    want = [-neg for _, neg in exact[:15]]
+    assert got == want
+
+
+def test_priority_sample_prefix_property(spark):
+    """Priority sampling is nested: the top-k sample is a prefix of the
+    top-2k sample (same keys, same order), so growing a sample never
+    resamples — the resumability property a long pipeline needs."""
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"x{j}" for j in range(i % 31 + 1)), "en", "s", 1)
+         for i in range(200)],
+    )
+    small = [r["doc_id"] for r in priority_sample(docs, k=10).collect()]
+    big = [r["doc_id"] for r in priority_sample(docs, k=20).collect()]
+    assert big[:10] == small
+
+
+def test_priority_sample_estimator_total(spark):
+    """DLT guarantee, one realization: sum(adjusted_weight) estimates
+    the exact corpus token total (loose single-draw band)."""
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
+
+    rows = [(i, " ".join(f"t{j}" for j in range(i % 47 + 1)), "en", "s", 1)
+            for i in range(400)]
+    exact_total = sum(i % 47 + 1 for i in range(400))
+    out = priority_sample(_docs(spark, rows), k=60).collect()
+    est = sum(r["adjusted_weight"] for r in out)
+    assert 0.6 * exact_total < est < 1.6 * exact_total
+
+
+def test_priority_sample_small_corpus_returns_all(spark):
+    """Corpus <= k: every doc comes back, tau = 0, adjusted == weight."""
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
+
+    docs = _docs(spark, [(i, "a b c", "en", "s", 1) for i in range(7)])
+    out = priority_sample(docs, k=50).collect()
+    assert len(out) == 7
+    assert all(r["adjusted_weight"] == r["w"] == 3 for r in out)
+
+
 # --- round-5 ADVICE regression guards ---
 
 
