@@ -66,8 +66,15 @@ def priority_sample(docs: DataFrame, k: int = 50) -> DataFrame:
         "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("w")
     )
     keyed = d.select("doc_id", "source", "w", *_priority_cols())
-    # top-(k+1): per-partition heaps + driver merge (TakeOrderedAndProject)
-    top = keyed.orderBy(F.col("priority_key").desc(), F.col("doc_id")).limit(k + 1)
+    # top-(k+1): per-partition heaps + driver merge (TakeOrderedAndProject).
+    # localCheckpoint pins the k+1-row result so the tau branch below
+    # reuses it instead of re-scanning the corpus (same pattern as the
+    # CMS vocabulary pass) — exactly one FileScan in the final plan.
+    top = (
+        keyed.orderBy(F.col("priority_key").desc(), F.col("doc_id"))
+        .limit(k + 1)
+        .localCheckpoint()
+    )
     # the frame below is <= k+1 rows: a single-partition window is bounded
     # by construction, not by data size
     from pyspark.sql.window import Window

@@ -626,6 +626,46 @@ def test_priority_sample_estimator_total(spark):
     assert 0.6 * exact_total < est < 1.6 * exact_total
 
 
+def test_priority_sample_plan_shape(spark):
+    """The scale claims, pinned: selection is TakeOrderedAndProject
+    (per-partition heaps, no global sort of the corpus) and the corpus
+    is scanned exactly ONCE (the tau branch reuses the checkpointed
+    k+1-row frame instead of re-deriving keys)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = (
+        priority_sample(docs, k=20)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan") == 0  # both branches read the checkpoint
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_plan_shape(spark):
+    """One Arrow-batched projection + one fixed-width aggregation: the
+    HLL plan has exactly one shuffle exchange (the 64-min groupBy) and
+    no row-at-a-time Python."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = hll_distinct(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # shuffle exchanges: the groupBy plus the final tiny orderBy
+    import re
+
+    shuffles = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
+    assert shuffles <= 2
+
+
 def test_priority_sample_small_corpus_returns_all(spark):
     """Corpus <= k: every doc comes back, tau = 0, adjusted == weight."""
     from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
