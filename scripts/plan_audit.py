@@ -52,6 +52,8 @@ DEFAULT_QUERIES = [
     "pipeline_sequence_pack",
     "cdc_mongo_changestream_decode",
     "cdc_sql_ddl_pipeline",
+    "sketch_hll_distinct",
+    "pipeline_priority_sample",
 ]
 
 
