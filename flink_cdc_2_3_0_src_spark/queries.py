@@ -105,7 +105,18 @@ _PRIORITY: list[str] = [
     # (cdc_startup_specific_offset: B9's second witness, demoted —
     # cdc_startup_timestamp keeps the startup-mode slot; the resume
     # query gives A18/B13 a driver row)
-    "cdc_windowed_net_changes", "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
+    # (cdc_windowed_net_changes: demoted in r7 — B4's retraction-agg
+    # class keeps TWO window witnesses (cdc_signed_sum, the signed-sum
+    # core, and cdc_agg_auto_minmax, the retract-unfriendly min/max
+    # recompute path); the tumbling-window variant layers a standard
+    # time bucket over the same signed aggregation and stays registered
+    # + locally swept.  Its slot goes to pipeline_priority_sample:
+    # Duffield-Lund-Thorup weighted sampling without replacement with
+    # unbiased subset-sum estimators — the corpus-audit operator class
+    # no other row covers, selection via TakeOrderedAndProject and
+    # integer-exact priorities.)
+    "pipeline_priority_sample",
+    "cdc_hybrid_pipeline", "cdc_dbz_roundtrip",
     "cdc_tidb_snapshot_stream", "cdc_oceanbase_snapshot_stream",
     "cdc_scd2_history", "cdc_newly_added_tables",
     # LLM data-pipeline operators
@@ -169,7 +180,18 @@ _PRIORITY: list[str] = [
     # sequences via the coarse-bucket two-phase cumsum) — the r6
     # VERDICT's #1 window-completion ask, an operator class no other
     # window row covers.)
-    "dedup_embedding_cosine_lsh", "ann_topk_ivf",
+    "dedup_embedding_cosine_lsh",
+    # (ann_topk_ivf: demoted in r7 — the embedding family keeps THREE
+    # window rows (brute-force ann_topk_cosine, the hyperplane-bucket
+    # dedup_embedding_cosine_lsh, and knn_graph); the IVF/nprobe cell
+    # machinery stays registered + locally swept twice (ann_topk_ivf
+    # and the kmeans-trained ann_topk_ivf_trained).  Its slot goes to
+    # sketch_hll_distinct: HyperLogLog cardinality estimation — the
+    # mergeable-sketch operator class previously had NO driver row
+    # (sketch_count_min sits past the window in the heavy-tail bench);
+    # the 64-register min-merge monoid with the all-integer estimate
+    # path gives the class an oracle-exact witness.)
+    "sketch_hll_distinct",
     # (dedup_ngram_jaccard / dedup_embedding_cosine — the LSH-off
     # verification shapes — were UNREGISTERED in r6: no O(n²)-per-block
     # query remains in the registry.  The operators live on behind an

@@ -28,6 +28,9 @@ NESTED_LOOP_ALLOWED = {
     # same shape: the 1-row budget scalar crossed into the per-quality
     # frame (bounded by the 6dp quality value domain, not the corpus)
     "pipeline_token_budget",
+    # the 0-or-1-row DLT threshold (tau) broadcast-left-joined onto the
+    # k-row sample — both sides bounded by k, never by the corpus
+    "pipeline_priority_sample",
 }
 
 
