@@ -330,3 +330,53 @@ def test_charset_utf8_roundtrip_property(text):
             continue
         dec = enc.decode(codec)
         assert dec.encode(codec) == enc, codec
+
+
+@given(ws=st.lists(st.integers(min_value=0, max_value=(1 << 25) - 1),
+                   min_size=1, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_hll_contribution_cross_engine_fuzz(ws):
+    """The HLL register contribution 2^bitlen(w): the numpy frexp path
+    (Spark-side Arrow UDF) must equal the DuckDB integer CASE chain for
+    every 25-bit w — the cross-engine determinism the oracle relies on."""
+    import duckdb
+    import numpy as np
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import _sql_hll_contrib
+
+    arr = np.array(ws, dtype=np.int64)
+    _, e = np.frexp(arr.astype(np.float64))
+    spark_side = [int(x) for x in np.left_shift(np.int64(1), e.astype(np.int64))]
+    py_side = [1 << w.bit_length() if w > 0 else 1 for w in ws]
+    assert spark_side == py_side
+    con = duckdb.connect()
+    # the CASE chain references w many times: bind it once via a CTE
+    duck_side = [
+        con.execute(
+            f"SELECT {_sql_hll_contrib('w')} FROM (SELECT ?::BIGINT AS w)", [w]
+        ).fetchone()[0]
+        for w in ws
+    ]
+    assert duck_side == py_side
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=1 << 22),   # weight
+              st.integers(min_value=1, max_value=2_147_483_647)),  # u
+    min_size=2, max_size=100))
+@settings(max_examples=30, deadline=None)
+def test_priority_key_floor_preserves_rational_order(pairs):
+    """floor(w*P/u) may only reorder pairs whose exact rational
+    priorities w*P/u fall in the same unit interval; with the doc_id
+    tie-break this keeps cross-engine selection deterministic.  Fuzz:
+    whenever two integer keys DIFFER, their order matches the exact
+    Fraction order."""
+    from fractions import Fraction
+
+    P = 2_147_483_647
+    keys = [(w * P) // u for w, u in pairs]
+    fracs = [Fraction(w * P, u) for w, u in pairs]
+    for i in range(len(pairs)):
+        for j in range(len(pairs)):
+            if keys[i] > keys[j]:
+                assert fracs[i] > fracs[j]

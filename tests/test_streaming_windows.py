@@ -481,3 +481,59 @@ def test_session_windows_converge_to_batch_sessionizer(spark, tmp_path):
     }
     assert got == expect
     assert len(expect) > 10  # non-vacuous
+
+
+def test_hll_registers_merge_across_microbatches(spark, tmp_path):
+    """The HLL monoid through Structured Streaming: per-source register
+    states min-merged incrementally across 4 microbatches converge to
+    the batch hll_distinct answer exactly — the property that lets a
+    streaming pipeline keep a live distinct-count per key with O(m)
+    state and no token-keyed shuffle."""
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        HLL_M,
+        hll_distinct,
+        hll_doc_registers,
+        hll_merge_registers,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch_truth = {
+        r["source"]: (r["zero_registers"], r["sum_scaled"], r["est_distinct"])
+        for r in hll_distinct(docs).collect()
+    }
+
+    replay_dir = str(tmp_path / "replay")
+    log = docs.withColumn(SEQ_COL, F.col("doc_id"))
+    write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+
+    regs = stream.select(
+        "source", hll_doc_registers(F.col("text")).alias("regs")
+    )
+    merged = regs.groupBy("source").agg(*hll_merge_registers())
+    q = (
+        merged.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from flink_cdc_2_3_0_src_spark.operators import sketch as S
+
+    got = {}
+    for r in spark.sql("SELECT * FROM hll_stream").collect():
+        regs_row = [r[f"_r{j}"] for j in range(HLL_M)]
+        ss = sum(regs_row)
+        zeros = sum(1 for x in regs_row if x == S._HLL_EMPTY)
+        raw = S._HLL_NUM // (S._HLL_DEN * ss)
+        est = (
+            S._HLL_LINEAR[zeros - 1]
+            if zeros > 0 and raw <= S._HLL_SMALL
+            else raw
+        )
+        got[r["source"]] = (zeros, ss, est)
+    assert got == batch_truth
