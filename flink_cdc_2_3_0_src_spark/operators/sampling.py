@@ -45,26 +45,35 @@ _A2, _B2 = 69_069, 1_234_567
 def _priority_cols():
     """(u, priority_key) exprs over columns doc_id, w — all int64:
     u in [1, P];  key = floor(w * P / u)  (w*P < 2^63 for w < 4.29e9,
-    far above any real token count)."""
-    h1 = (F.lit(_A1) * F.col("doc_id") + F.lit(_B1)) % F.lit(_P)
+    far above any real token count).  doc_id is reduced mod P BEFORE
+    the first multiply: A1 * doc_id would wrap int64 past doc_id ~8e9
+    (Spark wraps silently where DuckDB raises — a cross-engine split
+    a 100 TB id space would actually hit)."""
+    h1 = (F.lit(_A1) * (F.col("doc_id") % F.lit(_P)) + F.lit(_B1)) % F.lit(_P)
     u = ((F.lit(_A2) * h1 + F.lit(_B2)) % F.lit(_P)) + F.lit(1)
     return u.alias("u"), F.expr(f"(w * {_P}) div u").alias("priority_key")
 
 
-def priority_sample(docs: DataFrame, k: int = 50) -> DataFrame:
-    """k-doc weighted sample (weight = token count) plus the DLT
-    adjusted weights.
+def priority_sample(
+    docs: DataFrame, k: int = 50, weight_col: str | None = None
+) -> DataFrame:
+    """k-doc weighted sample plus the DLT adjusted weights.  The weight
+    is the token count by default; pass ``weight_col`` to sample by any
+    non-negative integer column (bytes, chars, a quality-scaled size).
 
     Returns (doc_id, source, w, priority_key, adjusted_weight) ordered
-    by rank; ``sum(adjusted_weight)`` estimates the corpus token total,
-    and any subset's adjusted sum estimates that subset's token total.
+    by rank; ``sum(adjusted_weight)`` estimates the corpus weight total,
+    and any subset's adjusted sum estimates that subset's total.
     Corpora with <= k docs return every doc with adjusted_weight = w
     (tau = 0)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    d = docs.select(
-        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("w")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.size(tokens(F.col("text"))).cast("long")
     )
+    d = docs.select("doc_id", "source", w.alias("w"))
     keyed = d.select("doc_id", "source", "w", *_priority_cols())
     # top-(k+1): per-partition heaps + driver merge (TakeOrderedAndProject).
     # localCheckpoint pins the k+1-row result so the tau branch below
@@ -116,7 +125,7 @@ def priority_sample_sql(k: int = 50) -> str:
     ),
     keyed AS (
         SELECT doc_id, source, w,
-               (({_A2} * (({_A1} * doc_id + {_B1}) % {_P}) + {_B2}) % {_P}) + 1 AS u
+               (({_A2} * (({_A1} * (doc_id % {_P}) + {_B1}) % {_P}) + {_B2}) % {_P}) + 1 AS u
         FROM d
     ),
     pri AS (

@@ -587,7 +587,8 @@ def test_priority_sample_matches_exact_rational_ordering(spark):
     got = [r["doc_id"] for r in S.priority_sample(docs, k=15).collect()]
 
     def u_of(doc_id):
-        return ((S._A2 * ((S._A1 * doc_id + S._B1) % S._P) + S._B2) % S._P) + 1
+        h1 = (S._A1 * (doc_id % S._P) + S._B1) % S._P
+        return ((S._A2 * h1 + S._B2) % S._P) + 1
 
     exact = sorted(
         ((Fraction((((i * 7) % 23 + 1)) * S._P, u_of(i)), -i) for i in range(120)),
@@ -664,6 +665,44 @@ def test_hll_plan_shape(spark):
 
     shuffles = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
     assert shuffles <= 2
+
+
+def test_priority_sample_huge_doc_ids_match_duckdb(spark):
+    """doc_id near 2^33 (a realistic 100 TB id space): the mix reduces
+    doc_id mod P BEFORE the first multiply, so int64 never wraps —
+    Spark wraps silently where DuckDB raises, and without the pre-mod
+    the two engines would split here."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sampling import (
+        priority_sample, priority_sample_sql)
+
+    base = 8_589_934_592  # 2^33
+    rows = [(base + i, " ".join(f"t{j}" for j in range(i % 13 + 1)), "en", "s", 1)
+            for i in range(50)]
+    got = [tuple(r) for r in priority_sample(_docs(spark, rows), k=10).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}', 's')" for d, t, *_ in rows)
+        + ") v(doc_id, text, source)"
+    )
+    want = [tuple(r) for r in con.execute(priority_sample_sql(10)).fetchall()]
+    assert got == want
+
+
+def test_priority_sample_custom_weight_col(spark):
+    """weight_col switches the sampling weight off token counts; the
+    returned w column reflects it and selection follows the new key."""
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample
+
+    docs = _docs(
+        spark, [(i, "one two", "en", "s", 1) for i in range(30)]
+    ).withColumn("n_bytes", (F.col("doc_id") % 5 + 1) * 100)
+    out = priority_sample(docs, k=8, weight_col="n_bytes").collect()
+    assert len(out) == 8
+    assert all(r["w"] % 100 == 0 for r in out)
 
 
 def test_priority_sample_small_corpus_returns_all(spark):
