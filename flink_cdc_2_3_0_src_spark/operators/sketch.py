@@ -351,6 +351,136 @@ def hll_distinct_sql(group_col: str = "source") -> str:
     """
 
 
+# --------------------------------------------------------------------------
+# Equi-width histogram quantile sketch — rank/quantile estimation
+# without sorting anything (the third sketch class: CMS = frequency,
+# HLL = cardinality, this = distribution).
+#
+# The 100 TB shape: exact per-group percentiles need the group's values
+# sorted (or an exact rank select) — a corpus-wide sort is the classic
+# scale-killer, and even Spark's approx_percentile keeps a per-group
+# GK buffer that is not oracle-reproducible.  An equi-width histogram
+# needs TWO narrow passes: a 1-row global (min, max) aggregate, then
+# one groupBy into at most B counter cells per group.  Cells merge by
+# addition (commutative monoid → lossless map-side partials), and any
+# quantile resolves to "the first bin whose cumulative count reaches
+# the rank" with error bounded by one bin width: (max-min+1)/B.
+#
+# Everything is exact integer arithmetic — bin width by ceil-division,
+# rank by ceil(q*n/100) = (q*n + 99) div 100, estimates as the bin's
+# [lo, hi] bounds — so the DuckDB oracle matches bit for bit.
+# --------------------------------------------------------------------------
+
+QH_BINS = 256
+QH_QUANTILES = (50, 90, 99)
+
+
+def histogram_quantiles(
+    docs: DataFrame,
+    group_col: str = "source",
+    quantiles: tuple = QH_QUANTILES,
+    bins: int = QH_BINS,
+) -> DataFrame:
+    """Per-group token-count quantiles from a B-cell histogram sketch.
+
+    Returns (group, q, n, rank_r, bin_idx, est_lo, est_hi) with
+    est_lo <= exact-percentile <= est_hi and est_hi - est_lo < bin
+    width.  One 1-row (min, max) collect (bounded, like the bloom/CMS
+    literal folds) + one fixed-width groupBy; the per-group cumulative
+    window runs over <= B rows per group, bounded by construction."""
+    from pyspark.sql.window import Window
+
+    vals = docs.select(
+        F.col(group_col).alias("g"),
+        F.size(tokens(F.col("text"))).cast("long").alias("v"),
+    )
+    lo_hi = vals.agg(F.min("v"), F.max("v")).collect()[0]
+    vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
+    wdt = max(1, -((vmin - vmax - 1) // bins))  # ceil((max-min+1)/bins)
+    cells = (
+        vals.withColumn(
+            "bin",
+            F.least(
+                F.lit(bins - 1), F.floor((F.col("v") - F.lit(vmin)) / F.lit(wdt))
+            ).cast("long"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("g"))
+    )
+    qf = cum.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "q long"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qf))
+        .withColumn("rank_r", F.expr("(q * n + 99) div 100"))
+        .filter(F.col("cum") >= F.col("rank_r"))
+        .groupBy(F.col("g").alias(group_col), "q", "n", "rank_r")
+        .agg(F.min("bin").alias("bin_idx"))
+    )
+    est_lo = F.lit(vmin) + F.col("bin_idx") * F.lit(wdt)
+    return hit.select(
+        group_col,
+        "q",
+        "n",
+        "rank_r",
+        "bin_idx",
+        est_lo.alias("est_lo"),
+        F.least(est_lo + F.lit(wdt - 1), F.lit(vmax)).alias("est_hi"),
+    ).orderBy(group_col, "q")
+
+
+def histogram_quantiles_sql(
+    group_col: str = "source",
+    quantiles: tuple = QH_QUANTILES,
+    bins: int = QH_BINS,
+) -> str:
+    """DuckDB twin: identical bins, ranks, and bound arithmetic."""
+    qs = ", ".join(f"({int(q)})" for q in quantiles)
+    return f"""
+    WITH vals AS (
+        SELECT {group_col} AS g,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS v
+        FROM documents
+    ),
+    mm AS (
+        SELECT MIN(v) AS vmin, MAX(v) AS vmax,
+               GREATEST(1, -((MIN(v) - MAX(v) - 1) // {bins})) AS wdt
+        FROM vals
+    ),
+    cells AS (
+        SELECT g, LEAST({bins - 1}, (v - vmin) // wdt) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM vals, mm GROUP BY g, (v - vmin) // wdt
+    ),
+    cum AS (
+        SELECT g, bin, c,
+               SUM(c) OVER (PARTITION BY g ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY g) AS n
+        FROM cells
+    ),
+    hit AS (
+        SELECT g, q, n, (q * n + 99) // 100 AS rank_r, MIN(bin) AS bin_idx
+        FROM cum, (VALUES {qs}) quants(q)
+        WHERE cum >= (q * n + 99) // 100
+        GROUP BY g, q, n
+    )
+    SELECT g AS {group_col}, CAST(q AS BIGINT) AS q, CAST(n AS BIGINT) AS n,
+           CAST(rank_r AS BIGINT) AS rank_r, CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(vmin + bin_idx * wdt AS BIGINT) AS est_lo,
+           CAST(LEAST(vmin + bin_idx * wdt + wdt - 1, vmax) AS BIGINT) AS est_hi
+    FROM hit, mm
+    ORDER BY {group_col}, q
+    """
+
+
 __all__ = [
     "cms_heavy_hitters",
     "cms_heavy_hitters_sql",
@@ -359,5 +489,8 @@ __all__ = [
     "hll_distinct",
     "hll_distinct_sql",
     "hll_doc_registers",
+    "QH_BINS",
+    "histogram_quantiles",
+    "histogram_quantiles_sql",
 ]
 _ = (POLY_MOD, POLY_MULT)  # re-exported hash constants used by tests

@@ -2710,6 +2710,22 @@ def pipeline_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(ld(spark, sf_dir, "documents"), k=50)
 
 
+@register(
+    "sketch_quantile_histogram",
+    __import__(
+        "flink_cdc_2_3_0_src_spark.operators.sketch", fromlist=["x"]
+    ).histogram_quantiles_sql(),
+)
+def sketch_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram quantile sketch: per-source p50/p90/p99
+    token counts from a 256-cell mergeable histogram — two narrow
+    passes, no sort anywhere, quantile error bounded by one bin width;
+    integer-exact on both engines."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(ld(spark, sf_dir, "documents"))
+
+
 @register("text_classifier_gate", _text.CLASSIFY_DOCUMENTS_SQL)
 def text_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (the fasttext-style

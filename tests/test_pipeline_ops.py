@@ -568,6 +568,66 @@ def test_hll_register_mergeability(spark):
         whole["zero_registers"], whole["sum_scaled"], whole["est_distinct"])
 
 
+# --- histogram quantile sketch (operators/sketch.py) ---
+
+
+def test_histogram_quantiles_bound_contains_exact(spark):
+    """With a value range wider than the bin count (bin width > 1),
+    every quantile's [est_lo, est_hi] interval must contain the exact
+    percentile_disc value and be narrower than one bin width."""
+    import math
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        QH_BINS, histogram_quantiles)
+
+    # token counts 1..~2000 -> bin width ceil(2000/256) = 8
+    rows = [(i, " ".join("t" for _ in range((i * 37) % 2000 + 1)), "en",
+             f"s{i % 2}", 1) for i in range(300)]
+    out = histogram_quantiles(_docs(spark, rows)).collect()
+    lens = {}
+    for i, t, _, s, _ in rows:
+        lens.setdefault(s, []).append((i * 37) % 2000 + 1)
+    for r in out:
+        vals = sorted(lens[r[0]])
+        exact = vals[min(len(vals) - 1, max(0, math.ceil(r["q"] / 100 * len(vals)) - 1))]
+        assert r["est_lo"] <= exact <= r["est_hi"], (r, exact)
+        assert r["est_hi"] - r["est_lo"] < 8 + 1
+
+
+def test_histogram_quantiles_degenerate_constant(spark):
+    """All docs the same length: a single bin, every quantile exact."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import histogram_quantiles
+
+    docs = _docs(spark, [(i, "a b c d e", "en", "s", 1) for i in range(40)])
+    out = histogram_quantiles(docs).collect()
+    assert len(out) == 3
+    assert all(r["est_lo"] == r["est_hi"] == 5 for r in out)
+
+
+def test_histogram_cells_merge_across_halves(spark):
+    """The histogram monoid: per-(group, bin) counts built on disjoint
+    halves ADD to the whole-corpus cells (given the same global
+    (min, max) frame) — the property map-side partials rely on."""
+    from collections import Counter
+
+    rows = [(i, " ".join("t" for _ in range(i % 97 + 1)), "en", "s", 1)
+            for i in range(200)]
+    vmin, vmax = 1, 97
+    wdt = max(1, -((vmin - vmax - 1) // 256))
+
+    def cells(subset):
+        c = Counter()
+        for i, *_ in subset:
+            v = i % 97 + 1
+            c[min(255, (v - vmin) // wdt)] += 1
+        return c
+
+    whole = cells(rows)
+    merged = cells([r for r in rows if r[0] % 2 == 0])
+    merged.update(cells([r for r in rows if r[0] % 2 == 1]))
+    assert merged == whole
+
+
 # --- priority sampling (operators/sampling.py) ---
 
 
