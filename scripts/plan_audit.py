@@ -54,6 +54,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_ddl_pipeline",
     "sketch_hll_distinct",
     "pipeline_priority_sample",
+    "sketch_quantile_histogram",
 ]
 
 
