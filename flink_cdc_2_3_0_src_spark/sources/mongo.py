@@ -193,9 +193,20 @@ def _match_condition(doc: dict):
                         f"supported: {sorted(_MATCH_OPS)}"
                     )
                 if op == "$eq":
-                    conds.append(col == F.lit(val))
+                    # Mongo: {f: {$eq: null}} matches null/absent fields
+                    conds.append(
+                        col.isNull() if val is None else col == F.lit(val)
+                    )
                 elif op == "$ne":
-                    conds.append(col != F.lit(val))
+                    # Mongo $ne matches documents where the field is
+                    # null/absent too (null != value is TRUE there);
+                    # Spark's <> yields NULL on null and would silently
+                    # DROP those rows — copy less data than asked
+                    conds.append(
+                        col.isNotNull()
+                        if val is None
+                        else col.isNull() | (col != F.lit(val))
+                    )
                 elif op == "$gt":
                     conds.append(col > F.lit(val))
                 elif op == "$gte":
@@ -207,11 +218,13 @@ def _match_condition(doc: dict):
                 elif op == "$in":
                     conds.append(col.isin(list(val)))
                 elif op == "$nin":
-                    conds.append(~col.isin(list(val)))
+                    # $nin also matches null/absent fields (see $ne)
+                    conds.append(col.isNull() | ~col.isin(list(val)))
                 else:  # $exists: field presence → NULL-ness on a schema'd row
                     conds.append(col.isNotNull() if val else col.isNull())
         else:
-            conds.append(col == F.lit(spec))
+            # bare {f: null} matches null/absent fields in Mongo
+            conds.append(col.isNull() if spec is None else col == F.lit(spec))
     out = conds[0]
     for c in conds[1:]:
         out = out & c

@@ -216,3 +216,26 @@ def test_apply_copy_existing_gate(spark):
     assert apply_copy_existing(df, on).count() == 10
     assert apply_copy_existing(df, off) is None
     assert apply_copy_existing(df, filt).count() == 3
+
+
+def test_match_null_semantics_follow_mongo(spark):
+    """Mongo's query semantics on null/absent fields: $ne and $nin
+    MATCH documents whose field is null; {f: null} / {$eq: null} match
+    nulls.  Spark's <> / isin drop nulls, so a naive translation would
+    silently copy LESS data than the pipeline asked for."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id int, v string"
+    )
+
+    def ids(pipeline):
+        return sorted(
+            r["id"] for r in match_pipeline_filter(df, pipeline).collect()
+        )
+
+    assert ids('[{"$match": {"v": {"$ne": "a"}}}]') == [2, 3]
+    assert ids('[{"$match": {"v": {"$nin": ["a", "b"]}}}]') == [3]
+    assert ids('[{"$match": {"v": null}}]') == [3]
+    assert ids('[{"$match": {"v": {"$eq": null}}}]') == [3]
+    assert ids('[{"$match": {"v": {"$ne": null}}}]') == [1, 2]
+    # comparison operators exclude nulls, matching Mongo
+    assert ids('[{"$match": {"v": {"$gte": "a"}}}]') == [1, 2]
