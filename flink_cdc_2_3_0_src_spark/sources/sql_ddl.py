@@ -294,7 +294,23 @@ def create_table_source(ddl: str) -> ResolvedTable:
                     "maps onto Spark's withWatermark delay"
                 )
             unit = dm.group("unit").lower().rstrip("s") + "s"
-            watermark = (wm.group("col"), f"{dm.group('n')} {unit}")
+            n = dm.group("n")
+            if "." in n and unit != "seconds":
+                # Flink accepts INTERVAL '2.5' MINUTE; Spark's interval
+                # parser only takes fractions on SECOND — normalize to
+                # milliseconds (Flink watermark precision is ms anyway)
+                from fractions import Fraction
+
+                per_ms = {"minutes": 60_000, "hours": 3_600_000,
+                          "days": 86_400_000}[unit]
+                ms = Fraction(n) * per_ms
+                if ms.denominator != 1:
+                    raise ValueError(
+                        f"WATERMARK delay {n!r} {unit} is finer than "
+                        "millisecond precision"
+                    )
+                n, unit = str(ms.numerator), "milliseconds"
+            watermark = (wm.group("col"), f"{n} {unit}")
             continue
         from flink_cdc_2_3_0_src_spark.streaming.table_changes import (
             _find_keyword_outside_quotes,

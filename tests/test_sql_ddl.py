@@ -235,6 +235,36 @@ def test_watermark_clause_parsed_and_mapped():
     assert rt2.watermark == ("op_ts", "30 minutes")
 
 
+def test_watermark_fractional_nonsecond_normalized_to_ms(spark):
+    """Flink accepts INTERVAL '2.5' MINUTE; Spark's interval parser only
+    takes fractions on SECOND — the DDL normalizes to milliseconds and
+    the result must be accepted by a real withWatermark call."""
+    rt = create_table_source(
+        "CREATE TABLE t (id INT, ts TIMESTAMP_LTZ(3), "
+        "WATERMARK FOR ts AS ts - INTERVAL '2.5' MINUTES) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt.watermark == ("ts", "150000 milliseconds")
+    df = spark.createDataFrame([(1,)], "id int").selectExpr(
+        "current_timestamp() as ts"
+    )
+    rt.apply_watermark(df)  # must not raise
+    # fractional seconds pass through untouched (Spark parses those)
+    rt2 = create_table_source(
+        "CREATE TABLE t (id INT, ts TIMESTAMP_LTZ(3), "
+        "WATERMARK FOR ts AS ts - INTERVAL '0.5' SECOND) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt2.watermark == ("ts", "0.5 seconds")
+    rt2.apply_watermark(df)
+    with pytest.raises(ValueError, match="finer than"):
+        create_table_source(
+            "CREATE TABLE t (id INT, ts TIMESTAMP_LTZ(3), "
+            "WATERMARK FOR ts AS ts - INTERVAL '0.0000001' MINUTE) "
+            "WITH ('connector' = 'mysql-cdc')"
+        )
+
+
 def test_watermark_rejects_non_canonical_or_unknown():
     with pytest.raises(ValueError, match="WATERMARK expression"):
         create_table_source(
