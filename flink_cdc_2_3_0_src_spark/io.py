@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,7 +108,8 @@ def spread_small_scan(
     local relation) is left untouched: those are driver-built fixtures
     whose parallelize partitioning is already ``defaultParallelism``.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
     if expected_splits is None:
         try:
             files = df.inputFiles()
@@ -115,10 +117,38 @@ def spread_small_scan(
             return df
         if not files:
             return df
-        # a file larger than maxPartitionBytes yields multiple splits;
-        # file count is the floor of the true split count, which only
-        # errs toward spreading — the cheap side of the trade
         expected_splits = len(files)
+        if expected_splits < par:
+            # a file larger than maxPartitionBytes yields multiple
+            # splits, so file count alone UNDERestimates — a 100 TB
+            # table stored as a few huge files would eat a pointless
+            # full-data shuffle here.  Only when the count is below
+            # parallelism (≤ par-1 files), stat those files (bounded
+            # driver cost) and count real splits.
+            expected_splits = _estimate_splits(spark, files, expected_splits)
     if expected_splits >= par:
         return df
     return df.repartition(par, key) if key else df.repartition(par)
+
+
+def _estimate_splits(spark, files: list, fallback: int) -> int:
+    """sum(ceil(size / maxPartitionBytes)) over ≤ defaultParallelism
+    files, via the JVM Hadoop FileSystem (works for any scheme the scan
+    itself could read). Falls back to the file count on any error."""
+    try:
+        raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        m = re.match(r"(\d+)([a-zA-Z]*)", raw.strip())
+        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+        max_bytes = int(m.group(1)) * mult[m.group(2).lower()]
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        total = 0
+        for p in files:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(hconf)
+            size = fs.getFileStatus(jpath).getLen()
+            total += max(1, -(-int(size) // max_bytes))
+        return total
+    except Exception:
+        return fallback

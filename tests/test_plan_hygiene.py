@@ -67,3 +67,23 @@ def test_spread_small_scan_is_plan_time_metadata(spark):
     # in-memory local relations (no files) are left alone
     local = spark.createDataFrame([(1,)], "x int")
     assert spread_small_scan(local) is local
+
+
+def test_spread_small_scan_counts_splits_not_files(spark):
+    """A table stored as FEW HUGE files is already well-parallelized
+    (each file yields size/maxPartitionBytes splits) — file count alone
+    would trigger a pointless full-data repartition on it.  Shrinking
+    maxPartitionBytes makes the one-file smoke table 'huge' relative to
+    the limit: the helper must then leave the scan untouched."""
+    from flink_cdc_2_3_0_src_spark.io import load_table, spread_small_scan
+
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "64b")  # one parquet file -> many splits
+        one_file = load_table(spark, SF_SMOKE, "documents")
+        spread = spread_small_scan(one_file.select("doc_id"))
+        plan = spread._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set(key, old)
