@@ -1389,7 +1389,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate statistics (HLL distinct + approx quantiles) — genuinely
 # non-SQL-oracle-able (engine-specific sketches), so no oracle entry:
 # the driver records a rows-only check. These are the cheap first-pass
-# stats you run on 100 TB before exact passes.
+# stats you run on 100 TB before exact passes.  The DETERMINISTIC,
+# oracle-exact twins of this row are sketch_hll_distinct (cardinality)
+# and sketch_quantile_histogram (quantiles) — same sketch classes,
+# engine-portable arithmetic, bit-identical DuckDB oracles.
 @register("stats_approx", None)
 def stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = ld(spark, sf_dir, "lineitem")

@@ -537,3 +537,77 @@ def test_hll_registers_merge_across_microbatches(spark, tmp_path):
         )
         got[r["source"]] = (zeros, ss, est)
     assert got == batch_truth
+
+
+def test_histogram_cells_merge_across_microbatches(spark, tmp_path):
+    """The histogram-sketch monoid through Structured Streaming:
+    per-(source, bin) counts summed incrementally across microbatches
+    equal the batch cells, so the quantile report derived from the
+    streamed state matches sketch_quantile_histogram exactly."""
+    from flink_cdc_2_3_0_src_spark.model import SEQ_COL
+    from flink_cdc_2_3_0_src_spark.operators.sketch import histogram_quantiles
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    batch_truth = {
+        (r["source"], r["q"]): (r["n"], r["bin_idx"], r["est_lo"], r["est_hi"])
+        for r in histogram_quantiles(docs).collect()
+    }
+
+    # global (min, max) fixed up front (the two-pass contract); bin the
+    # stream with the same literals
+    from flink_cdc_2_3_0_src_spark.functions.hashing import tokens as _toks
+
+    vals = docs.select(F.size(_toks(F.col("text"))).cast("long").alias("v"))
+    mm = vals.agg(F.min("v"), F.max("v")).collect()[0]
+    vmin, vmax = int(mm[0]), int(mm[1])
+    wdt = max(1, -((vmin - vmax - 1) // 256))
+
+    replay_dir = str(tmp_path / "replay")
+    log = docs.withColumn(SEQ_COL, F.col("doc_id"))
+    write_replay_files(log, replay_dir, n_files=4)
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    cells = (
+        stream.select(
+            "source",
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.size(_toks(F.col("text"))).cast("long") - F.lit(vmin))
+                    / F.lit(wdt)
+                ),
+            ).cast("long").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("qh_cells")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    import math
+    from collections import defaultdict
+
+    per_src = defaultdict(dict)
+    for r in spark.sql("SELECT * FROM qh_cells").collect():
+        per_src[r["source"]][r["bin"]] = r["c"]
+    got = {}
+    for src, binmap in per_src.items():
+        n = sum(binmap.values())
+        cum, hit = 0, {}
+        for b in sorted(binmap):
+            cum += binmap[b]
+            for qq in (50, 90, 99):
+                r_rank = (qq * n + 99) // 100
+                if qq not in hit and cum >= r_rank:
+                    hit[qq] = (b, r_rank)
+        for qq, (b, r_rank) in hit.items():
+            got[(src, qq)] = (
+                n, b, vmin + b * wdt, min(vmin + b * wdt + wdt - 1, vmax)
+            )
+    assert got == batch_truth
