@@ -191,8 +191,8 @@ def cms_heavy_hitters_sql(top_k: int = 20, width: int = CMS_WIDTH) -> str:
 # sums, alpha correction, log corrections).  Here every step is exact
 # integer arithmetic so the DuckDB oracle hash-matches bit for bit:
 #   - register value stores the SCALED CONTRIBUTION 2^bitlen(w) =
-#     2^(26-rho) directly (min over items == max over rho), so the
-#     indicator sum  S = sum_j 2^(26-M_j)  is a plain integer SUM;
+#     2^(w_bits+1-rho) directly (min over items == max over rho), so
+#     the indicator sum  S = sum_j 2^(w_bits+1-M_j)  is an integer SUM;
 #   - alpha_m = 0.7213/(1 + 1.079/m) is the exact rational
 #     7213*m / (10000*m + 10790), so the raw estimate
 #     floor(alpha * m^2 / sum 2^-M_j) = NUM // (DEN * S) is one int div;
@@ -201,45 +201,111 @@ def cms_heavy_hitters_sql(top_k: int = 20, width: int = CMS_WIDTH) -> str:
 #     same literal lookup array in both engines.
 # --------------------------------------------------------------------------
 
-HLL_M = 64  # registers (p = 6 index bits); std error ~1.04/sqrt(64) = 13%
-_HLL_A = 1_103_515_245  # fixed affine mix over the portable poly hash,
-_HLL_B = 12_345  # mod P = 2^31-1: 6 index bits + 25 rank bits
-_HLL_W_BITS = 25
-_HLL_EMPTY = 1 << (_HLL_W_BITS + 1)  # empty register: 2^26 (rho = 0)
-# raw estimate = alpha_m * m^2 / sum(2^-M_j) with the sum scaled by 2^26:
-#   NUM // (DEN * S), exact int64 (NUM = 7213 * 64^3 * 2^26 ~ 1.27e17)
-_HLL_NUM = 7213 * HLL_M**3 * _HLL_EMPTY
-_HLL_DEN = 10000 * HLL_M + 10790
-_HLL_SMALL = 5 * HLL_M // 2  # linear-counting threshold 2.5m
-# linear counting m*ln(m/V) for V = 1..m, rounded half-up — identical
-# literals on both engines keep the branch float-free at query time
-_HLL_LINEAR = [
-    int(__import__("math").floor(HLL_M * __import__("math").log(HLL_M / v) + 0.5))
-    for v in range(1, HLL_M + 1)
-]
+HLL_M = 64  # default registers (p = 6); std error ~1.04/sqrt(64) = 13%
+# The poly hash is a 31-ary polynomial — highly structured, so register
+# index/rank splits of an affine transform of it are NOT uniform (an
+# early affine-mod-P mix showed 3-4 sigma estimate bias on structured
+# vocabularies).  Murmur3's public fmix32 finalizer (Austin Appleby,
+# public domain) gives full avalanche; its wrapping 32-bit multiplies
+# are computed overflow-free in int64 by 16-bit-split multiplication,
+# identically in numpy and DuckDB SQL.
+_FMIX_C1 = 0x85EBCA6B
+_FMIX_C2 = 0xC2B2AE35
+_M32 = 0xFFFFFFFF
 
 
-def _make_hll_doc_regs_udf():
+class _HLLParams:
+    """All m-derived constants, computed once per precision.
+
+    m is a power of two in [64, 256]: below 64 the paper pins bespoke
+    alpha constants (the rational formula drifts); above 256 the scaled
+    estimate numerator 7213 * 2^(2p+33) exceeds int64 on the 32-bit
+    mixed-hash domain.  m = 256 gives a 6.5% standard error — precision
+    beyond that belongs to an exact count, not a sketch."""
+
+    def __init__(self, m: int):
+        import math
+
+        if m & (m - 1) or not (64 <= m <= 256):
+            raise ValueError(
+                f"HLL m must be a power of two in [64, 256], got {m}"
+            )
+        self.m = m
+        self.p = m.bit_length() - 1
+        self.w_bits = 32 - self.p  # rank bits of the 32-bit mixed hash
+        self.empty = 1 << (self.w_bits + 1)  # empty register (rho = 0)
+        # raw estimate = alpha_m * m^2 / sum(2^-M_j), sum scaled by
+        # 2^(w_bits+1): NUM // (DEN * S) in exact int64
+        self.num = 7213 * m**3 * self.empty
+        self.den = 10000 * m + 10790
+        self.small = 5 * m // 2  # linear-counting threshold 2.5m
+        # linear counting m*ln(m/V) for V = 1..m, rounded half-up —
+        # identical literals on both engines keep the branch float-free
+        self.linear = [
+            int(math.floor(m * math.log(m / v) + 0.5)) for v in range(1, m + 1)
+        ]
+
+
+_HLL_PARAMS_CACHE: dict = {}
+
+
+def hll_params(m: int = HLL_M) -> _HLLParams:
+    if m not in _HLL_PARAMS_CACHE:
+        _HLL_PARAMS_CACHE[m] = _HLLParams(m)
+    return _HLL_PARAMS_CACHE[m]
+
+
+# default-precision aliases (tests and the streaming composition use
+# these to re-derive estimates from raw register states)
+_HLL_W_BITS = hll_params().w_bits
+_HLL_EMPTY = hll_params().empty
+_HLL_NUM = hll_params().num
+_HLL_DEN = hll_params().den
+_HLL_SMALL = hll_params().small
+_HLL_LINEAR = hll_params().linear
+
+
+def _np_mulmod32(h, c):
+    """(h * c) mod 2^32 without int64 overflow: 16-bit-split multiply
+    (lo*c <= 2^48, (hi*c & M32) << 16 <= 2^48)."""
+    lo = h & 0xFFFF
+    hi = h >> 16
+    return ((lo * c) + (((hi * c) & _M32) << 16)) & _M32
+
+
+def _np_fmix32(h):
+    """Murmur3 fmix32 over an int64 array holding 32-bit values."""
+    h = h & _M32
+    h = h ^ (h >> 16)
+    h = _np_mulmod32(h, _FMIX_C1)
+    h = h ^ (h >> 13)
+    h = _np_mulmod32(h, _FMIX_C2)
+    return h ^ (h >> 16)
+
+
+def _make_hll_doc_regs_udf(m: int):
     from flink_cdc_2_3_0_src_spark.functions.hashing import (
         _py_poly_hash_cached,
         _py_tokens,
     )
+
+    pr = hll_params(m)
 
     @F.pandas_udf("array<long>")
     def _regs(s: pd.Series) -> pd.Series:
         def regs(text):
             if text is None:
                 return None
-            out = np.full(HLL_M, _HLL_EMPTY, dtype=np.int64)
+            out = np.full(pr.m, pr.empty, dtype=np.int64)
             hs = {_py_poly_hash_cached(t) for t in _py_tokens(text)}
             if hs:
                 h = np.fromiter(hs, dtype=np.int64, count=len(hs))
-                h2 = (_HLL_A * h + _HLL_B) % _P
-                idx = h2 & (HLL_M - 1)
-                w = h2 >> 6
+                h2 = _np_fmix32(h)
+                idx = h2 & (pr.m - 1)
+                w = h2 >> pr.p
                 # contribution 2^bitlen(w): frexp's exponent IS bitlen for
                 # integer w > 0 (and (0.0, 0) for w = 0 -> 2^0 = 1), exact
-                # in double since w < 2^25
+                # in double since w < 2^w_bits <= 2^26
                 _, e = np.frexp(w.astype(np.float64))
                 c = np.left_shift(np.int64(1), e.astype(np.int64))
                 np.minimum.at(out, idx, c)
@@ -250,101 +316,119 @@ def _make_hll_doc_regs_udf():
     return _regs
 
 
-def hll_doc_registers(text_col):
-    """text → 64-long array: this doc's HLL register partial (min scaled
-    contribution per register; 2^26 where untouched)."""
+def hll_doc_registers(text_col, m: int = HLL_M):
+    """text → m-long array: this doc's HLL register partial (min scaled
+    contribution per register; 2^(w_bits+1) where untouched)."""
     from flink_cdc_2_3_0_src_spark.functions.hashing import _cached
 
-    return _cached("hll_regs", _make_hll_doc_regs_udf)(text_col)
+    return _cached(f"hll_regs{m}", lambda: _make_hll_doc_regs_udf(m))(text_col)
 
 
-def hll_merge_registers(regs_col: str = "regs"):
+def hll_merge_registers(regs_col: str = "regs", m: int = HLL_M):
     """Element-wise MIN aggregate expressions across a group's register
     arrays — the sketch monoid's merge (min of scaled contributions ==
     max of ranks); null partials (null-text docs) are ignored by MIN."""
+    pr = hll_params(m)
     return [
         F.coalesce(
-            F.min(F.element_at(F.col(regs_col), j + 1)), F.lit(_HLL_EMPTY)
+            F.min(F.element_at(F.col(regs_col), j + 1)), F.lit(pr.empty)
         ).alias(f"_r{j}")
-        for j in range(HLL_M)
+        for j in range(pr.m)
     ]
 
 
-def _hll_estimate_cols(arr):
-    """(zero_registers, sum_scaled, est_distinct) from a merged register
-    array — all exact integer arithmetic, see module note."""
+def _hll_estimate_cols(arr, m: int = HLL_M):
+    """(zero_registers, sum_scaled) from a merged register array —
+    all exact integer arithmetic, see module note."""
+    pr = hll_params(m)
     sum_scaled = F.aggregate(
         arr, F.lit(0).cast("long"), lambda acc, x: acc + x
     ).alias("sum_scaled")
-    zeros = F.size(F.filter(arr, lambda x: x == F.lit(_HLL_EMPTY))).cast(
+    zeros = F.size(F.filter(arr, lambda x: x == F.lit(pr.empty))).cast(
         "long"
     ).alias("zero_registers")
     return zeros, sum_scaled
 
 
-def hll_distinct(docs: DataFrame, group_col: str = "source") -> DataFrame:
-    """Per-group distinct-token cardinality via a 64-register HyperLogLog.
+def hll_distinct(
+    docs: DataFrame, group_col: str = "source", m: int = HLL_M
+) -> DataFrame:
+    """Per-group distinct-token cardinality via an m-register HyperLogLog
+    (std error ~1.04/sqrt(m); m = 64 → 13%, m = 512 → 4.6%).
 
     Plan shape: one Arrow-batched projection (doc → register partial),
-    one fixed-width groupBy (64 MIN aggregates, map-side partial), then
+    one fixed-width groupBy (m MIN aggregates, map-side partial), then
     pure column math — no token-keyed shuffle at any width.  Columns are
     bit-identical to the DuckDB oracle (`hll_distinct_sql`)."""
     from flink_cdc_2_3_0_src_spark.io import spread_small_scan
 
+    pr = hll_params(m)
     regs = spread_small_scan(docs.select(group_col, "text")).select(
-        group_col, hll_doc_registers(F.col("text")).alias("regs")
+        group_col, hll_doc_registers(F.col("text"), m).alias("regs")
     )
-    merged = regs.groupBy(group_col).agg(*hll_merge_registers())
-    arr = F.array(*[F.col(f"_r{j}") for j in range(HLL_M)])
-    zeros, sum_scaled = _hll_estimate_cols(arr)
+    merged = regs.groupBy(group_col).agg(*hll_merge_registers(m=m))
+    arr = F.array(*[F.col(f"_r{j}") for j in range(pr.m)])
+    zeros, sum_scaled = _hll_estimate_cols(arr, m)
     out = merged.select(group_col, zeros, sum_scaled)
-    raw = F.expr(f"{_HLL_NUM} div ({_HLL_DEN} * sum_scaled)")
+    raw = F.expr(f"{pr.num} div ({pr.den} * sum_scaled)")
     linear = F.element_at(
-        F.lit(_HLL_LINEAR).cast("array<bigint>"), F.col("zero_registers").cast("int")
+        F.lit(pr.linear).cast("array<bigint>"), F.col("zero_registers").cast("int")
     )
     est = F.when(
-        (F.col("zero_registers") > 0) & (raw <= F.lit(_HLL_SMALL)), linear
+        (F.col("zero_registers") > 0) & (raw <= F.lit(pr.small)), linear
     ).otherwise(raw)
     return out.withColumn("est_distinct", est.cast("long")).orderBy(group_col)
 
 
-def _sql_hll_contrib(w: str) -> str:
+def _sql_hll_contrib(w: str, m: int = HLL_M) -> str:
     """2^bitlen(w) as an exact integer CASE chain (no float log)."""
+    pr = hll_params(m)
     branches = " ".join(
         f"WHEN {w} >= {1 << k} THEN {1 << (k + 1)}"
-        for k in range(_HLL_W_BITS - 1, 0, -1)
+        for k in range(pr.w_bits - 1, 0, -1)
     )
     return f"(CASE {branches} WHEN {w} >= 1 THEN 2 ELSE 1 END)"
 
 
-def hll_distinct_sql(group_col: str = "source") -> str:
-    """DuckDB twin: identical mix, registers, integer estimate."""
-    lin = ", ".join(str(x) for x in _HLL_LINEAR)
-    raw = f"({_HLL_NUM} // ({_HLL_DEN} * sum_scaled))"
+def _sql_mulmod32(h: str, c: int) -> str:
+    """(h * c) mod 2^32 via the same 16-bit-split multiply as numpy."""
+    return (
+        f"(((({h}) & 65535) * {c} + "
+        f"((((({h}) >> 16) * {c}) & {_M32}) << 16)) & {_M32})"
+    )
+
+
+def hll_distinct_sql(group_col: str = "source", m: int = HLL_M) -> str:
+    """DuckDB twin: identical fmix32, registers, integer estimate."""
+    pr = hll_params(m)
+    lin = ", ".join(str(x) for x in pr.linear)
+    raw = f"({pr.num} // ({pr.den} * sum_scaled))"
     return f"""
     WITH tk AS (
         SELECT {group_col} AS g, unnest({sql_tokens('text')}) AS tok
         FROM documents WHERE text IS NOT NULL
     ),
     dt AS (SELECT DISTINCT g, tok FROM tk),
-    mixed AS (
-        SELECT g, (({_HLL_A} * {sql_poly_hash('tok')} + {_HLL_B}) % {_P}) AS h2
-        FROM dt
-    ),
+    f0 AS (SELECT g, {sql_poly_hash('tok')} AS h FROM dt),
+    f1 AS (SELECT g, xor(h, h >> 16) AS h FROM f0),
+    f2 AS (SELECT g, {_sql_mulmod32('h', _FMIX_C1)} AS h FROM f1),
+    f3 AS (SELECT g, xor(h, h >> 13) AS h FROM f2),
+    f4 AS (SELECT g, {_sql_mulmod32('h', _FMIX_C2)} AS h FROM f3),
+    mixed AS (SELECT g, xor(h, h >> 16) AS h2 FROM f4),
     cells AS (
-        SELECT g, h2 % {HLL_M} AS idx,
-               MIN({_sql_hll_contrib(f'(h2 // {HLL_M})')}) AS c
+        SELECT g, h2 % {pr.m} AS idx,
+               MIN({_sql_hll_contrib(f'(h2 // {pr.m})', m)}) AS c
         FROM mixed GROUP BY g, idx
     ),
     regs AS (
         SELECT g,
-               CAST({HLL_M} - COUNT(*) AS BIGINT) AS zero_registers,
-               CAST(SUM(c) + ({HLL_M} - COUNT(*)) * {_HLL_EMPTY} AS BIGINT)
+               CAST({pr.m} - COUNT(*) AS BIGINT) AS zero_registers,
+               CAST(SUM(c) + ({pr.m} - COUNT(*)) * {pr.empty} AS BIGINT)
                    AS sum_scaled
         FROM cells GROUP BY g
     )
     SELECT g AS {group_col}, zero_registers, sum_scaled,
-           CAST(CASE WHEN zero_registers > 0 AND {raw} <= {_HLL_SMALL}
+           CAST(CASE WHEN zero_registers > 0 AND {raw} <= {pr.small}
                 THEN ([{lin}])[zero_registers]
                 ELSE {raw} END AS BIGINT) AS est_distinct
     FROM regs ORDER BY {group_col}

@@ -960,3 +960,35 @@ def test_token_budget_boundary_bucket_bounded(spark):
     assert doc_windows, plan  # the boundary window must exist
     for line in doc_windows:
         assert "sbkt#" in line, line
+
+
+def test_hll_precision_parameter_cross_engine(spark):
+    """m = 256 (std error ~6.5%): Spark and DuckDB still agree bit for
+    bit, the estimate tightens vs m = 64, and invalid precisions fail
+    loudly (below 64 the alpha rational drifts from the paper's pinned
+    constants; above 256 the scaled numerator exceeds int64 on the
+    32-bit fmix domain)."""
+    import duckdb
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_distinct, hll_distinct_sql, hll_params)
+
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(40)), "en", "s", 1)
+            for i in range(200)]  # exact vocabulary = 8000
+    got = [tuple(r) for r in hll_distinct(_docs(spark, rows), m=256).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({d}, '{t}', 's')" for d, t, *_ in rows)
+        + ") v(doc_id, text, source)"
+    )
+    want = [tuple(r) for r in con.execute(hll_distinct_sql(m=256)).fetchall()]
+    assert got == want
+    est = got[0][3]
+    assert abs(est - 8000) / 8000 < 0.20  # 3 sigma at m=256 = 19.5%
+
+    for bad in (32, 100, 512):
+        with pytest.raises(ValueError, match="power of two"):
+            hll_params(bad)

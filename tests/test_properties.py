@@ -332,7 +332,7 @@ def test_charset_utf8_roundtrip_property(text):
         assert dec.encode(codec) == enc, codec
 
 
-@given(ws=st.lists(st.integers(min_value=0, max_value=(1 << 25) - 1),
+@given(ws=st.lists(st.integers(min_value=0, max_value=(1 << 26) - 1),
                    min_size=1, max_size=200))
 @settings(max_examples=30, deadline=None)
 def test_hll_contribution_cross_engine_fuzz(ws):
@@ -380,3 +380,40 @@ def test_priority_key_floor_preserves_rational_order(pairs):
         for j in range(len(pairs)):
             if keys[i] > keys[j]:
                 assert fracs[i] > fracs[j]
+
+
+@given(hs=st.lists(st.integers(min_value=0, max_value=(1 << 32) - 1),
+                   min_size=1, max_size=100))
+@settings(max_examples=30, deadline=None)
+def test_fmix32_cross_engine_fuzz(hs):
+    """The HLL mixing function (Murmur3 fmix32 via overflow-free
+    16-bit-split multiplies): numpy == pure Python == the DuckDB CTE
+    pipeline embedded in hll_distinct_sql, over the full 32-bit domain."""
+    import duckdb
+    import numpy as np
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        _FMIX_C1, _FMIX_C2, _M32, _np_fmix32, _sql_mulmod32)
+
+    def py_fmix(h):
+        h &= _M32
+        h ^= h >> 16
+        h = ((h & 0xFFFF) * _FMIX_C1 + (((h >> 16) * _FMIX_C1 & _M32) << 16)) & _M32
+        h ^= h >> 13
+        h = ((h & 0xFFFF) * _FMIX_C2 + (((h >> 16) * _FMIX_C2 & _M32) << 16)) & _M32
+        return h ^ (h >> 16)
+
+    ref = [py_fmix(h) for h in hs]
+    got_np = [int(x) for x in _np_fmix32(np.array(hs, dtype=np.int64))]
+    assert got_np == ref
+
+    con = duckdb.connect()
+    # the same staged pipeline hll_distinct_sql embeds
+    q = f"""WITH f0 AS (SELECT ?::BIGINT AS h),
+    f1 AS (SELECT xor(h, h >> 16) AS h FROM f0),
+    f2 AS (SELECT {_sql_mulmod32('h', _FMIX_C1)} AS h FROM f1),
+    f3 AS (SELECT xor(h, h >> 13) AS h FROM f2),
+    f4 AS (SELECT {_sql_mulmod32('h', _FMIX_C2)} AS h FROM f3)
+    SELECT xor(h, h >> 16) FROM f4"""
+    got_sql = [con.execute(q, [h]).fetchone()[0] for h in hs]
+    assert got_sql == ref
