@@ -477,7 +477,10 @@ def histogram_quantiles(
     vals = docs.select(
         F.col(group_col).alias("g"),
         F.size(tokens(F.col("text"))).cast("long").alias("v"),
-    )
+    ).filter(F.col("v").isNotNull())
+    # null-text docs are dropped explicitly: a NULL bin would otherwise
+    # sort FIRST in Spark's window and LAST in DuckDB's — a silent
+    # cross-engine cum split
     lo_hi = vals.agg(F.min("v"), F.max("v")).collect()[0]
     vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
     wdt = max(1, -((vmin - vmax - 1) // bins))  # ceil((max-min+1)/bins)
@@ -532,7 +535,7 @@ def histogram_quantiles_sql(
     WITH vals AS (
         SELECT {group_col} AS g,
                CAST(len({sql_tokens('text')}) AS BIGINT) AS v
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     ),
     mm AS (
         SELECT MIN(v) AS vmin, MAX(v) AS vmax,
@@ -542,7 +545,7 @@ def histogram_quantiles_sql(
     cells AS (
         SELECT g, LEAST({bins - 1}, (v - vmin) // wdt) AS bin,
                CAST(COUNT(*) AS BIGINT) AS c
-        FROM vals, mm GROUP BY g, (v - vmin) // wdt
+        FROM vals, mm GROUP BY g, bin
     ),
     cum AS (
         SELECT g, bin, c,

@@ -992,3 +992,30 @@ def test_hll_precision_parameter_cross_engine(spark):
     for bad in (32, 100, 512):
         with pytest.raises(ValueError, match="power of two"):
             hll_params(bad)
+
+
+def test_histogram_quantiles_null_text_dropped_both_engines(spark):
+    """Null-text docs must be dropped on BOTH engines: a NULL bin sorts
+    first in Spark's window but last in DuckDB's, so keeping it would
+    silently split the cumulative counts."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        histogram_quantiles, histogram_quantiles_sql)
+
+    rows = [(i, " ".join("t" for _ in range(i % 11 + 1)), "en", "s", 1)
+            for i in range(30)] + [(100, None, "en", "s", 1)]
+    got = [tuple(r) for r in histogram_quantiles(_docs(spark, rows)).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({d}, {'NULL' if t is None else repr(t)}, 's')"
+            for d, t, *_ in rows
+        )
+        + ") v(doc_id, text, source)"
+    )
+    want = [tuple(r) for r in con.execute(histogram_quantiles_sql()).fetchall()]
+    assert got == want
+    assert all(r[2] == 30 for r in got)  # n excludes the null-text doc
