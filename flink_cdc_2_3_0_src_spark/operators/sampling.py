@@ -124,8 +124,12 @@ def priority_sample_sql(k: int = 50) -> str:
         FROM documents
     ),
     keyed AS (
+        -- CAST keeps the mix in BIGINT even when doc_id is an INT32
+        -- column (DuckDB would otherwise overflow the multiply instead
+        -- of promoting)
         SELECT doc_id, source, w,
-               (({_A2} * (({_A1} * (doc_id % {_P}) + {_B1}) % {_P}) + {_B2}) % {_P}) + 1 AS u
+               (({_A2} * (({_A1} * (CAST(doc_id AS BIGINT) % {_P}) + {_B1})
+                 % {_P}) + {_B2}) % {_P}) + 1 AS u
         FROM d
     ),
     pri AS (

@@ -417,3 +417,98 @@ def test_fmix32_cross_engine_fuzz(hs):
     SELECT xor(h, h >> 16) FROM f4"""
     got_sql = [con.execute(q, [h]).fetchone()[0] for h in hs]
     assert got_sql == ref
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1 << 34),  # doc_id
+                  st.integers(min_value=0, max_value=50)),      # token count
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=25, deadline=None)
+def test_priority_sample_sql_vs_python_brute_force(docs, k):
+    """The DuckDB oracle of pipeline_priority_sample, fuzzed against a
+    from-scratch Python implementation of DLT priority sampling on
+    random corpora (random ids incl. >2^33, random weights, corpus
+    sizes straddling k)."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sampling import priority_sample_sql
+
+    P = 2_147_483_647
+    A1, B1, A2, B2 = 1_103_515_245, 12_345, 69_069, 1_234_567
+
+    def u_of(d):
+        return ((A2 * ((A1 * (d % P) + B1) % P) + B2) % P) + 1
+
+    ranked = sorted(
+        ((w * P) // u_of(d), d, w) for d, w in docs
+    )
+    ranked = [(d, w, key) for key, d, w in
+              sorted(((k_, d, w) for (k_, d, w) in ranked),
+                     key=lambda t: (-t[0], t[1]))]
+    tau = ranked[k][2] if len(ranked) > k else 0
+    want = [(d, "s", w, key, i + 1, max(w, tau))
+            for i, (d, w, key) in enumerate(ranked[:k])]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({d}, '{' '.join('t' for _ in range(w))}', 's')"
+            for d, w in docs
+        )
+        + ") v(doc_id, text, source)"
+    )
+    got = [tuple(r) for r in con.execute(priority_sample_sql(k)).fetchall()]
+    assert got == want
+
+
+@given(
+    toks=st.lists(st.text(alphabet="abcxyz01", min_size=1, max_size=6),
+                  min_size=1, max_size=120),
+)
+@settings(max_examples=25, deadline=None)
+def test_hll_sql_vs_python_reference(toks):
+    """The DuckDB oracle of sketch_hll_distinct, fuzzed against a
+    from-scratch Python HLL (poly hash -> fmix32 -> registers ->
+    integer estimate) on random token corpora."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct_sql, hll_params
+
+    pr = hll_params(64)
+    M32 = 0xFFFFFFFF
+
+    def fmix(h):
+        h &= M32
+        h ^= h >> 16
+        h = ((h & 0xFFFF) * 0x85EBCA6B + (((h >> 16) * 0x85EBCA6B & M32) << 16)) & M32
+        h ^= h >> 13
+        h = ((h & 0xFFFF) * 0xC2B2AE35 + (((h >> 16) * 0xC2B2AE35 & M32) << 16)) & M32
+        return h ^ (h >> 16)
+
+    hs = {_py_poly_hash(t.lower()) for t in toks}
+    regs = [pr.empty] * pr.m
+    for h in hs:
+        h2 = fmix(h)
+        idx = h2 & (pr.m - 1)
+        w = h2 >> pr.p
+        c = 1 << w.bit_length() if w > 0 else 1
+        regs[idx] = min(regs[idx], c)
+    S = sum(regs)
+    V = sum(1 for x in regs if x == pr.empty)
+    raw = pr.num // (pr.den * S)
+    est = pr.linear[V - 1] if V > 0 and raw <= pr.small else raw
+    want = [("s", V, S, est)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', 's')" for i, t in enumerate(toks))
+        + ") v(doc_id, text, source)"
+    )
+    got = [tuple(r) for r in con.execute(hll_distinct_sql()).fetchall()]
+    assert got == want
