@@ -363,9 +363,13 @@ def hll_distinct(
     from flink_cdc_2_3_0_src_spark.io import spread_small_scan
 
     pr = hll_params(m)
-    regs = spread_small_scan(docs.select(group_col, "text")).select(
-        group_col, hll_doc_registers(F.col("text"), m).alias("regs")
-    )
+    # drop null-text docs BEFORE grouping: MIN would ignore their null
+    # partials anyway in mixed groups, but a group consisting ONLY of
+    # null texts would otherwise surface on Spark (empty registers,
+    # estimate 0) while the oracle's WHERE text IS NOT NULL drops it
+    regs = spread_small_scan(
+        docs.select(group_col, "text").filter(F.col("text").isNotNull())
+    ).select(group_col, hll_doc_registers(F.col("text"), m).alias("regs"))
     merged = regs.groupBy(group_col).agg(*hll_merge_registers(m=m))
     arr = F.array(*[F.col(f"_r{j}") for j in range(pr.m)])
     zeros, sum_scaled = _hll_estimate_cols(arr, m)

@@ -1019,3 +1019,29 @@ def test_histogram_quantiles_null_text_dropped_both_engines(spark):
     want = [tuple(r) for r in con.execute(histogram_quantiles_sql()).fetchall()]
     assert got == want
     assert all(r[2] == 30 for r in got)  # n excludes the null-text doc
+
+
+def test_hll_all_null_group_dropped_both_engines(spark):
+    """A source whose every doc has null text must be ABSENT from the
+    result on both engines (the oracle's WHERE text IS NOT NULL drops
+    it; the Spark side now filters nulls before grouping instead of
+    surfacing an empty-register group with estimate 0)."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_distinct, hll_distinct_sql)
+
+    rows = [(1, "a b c", "en", "live", 1), (2, None, "en", "ghost", 1),
+            (3, None, "en", "ghost", 1), (4, "a d", "en", "live", 1)]
+    got = [tuple(r) for r in hll_distinct(_docs(spark, rows)).collect()]
+    assert [r[0] for r in got] == ["live"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c', 'live'), (2, NULL, 'ghost'), "
+        "(3, NULL, 'ghost'), (4, 'a d', 'live')"
+        ") v(doc_id, text, source)"
+    )
+    want = [tuple(r) for r in con.execute(hll_distinct_sql()).fetchall()]
+    assert got == want
