@@ -354,7 +354,11 @@ def hll_distinct(
     docs: DataFrame, group_col: str = "source", m: int = HLL_M
 ) -> DataFrame:
     """Per-group distinct-token cardinality via an m-register HyperLogLog
-    (std error ~1.04/sqrt(m); m = 64 → 13%, m = 512 → 4.6%).
+    (std error ~1.04/sqrt(m); m = 64 → 13%, m = 256 → 6.5% — the
+    enforced range is [64, 256]: the all-integer estimate path scales
+    the numerator by m^3 * 2^(w_bits+1), which must stay inside int64).
+    Production use at corpus scale should prefer m = 256; the m = 64
+    default keeps the fixture-scale oracle comparison cheap.
 
     Plan shape: one Arrow-batched projection (doc → register partial),
     one fixed-width groupBy (m MIN aggregates, map-side partial), then
@@ -373,7 +377,15 @@ def hll_distinct(
     merged = regs.groupBy(group_col).agg(*hll_merge_registers(m=m))
     arr = F.array(*[F.col(f"_r{j}") for j in range(pr.m)])
     zeros, sum_scaled = _hll_estimate_cols(arr, m)
-    out = merged.select(group_col, zeros, sum_scaled)
+    # drop all-empty-register groups (zero_registers == m): a group
+    # whose texts are non-null but token-less (empty/whitespace) never
+    # touches a register, while the oracle's unnest emits no rows for
+    # it and omits the group — keep both engines' group sets identical.
+    # A group with >= 1 real token always has zero_registers < m, so
+    # this post-agg filter on the m-wide merged frame is exact and free
+    out = merged.select(group_col, zeros, sum_scaled).filter(
+        F.col("zero_registers") < F.lit(pr.m)
+    )
     raw = F.expr(f"{pr.num} div ({pr.den} * sum_scaled)")
     linear = F.element_at(
         F.lit(pr.linear).cast("array<bigint>"), F.col("zero_registers").cast("int")
@@ -486,6 +498,21 @@ def histogram_quantiles(
     # sort FIRST in Spark's window and LAST in DuckDB's — a silent
     # cross-engine cum split
     lo_hi = vals.agg(F.min("v"), F.max("v")).collect()[0]
+    if lo_hi[0] is None:
+        # empty / all-null-text corpus: the DuckDB twin returns an
+        # empty result set (no vals rows), so return the output schema
+        # with zero rows instead of crashing on int(None)
+        from pyspark.sql import types as T
+
+        gtype = docs.schema[group_col].dataType
+        schema = T.StructType(
+            [T.StructField(group_col, gtype)]
+            + [
+                T.StructField(c, T.LongType())
+                for c in ("q", "n", "rank_r", "bin_idx", "est_lo", "est_hi")
+            ]
+        )
+        return docs.sparkSession.createDataFrame([], schema)
     vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
     wdt = max(1, -((vmin - vmax - 1) // bins))  # ceil((max-min+1)/bins)
     cells = (

@@ -216,10 +216,28 @@ def _match_condition(doc: dict):
                 elif op == "$lte":
                     conds.append(col <= F.lit(val))
                 elif op == "$in":
-                    conds.append(col.isin(list(val)))
+                    # Mongo: null inside the $in array matches null/
+                    # absent fields; Spark's isin yields NULL on null
+                    # rows and would silently copy LESS data (the $eq
+                    # null failure mode) — split the null member out
+                    vals_ = list(val)
+                    non_null = [v for v in vals_ if v is not None]
+                    cond = col.isin(non_null) if non_null else F.lit(False)
+                    if any(v is None for v in vals_):
+                        cond = col.isNull() | cond
+                    conds.append(cond)
                 elif op == "$nin":
-                    # $nin also matches null/absent fields (see $ne)
-                    conds.append(col.isNull() | ~col.isin(list(val)))
+                    # $nin matches null/absent fields (see $ne) —
+                    # UNLESS null is itself in the excluded array
+                    vals_ = list(val)
+                    non_null = [v for v in vals_ if v is not None]
+                    cond = (
+                        ~col.isin(non_null) if non_null else F.lit(True)
+                    )
+                    if any(v is None for v in vals_):
+                        conds.append(col.isNotNull() & cond)
+                    else:
+                        conds.append(col.isNull() | cond)
                 else:  # $exists: field presence → NULL-ness on a schema'd row
                     conds.append(col.isNotNull() if val else col.isNull())
         else:

@@ -239,3 +239,13 @@ def test_match_null_semantics_follow_mongo(spark):
     assert ids('[{"$match": {"v": {"$ne": null}}}]') == [1, 2]
     # comparison operators exclude nulls, matching Mongo
     assert ids('[{"$match": {"v": {"$gte": "a"}}}]') == [1, 2]
+    # null INSIDE an $in array matches null/absent fields in Mongo;
+    # Spark's isin would drop the null row silently
+    assert ids('[{"$match": {"v": {"$in": ["a", null]}}}]') == [1, 3]
+    assert ids('[{"$match": {"v": {"$in": [null]}}}]') == [3]
+    # ... and null inside $nin EXCLUDES null fields (the complement)
+    assert ids('[{"$match": {"v": {"$nin": ["a", null]}}}]') == [2]
+    assert ids('[{"$match": {"v": {"$nin": [null]}}}]') == [1, 2]
+    # empty arrays: $in matches nothing, $nin matches everything
+    assert ids('[{"$match": {"v": {"$in": []}}}]') == []
+    assert ids('[{"$match": {"v": {"$nin": []}}}]') == [1, 2, 3]

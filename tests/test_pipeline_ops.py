@@ -1045,3 +1045,57 @@ def test_hll_all_null_group_dropped_both_engines(spark):
     )
     want = [tuple(r) for r in con.execute(hll_distinct_sql()).fetchall()]
     assert got == want
+
+
+def test_hll_tokenless_group_dropped_both_engines(spark):
+    """A group whose texts are non-null but TOKEN-LESS (empty or
+    whitespace-only) must be absent on both engines: the oracle's
+    unnest emits no rows for it, and the Spark side drops the
+    all-empty-register group (zero_registers == m) post-aggregation.
+    Mixed groups keep their token-bearing estimate."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_distinct, hll_distinct_sql)
+
+    rows = [(1, "a b c", "en", "live", 1), (2, "", "en", "blank", 1),
+            (3, "   \t ", "en", "blank", 1), (4, "", "en", "live", 1)]
+    got = [tuple(r) for r in hll_distinct(_docs(spark, rows)).collect()]
+    assert [r[0] for r in got] == ["live"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c', 'live'), (2, '', 'blank'), "
+        "(3, '   ', 'blank'), (4, '', 'live')"
+        ") v(doc_id, text, source)"
+    )
+    want = [tuple(r) for r in con.execute(hll_distinct_sql()).fetchall()]
+    assert got == want
+
+
+def test_histogram_quantiles_empty_corpus_both_engines(spark):
+    """An empty / all-null-text corpus returns ZERO rows with the
+    output schema (the DuckDB twin's vals CTE is empty) instead of
+    crashing on int(None) in the min/max fold."""
+    import duckdb
+
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        histogram_quantiles, histogram_quantiles_sql)
+
+    out = histogram_quantiles(_docs(spark, [(1, None, "en", "s0", 1)]))
+    assert out.columns == [
+        "source", "q", "n", "rank_r", "bin_idx", "est_lo", "est_hi"]
+    assert out.count() == 0
+    empty = histogram_quantiles(
+        spark.createDataFrame(
+            [], "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint"))
+    assert empty.count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, CAST(NULL AS VARCHAR), 's0')) v(doc_id, text, source)"
+    )
+    assert con.execute(histogram_quantiles_sql()).fetchall() == []
