@@ -120,7 +120,16 @@ _PRIORITY: list[str] = [
     "cdc_tidb_snapshot_stream", "cdc_oceanbase_snapshot_stream",
     "cdc_scd2_history", "cdc_newly_added_tables",
     # LLM data-pipeline operators
-    "text_stats", "text_lang_id", "text_gopher_filter", "dedup_exact_stats",
+    # (text_stats: length/punct/stopword ratio projection — demoted in
+    # r8; the quality-scoring class keeps text_gopher_filter in-window,
+    # whose rule gate computes the same ratio family with per-rule
+    # failure counts, and text_stats stays registered + locally swept.
+    # Its slot goes to sketch_quantile_histogram: the equi-width
+    # histogram distribution sketch — the third sketch class
+    # (CMS = frequency, HLL = cardinality, histogram = distribution)
+    # and the only r7 operator class without a driver witness.)
+    "sketch_quantile_histogram",
+    "text_lang_id", "text_gopher_filter", "dedup_exact_stats",
     # (text_quality: single blended quality score — superseded in-window
     # by text_gopher_filter, the full Gopher/C4 rule-set gate with
     # per-rule failure counts; still registered + locally swept.)
@@ -222,7 +231,16 @@ _PRIORITY: list[str] = [
     "cdc_schema_evolution", "decontam_ngram_overlap",
     "embedding_quantize_int8",
     # Relational surface representatives (B1-B3)
-    "b2_projection_filter",
+    # (b2_projection_filter: the bare projection+filter row — demoted
+    # in r8; its correctness content (column pruning + predicate) is
+    # witnessed by virtually every other window row's scan, and B2/B3
+    # stay covered by the local sweep.  Its slot goes to
+    # cdc_sql_ddl_pipeline: the SQL DDL entry point — the reference's
+    # PRIMARY user surface (CREATE TABLE ... WITH ('connector'=...),
+    # MySqlTableSourceFactory.java:81-150; every ITCase starts there,
+    # e.g. MySqlConnectorITCase.java:165-198) — now carrying computed
+    # columns + WATERMARK clauses, driver-checked for the first time.)
+    "cdc_sql_ddl_pipeline",
     # (skew_salted_agg: the salting demo — demoted in r6; its
     # correctness content is a plain aggregation (the skew mitigation
     # is plan-level, pinned by the plan-hygiene tests) and B2/B3 keep
