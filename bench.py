@@ -4,17 +4,27 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Noise defense (round 6): box load on the shared runner has twice swamped
-the cross-round signal (r3->r4 and r4->r5 drifted every query uniformly
-by 10-30% with unchanged code).  Two countermeasures, neither changing
-the frozen 15-headliner contract:
-  - every headliner runs k=3 times (SPARK_GRAFT_BENCH_REPS) and
-    "queries" reports per-query MEDIANS ("value" = sum of medians), so
-    one slow rep under transient load cannot poison a number;
+Noise defense (round 6, tightened round 8): box load on the shared
+runner has twice swamped the cross-round signal (r3->r4 and r4->r5
+drifted every query uniformly by 10-30% with unchanged code), and the
+r7 medians moved +5.4% inside a ~7% run-to-run spread the instrument
+could not attribute.  Countermeasures, none changing the frozen
+15-headliner contract (metric/value/queries semantics unchanged):
+  - every headliner runs k=5 times (SPARK_GRAFT_BENCH_REPS, r8: 3->5)
+    and "queries" reports per-query MEDIANS ("value" = sum of medians),
+    so transient load spikes cannot poison a number;
+  - "noise_band" / "heavy_tail_noise_band" emit per-query [min, max]
+    across the reps, so a cross-round drift can be judged against the
+    same-run spread instead of guessed at (r8);
   - a fixed-size, sf-independent CALIBRATION workload (20M-row codegen
     aggregate over spark.range — no I/O, no Python) is timed the same
-    way and reported as "calibration_sec": cross-round comparisons can
-    divide by it to separate a real plan regression from a slow box.
+    way and reported as "calibration_sec";
+  - a second SHUFFLE-shaped probe (same 20M rows forced through a full
+    64-partition hash exchange) is reported as
+    "calibration_shuffle_sec" (r8): the codegen probe alone was blind
+    to shuffle/IO contention, the component most query plans spend
+    their time in.  Cross-round comparisons can divide by either to
+    separate a real plan regression from a slow box.
 """
 
 from __future__ import annotations
@@ -87,9 +97,32 @@ def _calibrate(spark, reps: int) -> float:
     return round(statistics.median(times), 4)
 
 
+def _calibrate_shuffle(spark, reps: int) -> float:
+    """Fixed-size FULL-shuffle probe: the same 20M rows forced through a
+    64-partition hash exchange before aggregating, so the probe spends
+    its time where real query plans do (exchange write/read), which the
+    pure-codegen probe cannot see.  Median seconds over ``reps``."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(((F.col("id") * 2654435761) % 1_000_003).alias("k"))
+            .repartition(64, F.col("k"))
+            .groupBy((F.col("k") % 997).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s"))
+            .orderBy("g")
+            .collect()
+        )
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,11 +158,18 @@ def main() -> None:
         # emitted alongside so the cross-round series stays comparable
         # and the medians methodology change is transparent
         first = {n: round(ts[0], 4) for n, ts in samples.items()}
-        return medians, first
+        band = {
+            n: [round(min(ts), 4), round(max(ts), 4)]
+            for n, ts in samples.items()
+        }
+        return medians, first, band
 
     calibration = _calibrate(spark, reps)
-    timings, first_run = run(names, reps)
-    heavy, heavy_first = run([n for n in HEAVY_TAIL if n in qs], reps)
+    calibration_shuffle = _calibrate_shuffle(spark, reps)
+    timings, first_run, band = run(names, reps)
+    heavy, heavy_first, heavy_band = run(
+        [n for n in HEAVY_TAIL if n in qs], reps
+    )
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -140,11 +180,14 @@ def main() -> None:
                 "queries": timings,
                 "first_run": first_run,
                 "first_run_total": round(sum(first_run.values()), 4),
+                "noise_band": band,
                 "reps": reps,
                 "calibration_sec": calibration,
+                "calibration_shuffle_sec": calibration_shuffle,
                 "heavy_tail": heavy,
                 "heavy_tail_first_run": heavy_first,
                 "heavy_tail_total": round(sum(heavy.values()), 4),
+                "heavy_tail_noise_band": heavy_band,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -246,12 +246,29 @@ def _parse_computed(part: str, as_end: int) -> tuple[str, str]:
         m = _TRAILING_COMMENT.search(expr_str)
         if m and m.start() < j <= m.end():
             expr_str = expr_str[: m.start()].strip()
+    # PROCTIME() — Flink's processing-time attribute.  The reference
+    # never materializes it either: physical-schema extraction excludes
+    # computed columns and delegates them to the planner
+    # (MySqlTableSourceFactory.java:101-102), where PROCTIME() is
+    # evaluated at row-processing time.  Map it to Spark's
+    # current_timestamp(), with a documented semantic difference:
+    # Spark pins current_timestamp() to QUERY-START time (constant
+    # across the batch / within each micro-batch), while Flink stamps
+    # each row as the operator touches it.  Both are "wall-clock when
+    # processed, not event time", which is the attribute's contract;
+    # row-granular drift within a batch is not reproducible in either
+    # engine and must not be relied on.  Temporal-table-function joins
+    # (FOR SYSTEM_TIME AS OF proc) are a query-side construct and are
+    # not claimed by this mapping.
     if _PROCTIME.search(expr_str):
-        raise ValueError(
-            f"PROCTIME() computed column not supported: {part!r} — a "
-            "processing-time attribute has no meaning on a replayed or "
-            "batch changelog; use current_timestamp() downstream if "
-            "wall-clock tagging is wanted"
+        bad = re.search(r"\bPROCTIME\s*\(\s*[^)\s]", expr_str, re.IGNORECASE)
+        if bad:
+            raise ValueError(
+                f"PROCTIME takes no arguments: {part!r}"
+            )
+        expr_str = re.sub(
+            r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", expr_str,
+            flags=re.IGNORECASE,
         )
     if not expr_str:
         raise ValueError(f"computed column has empty expression: {part!r}")

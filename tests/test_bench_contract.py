@@ -61,7 +61,14 @@ def test_bench_emits_contract_json(spark):
     assert set(doc["heavy_tail"]) == set(bench.HEAVY_TAIL)
     assert doc["heavy_tail_total"] > 0
     assert doc["sf"] == 0.001
-    # noise defense (r6): per-query medians over k reps + an
-    # sf-independent calibration number for cross-round normalization
+    # noise defense (r6, tightened r8): per-query medians over k reps,
+    # two sf-independent calibration probes (codegen + full shuffle)
+    # for cross-round normalization, and per-query [min, max] noise
+    # bands so a drift can be judged against the same-run spread
     assert doc["reps"] >= 1
     assert doc["calibration_sec"] > 0
+    assert doc["calibration_shuffle_sec"] > 0
+    assert set(doc["noise_band"]) == set(bench.HEADLINE)
+    assert set(doc["heavy_tail_noise_band"]) == set(bench.HEAVY_TAIL)
+    for name, (lo, hi) in doc["noise_band"].items():
+        assert 0 < lo <= doc["queries"][name] <= hi, name

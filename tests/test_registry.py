@@ -33,3 +33,21 @@ def test_every_query_has_unique_name_and_callable():
 def test_oracle_sql_subset_of_queries():
     qs, osql = catalog.queries(), catalog.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+def test_every_out_of_window_query_classified_in_coverage():
+    """COVERAGE.md's r8 classification table (surface variant vs
+    demoted witness vs local-only operator class) must name every
+    query past the 50-row driver window — a new registration has to
+    be placed in one of the three buckets, keeping future window
+    swaps easy to reason about."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md"
+    )
+    with open(path) as f:
+        text = f.read()
+    out_of_window = list(catalog.queries())[50:]
+    missing = [n for n in out_of_window if n not in text]
+    assert not missing, f"unclassified in COVERAGE.md: {missing}"

@@ -139,10 +139,40 @@ def test_computed_column_applied_in_order(spark):
     assert (r["total"], r["total_sq"]) == (10.0, 100.0)
 
 
-def test_proctime_computed_column_rejected_clearly():
-    with pytest.raises(ValueError, match="PROCTIME"):
+def test_proctime_computed_column_maps_to_current_timestamp(spark):
+    """A Flink DDL's ``proc AS PROCTIME()`` decodes end-to-end as a
+    processing-time (wall-clock) timestamp column.  Semantic note
+    pinned here: Spark evaluates current_timestamp() at query start
+    (constant within the batch) while Flink stamps each row at
+    operator-evaluation time — both honor the attribute's contract
+    (wall-clock-when-processed, NOT event time).  The reference never
+    materializes the column either (planner-delegated,
+    MySqlTableSourceFactory.java:101-102)."""
+    import datetime
+
+    rt = create_table_source(
+        "CREATE TABLE t (id INT, pt AS PROCTIME()) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt.physical_schema.fieldNames() == ["id"]
+    assert rt.computed_columns == [("pt", "current_timestamp()")]
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    rows = rt.apply_computed(df).collect()
+    assert all(isinstance(r["pt"], datetime.datetime) for r in rows)
+    # constant within the query — the documented Spark-side semantics
+    assert rows[0]["pt"] == rows[1]["pt"]
+    # PROCTIME composes inside a larger expression too
+    rt2 = create_table_source(
+        "CREATE TABLE t (id INT, d AS CAST(PROCTIME() AS DATE)) "
+        "WITH ('connector' = 'mysql-cdc')"
+    )
+    assert rt2.computed_columns == [("d", "CAST(current_timestamp() AS DATE)")]
+
+
+def test_proctime_with_arguments_rejected():
+    with pytest.raises(ValueError, match="no arguments"):
         create_table_source(
-            "CREATE TABLE t (id INT, pt AS PROCTIME()) "
+            "CREATE TABLE t (id INT, pt AS PROCTIME(id)) "
             "WITH ('connector' = 'mysql-cdc')"
         )
 
