@@ -2703,16 +2703,18 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch_hll_distinct",
     __import__(
         "flink_cdc_2_3_0_src_spark.operators.sketch", fromlist=["x"]
-    ).hll_distinct_sql(),
+    ).hll_distinct_sql(m=256),
 )
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog per-source vocabulary cardinality: 64 mergeable
-    registers per group instead of an unbounded (source, token) shuffle;
-    all-integer estimate path (scaled-power registers, rational alpha,
-    literal linear-counting lookup) so both engines agree bit for bit."""
+    """HyperLogLog per-source vocabulary cardinality: 256 mergeable
+    registers per group (σ ≈ 6.5%, the production precision — r8
+    default bump from m=64's ≈13%) instead of an unbounded
+    (source, token) shuffle; all-integer estimate path (scaled-power
+    registers, rational alpha, literal linear-counting lookup) so both
+    engines agree bit for bit."""
     from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
 
-    return hll_distinct(ld(spark, sf_dir, "documents"))
+    return hll_distinct(ld(spark, sf_dir, "documents"), m=256)
 
 
 @register(
