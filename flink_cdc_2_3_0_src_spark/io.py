@@ -131,12 +131,27 @@ def spread_small_scan(
     return df.repartition(par, key) if key else df.repartition(par)
 
 
+# Memo for repeated query builds over the same table: the stat loop is
+# bounded (≤ defaultParallelism files) but used to run per CALL; the
+# same (path set, maxPartitionBytes) always yields the same estimate
+# within a session because a parquet rewrite creates NEW part-file
+# names.  Capped so a long session over many tables can't grow it
+# unboundedly.
+_SPLIT_MEMO: dict = {}
+_SPLIT_MEMO_CAP = 256
+
+
 def _estimate_splits(spark, files: list, fallback: int) -> int:
     """sum(ceil(size / maxPartitionBytes)) over ≤ defaultParallelism
     files, via the JVM Hadoop FileSystem (works for any scheme the scan
-    itself could read). Falls back to the file count on any error."""
+    itself could read). Falls back to the file count on any error.
+    Memoized per (path set, maxPartitionBytes)."""
     try:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        memo_key = (tuple(sorted(files)), raw)
+        hit = _SPLIT_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
         m = re.match(r"(\d+)([a-zA-Z]*)", raw.strip())
         mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
                 "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
@@ -149,6 +164,9 @@ def _estimate_splits(spark, files: list, fallback: int) -> int:
             fs = jpath.getFileSystem(hconf)
             size = fs.getFileStatus(jpath).getLen()
             total += max(1, -(-int(size) // max_bytes))
+        if len(_SPLIT_MEMO) >= _SPLIT_MEMO_CAP:
+            _SPLIT_MEMO.clear()
+        _SPLIT_MEMO[memo_key] = total
         return total
     except Exception:
         return fallback

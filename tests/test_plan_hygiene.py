@@ -31,6 +31,10 @@ NESTED_LOOP_ALLOWED = {
     # the 0-or-1-row DLT threshold (tau) broadcast-left-joined onto the
     # k-row sample — both sides bounded by k, never by the corpus
     "pipeline_priority_sample",
+    # the 3-row quantile list (q=50/90/99) broadcast-crossed into the
+    # ≤256-cells-per-group histogram frame — both sides sketch-sized,
+    # never corpus-sized (promoted to the window in r8)
+    "sketch_quantile_histogram",
 }
 
 
