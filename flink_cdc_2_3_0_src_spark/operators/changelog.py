@@ -641,3 +641,186 @@ def forget_keys(
         SEQ_COL, F.lit(0).cast("long")
     )
     return kept, log
+
+
+# --------------------------------------------------------------------------
+# Incremental INNER equi-join maintenance over changelogs — the join
+# sibling of merge_agg_state (B4's agg form).  Flink's planner runs
+# every streaming two-input join as a StreamingJoinOperator holding
+# both sides' state and emitting +/- output rows as either side
+# changes; the reference delegates exactly this when a user joins two
+# CDC tables (SURVEY Part B delegated surface; e.g. the enrichment
+# joins in MySqlConnectorITCase).  The Spark-first shape is the
+# bilinear delta rule over SIGNED ROW MULTISETS:
+#
+#     dJ = dA |><| B_old  +  A_new |><| dB
+#        ( = dA|><|B_old + A_old|><|dB + dA|><|dB — each side's delta
+#          joined against the other side's state, multiplicities
+#          multiplied)
+#
+# so per-batch work is O(batch |><| state) — never a rescan of either
+# history — and the accumulated output changelog materializes to
+# exactly the join of the materialized inputs.  Inputs must be
+# FULL-RETRACTION changelogs (+I/+U after-images, -U/-D before-images
+# — run ensure_retractions/normalize_upsert first, the planner's
+# ChangelogNormalize step) and primary-keyed (each key has at most one
+# live image — Flink's JoinInputSideSpec uniqueKey case), so live
+# multiplicities stay in {0, 1}.
+# --------------------------------------------------------------------------
+
+MULT_COL = "__mult"
+
+
+def signed_multiset(
+    df: DataFrame, op_col: str = OP_COL, seq_col: str = SEQ_COL
+) -> DataFrame:
+    """Changelog batch → signed row-multiset delta: one row per distinct
+    payload image with ``__mult`` = (#additions − #retractions).  Rows
+    whose contributions cancel inside the batch are dropped (a key
+    inserted and deleted within one batch never reaches the join)."""
+    data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    sign = (
+        F.when(
+            F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+    )
+    return (
+        df.select(*data_cols, sign.alias(MULT_COL))
+        .groupBy(*data_cols)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)
+    )
+
+
+def _add_multiset(old: Optional[DataFrame], delta: DataFrame) -> DataFrame:
+    if old is None:
+        return delta
+    payload = [c for c in delta.columns if c != MULT_COL]
+    return (
+        old.unionByName(delta)
+        .groupBy(*payload)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)
+    )
+
+
+def _mult_join(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Inner equi-join of two signed multisets: multiplicities multiply
+    (the multiset-semantics join underlying the delta rule)."""
+    la = a.withColumnRenamed(MULT_COL, "__ma")
+    rb = b.withColumnRenamed(MULT_COL, "__mb")
+    pa = [c for c in la.columns if c not in ("__ma",)]
+    pb = [c for c in rb.columns if c not in ("__mb",) and c not in on]
+    return la.join(rb, on=list(on), how="inner").select(
+        *pa, *pb, (F.col("__ma") * F.col("__mb")).alias(MULT_COL)
+    )
+
+
+def merge_join_state(
+    state: Optional[tuple],
+    batch_a: DataFrame,
+    batch_b: DataFrame,
+    on: Sequence[str],
+    op_col: str = OP_COL,
+    seq_col: str = SEQ_COL,
+) -> tuple:
+    """One microbatch step of incremental inner equi-join maintenance
+    (the foreachBatch form; merge_agg_state's join sibling).
+
+    ``state`` is ``None`` for the first batch, else the
+    ``(a_state, b_state)`` pair returned by the previous step (signed
+    multisets of each side's live images).  Returns
+    ``((a_state, b_state), out_delta)`` where ``out_delta`` is this
+    batch's OUTPUT changelog as a signed multiset (joined payload +
+    ``__mult`` in {+1, −1} for keyed inputs): +1 rows are the join
+    rows that appeared this batch, −1 rows the ones retracted.
+
+    The non-key payload column sets of the two sides must be disjoint
+    (rename before joining — same contract as a SQL join's output)."""
+    pay_a = {c for c in batch_a.columns if c not in (op_col, seq_col)} - set(on)
+    pay_b = {c for c in batch_b.columns if c not in (op_col, seq_col)} - set(on)
+    clash = pay_a & pay_b
+    if clash:
+        raise ValueError(
+            f"join sides share non-key columns {sorted(clash)}; rename "
+            "one side before delta-join maintenance"
+        )
+    d_a = signed_multiset(batch_a, op_col, seq_col)
+    d_b = signed_multiset(batch_b, op_col, seq_col)
+    a_old, b_old = state if state is not None else (None, None)
+    a_new = _add_multiset(a_old, d_a)
+    b_new = _add_multiset(b_old, d_b)
+    parts = []
+    if b_old is not None:
+        parts.append(_mult_join(d_a, b_old, on))
+    parts.append(_mult_join(a_new, d_b, on))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    payload = [c for c in out.columns if c != MULT_COL]
+    out_delta = (
+        out.groupBy(*payload)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)
+    )
+    return (a_new, b_new), out_delta
+
+
+def delta_join_changelog(
+    log_a: DataFrame,
+    log_b: DataFrame,
+    on: Sequence[str],
+    n_batches: int = 4,
+    op_col: str = OP_COL,
+    seq_col: str = SEQ_COL,
+) -> DataFrame:
+    """Replay two full-retraction changelogs through ``merge_join_state``
+    in ``n_batches`` sequence-range batches and materialize the
+    accumulated output changelog — which equals the inner join of the
+    two materialized inputs, for ANY batch split (the invariant the
+    tests pin).
+
+    Batching is by global-sequence range (a 1-row max-seq aggregate per
+    log, the same bounded collect shape as chunking's analyze); each
+    side's state is locally checkpointed per step so batch i+1's plan
+    reads materialized state instead of recomputing batches 0..i — the
+    per-batch cost profile the streaming foreachBatch form has."""
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    hi_a = log_a.agg(F.max(seq_col)).collect()[0][0]
+    hi_b = log_b.agg(F.max(seq_col)).collect()[0][0]
+    hi = max([s for s in (hi_a, hi_b) if s is not None], default=None)
+    outs = []
+    state = None
+    for i in range(n_batches):
+        if hi is None:
+            break
+        lo_edge = i * (int(hi) + 1) // n_batches
+        hi_edge = (i + 1) * (int(hi) + 1) // n_batches
+        cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
+        state, out = merge_join_state(
+            state, log_a.filter(cond), log_b.filter(cond), on,
+            op_col=op_col, seq_col=seq_col,
+        )
+        state = (
+            state[0].localCheckpoint(eager=True),
+            state[1].localCheckpoint(eager=True),
+        )
+        outs.append(out)
+    if not outs:
+        # both logs empty: the join of two empty states
+        _, empty = merge_join_state(None, log_a, log_b, on,
+                                    op_col=op_col, seq_col=seq_col)
+        return empty.drop(MULT_COL)
+    acc = outs[0]
+    for o in outs[1:]:
+        acc = acc.unionByName(o)
+    payload = [c for c in acc.columns if c != MULT_COL]
+    return (
+        acc.groupBy(*payload)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) > 0)
+        .drop(MULT_COL)
+    )

@@ -74,7 +74,18 @@ def register(name: str, oracle: Optional[str]):
 _PRIORITY: list[str] = [
     # CDC core (SURVEY §2 part A/B)
     "cdc_multi_table_capture", "cdc_materialize", "cdc_changelog_stats",
-    "cdc_signed_sum", "cdc_agg_auto_minmax", "cdc_join_enriched",
+    "cdc_signed_sum", "cdc_agg_auto_minmax",
+    # (cdc_join_enriched: materialize + plain dimension join — demoted
+    # in r8; its two ingredients keep separate window witnesses
+    # (cdc_materialize for the upsert state, the bench-headliner TPC-H
+    # joins for the join itself) and it stays registered + locally
+    # swept.  Its slot goes to cdc_delta_join: INCREMENTAL two-changelog
+    # join maintenance (dJ = dA|><|B_old + A_new|><|dB over signed row
+    # multisets — Flink's StreamingJoinOperator shape, the join sibling
+    # of B4's merge_agg_state), producing the same enrichment join via
+    # per-batch deltas; a genuinely new operator class with no prior
+    # window row.)
+    "cdc_delta_join",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
     "cdc_metadata_columns", "cdc_mongo_changestream_decode",
     "b6_all_types_decode",
@@ -2114,6 +2125,61 @@ def cdc_join_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.join(F.broadcast(c), c.c_custkey == state.user_id + 1)
         .select("user_id", "value", "c_name", "c_mktsegment")
     )
+
+
+# Incremental delta-join maintenance (r8): the same enrichment join
+# computed as a STREAMING two-input join would compute it — both
+# changelogs replayed in sequence-range batches through
+# merge_join_state (dJ = dA|><|B_old + A_new|><|dB over signed row
+# multisets, Flink's StreamingJoinOperator shape), with the accumulated
+# output changelog materializing to exactly the join of the
+# materialized inputs.  The oracle joins the two materialized logs
+# directly — a genuinely different algorithm.
+@register(
+    "cdc_delta_join",
+    f"""
+    WITH a_log AS ({_SCRIPTED_LOG_SQL}),
+    a_latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM a_log
+    ),
+    a AS (SELECT user_id, value, ts FROM a_latest WHERE rn = 1 AND _op <> '-D'),
+    b_log AS ({_scripted_log_mod.DIM_LOG_SQL}),
+    b_latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY _seq DESC) AS rn
+        FROM b_log
+    ),
+    b AS (
+        SELECT user_id, c_name, c_mktsegment
+        FROM b_latest WHERE rn = 1 AND _op <> '-D'
+    )
+    SELECT a.user_id, a.value, a.ts, b.c_name, b.c_mktsegment
+    FROM a JOIN b USING (user_id)
+    """,
+)
+def cdc_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-changelog inner join maintained incrementally: per batch,
+    each side's delta joins the other side's state (multiplicities
+    multiplied), so work is O(batch |><| state) — never a rescan of
+    either history.  Upsert inputs are normalized to full-retraction
+    streams first (ChangelogNormalize), exactly as Flink's planner
+    stages a streaming two-CDC-table join."""
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+        ensure_retractions,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import (
+        scripted_dim_changelog,
+    )
+
+    a = ensure_retractions(
+        scripted_changelog(spark, sf_dir), ChangelogMode.UPSERT, ["user_id"]
+    )
+    b = ensure_retractions(
+        scripted_dim_changelog(spark, sf_dir), ChangelogMode.UPSERT, ["user_id"]
+    )
+    return delta_join_changelog(a, b, on=["user_id"], n_batches=4)
 
 
 # A3-A5/A9: chunked parallel snapshot == full table scan.

@@ -147,3 +147,52 @@ def scripted_two_phase_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return images.unionByName(marks)
+
+
+# ---- Scripted dimension-table changelog (second join input) ----
+#
+# A deterministic upsert log over `customer`, keyed by user_id =
+# c_custkey - 1 (the same key domain scripted_changelog uses), so a
+# two-changelog join has a second scripted "binlog" whose DuckDB twin
+# is trivial to fabricate: every customer inserts, every 5th later
+# updates its segment, every 7th is finally deleted.  Sequence numbers
+# interleave as c_custkey*3 (+0 insert, +1 update, +2 delete).
+
+DIM_LOG_SQL = """
+    SELECT c_custkey - 1 AS user_id, c_name, c_mktsegment,
+           '+I' AS _op, c_custkey * 3 AS _seq
+    FROM customer
+    UNION ALL
+    SELECT c_custkey - 1, c_name, 'UPDATED', '+U', c_custkey * 3 + 1
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey - 1, c_name, c_mktsegment, '-D', c_custkey * 3 + 2
+    FROM customer WHERE c_custkey % 7 = 0
+"""
+
+
+def scripted_dim_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer.parquet → upsert changelog
+    (user_id, c_name, c_mktsegment, _op, _seq) — see DIM_LOG_SQL."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    key = (F.col("c_custkey") - 1).alias("user_id")
+    base = c.select(
+        key, F.col("c_name"), F.col("c_mktsegment"),
+        F.lit(OP_INSERT).alias(OP_COL),
+        (F.col("c_custkey") * 3).cast("long").alias(SEQ_COL),
+    )
+    upd = c.filter(F.col("c_custkey") % 5 == 0).select(
+        key, F.col("c_name"), F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit(OP_UPDATE_AFTER).alias(OP_COL),
+        (F.col("c_custkey") * 3 + 1).cast("long").alias(SEQ_COL),
+    )
+    dele = c.filter(F.col("c_custkey") % 7 == 0).select(
+        key, F.col("c_name"), F.col("c_mktsegment"),
+        F.lit(OP_DELETE).alias(OP_COL),
+        (F.col("c_custkey") * 3 + 2).cast("long").alias(SEQ_COL),
+    )
+    return base.unionByName(upd).unionByName(dele)

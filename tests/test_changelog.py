@@ -346,3 +346,130 @@ def test_append_metadata_oceanbase_tenant_column(spark):
     out = append_metadata(df, database="test", table="t1", tenant="sys")
     assert out.columns == ["id", DB_COL, TABLE_COL, TENANT_COL]
     assert out.collect()[0][TENANT_COL] == "sys"
+
+
+# ---- incremental delta-join maintenance (r8) ----
+
+
+def _mk_log(spark, rows):
+    """(key, payload, op, seq) rows → full-retraction changelog frame."""
+    return spark.createDataFrame(
+        rows, f"user_id long, v string, {OP_COL} string, {SEQ_COL} long"
+    )
+
+
+def _mk_dim(spark, rows):
+    return spark.createDataFrame(
+        rows, f"user_id long, seg string, {OP_COL} string, {SEQ_COL} long"
+    )
+
+
+def test_delta_join_equals_direct_join_any_split(spark):
+    """The accumulated delta-join output equals the inner join of the
+    two materialized inputs for EVERY batch split — the invariant that
+    makes the incremental maintenance correct (bilinearity of the
+    delta rule over signed multisets)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+        materialize,
+    )
+
+    a = _mk_log(spark, [
+        (1, "a1", "+I", 1), (2, "b1", "+I", 2),
+        (1, "a1", "-U", 3), (1, "a2", "+U", 3),   # update key 1
+        (3, "c1", "+I", 4),
+        (2, "b1", "-D", 5),                         # delete key 2
+        (4, "d1", "+I", 9),                         # no dim match ever
+    ])
+    b = _mk_dim(spark, [
+        (1, "gold", "+I", 1), (2, "iron", "+I", 2), (3, "tin", "+I", 2),
+        (3, "tin", "-U", 6), (3, "zinc", "+U", 6),  # update after a emitted
+        (1, "gold", "-D", 8),                        # retracts join row
+    ])
+    direct = sorted(
+        tuple(r)
+        for r in materialize(a, ["user_id"])
+        .join(materialize(b, ["user_id"]), "user_id")
+        .collect()
+    )
+    # key 1 deleted on b side, key 2 deleted on a side, key 4 unmatched:
+    # only key 3 survives, with both sides' final images
+    assert direct == [(3, "c1", "zinc")]
+    for n in (1, 2, 5):
+        got = sorted(
+            tuple(r)
+            for r in delta_join_changelog(a, b, ["user_id"], n_batches=n)
+            .collect()
+        )
+        assert got == direct, f"n_batches={n}"
+
+
+def test_merge_join_state_emits_signed_output_deltas(spark):
+    """Per-batch output changelog: +1 rows appear when a match forms,
+    -1 rows retract previously-emitted join rows when either side
+    changes — what a downstream consumer of the join stream sees."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_join_state,
+    )
+
+    b1a = _mk_log(spark, [(1, "a1", "+I", 1)])
+    b1b = _mk_dim(spark, [(1, "gold", "+I", 1)])
+    state, out1 = merge_join_state(None, b1a, b1b, ["user_id"])
+    assert sorted(tuple(r) for r in out1.collect()) == [(1, "a1", "gold", 1)]
+
+    # batch 2: dim-side delete retracts the emitted row
+    b2a = _mk_log(spark, [])
+    b2b = _mk_dim(spark, [(1, "gold", "-D", 2)])
+    state, out2 = merge_join_state(state, b2a, b2b, ["user_id"])
+    assert sorted(tuple(r) for r in out2.collect()) == [(1, "a1", "gold", -1)]
+
+    # batch 3: fact-side update against empty dim state emits nothing
+    b3a = _mk_log(spark, [(1, "a1", "-U", 3), (1, "a2", "+U", 3)])
+    b3b = _mk_dim(spark, [])
+    state, out3 = merge_join_state(state, b3a, b3b, ["user_id"])
+    assert out3.collect() == []
+
+
+def test_merge_join_state_rejects_payload_clash(spark):
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_join_state,
+    )
+
+    a = _mk_log(spark, [(1, "a1", "+I", 1)])
+    with pytest.raises(ValueError, match="share non-key columns"):
+        merge_join_state(None, a, a, ["user_id"])
+
+
+def test_delta_join_empty_logs(spark):
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+    )
+
+    a = _mk_log(spark, [])
+    b = _mk_dim(spark, [])
+    out = delta_join_changelog(a, b, ["user_id"], n_batches=3)
+    assert out.columns == ["user_id", "v", "seg"]
+    assert out.collect() == []
+
+
+def test_delta_join_insert_delete_within_one_batch_cancels(spark):
+    """A key inserted and deleted inside the same batch never reaches
+    the join (its multiset contributions cancel in signed_multiset) —
+    and a key whose match forms and breaks across batches nets out."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+    )
+
+    a = _mk_log(spark, [
+        (1, "a1", "+I", 1), (1, "a1", "-D", 2),   # cancels in batch 1
+        (2, "b1", "+I", 3),
+    ])
+    b = _mk_dim(spark, [(1, "gold", "+I", 1), (2, "iron", "+I", 3)])
+    got = sorted(
+        tuple(r)
+        for r in delta_join_changelog(a, b, ["user_id"], n_batches=2)
+        .collect()
+    )
+    assert got == [(2, "b1", "iron")]
