@@ -789,6 +789,14 @@ def delta_join_changelog(
     per-batch cost profile the streaming foreachBatch form has."""
     if n_batches < 1:
         raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    if n_batches > 1:
+        # each batch filters the same input frame: checkpoint it once so
+        # n filters don't recompute the upstream lineage n times (e.g. a
+        # ChangelogNormalize window over the whole log).  The true
+        # streaming form (foreachBatch) gets its batches pre-cut and
+        # never takes this path.
+        log_a = log_a.localCheckpoint(eager=False)
+        log_b = log_b.localCheckpoint(eager=False)
     hi_a = log_a.agg(F.max(seq_col)).collect()[0][0]
     hi_b = log_b.agg(F.max(seq_col)).collect()[0][0]
     hi = max([s for s in (hi_a, hi_b) if s is not None], default=None)

@@ -55,6 +55,8 @@ DEFAULT_QUERIES = [
     "sketch_hll_distinct",
     "pipeline_priority_sample",
     "sketch_quantile_histogram",
+    # round-8 addition (incremental delta-join maintenance)
+    "cdc_delta_join",
 ]
 
 
