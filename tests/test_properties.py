@@ -512,3 +512,74 @@ def test_hll_sql_vs_python_reference(toks):
     )
     got = [tuple(r) for r in con.execute(hll_distinct_sql()).fetchall()]
     assert got == want
+
+
+# ---- incremental delta-join vs a from-scratch Python reference (r8) ----
+
+_dj_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),            # key
+        st.integers(min_value=0, max_value=9),            # value
+        st.booleans(),                                    # True = upsert, False = delete
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _py_materialize(events):
+    """Pure-Python replay of an upsert log: final live image per key."""
+    live = {}
+    for k, v, is_upsert in events:
+        if is_upsert:
+            live[k] = v
+        else:
+            live.pop(k, None)
+    return live
+
+
+def _mk_upsert_log(spark, events, val_col):
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+
+    seen = set()
+    rows = []
+    for i, (k, v, is_upsert) in enumerate(events):
+        if is_upsert:
+            op = "+U" if k in seen else "+I"
+            seen.add(k)
+            rows.append((k, v, op, i + 1))
+        else:
+            seen.discard(k)
+            rows.append((k, v, "-D", i + 1))
+    return spark.createDataFrame(
+        rows, f"user_id long, {val_col} long, {OP_COL} string, {SEQ_COL} long"
+    )
+
+
+@given(ev_a=_dj_events, ev_b=_dj_events, n_batches=st.integers(1, 5))
+@settings(max_examples=10, deadline=None)
+def test_delta_join_fuzz_vs_python_reference(spark, ev_a, ev_b, n_batches):
+    """For ARBITRARY pairs of keyed upsert logs and ANY batch split, the
+    accumulated delta-join output equals the inner join of the two
+    replayed final states (computed by an independent pure-Python
+    replay) — the bilinearity invariant, fuzzed."""
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+        ensure_retractions,
+    )
+
+    a = ensure_retractions(
+        _mk_upsert_log(spark, ev_a, "va"), ChangelogMode.UPSERT, ["user_id"]
+    )
+    b = ensure_retractions(
+        _mk_upsert_log(spark, ev_b, "vb"), ChangelogMode.UPSERT, ["user_id"]
+    )
+    got = sorted(
+        tuple(r)
+        for r in delta_join_changelog(a, b, ["user_id"], n_batches=n_batches)
+        .collect()
+    )
+    la, lb = _py_materialize(ev_a), _py_materialize(ev_b)
+    want = sorted((k, la[k], lb[k]) for k in la.keys() & lb.keys())
+    assert got == want
