@@ -718,15 +718,57 @@ def _mult_join(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
     )
 
 
+def _pad_delta(
+    outer_old: Optional[DataFrame],
+    outer_new: DataFrame,
+    inner_old: Optional[DataFrame],
+    inner_new: DataFrame,
+    affected: DataFrame,
+    on: Sequence[str],
+    out_cols: Sequence,
+) -> DataFrame:
+    """Null-padding delta for one outer side, restricted to the keys the
+    batch touched: Δ(outer ⋉̸ keys(inner)) — the rows the outer side
+    contributes with a null-extended opposite payload while it has no
+    match.  A key's padding can only change when one of its rows (either
+    side) changed this batch, so both snapshots are first semi-joined to
+    the batch-affected key set: every frame here is batch-driven, never
+    state-sized (for keyed inputs)."""
+
+    def pad(outer_st, inner_st):
+        if outer_st is None:
+            return None
+        o = outer_st.join(affected, list(on), "left_semi")
+        if inner_st is not None:
+            o = o.join(
+                inner_st.select(*on).distinct(), list(on), "left_anti"
+            )
+        return o.select(*out_cols)
+
+    new = pad(outer_new, inner_new)
+    old = pad(outer_old, inner_old)
+    if old is None:
+        return new
+    flipped = old.withColumn(MULT_COL, -F.col(MULT_COL))
+    payload = [c for c in new.columns if c != MULT_COL]
+    return (
+        new.unionByName(flipped)
+        .groupBy(*payload)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)
+    )
+
+
 def merge_join_state(
     state: Optional[tuple],
     batch_a: DataFrame,
     batch_b: DataFrame,
     on: Sequence[str],
+    how: str = "inner",
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
 ) -> tuple:
-    """One microbatch step of incremental inner equi-join maintenance
+    """One microbatch step of incremental equi-join maintenance
     (the foreachBatch form; merge_agg_state's join sibling).
 
     ``state`` is ``None`` for the first batch, else the
@@ -737,11 +779,26 @@ def merge_join_state(
     ``__mult`` in {+1, −1} for keyed inputs): +1 rows are the join
     rows that appeared this batch, −1 rows the ones retracted.
 
+    ``how`` ∈ {'inner', 'left', 'right', 'full'}.  Outer modes add the
+    null-padded rows a streaming outer join maintains (Flink's
+    StreamingJoinOperator null-pads an unmatched outer row and RETRACTS
+    the pad when its first match arrives); the padding delta is
+    computed only over the keys this batch touched, so per-batch work
+    stays batch-driven.
+
     The non-key payload column sets of the two sides must be disjoint
     (rename before joining — same contract as a SQL join's output)."""
-    pay_a = {c for c in batch_a.columns if c not in (op_col, seq_col)} - set(on)
-    pay_b = {c for c in batch_b.columns if c not in (op_col, seq_col)} - set(on)
-    clash = pay_a & pay_b
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how must be inner/left/right/full, got {how!r}")
+    pa = [
+        c for c in batch_a.columns
+        if c not in (op_col, seq_col) and c not in on
+    ]
+    pb = [
+        c for c in batch_b.columns
+        if c not in (op_col, seq_col) and c not in on
+    ]
+    clash = set(pa) & set(pb)
     if clash:
         raise ValueError(
             f"join sides share non-key columns {sorted(clash)}; rename "
@@ -756,6 +813,32 @@ def merge_join_state(
     if b_old is not None:
         parts.append(_mult_join(d_a, b_old, on))
     parts.append(_mult_join(a_new, d_b, on))
+    if how != "inner":
+        affected = (
+            d_a.select(*on).unionByName(d_b.select(*on)).distinct()
+        )
+        types_a = {f.name: f.dataType for f in batch_a.schema.fields}
+        types_b = {f.name: f.dataType for f in batch_b.schema.fields}
+        if how in ("left", "full"):
+            cols = (
+                [F.col(k) for k in on]
+                + [F.col(c) for c in pa]
+                + [F.lit(None).cast(types_b[c]).alias(c) for c in pb]
+                + [F.col(MULT_COL)]
+            )
+            pad = _pad_delta(a_old, a_new, b_old, b_new, affected, on, cols)
+            if pad is not None:
+                parts.append(pad)
+        if how in ("right", "full"):
+            cols = (
+                [F.col(k) for k in on]
+                + [F.lit(None).cast(types_a[c]).alias(c) for c in pa]
+                + [F.col(c) for c in pb]
+                + [F.col(MULT_COL)]
+            )
+            pad = _pad_delta(b_old, b_new, a_old, a_new, affected, on, cols)
+            if pad is not None:
+                parts.append(pad)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -773,14 +856,15 @@ def delta_join_changelog(
     log_b: DataFrame,
     on: Sequence[str],
     n_batches: int = 4,
+    how: str = "inner",
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
 ) -> DataFrame:
     """Replay two full-retraction changelogs through ``merge_join_state``
     in ``n_batches`` sequence-range batches and materialize the
-    accumulated output changelog — which equals the inner join of the
+    accumulated output changelog — which equals the ``how`` join of the
     two materialized inputs, for ANY batch split (the invariant the
-    tests pin).
+    tests pin; outer modes include the null-padded unmatched rows).
 
     Batching is by global-sequence range (a 1-row max-seq aggregate per
     log, the same bounded collect shape as chunking's analyze); each
@@ -810,7 +894,7 @@ def delta_join_changelog(
         cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
         state, out = merge_join_state(
             state, log_a.filter(cond), log_b.filter(cond), on,
-            op_col=op_col, seq_col=seq_col,
+            how=how, op_col=op_col, seq_col=seq_col,
         )
         state = (
             state[0].localCheckpoint(eager=True),
@@ -819,7 +903,7 @@ def delta_join_changelog(
         outs.append(out)
     if not outs:
         # both logs empty: the join of two empty states
-        _, empty = merge_join_state(None, log_a, log_b, on,
+        _, empty = merge_join_state(None, log_a, log_b, on, how=how,
                                     op_col=op_col, seq_col=seq_col)
         return empty.drop(MULT_COL)
     acc = outs[0]

@@ -473,3 +473,82 @@ def test_delta_join_insert_delete_within_one_batch_cancels(spark):
         .collect()
     )
     assert got == [(2, "b1", "iron")]
+
+
+def test_delta_join_outer_modes_equal_direct(spark):
+    """left/right/full delta-join maintenance equals the corresponding
+    direct outer join of the materialized inputs, for every batch
+    split — including the null-pad / retract-pad-on-match lifecycle a
+    streaming outer join goes through."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+        materialize,
+    )
+
+    a = _mk_log(spark, [
+        (1, "a1", "+I", 1), (2, "b1", "+I", 2), (4, "d1", "+I", 3),
+        (1, "a1", "-U", 5), (1, "a2", "+U", 5),
+        (2, "b1", "-D", 8),
+    ])
+    b = _mk_dim(spark, [
+        (1, "gold", "+I", 4), (3, "tin", "+I", 6),
+        (1, "gold", "-D", 9),   # key 1 loses its match -> pad returns
+    ])
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    ma, mb = materialize(a, ["user_id"]), materialize(b, ["user_id"])
+    for how in ("left", "right", "full"):
+        direct = sorted(
+            ((r["user_id"], r["v"], r["seg"])
+             for r in ma.join(mb, "user_id", how).collect()), key=key,
+        )
+        for n in (1, 3):
+            got = sorted(
+                ((r["user_id"], r["v"], r["seg"])
+                 for r in delta_join_changelog(
+                     a, b, ["user_id"], n_batches=n, how=how
+                 ).collect()), key=key,
+            )
+            assert got == direct, f"{how}, n_batches={n}"
+    # sanity on content: left keeps unmatched a-keys 1 (match deleted)
+    # and 4 (never matched) null-padded; full adds b-only key 3
+    left = sorted(
+        ((r["user_id"], r["v"], r["seg"])
+         for r in delta_join_changelog(
+             a, b, ["user_id"], n_batches=3, how="left"
+         ).collect()), key=key,
+    )
+    assert left == [(1, "a2", None), (4, "d1", None)]
+
+
+def test_merge_join_state_outer_pad_lifecycle(spark):
+    """Per-batch outer deltas: an unmatched outer row emits its null-pad,
+    the pad is RETRACTED when the first match arrives, and re-emitted
+    when the match is deleted (Flink's streaming outer-join behavior)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_join_state,
+    )
+
+    state, out1 = merge_join_state(
+        None, _mk_log(spark, [(1, "a1", "+I", 1)]), _mk_dim(spark, []),
+        ["user_id"], how="left",
+    )
+    assert sorted(tuple(r) for r in out1.collect()) == [(1, "a1", None, 1)]
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    state, out2 = merge_join_state(
+        state, _mk_log(spark, []), _mk_dim(spark, [(1, "gold", "+I", 2)]),
+        ["user_id"], how="left",
+    )
+    assert sorted((tuple(r) for r in out2.collect()), key=key) == [
+        (1, "a1", "gold", 1), (1, "a1", None, -1)]
+
+    state, out3 = merge_join_state(
+        state, _mk_log(spark, []), _mk_dim(spark, [(1, "gold", "-D", 3)]),
+        ["user_id"], how="left",
+    )
+    assert sorted((tuple(r) for r in out3.collect()), key=key) == [
+        (1, "a1", "gold", -1), (1, "a1", None, 1)]

@@ -556,13 +556,19 @@ def _mk_upsert_log(spark, events, val_col):
     )
 
 
-@given(ev_a=_dj_events, ev_b=_dj_events, n_batches=st.integers(1, 5))
-@settings(max_examples=10, deadline=None)
-def test_delta_join_fuzz_vs_python_reference(spark, ev_a, ev_b, n_batches):
-    """For ARBITRARY pairs of keyed upsert logs and ANY batch split, the
-    accumulated delta-join output equals the inner join of the two
-    replayed final states (computed by an independent pure-Python
-    replay) — the bilinearity invariant, fuzzed."""
+@given(
+    ev_a=_dj_events,
+    ev_b=_dj_events,
+    n_batches=st.integers(1, 5),
+    how=st.sampled_from(["inner", "left", "right", "full"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_delta_join_fuzz_vs_python_reference(spark, ev_a, ev_b, n_batches, how):
+    """For ARBITRARY pairs of keyed upsert logs, ANY batch split, and
+    every join mode, the accumulated delta-join output equals the
+    corresponding join of the two replayed final states (computed by an
+    independent pure-Python replay) — the bilinearity + padding
+    invariant, fuzzed."""
     from flink_cdc_2_3_0_src_spark.model import ChangelogMode
     from flink_cdc_2_3_0_src_spark.operators.changelog import (
         delta_join_changelog,
@@ -575,11 +581,25 @@ def test_delta_join_fuzz_vs_python_reference(spark, ev_a, ev_b, n_batches):
     b = ensure_retractions(
         _mk_upsert_log(spark, ev_b, "vb"), ChangelogMode.UPSERT, ["user_id"]
     )
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
     got = sorted(
-        tuple(r)
-        for r in delta_join_changelog(a, b, ["user_id"], n_batches=n_batches)
-        .collect()
+        (tuple(r) for r in delta_join_changelog(
+            a, b, ["user_id"], n_batches=n_batches, how=how
+        ).collect()),
+        key=key,
     )
     la, lb = _py_materialize(ev_a), _py_materialize(ev_b)
-    want = sorted((k, la[k], lb[k]) for k in la.keys() & lb.keys())
+    if how == "inner":
+        keys = la.keys() & lb.keys()
+    elif how == "left":
+        keys = la.keys()
+    elif how == "right":
+        keys = lb.keys()
+    else:
+        keys = la.keys() | lb.keys()
+    want = sorted(
+        ((k, la.get(k), lb.get(k)) for k in keys), key=key
+    )
     assert got == want
