@@ -677,7 +677,10 @@ def signed_multiset(
     """Changelog batch → signed row-multiset delta: one row per distinct
     payload image with ``__mult`` = (#additions − #retractions).  Rows
     whose contributions cancel inside the batch are dropped (a key
-    inserted and deleted within one batch never reaches the join)."""
+    inserted and deleted within one batch never reaches the join).
+    Only the four DML ops participate; control rows (heartbeats ``+H``,
+    schema events ``+S``) carry no row image and are ignored rather
+    than miscounted as retractions."""
     data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
     sign = (
         F.when(
@@ -687,7 +690,12 @@ def signed_multiset(
         .cast("long")
     )
     return (
-        df.select(*data_cols, sign.alias(MULT_COL))
+        df.filter(
+            F.col(op_col).isin(
+                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+            )
+        )
+        .select(*data_cols, sign.alias(MULT_COL))
         .groupBy(*data_cols)
         .agg(F.sum(MULT_COL).alias(MULT_COL))
         .filter(F.col(MULT_COL) != 0)
@@ -892,6 +900,16 @@ def delta_join_changelog(
         lo_edge = i * (int(hi) + 1) // n_batches
         hi_edge = (i + 1) * (int(hi) + 1) // n_batches
         cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
+        if i == 0:
+            # batch 0 is open-ended below: a log with negative or
+            # zero-anchored sequences must not silently lose its head
+            cond = F.col(seq_col) < hi_edge
+        if i == n_batches - 1:
+            # ... and the last batch open-ended above (paranoia against
+            # a seq appearing past the max captured by the 1-row agg)
+            cond = F.col(seq_col) >= lo_edge
+            if n_batches == 1:
+                cond = F.lit(True)
         state, out = merge_join_state(
             state, log_a.filter(cond), log_b.filter(cond), on,
             how=how, op_col=op_col, seq_col=seq_col,

@@ -552,3 +552,25 @@ def test_merge_join_state_outer_pad_lifecycle(spark):
     )
     assert sorted((tuple(r) for r in out3.collect()), key=key) == [
         (1, "a1", "gold", -1), (1, "a1", None, 1)]
+
+
+def test_delta_join_negative_seqs_and_control_rows(spark):
+    """Batch 0 is open-ended below (negative sequence numbers are not
+    silently dropped) and control rows (+H heartbeats) do not count as
+    retractions in the signed multiset."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+    )
+
+    a = _mk_log(spark, [
+        (1, "a1", "+I", -5),          # negative seq: must still arrive
+        (1, None, "+H", 2),           # heartbeat: must be ignored
+        (2, "b1", "+I", 3),
+    ])
+    b = _mk_dim(spark, [(1, "gold", "+I", 1), (2, "iron", "+I", 2)])
+    got = sorted(
+        tuple(r)
+        for r in delta_join_changelog(a, b, ["user_id"], n_batches=3)
+        .collect()
+    )
+    assert got == [(1, "a1", "gold"), (2, "b1", "iron")]
