@@ -2182,6 +2182,52 @@ def cdc_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_join_changelog(a, b, on=["user_id"], n_batches=4)
 
 
+# Incremental Top-N maintenance (r8): Flink's streaming Top-N query
+# (ROW_NUMBER() <= n over an updating table — RankOperator) maintained
+# per batch by re-ranking only the groups the batch touched; the final
+# top-n state equals ranking the materialized table directly.  The
+# oracle ranks the materialized log in one window — a different
+# algorithm.
+@register(
+    "cdc_topn_maintained",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL}),
+    r AS (
+        SELECT user_id % 4 AS bucket, user_id, value, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id % 4
+                   ORDER BY value DESC, user_id
+               ) AS rn
+        FROM m
+    )
+    SELECT bucket, user_id, value, ts FROM r WHERE rn <= 2
+    """,
+)
+def cdc_topn_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 users by value per bucket, maintained incrementally over a
+    4-batch changelog replay: each batch updates the materialized table
+    state and re-ranks ONLY its affected groups (per-batch work bounded
+    by touched-group sizes, never the table)."""
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        ensure_retractions,
+        topn_changelog,
+    )
+
+    log = ensure_retractions(
+        scripted_changelog(spark, sf_dir), ChangelogMode.UPSERT, ["user_id"]
+    ).withColumn("bucket", F.col("user_id") % 4)
+    out = topn_changelog(
+        log,
+        keys=["user_id"],
+        group_cols=["bucket"],
+        order_sql="value DESC, user_id",
+        n=2,
+        n_batches=4,
+    )
+    return out.select("bucket", "user_id", "value", "ts")
+
+
 # A3-A5/A9: chunked parallel snapshot == full table scan.
 @register("cdc_chunked_snapshot", "SELECT * FROM lineitem")
 def cdc_chunked_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

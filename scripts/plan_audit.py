@@ -55,8 +55,12 @@ DEFAULT_QUERIES = [
     "sketch_hll_distinct",
     "pipeline_priority_sample",
     "sketch_quantile_histogram",
-    # round-8 addition (incremental delta-join maintenance)
+    # round-8 additions (incremental maintenance: delta join + Top-N).
+    # Note: their replay harnesses checkpoint state per batch, so the
+    # FINAL plan shows only the last lazy stage — the per-batch
+    # exchanges run inside the replay jobs.
     "cdc_delta_join",
+    "cdc_topn_maintained",
 ]
 
 

@@ -574,3 +574,97 @@ def test_delta_join_negative_seqs_and_control_rows(spark):
         .collect()
     )
     assert got == [(1, "a1", "gold"), (2, "b1", "iron")]
+
+
+# ---- incremental Top-N maintenance (r8) ----
+
+
+def test_topn_maintenance_equals_direct_rank_any_split(spark):
+    """The maintained top-n state equals ranking the materialized table
+    directly, for every batch split — including updates that move rows
+    in and out of the top n and deletes that promote the next-best."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        materialize,
+        topn_changelog,
+    )
+
+    rows = [
+        # bucket 0: users 0, 2, 4 — churny
+        (0, 0, 10.0, "+I", 1), (0, 2, 20.0, "+I", 2), (0, 4, 5.0, "+I", 3),
+        (0, 4, 5.0, "-U", 7), (0, 4, 50.0, "+U", 7),   # 4 climbs into top-2
+        (0, 2, 20.0, "-D", 9),                           # 2 deleted -> 0 promoted
+        # bucket 1: users 1, 3
+        (1, 1, 7.0, "+I", 4), (1, 3, 3.0, "+I", 5),
+        (1, 1, 7.0, "-U", 8), (1, 1, 1.0, "+U", 8),      # 1 drops below 3
+    ]
+    log = spark.createDataFrame(
+        rows, f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long"
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("value").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+        .select("bucket", "user_id", "value")
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    assert want == [(0, 0, 10.0), (0, 4, 50.0), (1, 1, 1.0), (1, 3, 3.0)]
+    for n in (1, 3, 5):
+        got = sorted(
+            tuple(r)
+            for r in topn_changelog(
+                log, ["user_id"], ["bucket"], "value DESC, user_id", 2,
+                n_batches=n,
+            ).select("bucket", "user_id", "value").collect()
+        )
+        assert got == want, f"n_batches={n}"
+
+
+def test_merge_topn_state_membership_deltas(spark):
+    """Per-batch output: entering the top n emits +1 and the displaced
+    row -1; a rank-only shift inside the top n emits NOTHING (Flink's
+    no-rank-output optimization); untouched groups emit nothing."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_topn_state,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+        )
+
+    state, out1 = merge_topn_state(
+        None, mk([(0, 0, 10.0, "+I", 1), (0, 2, 20.0, "+I", 2),
+                  (1, 1, 7.0, "+I", 3)]),
+        ["user_id"], ["bucket"], "value DESC, user_id", 2,
+    )
+    assert sorted(tuple(r) for r in out1.collect()) == [
+        (0, 0, 10.0, 1), (0, 2, 20.0, 1), (1, 1, 7.0, 1)]
+
+    # a new #1 in bucket 0 displaces user 0 (the old #2); the old #1
+    # (user 2) merely shifts rank and must NOT be re-emitted; bucket 1
+    # is untouched and silent
+    state, out2 = merge_topn_state(
+        state, mk([(0, 4, 30.0, "+I", 4)]),
+        ["user_id"], ["bucket"], "value DESC, user_id", 2,
+    )
+    assert sorted(tuple(r) for r in out2.collect()) == [
+        (0, 0, 10.0, -1), (0, 4, 30.0, 1)]
+
+    # deleting the current #1 promotes the evicted row back from the
+    # retained table state
+    state, out3 = merge_topn_state(
+        state, mk([(0, 4, 30.0, "-D", 5)]),
+        ["user_id"], ["bucket"], "value DESC, user_id", 2,
+    )
+    assert sorted(tuple(r) for r in out3.collect()) == [
+        (0, 0, 10.0, 1), (0, 4, 30.0, -1)]
