@@ -668,3 +668,53 @@ def test_merge_topn_state_membership_deltas(spark):
     )
     assert sorted(tuple(r) for r in out3.collect()) == [
         (0, 0, 10.0, 1), (0, 4, 30.0, -1)]
+
+
+def test_topn_fuzz_vs_python_reference(spark):
+    """Randomized (seeded) upsert logs through every batch split:
+    maintained top-n equals a pure-Python replay + sort reference."""
+    import random
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        topn_changelog,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(4):
+        live = {}
+        rows = []
+        for seq in range(1, rng.randint(10, 40)):
+            uid = rng.randrange(8)
+            bucket = uid % 3
+            if uid in live and rng.random() < 0.25:
+                rows.append((bucket, uid, live[uid], "-D", seq))
+                del live[uid]
+            else:
+                v = float(rng.randrange(100))
+                if uid in live:
+                    rows.append((bucket, uid, live[uid], "-U", seq))
+                    rows.append((bucket, uid, v, "+U", seq))
+                else:
+                    rows.append((bucket, uid, v, "+I", seq))
+                live[uid] = v
+        log = spark.createDataFrame(
+            rows,
+            f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+        )
+        want = []
+        by_bucket = {}
+        for uid, v in live.items():
+            by_bucket.setdefault(uid % 3, []).append((uid, v))
+        for b, members in by_bucket.items():
+            members.sort(key=lambda t: (-t[1], t[0]))
+            want.extend((b, uid, v) for uid, v in members[:2])
+        want.sort()
+        for n in (1, 4):
+            got = sorted(
+                tuple(r)
+                for r in topn_changelog(
+                    log, ["user_id"], ["bucket"], "value DESC, user_id", 2,
+                    n_batches=n,
+                ).select("bucket", "user_id", "value").collect()
+            )
+            assert got == want, f"trial={trial}, n_batches={n}"

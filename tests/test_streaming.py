@@ -1179,3 +1179,68 @@ def test_streaming_delta_join_matches_batch(spark, tmp_path):
         .collect()
     )
     assert got == direct == [(3, "c1", "zinc")]
+
+
+def test_streaming_topn_matches_batch(spark, tmp_path):
+    """Top-N maintenance through a REAL Structured Streaming query
+    (foreachBatch stepping merge_topn_state with checkpointed state):
+    final maintained state equals ranking the materialized log."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_topn_state,
+    )
+
+    rows = [
+        (0, 0, 10.0, "+I", 1), (0, 2, 20.0, "+I", 2), (1, 1, 7.0, "+I", 3),
+        (0, 4, 30.0, "+I", 4), (0, 2, 20.0, "-D", 5),
+        (1, 1, 7.0, "-U", 6), (1, 1, 70.0, "+U", 6), (1, 3, 8.0, "+I", 7),
+    ]
+    schema = f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long"
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay_topn")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    state_box = [None]
+
+    def process(batch_df, batch_id):
+        state, _ = merge_topn_state(
+            state_box[0], batch_df, ["user_id"], ["bucket"],
+            "value DESC, user_id", 2,
+        )
+        state_box[0] = (
+            state[0].localCheckpoint(eager=True),
+            state[1].localCheckpoint(eager=True),
+        )
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_topn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    got = sorted(
+        tuple(r)
+        for r in state_box[0][1].select("bucket", "user_id", "value")
+        .collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in materialize(log, ["user_id"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("value").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+        .select("bucket", "user_id", "value")
+        .collect()
+    )
+    assert got == direct == [(0, 0, 10.0), (0, 4, 30.0),
+                             (1, 1, 70.0), (1, 3, 8.0)]
