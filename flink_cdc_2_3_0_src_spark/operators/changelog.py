@@ -727,6 +727,19 @@ def _mult_join(a: DataFrame, b: DataFrame, on: Sequence[str]) -> DataFrame:
     )
 
 
+def _keyset_join(
+    df: DataFrame, keys_df: DataFrame, on: Sequence[str], how: str
+) -> DataFrame:
+    """left_semi / left_anti against a key set, NULL-SAFELY: plain
+    column equality never matches a null key, which would exempt
+    null-keyed rows from 'affected' restriction forever (stale pads /
+    stale rank rows).  A struct key compares its fields null-safely."""
+    pk = F.struct(*[F.col(k) for k in on])
+    left = df.withColumn("__pk", pk)
+    right = keys_df.withColumn("__pk", pk).select("__pk").distinct()
+    return left.join(right, "__pk", how).drop("__pk")
+
+
 def _pad_delta(
     outer_old: Optional[DataFrame],
     outer_new: DataFrame,
@@ -747,8 +760,12 @@ def _pad_delta(
     def pad(outer_st, inner_st):
         if outer_st is None:
             return None
-        o = outer_st.join(affected, list(on), "left_semi")
+        o = _keyset_join(outer_st, affected, on, "left_semi")
         if inner_st is not None:
+            # plain-equality ANTI is correct here even with nulls: an
+            # inner null key can never match (SQL join semantics), so it
+            # must not suppress a pad — and a null-keyed OUTER row never
+            # matches either, so it stays padded, as SQL would emit it
             o = o.join(
                 inner_st.select(*on).distinct(), list(on), "left_anti"
             )
@@ -1051,19 +1068,20 @@ def merge_topn_state(
         )
     ).select(*group_cols).distinct()
     w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    rest = [c for c in table_new.columns if c not in group_cols]
     topn_new_aff = (
-        table_new.join(affected, list(group_cols), "left_semi")
+        _keyset_join(table_new, affected, group_cols, "left_semi")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
-        .drop("__rn")
+        .select(*group_cols, *rest)
     )
     if topn_old is None:
         topn_state = topn_new_aff
         out_delta = topn_new_aff.withColumn(MULT_COL, F.lit(1).cast("long"))
     else:
-        topn_old_aff = topn_old.join(affected, list(group_cols), "left_semi")
-        topn_state = topn_old.join(
-            affected, list(group_cols), "left_anti"
+        topn_old_aff = _keyset_join(topn_old, affected, group_cols, "left_semi")
+        topn_state = _keyset_join(
+            topn_old, affected, group_cols, "left_anti"
         ).unionByName(topn_new_aff)
         pos = topn_new_aff.withColumn(MULT_COL, F.lit(1).cast("long"))
         neg = topn_old_aff.withColumn(MULT_COL, F.lit(-1).cast("long"))

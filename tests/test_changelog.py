@@ -718,3 +718,65 @@ def test_topn_fuzz_vs_python_reference(spark):
                 ).select("bucket", "user_id", "value").collect()
             )
             assert got == want, f"trial={trial}, n_batches={n}"
+
+
+def test_maintenance_ops_handle_null_keys_like_sql(spark):
+    """Null join keys never match (SQL semantics) but null-keyed OUTER
+    rows must still be emitted null-padded, and a null GROUP is a real
+    window partition that must re-rank like any other — plain-equality
+    semi-joins would exempt both forever."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+        materialize,
+        topn_changelog,
+    )
+
+    a = spark.createDataFrame(
+        [(None, "a0", "+I", 1), (1, "a1", "+I", 2)],
+        f"user_id long, v string, {OP_COL} string, {SEQ_COL} long",
+    )
+    b = spark.createDataFrame(
+        [(None, "gold", "+I", 1), (1, "iron", "+I", 2)],
+        f"user_id long, seg string, {OP_COL} string, {SEQ_COL} long",
+    )
+
+    def key(t):
+        return tuple((x is None, x) for x in t)
+
+    for how in ("inner", "left", "full"):
+        got = sorted(
+            (tuple(r) for r in delta_join_changelog(
+                a, b, ["user_id"], n_batches=2, how=how
+            ).collect()), key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in materialize(a, ["user_id"]).join(
+                materialize(b, ["user_id"]), "user_id", how
+            ).collect()), key=key,
+        )
+        assert got == want, how
+    # null group: updates inside it must re-rank it (stale-state check)
+    log = spark.createDataFrame(
+        [(None, 1, 10.0, "+I", 1), (None, 2, 20.0, "+I", 2),
+         (None, 3, 30.0, "+I", 3),      # batch 2: pushes 1 out of top-2
+         (0, 4, 5.0, "+I", 4)],
+        f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+    )
+    got = sorted(
+        (tuple(r) for r in topn_changelog(
+            log, ["user_id"], ["bucket"], "value DESC, user_id", 2,
+            n_batches=2,
+        ).select("bucket", "user_id", "value").collect()), key=key,
+    )
+    direct = sorted(
+        (tuple(r) for r in materialize(log, ["user_id"])
+         .withColumn("__rn", F.row_number().over(
+             W.partitionBy("bucket").orderBy(
+                 F.col("value").desc(), F.col("user_id"))))
+         .filter(F.col("__rn") <= 2)
+         .select("bucket", "user_id", "value").collect()), key=key,
+    )
+    assert got == direct
+    assert (None, 1, 10.0) not in got and (None, 3, 30.0) in got
