@@ -780,3 +780,67 @@ def test_maintenance_ops_handle_null_keys_like_sql(spark):
     )
     assert got == direct
     assert (None, 1, 10.0) not in got and (None, 3, 30.0) in got
+
+
+def test_maintenance_ops_composite_keys(spark):
+    """Composite join keys and multi-column rank groups work end to end
+    (the affected-key struct handles >1 column)."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+        materialize,
+        topn_changelog,
+    )
+
+    a = spark.createDataFrame(
+        [("eu", 1, "a1", "+I", 1), ("us", 1, "a2", "+I", 2),
+         ("eu", 2, "a3", "+I", 3), ("eu", 1, "a1", "-D", 6)],
+        f"region string, uid long, v string, {OP_COL} string, {SEQ_COL} long",
+    )
+    b = spark.createDataFrame(
+        [("eu", 1, "gold", "+I", 1), ("us", 1, "iron", "+I", 2),
+         ("eu", 2, "tin", "+I", 4)],
+        f"region string, uid long, seg string, {OP_COL} string, {SEQ_COL} long",
+    )
+    on = ["region", "uid"]
+    for how in ("inner", "left", "full"):
+        def key(t):
+            return tuple((x is None, x) for x in t)
+        got = sorted(
+            (tuple(r) for r in delta_join_changelog(
+                a, b, on, n_batches=3, how=how
+            ).collect()), key=key,
+        )
+        want = sorted(
+            (tuple(r) for r in materialize(a, on).join(
+                materialize(b, on), on, how
+            ).collect()), key=key,
+        )
+        assert got == want, how
+
+    log = spark.createDataFrame(
+        [("eu", 0, 1, 10.0, "+I", 1), ("eu", 0, 2, 20.0, "+I", 2),
+         ("eu", 1, 3, 5.0, "+I", 3), ("us", 0, 4, 7.0, "+I", 4),
+         ("eu", 0, 5, 30.0, "+I", 5)],
+        f"region string, bucket long, user_id long, value double, "
+        f"{OP_COL} string, {SEQ_COL} long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in topn_changelog(
+            log, ["user_id"], ["region", "bucket"],
+            "value DESC, user_id", 1, n_batches=2,
+        ).select("region", "bucket", "user_id", "value").collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in materialize(log, ["user_id"])
+        .withColumn("__rn", F.row_number().over(
+            W.partitionBy("region", "bucket").orderBy(
+                F.col("value").desc(), F.col("user_id"))))
+        .filter(F.col("__rn") <= 1)
+        .select("region", "bucket", "user_id", "value").collect()
+    )
+    assert got == direct == [("eu", 0, 5, 30.0), ("eu", 1, 3, 5.0),
+                             ("us", 0, 4, 7.0)]
