@@ -1143,3 +1143,25 @@ def topn_changelog(
         )
         return empty.drop(MULT_COL)
     return state[1]
+
+
+def expire_state(
+    state: DataFrame, watermark, ts_col: str
+) -> DataFrame:
+    """State-TTL eviction for the maintenance family (the Spark form of
+    Flink's idle-state retention / table.exec.state.ttl): drop state
+    rows whose event time fell behind the watermark.  Without a TTL, an
+    unbounded key space (e.g. order ids) grows join/rank state forever;
+    with it, state size tracks the retention window — the knob every
+    production streaming join sets.
+
+    Returns the filtered state frame; rows with a NULL event time are
+    KEPT (dimension rows without a timestamp must not silently expire).
+    Apply to each side of a ``merge_join_state`` pair, or to the table
+    state of ``merge_topn_state``, between steps.  Note the semantic
+    consequence (same as Flink's): a late change to an expired key
+    re-inserts it as if new — the retention window is a correctness
+    trade the caller opts into."""
+    return state.filter(
+        F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(watermark))
+    )

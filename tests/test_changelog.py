@@ -844,3 +844,44 @@ def test_maintenance_ops_composite_keys(spark):
     )
     assert got == direct == [("eu", 0, 5, 30.0), ("eu", 1, 3, 5.0),
                              ("us", 0, 4, 7.0)]
+
+
+def test_expire_state_ttl_eviction(spark):
+    """State TTL: rows behind the watermark are evicted, null-ts rows
+    kept; an expired key's later change re-enters as if new (the
+    documented Flink-equivalent retention trade)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        MULT_COL,
+        expire_state,
+        merge_join_state,
+    )
+
+    def mk_a(rows):
+        return spark.createDataFrame(
+            rows, f"user_id long, v string, ts long, {OP_COL} string, {SEQ_COL} long"
+        )
+
+    def mk_b(rows):
+        return spark.createDataFrame(
+            rows, f"user_id long, seg string, {OP_COL} string, {SEQ_COL} long"
+        )
+
+    state, _ = merge_join_state(
+        None,
+        mk_a([(1, "a1", 100, "+I", 1), (2, "b1", 900, "+I", 2)]),
+        mk_b([(1, "gold", "+I", 1), (2, "iron", "+I", 2)]),
+        ["user_id"],
+    )
+    a_state = expire_state(state[0], 500, "ts")
+    rows = sorted((r["user_id"], r["v"]) for r in a_state.collect())
+    assert rows == [(2, "b1")]           # key 1 expired
+    # b-state has no ts column semantics here; null-ts rows are kept
+    b_like = state[1].withColumn("ts", F.lit(None).cast("long"))
+    assert expire_state(b_like, 500, "ts").count() == 2
+    # a late update to the expired key re-enters as an insert-like row
+    state2 = (expire_state(state[0], 500, "ts"), state[1])
+    state3, out = merge_join_state(
+        state2, mk_a([(1, "a2", 950, "+I", 3)]), mk_b([]), ["user_id"],
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == [(1, "a2", 950, "gold", 1)]
