@@ -885,3 +885,84 @@ def test_expire_state_ttl_eviction(spark):
     )
     got = sorted(tuple(r) for r in out.collect())
     assert got == [(1, "a2", 950, "gold", 1)]
+
+
+def test_maintenance_deltas_telescope_at_every_prefix(spark):
+    """After EVERY batch i, the accumulated output deltas equal the
+    derived view over the state so far — the per-step contract a live
+    downstream consumer depends on (the final-answer tests alone would
+    miss a state/delta drift that cancels by the last batch)."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        MULT_COL,
+        merge_join_state,
+        merge_topn_state,
+    )
+
+    a_batches = [
+        [(1, "a1", "+I", 1), (2, "b1", "+I", 2)],
+        [(1, "a1", "-U", 3), (1, "a2", "+U", 3)],
+        [(2, "b1", "-D", 5), (3, "c1", "+I", 6)],
+    ]
+    b_batches = [
+        [(1, "gold", "+I", 1)],
+        [(2, "iron", "+I", 4), (1, "gold", "-D", 4)],
+        [(3, "tin", "+I", 6)],
+    ]
+    state, acc = None, {}
+    for ba, bb in zip(a_batches, b_batches):
+        state, out = merge_join_state(
+            state, _mk_log(spark, ba), _mk_dim(spark, bb), ["user_id"]
+        )
+        for r in out.collect():
+            k = (r["user_id"], r["v"], r["seg"])
+            acc[k] = acc.get(k, 0) + r[MULT_COL]
+        live = sorted(k for k, m in acc.items() if m > 0)
+        direct = sorted(
+            tuple(r)
+            for r in state[0].filter(F.col(MULT_COL) > 0).drop(MULT_COL)
+            .join(
+                state[1].filter(F.col(MULT_COL) > 0).drop(MULT_COL),
+                "user_id",
+            )
+            .collect()
+        )
+        assert live == direct
+
+    # Top-N: accumulated membership deltas == rank of table state, per step
+    t_batches = [
+        [(0, 1, 10.0, "+I", 1), (0, 2, 20.0, "+I", 2)],
+        [(0, 3, 30.0, "+I", 3)],
+        [(0, 3, 30.0, "-D", 4)],
+    ]
+    state, acc = None, {}
+    for tb in t_batches:
+        batch = spark.createDataFrame(
+            tb,
+            f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+        )
+        state, out = merge_topn_state(
+            state, batch, ["user_id"], ["bucket"], "value DESC, user_id", 2
+        )
+        for r in out.collect():
+            k = (r["bucket"], r["user_id"], r["value"])
+            acc[k] = acc.get(k, 0) + r[MULT_COL]
+        live = sorted(k for k, m in acc.items() if m > 0)
+        direct = sorted(
+            tuple(r)
+            for r in state[0]
+            .withColumn("__rn", F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("value").desc(), F.col("user_id"))))
+            .filter(F.col("__rn") <= 2)
+            .select("bucket", "user_id", "value")
+            .collect()
+        )
+        assert live == direct
+        # ... and the maintained topn_state matches too
+        st = sorted(
+            tuple(r)
+            for r in state[1].select("bucket", "user_id", "value").collect()
+        )
+        assert st == direct
