@@ -171,7 +171,17 @@ _PRIORITY: list[str] = [
     # Its slot goes to dedup_fuzzy_blocked, the round-4 sub-quadratic
     # edit-distance scale twin.)
     "dedup_fuzzy_blocked",
-    "dedup_clusters", "dedup_semantic", "dedup_simhash",
+    "dedup_clusters", "dedup_semantic",
+    # (dedup_simhash: demoted in r8 — the dedup family keeps SEVEN
+    # window witnesses (exact, spans, minhash pairs, fuzzy-blocked,
+    # clusters, semantic, embedding-lsh), and simhash remains a BENCH
+    # HEADLINER the driver executes and times at sf0.1 every round,
+    # plus locally oracle-swept.  Its slot goes to cdc_topn_maintained:
+    # incremental Top-N rank maintenance (Flink's streaming Top-N /
+    # RankOperator — per-batch table-state merge + affected-group
+    # re-rank with membership deltas), the second r8 maintenance class,
+    # which otherwise had no driver witness.)
+    "cdc_topn_maintained",
     # (dedup_char_ngram_sketch: per-doc KMV sketch projection — demoted;
     # the KMV sketch class stays represented by source_kmv_similarity's
     # set algebra and the sketch query remains locally swept.  Its slot
