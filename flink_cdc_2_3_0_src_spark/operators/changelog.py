@@ -1015,13 +1015,40 @@ def _upsert_table_state(
     )
 
 
+def _split_order_items(order_sql: str) -> list:
+    """Split an ORDER BY list on commas OUTSIDE parentheses/quotes, so
+    function expressions like ``greatest(a, b) DESC`` stay intact."""
+    items, depth, cur, in_str = [], 0, [], False
+    for ch in order_sql:
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        items.append(tail)
+    return items
+
+
 def _parse_order_sql(order_sql: str):
     """'value DESC, user_id' → sort-order columns (F.expr cannot parse
     a trailing ASC/DESC keyword — it is ORDER-BY syntax, not an
     expression — so the direction is split off and applied as
     .desc()/.asc(); bare items default to ascending like SQL)."""
     out = []
-    for item in order_sql.split(","):
+    for item in _split_order_items(order_sql):
         item = item.strip()
         m = re.match(r"^(.*?)\s+(ASC|DESC)$", item, re.IGNORECASE)
         if m:

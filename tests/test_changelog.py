@@ -966,3 +966,27 @@ def test_maintenance_deltas_telescope_at_every_prefix(spark):
             for r in state[1].select("bucket", "user_id", "value").collect()
         )
         assert st == direct
+
+
+def test_topn_order_spec_with_function_expressions(spark):
+    """ORDER BY items containing commas inside function calls parse
+    correctly (the split is paren-aware), and directions apply."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        topn_changelog,
+    )
+
+    log = spark.createDataFrame(
+        [(0, 1, 10.0, 5.0, "+I", 1), (0, 2, 3.0, 20.0, "+I", 2),
+         (0, 3, 1.0, 2.0, "+I", 3)],
+        f"bucket long, user_id long, v1 double, v2 double, "
+        f"{OP_COL} string, {SEQ_COL} long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in topn_changelog(
+            log, ["user_id"], ["bucket"],
+            "greatest(v1, v2) DESC, user_id", 2, n_batches=2,
+        ).select("bucket", "user_id").collect()
+    )
+    # greatest: user 2 -> 20, user 1 -> 10, user 3 -> 2
+    assert got == [(0, 1), (0, 2)]
