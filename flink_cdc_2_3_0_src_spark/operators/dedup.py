@@ -22,6 +22,8 @@ Every constant is shared with the DuckDB oracle twins below
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,15 +75,11 @@ def _jaccard(a: str, b: str):
     )
 
 
-def lsh_pairs(
-    docs: DataFrame,
-    bands: int = LSH_BANDS,
-    rows: int = LSH_ROWS,
-    threshold: float = JACCARD_THRESHOLD,
-) -> DataFrame:
-    """Candidate pairs via banded LSH, verified with exact Jaccard."""
-    ss = shingle_sets(docs, k=bands * rows)
-    band_structs = F.array(
+def _band_structs(bands: int, rows: int):
+    """array<struct<band, key>> of a signature's banded LSH keys —
+    shared by the one-shot pair finder and the incremental dedup
+    state (identical keys are what make the two paths agree)."""
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
@@ -96,6 +94,17 @@ def lsh_pairs(
             for b in range(bands)
         ]
     )
+
+
+def lsh_pairs(
+    docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact Jaccard."""
+    ss = shingle_sets(docs, k=bands * rows)
+    band_structs = _band_structs(bands, rows)
     # truncate lineage ONCE at the per-doc profile: the UDF pipeline must
     # not re-run across the self-join, and the (large) hashes array is
     # materialized one copy per doc — not once per exploded band replica
@@ -822,4 +831,141 @@ FUZZY_BLOCKED_SQL = """
     JOIN d da ON da.doc_id = c.doc_a
     JOIN d db ON db.doc_id = c.doc_b
     WHERE levenshtein(da.text, db.text) <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup dedup state — dedup ARRIVALS against the seen
+# corpus instead of re-deduping everything (the maintenance form of
+# lsh_pairs, and the shape a 100 TB ingest pipeline actually runs: new
+# documents land in batches; each batch's near-dups of anything seen
+# before are rejected; the corpus is never rescanned).  Rejection rule
+# = the one-shot rule: doc j is rejected iff some EARLIER doc i
+# (doc_id order) shares a verified LSH pair with it — so replaying any
+# doc_id-ordered batch split reproduces the one-shot answer exactly.
+# Note rejected docs still poison later arrivals (i in the rule need
+# not itself be kept), so the state holds ALL seen docs' buckets.
+# --------------------------------------------------------------------------
+
+
+def merge_neardup_state(
+    state: Optional[tuple],
+    batch_docs: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> tuple:
+    """One ingest step: returns ``((banded_state, hashes_state), kept)``
+    where ``kept`` is the batch rows that survive near-dup rejection
+    against the seen corpus AND earlier rows of the same batch.
+    Batches must arrive in ascending doc_id ranges (stream arrival
+    order); per-batch work is the batch's band keys equi-joined against
+    the state's — batch-driven probe, one bounded verify join."""
+    banded_old, hashes_old = state if state is not None else (None, None)
+    prof = shingle_sets(batch_docs, k=bands * rows).localCheckpoint()
+    banded_b = prof.select(
+        "doc_id", F.explode(_band_structs(bands, rows)).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    hashes_b = prof.select("doc_id", "hashes")
+    probe_sides = []
+    if banded_old is not None:
+        probe_sides.append((banded_old, hashes_old))
+    probe_sides.append((banded_b, hashes_b))
+    cands = None
+    for banded_a, hashes_a in probe_sides:
+        a = banded_a.alias("a")
+        b = banded_b.alias("b")
+        c = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .join(
+                hashes_a.select(
+                    F.col("doc_id").alias("doc_a"), F.col("hashes").alias("h_a")
+                ),
+                "doc_a",
+            )
+            .join(
+                hashes_b.select(
+                    F.col("doc_id").alias("doc_b"), F.col("hashes").alias("h_b")
+                ),
+                "doc_b",
+            )
+        )
+        rejected = (
+            c.withColumn("jaccard", _jaccard("h_a", "h_b"))
+            .filter(F.col("jaccard") >= threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        cands = rejected if cands is None else cands.unionByName(rejected)
+    kept = batch_docs.join(cands.distinct(), "doc_id", "left_anti")
+    banded_new = (
+        banded_b if banded_old is None else banded_old.unionByName(banded_b)
+    )
+    hashes_new = (
+        hashes_b if hashes_old is None else hashes_old.unionByName(hashes_b)
+    )
+    return (banded_new, hashes_new), kept
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    n_batches: int = 4,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Replay the corpus through ``merge_neardup_state`` in ``n_batches``
+    ascending doc_id ranges; returns the kept rows — identical to the
+    one-shot rule (reject docs appearing as doc_b in a verified LSH
+    pair) for ANY batch split.  State is locally checkpointed per step
+    (the ingest-pipeline cost profile)."""
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    if hi is None:
+        return docs
+    docs = docs.localCheckpoint(eager=False) if n_batches > 1 else docs
+    state, kept_parts = None, []
+    for i in range(n_batches):
+        lo_edge = i * (int(hi) + 1) // n_batches
+        hi_edge = (i + 1) * (int(hi) + 1) // n_batches
+        cond = (F.col("doc_id") >= lo_edge) & (F.col("doc_id") < hi_edge)
+        if i == 0:
+            cond = F.col("doc_id") < hi_edge
+        if i == n_batches - 1:
+            cond = F.col("doc_id") >= lo_edge
+            if n_batches == 1:
+                cond = F.lit(True)
+        state, kept = merge_neardup_state(
+            state, docs.filter(cond), bands, rows, threshold
+        )
+        state = (
+            state[0].localCheckpoint(eager=True),
+            state[1].localCheckpoint(eager=True),
+        )
+        kept_parts.append(kept.localCheckpoint(eager=True))
+    out = kept_parts[0]
+    for k in kept_parts[1:]:
+        out = out.unionByName(k)
+    return out
+
+
+INCREMENTAL_DEDUP_SQL = f"""
+    WITH pairs AS ({LSH_PAIRS_SQL}),
+    rejected AS (SELECT DISTINCT doc_b FROM pairs)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM rejected)
 """

@@ -2916,6 +2916,21 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.lsh_pairs(ld(spark, sf_dir, "documents"))
 
 
+# Incremental ingest dedup (r8): arrivals deduped against the SEEN
+# corpus's LSH bucket state in doc_id-ordered batches — never a corpus
+# rescan; keep/reject decisions match the one-shot LSH-pair rule
+# exactly (oracle: anti-join against the pair set's doc_b side).
+@register("pipeline_incremental_dedup", _dedup.INCREMENTAL_DEDUP_SQL)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup as an ingest pipeline runs it: 4 arrival batches,
+    each probing only the accumulated band-key state (batch-driven
+    work), rejected docs still poisoning later arrivals."""
+    docs = ld(spark, sf_dir, "documents")
+    return _dedup.incremental_dedup(docs, n_batches=4).select(
+        "doc_id", "source"
+    )
+
+
 @register("dedup_fuzzy_levenshtein", _dedup.FUZZY_LEVENSHTEIN_SQL)
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs within (source, lang) blocks with a

@@ -148,3 +148,66 @@ def test_fuzzy_blocked_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- incremental near-dup dedup state (r8) ----
+
+
+def test_incremental_dedup_equals_one_shot_any_split(spark):
+    """Replaying the corpus in ascending doc_id batches through the
+    bucket state reproduces the one-shot rejection rule (doc_b of any
+    verified LSH pair) for every split — including whatever duplicate
+    chains the fixture plants."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.dedup import (
+        incremental_dedup,
+        lsh_pairs,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rejected = lsh_pairs(docs).select(
+        F.col("doc_b").alias("doc_id")
+    ).distinct()
+    want = sorted(
+        r["doc_id"]
+        for r in docs.join(rejected, "doc_id", "left_anti").collect()
+    )
+    assert 0 < len(want) < docs.count()  # the fixture plants near-dups
+    for n in (1, 3):
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_dedup(docs, n_batches=n).collect()
+        )
+        assert got == want, f"n_batches={n}"
+
+
+def test_merge_neardup_state_rejects_across_and_within_batches(spark):
+    """An arrival identical to a SEEN doc is rejected by the state; an
+    arrival identical to an EARLIER row of the same batch is rejected
+    within-batch; null-text docs never collide and are kept."""
+    from flink_cdc_2_3_0_src_spark.operators.dedup import (
+        merge_neardup_state,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    state, kept1 = merge_neardup_state(
+        None, docs([(1, t, "en", "s", 1), (2, "completely different words "
+                                             "all over this text body", "en", "s", 1)])
+    )
+    assert sorted(r["doc_id"] for r in kept1.collect()) == [1, 2]
+
+    state, kept2 = merge_neardup_state(
+        state, docs([(3, t, "en", "s", 1),          # dup of seen doc 1
+                     (4, None, "en", "s", 1),        # null text: kept
+                     (5, "brand new content nothing like the others "
+                         "in any way at all", "en", "s", 1),
+                     (6, "brand new content nothing like the others "
+                         "in any way at all", "en", "s", 1)])  # dup of 5, same batch
+    )
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [4, 5]
