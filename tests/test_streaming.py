@@ -1244,3 +1244,46 @@ def test_streaming_topn_matches_batch(spark, tmp_path):
     )
     assert got == direct == [(0, 0, 10.0), (0, 4, 30.0),
                              (1, 1, 70.0), (1, 3, 8.0)]
+
+
+def test_streaming_incremental_dedup_matches_one_shot(spark, tmp_path):
+    """Ingest dedup through a REAL Structured Streaming query: document
+    batches arrive as a file stream; foreachBatch probes and extends
+    the LSH bucket state.  Kept set equals the one-shot rejection rule."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.dedup import (
+        lsh_pairs,
+        merge_neardup_state,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    # ride the replay harness: _seq = doc_id keeps arrival order aligned
+    # with the rejection rule's doc_id order
+    log = docs.withColumn(SEQ_COL, F.col("doc_id"))
+    replay_dir = str(tmp_path / "replay_dedup")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    state_box, kept_ids = [None], []
+
+    def process(batch_df, batch_id):
+        state, kept = merge_neardup_state(state_box[0], batch_df.drop(SEQ_COL))
+        state_box[0] = (
+            state[0].localCheckpoint(eager=True),
+            state[1].localCheckpoint(eager=True),
+        )
+        kept_ids.extend(r["doc_id"] for r in kept.select("doc_id").collect())
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rejected = lsh_pairs(docs).select(F.col("doc_b").alias("doc_id")).distinct()
+    want = sorted(
+        r["doc_id"] for r in docs.join(rejected, "doc_id", "left_anti").collect()
+    )
+    assert sorted(kept_ids) == want and len(want) > 0
