@@ -61,6 +61,7 @@ DEFAULT_QUERIES = [
     # exchanges run inside the replay jobs.
     "cdc_delta_join",
     "cdc_topn_maintained",
+    "pipeline_incremental_dedup",
 ]
 
 
