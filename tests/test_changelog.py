@@ -990,3 +990,55 @@ def test_topn_order_spec_with_function_expressions(spark):
     )
     # greatest: user 2 -> 20, user 1 -> 10, user 3 -> 2
     assert got == [(0, 1), (0, 2)]
+
+
+def test_windowed_agg_maintenance_composes(spark):
+    """Event-time windowed aggregation MAINTAINED incrementally is just
+    merge_agg_state with the window bucket as a group column — the
+    composition the maintenance family promises; its accumulated state
+    equals the one-shot windowed signed aggregation at every prefix's
+    end (full-log case checked against cdc_windowed_net_changes'
+    shape)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_agg_state,
+        normalize_upsert,
+        signed,
+        signed_count,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.scripted_log import (
+        scripted_changelog,
+    )
+    from tests.conftest import SF_SMOKE
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    norm = normalize_upsert(log, ["user_id"]).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    # replay in 3 sequence-range batches
+    state = None
+    bounds = [0, 300, 700, 10**9]
+    for lo, hi in zip(bounds, bounds[1:]):
+        batch = norm.filter((F.col(SEQ_COL) > lo) & (F.col(SEQ_COL) <= hi))
+        state = merge_agg_state(
+            state, batch, ["day"],
+            {"net_value": F.col("value").cast("decimal(18,2)")},
+        )
+    got = sorted(
+        (str(r["day"]), str(r["net_value"]), r["__rows"])
+        for r in state.collect()
+    )
+    direct = (
+        norm.groupBy("day")
+        .agg(
+            F.sum(signed(F.col("value").cast("decimal(18,2)"))).alias(
+                "net_value"
+            ),
+            signed_count().alias("__rows"),
+        )
+        .filter(F.col("__rows") > 0)
+    )
+    want = sorted(
+        (str(r["day"]), str(r["net_value"]), r["__rows"])
+        for r in direct.collect()
+    )
+    assert got == want and len(got) > 0
