@@ -199,7 +199,19 @@ _PRIORITY: list[str] = [
     # binary, $timestamp) stays registered + locally swept as
     # cdc_mongo_bson_decode.)
     "cdc_mongo_nested_decode",
-    "knn_graph", "pipeline_sequence_pack",
+    # (knn_graph: corpus×corpus k-NN graph via blocked matmul — demoted
+    # in r9; the embedding family keeps TWO in-window strategies
+    # (ann_topk_cosine, the brute-force top-k core knn_graph blocks
+    # over, and dedup_embedding_cosine_lsh, the hyperplane-bucket scale
+    # path) and knn_graph stays registered + locally swept.  Its slot
+    # goes to pipeline_incremental_dedup: INCREMENTAL ingest dedup
+    # (merge_neardup_state — each arrival batch probes the seen
+    # corpus's LSH bucket state; batch-driven work, no corpus rescan),
+    # the only r8 maintenance class without a driver row and the form
+    # a production ingest pipeline actually runs (reference-adjacent to
+    # the snapshot/log reconciliation state discipline,
+    # BinlogSplitReader.java:228-260).)
+    "pipeline_incremental_dedup", "pipeline_sequence_pack",
     # (ann_lsh_bucketed: hyperplane-LSH bucketed ANN — demoted in r7;
     # the hyperplane-bucket machinery stays witnessed in-window by
     # dedup_embedding_cosine_lsh (same sign-bucket equi-join core) and
