@@ -135,10 +135,26 @@ def spread_small_scan(
 # bounded (≤ defaultParallelism files) but used to run per CALL; the
 # same (path set, maxPartitionBytes) always yields the same estimate
 # within a session because a parquet rewrite creates NEW part-file
-# names.  Capped so a long session over many tables can't grow it
-# unboundedly.
+# names (Spark/Hive writers never append to or rewrite an existing
+# part file in place).  ASSUMPTION — immutable part files per name:
+# an EXTERNAL writer that mutates a file without renaming it leaves a
+# stale estimate here, exactly as it leaves Spark's own FileIndex
+# metadata cache stale; the remedy is the same as Spark's
+# `REFRESH TABLE` — call refresh_split_memo() after out-of-band
+# writes.  Keying on mtime/length instead would re-run the stat loop
+# every call, i.e. delete the memo.  Capped so a long session over
+# many tables can't grow it unboundedly.
 _SPLIT_MEMO: dict = {}
 _SPLIT_MEMO_CAP = 256
+
+
+def refresh_split_memo() -> None:
+    """Invalidate cached split estimates (the analogue of Spark's
+    ``REFRESH TABLE`` for this module's plan-time metadata).  Needed
+    only after an external writer mutates part files IN PLACE under
+    the same names — normal parquet rewrites create new file names and
+    never hit stale entries."""
+    _SPLIT_MEMO.clear()
 
 
 def _estimate_splits(spark, files: list, fallback: int) -> int:

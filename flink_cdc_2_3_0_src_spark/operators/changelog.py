@@ -31,7 +31,7 @@ from __future__ import annotations
 import re
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_cdc_2_3_0_src_spark.model import (
@@ -950,7 +950,18 @@ def delta_join_changelog(
         acc.groupBy(*payload)
         .agg(F.sum(MULT_COL).alias(MULT_COL))
         .filter(F.col(MULT_COL) > 0)
-        .drop(MULT_COL)
+        # Materialize MULTISET semantics: a live multiplicity m emits m
+        # identical rows.  For keyed inputs (the documented contract) m
+        # is always 1 and this is a free one-element generator; for
+        # inputs that violate the contract (duplicate live images) the
+        # duplicates now surface in the output — matching what the
+        # direct join of the materialized multisets produces — instead
+        # of silently collapsing to one row.
+        .withColumn(
+            "__dup",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col(MULT_COL))),
+        )
+        .drop(MULT_COL, "__dup")
     )
 
 
@@ -986,7 +997,14 @@ def _upsert_table_state(
     batch changes always supersede carried state regardless of the
     batch's sequence values."""
     data_cols = [c for c in batch.columns if c not in (op_col, seq_col)]
-    b = batch.filter(F.col(op_col) != OP_UPDATE_BEFORE).select(
+    # Only +I/+U/-D mutate table state (-U is the old image of an
+    # update, superseded by its +U).  Restricting to the DML ops —
+    # mirroring signed_multiset — keeps control rows (+H heartbeats,
+    # +S schema events: no row image, all-null payload) from surviving
+    # as ghost live rows in table state.
+    b = batch.filter(
+        F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER, OP_DELETE)
+    ).select(
         *data_cols,
         F.col(op_col).alias("__op"),
         F.lit(1).alias("__gen"),
@@ -1043,21 +1061,49 @@ def _split_order_items(order_sql: str) -> list:
 
 
 def _parse_order_sql(order_sql: str):
-    """'value DESC, user_id' → sort-order columns (F.expr cannot parse
-    a trailing ASC/DESC keyword — it is ORDER-BY syntax, not an
-    expression — so the direction is split off and applied as
-    .desc()/.asc(); bare items default to ascending like SQL)."""
+    """'value DESC NULLS LAST, user_id' → sort-order columns (F.expr
+    cannot parse trailing ASC/DESC or NULLS FIRST/LAST keywords — they
+    are ORDER-BY syntax, not expressions — so both suffixes are split
+    off and applied via the asc/desc[_nulls_first|_last] Column
+    methods).  Defaults match Spark SQL: bare items sort ascending;
+    ascending puts nulls first, descending puts nulls last.  An item
+    whose expression part F.expr cannot parse raises a ValueError
+    naming the item, not an opaque downstream parse error."""
     out = []
     for item in _split_order_items(order_sql):
         item = item.strip()
-        m = re.match(r"^(.*?)\s+(ASC|DESC)$", item, re.IGNORECASE)
-        if m:
-            e = F.expr(m.group(1).strip())
-            out.append(
-                e.desc() if m.group(2).upper() == "DESC" else e.asc()
-            )
+        m = re.match(
+            r"^(.*?)(?:\s+(ASC|DESC))?(?:\s+NULLS\s+(FIRST|LAST))?$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        expr_sql = m.group(1).strip()
+        # F.expr is lazy (the parse happens when the plan is built), so
+        # an unsupported suffix or typo would otherwise surface as an
+        # opaque downstream parse error far from the order_sql contract.
+        # Validate eagerly through the session's SQL parser when one is
+        # active; parse-only, no column resolution.
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            try:
+                parser = active._jsparkSession.sessionState().sqlParser()
+                parser.parseExpression(expr_sql)
+            except AttributeError:
+                pass  # no JVM handle (connect mode): fall through lazy
+            except Exception as exc:
+                raise ValueError(
+                    f"order_sql item {item!r}: cannot parse expression "
+                    f"{expr_sql!r} (supported suffixes: ASC/DESC and "
+                    f"NULLS FIRST/LAST): {exc}"
+                ) from None
+        e = F.expr(expr_sql)
+        desc = (m.group(2) or "ASC").upper() == "DESC"
+        nulls = (m.group(3) or "").upper()
+        if not nulls:
+            method = "desc" if desc else "asc"
         else:
-            out.append(F.expr(item).asc())
+            method = ("desc" if desc else "asc") + "_nulls_" + nulls.lower()
+        out.append(getattr(e, method)())
     return out
 
 

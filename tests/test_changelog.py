@@ -1042,3 +1042,149 @@ def test_windowed_agg_maintenance_composes(spark):
         for r in direct.collect()
     )
     assert got == want and len(got) > 0
+
+
+# ---- r9 hardening: order-spec suffixes, control-row state hygiene,
+# ---- multiset materialization ----
+
+
+def test_parse_order_sql_nulls_first_last(spark):
+    """NULLS FIRST/LAST suffixes translate to the matching Column sort
+    methods instead of reaching F.expr as unparseable ORDER-BY syntax;
+    defaults match Spark SQL (asc->nulls first, desc->nulls last)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        _parse_order_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "id long, v double"
+    )
+
+    def order_ids(spec):
+        return [r["id"] for r in df.orderBy(*_parse_order_sql(spec)).collect()]
+
+    assert order_ids("v DESC NULLS FIRST") == [2, 1, 3]
+    assert order_ids("v DESC NULLS LAST") == [1, 3, 2]
+    assert order_ids("v ASC NULLS LAST") == [3, 1, 2]
+    assert order_ids("v NULLS LAST") == [3, 1, 2]      # bare expr + nulls
+    assert order_ids("v DESC") == [1, 3, 2]            # spark default
+    assert order_ids("v") == [2, 3, 1]                 # spark default
+
+
+def test_parse_order_sql_invalid_expression_raises_value_error(spark):
+    """An unparseable expression raises ValueError naming the item, not
+    an opaque downstream parse error (F.expr is lazy, so without the
+    eager parser check the failure would surface mid-plan-build)."""
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        _parse_order_sql,
+    )
+
+    with pytest.raises(ValueError, match="order_sql item"):
+        _parse_order_sql("value DESC extra_garbage_tokens here")
+
+
+def test_topn_order_nulls_suffix_matches_direct_rank(spark):
+    """End-to-end: a NULLS LAST order spec in maintained top-n equals
+    the direct window rank with the same null placement."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        materialize,
+        topn_changelog,
+    )
+
+    rows = [
+        (0, 0, None, "+I", 1), (0, 2, 20.0, "+I", 2), (0, 4, 5.0, "+I", 3),
+        (1, 1, None, "+I", 4), (1, 3, None, "+I", 5), (1, 5, 1.0, "+I", 6),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("value").desc_nulls_last(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+        .select("bucket", "user_id", "value")
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(
+        tuple(r)
+        for r in topn_changelog(
+            log, ["user_id"], ["bucket"],
+            "value DESC NULLS LAST, user_id", 2, n_batches=3,
+        ).select("bucket", "user_id", "value").collect()
+    )
+    assert got == want
+
+
+def test_topn_control_rows_do_not_ghost_table_state(spark):
+    """+H heartbeats and +S schema events carry no row image; they must
+    not survive as live all-null rows in maintained table state (which
+    would surface as ghost members of the null group's top-n)."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        merge_topn_state,
+    )
+
+    rows = [
+        (None, 7, 3.0, "+I", 1),      # a REAL null-group row
+        (None, None, None, "+H", 2),  # heartbeat: no row image
+        (None, None, None, "+S", 3),  # schema event: no row image
+        (0, 1, 9.0, "+I", 4),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+    )
+    (table_state, topn_state), out = merge_topn_state(
+        None, batch, ["user_id"], ["bucket"], "value DESC, user_id", 2,
+    )
+    got = {
+        (r["bucket"], r["user_id"], r["value"])
+        for r in table_state.collect()
+    }
+    # only the two real rows — no all-null ghost from the control rows
+    assert got == {(None, 7, 3.0), (0, 1, 9.0)}
+    assert {
+        (r["bucket"], r["user_id"], r["value"], r["__mult"])
+        for r in out.collect()
+    } == {(None, 7, 3.0, 1), (0, 1, 9.0, 1)}
+
+
+def test_delta_join_materializes_duplicate_multiplicities(spark):
+    """Inputs violating the keyed contract (a live image with
+    multiplicity > 1) surface as duplicate output rows — matching the
+    direct join over the materialized multisets — instead of silently
+    collapsing to one row."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        delta_join_changelog,
+    )
+
+    # user 1 inserted TWICE with the identical payload (no keys, a raw
+    # multiset changelog): the join against one dim row must emit the
+    # joined row twice.
+    a = _mk_log(spark, [(1, "a1", "+I", 1), (1, "a1", "+I", 2)])
+    b = _mk_dim(spark, [(1, "gold", "+I", 1)])
+    got = sorted(
+        tuple(r)
+        for r in delta_join_changelog(a, b, ["user_id"], n_batches=2)
+        .collect()
+    )
+    assert got == [(1, "a1", "gold"), (1, "a1", "gold")]
+
+
+def test_refresh_split_memo_clears():
+    from flink_cdc_2_3_0_src_spark import io as fio
+
+    fio._SPLIT_MEMO[("sentinel",), "128m"] = 7
+    fio.refresh_split_memo()
+    assert fio._SPLIT_MEMO == {}
