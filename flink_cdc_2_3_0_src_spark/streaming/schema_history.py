@@ -115,6 +115,9 @@ def apply_schema_change_stream(
     from flink_cdc_2_3_0_src_spark.model import OP_COL, OP_SCHEMA, SEQ_COL
 
     changes = log.filter(F.col(OP_COL) == OP_SCHEMA)
+    # bounded collect: +S rows only — DDL events, a handful per table
+    # lifetime, never data-sized (the reference holds the same records
+    # whole in operator state)
     rows = changes.select(SEQ_COL, payload_col).collect()
     for r in sorted(rows, key=lambda x: x[SEQ_COL]):
         payload = r[payload_col]

@@ -1287,3 +1287,43 @@ def test_streaming_incremental_dedup_matches_one_shot(spark, tmp_path):
         r["doc_id"] for r in docs.join(rejected, "doc_id", "left_anti").collect()
     )
     assert sorted(kept_ids) == want and len(want) > 0
+
+
+def test_sql_upsert_sink_folded_row_guard(spark):
+    """The driver-side SqlUpsertSink refuses a microbatch folding past
+    max_folded_rows (pointing at PartitionedSqlUpsertSink) BEFORE any
+    SQL runs, with the probing collect itself LIMIT-capped; under the
+    threshold the same batch applies normally."""
+    import duckdb
+    import pytest
+
+    from flink_cdc_2_3_0_src_spark.streaming.sink import SqlUpsertSink
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE guard_state (user_id BIGINT, value DOUBLE)")
+
+    def run_sql(sql):
+        return con.execute(sql).fetchall()
+
+    batch = spark.createDataFrame(
+        [(i, float(i), "+I", i) for i in range(10)],
+        f"user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+    )
+
+    sink = SqlUpsertSink(run_sql, "guard_state", ["user_id"],
+                         max_folded_rows=5)
+    with pytest.raises(RuntimeError, match="PartitionedSqlUpsertSink"):
+        sink.merge_batch(batch, 0)
+    # nothing applied, nothing ledgered: the guard fired before BEGIN
+    assert con.execute("SELECT count(*) FROM guard_state").fetchone()[0] == 0
+    assert con.execute(
+        "SELECT count(*) FROM guard_state__batches"
+    ).fetchone()[0] == 0
+
+    ok = SqlUpsertSink(run_sql, "guard_state", ["user_id"],
+                       max_folded_rows=10)
+    ok.merge_batch(batch, 0)
+    assert con.execute("SELECT count(*) FROM guard_state").fetchone()[0] == 10
+
+    with pytest.raises(ValueError):
+        SqlUpsertSink(run_sql, "guard_state", ["user_id"], max_folded_rows=0)
