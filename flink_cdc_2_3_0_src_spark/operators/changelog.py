@@ -1230,10 +1230,14 @@ def expire_state(
 
     Returns the filtered state frame; rows with a NULL event time are
     KEPT (dimension rows without a timestamp must not silently expire).
-    Apply to each side of a ``merge_join_state`` pair, or to the table
-    state of ``merge_topn_state``, between steps.  Note the semantic
-    consequence (same as Flink's): a late change to an expired key
-    re-inserts it as if new — the retention window is a correctness
+    Apply to each side of a ``merge_join_state`` pair, or to both the
+    table state and the top-n membership state of ``merge_topn_state``,
+    between steps.  Note the semantic consequences (same as Flink's):
+    a late change to an expired key re-inserts it as if new, and a late
+    RETRACTION of an expired image leaves a dangling negative
+    multiplicity in join state (kept so a late out-of-order insert
+    cancels it; Flink's join drops such retractions with a "state may
+    have expired" warning) — the retention window is a correctness
     trade the caller opts into."""
     return state.filter(
         F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(watermark))

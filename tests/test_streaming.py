@@ -1327,3 +1327,186 @@ def test_sql_upsert_sink_folded_row_guard(spark):
 
     with pytest.raises(ValueError):
         SqlUpsertSink(run_sql, "guard_state", ["user_id"], max_folded_rows=0)
+
+
+def test_streaming_delta_join_with_state_ttl(spark, tmp_path):
+    """Delta-join maintenance with expire_state ACTIVE while the stream
+    runs (Flink's table.exec.state.ttl / idle-state retention): after
+    each microbatch both state sides evict rows behind the advancing
+    watermark.  Pins (a) join results for in-window keys are unchanged,
+    (b) state holds ONLY in-window keys at the end (the bounded-state
+    story at an unbounded key space), and (c) the documented trade — a
+    late change to an expired key is forgotten (no retraction), exactly
+    Flink's TTL semantics."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        expire_state,
+        merge_join_state,
+    )
+
+    RETENTION = 400
+    # cold keys 1-2 (ts ~100-160), hot keys 3-4 (ts >= 900); the final
+    # -D for key 1 arrives AFTER key 1's state expired -> forgotten
+    a_rows = [
+        (1, "a1", 100, None, None, "a", "+I", 1),
+        (2, "b1", 150, None, None, "a", "+I", 3),
+        (3, "c1", 900, None, None, "a", "+I", 5),
+        (4, "d1", 1000, None, None, "a", "+I", 7),
+    ]
+    b_rows = [
+        (1, None, None, "gold", 110, "b", "+I", 2),
+        (2, None, None, "iron", 160, "b", "+I", 4),
+        (3, None, None, "tin", 910, "b", "+I", 6),
+        (4, None, None, "zinc", 1010, "b", "+I", 8),
+        (1, None, None, "gold", 1020, "b", "-D", 9),
+    ]
+    schema = (
+        "user_id long, v string, ts_a long, seg string, ts_b long, "
+        f"side string, {OP_COL} string, {SEQ_COL} long"
+    )
+    log = spark.createDataFrame(a_rows + b_rows, schema)
+    replay_dir = str(tmp_path / "replay_dj_ttl")
+    write_replay_files(log, replay_dir, n_files=4)
+
+    state_box, out_parts, max_ts_box = [None], [], [None]
+
+    def process(batch_df, batch_id):
+        ba = batch_df.filter(F.col("side") == "a").select(
+            "user_id", "v", "ts_a", OP_COL, SEQ_COL
+        )
+        bb = batch_df.filter(F.col("side") == "b").select(
+            "user_id", "seg", "ts_b", OP_COL, SEQ_COL
+        )
+        state, out = merge_join_state(state_box[0], ba, bb, ["user_id"])
+        out_parts.extend(tuple(r) for r in out.collect())
+        # advance the watermark off the batch's own event times, then
+        # evict state behind it — the between-steps composition the
+        # expire_state docstring prescribes
+        hi = batch_df.agg(
+            F.greatest(F.max("ts_a"), F.max("ts_b"))
+        ).collect()[0][0]
+        if hi is not None:
+            max_ts_box[0] = max(max_ts_box[0] or hi, hi)
+        wm = (max_ts_box[0] or 0) - RETENTION
+        state_box[0] = (
+            expire_state(state[0], wm, "ts_a").localCheckpoint(eager=True),
+            expire_state(state[1], wm, "ts_b").localCheckpoint(eager=True),
+        )
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dj_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    net = {}
+    for (uid, v, ts_a, seg, ts_b, mult) in out_parts:
+        k = (uid, v, seg)
+        net[k] = net.get(k, 0) + mult
+    got = sorted(k for k, m in net.items() if m > 0)
+    # (a)+(c): all four join rows live — INCLUDING (1, a1, gold): the
+    # -D behind the watermark found no state and was forgotten (with no
+    # TTL a full replay would retract it; the trade is the caller's)
+    assert got == [
+        (1, "a1", "gold"), (2, "b1", "iron"),
+        (3, "c1", "tin"), (4, "d1", "zinc"),
+    ]
+    # (b): only the hot keys remain LIVE in either state side.  The
+    # late -D leaves a dangling mult = -1 row for key 1 on the b side
+    # (the signed algebra keeps it so a late out-of-order +I would
+    # cancel; Flink's join instead drops such retractions with a
+    # "state may have expired" warning) — it is not a live image and
+    # its volume is bounded by late-change volume, not key space.
+    a_rows_state = state_box[0][0].collect()
+    b_rows_state = state_box[0][1].collect()
+    a_live = {r["user_id"] for r in a_rows_state if r["__mult"] > 0}
+    b_live = {r["user_id"] for r in b_rows_state if r["__mult"] > 0}
+    assert a_live == {3, 4} and b_live == {3, 4}
+    assert [
+        (r["user_id"], r["seg"], r["__mult"])
+        for r in b_rows_state if r["__mult"] < 0
+    ] == [(1, "gold", -1)]
+
+
+def test_streaming_topn_with_state_ttl(spark, tmp_path):
+    """Top-N maintenance with expire_state ACTIVE: cold groups age out
+    of BOTH table state and top-n state behind the watermark (bounded
+    state), while in-window groups rank exactly as the direct window
+    rank over their rows."""
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        expire_state,
+        merge_topn_state,
+    )
+
+    RETENTION = 400
+    rows = [
+        # bucket 0: cold (ts ~100) — must age out entirely
+        (0, 0, 10.0, 100, "+I", 1), (0, 2, 20.0, 120, "+I", 2),
+        # bucket 1: hot (ts >= 900) — full churn inside the window
+        (1, 1, 7.0, 900, "+I", 3), (1, 3, 8.0, 910, "+I", 4),
+        (1, 1, 7.0, 920, "-U", 5), (1, 1, 70.0, 920, "+U", 5),
+        (1, 5, 9.0, 1000, "+I", 6),
+    ]
+    schema = (
+        "bucket long, user_id long, value double, ts long, "
+        f"{OP_COL} string, {SEQ_COL} long"
+    )
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay_topn_ttl")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    state_box, max_ts_box = [None], [None]
+
+    def process(batch_df, batch_id):
+        state, _ = merge_topn_state(
+            state_box[0], batch_df, ["user_id"], ["bucket"],
+            "value DESC, user_id", 2,
+        )
+        hi = batch_df.agg(F.max("ts")).collect()[0][0]
+        if hi is not None:
+            max_ts_box[0] = max(max_ts_box[0] or hi, hi)
+        wm = (max_ts_box[0] or 0) - RETENTION
+        # the same eviction applies to the table state AND the top-n
+        # membership state — a consistent forget, not a retraction
+        state_box[0] = (
+            expire_state(state[0], wm, "ts").localCheckpoint(eager=True),
+            expire_state(state[1], wm, "ts").localCheckpoint(eager=True),
+        )
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_topn_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    table_state, topn_state = state_box[0]
+    # bounded state: the cold bucket is gone from both frames
+    assert {r["bucket"] for r in table_state.collect()} == {1}
+    got = sorted(
+        (r["bucket"], r["user_id"], r["value"])
+        for r in topn_state.collect()
+    )
+    # in-window groups: exact direct rank over the bucket's rows
+    direct = sorted(
+        tuple(r)
+        for r in materialize(log.filter(F.col("bucket") == 1), ["user_id"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("value").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+        .select("bucket", "user_id", "value")
+        .collect()
+    )
+    assert got == direct == [(1, 1, 70.0), (1, 5, 9.0)]
