@@ -11,3 +11,6 @@ from flink_cdc_2_3_0_src_spark.operators.changelog import (  # noqa: F401
     signed_count,
     signed_sum,
 )
+from flink_cdc_2_3_0_src_spark.operators.maintain import (  # noqa: F401
+    maintain,
+)

@@ -1,0 +1,398 @@
+"""Incremental-maintenance planner: query shape → maintenance plan.
+
+The maintenance family gives each relational shape an incremental
+step function (agg: ``merge_agg_state`` r4, join: ``merge_join_state``
+r8, top-n: ``merge_topn_state`` r8, windowed agg: the bucket-as-group
+composition r8) — but a user had to pick the right ``merge_*_state``
+and remember its state layout by hand.  ``maintain()`` is the
+dispatcher Flink's changelog planner plays for the reference: declare
+the query shape (aggregates / equi-join / top-n) and get back a plan
+object with ONE uniform contract, mirroring ``agg_auto``'s design
+(changelog.py) of picking the cheap signed-delta strategy when the
+shape allows it and the state-backed recompute strategy when it does
+not (min/max are not retraction-computable without state — the same
+dichotomy agg_auto applies one-shot, applied per-batch here).
+
+Uniform plan contract
+---------------------
+* ``plan.step(state, batch)`` (or ``plan.step(state, batch_a,
+  batch_b)`` for the join plan) → ``(new_state, out_delta)``.
+  ``state`` is ``None`` for the first batch; ``out_delta`` is the
+  batch's signed multiset of RESULT-ROW membership changes
+  (``__mult`` +1 appeared / −1 retracted) — the same output contract
+  ``merge_join_state`` and ``merge_topn_state`` already speak, now
+  also provided for aggregates.  Accumulating every batch's deltas
+  and keeping rows with positive net multiplicity materializes the
+  query over the full log (the telescoping invariant the tests pin).
+* ``plan.expire(state, watermark)`` → state with rows behind the
+  watermark evicted via ``expire_state`` (configure with
+  ``ttl=<ts column>``; the join plan takes a per-side pair).  Apply
+  between steps; Flink's table.exec.state.ttl semantics, including
+  its late-change trade, documented at ``expire_state``.
+
+Reference parity: the reference delegates all of these shapes to the
+Flink planner's changelog rules (StreamExecGroupAggregate /
+StreamingJoinOperator / RankOperator — what runs when a user writes
+GROUP BY / JOIN / ROW_NUMBER()<=n over CDC tables); design provenance
+flink-cdc-base's assumption of a retraction-capable downstream
+planner, e.g. MySqlTableSourceFactory.java:81-150 wiring into it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import (
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    SEQ_COL,
+)
+from flink_cdc_2_3_0_src_spark.operators.changelog import (
+    MULT_COL,
+    _keyset_join,
+    _upsert_table_state,
+    expire_state,
+    merge_agg_state,
+    merge_join_state,
+    merge_topn_state,
+)
+
+_AGG_FNS = {"sum", "count", "avg", "min", "max"}
+
+
+def _signed_diff(
+    pos: Optional[DataFrame], neg: Optional[DataFrame]
+) -> DataFrame:
+    """Signed multiset delta pos − neg; identical rows cancel."""
+    p = pos.withColumn(MULT_COL, F.lit(1).cast("long"))
+    if neg is None:
+        return p
+    n = neg.withColumn(MULT_COL, F.lit(-1).cast("long"))
+    payload = [c for c in p.columns if c != MULT_COL]
+    return (
+        p.unionByName(n)
+        .groupBy(*payload)
+        .agg(F.sum(MULT_COL).alias(MULT_COL))
+        .filter(F.col(MULT_COL) != 0)
+    )
+
+
+def _affected_groups(
+    batch: DataFrame, group_cols: Sequence[str], op_col: str
+) -> DataFrame:
+    """Distinct group keys the batch's DML rows touch (control rows
+    excluded; a full-retraction update carries its old image as -U, so
+    a group-moving update lands in BOTH groups — same discipline as
+    merge_topn_state)."""
+    return (
+        batch.filter(
+            F.col(op_col).isin(
+                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+            )
+        )
+        .select(*group_cols)
+        .distinct()
+    )
+
+
+class _Plan:
+    """Base: TTL wiring shared by every maintenance plan."""
+
+    kind: str
+
+    def __init__(self, ttl) -> None:
+        self._ttl = ttl
+
+    def expire(self, state, watermark):
+        """Evict state rows behind ``watermark`` (requires ``ttl=`` at
+        plan construction).  Returns state in the same shape ``step``
+        consumes."""
+        if self._ttl is None:
+            raise ValueError(
+                f"{self.kind} plan has no ttl configured; pass "
+                "ttl=<event-time column> to maintain()"
+            )
+        return self._expire(state, watermark)
+
+
+class _AggDeltaPlan(_Plan):
+    """sum/count/avg over a changelog: signed-delta state, no table
+    state (merge_agg_state — O(batch + affected groups) per step).
+    avg = signed sum / signed live-row count, matching agg_auto's
+    decomposable branch."""
+
+    kind = "agg"
+
+    def __init__(self, group_cols, aggs, ttl, op_col, seq_col) -> None:
+        super().__init__(ttl)
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.op_col = op_col
+        # internal state keeps one signed sum per distinct value column
+        # needed by any sum/avg, plus the live-row count
+        self._sum_cols: dict[str, Column] = {}
+        for name, (fn, col) in self.aggs.items():
+            if fn in ("sum", "avg"):
+                self._sum_cols[f"__s_{name}"] = col
+
+    def _finalize(self, state: DataFrame) -> DataFrame:
+        outs = []
+        for name, (fn, _col) in self.aggs.items():
+            if fn == "sum":
+                outs.append(F.col(f"__s_{name}").alias(name))
+            elif fn == "count":
+                outs.append(F.col("__rows").alias(name))
+            else:  # avg
+                outs.append(
+                    (
+                        F.col(f"__s_{name}").cast("double")
+                        / F.col("__rows").cast("double")
+                    ).alias(name)
+                )
+        return state.select(*self.group_cols, *outs)
+
+    def step(self, state, batch: DataFrame):
+        # restrict to the four DML ops up front — control rows (+H/+S)
+        # carry no row image and must not inflate live-row counts
+        # (signed_multiset's discipline, applied to the agg path)
+        dml = batch.filter(
+            F.col(self.op_col).isin(
+                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+            )
+        )
+        new_state = merge_agg_state(
+            state, dml, self.group_cols, self._sum_cols, op_col=self.op_col
+        )
+        affected = _affected_groups(batch, self.group_cols, self.op_col)
+        new_aff = self._finalize(
+            _keyset_join(new_state, affected, self.group_cols, "left_semi")
+        )
+        old_aff = None
+        if state is not None:
+            old_aff = self._finalize(
+                _keyset_join(state, affected, self.group_cols, "left_semi")
+            )
+        return new_state, _signed_diff(new_aff, old_aff)
+
+    def _expire(self, state, watermark):
+        # agg state is per-group; TTL applies when a group column IS an
+        # event-time bucket (the r8 windowed-agg composition)
+        if self._ttl not in state.columns:
+            raise ValueError(
+                f"ttl column {self._ttl!r} is not a group column of this "
+                "aggregate — time-bucketed TTL needs the bucket in "
+                "group_cols"
+            )
+        return expire_state(state, watermark, self._ttl)
+
+
+class _AggRecomputePlan(_Plan):
+    """Aggregates including min/max: not retraction-computable without
+    state (agg_auto's other branch), so the plan maintains the
+    materialized table (``_upsert_table_state``) and re-aggregates ONLY
+    the groups each batch touches — the affected-group recompute shape
+    merge_topn_state uses for ranks, applied to aggregates.  Per-batch
+    work is bounded by the affected groups' sizes, never the table.
+    count/avg here follow agg_auto's materialized branch (non-null
+    count for avg)."""
+
+    kind = "agg"
+
+    def __init__(self, keys, group_cols, aggs, ttl, op_col, seq_col) -> None:
+        super().__init__(ttl)
+        self.keys = list(keys)
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def _exprs(self):
+        outs = []
+        for name, (fn, col) in self.aggs.items():
+            if fn == "count":
+                outs.append(F.count(F.lit(1)).alias(name))
+            elif fn == "avg":
+                outs.append(
+                    (
+                        F.sum(col).cast("double") / F.count(col).cast("double")
+                    ).alias(name)
+                )
+            else:
+                outs.append(getattr(F, fn)(col).alias(name))
+        return outs
+
+    def step(self, state, batch: DataFrame):
+        table_old, agg_old = state if state is not None else (None, None)
+        table_new = _upsert_table_state(
+            table_old, batch, self.keys, self.op_col, self.seq_col
+        )
+        affected = _affected_groups(batch, self.group_cols, self.op_col)
+        new_agg_aff = (
+            _keyset_join(table_new, affected, self.group_cols, "left_semi")
+            .groupBy(*self.group_cols)
+            .agg(*self._exprs())
+        )
+        old_aff = None
+        if agg_old is not None:
+            old_aff = _keyset_join(
+                agg_old, affected, self.group_cols, "left_semi"
+            )
+            agg_new = _keyset_join(
+                agg_old, affected, self.group_cols, "left_anti"
+            ).unionByName(new_agg_aff)
+        else:
+            agg_new = new_agg_aff
+        return (table_new, agg_new), _signed_diff(new_agg_aff, old_aff)
+
+    def _expire(self, state, watermark):
+        table_st, agg_st = state
+        return (
+            expire_state(table_st, watermark, self._ttl),
+            # group-level state only expires when the ts column is a
+            # group column (time-bucketed aggs); otherwise leave it —
+            # per-row timestamps don't exist at group granularity
+            expire_state(agg_st, watermark, self._ttl)
+            if self._ttl in agg_st.columns
+            else agg_st,
+        )
+
+
+class _JoinPlan(_Plan):
+    kind = "join"
+
+    def __init__(self, on, how, ttl, op_col, seq_col) -> None:
+        if ttl is not None and not (
+            isinstance(ttl, (tuple, list)) and len(ttl) == 2
+        ):
+            raise ValueError(
+                "join ttl must be a (ts_col_a, ts_col_b) pair — one "
+                "event-time column per side"
+            )
+        super().__init__(tuple(ttl) if ttl is not None else None)
+        self.on = list(on)
+        self.how = how
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def step(self, state, batch_a: DataFrame, batch_b: DataFrame = None):
+        if batch_b is None:
+            raise ValueError(
+                "join plan steps two batches: plan.step(state, batch_a, "
+                "batch_b)"
+            )
+        return merge_join_state(
+            state, batch_a, batch_b, self.on,
+            how=self.how, op_col=self.op_col, seq_col=self.seq_col,
+        )
+
+    def _expire(self, state, watermark):
+        a_st, b_st = state
+        ts_a, ts_b = self._ttl
+        return (
+            expire_state(a_st, watermark, ts_a),
+            expire_state(b_st, watermark, ts_b),
+        )
+
+
+class _TopNPlan(_Plan):
+    kind = "topn"
+
+    def __init__(
+        self, keys, group_cols, order_sql, n, ttl, op_col, seq_col
+    ) -> None:
+        super().__init__(ttl)
+        self.keys = list(keys)
+        self.group_cols = list(group_cols)
+        self.order_sql = order_sql
+        self.n = int(n)
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def step(self, state, batch: DataFrame):
+        return merge_topn_state(
+            state, batch, self.keys, self.group_cols, self.order_sql,
+            self.n, op_col=self.op_col, seq_col=self.seq_col,
+        )
+
+    def _expire(self, state, watermark):
+        table_st, topn_st = state
+        # consistent forget: evict from BOTH the table state and the
+        # membership state (the composition the streaming TTL witness
+        # pins) — expiring only one would let the other resurrect rows
+        return (
+            expire_state(table_st, watermark, self._ttl),
+            expire_state(topn_st, watermark, self._ttl),
+        )
+
+
+def maintain(
+    *,
+    keys: Optional[Sequence[str]] = None,
+    group_cols: Optional[Sequence[str]] = None,
+    aggs: Optional[dict] = None,
+    on: Optional[Sequence[str]] = None,
+    how: str = "inner",
+    order_sql: Optional[str] = None,
+    n: Optional[int] = None,
+    ttl=None,
+    op_col: str = OP_COL,
+    seq_col: str = SEQ_COL,
+):
+    """Build an incremental-maintenance plan from a query shape.
+
+    Exactly one shape must be declared:
+
+    * ``aggs={name: (fn, col)}`` (+ ``group_cols``) — grouped
+      aggregation.  sum/count/avg get the stateless signed-delta plan;
+      any min/max switches to the table-state + affected-group
+      recompute plan (which then also needs ``keys``) — the same
+      strategy split ``agg_auto`` applies one-shot.
+    * ``on=[...]`` (+ ``how``) — two-changelog equi-join
+      (``plan.step(state, batch_a, batch_b)``).
+    * ``n=...`` + ``order_sql`` (+ ``group_cols``, ``keys``) — top-n
+      per group.
+
+    ``ttl``: event-time column (a ``(ts_a, ts_b)`` pair for the join
+    plan) enabling ``plan.expire(state, watermark)``.
+
+    Every plan's ``step`` returns ``(new_state, out_delta)`` with the
+    family's shared signed-multiset output contract; see the module
+    docstring.
+    """
+    shapes = [aggs is not None, on is not None, n is not None]
+    if sum(shapes) != 1:
+        raise ValueError(
+            "declare exactly one shape: aggs=... | on=... | n=...+order_sql"
+        )
+    if on is not None:
+        if how not in ("inner", "left", "right", "full"):
+            raise ValueError(
+                f"how must be inner/left/right/full, got {how!r}"
+            )
+        return _JoinPlan(on, how, ttl, op_col, seq_col)
+    if n is not None:
+        if not order_sql or not group_cols or not keys:
+            raise ValueError(
+                "top-n maintenance needs keys=, group_cols= and order_sql="
+            )
+        return _TopNPlan(keys, group_cols, order_sql, n, ttl, op_col, seq_col)
+    if not group_cols:
+        raise ValueError("aggregate maintenance needs group_cols=")
+    fns = {fn for fn, _ in aggs.values()}
+    unsupported = fns - _AGG_FNS
+    if unsupported:
+        raise ValueError(f"unsupported aggregate(s): {sorted(unsupported)}")
+    if fns & {"min", "max"}:
+        if not keys:
+            raise ValueError(
+                "min/max maintenance keeps table state and needs keys= "
+                "(the changelog's primary key)"
+            )
+        return _AggRecomputePlan(keys, group_cols, aggs, ttl, op_col, seq_col)
+    return _AggDeltaPlan(group_cols, aggs, ttl, op_col, seq_col)

@@ -1,0 +1,296 @@
+"""maintain() planner: query shape → maintenance plan dispatch, with
+each plan's accumulated signed output deltas telescoping to the direct
+one-shot result for any batch split (reusing the family's
+split-invariance fixtures), plus TTL wiring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+from flink_cdc_2_3_0_src_spark.sources.scripted_log import scripted_changelog
+from tests.conftest import SF_SMOKE
+
+
+def _net(parts):
+    """Accumulate signed delta rows → set of live result rows."""
+    net = {}
+    for row in parts:
+        t = tuple(row)
+        key, mult = t[:-1], t[-1]
+        net[key] = net.get(key, 0) + mult
+    return {k for k, m in net.items() if m > 0}
+
+
+def _seq_batches(df, n_batches):
+    hi = df.agg(F.max(SEQ_COL)).collect()[0][0]
+    out = []
+    for i in range(n_batches):
+        lo_edge = i * (int(hi) + 1) // n_batches
+        hi_edge = (i + 1) * (int(hi) + 1) // n_batches
+        cond = (F.col(SEQ_COL) >= lo_edge) & (F.col(SEQ_COL) < hi_edge)
+        if i == 0:
+            cond = F.col(SEQ_COL) < hi_edge
+        if i == n_batches - 1:
+            cond = F.col(SEQ_COL) >= lo_edge if n_batches > 1 else F.lit(True)
+        out.append(df.filter(cond))
+    return out
+
+
+def _run_plan(plan, batches):
+    state, parts = None, []
+    for b in batches:
+        state, out = plan.step(state, b)
+        if isinstance(state, tuple):
+            state = tuple(s.localCheckpoint(eager=True) for s in state)
+        else:
+            state = state.localCheckpoint(eager=True)
+        parts.extend(tuple(r) for r in out.collect())
+    return state, parts
+
+
+def test_maintain_dispatch_shapes_and_errors(spark):
+    assert maintain(aggs={"s": ("sum", F.col("v"))}, group_cols=["g"]).kind == "agg"
+    assert maintain(on=["k"], how="left").kind == "join"
+    assert maintain(
+        keys=["k"], group_cols=["g"], order_sql="v DESC, k", n=2
+    ).kind == "topn"
+
+    with pytest.raises(ValueError, match="exactly one shape"):
+        maintain(aggs={"s": ("sum", F.col("v"))}, group_cols=["g"], on=["k"])
+    with pytest.raises(ValueError, match="exactly one shape"):
+        maintain()
+    with pytest.raises(ValueError, match="group_cols"):
+        maintain(aggs={"s": ("sum", F.col("v"))})
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        maintain(aggs={"s": ("median", F.col("v"))}, group_cols=["g"])
+    with pytest.raises(ValueError, match="keys="):
+        maintain(aggs={"m": ("max", F.col("v"))}, group_cols=["g"])
+    with pytest.raises(ValueError, match="order_sql"):
+        maintain(keys=["k"], group_cols=["g"], n=2)
+    with pytest.raises(ValueError, match="how must be"):
+        maintain(on=["k"], how="cross")
+    with pytest.raises(ValueError, match="ts_col_a, ts_col_b"):
+        maintain(on=["k"], ttl="ts")
+
+
+def test_maintain_agg_delta_equals_agg_auto_any_split(spark):
+    """sum/count/avg get the stateless signed-delta plan; accumulated
+    output deltas telescope to agg_auto's one-shot result for every
+    batch split."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        agg_auto,
+        normalize_upsert,
+    )
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    norm = normalize_upsert(log, ["user_id"]).withColumn(
+        "bucket", F.col("user_id") % 4
+    )
+    aggs = {
+        "total": ("sum", F.col("value").cast("decimal(18,2)")),
+        "n": ("count", F.col("value")),
+        "mean": ("avg", F.col("value").cast("decimal(18,2)")),
+    }
+    direct = agg_auto(norm, ["user_id"], ["bucket"], aggs)
+    want = {
+        (r["bucket"], str(r["total"]), r["n"], r["mean"])
+        for r in direct.collect()
+    }
+    assert len(want) == 4
+    for nb in (1, 3):
+        plan = maintain(aggs=aggs, group_cols=["bucket"])
+        state, parts = _run_plan(plan, _seq_batches(norm, nb))
+        got = {
+            (b, str(t), n, m) for (b, t, n, m) in _net(parts)
+        }
+        assert got == want, f"n_batches={nb}"
+
+
+def test_maintain_agg_recompute_minmax_equals_direct(spark):
+    """Any min/max switches to the table-state + affected-group
+    recompute plan; result equals aggregating the materialized log."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        materialize,
+        normalize_upsert,
+    )
+
+    log = scripted_changelog(spark, SF_SMOKE)
+    norm = normalize_upsert(log, ["user_id"]).withColumn(
+        "bucket", F.col("user_id") % 4
+    )
+    aggs = {
+        "hi": ("max", F.col("value")),
+        "lo": ("min", F.col("value")),
+        "total": ("sum", F.col("value").cast("decimal(18,2)")),
+    }
+    plan = maintain(keys=["user_id"], group_cols=["bucket"], aggs=aggs)
+    assert type(plan).__name__ == "_AggRecomputePlan"
+    direct = (
+        materialize(norm, ["user_id"])
+        .groupBy("bucket")
+        .agg(
+            F.max("value").alias("hi"),
+            F.min("value").alias("lo"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+    want = {
+        (r["bucket"], r["hi"], r["lo"], str(r["total"]))
+        for r in direct.collect()
+    }
+    for nb in (1, 3):
+        state, parts = _run_plan(plan, _seq_batches(norm, nb))
+        got = {(b, h, lo, str(t)) for (b, h, lo, t) in _net(parts)}
+        assert got == want, f"n_batches={nb}"
+        # final agg state equals the net output too
+        final = {
+            (r["bucket"], r["hi"], r["lo"], str(r["total"]))
+            for r in state[1].collect()
+        }
+        assert final == want
+
+
+def test_maintain_join_plan_matches_direct_join(spark):
+    from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+
+    a = spark.createDataFrame(
+        [(1, "a1", "+I", 1), (2, "b1", "+I", 2), (1, "a1", "-U", 5),
+         (1, "a2", "+U", 5), (3, "c1", "+I", 6), (2, "b1", "-D", 9)],
+        f"user_id long, v string, {OP_COL} string, {SEQ_COL} long",
+    )
+    b = spark.createDataFrame(
+        [(1, "gold", "+I", 3), (2, "iron", "+I", 4), (3, "tin", "+I", 7),
+         (3, "tin", "-U", 8), (3, "zinc", "+U", 8), (1, "gold", "-D", 10)],
+        f"user_id long, seg string, {OP_COL} string, {SEQ_COL} long",
+    )
+    direct = {
+        tuple(r)
+        for r in materialize(a, ["user_id"])
+        .join(materialize(b, ["user_id"]), "user_id")
+        .collect()
+    }
+    for nb in (1, 4):
+        plan = maintain(on=["user_id"])
+        state, parts = None, []
+        for ba, bb in zip(_seq_batches(a, nb), _seq_batches(b, nb)):
+            state, out = plan.step(state, ba, bb)
+            state = tuple(s.localCheckpoint(eager=True) for s in state)
+            parts.extend(tuple(r) for r in out.collect())
+        assert _net(parts) == direct == {(3, "c1", "zinc")}, f"nb={nb}"
+
+
+def test_maintain_topn_plan_matches_direct_rank(spark):
+    from pyspark.sql.window import Window as W
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+
+    rows = [
+        (0, 0, 10.0, "+I", 1), (0, 2, 20.0, "+I", 2), (0, 4, 5.0, "+I", 3),
+        (0, 4, 5.0, "-U", 7), (0, 4, 50.0, "+U", 7), (0, 2, 20.0, "-D", 9),
+        (1, 1, 7.0, "+I", 4), (1, 3, 3.0, "+I", 5),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"bucket long, user_id long, value double, {OP_COL} string, {SEQ_COL} long",
+    )
+    direct = {
+        tuple(r)
+        for r in materialize(log, ["user_id"])
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("value").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= 2)
+        .select("bucket", "user_id", "value")
+        .collect()
+    }
+    for nb in (1, 3):
+        plan = maintain(
+            keys=["user_id"], group_cols=["bucket"],
+            order_sql="value DESC, user_id", n=2,
+        )
+        state, parts = _run_plan(plan, _seq_batches(log, nb))
+        assert _net(parts) == direct, f"nb={nb}"
+        final = {
+            (r["bucket"], r["user_id"], r["value"])
+            for r in state[1].collect()
+        }
+        assert final == direct
+
+
+def test_maintain_agg_plan_ignores_control_rows(spark):
+    """+H/+S rows must not inflate live-row counts or surface ghost
+    groups in either agg plan."""
+    rows = [
+        (0, 10.0, "+I", 1),
+        (None, None, "+H", 2),
+        (None, None, "+S", 3),
+        (1, 4.0, "+I", 4),
+    ]
+    batch = spark.createDataFrame(
+        rows, f"bucket long, value double, {OP_COL} string, {SEQ_COL} long"
+    )
+    plan = maintain(
+        aggs={"n": ("count", F.col("value")),
+              "total": ("sum", F.col("value").cast("decimal(18,2)"))},
+        group_cols=["bucket"],
+    )
+    state, out = plan.step(None, batch)
+    got = {(r["bucket"], r["n"], str(r["total"]), r["__mult"])
+           for r in out.collect()}
+    assert got == {(0, 1, "10.00", 1), (1, 1, "4.00", 1)}
+
+
+def test_maintain_ttl_wiring(spark):
+    """plan.expire evicts behind-watermark state in every plan's state
+    shape; unset ttl raises; agg ttl must be a group column."""
+    # join: per-side ts columns
+    jp = maintain(on=["k"], ttl=("ts_a", "ts_b"))
+    a_st = spark.createDataFrame(
+        [(1, 100, 1), (2, 900, 1)], "k long, ts_a long, __mult long"
+    )
+    b_st = spark.createDataFrame(
+        [(1, 110, 1), (2, 910, 1)], "k long, ts_b long, __mult long"
+    )
+    ea, eb = jp.expire((a_st, b_st), 500)
+    assert {r["k"] for r in ea.collect()} == {2}
+    assert {r["k"] for r in eb.collect()} == {2}
+
+    # topn: both table and membership state
+    tp = maintain(
+        keys=["k"], group_cols=["g"], order_sql="v DESC, k", n=1, ttl="ts"
+    )
+    t_st = spark.createDataFrame(
+        [(0, 1, 1.0, 100), (1, 2, 2.0, 900)], "g long, k long, v double, ts long"
+    )
+    et, em = tp.expire((t_st, t_st), 500)
+    assert {r["g"] for r in et.collect()} == {1}
+    assert {r["g"] for r in em.collect()} == {1}
+
+    # agg: bucket-as-group TTL (the windowed-agg composition)
+    ap = maintain(
+        aggs={"s": ("sum", F.col("v").cast("decimal(18,2)"))},
+        group_cols=["day"], ttl="day",
+    )
+    a_state = spark.createDataFrame(
+        [(100, "1.00", 1), (900, "2.00", 1)],
+        "day long, __s_s string, __rows long",
+    )
+    kept = ap.expire(a_state, 500)
+    assert {r["day"] for r in kept.collect()} == {900}
+
+    # errors
+    with pytest.raises(ValueError, match="no ttl configured"):
+        maintain(on=["k"]).expire((a_st, b_st), 500)
+    bad = maintain(
+        aggs={"s": ("sum", F.col("v"))}, group_cols=["g"], ttl="ts"
+    )
+    with pytest.raises(ValueError, match="not a group column"):
+        bad.expire(a_state, 500)
