@@ -835,10 +835,19 @@ def merge_join_state(
     a_old, b_old = state if state is not None else (None, None)
     a_new = _add_multiset(a_old, d_a)
     b_new = _add_multiset(b_old, d_b)
+    # Trilinear expansion of dJ = dA ⋈ B_old + A_new ⋈ dB: since
+    # A_new = A_old + dA, the second term distributes to
+    # A_old ⋈ dB + dA ⋈ dB — so the OUTPUT path touches only the
+    # (checkpointed) old states and batch-sized deltas, never the
+    # re-merged new state.  That drops one state-sized groupBy shuffle
+    # per batch from the output lineage (a_new/b_new still merge once
+    # each for the carried state, but only there).
     parts = []
     if b_old is not None:
         parts.append(_mult_join(d_a, b_old, on))
-    parts.append(_mult_join(a_new, d_b, on))
+    if a_old is not None:
+        parts.append(_mult_join(a_old, d_b, on))
+    parts.append(_mult_join(d_a, d_b, on))
     if how != "inner":
         affected = (
             d_a.select(*on).unionByName(d_b.select(*on)).distinct()
