@@ -6,7 +6,8 @@ r8, top-n: ``merge_topn_state`` r8, windowed agg: the bucket-as-group
 composition r8) — but a user had to pick the right ``merge_*_state``
 and remember its state layout by hand.  ``maintain()`` is the
 dispatcher Flink's changelog planner plays for the reference: declare
-the query shape (aggregates / equi-join / top-n) and get back a plan
+the query shape (aggregates / equi-join / top-n / ingest dedup) and
+get back a plan
 object with ONE uniform contract, mirroring ``agg_auto``'s design
 (changelog.py) of picking the cheap signed-delta strategy when the
 shape allows it and the state-backed recompute strategy when it does
@@ -300,6 +301,48 @@ class _JoinPlan(_Plan):
         )
 
 
+class _DedupPlan(_Plan):
+    """Incremental ingest near-dup dedup (merge_neardup_state): each
+    arrival batch probes the seen corpus's LSH bucket state.  Batches
+    must arrive in ascending doc_id ranges (stream arrival order — the
+    operator's contract).  The output delta is the batch's KEPT rows
+    as +1 inserts: an append-only corpus never retracts, so the signed
+    contract degenerates to inserts by construction."""
+
+    kind = "dedup"
+
+    def __init__(self, opts, ttl) -> None:
+        if ttl is not None:
+            raise ValueError(
+                "dedup state is keyed by doc_id with no event-time "
+                "column; ttl is not supported for the dedup plan"
+            )
+        super().__init__(None)
+        from flink_cdc_2_3_0_src_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            LSH_BANDS,
+            LSH_ROWS,
+        )
+
+        opts = dict(opts) if opts is not True else {}
+        unknown = set(opts) - {"bands", "rows", "threshold"}
+        if unknown:
+            raise ValueError(f"unknown dedup options: {sorted(unknown)}")
+        self.bands = int(opts.get("bands", LSH_BANDS))
+        self.rows = int(opts.get("rows", LSH_ROWS))
+        self.threshold = float(opts.get("threshold", JACCARD_THRESHOLD))
+
+    def step(self, state, batch: DataFrame):
+        from flink_cdc_2_3_0_src_spark.operators.dedup import (
+            merge_neardup_state,
+        )
+
+        state, kept = merge_neardup_state(
+            state, batch, self.bands, self.rows, self.threshold
+        )
+        return state, kept.withColumn(MULT_COL, F.lit(1).cast("long"))
+
+
 class _TopNPlan(_Plan):
     kind = "topn"
 
@@ -340,6 +383,7 @@ def maintain(
     how: str = "inner",
     order_sql: Optional[str] = None,
     n: Optional[int] = None,
+    dedup=None,
     ttl=None,
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
@@ -357,6 +401,10 @@ def maintain(
       (``plan.step(state, batch_a, batch_b)``).
     * ``n=...`` + ``order_sql`` (+ ``group_cols``, ``keys``) — top-n
       per group.
+    * ``dedup=True`` (or ``dedup={"bands":…, "rows":…,
+      "threshold":…}``) — incremental ingest near-dup dedup over
+      document batches arriving in ascending doc_id order; the output
+      delta is the kept rows as +1 inserts.
 
     ``ttl``: event-time column (a ``(ts_a, ts_b)`` pair for the join
     plan) enabling ``plan.expire(state, watermark)``.
@@ -365,11 +413,16 @@ def maintain(
     family's shared signed-multiset output contract; see the module
     docstring.
     """
-    shapes = [aggs is not None, on is not None, n is not None]
+    shapes = [
+        aggs is not None, on is not None, n is not None, dedup is not None
+    ]
     if sum(shapes) != 1:
         raise ValueError(
-            "declare exactly one shape: aggs=... | on=... | n=...+order_sql"
+            "declare exactly one shape: aggs=... | on=... | "
+            "n=...+order_sql | dedup=..."
         )
+    if dedup is not None:
+        return _DedupPlan(dedup, ttl)
     if on is not None:
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(

@@ -294,3 +294,106 @@ def test_maintain_ttl_wiring(spark):
     )
     with pytest.raises(ValueError, match="not a group column"):
         bad.expire(a_state, 500)
+
+
+def test_maintain_dedup_plan_matches_merge_neardup(spark):
+    """dedup= completes the planner's coverage of the family: the plan
+    wraps merge_neardup_state (ascending doc_id batches probing the
+    seen corpus's bucket state) and emits kept rows as +1 inserts."""
+    def docs(rows):
+        return spark.createDataFrame(
+            rows,
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    plan = maintain(dedup=True)
+    assert plan.kind == "dedup"
+    state, out1 = plan.step(
+        None,
+        docs([(1, t, "en", "s", 1),
+              (2, "completely different words all over this text body",
+               "en", "s", 1)]),
+    )
+    assert {(r["doc_id"], r["__mult"]) for r in out1.collect()} == {
+        (1, 1), (2, 1)
+    }
+    state = tuple(s.localCheckpoint(eager=True) for s in state)
+    state, out2 = plan.step(
+        state,
+        docs([(3, t, "en", "s", 1),            # dup of seen doc 1
+              (4, "brand new content nothing like the others in any "
+                  "way at all", "en", "s", 1)]),
+    )
+    assert {(r["doc_id"], r["__mult"]) for r in out2.collect()} == {(4, 1)}
+
+    with pytest.raises(ValueError, match="ttl is not supported"):
+        maintain(dedup=True, ttl="ts")
+    with pytest.raises(ValueError, match="unknown dedup options"):
+        maintain(dedup={"bandz": 3})
+    with pytest.raises(ValueError, match="exactly one shape"):
+        maintain(dedup=True, on=["k"])
+
+
+def test_maintain_agg_plan_streaming_with_bucket_ttl(spark, tmp_path):
+    """The windowed-agg maintenance composition in the REAL engine:
+    maintain(aggs=..., group_cols=[day bucket], ttl='day') driven by a
+    Structured Streaming foreachBatch with eviction active between
+    steps.  Accumulated deltas telescope to the full direct aggregate
+    (eviction forgets state, it does not retract emitted results);
+    final state holds only in-window buckets."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    RETENTION = 2
+    rows = [
+        # day 10: two users, one later update
+        (10, 1, 5.0, "+I", 1), (10, 2, 7.0, "+I", 2),
+        (10, 1, 5.0, "-U", 3), (10, 1, 6.0, "+U", 3),
+        # day 11
+        (11, 3, 9.0, "+I", 4),
+        # day 14-15: far enough ahead that day 10/11 expire
+        (14, 4, 1.0, "+I", 5), (15, 5, 2.0, "+I", 6),
+    ]
+    schema = (
+        f"day long, user_id long, value double, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay_agg_ttl")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    aggs = {
+        "total": ("sum", F.col("value").cast("decimal(18,2)")),
+        "n": ("count", F.col("value")),
+    }
+    plan = maintain(aggs=aggs, group_cols=["day"], ttl="day")
+    state_box, parts, max_day = [None], [], [None]
+
+    def process(batch_df, batch_id):
+        state, out = plan.step(state_box[0], batch_df)
+        parts.extend(tuple(r) for r in out.collect())
+        hi = batch_df.agg(F.max("day")).collect()[0][0]
+        if hi is not None:
+            max_day[0] = max(max_day[0] or hi, hi)
+        wm = (max_day[0] or 0) - RETENTION
+        state_box[0] = plan.expire(state, wm).localCheckpoint(eager=True)
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_agg_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+
+    got = {(d, str(t), n) for (d, t, n) in _net(parts)}
+    assert got == {
+        (10, "13.00", 2), (11, "9.00", 1), (14, "1.00", 1), (15, "2.00", 1)
+    }
+    # bounded state: only buckets at or past the final watermark (13)
+    assert {r["day"] for r in state_box[0].collect()} == {14, 15}
