@@ -397,3 +397,71 @@ def test_maintain_agg_plan_streaming_with_bucket_ttl(spark, tmp_path):
     }
     # bounded state: only buckets at or past the final watermark (13)
     assert {r["day"] for r in state_box[0].collect()} == {14, 15}
+
+
+def test_maintain_agg_fuzz_vs_python_reference(spark):
+    """Randomized (seeded) upsert logs through batch splits: BOTH agg
+    plans' accumulated deltas AND final state equal a pure-Python
+    replay reference.  Integer values keep every comparison exact.
+    Exercises updates, deletes, re-inserts, group-moving updates (the
+    -U/+U pair straddles buckets via uid-keyed bucket), and groups
+    that empty out entirely."""
+    import random
+
+    rng = random.Random(0xBEEF9)
+    for trial in range(3):
+        live = {}
+        rows = []
+        for seq in range(1, rng.randint(12, 36)):
+            uid = rng.randrange(8)
+            bucket = uid % 3
+            if uid in live and rng.random() < 0.3:
+                rows.append((bucket, uid, live[uid], "-D", seq))
+                del live[uid]
+            else:
+                v = rng.randrange(100)
+                if uid in live:
+                    rows.append((bucket, uid, live[uid], "-U", seq))
+                    rows.append((bucket, uid, v, "+U", seq))
+                else:
+                    rows.append((bucket, uid, v, "+I", seq))
+                live[uid] = v
+        log = spark.createDataFrame(
+            rows,
+            f"bucket long, user_id long, value long, {OP_COL} string, {SEQ_COL} long",
+        )
+        # python reference over the live table
+        by_bucket = {}
+        for uid, v in live.items():
+            by_bucket.setdefault(uid % 3, []).append(v)
+        want = {
+            (b, sum(vs), len(vs), max(vs), min(vs))
+            for b, vs in by_bucket.items()
+        }
+
+        delta_plan = maintain(
+            aggs={"total": ("sum", F.col("value")),
+                  "n": ("count", F.col("value"))},
+            group_cols=["bucket"],
+        )
+        rec_plan = maintain(
+            keys=["user_id"], group_cols=["bucket"],
+            aggs={"total": ("sum", F.col("value")),
+                  "n": ("count", F.col("value")),
+                  "hi": ("max", F.col("value")),
+                  "lo": ("min", F.col("value"))},
+        )
+        for nb in (1, 3):
+            _, parts = _run_plan(delta_plan, _seq_batches(log, nb))
+            got = _net(parts)
+            assert got == {(b, s, n) for (b, s, n, _h, _l) in want}, (
+                f"delta plan trial={trial} nb={nb}"
+            )
+            state, parts = _run_plan(rec_plan, _seq_batches(log, nb))
+            got = _net(parts)
+            assert got == want, f"recompute plan trial={trial} nb={nb}"
+            final = {
+                (r["bucket"], r["total"], r["n"], r["hi"], r["lo"])
+                for r in state[1].collect()
+            }
+            assert final == want, f"recompute state trial={trial} nb={nb}"
