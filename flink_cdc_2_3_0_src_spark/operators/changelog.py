@@ -741,26 +741,33 @@ def _keyset_join(
 
 
 def _pad_delta(
-    outer_old: Optional[DataFrame],
-    outer_new: DataFrame,
-    inner_old: Optional[DataFrame],
-    inner_new: DataFrame,
-    affected: DataFrame,
+    outer_old_aff: Optional[DataFrame],
+    d_outer: DataFrame,
+    inner_old_aff: Optional[DataFrame],
+    d_inner: DataFrame,
     on: Sequence[str],
     out_cols: Sequence,
-) -> DataFrame:
-    """Null-padding delta for one outer side, restricted to the keys the
-    batch touched: Δ(outer ⋉̸ keys(inner)) — the rows the outer side
-    contributes with a null-extended opposite payload while it has no
-    match.  A key's padding can only change when one of its rows (either
-    side) changed this batch, so both snapshots are first semi-joined to
-    the batch-affected key set: every frame here is batch-driven, never
-    state-sized (for keyed inputs)."""
+) -> Optional[DataFrame]:
+    """Null-padding delta for one outer side: Δ(outer ⋉̸ keys(inner)) —
+    the rows the outer side contributes with a null-extended opposite
+    payload while it has no match.  A key's padding can only change
+    when one of its rows (either side) changed this batch, so the
+    caller passes state snapshots ALREADY restricted to the
+    batch-affected key set; the affected new-state snapshots are then
+    re-merged HERE from (restricted old state + batch delta) —
+    restriction commutes with the merge because the multiset groupBy
+    keys on the full payload, which includes the join key.  Every
+    frame in this function is batch-driven, never state-sized: the
+    state-sized merge and the full-state key distinct both live only
+    on the carried-state path (r9; previously the new-state merge and
+    the inner key set entered this lineage at state size)."""
+    outer_new_aff = _add_multiset(outer_old_aff, d_outer)
+    inner_new_aff = _add_multiset(inner_old_aff, d_inner)
 
     def pad(outer_st, inner_st):
         if outer_st is None:
             return None
-        o = _keyset_join(outer_st, affected, on, "left_semi")
+        o = outer_st
         if inner_st is not None:
             # plain-equality ANTI is correct here even with nulls: an
             # inner null key can never match (SQL join semantics), so it
@@ -771,8 +778,8 @@ def _pad_delta(
             )
         return o.select(*out_cols)
 
-    new = pad(outer_new, inner_new)
-    old = pad(outer_old, inner_old)
+    new = pad(outer_new_aff, inner_new_aff)
+    old = pad(outer_old_aff, inner_old_aff)
     if old is None:
         return new
     flipped = old.withColumn(MULT_COL, -F.col(MULT_COL))
@@ -852,6 +859,19 @@ def merge_join_state(
         affected = (
             d_a.select(*on).unionByName(d_b.select(*on)).distinct()
         )
+        # restrict the OLD state snapshots to the batch-affected keys
+        # once (null-safe broadcast semi: the state side is scanned,
+        # never shuffled); _pad_delta re-merges the affected NEW
+        # snapshots from these + the batch deltas, keeping the whole
+        # pad lineage batch-driven
+        a_old_aff = (
+            _keyset_join(a_old, affected, on, "left_semi")
+            if a_old is not None else None
+        )
+        b_old_aff = (
+            _keyset_join(b_old, affected, on, "left_semi")
+            if b_old is not None else None
+        )
         types_a = {f.name: f.dataType for f in batch_a.schema.fields}
         types_b = {f.name: f.dataType for f in batch_b.schema.fields}
         if how in ("left", "full"):
@@ -861,7 +881,7 @@ def merge_join_state(
                 + [F.lit(None).cast(types_b[c]).alias(c) for c in pb]
                 + [F.col(MULT_COL)]
             )
-            pad = _pad_delta(a_old, a_new, b_old, b_new, affected, on, cols)
+            pad = _pad_delta(a_old_aff, d_a, b_old_aff, d_b, on, cols)
             if pad is not None:
                 parts.append(pad)
         if how in ("right", "full"):
@@ -871,7 +891,7 @@ def merge_join_state(
                 + [F.col(c) for c in pb]
                 + [F.col(MULT_COL)]
             )
-            pad = _pad_delta(b_old, b_new, a_old, a_new, affected, on, cols)
+            pad = _pad_delta(b_old_aff, d_b, a_old_aff, d_a, on, cols)
             if pad is not None:
                 parts.append(pad)
     out = parts[0]
