@@ -63,8 +63,11 @@ def materialize(
     """
     data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
     payload = F.struct(*[F.col(c) for c in data_cols], F.col(op_col).alias("__op"))
+    # DML ops only: -U retraction images are never final state, and +H/+S
+    # control rows carry no row image — either would otherwise become a
+    # ghost latest image (typically of the null key)
     latest = (
-        df.filter(F.col(op_col) != OP_UPDATE_BEFORE)
+        df.filter(F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER, OP_DELETE))
         .groupBy(*[F.col(k) for k in keys])
         .agg(F.max_by(payload, F.col(seq_col)).alias("__row"))
     )
@@ -93,7 +96,11 @@ def merge_agg_state(
     pass state=None for the first batch. Groups whose live count drops
     to zero are removed (full retraction).
     """
-    deltas = batch.groupBy(*group_cols).agg(
+    deltas = batch.filter(
+        F.col(op_col).isin(
+            OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+        )
+    ).groupBy(*group_cols).agg(
         *[signed_sum(c, op_col).alias(name) for name, c in sum_cols.items()],
         signed_count(op_col).alias("__rows"),
     )
@@ -149,8 +156,10 @@ def compact_changelog(
     """
     data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
     payload = F.struct(*[F.col(c) for c in data_cols], F.col(op_col).alias("__op"))
+    # DML ops only: -U is never final state; +H/+S control rows carry
+    # no row image and must not compact into a ghost upsert
     latest = (
-        df.filter(F.col(op_col) != OP_UPDATE_BEFORE)
+        df.filter(F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER, OP_DELETE))
         .groupBy(*[F.col(k) for k in keys])
         .agg(F.max_by(payload, F.col(seq_col)).alias("__row"))
     )
@@ -195,7 +204,12 @@ def signed_agg(
     state — use materialize() then aggregate for those.
     """
     aggs = [signed_sum(c, op_col).alias(name) for name, c in sum_cols.items()]
-    return df.groupBy(*group_cols).agg(*aggs)
+    dml = df.filter(
+        F.col(op_col).isin(
+            OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+        )
+    )
+    return dml.groupBy(*group_cols).agg(*aggs)
 
 
 def agg_auto(
@@ -247,8 +261,13 @@ def agg_auto(
                     / signed_count(op_col).cast("double")
                 ).alias(name)
             )
+    dml = df.filter(
+        F.col(op_col).isin(
+            OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+        )
+    )
     return (
-        df.groupBy(*group_cols)
+        dml.groupBy(*group_cols)
         .agg(*exprs, signed_count(op_col).alias("__live"))
         .filter(F.col("__live") > 0)
         .drop("__live")
@@ -276,6 +295,9 @@ def normalize_upsert(
     """
     w = Window.partitionBy(*keys).orderBy(seq_col)
     data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
+    # upsert contract is +I/+U/-D; control rows (+H/+S) carry no row
+    # image and must not enter a key's lag() chain as a phantom image
+    df = df.filter(F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER, OP_DELETE))
     prev_img = F.lag(F.struct(*[F.col(c) for c in data_cols])).over(w)
     prev_op = F.lag(F.col(op_col)).over(w)
     with_prev = df.withColumn("__prev", prev_img).withColumn("__prev_op", prev_op)
@@ -333,7 +355,9 @@ def scd2_history(
     w = Window.partitionBy(*keys).orderBy(seq_col)
     data_cols = [c for c in df.columns if c not in (op_col, seq_col)]
     versions = (
-        df.filter(F.col(op_col) != OP_UPDATE_BEFORE)
+        # DML ops only: a +H/+S control row must neither open a ghost
+        # version nor close a real one
+        df.filter(F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER, OP_DELETE))
         .withColumn("__valid_to", F.lead(seq_col).over(w))
         .filter(F.col(op_col) != OP_DELETE)
     )

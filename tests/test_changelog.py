@@ -1188,3 +1188,60 @@ def test_refresh_split_memo_clears():
     fio._SPLIT_MEMO[("sentinel",), "128m"] = 7
     fio.refresh_split_memo()
     assert fio._SPLIT_MEMO == {}
+
+
+def test_control_rows_never_ghost_state_across_op_layer(spark):
+    """+H/+S control rows (no row image, all-null payload) must be
+    inert in EVERY state-building operator: materialize, compact,
+    normalize_upsert, scd2_history, merge_agg_state, signed_agg,
+    agg_auto — not just signed_multiset/_upsert_table_state (the r8/r9
+    fixes).  Each would otherwise grow a ghost null-key row or count."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        agg_auto,
+        compact_changelog,
+        materialize,
+        merge_agg_state,
+        normalize_upsert,
+        scd2_history,
+        signed_agg,
+    )
+
+    rows = [
+        (1, 10.0, "+I", 1),
+        (None, None, "+H", 2),
+        (2, 5.0, "+I", 3),
+        (None, None, "+S", 4),
+        (1, 10.0, "-U", 5), (1, 20.0, "+U", 5),
+    ]
+    log = spark.createDataFrame(rows, ["k", "v", OP_COL, SEQ_COL])
+
+    m = {(r["k"], r["v"]) for r in materialize(log, ["k"]).collect()}
+    assert m == {(1, 20.0), (2, 5.0)}
+
+    c = {(r["k"], r["v"], r[OP_COL])
+         for r in compact_changelog(log, ["k"]).collect()}
+    assert c == {(1, 20.0, "+I"), (2, 5.0, "+I")}
+
+    upsert = spark.createDataFrame(
+        [(1, 10.0, "+I", 1), (None, None, "+H", 2), (1, 20.0, "+U", 3)],
+        ["k", "v", OP_COL, SEQ_COL],
+    )
+    n = {(r["k"], r["v"], r[OP_COL])
+         for r in normalize_upsert(upsert, ["k"]).collect()}
+    assert n == {(1, 10.0, "+I"), (1, 10.0, "-U"), (1, 20.0, "+U")}
+
+    s = {(r["k"], r["v"], r["valid_from_seq"])
+         for r in scd2_history(log, ["k"]).collect()}
+    assert s == {(1, 10.0, 1), (1, 20.0, 5), (2, 5.0, 3)}
+
+    state = merge_agg_state(
+        None, log, [], {"s": F.col("v").cast("decimal(18,2)")}
+    )
+    got = [(str(r["s"]), r["__rows"]) for r in state.collect()]
+    assert got == [("25.00", 2)]
+
+    sa = signed_agg(log, [], {"s": F.col("v").cast("decimal(18,2)")})
+    assert [str(r["s"]) for r in sa.collect()] == ["25.00"]
+
+    aa = agg_auto(log, ["k"], [], {"n": ("count", F.col("v"))})
+    assert [r["n"] for r in aa.collect()] == [2]
