@@ -16,6 +16,8 @@ estimate/overestimate columns match exactly.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -375,6 +377,15 @@ def hll_distinct(
         docs.select(group_col, "text").filter(F.col("text").isNotNull())
     ).select(group_col, hll_doc_registers(F.col("text"), m).alias("regs"))
     merged = regs.groupBy(group_col).agg(*hll_merge_registers(m=m))
+    return _finalize_hll(merged, group_col, m)
+
+
+def _finalize_hll(merged: DataFrame, group_col: str, m: int) -> DataFrame:
+    """Merged m-register frame (group + _r0.._r{m-1}) → the estimate
+    frame (group, zero_registers, sum_scaled, est_distinct) — shared by
+    the one-shot path and the incremental state path so both finalize
+    bit-identically."""
+    pr = hll_params(m)
     arr = F.array(*[F.col(f"_r{j}") for j in range(pr.m)])
     zeros, sum_scaled = _hll_estimate_cols(arr, m)
     # drop all-empty-register groups (zero_registers == m): a group
@@ -394,6 +405,56 @@ def hll_distinct(
         (F.col("zero_registers") > 0) & (raw <= F.lit(pr.small)), linear
     ).otherwise(raw)
     return out.withColumn("est_distinct", est.cast("long")).orderBy(group_col)
+
+
+def merge_hll_state(
+    state: Optional[DataFrame],
+    batch_docs: DataFrame,
+    group_col: str = "source",
+    m: int = HLL_M,
+) -> DataFrame:
+    """Incremental HLL register-state maintenance across ingest batches
+    — the sketch member of the maintenance family (merge_agg_state's
+    monoid sibling; registers merge by element-wise MIN, so batch
+    partials fold into state EXACTLY, in any arrival order or split).
+
+    ``state`` is ``None`` for the first batch, else the per-group
+    m-register frame returned by the previous step.  Per batch: one
+    Arrow projection over ONLY the batch's docs, one fixed-width
+    min-merge of (state ∪ batch registers) — work is O(batch +
+    |groups| * m), the corpus is never rescanned.  Finalize any state
+    with :func:`hll_state_estimate`; the result is bit-identical to
+    the one-shot :func:`hll_distinct` over the union of all batches
+    (pinned by tests).
+
+    This is the streaming-corpus-stats shape a 100 TB ingest pipeline
+    runs: per-arrival-batch sketch update, constant-size state per
+    group.  Reference-adjacent to the reference's per-split metrics
+    accumulation (SourceReaderMetrics; the sketch replaces exact
+    counters where distinct counts are wanted)."""
+    pr = hll_params(m)
+    regs = (
+        batch_docs.select(group_col, "text")
+        .filter(F.col("text").isNotNull())
+        .select(group_col, hll_doc_registers(F.col("text"), m).alias("regs"))
+    )
+    merged_b = regs.groupBy(group_col).agg(*hll_merge_registers(m=m))
+    if state is None:
+        return merged_b
+    return (
+        state.unionByName(merged_b)
+        .groupBy(group_col)
+        .agg(*[F.min(f"_r{j}").alias(f"_r{j}") for j in range(pr.m)])
+    )
+
+
+def hll_state_estimate(
+    state: DataFrame, group_col: str = "source", m: int = HLL_M
+) -> DataFrame:
+    """Finalize a ``merge_hll_state`` register frame into the same
+    (group, zero_registers, sum_scaled, est_distinct) output
+    :func:`hll_distinct` produces."""
+    return _finalize_hll(state, group_col, m)
 
 
 def _sql_hll_contrib(w: str, m: int = HLL_M) -> str:

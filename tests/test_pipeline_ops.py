@@ -1099,3 +1099,53 @@ def test_histogram_quantiles_empty_corpus_both_engines(spark):
         "(1, CAST(NULL AS VARCHAR), 's0')) v(doc_id, text, source)"
     )
     assert con.execute(histogram_quantiles_sql()).fetchall() == []
+
+
+def test_merge_hll_state_equals_one_shot_any_split(spark):
+    """Incremental HLL register-state maintenance (the sketch member of
+    the maintenance family): folding ingest batches through the MIN
+    monoid and finalizing equals the one-shot hll_distinct over the
+    whole corpus BIT-EXACTLY, for every batch split — the mergeability
+    claim the sketch's design rests on, pinned in its incremental
+    form.  Also covers: a batch whose group is all-tokenless leaves an
+    all-empty register row that finalization drops, and later batches
+    can resurrect the group."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_distinct,
+        hll_state_estimate,
+        merge_hll_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = [tuple(r) for r in hll_distinct(docs).collect()]
+    assert len(want) > 0
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    for nb in (1, 3):
+        state = None
+        for i in range(nb):
+            lo = i * (int(hi) + 1) // nb
+            up = (i + 1) * (int(hi) + 1) // nb
+            cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            if i == nb - 1:
+                cond = F.col("doc_id") >= lo if nb > 1 else F.lit(True)
+            state = merge_hll_state(state, docs.filter(cond)).localCheckpoint(
+                eager=True
+            )
+        got = [tuple(r) for r in hll_state_estimate(state).collect()]
+        assert got == want, f"n_batches={nb}"
+
+    # tokenless-group lifecycle: batch 1 plants a group with only
+    # whitespace text (all-empty registers -> dropped at finalize);
+    # batch 2 adds a real doc to the group -> group appears
+    def d(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        )
+
+    s1 = merge_hll_state(None, d([(1, "   ", "empty_src")]))
+    assert hll_state_estimate(s1).count() == 0
+    s2 = merge_hll_state(s1, d([(2, "real tokens here", "empty_src")]))
+    out = hll_state_estimate(s2).collect()
+    assert len(out) == 1 and out[0]["est_distinct"] >= 3

@@ -153,3 +153,37 @@ def test_ivf_trained_plan_and_recall(spark):
         lst.sort()
         dists = [d for _, d in lst]
         assert dists == sorted(dists), f"query {q}: non-monotone ranking"
+
+
+def test_merge_knn_state_equals_one_shot_any_split(spark):
+    """Incremental exact k-NN graph maintenance (the similarity member
+    of the maintenance family): replaying the corpus in ascending
+    vec_id batches — per-batch work O(batch x seen), never a corpus
+    rescan — yields BIT-exactly the one-shot knn_graph, for every
+    split.  Correctness rests on bounded top-k being a monoid:
+    top_k(S u B) = top_k(top_k(S) u top_k(B))."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_2_3_0_src_spark.operators.similarity import (
+        merge_knn_state,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(120)
+    want = _edges(knn_graph(emb, k=3, block_size=37))
+    assert len(want) > 0
+    hi = emb.agg(F.max("vec_id")).collect()[0][0]
+    for nb in (1, 3):
+        state = None
+        for i in range(nb):
+            lo = i * (int(hi) + 1) // nb
+            up = (i + 1) * (int(hi) + 1) // nb
+            cond = (F.col("vec_id") >= lo) & (F.col("vec_id") < up)
+            if i == nb - 1:
+                cond = F.col("vec_id") >= lo if nb > 1 else F.lit(True)
+            state = merge_knn_state(state, emb.filter(cond), k=3,
+                                    block_size=37)
+            state = (
+                state[0].localCheckpoint(eager=True),
+                state[1].localCheckpoint(eager=True),
+            )
+        assert _edges(state[1]) == want, f"n_batches={nb}"
