@@ -2852,6 +2852,44 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_incremental",
+    __import__(
+        "flink_cdc_2_3_0_src_spark.operators.sketch", fromlist=["x"]
+    ).hll_distinct_sql(m=256),
+)
+def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL register-state maintenance (r9; the sketch
+    member of the maintenance family): documents arrive in ascending
+    doc_id batches and merge_hll_state MIN-folds each batch's register
+    partials into per-group state — work per batch is O(batch +
+    groups × m), the corpus is never rescanned.  Oracle = the SAME
+    one-shot HLL SQL as sketch_hll_distinct: the register monoid makes
+    the incremental estimate bit-identical for any split."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_state_estimate,
+        merge_hll_state,
+    )
+
+    docs = ld(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    if hi is None:
+        from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+        return hll_distinct(docs, m=256)
+    n_batches, state = 4, None
+    for i in range(n_batches):
+        lo = i * (int(hi) + 1) // n_batches
+        up = (i + 1) * (int(hi) + 1) // n_batches
+        cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+        if i == n_batches - 1:
+            cond = F.col("doc_id") >= lo
+        state = merge_hll_state(
+            state, docs.filter(cond), m=256
+        ).localCheckpoint(eager=True)
+    return hll_state_estimate(state, m=256)
+
+
+@register(
     "pipeline_priority_sample",
     __import__(
         "flink_cdc_2_3_0_src_spark.operators.sampling", fromlist=["x"]
@@ -3041,6 +3079,37 @@ def ann_topk_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_graph", _sim.KNN_GRAPH_SQL)
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.knn_graph(ld(spark, sf_dir, "embeddings"))
+
+
+@register("knn_graph_incremental", _sim.KNN_GRAPH_SQL)
+def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact k-NN graph maintenance (r9; the similarity
+    member of the maintenance family): the corpus arrives in ascending
+    vec_id batches and merge_knn_state folds each into the graph —
+    per-batch work O(batch × seen), never a corpus rescan.  Oracle =
+    the SAME one-shot KNN SQL as knn_graph: the maintained graph must
+    be bit-identical (bounded top-k is a monoid)."""
+    from flink_cdc_2_3_0_src_spark.operators.similarity import (
+        merge_knn_state,
+    )
+
+    emb = ld(spark, sf_dir, "embeddings")
+    hi = emb.agg(F.max("vec_id")).collect()[0][0]
+    if hi is None:
+        return _sim.knn_graph(emb)
+    n_batches, state = 3, None
+    for i in range(n_batches):
+        lo = i * (int(hi) + 1) // n_batches
+        up = (i + 1) * (int(hi) + 1) // n_batches
+        cond = (F.col("vec_id") >= lo) & (F.col("vec_id") < up)
+        if i == n_batches - 1:
+            cond = F.col("vec_id") >= lo
+        state = merge_knn_state(state, emb.filter(cond))
+        state = (
+            state[0].localCheckpoint(eager=True),
+            state[1].localCheckpoint(eager=True),
+        )
+    return state[1]
 
 
 @register("ann_lsh_bucketed", _sim.ann_lsh_sql(64))
