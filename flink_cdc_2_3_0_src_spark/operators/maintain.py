@@ -343,6 +343,56 @@ class _DedupPlan(_Plan):
         return state, kept.withColumn(MULT_COL, F.lit(1).cast("long"))
 
 
+class _HllPlan(_Plan):
+    """Incremental per-group HLL distinct-count maintenance
+    (merge_hll_state — the sketch member of the family).  The output
+    delta is the signed diff of the FINALIZED estimates for the groups
+    the batch touched (batch-driven, like the agg plans): +1 the
+    group's new estimate row, −1 its previous one.  ttl applies when
+    the group column is an event-time bucket."""
+
+    kind = "hll"
+
+    def __init__(self, opts, ttl) -> None:
+        super().__init__(ttl)
+        opts = dict(opts) if opts is not True else {}
+        unknown = set(opts) - {"group_col", "m"}
+        if unknown:
+            raise ValueError(f"unknown hll options: {sorted(unknown)}")
+        self.group_col = opts.get("group_col", "source")
+        self.m = int(opts.get("m", 64))
+
+    def step(self, state, batch: DataFrame):
+        from flink_cdc_2_3_0_src_spark.operators.sketch import (
+            hll_state_estimate,
+            merge_hll_state,
+        )
+
+        new_state = merge_hll_state(state, batch, self.group_col, self.m)
+        affected = batch.select(self.group_col).distinct()
+        new_aff = hll_state_estimate(
+            _keyset_join(new_state, affected, [self.group_col], "left_semi"),
+            self.group_col,
+            self.m,
+        )
+        old_aff = None
+        if state is not None:
+            old_aff = hll_state_estimate(
+                _keyset_join(state, affected, [self.group_col], "left_semi"),
+                self.group_col,
+                self.m,
+            )
+        return new_state, _signed_diff(new_aff, old_aff)
+
+    def _expire(self, state, watermark):
+        if self._ttl != self.group_col:
+            raise ValueError(
+                "hll state is per-group; ttl must name the group column "
+                "(an event-time bucket) to expire whole groups"
+            )
+        return expire_state(state, watermark, self._ttl)
+
+
 class _TopNPlan(_Plan):
     kind = "topn"
 
@@ -384,6 +434,7 @@ def maintain(
     order_sql: Optional[str] = None,
     n: Optional[int] = None,
     dedup=None,
+    hll=None,
     ttl=None,
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
@@ -405,6 +456,16 @@ def maintain(
       "threshold":…}``) — incremental ingest near-dup dedup over
       document batches arriving in ascending doc_id order; the output
       delta is the kept rows as +1 inserts.
+    * ``hll=True`` (or ``hll={"group_col":…, "m":…}``) — incremental
+      per-group HLL distinct-count maintenance over document batches;
+      the output delta is the signed diff of the affected groups'
+      finalized estimates.
+
+    The family's k-NN graph member (``similarity.merge_knn_state``) is
+    deliberately NOT dispatched here: exact k-NN has no batch-restricted
+    affected set (every seen node may gain a closer neighbor from any
+    batch), so it cannot honor the planner's batch-driven output-delta
+    contract — use it directly.
 
     ``ttl``: event-time column (a ``(ts_a, ts_b)`` pair for the join
     plan) enabling ``plan.expire(state, watermark)``.
@@ -414,15 +475,18 @@ def maintain(
     docstring.
     """
     shapes = [
-        aggs is not None, on is not None, n is not None, dedup is not None
+        aggs is not None, on is not None, n is not None,
+        dedup is not None, hll is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | "
-            "n=...+order_sql | dedup=..."
+            "n=...+order_sql | dedup=... | hll=..."
         )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)
+    if hll is not None:
+        return _HllPlan(hll, ttl)
     if on is not None:
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(

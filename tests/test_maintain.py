@@ -465,3 +465,34 @@ def test_maintain_agg_fuzz_vs_python_reference(spark):
                 for r in state[1].collect()
             }
             assert final == want, f"recompute state trial={trial} nb={nb}"
+
+
+def test_maintain_hll_plan_matches_one_shot(spark):
+    """hll= shape: net signed deltas of finalized estimates equal the
+    one-shot hll_distinct over the union, for any split (the register
+    MIN monoid), with batch-affected-only output per step."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = {tuple(r) for r in hll_distinct(docs).collect()}
+    assert want
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    plan = maintain(hll=True)
+    assert plan.kind == "hll"
+    for nb in (1, 3):
+        batches = []
+        for i in range(nb):
+            lo = i * (int(hi) + 1) // nb
+            up = (i + 1) * (int(hi) + 1) // nb
+            cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            if i == nb - 1:
+                cond = F.col("doc_id") >= lo if nb > 1 else F.lit(True)
+            batches.append(docs.filter(cond))
+        state, parts = _run_plan(plan, batches)
+        assert _net(parts) == want, f"n_batches={nb}"
+
+    with pytest.raises(ValueError, match="unknown hll options"):
+        maintain(hll={"em": 64})
+    with pytest.raises(ValueError, match="group column"):
+        maintain(hll=True, ttl="ts").expire(state, 0)

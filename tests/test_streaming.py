@@ -1510,3 +1510,90 @@ def test_streaming_topn_with_state_ttl(spark, tmp_path):
         .collect()
     )
     assert got == direct == [(1, 1, 70.0), (1, 5, 9.0)]
+
+
+def test_streaming_hll_state_matches_one_shot(spark, tmp_path):
+    """Incremental HLL through a REAL Structured Streaming query:
+    document batches arrive as a file stream; foreachBatch MIN-folds
+    each batch's register partials.  Final finalized state equals the
+    one-shot hll_distinct bit-exactly (the register monoid)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        hll_distinct,
+        hll_state_estimate,
+        merge_hll_state,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    log = docs.withColumn(SEQ_COL, F.col("doc_id"))
+    replay_dir = str(tmp_path / "replay_hll")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    state_box = [None]
+
+    def process(batch_df, batch_id):
+        state_box[0] = merge_hll_state(
+            state_box[0], batch_df.drop(SEQ_COL)
+        ).localCheckpoint(eager=True)
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [tuple(r) for r in hll_state_estimate(state_box[0]).collect()]
+    want = [tuple(r) for r in hll_distinct(docs).collect()]
+    assert got == want and len(want) > 0
+
+
+def test_streaming_knn_state_matches_one_shot(spark, tmp_path):
+    """Incremental k-NN graph through a REAL Structured Streaming
+    query: embedding batches arrive as a file stream; foreachBatch
+    folds each into the maintained graph.  Final graph equals the
+    one-shot knn_graph bit-exactly (bounded top-k monoid)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.similarity import (
+        knn_graph,
+        merge_knn_state,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(90)
+    log = emb.select("vec_id", "embedding").withColumn(
+        SEQ_COL, F.col("vec_id")
+    )
+    replay_dir = str(tmp_path / "replay_knn")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    state_box = [None]
+
+    def process(batch_df, batch_id):
+        state = merge_knn_state(
+            state_box[0], batch_df.drop(SEQ_COL), k=3, block_size=37
+        )
+        state_box[0] = (
+            state[0].localCheckpoint(eager=True),
+            state[1].localCheckpoint(eager=True),
+        )
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_knn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos6"])
+        for r in state_box[0][1].collect()
+    }
+    want = {
+        (r["vec_id"], r["rnk"]): (r["neighbor_id"], r["cos6"])
+        for r in knn_graph(emb, k=3, block_size=37).collect()
+    }
+    assert got == want and len(want) > 0
