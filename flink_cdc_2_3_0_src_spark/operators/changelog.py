@@ -254,11 +254,21 @@ def agg_auto(
             exprs.append(signed_sum(col, op_col).alias(name))
         elif fn == "count":
             exprs.append(signed_count(op_col).alias(name))
-        else:  # avg = signed sum / signed count
+        else:  # avg = signed sum / signed NON-NULL count — SQL AVG
+            # excludes NULLs from the denominator, so this matches both
+            # the materialized branch's count(col) and DuckDB's AVG
             exprs.append(
                 (
                     F.sum(signed(col, op_col)).cast("double")
-                    / signed_count(op_col).cast("double")
+                    / F.nullif(
+                        signed_sum(
+                            F.when(col.isNotNull(), F.lit(1)).otherwise(
+                                F.lit(0)
+                            ),
+                            op_col,
+                        ),
+                        F.lit(0),
+                    ).cast("double")
                 ).alias(name)
             )
     dml = df.filter(
@@ -1144,6 +1154,15 @@ def _parse_order_sql(order_sql: str):
             except AttributeError:
                 pass  # no JVM handle (connect mode): fall through lazy
             except Exception as exc:
+                # only an actual ParseException means the USER's item is
+                # bad; Py4J transport/JVM failures must propagate as the
+                # infrastructure errors they are, not blame order_sql
+                java_exc = getattr(exc, "java_exception", None)
+                is_parse_err = java_exc is not None and "ParseException" in (
+                    java_exc.getClass().getName()
+                )
+                if not is_parse_err:
+                    raise
                 raise ValueError(
                     f"order_sql item {item!r}: cannot parse expression "
                     f"{expr_sql!r} (supported suffixes: ASC/DESC and "

@@ -125,8 +125,9 @@ class _Plan:
 class _AggDeltaPlan(_Plan):
     """sum/count/avg over a changelog: signed-delta state, no table
     state (merge_agg_state — O(batch + affected groups) per step).
-    avg = signed sum / signed live-row count, matching agg_auto's
-    decomposable branch."""
+    avg = signed sum / signed NON-NULL count (SQL semantics, matching
+    agg_auto's both branches and _AggRecomputePlan — so adding a
+    min/max agg never flips a query's avg semantics)."""
 
     kind = "agg"
 
@@ -136,11 +137,19 @@ class _AggDeltaPlan(_Plan):
         self.aggs = dict(aggs)
         self.op_col = op_col
         # internal state keeps one signed sum per distinct value column
-        # needed by any sum/avg, plus the live-row count
+        # needed by any sum/avg, the live-row count, and — for each avg —
+        # a signed NON-NULL count of its value column, so avg follows SQL
+        # semantics (NULLs excluded from the denominator) and agrees with
+        # _AggRecomputePlan's count(col): without it, adding a min/max
+        # agg to a query would silently flip its avg semantics
         self._sum_cols: dict[str, Column] = {}
         for name, (fn, col) in self.aggs.items():
             if fn in ("sum", "avg"):
                 self._sum_cols[f"__s_{name}"] = col
+            if fn == "avg":
+                self._sum_cols[f"__c_{name}"] = F.when(
+                    col.isNotNull(), F.lit(1)
+                ).otherwise(F.lit(0))
 
     def _finalize(self, state: DataFrame) -> DataFrame:
         outs = []
@@ -149,11 +158,14 @@ class _AggDeltaPlan(_Plan):
                 outs.append(F.col(f"__s_{name}").alias(name))
             elif fn == "count":
                 outs.append(F.col("__rows").alias(name))
-            else:  # avg
+            else:  # avg = signed sum / signed non-null count (NULL when
+                # the group's live rows are all NULL, as in SQL)
                 outs.append(
                     (
                         F.col(f"__s_{name}").cast("double")
-                        / F.col("__rows").cast("double")
+                        / F.nullif(
+                            F.col(f"__c_{name}"), F.lit(0)
+                        ).cast("double")
                     ).alias(name)
                 )
         return state.select(*self.group_cols, *outs)
@@ -201,7 +213,19 @@ class _AggRecomputePlan(_Plan):
     merge_topn_state uses for ranks, applied to aggregates.  Per-batch
     work is bounded by the affected groups' sizes, never the table.
     count/avg here follow agg_auto's materialized branch (non-null
-    count for avg)."""
+    count for avg; the delta plan tracks the same non-null count, so
+    the two plans agree on NULL-valued rows).
+
+    Float caveat: the output delta cancels unchanged affected groups by
+    recomputing their aggregates and diffing against the stored rows,
+    which for floating-point sum/avg relies on bit-identical
+    recomputation.  Spark's partial float/double sums are
+    partition-order-dependent, so a group whose value did not
+    semantically change can emit a spurious ±1 delta pair (a
+    self-cancelling refresh — net state stays correct, but delta
+    consumers see the touch).  Use decimal value columns when exact
+    delta cancellation matters — the discipline the repo's oracle-exact
+    queries already follow (e.g. cos6 fixed-point rounding)."""
 
     kind = "agg"
 
@@ -474,6 +498,17 @@ def maintain(
     family's shared signed-multiset output contract; see the module
     docstring.
     """
+    # dedup=False / hll=False read as "not this shape" — treat them as
+    # undeclared rather than letting dict(False) raise mid-dispatch
+    if dedup is False:
+        dedup = None
+    if hll is False:
+        hll = None
+    for label, opt in (("dedup", dedup), ("hll", hll)):
+        if opt is not None and opt is not True and not isinstance(opt, dict):
+            raise ValueError(
+                f"{label}= takes True or an options dict, got {opt!r}"
+            )
     shapes = [
         aggs is not None, on is not None, n is not None,
         dedup is not None, hll is not None,

@@ -329,6 +329,15 @@ def merge_knn_state(
     this r9).  ``state`` is ``None`` or ``(vectors_state, graph_state)``
     from the previous step; returns the updated pair.
 
+    CONTRACT: each batch's ``vec_id``s must be NEW — disjoint from every
+    id already folded into ``state`` (stream arrival of fresh vectors,
+    the same ascending-id discipline ``merge_neardup_state`` requires).
+    The exactness argument below and ``_rerank_knn``'s no-dedup-needed
+    invariant both lean on it: a re-delivered vec_id would duplicate the
+    vector in carried state, yield duplicate (vec_id, neighbor_id)
+    candidate edges, and corrupt the top-k. Dedup replays upstream
+    (e.g. ``dropDuplicates(["vec_id"])`` per batch) before calling this.
+
     Per batch, TWO blocked matmuls, both batch-driven:
 
     * new rows' neighbors: batch × (seen ∪ batch) candidates;
