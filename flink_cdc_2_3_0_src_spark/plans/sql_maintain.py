@@ -1,0 +1,538 @@
+"""INSERT INTO ... SELECT over CDC tables → incremental maintenance.
+
+The reference's core user contract is SQL-first: a user writes
+
+    INSERT INTO sink SELECT name, SUM(weight) FROM debezium_source
+    GROUP BY name
+
+and Flink's changelog planner — not the user — picks the incremental
+operator (StreamExecGroupAggregate with retraction handling into an
+upsert sink; the flagship ITCase is exactly this statement,
+flink-connector-mysql-cdc/src/test/java/com/ververica/cdc/connectors/
+mysql/table/MySqlConnectorITCase.java:213-271, golden
+``+I[hammer, 2.625]`` after live UPDATE/INSERT/DELETE mid-run).  This
+module is that bridge for the Spark engine: parse the INSERT-SELECT's
+shape, route it to the matching ``maintain()`` plan, and fold the
+plan's signed output deltas into a maintained sink table per
+microbatch.
+
+Three dispatchable shapes — the same three Flink's streaming planner
+compiles to stateful operators for CDC pipelines:
+
+* **Grouped aggregate** ``SELECT g, FN(expr) .. FROM t [WHERE p]
+  GROUP BY g`` → ``maintain(aggs=..)`` (StreamExecGroupAggregate).
+  sum/count/avg ride the stateless signed-delta plan; any min/max
+  switches to table-state + affected-group recompute, keyed by the
+  source table's declared PRIMARY KEY — the planner decides, exactly
+  like ``agg_auto``.
+* **Equi-join** ``SELECT a.x, b.y FROM ta a [INNER|LEFT|RIGHT|FULL]
+  JOIN tb b ON a.k = b.k [AND ..]`` → ``maintain(on=..)``
+  (StreamingJoinOperator).
+* **Top-N** ``SELECT .. FROM (SELECT *, ROW_NUMBER() OVER (PARTITION
+  BY g ORDER BY o) AS rn FROM t [WHERE p]) WHERE rn <= n`` →
+  ``maintain(n=..)`` (RankOperator; Flink's documented streaming Top-N
+  pattern).
+
+Semantics notes
+---------------
+* ``WHERE`` must be row-local: filtering each batch before stepping
+  commutes with signed aggregation / join / rank state because the
+  predicate decides row membership independently of any other row —
+  the same reasoning that lets Flink push FlinkFilter below the
+  stateful operator.
+* ``COUNT(expr)`` is translated to a signed sum of a non-null
+  indicator (SQL semantics on both maintenance plans); ``COUNT(*)``
+  maps to the live-row count.
+* A source registered as a :class:`ResolvedTable` (the ``CREATE
+  TABLE .. WITH ('connector'=..)`` surface, sources/sql_ddl.py)
+  contributes its computed columns (applied per batch before the plan
+  sees it — the reference's planner-side projection) and its PRIMARY
+  KEY (the ``keys=`` for min/max recompute and Top-N table state).
+
+The executor's per-batch work is the underlying plan's (batch-driven,
+never a history rescan — see operators/maintain.py); the sink fold is
+one groupBy over accumulated live rows, locally checkpointed per batch
+so lineage stays flat, the exact discipline ``delta_join_changelog``
+uses.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.changelog import MULT_COL
+from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+from flink_cdc_2_3_0_src_spark.sources.sql_ddl import _split_top_level
+
+_AGG_FN = re.compile(
+    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\((?P<args>.*)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_IDENT = re.compile(r"^[`\"]?(?P<name>\w+)[`\"]?$")
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<sink>[`\"\w.]+)\s+(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_AGG_RE = re.compile(
+    r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?"
+    r"\s+GROUP\s+BY\s+(?P<groups>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_RE = re.compile(
+    r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<ta>[`\"\w.]+)(?:\s+AS)?\s+"
+    r"(?P<a>\w+)\s+(?:(?P<how>INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?"
+    r"JOIN\s+(?P<tb>[`\"\w.]+)(?:\s+AS)?\s+(?P<b>\w+)\s+"
+    r"ON\s+(?P<conds>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_TOPN_RE = re.compile(
+    r"^SELECT\s+(?P<items>.*?)\s+FROM\s*\(\s*"
+    r"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<groups>.*?)\s+ORDER\s+BY\s+(?P<order>.*?)\s*\)"
+    r"\s+AS\s+(?P<rn>\w+)\s+FROM\s+(?P<src>[`\"\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s*(?:AS\s+)?\w+)?\s+"
+    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<n>\d+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_COND = re.compile(
+    r"^(?P<lq>\w+)\.(?P<lc>\w+)\s*=\s*(?P<rq>\w+)\.(?P<rc>\w+)$"
+)
+_QUAL_ITEM = re.compile(r"^(?P<q>\w+)\.(?P<c>\w+)$")
+
+_SHAPES_MSG = (
+    "unsupported INSERT-SELECT shape; the maintenance planner dispatches "
+    "the three forms Flink's streaming planner compiles for CDC "
+    "pipelines: grouped aggregate (SELECT g, FN(x) .. FROM t [WHERE p] "
+    "GROUP BY g), equi-join (SELECT a.x, b.y FROM ta a JOIN tb b ON "
+    "a.k = b.k), and Top-N (SELECT .. FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= n)"
+)
+
+
+def _split_alias(item: str) -> tuple[str, Optional[str]]:
+    """Split ``<expr> AS <alias>`` at the LAST top-level AS (outside
+    parens and quotes) — ``CAST(x AS INT) AS y`` keeps the inner AS."""
+    item = item.strip()
+    # depth/quote state per character, so a whitespace-tolerant AS match
+    # can be tested for top-levelness without rewriting the item (string
+    # literals keep their exact spacing)
+    depth, in_str = 0, False
+    top = []
+    for ch in item:
+        if in_str:
+            top.append(False)
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        top.append(not in_str and depth == 0)
+    last = None
+    for m in re.finditer(r"\sAS\s+", item, re.IGNORECASE):
+        if all(top[i] for i in range(m.start(), m.end())):
+            last = m
+    if last is None:
+        return item, None
+    alias = item[last.end() :].strip().strip('`" ')
+    if not re.fullmatch(r"\w+", alias):
+        return item, None
+    return item[: last.start()].strip(), alias
+
+
+@dataclass
+class InsertSelect:
+    """Parsed, shape-classified INSERT-SELECT statement."""
+
+    sink: str
+    shape: str  # "agg" | "join" | "topn"
+    sources: list  # source table names, in FROM order
+    # agg / topn
+    group_cols: list = field(default_factory=list)
+    aggs: dict = field(default_factory=dict)  # name -> (fn, sql expr str)
+    where: Optional[str] = None
+    order_sql: Optional[str] = None
+    n: Optional[int] = None
+    # join
+    join_how: str = "inner"
+    join_aliases: tuple = ()  # (alias_a, alias_b)
+    join_on: list = field(default_factory=list)  # [(col_a, col_b)]
+    # output projection: (source column name or "<alias>.<col>", out name)
+    select: list = field(default_factory=list)
+
+
+def parse_insert_select(sql: str) -> InsertSelect:
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError(
+            "not an INSERT INTO <sink> SELECT ... statement; the SQL "
+            "maintenance surface mirrors the reference's ITCase contract "
+            "(MySqlConnectorITCase.java:215)"
+        )
+    sink = m.group("sink").strip('`"')
+    select = m.group("select").strip()
+
+    tm = _TOPN_RE.match(select)
+    if tm:
+        if tm.group("rn") != tm.group("rn2"):
+            raise ValueError(
+                f"Top-N rank filter references {tm.group('rn2')!r} but the "
+                f"ROW_NUMBER column is {tm.group('rn')!r}"
+            )
+        groups = _names(tm.group("groups"), "PARTITION BY")
+        items = []
+        for raw in _split_top_level(tm.group("items")):
+            expr, alias = _split_alias(raw)
+            im = _IDENT.match(expr)
+            if not im:
+                raise ValueError(
+                    f"Top-N select items must be plain columns of the "
+                    f"source table, got {raw!r}"
+                )
+            name = im.group("name")
+            if name == tm.group("rn"):
+                raise ValueError(
+                    "the rank column must not be projected — membership "
+                    "maintenance omits rank numbers (Flink's no-rank-output "
+                    "optimization); select the table columns only"
+                )
+            items.append((name, alias or name))
+        return InsertSelect(
+            sink=sink, shape="topn", sources=[tm.group("src").strip('`"')],
+            group_cols=groups, order_sql=tm.group("order").strip(),
+            n=int(tm.group("n")), where=_clean(tm.group("where")),
+            select=items,
+        )
+
+    jm = _JOIN_RE.match(select)
+    if jm and " GROUP " not in select.upper():
+        a, b = jm.group("a"), jm.group("b")
+        on = []
+        for cond in re.split(r"\s+AND\s+", jm.group("conds").strip(),
+                             flags=re.IGNORECASE):
+            cm = _JOIN_COND.match(cond.strip())
+            if not cm:
+                raise ValueError(
+                    f"join condition {cond.strip()!r} is not an equi-join "
+                    "predicate <a>.<col> = <b>.<col> — only equi-joins "
+                    "have incremental maintenance plans"
+                )
+            lq, lc, rq, rc = cm.group("lq", "lc", "rq", "rc")
+            if {lq, rq} != {a, b}:
+                raise ValueError(
+                    f"join condition {cond.strip()!r} must reference both "
+                    f"table aliases {a!r} and {b!r}"
+                )
+            on.append((lc, rc) if lq == a else (rc, lc))
+        items = []
+        for raw in _split_top_level(jm.group("items")):
+            expr, alias = _split_alias(raw)
+            qm = _QUAL_ITEM.match(expr)
+            if not qm or qm.group("q") not in (a, b):
+                raise ValueError(
+                    f"join select items must be alias-qualified columns "
+                    f"({a}.<col> / {b}.<col>), got {raw!r}"
+                )
+            items.append((f"{qm.group('q')}.{qm.group('c')}", alias or qm.group("c")))
+        how = (jm.group("how") or "inner").lower()
+        return InsertSelect(
+            sink=sink, shape="join",
+            sources=[jm.group("ta").strip('`"'), jm.group("tb").strip('`"')],
+            join_how=how, join_aliases=(a, b), join_on=on, select=items,
+        )
+
+    am = _AGG_RE.match(select)
+    if am:
+        groups = _names(am.group("groups"), "GROUP BY")
+        items, aggs = [], {}
+        auto_idx = 0
+        for raw in _split_top_level(am.group("items")):
+            expr, alias = _split_alias(raw)
+            fm = _AGG_FN.match(expr)
+            if fm:
+                fn = fm.group("fn").lower()
+                args = fm.group("args").strip()
+                if alias is None:
+                    # Flink names unaliased aggregates EXPR$i; a stable
+                    # derived name is friendlier for an upsert sink
+                    base = re.sub(r"\W+", "_", args.strip("*") or "all")
+                    alias = f"{fn}_{base}".strip("_") or f"{fn}_{auto_idx}"
+                    auto_idx += 1
+                if alias in aggs:
+                    raise ValueError(f"duplicate output column {alias!r}")
+                aggs[alias] = (fn, args)
+                items.append((None, alias))
+                continue
+            im = _IDENT.match(expr)
+            if not im or im.group("name") not in groups:
+                raise ValueError(
+                    f"aggregate select item {raw!r} is neither a GROUP BY "
+                    "column nor FN(expr) with FN in SUM/COUNT/AVG/MIN/MAX"
+                )
+            items.append((im.group("name"), alias or im.group("name")))
+        selected_groups = {s for s, _ in items if s is not None}
+        missing = [g for g in groups if g not in selected_groups]
+        if missing:
+            raise ValueError(
+                f"SELECT must project every GROUP BY column (the upsert "
+                f"sink's key — Flink requires the same); missing {missing}"
+            )
+        if not aggs:
+            raise ValueError("no aggregate function in the SELECT list")
+        return InsertSelect(
+            sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
+            group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
+            select=items,
+        )
+    raise ValueError(_SHAPES_MSG)
+
+
+def _clean(s: Optional[str]) -> Optional[str]:
+    s = (s or "").strip()
+    return s or None
+
+
+def _names(csv: str, what: str) -> list:
+    out = []
+    for part in csv.split(","):
+        m = _IDENT.match(part.strip())
+        if not m:
+            raise ValueError(
+                f"{what} items must be plain column names, got {part.strip()!r}"
+            )
+        out.append(m.group("name"))
+    return out
+
+
+def _table_meta(tables: dict, name: str):
+    """(primary_key, apply_computed) for a registered source: accepts a
+    ResolvedTable (full DDL surface) or a plain primary-key sequence."""
+    if name not in tables:
+        raise ValueError(
+            f"unknown table {name!r}; registered: {sorted(tables)}"
+        )
+    t = tables[name]
+    if hasattr(t, "primary_key"):
+        return list(t.primary_key), t.apply_computed
+    return list(t), (lambda df: df)
+
+
+def _ckpt(state):
+    if state is None:
+        return None
+    if isinstance(state, tuple):
+        return tuple(_ckpt(s) for s in state)
+    return state.localCheckpoint(eager=True)
+
+
+def _agg_col(fn: str, args: str):
+    """(maintain-fn, Column) for one parsed aggregate — COUNT(*) is the
+    live-row count; COUNT(expr) becomes a signed non-null-indicator sum
+    (SQL semantics on both maintenance plans)."""
+    if fn == "count":
+        if args == "*":
+            return "count", F.lit(1)
+        return "sum", F.expr(
+            f"CASE WHEN ({args}) IS NOT NULL THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    return fn, F.expr(args)
+
+
+class SqlMaintenanceJob:
+    """A compiled INSERT-SELECT maintenance job: ``step(batches)`` folds
+    one microbatch (dict of per-source changelog DataFrames, full
+    retraction form) through the underlying ``maintain()`` plan and into
+    the accumulated sink; ``result()`` is the sink's current content
+    with the SELECT's column names.  Construct via
+    :func:`plan_insert_maintained`."""
+
+    def __init__(self, stmt: InsertSelect, tables: dict,
+                 op_col: str = OP_COL, seq_col: str = SEQ_COL) -> None:
+        self.stmt = stmt
+        self.op_col = op_col
+        self.seq_col = seq_col
+        self._preps = [_table_meta(tables, s) for s in stmt.sources]
+        if stmt.shape == "agg":
+            keys, _ = self._preps[0]
+            aggs = {
+                name: _agg_col(fn, args)
+                for name, (fn, args) in stmt.aggs.items()
+            }
+            fns = {fn for fn, _ in aggs.values()}
+            if fns & {"min", "max"} and not keys:
+                raise ValueError(
+                    f"MIN/MAX maintenance keeps table state keyed by the "
+                    f"source's PRIMARY KEY, but table {stmt.sources[0]!r} "
+                    "declares none"
+                )
+            self.plan = maintain(
+                aggs=aggs, group_cols=stmt.group_cols,
+                keys=keys if fns & {"min", "max"} else None,
+                op_col=op_col, seq_col=seq_col,
+            )
+        elif stmt.shape == "join":
+            self.plan = maintain(
+                on=[ca for ca, _ in stmt.join_on], how=stmt.join_how,
+                op_col=op_col, seq_col=seq_col,
+            )
+        else:  # topn
+            keys, _ = self._preps[0]
+            if not keys:
+                raise ValueError(
+                    f"Top-N maintenance keeps table state keyed by the "
+                    f"source's PRIMARY KEY, but table {stmt.sources[0]!r} "
+                    "declares none"
+                )
+            self.plan = maintain(
+                n=stmt.n, order_sql=stmt.order_sql,
+                group_cols=stmt.group_cols, keys=keys,
+                op_col=op_col, seq_col=seq_col,
+            )
+        self._state = None
+        self._acc: Optional[DataFrame] = None
+
+    # -- per-batch ---------------------------------------------------
+    def _prep(self, i: int, batch: DataFrame) -> DataFrame:
+        _, computed = self._preps[i]
+        out = computed(batch)
+        if self.stmt.where and self.stmt.shape in ("agg", "topn"):
+            # row-local predicate: commutes with the stateful operator
+            # (Flink pushes the Filter below the aggregate the same way)
+            out = out.filter(F.expr(self.stmt.where))
+        return out
+
+    def step(self, batches: dict) -> DataFrame:
+        """Fold one microbatch. ``batches`` maps source table name →
+        changelog DataFrame (full-retraction form: +I/-U/+U/-D, with the
+        job's op/seq columns).  Returns the batch's signed output delta
+        (sink-row membership changes) after folding it into the sink."""
+        missing = [s for s in self.stmt.sources if s not in batches]
+        if missing:
+            raise ValueError(f"step() missing batch for table(s) {missing}")
+        if self.stmt.shape == "join":
+            a = self._prep(0, batches[self.stmt.sources[0]])
+            b = self._prep(1, batches[self.stmt.sources[1]])
+            # merge_join_state equi-joins on same-named columns: align
+            # side b's join columns to side a's names
+            for ca, cb in self.stmt.join_on:
+                if ca != cb:
+                    b = b.withColumnRenamed(cb, ca)
+            self._state, delta = self.plan.step(self._state, a, b)
+        else:
+            batch = self._prep(0, batches[self.stmt.sources[0]])
+            self._state, delta = self.plan.step(self._state, batch)
+        self._state = _ckpt(self._state)
+        if self._acc is None:
+            merged = delta
+        else:
+            payload = [c for c in delta.columns if c != MULT_COL]
+            merged = (
+                self._acc.unionByName(delta)
+                .groupBy(*payload)
+                .agg(F.sum(MULT_COL).alias(MULT_COL))
+            )
+        self._acc = merged.filter(F.col(MULT_COL) != 0).localCheckpoint(
+            eager=True
+        )
+        return delta
+
+    # -- results -----------------------------------------------------
+    def result(self) -> DataFrame:
+        """Current sink content: accumulated live rows, projected to the
+        SELECT's output columns.  Join outputs keep multiset semantics
+        (a live multiplicity m emits m rows, like
+        ``delta_join_changelog``); agg/top-n live rows are keyed and
+        carry multiplicity 1 by the plans' contracts."""
+        if self._acc is None:
+            raise ValueError("no batches stepped yet")
+        live = self._acc.filter(F.col(MULT_COL) > 0)
+        if self.stmt.shape == "join":
+            live = live.withColumn(
+                "__dup",
+                F.explode(
+                    F.sequence(F.lit(1).cast("long"), F.col(MULT_COL))
+                ),
+            ).drop("__dup")
+        cols = []
+        if self.stmt.shape == "join":
+            a, _b = self.stmt.join_aliases
+            on_a = {ca for ca, _ in self.stmt.join_on}
+            for src, out in self.stmt.select:
+                q, c = src.split(".", 1)
+                # side b's join columns were renamed to side a's; the
+                # delta frame carries unqualified names
+                if q != a and c not in on_a:
+                    for ca, cb in self.stmt.join_on:
+                        if c == cb:
+                            c = ca
+                            break
+                cols.append(F.col(c).alias(out))
+        else:
+            for src, out in self.stmt.select:
+                cols.append(F.col(out if src is None else src).alias(out))
+        return live.select(*cols)
+
+
+def plan_insert_maintained(
+    sql: str, tables: dict, op_col: str = OP_COL, seq_col: str = SEQ_COL
+) -> SqlMaintenanceJob:
+    """Compile an INSERT-SELECT over registered CDC tables into a
+    :class:`SqlMaintenanceJob` — the Spark form of submitting the
+    statement to Flink's streaming planner.  ``tables`` maps table name
+    → :class:`~flink_cdc_2_3_0_src_spark.sources.sql_ddl.ResolvedTable`
+    (from ``create_table_source``) or a plain primary-key column list."""
+    return SqlMaintenanceJob(parse_insert_select(sql), tables,
+                             op_col=op_col, seq_col=seq_col)
+
+
+def replay_insert_maintained(
+    sql: str,
+    tables: dict,
+    logs: dict,
+    n_batches: int = 4,
+    op_col: str = OP_COL,
+    seq_col: str = SEQ_COL,
+) -> DataFrame:
+    """Replay full-retraction changelog(s) through a maintenance job in
+    ``n_batches`` global-sequence-range batches and return the final
+    sink content — which equals running the SELECT over the materialized
+    table(s) directly, for ANY batch split (the telescoping invariant
+    the maintenance family's tests pin).  Batching and per-step local
+    checkpointing follow ``delta_join_changelog``."""
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    job = plan_insert_maintained(sql, tables, op_col=op_col, seq_col=seq_col)
+    names = job.stmt.sources
+    if n_batches > 1:
+        logs = {k: v.localCheckpoint(eager=False) for k, v in logs.items()}
+    his = [
+        logs[t].agg(F.max(seq_col)).collect()[0][0] for t in names
+    ]
+    hi = max([h for h in his if h is not None], default=None)
+    if hi is None:
+        n_batches = 1  # empty logs: one step over the (empty) frames
+    for i in range(n_batches):
+        if hi is None:
+            cond = F.lit(True)
+        else:
+            lo_edge = i * (int(hi) + 1) // n_batches
+            hi_edge = (i + 1) * (int(hi) + 1) // n_batches
+            cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
+            if i == 0:
+                cond = F.col(seq_col) < hi_edge
+            if i == n_batches - 1:
+                cond = F.col(seq_col) >= lo_edge
+                if n_batches == 1:
+                    cond = F.lit(True)
+        job.step({t: logs[t].filter(cond) for t in names})
+    return job.result()

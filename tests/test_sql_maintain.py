@@ -1,0 +1,399 @@
+"""SQL → maintenance bridge (plans/sql_maintain.py).
+
+The reference's user surface is an INSERT-SELECT handed to a planner
+that picks the incremental operator (MySqlConnectorITCase.java:213-271:
+``INSERT INTO sink SELECT name, SUM(weight) FROM debezium_source GROUP
+BY name`` with live DML mid-run, golden ``+I[hammer, 2.625]``).  These
+tests pin the bridge: shape parsing, planner dispatch, replay-equals-
+direct for all three shapes under any batch split, WHERE commutation,
+DDL-surface integration (computed columns + PRIMARY KEY), and the
+ITCase mirror through a real Structured Streaming query.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+    parse_insert_select,
+    plan_insert_maintained,
+    replay_insert_maintained,
+)
+
+
+def _log(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# Full-retraction changelog over (user_id PK, g group, v value) with
+# NULL values live in the final state (pins avg/count NULL semantics),
+# an update, a delete, and a delete of a NULL-valued row.
+_AGG_ROWS = [
+    (1, "a", 10.0, "+I", 1),
+    (2, "a", None, "+I", 2),
+    (3, "b", 5.0, "+I", 3),
+    (5, "b", 7.5, "+I", 4),
+    (1, "a", 10.0, "-U", 5), (1, "a", 20.0, "+U", 5),
+    (4, "b", None, "+I", 6),
+    (4, "b", None, "-D", 7),
+    (3, "b", 5.0, "-D", 8),
+]
+_AGG_SCHEMA = f"user_id long, g string, v double, {OP_COL} string, {SEQ_COL} long"
+
+_AGG_SQL = """
+    INSERT INTO sink
+    SELECT g, SUM(v) AS s, COUNT(*) AS n, COUNT(v) AS nv, AVG(v) AS a
+    FROM t GROUP BY g
+"""
+
+
+def test_parse_agg_shape():
+    st = parse_insert_select(_AGG_SQL)
+    assert st.shape == "agg" and st.sink == "sink" and st.sources == ["t"]
+    assert st.group_cols == ["g"]
+    assert set(st.aggs) == {"s", "n", "nv", "a"}
+    assert st.aggs["s"] == ("sum", "v") and st.aggs["n"] == ("count", "*")
+    assert st.select[0] == ("g", "g")
+
+
+def test_parse_join_shape():
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT a.user_id AS uid, a.v, b.seg "
+        "FROM ta AS a LEFT JOIN tb b ON a.user_id = b.uid"
+    )
+    assert st.shape == "join" and st.sources == ["ta", "tb"]
+    assert st.join_how == "left" and st.join_on == [("user_id", "uid")]
+    assert st.select == [("a.user_id", "uid"), ("a.v", "v"), ("b.seg", "seg")]
+
+
+def test_parse_topn_shape():
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT bucket, user_id, v FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket "
+        "ORDER BY v DESC, user_id) AS rn FROM t WHERE v > 0) WHERE rn <= 2"
+    )
+    assert st.shape == "topn" and st.n == 2
+    assert st.group_cols == ["bucket"]
+    assert st.order_sql == "v DESC, user_id"
+    assert st.where == "v > 0"
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("SELECT 1", "not an INSERT INTO"),
+        ("INSERT INTO s SELECT g FROM t GROUP BY g", "no aggregate"),
+        ("INSERT INTO s SELECT SUM(v) AS s FROM t GROUP BY g",
+         "every GROUP BY column"),
+        ("INSERT INTO s SELECT x, SUM(v) AS s FROM t GROUP BY g",
+         "neither a GROUP BY column"),
+        ("INSERT INTO s SELECT a.x, b.y FROM ta a JOIN tb b ON a.k < b.k",
+         "equi-join"),
+        ("INSERT INTO s SELECT bucket, rn FROM (SELECT *, ROW_NUMBER() "
+         "OVER (PARTITION BY bucket ORDER BY v) AS rn FROM t) WHERE rn <= 2",
+         "rank column"),
+        ("INSERT INTO s SELECT v FROM t", "unsupported INSERT-SELECT shape"),
+    ],
+)
+def test_parse_errors(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
+
+
+def test_plan_unknown_table_and_dispatch(spark):
+    with pytest.raises(ValueError, match="unknown table"):
+        plan_insert_maintained(_AGG_SQL, {"other": ["user_id"]})
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _AggDeltaPlan,
+        _AggRecomputePlan,
+    )
+
+    # planner dispatch mirrors agg_auto: pure sum/count/avg → stateless
+    # signed-delta plan; any min/max → table-state recompute plan
+    job = plan_insert_maintained(_AGG_SQL, {"t": ["user_id"]})
+    assert isinstance(job.plan, _AggDeltaPlan)
+    job2 = plan_insert_maintained(
+        "INSERT INTO s SELECT g, MIN(v) AS mn FROM t GROUP BY g",
+        {"t": ["user_id"]},
+    )
+    assert isinstance(job2.plan, _AggRecomputePlan)
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g, MIN(v) AS mn FROM t GROUP BY g",
+            {"t": []},
+        )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_agg_replay_matches_direct_any_split(spark, n_batches):
+    log = _log(spark, _AGG_ROWS, _AGG_SCHEMA)
+    got = replay_insert_maintained(
+        _AGG_SQL, {"t": ["user_id"]}, {"t": log}, n_batches=n_batches
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .groupBy("g")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("v").alias("nv"),
+            F.avg("v").alias("a"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # the NULL rows are live: COUNT(*) ≠ COUNT(v) and AVG ignores NULLs
+    rows = {r["g"]: r for r in got.collect()}
+    assert rows["a"]["n"] == 2 and rows["a"]["nv"] == 1
+    assert rows["a"]["a"] == 20.0  # not 10.0 (= 20/2 with NULL counted)
+
+
+def test_agg_minmax_recompute_via_ddl_surface(spark):
+    """The full reference contract: CREATE TABLE (computed column +
+    PRIMARY KEY) + INSERT-SELECT with MIN/MAX → the bridge pulls keys
+    from the DDL, applies the computed column per batch, and routes to
+    the recompute plan."""
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(
+        """
+        CREATE TABLE t (
+            user_id BIGINT NOT NULL,
+            g STRING,
+            v DOUBLE,
+            bucket AS CAST(user_id % 3 AS BIGINT),
+            PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH (
+            'connector' = 'mysql-cdc', 'hostname' = 'h',
+            'database-name' = 'd', 'table-name' = 't'
+        )
+        """
+    )
+    log = _log(spark, _AGG_ROWS, _AGG_SCHEMA)
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket, MIN(v) AS mn, MAX(v) AS mx, "
+        "SUM(v) AS s FROM t GROUP BY bucket",
+        {"t": rt},
+        {"t": log},
+        n_batches=3,
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .withColumn("bucket", (F.col("user_id") % 3).cast("long"))
+        .groupBy("bucket")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"),
+             F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_join_replay_matches_direct(spark):
+    a_rows = [
+        (1, "a1", "+I", 1), (2, "b1", "+I", 2),
+        (1, "a1", "-U", 5), (1, "a2", "+U", 5),
+        (3, "c1", "+I", 6), (2, "b1", "-D", 9),
+    ]
+    b_rows = [
+        (1, "gold", "+I", 3), (2, "iron", "+I", 4),
+        (3, "tin", "+I", 7),
+        (3, "tin", "-U", 8), (3, "zinc", "+U", 8),
+        (1, "gold", "-D", 10),
+    ]
+    la = _log(spark, a_rows, f"user_id long, v string, {OP_COL} string, {SEQ_COL} long")
+    lb = _log(spark, b_rows, f"uid long, seg string, {OP_COL} string, {SEQ_COL} long")
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT a.user_id, a.v, b.seg AS segment "
+        "FROM ta a JOIN tb b ON a.user_id = b.uid",
+        {"ta": ["user_id"], "tb": ["uid"]},
+        {"ta": la, "tb": lb},
+        n_batches=4,
+    )
+    direct = (
+        materialize(la, ["user_id"])
+        .select("user_id", "v")
+        .join(
+            materialize(lb, ["uid"]).select(
+                F.col("uid").alias("user_id"), F.col("seg").alias("segment")
+            ),
+            "user_id",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    ) == [(3, "c1", "zinc")]
+
+
+def test_topn_replay_matches_direct(spark):
+    rows = [
+        (1, 0, 10.0, "+I", 1), (2, 0, 20.0, "+I", 2),
+        (3, 0, 30.0, "+I", 3), (4, 1, 5.0, "+I", 4),
+        (5, 1, -1.0, "+I", 5),
+        (3, 0, 30.0, "-U", 6), (3, 0, 1.0, "+U", 6),
+        (2, 0, 20.0, "-D", 7),
+        (6, 1, 8.0, "+I", 8),
+    ]
+    log = _log(
+        spark, rows,
+        f"user_id long, bucket long, v double, {OP_COL} string, {SEQ_COL} long",
+    )
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket, user_id, v FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket "
+        "ORDER BY v DESC, user_id) AS rn FROM t WHERE v > 0) WHERE rn <= 2",
+        {"t": ["user_id"]},
+        {"t": log},
+        n_batches=3,
+    )
+    from pyspark.sql.window import Window as W
+
+    direct = (
+        materialize(log, ["user_id"])
+        .filter(F.col("v") > 0)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("v").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("bucket", "user_id", "v")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_where_commutes_with_boundary_crossing_update(spark):
+    """A WHERE pre-filter on every batch equals filtering the
+    materialized table — including an update that crosses the predicate
+    boundary (v 5→15: the -U is dropped by the filter, but so was the
+    row's original insert, so the signed algebra stays balanced)."""
+    rows = [
+        (1, "a", 5.0, "+I", 1),
+        (2, "a", 50.0, "+I", 2),
+        (1, "a", 5.0, "-U", 3), (1, "a", 15.0, "+U", 3),
+        (2, "a", 50.0, "-U", 4), (2, "a", 3.0, "+U", 4),  # crosses DOWN
+    ]
+    log = _log(spark, rows, _AGG_SCHEMA)
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT g, SUM(v) AS s, COUNT(*) AS n "
+        "FROM t WHERE v >= 10 GROUP BY g",
+        {"t": ["user_id"]},
+        {"t": log},
+        n_batches=3,
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .filter(F.col("v") >= 10)
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    ) == [("a", 15.0, 1)]
+
+
+def test_streaming_itcase_golden_sum_by_name(spark, tmp_path):
+    """The reference's flagship SQL contract end-to-end through a REAL
+    Structured Streaming query (MySqlConnectorITCase.java:213-271): a
+    CREATE TABLE DDL resolves the source, ``INSERT INTO sink SELECT
+    name, SUM(weight) FROM products GROUP BY name`` compiles to a
+    maintenance job, the snapshot batch and live UPDATE/INSERT/DELETE
+    DML replay as microbatches, and the final sink matches the ITCase
+    golden rows — ``+I[hammer, 2.625]`` after retractions."""
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    rt = create_table_source(
+        """
+        CREATE TABLE products (
+            id BIGINT NOT NULL,
+            name STRING,
+            weight DECIMAL(10, 3),
+            PRIMARY KEY (id) NOT ENFORCED
+        ) WITH (
+            'connector' = 'mysql-cdc', 'hostname' = 'h',
+            'database-name' = 'inventory', 'table-name' = 'products'
+        )
+        """
+    )
+    D = Decimal
+    snapshot = [
+        (101, "scooter", D("3.140"), "+I", 1),
+        (102, "car battery", D("8.100"), "+I", 2),
+        (103, "12-pack drill bits", D("0.800"), "+I", 3),
+        (104, "hammer", D("0.750"), "+I", 4),
+        (105, "hammer", D("0.875"), "+I", 5),
+        (106, "hammer", D("1.000"), "+I", 6),
+        (107, "rocks", D("5.300"), "+I", 7),
+        (108, "jacket", D("0.100"), "+I", 8),
+        (109, "spare tire", D("22.200"), "+I", 9),
+    ]
+    dml = [
+        # UPDATE 106 description only: weight unchanged, full -U/+U pair
+        (106, "hammer", D("1.000"), "-U", 10),
+        (106, "hammer", D("1.000"), "+U", 10),
+        (107, "rocks", D("5.300"), "-U", 11),
+        (107, "rocks", D("5.100"), "+U", 11),
+        (110, "jacket", D("0.200"), "+I", 12),
+        (111, "scooter", D("5.180"), "+I", 13),
+        (110, "jacket", D("0.200"), "-U", 14),
+        (110, "jacket", D("0.500"), "+U", 14),
+        (111, "scooter", D("5.180"), "-U", 15),
+        (111, "scooter", D("5.170"), "+U", 15),
+        (111, "scooter", D("5.170"), "-D", 16),
+    ]
+    schema = (
+        f"id long, name string, weight decimal(10,3), "
+        f"{OP_COL} string, {SEQ_COL} long"
+    )
+    log = spark.createDataFrame(snapshot + dml, schema)
+    replay_dir = str(tmp_path / "replay_itcase")
+    write_replay_files(log, replay_dir, n_files=4)
+
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT name, SUM(weight) AS weightSum "
+        "FROM products GROUP BY name",
+        {"products": rt},
+    )
+
+    def process(batch_df, batch_id):
+        job.step({"products": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_itcase"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        f"+I[{r['name']}, {r['weightSum']}]" for r in job.result().collect()
+    )
+    expected = sorted(
+        [
+            "+I[scooter, 3.140]",
+            "+I[car battery, 8.100]",
+            "+I[12-pack drill bits, 0.800]",
+            "+I[hammer, 2.625]",
+            "+I[rocks, 5.100]",
+            "+I[jacket, 0.600]",
+            "+I[spare tire, 22.200]",
+        ]
+    )
+    assert got == expected
