@@ -417,6 +417,71 @@ class _HllPlan(_Plan):
         return expire_state(state, watermark, self._ttl)
 
 
+class _HistPlan(_Plan):
+    """Incremental per-group equi-width histogram quantile maintenance
+    (merge_hist_state — the distribution member of the sketch trio:
+    HLL = cardinality, CMS = frequency, histogram = distribution).  The
+    declared domain (vmin, vmax) fixes the bin edges so the cell-count
+    addition monoid holds across any batch split.  The output delta is
+    the signed diff of the FINALIZED quantile rows for the groups the
+    batch touched (batch-driven, like the agg and hll plans).  ttl
+    applies when the group column is an event-time bucket."""
+
+    kind = "hist"
+
+    def __init__(self, opts, ttl) -> None:
+        super().__init__(ttl)
+        opts = dict(opts) if opts is not True else {}
+        unknown = set(opts) - {"group_col", "bins", "vmin", "vmax", "quantiles"}
+        if unknown:
+            raise ValueError(f"unknown hist options: {sorted(unknown)}")
+        if "vmin" not in opts or "vmax" not in opts:
+            raise ValueError(
+                "hist maintenance needs a declared domain: pass "
+                "hist={'vmin': ..., 'vmax': ...} — fixed bin edges are "
+                "what make the cell-count monoid hold across batches"
+            )
+        self.group_col = opts.get("group_col", "source")
+        self.bins = int(opts.get("bins", 256))
+        self.vmin = int(opts["vmin"])
+        self.vmax = int(opts["vmax"])
+        self.quantiles = tuple(opts.get("quantiles", (50, 90, 99)))
+
+    def step(self, state, batch: DataFrame):
+        from flink_cdc_2_3_0_src_spark.operators.sketch import (
+            hist_state_quantiles,
+            merge_hist_state,
+        )
+
+        new_state = merge_hist_state(
+            state, batch, self.vmin, self.vmax,
+            group_col=self.group_col, bins=self.bins,
+        )
+        affected = batch.select(
+            F.col(self.group_col).alias("g")
+        ).distinct()
+
+        def _finalize(cells):
+            return hist_state_quantiles(
+                _keyset_join(cells, affected, ["g"], "left_semi"),
+                self.vmin, self.vmax, group_col=self.group_col,
+                quantiles=self.quantiles, bins=self.bins,
+            )
+
+        old_aff = None if state is None else _finalize(state)
+        return new_state, _signed_diff(_finalize(new_state), old_aff)
+
+    def _expire(self, state, watermark):
+        if self._ttl != self.group_col:
+            raise ValueError(
+                "hist state is per-group; ttl must name the group column "
+                "(an event-time bucket) to expire whole groups"
+            )
+        # cell state carries the group as 'g' (the shared projection's
+        # column name); expire on that
+        return expire_state(state, watermark, "g")
+
+
 class _TopNPlan(_Plan):
     kind = "topn"
 
@@ -459,6 +524,7 @@ def maintain(
     n: Optional[int] = None,
     dedup=None,
     hll=None,
+    hist=None,
     ttl=None,
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
@@ -484,6 +550,12 @@ def maintain(
       per-group HLL distinct-count maintenance over document batches;
       the output delta is the signed diff of the affected groups'
       finalized estimates.
+    * ``hist={"vmin":…, "vmax":…[, "group_col":…, "bins":…,
+      "quantiles":…]}`` — incremental per-group equi-width histogram
+      quantile maintenance over document batches; the declared
+      (vmin, vmax) domain fixes the bin edges (the cell-count addition
+      monoid needs them fixed), and the output delta is the signed diff
+      of the affected groups' finalized quantile rows.
 
     The family's k-NN graph member (``similarity.merge_knn_state``) is
     deliberately NOT dispatched here: exact k-NN has no batch-restricted
@@ -498,30 +570,35 @@ def maintain(
     family's shared signed-multiset output contract; see the module
     docstring.
     """
-    # dedup=False / hll=False read as "not this shape" — treat them as
-    # undeclared rather than letting dict(False) raise mid-dispatch
+    # dedup=False / hll=False / hist=False read as "not this shape" —
+    # treat them as undeclared rather than letting dict(False) raise
+    # mid-dispatch
     if dedup is False:
         dedup = None
     if hll is False:
         hll = None
-    for label, opt in (("dedup", dedup), ("hll", hll)):
+    if hist is False:
+        hist = None
+    for label, opt in (("dedup", dedup), ("hll", hll), ("hist", hist)):
         if opt is not None and opt is not True and not isinstance(opt, dict):
             raise ValueError(
                 f"{label}= takes True or an options dict, got {opt!r}"
             )
     shapes = [
         aggs is not None, on is not None, n is not None,
-        dedup is not None, hll is not None,
+        dedup is not None, hll is not None, hist is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | "
-            "n=...+order_sql | dedup=... | hll=..."
+            "n=...+order_sql | dedup=... | hll=... | hist=..."
         )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)
     if hll is not None:
         return _HllPlan(hll, ttl)
+    if hist is not None:
+        return _HistPlan(hist, ttl)
     if on is not None:
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(

@@ -549,15 +549,10 @@ def histogram_quantiles(
     width.  One 1-row (min, max) collect (bounded, like the bloom/CMS
     literal folds) + one fixed-width groupBy; the per-group cumulative
     window runs over <= B rows per group, bounded by construction."""
-    from pyspark.sql.window import Window
-
-    vals = docs.select(
-        F.col(group_col).alias("g"),
-        F.size(tokens(F.col("text"))).cast("long").alias("v"),
-    ).filter(F.col("v").isNotNull())
-    # null-text docs are dropped explicitly: a NULL bin would otherwise
-    # sort FIRST in Spark's window and LAST in DuckDB's — a silent
-    # cross-engine cum split
+    # null-text docs are dropped explicitly (inside docs_token_counts):
+    # a NULL bin would otherwise sort FIRST in Spark's window and LAST
+    # in DuckDB's — a silent cross-engine cum split
+    vals = docs_token_counts(docs, group_col)
     lo_hi = vals.agg(F.min("v"), F.max("v")).collect()[0]
     if lo_hi[0] is None:
         # empty / all-null-text corpus: the DuckDB twin returns an
@@ -575,17 +570,51 @@ def histogram_quantiles(
         )
         return docs.sparkSession.createDataFrame([], schema)
     vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
-    wdt = max(1, -((vmin - vmax - 1) // bins))  # ceil((max-min+1)/bins)
-    cells = (
+    wdt = _hist_width(vmin, vmax, bins)
+    cells = _hist_cells(vals, vmin, wdt, bins)
+    return _hist_quantiles_from_cells(
+        cells, group_col, quantiles, vmin, vmax, wdt
+    )
+
+
+def _hist_width(vmin: int, vmax: int, bins: int) -> int:
+    return max(1, -((vmin - vmax - 1) // bins))  # ceil((max-min+1)/bins)
+
+
+def _hist_cells(vals: DataFrame, vmin: int, wdt: int, bins: int) -> DataFrame:
+    """(g, v) rows → (g, bin, c) counter cells with values clamped into
+    the [0, bins-1] bin range (one-shot callers pass the true corpus
+    min, so the lower clamp is a no-op there; the declared-domain
+    incremental path may legitimately see out-of-range values)."""
+    return (
         vals.withColumn(
             "bin",
-            F.least(
-                F.lit(bins - 1), F.floor((F.col("v") - F.lit(vmin)) / F.lit(wdt))
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col("v") - F.lit(vmin)) / F.lit(wdt)),
+                ),
             ).cast("long"),
         )
         .groupBy("g", "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _hist_quantiles_from_cells(
+    cells: DataFrame,
+    group_col: str,
+    quantiles: tuple,
+    vmin: int,
+    vmax: int,
+    wdt: int,
+) -> DataFrame:
+    """(g, bin, c) cells → the quantile frame — shared by the one-shot
+    path and the incremental state path so both finalize
+    bit-identically (the HLL `_finalize_hll` discipline)."""
+    from pyspark.sql.window import Window
+
     wcum = (
         Window.partitionBy("g")
         .orderBy("bin")
@@ -614,6 +643,76 @@ def histogram_quantiles(
         est_lo.alias("est_lo"),
         F.least(est_lo + F.lit(wdt - 1), F.lit(vmax)).alias("est_hi"),
     ).orderBy(group_col, "q")
+
+
+def merge_hist_state(
+    state: Optional[DataFrame],
+    batch_docs: DataFrame,
+    vmin: int,
+    vmax: int,
+    group_col: str = "source",
+    bins: int = QH_BINS,
+) -> DataFrame:
+    """Incremental equi-width histogram cell maintenance across ingest
+    batches — the distribution member of the maintenance family's
+    sketch trio (HLL = cardinality via register-MIN, CMS = frequency
+    via counter addition, this = distribution via CELL-COUNT ADDITION:
+    counts over disjoint batches add, so batch partials fold into state
+    EXACTLY, in any arrival order or split).
+
+    Bin edges must be FIXED up front for the monoid to hold — a moving
+    (min, max) would re-bin history — so the domain ``[vmin, vmax]`` is
+    declared at plan time (production histogram sketches declare their
+    range the same way; values outside the domain clamp into the edge
+    bins).  ``state`` is ``None`` for the first batch, else the
+    (group, bin, c) cell frame from the previous step.  Per batch: one
+    narrow projection over ONLY the batch's docs + one fixed-width
+    (≤ bins cells per group) count merge — work is O(batch +
+    |groups| × bins), the corpus is never rescanned.  Finalize with
+    :func:`hist_state_quantiles`; with ``(vmin, vmax)`` set to the
+    corpus (min, max), the result is bit-identical to the one-shot
+    :func:`histogram_quantiles` for any split (pinned by tests).
+
+    Reference-adjacent to per-split metrics accumulation
+    (SourceReaderMetrics), replacing exact percentile state where a
+    bounded sketch suffices — the per-batch corpus-stats shape a
+    100 TB ingest runs continuously."""
+    vals = docs_token_counts(batch_docs, group_col)
+    wdt = _hist_width(int(vmin), int(vmax), bins)
+    cells_b = _hist_cells(vals, int(vmin), wdt, bins)
+    if state is None:
+        return cells_b
+    return (
+        state.unionByName(cells_b)
+        .groupBy("g", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def docs_token_counts(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """(g, v) token-count rows — the shared input projection of the
+    one-shot and incremental histogram paths."""
+    return docs.select(
+        F.col(group_col).alias("g"),
+        F.size(tokens(F.col("text"))).cast("long").alias("v"),
+    ).filter(F.col("v").isNotNull())
+
+
+def hist_state_quantiles(
+    state: DataFrame,
+    vmin: int,
+    vmax: int,
+    group_col: str = "source",
+    quantiles: tuple = QH_QUANTILES,
+    bins: int = QH_BINS,
+) -> DataFrame:
+    """Finalize a ``merge_hist_state`` cell frame into the same
+    (group, q, n, rank_r, bin_idx, est_lo, est_hi) output
+    :func:`histogram_quantiles` produces."""
+    wdt = _hist_width(int(vmin), int(vmax), bins)
+    return _hist_quantiles_from_cells(
+        state, group_col, quantiles, int(vmin), int(vmax), wdt
+    )
 
 
 def histogram_quantiles_sql(
@@ -671,5 +770,8 @@ __all__ = [
     "QH_BINS",
     "histogram_quantiles",
     "histogram_quantiles_sql",
+    "merge_hist_state",
+    "hist_state_quantiles",
+    "docs_token_counts",
 ]
 _ = (POLY_MOD, POLY_MULT)  # re-exported hash constants used by tests

@@ -2916,6 +2916,51 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hist_incremental",
+    __import__(
+        "flink_cdc_2_3_0_src_spark.operators.sketch", fromlist=["x"]
+    ).histogram_quantiles_sql(),
+)
+def sketch_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental equi-width histogram cell maintenance (r10; the
+    distribution member of the maintenance family's sketch trio —
+    HLL r9 = cardinality, this = distribution, CMS's partition-merge
+    exactness pinned since r3): documents arrive in ascending doc_id
+    batches and merge_hist_state ADD-folds each batch's (group, bin)
+    cell counts — work per batch is O(batch + groups × bins), the
+    corpus is never rescanned.  Bin edges are fixed up front (the
+    declared domain production histogram sketches use; here set to the
+    corpus min/max, the same 1-row bounded aggregate the one-shot path
+    collects).  Oracle = the SAME one-shot histogram SQL as
+    sketch_quantile_histogram: the cell-count addition monoid makes the
+    incremental quantiles bit-identical for any split."""
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        docs_token_counts,
+        hist_state_quantiles,
+        histogram_quantiles,
+        merge_hist_state,
+    )
+
+    docs = ld(spark, sf_dir, "documents")
+    lo_hi = docs_token_counts(docs).agg(F.min("v"), F.max("v")).collect()[0]
+    if lo_hi[0] is None:
+        return histogram_quantiles(docs)  # empty-corpus schema path
+    vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    n_batches, state = 4, None
+    for i in range(n_batches):
+        lo = i * (int(hi) + 1) // n_batches
+        up = (i + 1) * (int(hi) + 1) // n_batches
+        cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+        if i == n_batches - 1:
+            cond = F.col("doc_id") >= lo
+        state = merge_hist_state(
+            state, docs.filter(cond), vmin, vmax
+        ).localCheckpoint(eager=True)
+    return hist_state_quantiles(state, vmin, vmax)
+
+
+@register(
     "pipeline_priority_sample",
     __import__(
         "flink_cdc_2_3_0_src_spark.operators.sampling", fromlist=["x"]

@@ -496,3 +496,48 @@ def test_maintain_hll_plan_matches_one_shot(spark):
         maintain(hll={"em": 64})
     with pytest.raises(ValueError, match="group column"):
         maintain(hll=True, ttl="ts").expire(state, 0)
+
+
+def test_maintain_hist_plan_matches_one_shot(spark):
+    """hist= shape (r10, completes the sketch trio): net signed deltas
+    of finalized quantile rows equal the one-shot histogram_quantiles
+    over the union, for any split (the cell-count addition monoid with
+    a fixed declared domain), with batch-affected-only output per
+    step."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        docs_token_counts,
+        histogram_quantiles,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = {tuple(r) for r in histogram_quantiles(docs).collect()}
+    assert want
+    lo_hi = docs_token_counts(docs).agg(F.min("v"), F.max("v")).collect()[0]
+    vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    plan = maintain(hist={"vmin": vmin, "vmax": vmax})
+    assert plan.kind == "hist"
+    for nb in (1, 3):
+        batches = []
+        for i in range(nb):
+            lo = i * (int(hi) + 1) // nb
+            up = (i + 1) * (int(hi) + 1) // nb
+            cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            if i == nb - 1:
+                cond = F.col("doc_id") >= lo if nb > 1 else F.lit(True)
+            batches.append(docs.filter(cond))
+        state, parts = _run_plan(plan, batches)
+        assert _net(parts) == want, f"n_batches={nb}"
+
+    with pytest.raises(ValueError, match="declared domain"):
+        maintain(hist=True)
+    with pytest.raises(ValueError, match="unknown hist options"):
+        maintain(hist={"vmin": 0, "vmax": 9, "m": 64})
+    with pytest.raises(ValueError, match="takes True or an options dict"):
+        maintain(hist=[1, 2])
+    # hist=False reads as "not this shape", not dict(False)
+    with pytest.raises(ValueError, match="exactly one shape"):
+        maintain(hist=False)
+    with pytest.raises(ValueError, match="group column"):
+        maintain(hist={"vmin": vmin, "vmax": vmax}, ttl="ts").expire(state, 0)

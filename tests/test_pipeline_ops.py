@@ -1149,3 +1149,63 @@ def test_merge_hll_state_equals_one_shot_any_split(spark):
     s2 = merge_hll_state(s1, d([(2, "real tokens here", "empty_src")]))
     out = hll_state_estimate(s2).collect()
     assert len(out) == 1 and out[0]["est_distinct"] >= 3
+
+
+def test_merge_hist_state_equals_one_shot_any_split(spark):
+    """Incremental equi-width histogram cell maintenance (the
+    distribution member of the sketch trio): folding ingest batches
+    through the cell-count ADDITION monoid (with the domain fixed to
+    the corpus min/max) and finalizing equals the one-shot
+    histogram_quantiles BIT-EXACTLY, for every batch split.  Also
+    pins the declared-domain clamp: values outside [vmin, vmax] land
+    in the edge bins and still count toward n."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        docs_token_counts,
+        hist_state_quantiles,
+        histogram_quantiles,
+        merge_hist_state,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    want = [tuple(r) for r in histogram_quantiles(docs).collect()]
+    assert len(want) > 0
+    lo_hi = docs_token_counts(docs).agg(F.min("v"), F.max("v")).collect()[0]
+    vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    for nb in (1, 3):
+        state = None
+        for i in range(nb):
+            lo = i * (int(hi) + 1) // nb
+            up = (i + 1) * (int(hi) + 1) // nb
+            cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            if i == nb - 1:
+                cond = F.col("doc_id") >= lo if nb > 1 else F.lit(True)
+            state = merge_hist_state(
+                state, docs.filter(cond), vmin, vmax
+            ).localCheckpoint(eager=True)
+        got = [
+            tuple(r) for r in hist_state_quantiles(state, vmin, vmax).collect()
+        ]
+        assert got == want, f"n_batches={nb}"
+
+    # declared-domain clamp: domain [5, 8] with bins=4 -> width 1;
+    # a 2-token doc clamps into bin 0, a 20-token doc into bin 3;
+    # n counts all four docs
+    def d(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string"
+        )
+
+    batch = d([
+        (1, "a b", "s"),                     # 2 tokens -> clamps to bin 0
+        (2, "a b c d e", "s"),               # 5 tokens -> bin 0
+        (3, "a b c d e f g h", "s"),         # 8 tokens -> bin 3
+        (4, " ".join(["t"] * 20), "s"),      # 20 tokens -> clamps to bin 3
+    ])
+    st = merge_hist_state(None, batch, vmin=5, vmax=8, bins=4)
+    cells = {(r["bin"], r["c"]) for r in st.collect()}
+    assert cells == {(0, 2), (3, 2)}
+    fin = hist_state_quantiles(st, 5, 8, quantiles=(50,), bins=4).collect()
+    assert fin[0]["n"] == 4

@@ -1597,3 +1597,50 @@ def test_streaming_knn_state_matches_one_shot(spark, tmp_path):
         for r in knn_graph(emb, k=3, block_size=37).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_hist_state_matches_one_shot(spark, tmp_path):
+    """Incremental histogram through a REAL Structured Streaming query:
+    document batches arrive as a file stream; foreachBatch ADD-folds
+    each batch's cell counts with the domain fixed up front.  Final
+    finalized state equals the one-shot histogram_quantiles bit-exactly
+    (the cell-count addition monoid)."""
+    from flink_cdc_2_3_0_src_spark.io import load_table
+    from flink_cdc_2_3_0_src_spark.operators.sketch import (
+        docs_token_counts,
+        hist_state_quantiles,
+        histogram_quantiles,
+        merge_hist_state,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(300)
+    lo_hi = docs_token_counts(docs).agg(
+        F.min("v"), F.max("v")
+    ).collect()[0]
+    vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
+    log = docs.withColumn(SEQ_COL, F.col("doc_id"))
+    replay_dir = str(tmp_path / "replay_hist")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    state_box = [None]
+
+    def process(batch_df, batch_id):
+        state_box[0] = merge_hist_state(
+            state_box[0], batch_df.drop(SEQ_COL), vmin, vmax
+        ).localCheckpoint(eager=True)
+
+    stream = read_replay_stream(spark, replay_dir, log.schema)
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = [
+        tuple(r)
+        for r in hist_state_quantiles(state_box[0], vmin, vmax).collect()
+    ]
+    want = [tuple(r) for r in histogram_quantiles(docs).collect()]
+    assert got == want and len(want) > 0
