@@ -1156,10 +1156,16 @@ def _parse_order_sql(order_sql: str):
             except Exception as exc:
                 # only an actual ParseException means the USER's item is
                 # bad; Py4J transport/JVM failures must propagate as the
-                # infrastructure errors they are, not blame order_sql
+                # infrastructure errors they are, not blame order_sql.
+                # PySpark's capture hook converts the JVM error into
+                # pyspark.errors.ParseException; a raw Py4JJavaError
+                # (uncaptured call path) carries java_exception instead
+                from pyspark.errors import ParseException as _ParseErr
+
                 java_exc = getattr(exc, "java_exception", None)
-                is_parse_err = java_exc is not None and "ParseException" in (
-                    java_exc.getClass().getName()
+                is_parse_err = isinstance(exc, _ParseErr) or (
+                    java_exc is not None
+                    and "ParseException" in java_exc.getClass().getName()
                 )
                 if not is_parse_err:
                     raise

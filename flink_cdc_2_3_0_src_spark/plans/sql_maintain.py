@@ -357,7 +357,8 @@ class SqlMaintenanceJob:
     :func:`plan_insert_maintained`."""
 
     def __init__(self, stmt: InsertSelect, tables: dict,
-                 op_col: str = OP_COL, seq_col: str = SEQ_COL) -> None:
+                 op_col: str = OP_COL, seq_col: str = SEQ_COL,
+                 ttl=None) -> None:
         self.stmt = stmt
         self.op_col = op_col
         self.seq_col = seq_col
@@ -378,12 +379,12 @@ class SqlMaintenanceJob:
             self.plan = maintain(
                 aggs=aggs, group_cols=stmt.group_cols,
                 keys=keys if fns & {"min", "max"} else None,
-                op_col=op_col, seq_col=seq_col,
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "join":
             self.plan = maintain(
                 on=[ca for ca, _ in stmt.join_on], how=stmt.join_how,
-                op_col=op_col, seq_col=seq_col,
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         else:  # topn
             keys, _ = self._preps[0]
@@ -396,7 +397,7 @@ class SqlMaintenanceJob:
             self.plan = maintain(
                 n=stmt.n, order_sql=stmt.order_sql,
                 group_cols=stmt.group_cols, keys=keys,
-                op_col=op_col, seq_col=seq_col,
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         self._state = None
         self._acc: Optional[DataFrame] = None
@@ -446,6 +447,17 @@ class SqlMaintenanceJob:
         )
         return delta
 
+    def expire(self, watermark) -> None:
+        """State TTL between steps (Flink's table.exec.state.ttl, via
+        the underlying plan's ``expire``): evict plan state behind
+        ``watermark``.  Requires ``ttl=`` at job construction — the
+        event-time column (a per-side pair for the join shape); the
+        already-folded sink is NOT retracted (matching Flink, where TTL
+        forgets state, not emitted results)."""
+        if self._state is None:
+            return
+        self._state = _ckpt(self.plan.expire(self._state, watermark))
+
     # -- results -----------------------------------------------------
     def result(self) -> DataFrame:
         """Current sink content: accumulated live rows, projected to the
@@ -484,15 +496,20 @@ class SqlMaintenanceJob:
 
 
 def plan_insert_maintained(
-    sql: str, tables: dict, op_col: str = OP_COL, seq_col: str = SEQ_COL
+    sql: str, tables: dict, op_col: str = OP_COL, seq_col: str = SEQ_COL,
+    ttl=None,
 ) -> SqlMaintenanceJob:
     """Compile an INSERT-SELECT over registered CDC tables into a
     :class:`SqlMaintenanceJob` — the Spark form of submitting the
     statement to Flink's streaming planner.  ``tables`` maps table name
     → :class:`~flink_cdc_2_3_0_src_spark.sources.sql_ddl.ResolvedTable`
-    (from ``create_table_source``) or a plain primary-key column list."""
+    (from ``create_table_source``) or a plain primary-key column list.
+    ``ttl`` enables ``job.expire(watermark)`` (Flink's
+    table.exec.state.ttl): the event-time column the plan's state keeps
+    — a group column for the aggregate shape, a ``(ts_a, ts_b)`` pair
+    for the join shape, a table column for Top-N."""
     return SqlMaintenanceJob(parse_insert_select(sql), tables,
-                             op_col=op_col, seq_col=seq_col)
+                             op_col=op_col, seq_col=seq_col, ttl=ttl)
 
 
 def replay_insert_maintained(

@@ -62,6 +62,14 @@ DEFAULT_QUERIES = [
     "cdc_delta_join",
     "cdc_topn_maintained",
     "pipeline_incremental_dedup",
+    # round-9/10 additions (sketch-state maintenance + the SQL bridge).
+    # Same caveat as the r8 rows: replay harnesses checkpoint state per
+    # batch, so the FINAL plan shows the last lazy stage; the per-batch
+    # exchanges run inside the replay jobs.
+    "sketch_hll_incremental",
+    "sketch_hist_incremental",
+    "cdc_sql_ddl_maintained_agg",
+    "cdc_sql_ddl_maintained_sum",
 ]
 
 

@@ -397,3 +397,110 @@ def test_streaming_itcase_golden_sum_by_name(spark, tmp_path):
         ]
     )
     assert got == expected
+
+
+def test_streaming_sql_topn_matches_direct(spark, tmp_path):
+    """The Top-N SQL shape through a REAL Structured Streaming query
+    (Flink's streaming Top-N pattern submitted as INSERT-SELECT): the
+    job's final sink equals ranking the materialized table directly."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    rows = [
+        (1, 0, 10.0, "+I", 1), (2, 0, 20.0, "+I", 2),
+        (3, 0, 30.0, "+I", 3), (4, 1, 5.0, "+I", 4),
+        (5, 1, 2.0, "+I", 5),
+        (3, 0, 30.0, "-U", 6), (3, 0, 1.0, "+U", 6),
+        (2, 0, 20.0, "-D", 7),
+        (6, 1, 8.0, "+I", 8),
+    ]
+    schema = (
+        f"user_id long, bucket long, v double, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    log = spark.createDataFrame(rows, schema)
+    replay_dir = str(tmp_path / "replay_sql_topn")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT bucket, user_id, v FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket "
+        "ORDER BY v DESC, user_id) AS rn FROM t) WHERE rn <= 2",
+        {"t": ["user_id"]},
+    )
+
+    def process(batch_df, batch_id):
+        job.step({"t": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sql_topn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from pyspark.sql.window import Window as W
+
+    direct = (
+        materialize(log, ["user_id"])
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("bucket").orderBy(
+                    F.col("v").desc(), F.col("user_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("bucket", "user_id", "v")
+    )
+    assert sorted(map(tuple, job.result().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_sql_job_state_ttl_wiring(spark):
+    """ttl= at job construction wires plan.expire through the SQL
+    surface (table.exec.state.ttl): an aggregate grouped by an
+    event-time bucket forgets cold buckets' state behind the watermark
+    — later results only re-include a bucket if new rows arrive —
+    while the folded sink keeps previously-emitted rows (TTL forgets
+    STATE, not emitted results)."""
+    rows1 = [
+        (1, 10, 5.0, "+I", 1), (2, 10, 7.0, "+I", 2),
+        (3, 20, 1.0, "+I", 3),
+    ]
+    rows2 = [
+        (4, 20, 2.0, "+I", 4),
+        # late row for the EXPIRED bucket 10: state was evicted, so the
+        # bucket restarts from this row alone
+        (5, 10, 100.0, "+I", 5),
+    ]
+    schema = f"user_id long, bkt long, v double, {OP_COL} string, {SEQ_COL} long"
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT bkt, SUM(v) AS s FROM t GROUP BY bkt",
+        {"t": ["user_id"]},
+        ttl="bkt",
+    )
+    job.step({"t": spark.createDataFrame(rows1, schema)})
+    # watermark passes bucket 10 -> its agg state evicts
+    job.expire(watermark=15)
+    assert {tuple(r) for r in job._state.collect()} == {(20, 1.0, 1)}
+    job.step({"t": spark.createDataFrame(rows2, schema)})
+    got = {(r["bkt"], r["s"]) for r in job.result().collect()}
+    # bucket 10's sink row from batch 1 (12.0) was emitted before the
+    # eviction and stays; the late arrival re-adds bucket 10 counting
+    # from scratch (100.0) — the documented Flink TTL trade
+    assert got == {(10, 12.0), (10, 100.0), (20, 3.0)}
+
+    job2 = plan_insert_maintained(
+        "INSERT INTO sink SELECT bkt, SUM(v) AS s FROM t GROUP BY bkt",
+        {"t": ["user_id"]},
+    )
+    job2.step({"t": spark.createDataFrame(rows1, schema)})
+    with pytest.raises(ValueError, match="no ttl configured"):
+        job2.expire(0)
