@@ -24,7 +24,11 @@ compiles to stateful operators for CDC pipelines:
   sum/count/avg ride the stateless signed-delta plan; any min/max
   switches to table-state + affected-group recompute, keyed by the
   source table's declared PRIMARY KEY — the planner decides, exactly
-  like ``agg_auto``.
+  like ``agg_auto``.  ``GROUP BY TUMBLE(ts, INTERVAL '<n>' <unit>)``
+  (with ``TUMBLE_START``/``TUMBLE_END`` projections) maps onto
+  Spark's ``window()`` buckets — the r8 bucket-as-group composition
+  behind Flink's windowed-aggregate syntax; ``ttl=<ts col>`` then
+  expires whole windows behind the watermark.
 * **Equi-join** ``SELECT a.x, b.y FROM ta a [INNER|LEFT|RIGHT|FULL]
   JOIN tb b ON a.k = b.k [AND ..]`` → ``maintain(on=..)``
   (StreamingJoinOperator).
@@ -105,6 +109,20 @@ _JOIN_COND = re.compile(
     r"^(?P<lq>\w+)\.(?P<lc>\w+)\s*=\s*(?P<rq>\w+)\.(?P<rc>\w+)$"
 )
 _QUAL_ITEM = re.compile(r"^(?P<q>\w+)\.(?P<c>\w+)$")
+# Flink's tumbling-window group syntax over event time:
+#   GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)
+# with TUMBLE_START / TUMBLE_END projections in the SELECT — mapped
+# onto Spark's window(ts, '5 minutes') struct, derived per batch
+_TUMBLE_ARGS = (
+    r"\(\s*[`\"]?(?P<col>\w+)[`\"]?\s*,\s*INTERVAL\s+'(?P<n>\d+)'\s+"
+    r"(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*\)$"
+)
+_TUMBLE = re.compile(r"^TUMBLE\s*" + _TUMBLE_ARGS, re.IGNORECASE | re.DOTALL)
+_TUMBLE_FIELD = re.compile(
+    r"^TUMBLE_(?P<which>START|END)\s*" + _TUMBLE_ARGS,
+    re.IGNORECASE | re.DOTALL,
+)
+_W_START, _W_END = "__w_start", "__w_end"
 
 _SHAPES_MSG = (
     "unsupported INSERT-SELECT shape; the maintenance planner dispatches "
@@ -168,6 +186,8 @@ class InsertSelect:
     join_on: list = field(default_factory=list)  # [(col_a, col_b)]
     # output projection: (source column name or "<alias>.<col>", out name)
     select: list = field(default_factory=list)
+    # tumbling event-time window: (ts column, Spark duration string)
+    tumble: Optional[tuple] = None
 
 
 def parse_insert_select(sql: str) -> InsertSelect:
@@ -252,7 +272,28 @@ def parse_insert_select(sql: str) -> InsertSelect:
 
     am = _AGG_RE.match(select)
     if am:
-        groups = _names(am.group("groups"), "GROUP BY")
+        groups, tumble = [], None
+        for part in _split_top_level(am.group("groups")):
+            tm_ = _TUMBLE.match(part.strip())
+            if tm_:
+                if tumble is not None:
+                    raise ValueError("at most one TUMBLE window per GROUP BY")
+                tumble = (
+                    tm_.group("col"),
+                    f"{tm_.group('n')} {tm_.group('unit').lower()}s",
+                )
+                # window start+end are both group columns (functionally
+                # dependent, but carrying both keeps the delta frame
+                # self-describing for TUMBLE_END projections)
+                groups.extend([_W_START, _W_END])
+                continue
+            im = _IDENT.match(part.strip())
+            if not im:
+                raise ValueError(
+                    "GROUP BY items must be plain column names or "
+                    f"TUMBLE(ts, INTERVAL '<n>' <unit>), got {part.strip()!r}"
+                )
+            groups.append(im.group("name"))
         items, aggs = [], {}
         auto_idx = 0
         for raw in _split_top_level(am.group("items")):
@@ -272,26 +313,49 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 aggs[alias] = (fn, args)
                 items.append((None, alias))
                 continue
+            wf = _TUMBLE_FIELD.match(expr)
+            if wf:
+                dur = f"{wf.group('n')} {wf.group('unit').lower()}s"
+                if tumble is None or (wf.group("col"), dur) != tumble:
+                    raise ValueError(
+                        f"{expr!r} does not match the GROUP BY's TUMBLE "
+                        "window (same time column and interval required)"
+                    )
+                which = wf.group("which").upper()
+                src = _W_START if which == "START" else _W_END
+                items.append((src, alias or f"w_{which.lower()}"))
+                continue
             im = _IDENT.match(expr)
             if not im or im.group("name") not in groups:
                 raise ValueError(
                     f"aggregate select item {raw!r} is neither a GROUP BY "
-                    "column nor FN(expr) with FN in SUM/COUNT/AVG/MIN/MAX"
+                    "column, TUMBLE_START/END of the window, nor FN(expr) "
+                    "with FN in SUM/COUNT/AVG/MIN/MAX"
                 )
             items.append((im.group("name"), alias or im.group("name")))
         selected_groups = {s for s, _ in items if s is not None}
-        missing = [g for g in groups if g not in selected_groups]
+        missing = [
+            g for g in groups
+            if g not in selected_groups and g not in (_W_START, _W_END)
+        ]
         if missing:
             raise ValueError(
                 f"SELECT must project every GROUP BY column (the upsert "
                 f"sink's key — Flink requires the same); missing {missing}"
+            )
+        if tumble is not None and not (
+            selected_groups & {_W_START, _W_END}
+        ):
+            raise ValueError(
+                "a TUMBLE aggregate must project TUMBLE_START and/or "
+                "TUMBLE_END (the window is the sink's key)"
             )
         if not aggs:
             raise ValueError("no aggregate function in the SELECT list")
         return InsertSelect(
             sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
             group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
-            select=items,
+            select=items, tumble=tumble,
         )
     raise ValueError(_SHAPES_MSG)
 
@@ -363,6 +427,12 @@ class SqlMaintenanceJob:
         self.op_col = op_col
         self.seq_col = seq_col
         self._preps = [_table_meta(tables, s) for s in stmt.sources]
+        if stmt.shape == "agg" and stmt.tumble is not None and ttl == stmt.tumble[0]:
+            # ttl on the window's TIME column means "expire whole
+            # windows behind the watermark" — Flink's windowed-state
+            # eviction; internally the state's bucket is the derived
+            # window-start column
+            ttl = _W_START
         if stmt.shape == "agg":
             keys, _ = self._preps[0]
             aggs = {
@@ -410,6 +480,14 @@ class SqlMaintenanceJob:
             # row-local predicate: commutes with the stateful operator
             # (Flink pushes the Filter below the aggregate the same way)
             out = out.filter(F.expr(self.stmt.where))
+        if self.stmt.tumble is not None:
+            # TUMBLE(ts, INTERVAL ..) → Spark's window() struct, derived
+            # per batch (row-local, so it commutes like the WHERE above)
+            ts_col, dur = self.stmt.tumble
+            w = F.window(F.col(ts_col), dur)
+            out = out.withColumn(_W_START, w["start"]).withColumn(
+                _W_END, w["end"]
+            )
         return out
 
     def step(self, batches: dict) -> DataFrame:

@@ -504,3 +504,108 @@ def test_sql_job_state_ttl_wiring(spark):
     job2.step({"t": spark.createDataFrame(rows1, schema)})
     with pytest.raises(ValueError, match="no ttl configured"):
         job2.expire(0)
+
+
+def test_tumbling_window_agg_matches_direct(spark):
+    """GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE): Flink's windowed-
+    aggregate syntax maps onto Spark window() buckets (the bucket-as-
+    group composition); replay equals the direct windowed aggregate of
+    the materialized log, including a retraction that empties one
+    window."""
+    rows = [
+        (1, "2024-01-01 00:01:00", 5.0, "+I", 1),
+        (2, "2024-01-01 00:02:30", 7.0, "+I", 2),
+        (3, "2024-01-01 00:06:10", 2.0, "+I", 3),
+        (4, "2024-01-01 00:12:00", 9.0, "+I", 4),
+        (4, "2024-01-01 00:12:00", 9.0, "-D", 5),  # empties window 10-15
+        (2, "2024-01-01 00:02:30", 7.0, "-U", 6),
+        (2, "2024-01-01 00:03:30", 8.0, "+U", 6),
+    ]
+    log = spark.createDataFrame(
+        rows, f"user_id long, ts_s string, v double, {OP_COL} string, {SEQ_COL} long"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS ws, "
+        "TUMBLE_END(ts, INTERVAL '5' MINUTE) AS we, SUM(v) AS s, COUNT(*) AS n "
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)"
+    )
+    assert st.tumble == ("ts", "5 minutes")
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS ws, "
+        "TUMBLE_END(ts, INTERVAL '5' MINUTE) AS we, SUM(v) AS s, COUNT(*) AS n "
+        "FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+        {"t": ["user_id"]},
+        {"t": log},
+        n_batches=3,
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "s", "n"
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # the deleted row's window is gone entirely
+    assert len(got.collect()) == 2
+
+
+def test_tumbling_window_ttl_expires_behind_watermark(spark):
+    """ttl=<time column> on a TUMBLE aggregate expires whole WINDOWS
+    whose start fell behind the watermark (Flink's windowed-state
+    eviction) while the folded sink keeps already-emitted rows."""
+    from datetime import datetime
+
+    schema = f"user_id long, ts timestamp, v double, {OP_COL} string, {SEQ_COL} long"
+    b1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 1), 5.0, "+I", 1),
+            (2, datetime(2024, 1, 1, 0, 7), 3.0, "+I", 2),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 0, 8), 4.0, "+I", 3)], schema
+    )
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS ws, "
+        "SUM(v) AS s FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+        {"t": ["user_id"]},
+        ttl="ts",
+    )
+    job.step({"t": b1})
+    # watermark passes the 00:00-00:05 window's start -> it evicts
+    job.expire(watermark=datetime(2024, 1, 1, 0, 5))
+    live_windows = {r["__w_start"] for r in job._state.collect()}
+    assert live_windows == {datetime(2024, 1, 1, 0, 5)}
+    job.step({"t": b2})
+    got = {(r["ws"], r["s"]) for r in job.result().collect()}
+    # emitted row for the expired window stays; the live window keeps
+    # aggregating across batches (3.0 + 4.0)
+    assert got == {
+        (datetime(2024, 1, 1, 0, 0), 5.0),
+        (datetime(2024, 1, 1, 0, 5), 7.0),
+    }
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("INSERT INTO s SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w, "
+         "SUM(v) AS s FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+         "does not match the GROUP BY's TUMBLE"),
+        ("INSERT INTO s SELECT SUM(v) AS s FROM t "
+         "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+         "must project TUMBLE_START"),
+        ("INSERT INTO s SELECT g, SUM(v) AS s FROM t "
+         "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), "
+         "TUMBLE(ts2, INTERVAL '5' MINUTE)",
+         "at most one TUMBLE"),
+    ],
+)
+def test_tumble_parse_errors(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
