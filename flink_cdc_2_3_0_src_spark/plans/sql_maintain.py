@@ -525,6 +525,41 @@ class SqlMaintenanceJob:
         )
         return delta
 
+    def delta_changelog(self, delta: DataFrame, batch_id: int) -> DataFrame:
+        """Render one ``step()`` delta as an upsert-changelog microbatch
+        (the SELECT's output columns + op/seq) ready for the engine's
+        exactly-once sinks (``SqlUpsertSink.merge_batch`` /
+        ``UpsertParquetSink``) — the last leg of the reference's
+        pipeline, where Flink's upsert sink consumes the aggregate's
+        retraction stream (MySqlConnectorITCase's `'connector'='values',
+        'sink-insert-only'='false'` sink).
+
+        Keyed shapes only (agg / top-n: every live result row has
+        multiplicity 1 by the plans' contracts): a −1 row renders as a
+        ``-D`` tombstone at seq ``2*batch_id`` and a +1 row as ``+I`` at
+        ``2*batch_id + 1``, so a key retracted and re-emitted in the
+        same batch compacts to its new image."""
+        if self.stmt.shape == "join":
+            raise ValueError(
+                "join output is a multiset (multiplicities can exceed 1); "
+                "feed the join's signed deltas to a multiset consumer, "
+                "not a keyed upsert sink"
+            )
+        cols = []
+        for src, out in self.stmt.select:
+            cols.append(F.col(out if src is None else src).alias(out))
+        neg = delta.filter(F.col(MULT_COL) < 0).select(
+            *cols,
+            F.lit("-D").alias(self.op_col),
+            F.lit(2 * batch_id).cast("long").alias(self.seq_col),
+        )
+        pos = delta.filter(F.col(MULT_COL) > 0).select(
+            *cols,
+            F.lit("+I").alias(self.op_col),
+            F.lit(2 * batch_id + 1).cast("long").alias(self.seq_col),
+        )
+        return neg.unionByName(pos)
+
     def expire(self, watermark) -> None:
         """State TTL between steps (Flink's table.exec.state.ttl, via
         the underlying plan's ``expire``): evict plan state behind
