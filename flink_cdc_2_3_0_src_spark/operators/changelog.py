@@ -940,6 +940,36 @@ def merge_join_state(
     return (a_new, b_new), out_delta
 
 
+def seq_range_conditions(hi, n_batches: int, col: str = SEQ_COL) -> list:
+    """The replay family's batch-split filter conditions: ``n_batches``
+    sequence-range predicates over ``[0, hi]`` that together cover
+    (-inf, +inf) — batch 0 is open-ended below (a log with negative or
+    zero-anchored sequences must not silently lose its head) and the
+    last batch open-ended above (paranoia against a value appearing
+    past the max captured by the 1-row analyze).  ``hi=None`` (empty
+    log) yields a single all-rows condition.  One definition for every
+    replayer (delta join, top-n, the SQL bridge, the sketch-state
+    queries) — the edge cases drifted when each site hand-rolled it."""
+    if n_batches < 1:
+        raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    if hi is None:
+        return [F.lit(True)]
+    hi = int(hi)
+    conds = []
+    for i in range(n_batches):
+        lo_edge = i * (hi + 1) // n_batches
+        hi_edge = (i + 1) * (hi + 1) // n_batches
+        cond = (F.col(col) >= lo_edge) & (F.col(col) < hi_edge)
+        if i == 0:
+            cond = F.col(col) < hi_edge
+        if i == n_batches - 1:
+            cond = F.col(col) >= lo_edge
+            if n_batches == 1:
+                cond = F.lit(True)
+        conds.append(cond)
+    return conds
+
+
 def delta_join_changelog(
     log_a: DataFrame,
     log_b: DataFrame,
@@ -975,22 +1005,8 @@ def delta_join_changelog(
     hi = max([s for s in (hi_a, hi_b) if s is not None], default=None)
     outs = []
     state = None
-    for i in range(n_batches):
-        if hi is None:
-            break
-        lo_edge = i * (int(hi) + 1) // n_batches
-        hi_edge = (i + 1) * (int(hi) + 1) // n_batches
-        cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
-        if i == 0:
-            # batch 0 is open-ended below: a log with negative or
-            # zero-anchored sequences must not silently lose its head
-            cond = F.col(seq_col) < hi_edge
-        if i == n_batches - 1:
-            # ... and the last batch open-ended above (paranoia against
-            # a seq appearing past the max captured by the 1-row agg)
-            cond = F.col(seq_col) >= lo_edge
-            if n_batches == 1:
-                cond = F.lit(True)
+    conds = seq_range_conditions(hi, n_batches, seq_col) if hi is not None else []
+    for cond in conds:
         state, out = merge_join_state(
             state, log_a.filter(cond), log_b.filter(cond), on,
             how=how, op_col=op_col, seq_col=seq_col,
@@ -1267,18 +1283,8 @@ def topn_changelog(
         log = log.localCheckpoint(eager=False)
     hi = log.agg(F.max(seq_col)).collect()[0][0]
     state = None
-    for i in range(n_batches):
-        if hi is None:
-            break
-        lo_edge = i * (int(hi) + 1) // n_batches
-        hi_edge = (i + 1) * (int(hi) + 1) // n_batches
-        cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
-        if i == 0:
-            cond = F.col(seq_col) < hi_edge
-        if i == n_batches - 1:
-            cond = F.col(seq_col) >= lo_edge
-            if n_batches == 1:
-                cond = F.lit(True)
+    conds = seq_range_conditions(hi, n_batches, seq_col) if hi is not None else []
+    for cond in conds:
         state, _ = merge_topn_state(
             state, log.filter(cond), keys, group_cols, order_sql, n,
             op_col=op_col, seq_col=seq_col,

@@ -39,11 +39,18 @@ compiles to stateful operators for CDC pipelines:
 
 Semantics notes
 ---------------
-* ``WHERE`` must be row-local: filtering each batch before stepping
-  commutes with signed aggregation / join / rank state because the
-  predicate decides row membership independently of any other row —
-  the same reasoning that lets Flink push FlinkFilter below the
-  stateful operator.
+* ``WHERE`` must be row-local; HOW it is applied depends on the plan's
+  state discipline.  For the stateless signed-delta aggregate, a plain
+  per-batch row filter commutes (the signed algebra balances a
+  filtered-out -U against its equally-filtered original insert).  For
+  the TABLE-STATE plans (min/max recompute, Top-N) the maintained
+  object is ``filter(materialize(log))``, so an update whose NEW image
+  fails the predicate must REMOVE its key from the filtered table: the
+  failing +I/+U is rewritten to a ``-D`` tombstone instead of dropped —
+  a dropped +U would leave the key's old image live in table state
+  forever (``_upsert_table_state`` ignores lone ``-U`` rows by design).
+  Both directions of predicate-boundary-crossing updates are
+  test-pinned.
 * ``COUNT(expr)`` is translated to a signed sum of a non-null
   indicator (SQL semantics on both maintenance plans); ``COUNT(*)``
   maps to the live-row count.
@@ -69,10 +76,55 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.model import (
+    OP_COL,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    SEQ_COL,
+)
 from flink_cdc_2_3_0_src_spark.operators.changelog import MULT_COL
 from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
-from flink_cdc_2_3_0_src_spark.sources.sql_ddl import _split_top_level
+
+
+def _split_select_items(items: str) -> list:
+    """Split a SELECT list on commas outside ``()`` and ``'...'``.
+
+    NOT sql_ddl's ``_split_top_level``: that splitter also treats
+    ``<``/``>`` as bracket pairs (the DDL ``ARRAY<...>`` convention),
+    which mis-splits SELECT items containing comparison operators —
+    ``SUM(CASE WHEN v > 5 THEN v ELSE 0 END)`` would leave its "depth"
+    unbalanced and silently swallow the following items."""
+    parts, depth, cur, in_str = [], 0, [], False
+    i, n = 0, len(items)
+    while i < n:
+        ch = items[i]
+        if in_str:
+            cur.append(ch)
+            if ch == "'":
+                if i + 1 < n and items[i + 1] == "'":
+                    cur.append("'")
+                    i += 2
+                    continue
+                in_str = False
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
 
 _AGG_FN = re.compile(
     r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\((?P<args>.*)\)$",
@@ -210,7 +262,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
             )
         groups = _names(tm.group("groups"), "PARTITION BY")
         items = []
-        for raw in _split_top_level(tm.group("items")):
+        for raw in _split_select_items(tm.group("items")):
             expr, alias = _split_alias(raw)
             im = _IDENT.match(expr)
             if not im:
@@ -254,7 +306,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 )
             on.append((lc, rc) if lq == a else (rc, lc))
         items = []
-        for raw in _split_top_level(jm.group("items")):
+        for raw in _split_select_items(jm.group("items")):
             expr, alias = _split_alias(raw)
             qm = _QUAL_ITEM.match(expr)
             if not qm or qm.group("q") not in (a, b):
@@ -273,7 +325,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
     am = _AGG_RE.match(select)
     if am:
         groups, tumble = [], None
-        for part in _split_top_level(am.group("groups")):
+        for part in _split_select_items(am.group("groups")):
             tm_ = _TUMBLE.match(part.strip())
             if tm_:
                 if tumble is not None:
@@ -296,7 +348,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
             groups.append(im.group("name"))
         items, aggs = [], {}
         auto_idx = 0
-        for raw in _split_top_level(am.group("items")):
+        for raw in _split_select_items(am.group("items")):
             expr, alias = _split_alias(raw)
             fm = _AGG_FN.match(expr)
             if fm:
@@ -398,6 +450,25 @@ def _ckpt(state):
     return state.localCheckpoint(eager=True)
 
 
+def _where_over_table_state(df: DataFrame, pred_sql: str, op_col: str):
+    """WHERE for the TABLE-STATE plans (min/max recompute, Top-N): the
+    maintained object is ``filter(materialize(log))``, so a +I/+U image
+    FAILING the predicate is rewritten to a ``-D`` tombstone (its key
+    left the filtered table) rather than dropped — a dropped +U would
+    leave the key's old image live forever, since
+    ``_upsert_table_state`` applies only +I/+U/-D and ignores the lone
+    surviving -U.  Retraction rows (-U/-D) pass through: a -D of an
+    absent key is a no-op, and a -U's work is done by its paired row's
+    rewrite.  A NULL predicate counts as failing (SQL WHERE)."""
+    keep = F.expr(pred_sql)
+    fails = F.col(op_col).isin(OP_INSERT, OP_UPDATE_AFTER) & ~keep.eqNullSafe(
+        F.lit(True)
+    )
+    return df.withColumn(
+        op_col, F.when(fails, F.lit(OP_DELETE)).otherwise(F.col(op_col))
+    )
+
+
 def _agg_col(fn: str, args: str):
     """(maintain-fn, Column) for one parsed aggregate — COUNT(*) is the
     live-row count; COUNT(expr) becomes a signed non-null-indicator sum
@@ -464,11 +535,32 @@ class SqlMaintenanceJob:
                     f"source's PRIMARY KEY, but table {stmt.sources[0]!r} "
                     "declares none"
                 )
+            missing_keys = [
+                k for k in keys if k not in {s for s, _ in stmt.select}
+            ]
+            if missing_keys:
+                raise ValueError(
+                    f"Top-N SELECT must project the source's PRIMARY KEY "
+                    f"column(s) {missing_keys} — without them, distinct "
+                    "top-n members with equal projected values collapse in "
+                    "a keyed sink (and a later retraction of one would "
+                    "delete the survivor)"
+                )
             self.plan = maintain(
                 n=stmt.n, order_sql=stmt.order_sql,
                 group_cols=stmt.group_cols, keys=keys,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        # WHERE application mode: the table-state plans (min/max
+        # recompute, Top-N) need failing +I/+U images rewritten to -D
+        # tombstones; the stateless delta plan uses a plain row filter
+        from flink_cdc_2_3_0_src_spark.operators.maintain import (
+            _AggRecomputePlan,
+        )
+
+        self._where_tombstones = stmt.where is not None and (
+            stmt.shape == "topn" or isinstance(self.plan, _AggRecomputePlan)
+        )
         self._state = None
         self._acc: Optional[DataFrame] = None
 
@@ -477,9 +569,17 @@ class SqlMaintenanceJob:
         _, computed = self._preps[i]
         out = computed(batch)
         if self.stmt.where and self.stmt.shape in ("agg", "topn"):
-            # row-local predicate: commutes with the stateful operator
-            # (Flink pushes the Filter below the aggregate the same way)
-            out = out.filter(F.expr(self.stmt.where))
+            if self._where_tombstones:
+                # table-state plans: failing +I/+U images become -D
+                # tombstones so the key leaves the filtered table (see
+                # _where_over_table_state / the module's semantics note)
+                out = _where_over_table_state(
+                    out, self.stmt.where, self.op_col
+                )
+            else:
+                # stateless signed-delta plan: a plain row filter
+                # commutes (the signed algebra balances filtered pairs)
+                out = out.filter(F.expr(self.stmt.where))
         if self.stmt.tumble is not None:
             # TUMBLE(ts, INTERVAL ..) → Spark's window() struct, derived
             # per batch (row-local, so it commutes like the WHERE above)
@@ -502,10 +602,34 @@ class SqlMaintenanceJob:
             a = self._prep(0, batches[self.stmt.sources[0]])
             b = self._prep(1, batches[self.stmt.sources[1]])
             # merge_join_state equi-joins on same-named columns: align
-            # side b's join columns to side a's names
+            # side b's join columns to side a's names — validating the
+            # rename is unambiguous and the sides' non-key columns are
+            # distinct HERE, where the SQL layer can give actionable
+            # advice (merge_join_state's own error talks DataFrames)
+            on_a = {ca for ca, _ in self.stmt.join_on}
             for ca, cb in self.stmt.join_on:
                 if ca != cb:
+                    if ca in b.columns:
+                        raise ValueError(
+                            f"cannot align join column {cb!r} to {ca!r}: "
+                            f"side {self.stmt.sources[1]!r} already has an "
+                            f"unrelated column named {ca!r} — rename one of "
+                            "them in the source DDL"
+                        )
                     b = b.withColumnRenamed(cb, ca)
+            shared = (
+                (set(a.columns) & set(b.columns))
+                - on_a
+                - {self.op_col, self.seq_col}
+            )
+            if shared:
+                raise ValueError(
+                    f"join sides share non-key column(s) {sorted(shared)}; "
+                    "the maintained join needs distinct non-key column "
+                    "names across sides — rename them in the source DDLs "
+                    "(the SQL surface has no per-item output renaming of "
+                    "state columns)"
+                )
             self._state, delta = self.plan.step(self._state, a, b)
         else:
             batch = self._prep(0, batches[self.stmt.sources[0]])
@@ -641,6 +765,10 @@ def replay_insert_maintained(
     checkpointing follow ``delta_join_changelog``."""
     if n_batches < 1:
         raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        seq_range_conditions,
+    )
+
     job = plan_insert_maintained(sql, tables, op_col=op_col, seq_col=seq_col)
     names = job.stmt.sources
     if n_batches > 1:
@@ -649,20 +777,8 @@ def replay_insert_maintained(
         logs[t].agg(F.max(seq_col)).collect()[0][0] for t in names
     ]
     hi = max([h for h in his if h is not None], default=None)
-    if hi is None:
-        n_batches = 1  # empty logs: one step over the (empty) frames
-    for i in range(n_batches):
-        if hi is None:
-            cond = F.lit(True)
-        else:
-            lo_edge = i * (int(hi) + 1) // n_batches
-            hi_edge = (i + 1) * (int(hi) + 1) // n_batches
-            cond = (F.col(seq_col) >= lo_edge) & (F.col(seq_col) < hi_edge)
-            if i == 0:
-                cond = F.col(seq_col) < hi_edge
-            if i == n_batches - 1:
-                cond = F.col(seq_col) >= lo_edge
-                if n_batches == 1:
-                    cond = F.lit(True)
+    # hi=None (all-empty logs) yields one all-rows condition: a single
+    # step over the empty frames still produces the output schema
+    for cond in seq_range_conditions(hi, n_batches, seq_col):
         job.step({t: logs[t].filter(cond) for t in names})
     return job.result()

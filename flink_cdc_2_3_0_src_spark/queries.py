@@ -2896,19 +2896,18 @@ def sketch_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_hll_state,
     )
 
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        seq_range_conditions,
+    )
+
     docs = ld(spark, sf_dir, "documents")
     hi = docs.agg(F.max("doc_id")).collect()[0][0]
     if hi is None:
         from flink_cdc_2_3_0_src_spark.operators.sketch import hll_distinct
 
         return hll_distinct(docs, m=256)
-    n_batches, state = 4, None
-    for i in range(n_batches):
-        lo = i * (int(hi) + 1) // n_batches
-        up = (i + 1) * (int(hi) + 1) // n_batches
-        cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
-        if i == n_batches - 1:
-            cond = F.col("doc_id") >= lo
+    state = None
+    for cond in seq_range_conditions(hi, 4, "doc_id"):
         state = merge_hll_state(
             state, docs.filter(cond), m=256
         ).localCheckpoint(eager=True)
@@ -2941,19 +2940,18 @@ def sketch_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_hist_state,
     )
 
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        seq_range_conditions,
+    )
+
     docs = ld(spark, sf_dir, "documents")
     lo_hi = docs_token_counts(docs).agg(F.min("v"), F.max("v")).collect()[0]
     if lo_hi[0] is None:
         return histogram_quantiles(docs)  # empty-corpus schema path
     vmin, vmax = int(lo_hi[0]), int(lo_hi[1])
     hi = docs.agg(F.max("doc_id")).collect()[0][0]
-    n_batches, state = 4, None
-    for i in range(n_batches):
-        lo = i * (int(hi) + 1) // n_batches
-        up = (i + 1) * (int(hi) + 1) // n_batches
-        cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
-        if i == n_batches - 1:
-            cond = F.col("doc_id") >= lo
+    state = None
+    for cond in seq_range_conditions(hi, 4, "doc_id"):
         state = merge_hist_state(
             state, docs.filter(cond), vmin, vmax
         ).localCheckpoint(eager=True)

@@ -715,3 +715,108 @@ def test_streaming_itcase_into_live_duckdb_sink(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="multiset"):
         jjob.delta_changelog(spark.range(1), 0)
+
+
+def test_where_crossing_update_on_table_state_plans(spark):
+    """Review-finding regression (r10): an update whose NEW image fails
+    the WHERE predicate must REMOVE its key from the filtered table —
+    the table-state plans (MIN/MAX recompute, Top-N) rewrite the
+    failing +I/+U into a -D tombstone; a plain row filter would leave
+    the old image live in table state forever."""
+    rows = [
+        (1, "a", 30.0, "+I", 1),
+        (2, "a", 12.0, "+I", 2),
+        (1, "a", 30.0, "-U", 3), (1, "a", 3.0, "+U", 3),  # crosses OUT
+        (3, "a", 2.0, "+I", 4),
+        (3, "a", 2.0, "-U", 5), (3, "a", 50.0, "+U", 5),  # crosses IN
+    ]
+    log = _log(spark, rows, _AGG_SCHEMA)
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT g, MAX(v) AS mx, COUNT(*) AS n "
+        "FROM t WHERE v >= 10 GROUP BY g",
+        {"t": ["user_id"]},
+        {"t": log},
+        n_batches=3,
+    )
+    assert [tuple(r) for r in got.collect()] == [("a", 50.0, 2)]
+
+    # the Top-N shape with the same crossing pattern: the retired
+    # row (user 1) must leave the ranking
+    got_topn = replay_insert_maintained(
+        "INSERT INTO sink SELECT g, user_id, v FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY g "
+        "ORDER BY v DESC, user_id) AS rn FROM t WHERE v >= 10) "
+        "WHERE rn <= 2",
+        {"t": ["user_id"]},
+        {"t": log},
+        n_batches=3,
+    )
+    assert sorted(map(tuple, got_topn.collect())) == [
+        ("a", 2, 12.0), ("a", 3, 50.0),
+    ]
+
+
+def test_select_items_with_comparison_operators_split_correctly(spark):
+    """Review-finding regression (r10): '<'/'>' inside aggregate
+    arguments are comparison operators, not brackets — the SELECT list
+    must split on the real top-level commas."""
+    st = parse_insert_select(
+        "INSERT INTO s SELECT g, "
+        "SUM(CASE WHEN v > 5 THEN v ELSE 0 END) AS s_hi, "
+        "COUNT(*) AS n FROM t GROUP BY g"
+    )
+    assert set(st.aggs) == {"s_hi", "n"}
+    assert st.aggs["s_hi"] == ("sum", "CASE WHEN v > 5 THEN v ELSE 0 END")
+    assert st.aggs["n"] == ("count", "*")
+    log = _log(
+        spark,
+        [(1, "a", 3.0, "+I", 1), (2, "a", 9.0, "+I", 2)],
+        _AGG_SCHEMA,
+    )
+    got = replay_insert_maintained(
+        "INSERT INTO s SELECT g, "
+        "SUM(CASE WHEN v > 5 THEN v ELSE 0 END) AS s_hi, "
+        "COUNT(*) AS n FROM t GROUP BY g",
+        {"t": ["user_id"]},
+        {"t": log},
+        n_batches=2,
+    )
+    assert [tuple(r) for r in got.collect()] == [("a", 9.0, 2)]
+
+
+def test_join_column_collision_raises_actionable_error(spark):
+    """Shared non-key column names across join sides fail at step()
+    with SQL-level advice, not merge_join_state's DataFrame-level error
+    or an ambiguous-reference exception from a silent double-name."""
+    la = _log(spark, [(1, "x", "+I", 1)],
+              f"id long, name string, {OP_COL} string, {SEQ_COL} long")
+    lb = _log(spark, [(1, "y", "+I", 2)],
+              f"id long, name string, {OP_COL} string, {SEQ_COL} long")
+    job = plan_insert_maintained(
+        "INSERT INTO s SELECT a.name, b.name AS bname "
+        "FROM ta a JOIN tb b ON a.id = b.id",
+        {"ta": ["id"], "tb": ["id"]},
+    )
+    with pytest.raises(ValueError, match="share non-key column"):
+        job.step({"ta": la, "tb": lb})
+    # renaming b's join col onto an existing unrelated b column
+    lb2 = _log(spark, [(1, 2, "z", "+I", 2)],
+               f"kb long, ka long, seg string, {OP_COL} string, {SEQ_COL} long")
+    job2 = plan_insert_maintained(
+        "INSERT INTO s SELECT a.ka, b.seg FROM ta a JOIN tb b ON a.ka = b.kb",
+        {"ta": ["ka"], "tb": ["kb"]},
+    )
+    la2 = _log(spark, [(1, "w", "+I", 1)],
+               f"ka long, v string, {OP_COL} string, {SEQ_COL} long")
+    with pytest.raises(ValueError, match="unrelated column named"):
+        job2.step({"ta": la2, "tb": lb2})
+
+
+def test_topn_select_must_project_primary_key(spark):
+    with pytest.raises(ValueError, match="must project the source's PRIMARY KEY"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT bucket, v FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket "
+            "ORDER BY v DESC, user_id) AS rn FROM t) WHERE rn <= 3",
+            {"t": ["user_id"]},
+        )
