@@ -54,6 +54,13 @@ Semantics notes
 * ``COUNT(expr)`` is translated to a signed sum of a non-null
   indicator (SQL semantics on both maintenance plans); ``COUNT(*)``
   maps to the live-row count.
+* ``HAVING`` (aggregate shape) is row-local on RESULT rows, so it
+  filters the signed delta stream directly — a group crossing the
+  bound emits exactly the retraction (leaving) or insert (entering)
+  side of its ±pair.  Plan state stays unfiltered: the group keeps
+  aggregating and only emission is gated, matching Flink's HAVING over
+  a streaming aggregate.  Textual aggregate calls in the predicate are
+  rewritten to their SELECT aliases.
 * A source registered as a :class:`ResolvedTable` (the ``CREATE
   TABLE .. WITH ('connector'=..)`` surface, sources/sql_ddl.py)
   contributes its computed columns (applied per batch before the plan
@@ -138,7 +145,8 @@ _INSERT_RE = re.compile(
 _AGG_RE = re.compile(
     r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<groups>.*?)\s*;?\s*$",
+    r"\s+GROUP\s+BY\s+(?P<groups>.*?)"
+    r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_RE = re.compile(
@@ -240,6 +248,10 @@ class InsertSelect:
     select: list = field(default_factory=list)
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
+    # HAVING predicate over the RESULT columns (aggregate aliases +
+    # group cols); row-local on result rows, so it filters the signed
+    # delta stream directly
+    having: Optional[str] = None
 
 
 def parse_insert_select(sql: str) -> InsertSelect:
@@ -404,12 +416,41 @@ def parse_insert_select(sql: str) -> InsertSelect:
             )
         if not aggs:
             raise ValueError("no aggregate function in the SELECT list")
+        having = _clean(am.group("having"))
+        if having is not None:
+            having = _rewrite_having(having, aggs)
         return InsertSelect(
             sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
             group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
-            select=items, tumble=tumble,
+            select=items, tumble=tumble, having=having,
         )
     raise ValueError(_SHAPES_MSG)
+
+
+def _rewrite_having(having: str, aggs: dict) -> str:
+    """HAVING over the maintained aggregate: rewrite each textual
+    aggregate call (``SUM(weight)``) to its output alias so the
+    predicate evaluates against the plan's delta/result columns.  The
+    predicate is row-local on RESULT rows, so filtering the signed
+    delta stream with it is exact: a group crossing the bound emits
+    only the side of its ±pair that satisfies the predicate — the
+    retraction when it leaves, the insert when it enters."""
+    out = having
+    for alias, (fn, args) in aggs.items():
+        pat = re.compile(
+            re.escape(fn) + r"\s*\(\s*" + re.escape(args) + r"\s*\)",
+            re.IGNORECASE,
+        )
+        out = pat.sub(alias, out)
+    leftover = re.search(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", out, re.IGNORECASE)
+    if leftover:
+        raise ValueError(
+            f"HAVING references an aggregate not in the SELECT list "
+            f"(near {leftover.group(0)!r}); the maintained sink only "
+            "carries the SELECT's aggregates — add it to the SELECT or "
+            "reference an existing output alias"
+        )
+    return out
 
 
 def _clean(s: Optional[str]) -> Optional[str]:
@@ -634,6 +675,14 @@ class SqlMaintenanceJob:
         else:
             batch = self._prep(0, batches[self.stmt.sources[0]])
             self._state, delta = self.plan.step(self._state, batch)
+        if self.stmt.having is not None:
+            # HAVING is row-local on RESULT rows, so it filters the
+            # signed delta stream directly: a group crossing the bound
+            # keeps exactly the retraction (leaving) or the insert
+            # (entering) side of its ±pair — state stays unfiltered
+            # (the group keeps aggregating; only emission is gated),
+            # which is Flink's semantics for HAVING over an aggregate
+            delta = delta.filter(F.expr(self.stmt.having))
         self._state = _ckpt(self._state)
         if self._acc is None:
             merged = delta

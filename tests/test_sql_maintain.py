@@ -820,3 +820,48 @@ def test_topn_select_must_project_primary_key(spark):
             "ORDER BY v DESC, user_id) AS rn FROM t) WHERE rn <= 3",
             {"t": ["user_id"]},
         )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_having_filters_result_rows_across_crossings(spark, n_batches):
+    """HAVING over a maintained aggregate: groups crossing the bound in
+    either direction (via updates arriving in LATER batches) end up
+    exactly as the direct GROUP BY ... HAVING — the row-local delta
+    filter emits the retraction when a group leaves the bound and the
+    insert when it enters."""
+    rows = [
+        (1, "a", 10.0, "+I", 1),
+        (2, "b", 3.0, "+I", 2),
+        (3, "a", 5.0, "+I", 3),
+        # group a leaves the bound: 15 -> 6
+        (1, "a", 10.0, "-U", 4), (1, "a", 1.0, "+U", 4),
+        # group b enters: 3 -> 12
+        (2, "b", 3.0, "-U", 5), (2, "b", 12.0, "+U", 5),
+    ]
+    log = _log(spark, rows, _AGG_SCHEMA)
+    sql = (
+        "INSERT INTO sink SELECT g, SUM(v) AS s, COUNT(*) AS n "
+        "FROM t GROUP BY g HAVING SUM(v) >= 10"
+    )
+    st = parse_insert_select(sql)
+    assert st.having == "s >= 10"
+    got = replay_insert_maintained(
+        sql, {"t": ["user_id"]}, {"t": log}, n_batches=n_batches
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .groupBy("g")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("s") >= 10)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    ) == [("b", 12.0, 1)]
+
+
+def test_having_unknown_aggregate_raises(spark):
+    with pytest.raises(ValueError, match="aggregate not in the SELECT"):
+        parse_insert_select(
+            "INSERT INTO s SELECT g, SUM(v) AS s FROM t "
+            "GROUP BY g HAVING MAX(v) > 3"
+        )
