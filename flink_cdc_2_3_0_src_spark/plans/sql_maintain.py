@@ -28,7 +28,12 @@ compiles to stateful operators for CDC pipelines:
   (with ``TUMBLE_START``/``TUMBLE_END`` projections) maps onto
   Spark's ``window()`` buckets — the r8 bucket-as-group composition
   behind Flink's windowed-aggregate syntax; ``ttl=<ts col>`` then
-  expires whole windows behind the watermark.
+  expires whole windows behind the watermark.  ``GROUP BY HOP(ts,
+  INTERVAL '<slide>' u, INTERVAL '<size>' u)`` (sliding windows) rides
+  Spark's sliding ``window()`` generator — each row replicates into
+  its size/slide windows and the signed algebra holds per window
+  group; sum/count/avg only (min/max would need per-window table state
+  a PK-keyed upsert cannot express under replication).
 * **Equi-join** ``SELECT a.x, b.y FROM ta a [INNER|LEFT|RIGHT|FULL]
   JOIN tb b ON a.k = b.k [AND ..]`` → ``maintain(on=..)``
   (StreamingJoinOperator).
@@ -182,6 +187,20 @@ _TUMBLE_FIELD = re.compile(
     r"^TUMBLE_(?P<which>START|END)\s*" + _TUMBLE_ARGS,
     re.IGNORECASE | re.DOTALL,
 )
+# Flink's sliding-window syntax: HOP(ts, INTERVAL '<slide>' u, INTERVAL
+# '<size>' u) — each row belongs to size/slide windows; Spark's
+# window(ts, size, slide) generator replicates the row per window, and
+# the signed changelog algebra holds per window group
+_HOP_ARGS = (
+    r"\(\s*[`\"]?(?P<col>\w+)[`\"]?\s*,"
+    r"\s*INTERVAL\s+'(?P<sn>\d+)'\s+(?P<su>SECOND|MINUTE|HOUR|DAY)S?\s*,"
+    r"\s*INTERVAL\s+'(?P<zn>\d+)'\s+(?P<zu>SECOND|MINUTE|HOUR|DAY)S?\s*\)$"
+)
+_HOP = re.compile(r"^HOP\s*" + _HOP_ARGS, re.IGNORECASE | re.DOTALL)
+_HOP_FIELD = re.compile(
+    r"^HOP_(?P<which>START|END)\s*" + _HOP_ARGS,
+    re.IGNORECASE | re.DOTALL,
+)
 _W_START, _W_END = "__w_start", "__w_end"
 
 _SHAPES_MSG = (
@@ -248,6 +267,8 @@ class InsertSelect:
     select: list = field(default_factory=list)
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
+    # sliding window: (ts column, slide duration, size duration)
+    hop: Optional[tuple] = None
     # HAVING predicate over the RESULT columns (aggregate aliases +
     # group cols); row-local on result rows, so it filters the signed
     # delta stream directly
@@ -336,12 +357,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
 
     am = _AGG_RE.match(select)
     if am:
-        groups, tumble = [], None
+        groups, tumble, hop = [], None, None
         for part in _split_select_items(am.group("groups")):
             tm_ = _TUMBLE.match(part.strip())
             if tm_:
-                if tumble is not None:
-                    raise ValueError("at most one TUMBLE window per GROUP BY")
+                if tumble is not None or hop is not None:
+                    raise ValueError("at most one TUMBLE/HOP window per GROUP BY")
                 tumble = (
                     tm_.group("col"),
                     f"{tm_.group('n')} {tm_.group('unit').lower()}s",
@@ -349,6 +370,17 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 # window start+end are both group columns (functionally
                 # dependent, but carrying both keeps the delta frame
                 # self-describing for TUMBLE_END projections)
+                groups.extend([_W_START, _W_END])
+                continue
+            hm_ = _HOP.match(part.strip())
+            if hm_:
+                if tumble is not None or hop is not None:
+                    raise ValueError("at most one TUMBLE/HOP window per GROUP BY")
+                hop = (
+                    hm_.group("col"),
+                    f"{hm_.group('sn')} {hm_.group('su').lower()}s",
+                    f"{hm_.group('zn')} {hm_.group('zu').lower()}s",
+                )
                 groups.extend([_W_START, _W_END])
                 continue
             im = _IDENT.match(part.strip())
@@ -389,12 +421,28 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 src = _W_START if which == "START" else _W_END
                 items.append((src, alias or f"w_{which.lower()}"))
                 continue
+            hf = _HOP_FIELD.match(expr)
+            if hf:
+                spec = (
+                    hf.group("col"),
+                    f"{hf.group('sn')} {hf.group('su').lower()}s",
+                    f"{hf.group('zn')} {hf.group('zu').lower()}s",
+                )
+                if hop is None or spec != hop:
+                    raise ValueError(
+                        f"{expr!r} does not match the GROUP BY's HOP "
+                        "window (same time column, slide and size required)"
+                    )
+                which = hf.group("which").upper()
+                src = _W_START if which == "START" else _W_END
+                items.append((src, alias or f"w_{which.lower()}"))
+                continue
             im = _IDENT.match(expr)
             if not im or im.group("name") not in groups:
                 raise ValueError(
                     f"aggregate select item {raw!r} is neither a GROUP BY "
-                    "column, TUMBLE_START/END of the window, nor FN(expr) "
-                    "with FN in SUM/COUNT/AVG/MIN/MAX"
+                    "column, TUMBLE/HOP_START/END of the window, nor "
+                    "FN(expr) with FN in SUM/COUNT/AVG/MIN/MAX"
                 )
             items.append((im.group("name"), alias or im.group("name")))
         selected_groups = {s for s, _ in items if s is not None}
@@ -407,12 +455,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 f"SELECT must project every GROUP BY column (the upsert "
                 f"sink's key — Flink requires the same); missing {missing}"
             )
-        if tumble is not None and not (
+        if (tumble is not None or hop is not None) and not (
             selected_groups & {_W_START, _W_END}
         ):
             raise ValueError(
-                "a TUMBLE aggregate must project TUMBLE_START and/or "
-                "TUMBLE_END (the window is the sink's key)"
+                "a windowed aggregate must project TUMBLE/HOP_START "
+                "and/or _END (the window is the sink's key)"
             )
         if not aggs:
             raise ValueError("no aggregate function in the SELECT list")
@@ -422,7 +470,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
         return InsertSelect(
             sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
             group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
-            select=items, tumble=tumble, having=having,
+            select=items, tumble=tumble, hop=hop, having=having,
         )
     raise ValueError(_SHAPES_MSG)
 
@@ -539,7 +587,8 @@ class SqlMaintenanceJob:
         self.op_col = op_col
         self.seq_col = seq_col
         self._preps = [_table_meta(tables, s) for s in stmt.sources]
-        if stmt.shape == "agg" and stmt.tumble is not None and ttl == stmt.tumble[0]:
+        win_ts = (stmt.tumble or stmt.hop or (None,))[0]
+        if stmt.shape == "agg" and win_ts is not None and ttl == win_ts:
             # ttl on the window's TIME column means "expire whole
             # windows behind the watermark" — Flink's windowed-state
             # eviction; internally the state's bucket is the derived
@@ -552,6 +601,20 @@ class SqlMaintenanceJob:
                 for name, (fn, args) in stmt.aggs.items()
             }
             fns = {fn for fn, _ in aggs.values()}
+            if stmt.hop is not None and fns & {"min", "max"}:
+                # the HOP generator replicates each row into size/slide
+                # windows; the recompute plan's table state is keyed by
+                # the source PK, and a ts-moving update would leave
+                # ghost replicas in windows the new image no longer
+                # covers (the lone -U carries no upsert semantics) —
+                # the signed-delta plan handles replication exactly,
+                # so HOP supports sum/count/avg only
+                raise ValueError(
+                    "HOP windows support sum/count/avg aggregates only "
+                    "(min/max needs per-window table state, which a "
+                    "sliding window's row replication cannot key by the "
+                    "source PRIMARY KEY) — use TUMBLE for min/max"
+                )
             if fns & {"min", "max"} and not keys:
                 raise ValueError(
                     f"MIN/MAX maintenance keeps table state keyed by the "
@@ -628,6 +691,20 @@ class SqlMaintenanceJob:
             w = F.window(F.col(ts_col), dur)
             out = out.withColumn(_W_START, w["start"]).withColumn(
                 _W_END, w["end"]
+            )
+        elif self.stmt.hop is not None:
+            # HOP(ts, slide, size) → Spark's sliding window() GENERATOR:
+            # each row replicates into its size/slide windows (must go
+            # through select, not withColumn).  A changelog row's ±pair
+            # replicates identically per window, so the signed algebra
+            # holds within every window group
+            ts_col, slide, size = self.stmt.hop
+            w = F.window(F.col(ts_col), size, slide)
+            out = (
+                out.select("*", w.alias("__w"))
+                .withColumn(_W_START, F.col("__w.start"))
+                .withColumn(_W_END, F.col("__w.end"))
+                .drop("__w")
             )
         return out
 

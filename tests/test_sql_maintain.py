@@ -599,7 +599,7 @@ def test_tumbling_window_ttl_expires_behind_watermark(spark):
          "does not match the GROUP BY's TUMBLE"),
         ("INSERT INTO s SELECT SUM(v) AS s FROM t "
          "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
-         "must project TUMBLE_START"),
+         "must project TUMBLE/HOP_START"),
         ("INSERT INTO s SELECT g, SUM(v) AS s FROM t "
          "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), "
          "TUMBLE(ts2, INTERVAL '5' MINUTE)",
@@ -864,4 +864,69 @@ def test_having_unknown_aggregate_raises(spark):
         parse_insert_select(
             "INSERT INTO s SELECT g, SUM(v) AS s FROM t "
             "GROUP BY g HAVING MAX(v) > 3"
+        )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_hop_sliding_window_agg_matches_direct(spark, n_batches):
+    """GROUP BY HOP(ts, slide, size): each row replicates into its
+    size/slide windows via Spark's sliding window() generator; the
+    signed algebra holds per window group, so replay equals the direct
+    sliding-window aggregate of the materialized log — including an
+    update that MOVES a row between windows."""
+    rows = [
+        (1, "2024-01-01 00:01:00", 5.0, "+I", 1),
+        (2, "2024-01-01 00:06:00", 7.0, "+I", 2),
+        (3, "2024-01-01 00:11:00", 2.0, "+I", 3),
+        # user 2 moves from 00:06 to 00:13: leaves windows
+        # [00:00,00:10)/[00:05,00:15), enters [00:05,00:15)/[00:10,00:20)
+        (2, "2024-01-01 00:06:00", 7.0, "-U", 4),
+        (2, "2024-01-01 00:13:00", 7.0, "+U", 4),
+        (3, "2024-01-01 00:11:00", 2.0, "-D", 5),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"user_id long, ts_s string, v double, {OP_COL} string, {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    sql = (
+        "INSERT INTO sink SELECT "
+        "HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS ws, "
+        "SUM(v) AS s, COUNT(*) AS n FROM t "
+        "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)"
+    )
+    st = parse_insert_select(sql)
+    assert st.hop == ("ts", "5 minutes", "10 minutes")
+    got = replay_insert_maintained(
+        sql, {"t": ["user_id"]}, {"t": log}, n_batches=n_batches
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "s", "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # the moved row contributes to exactly two windows at its NEW time:
+    # 2 windows for user 1 + 2 for user 2 (user 3's delete removed its
+    # windows entirely)
+    assert len(got.collect()) == 4
+
+
+def test_hop_minmax_rejected_with_guidance(spark):
+    with pytest.raises(ValueError, match="sum/count/avg aggregates only"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT "
+            "HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS ws, "
+            "MAX(v) AS mx FROM t "
+            "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)",
+            {"t": ["user_id"]},
+        )
+    with pytest.raises(ValueError, match="does not match the GROUP BY's HOP"):
+        parse_insert_select(
+            "INSERT INTO s SELECT "
+            "HOP_START(ts, INTERVAL '1' MINUTE, INTERVAL '10' MINUTE) AS ws, "
+            "SUM(v) AS s FROM t "
+            "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)"
         )
