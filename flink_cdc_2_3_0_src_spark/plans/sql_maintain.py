@@ -875,6 +875,87 @@ def plan_insert_maintained(
                              op_col=op_col, seq_col=seq_col, ttl=ttl)
 
 
+class SqlStatementSet:
+    """Flink's STATEMENT SET: several INSERT-SELECTs compiled together,
+    where a later statement may read an EARLIER statement's sink — the
+    multi-sink pipeline shape (Flink's `EXECUTE STATEMENT SET`, used by
+    the reference's e2e SQL jobs to fan one CDC source into derived
+    tables).
+
+    Chaining is exact by construction: an upstream job's per-batch
+    signed delta renders as an upsert changelog
+    (:meth:`SqlMaintenanceJob.delta_changelog` — ``-D`` old result rows
+    at seq 2b, ``+I`` new rows at 2b+1), which IS a valid
+    full-retraction changelog of the upstream's maintained sink, so the
+    downstream plan consumes it like any CDC table (a changed group
+    arrives as retract-then-insert).  Join sinks are multisets and
+    cannot feed a keyed downstream — ``delta_changelog`` refuses them.
+
+    ``step(batches)`` takes one microbatch per EXTERNAL source table;
+    sink-fed sources are produced internally, in statement order.
+    ``results()`` maps each sink name to its current content."""
+
+    def __init__(self, statements: Sequence[str], tables: dict,
+                 op_col: str = OP_COL, seq_col: str = SEQ_COL) -> None:
+        self.jobs: list[SqlMaintenanceJob] = []
+        self._sink_keys: dict = {}
+        self._batch_no = 0
+        known = dict(tables)
+        for sql in statements:
+            stmt = parse_insert_select(sql)
+            if stmt.sink in known:
+                raise ValueError(
+                    f"statement sink {stmt.sink!r} collides with a "
+                    "registered table or an earlier statement's sink"
+                )
+            job = SqlMaintenanceJob(stmt, known, op_col=op_col,
+                                    seq_col=seq_col)
+            self.jobs.append(job)
+            # the sink becomes a readable keyed table for LATER
+            # statements: agg sinks key by their projected group
+            # columns, top-n sinks by the projected source PK
+            if stmt.shape == "agg":
+                keys = [
+                    out for src, out in stmt.select
+                    if src is not None
+                ]
+            elif stmt.shape == "topn":
+                pk, _ = job._preps[0]
+                keys = [out for src, out in stmt.select if src in pk]
+            else:  # join: multiset output, not a keyed table
+                keys = None
+            if keys is not None:
+                known[stmt.sink] = keys
+                self._sink_keys[stmt.sink] = keys
+        self.external = sorted(
+            {
+                s
+                for j in self.jobs
+                for s in j.stmt.sources
+                if s not in self._sink_keys
+            }
+        )
+
+    def step(self, batches: dict) -> None:
+        """Fold one microbatch through every statement in order.
+        ``batches`` maps EXTERNAL source table → changelog DataFrame;
+        sink-fed inputs are rendered from upstream deltas."""
+        missing = [s for s in self.external if s not in batches]
+        if missing:
+            raise ValueError(f"step() missing batch for table(s) {missing}")
+        produced = dict(batches)
+        for job in self.jobs:
+            delta = job.step({s: produced[s] for s in job.stmt.sources})
+            if job.stmt.sink in self._sink_keys:
+                produced[job.stmt.sink] = job.delta_changelog(
+                    delta, self._batch_no
+                )
+        self._batch_no += 1
+
+    def results(self) -> dict:
+        return {j.stmt.sink: j.result() for j in self.jobs}
+
+
 def replay_insert_maintained(
     sql: str,
     tables: dict,

@@ -930,3 +930,77 @@ def test_hop_minmax_rejected_with_guidance(spark):
             "SUM(v) AS s FROM t "
             "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)"
         )
+
+
+def test_statement_set_chained_sinks_match_direct(spark):
+    """STATEMENT SET: statement 2 reads statement 1's maintained sink
+    (upstream deltas rendered as an upsert changelog feed downstream as
+    a CDC table).  Final downstream content equals computing both
+    levels directly over the materialized input — including upstream
+    groups that change or vanish mid-replay."""
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        seq_range_conditions,
+    )
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import SqlStatementSet
+
+    rows = [
+        (1, "x", "a", 10.0, "+I", 1),
+        (2, "x", "a", 2.0, "+I", 2),
+        (3, "x", "b", 7.0, "+I", 3),
+        (4, "y", "c", 5.0, "+I", 4),
+        # group (x, a) changes: 12 -> 31
+        (1, "x", "a", 10.0, "-U", 5), (1, "x", "a", 29.0, "+U", 5),
+        # group (y, c) vanishes
+        (4, "y", "c", 5.0, "-D", 6),
+        (5, "y", "d", 4.0, "+I", 7),
+    ]
+    schema = (
+        f"user_id long, cls string, g string, v double, "
+        f"{OP_COL} string, {SEQ_COL} long"
+    )
+    log = _log(spark, rows, schema)
+    pipe = SqlStatementSet(
+        [
+            "INSERT INTO totals SELECT cls, g, SUM(v) AS s "
+            "FROM t GROUP BY cls, g",
+            "INSERT INTO top_totals SELECT cls, g, s FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY cls "
+            "ORDER BY s DESC, g) AS rn FROM totals) WHERE rn <= 1",
+        ],
+        {"t": ["user_id"]},
+    )
+    assert pipe.external == ["t"]
+    hi = log.agg(F.max(SEQ_COL)).collect()[0][0]
+    for cond in seq_range_conditions(hi, 3):
+        pipe.step({"t": log.filter(cond)})
+    res = pipe.results()
+
+    from pyspark.sql.window import Window as W
+
+    totals_direct = (
+        materialize(log, ["user_id"])
+        .groupBy("cls", "g")
+        .agg(F.sum("v").alias("s"))
+    )
+    assert sorted(map(tuple, res["totals"].collect())) == sorted(
+        map(tuple, totals_direct.collect())
+    )
+    top_direct = (
+        totals_direct.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cls").orderBy(F.col("s").desc(), F.col("g"))
+            ),
+        )
+        .filter(F.col("rn") <= 1)
+        .select("cls", "g", "s")
+    )
+    assert sorted(map(tuple, res["top_totals"].collect())) == sorted(
+        map(tuple, top_direct.collect())
+    ) == [("x", "a", 31.0), ("y", "d", 4.0)]
+
+    with pytest.raises(ValueError, match="collides"):
+        SqlStatementSet(
+            ["INSERT INTO t SELECT g, SUM(v) AS s FROM t GROUP BY g"],
+            {"t": ["user_id"]},
+        )
