@@ -1112,15 +1112,28 @@ def _upsert_table_state(
     )
 
 
-def _split_order_items(order_sql: str) -> list:
-    """Split an ORDER BY list on commas OUTSIDE parentheses/quotes, so
-    function expressions like ``greatest(a, b) DESC`` stay intact."""
+def split_csv_outside_parens(s: str) -> list:
+    """Split a SQL item list on commas OUTSIDE parentheses and string
+    literals (``''`` = escaped quote inside a literal), so function
+    expressions like ``greatest(a, b) DESC`` and comparison operators
+    like ``SUM(CASE WHEN v > 5 ...)`` stay intact.  The ONE splitter
+    for ORDER BY items, SELECT lists, and GROUP BY lists — NOT
+    sql_ddl's ``_split_top_level``, which also pairs ``<``/``>`` (the
+    DDL ``ARRAY<...>`` convention) and would mis-split expressions
+    containing comparisons."""
     items, depth, cur, in_str = [], 0, [], False
-    for ch in order_sql:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if in_str:
             cur.append(ch)
             if ch == "'":
+                if i + 1 < n and s[i + 1] == "'":
+                    cur.append("'")
+                    i += 2
+                    continue
                 in_str = False
+            i += 1
             continue
         if ch == "'":
             in_str = True
@@ -1129,14 +1142,19 @@ def _split_order_items(order_sql: str) -> list:
         elif ch == ")":
             depth -= 1
         if ch == "," and depth == 0:
-            items.append("".join(cur))
+            items.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
+        i += 1
     tail = "".join(cur).strip()
     if tail:
         items.append(tail)
     return items
+
+
+def _split_order_items(order_sql: str) -> list:
+    return split_csv_outside_parens(order_sql)
 
 
 def _parse_order_sql(order_sql: str):

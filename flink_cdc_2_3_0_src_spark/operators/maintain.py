@@ -431,6 +431,14 @@ class _HistPlan(_Plan):
 
     def __init__(self, opts, ttl) -> None:
         super().__init__(ttl)
+        # defaults come from the sketch module, not re-hardcoded —
+        # retuning QH_BINS/QH_QUANTILES must not desync this plan from
+        # the one-shot path it is bit-identical to
+        from flink_cdc_2_3_0_src_spark.operators.sketch import (
+            QH_BINS,
+            QH_QUANTILES,
+        )
+
         opts = dict(opts) if opts is not True else {}
         unknown = set(opts) - {"group_col", "bins", "vmin", "vmax", "quantiles"}
         if unknown:
@@ -442,10 +450,10 @@ class _HistPlan(_Plan):
                 "what make the cell-count monoid hold across batches"
             )
         self.group_col = opts.get("group_col", "source")
-        self.bins = int(opts.get("bins", 256))
+        self.bins = int(opts.get("bins", QH_BINS))
         self.vmin = int(opts["vmin"])
         self.vmax = int(opts["vmax"])
-        self.quantiles = tuple(opts.get("quantiles", (50, 90, 99)))
+        self.quantiles = tuple(opts.get("quantiles", QH_QUANTILES))
 
     def step(self, state, batch: DataFrame):
         from flink_cdc_2_3_0_src_spark.operators.sketch import (

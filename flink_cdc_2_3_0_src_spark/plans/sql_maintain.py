@@ -95,48 +95,11 @@ from flink_cdc_2_3_0_src_spark.model import (
     OP_UPDATE_AFTER,
     SEQ_COL,
 )
-from flink_cdc_2_3_0_src_spark.operators.changelog import MULT_COL
+from flink_cdc_2_3_0_src_spark.operators.changelog import (
+    MULT_COL,
+    split_csv_outside_parens as _split_select_items,
+)
 from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
-
-
-def _split_select_items(items: str) -> list:
-    """Split a SELECT list on commas outside ``()`` and ``'...'``.
-
-    NOT sql_ddl's ``_split_top_level``: that splitter also treats
-    ``<``/``>`` as bracket pairs (the DDL ``ARRAY<...>`` convention),
-    which mis-splits SELECT items containing comparison operators —
-    ``SUM(CASE WHEN v > 5 THEN v ELSE 0 END)`` would leave its "depth"
-    unbalanced and silently swallow the following items."""
-    parts, depth, cur, in_str = [], 0, [], False
-    i, n = 0, len(items)
-    while i < n:
-        ch = items[i]
-        if in_str:
-            cur.append(ch)
-            if ch == "'":
-                if i + 1 < n and items[i + 1] == "'":
-                    cur.append("'")
-                    i += 2
-                    continue
-                in_str = False
-            i += 1
-            continue
-        if ch == "'":
-            in_str = True
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-        i += 1
-    tail = "".join(cur).strip()
-    if tail:
-        parts.append(tail)
-    return parts
 
 _AGG_FN = re.compile(
     r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\((?P<args>.*)\)$",
@@ -482,15 +445,30 @@ def _rewrite_having(having: str, aggs: dict) -> str:
     predicate is row-local on RESULT rows, so filtering the signed
     delta stream with it is exact: a group crossing the bound emits
     only the side of its ±pair that satisfies the predicate — the
-    retraction when it leaves, the insert when it enters."""
-    out = having
+    retraction when it leaves, the insert when it enters.
+
+    Substitution is word-boundary-anchored (``array_min(x)`` must not
+    have its ``min(x)`` tail rewritten) and skips string literals."""
+    # split into quoted/unquoted segments; substitute only outside
+    # literals so aggregate-shaped text inside '...' stays verbatim
+    segs = re.split(r"('(?:[^']|'')*')", having)
     for alias, (fn, args) in aggs.items():
         pat = re.compile(
-            re.escape(fn) + r"\s*\(\s*" + re.escape(args) + r"\s*\)",
+            r"\b" + re.escape(fn) + r"\s*\(\s*" + re.escape(args) + r"\s*\)",
             re.IGNORECASE,
         )
-        out = pat.sub(alias, out)
-    leftover = re.search(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", out, re.IGNORECASE)
+        segs = [
+            s if i % 2 else pat.sub(alias, s) for i, s in enumerate(segs)
+        ]
+    out = "".join(segs)
+    leftover = None
+    for i, s in enumerate(segs):
+        if i % 2:
+            continue
+        m = re.search(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", s, re.IGNORECASE)
+        if m:
+            leftover = m
+            break
     if leftover:
         raise ValueError(
             f"HAVING references an aggregate not in the SELECT list "
@@ -590,10 +568,15 @@ class SqlMaintenanceJob:
         win_ts = (stmt.tumble or stmt.hop or (None,))[0]
         if stmt.shape == "agg" and win_ts is not None and ttl == win_ts:
             # ttl on the window's TIME column means "expire whole
-            # windows behind the watermark" — Flink's windowed-state
-            # eviction; internally the state's bucket is the derived
-            # window-start column
-            ttl = _W_START
+            # CLOSED windows behind the watermark" — Flink's
+            # windowed-state eviction.  The eviction keys on the
+            # window's END: a window is only complete once the
+            # watermark passes its end; keying on start would evict a
+            # still-OPEN window (start < watermark < end) mid-
+            # aggregation, and an on-time row would then rebuild it
+            # from empty, emitting a duplicate-keyed result with no
+            # retraction of the earlier one
+            ttl = _W_END
         if stmt.shape == "agg":
             keys, _ = self._preps[0]
             aggs = {
@@ -800,12 +783,12 @@ class SqlMaintenanceJob:
             cols.append(F.col(out if src is None else src).alias(out))
         neg = delta.filter(F.col(MULT_COL) < 0).select(
             *cols,
-            F.lit("-D").alias(self.op_col),
+            F.lit(OP_DELETE).alias(self.op_col),
             F.lit(2 * batch_id).cast("long").alias(self.seq_col),
         )
         pos = delta.filter(F.col(MULT_COL) > 0).select(
             *cols,
-            F.lit("+I").alias(self.op_col),
+            F.lit(OP_INSERT).alias(self.op_col),
             F.lit(2 * batch_id + 1).cast("long").alias(self.seq_col),
         )
         return neg.unionByName(pos)
@@ -901,13 +884,18 @@ class SqlStatementSet:
         self._sink_keys: dict = {}
         self._batch_no = 0
         known = dict(tables)
+        # collision tracking covers ALL sinks, including join-shaped
+        # ones that never become readable tables — two statements
+        # sharing a sink would silently shadow each other in results()
+        all_sinks: set = set()
         for sql in statements:
             stmt = parse_insert_select(sql)
-            if stmt.sink in known:
+            if stmt.sink in known or stmt.sink in all_sinks:
                 raise ValueError(
                     f"statement sink {stmt.sink!r} collides with a "
                     "registered table or an earlier statement's sink"
                 )
+            all_sinks.add(stmt.sink)
             job = SqlMaintenanceJob(stmt, known, op_col=op_col,
                                     seq_col=seq_col)
             self.jobs.append(job)

@@ -577,8 +577,17 @@ def test_tumbling_window_ttl_expires_behind_watermark(spark):
         ttl="ts",
     )
     job.step({"t": b1})
-    # watermark passes the 00:00-00:05 window's start -> it evicts
+    # eviction keys on the window END: at watermark == end the
+    # [00:00,00:05) window is retained (conservative edge) and the
+    # OPEN [00:05,00:10) window — whose start is behind the watermark —
+    # must NOT be evicted mid-aggregation (r10 review fix: start-keyed
+    # TTL dropped open windows and rebuilt them from empty)
     job.expire(watermark=datetime(2024, 1, 1, 0, 5))
+    assert {r["__w_start"] for r in job._state.collect()} == {
+        datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 0, 5)
+    }
+    # watermark PAST the first window's end -> only it evicts
+    job.expire(watermark=datetime(2024, 1, 1, 0, 6))
     live_windows = {r["__w_start"] for r in job._state.collect()}
     assert live_windows == {datetime(2024, 1, 1, 0, 5)}
     job.step({"t": b2})
@@ -1003,4 +1012,37 @@ def test_statement_set_chained_sinks_match_direct(spark):
         SqlStatementSet(
             ["INSERT INTO t SELECT g, SUM(v) AS s FROM t GROUP BY g"],
             {"t": ["user_id"]},
+        )
+
+
+def test_having_rewrite_word_boundary_and_literals(spark):
+    """Review-fix regressions: the HAVING aggregate-to-alias rewrite is
+    word-boundary-anchored (array_min(price) keeps its tail) and skips
+    string literals; and a statement-set sink collision is caught even
+    when the first statement is join-shaped."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        SqlStatementSet,
+        _rewrite_having,
+    )
+
+    out = _rewrite_having(
+        "array_min(price) > 0 AND min(price) < 9", {"m": ("min", "price")}
+    )
+    assert out == "array_min(price) > 0 AND m < 9"
+    out2 = _rewrite_having(
+        "note <> 'min(price) is a literal' AND min(price) < 9",
+        {"m": ("min", "price")},
+    )
+    assert out2 == "note <> 'min(price) is a literal' AND m < 9"
+    with pytest.raises(ValueError, match="aggregate not in the SELECT"):
+        _rewrite_having("max(price) > 1", {"m": ("min", "price")})
+
+    with pytest.raises(ValueError, match="collides"):
+        SqlStatementSet(
+            [
+                "INSERT INTO s SELECT a.x, b.y FROM ta a JOIN tb b "
+                "ON a.k = b.k",
+                "INSERT INTO s SELECT g, SUM(v) AS sv FROM tc GROUP BY g",
+            ],
+            {"ta": ["k"], "tb": ["k"], "tc": ["id"]},
         )
