@@ -855,24 +855,35 @@ def merge_join_state(
 
     The non-key payload column sets of the two sides must be disjoint
     (rename before joining — same contract as a SQL join's output)."""
+    d_a = signed_multiset(batch_a, op_col, seq_col)
+    d_b = signed_multiset(batch_b, op_col, seq_col)
+    return merge_join_state_deltas(state, d_a, d_b, on, how=how)
+
+
+def merge_join_state_deltas(
+    state: Optional[tuple],
+    d_a: DataFrame,
+    d_b: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> tuple:
+    """:func:`merge_join_state`'s core over SIGNED-MULTISET inputs
+    (payload + ``__mult``) instead of changelog batches.  The delta
+    algebra is bilinear in the multiplicities, so it is exact for ANY
+    signed multisets — which is what lets maintained joins CASCADE: a
+    previous join's output delta (multiplicities beyond ±1 included)
+    feeds the next stage as its ``d_a``, the multi-way join chain
+    Flink's planner builds as stacked StreamingJoinOperators."""
     if how not in ("inner", "left", "right", "full"):
         raise ValueError(f"how must be inner/left/right/full, got {how!r}")
-    pa = [
-        c for c in batch_a.columns
-        if c not in (op_col, seq_col) and c not in on
-    ]
-    pb = [
-        c for c in batch_b.columns
-        if c not in (op_col, seq_col) and c not in on
-    ]
+    pa = [c for c in d_a.columns if c != MULT_COL and c not in on]
+    pb = [c for c in d_b.columns if c != MULT_COL and c not in on]
     clash = set(pa) & set(pb)
     if clash:
         raise ValueError(
             f"join sides share non-key columns {sorted(clash)}; rename "
             "one side before delta-join maintenance"
         )
-    d_a = signed_multiset(batch_a, op_col, seq_col)
-    d_b = signed_multiset(batch_b, op_col, seq_col)
     a_old, b_old = state if state is not None else (None, None)
     a_new = _add_multiset(a_old, d_a)
     b_new = _add_multiset(b_old, d_b)
@@ -906,8 +917,8 @@ def merge_join_state(
             _keyset_join(b_old, affected, on, "left_semi")
             if b_old is not None else None
         )
-        types_a = {f.name: f.dataType for f in batch_a.schema.fields}
-        types_b = {f.name: f.dataType for f in batch_b.schema.fields}
+        types_a = {f.name: f.dataType for f in d_a.schema.fields}
+        types_b = {f.name: f.dataType for f in d_b.schema.fields}
         if how in ("left", "full"):
             cols = (
                 [F.col(k) for k in on]

@@ -41,6 +41,7 @@ planner, e.g. MySqlTableSourceFactory.java:81-150 wiring into it.
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -100,6 +101,85 @@ def _affected_groups(
         .select(*group_cols)
         .distinct()
     )
+
+
+def _recompute_exprs(aggs: dict) -> list:
+    """Aggregate expressions for the table-recompute plans, SQL
+    semantics: COUNT = live rows, AVG = sum / non-null count (agrees
+    with the delta plan's signed non-null denominator)."""
+    outs = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            outs.append(F.count(F.lit(1)).alias(name))
+        elif fn == "avg":
+            outs.append(
+                (
+                    F.sum(col).cast("double") / F.count(col).cast("double")
+                ).alias(name)
+            )
+        else:
+            outs.append(getattr(F, fn)(col).alias(name))
+    return outs
+
+
+_GAP_RE = re.compile(
+    r"^\s*(?P<n>\d+)\s+(?P<unit>second|minute|hour|day)s?\s*$", re.IGNORECASE
+)
+_GAP_MICROS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _gap_micros(gap: str) -> int:
+    m = _GAP_RE.match(str(gap))
+    if not m:
+        raise ValueError(
+            f"session gap must be '<n> <unit>' with unit in "
+            f"seconds/minutes/hours/days, got {gap!r}"
+        )
+    return int(m.group("n")) * _GAP_MICROS[m.group("unit").lower()]
+
+
+def _gap_interval(gap_us: int) -> Column:
+    return F.expr(f"INTERVAL {gap_us} MICROSECOND")
+
+
+def _with_session_ids(
+    df: DataFrame, ts_col: str, gap_us: int, group_cols: Sequence[str]
+) -> DataFrame:
+    """Assign merging session-window ids (Flink's
+    ``SessionWindows.withGap`` rule: per-element windows ``[t, t+gap)``
+    merge while they intersect, so a break happens exactly when the gap
+    to the previous element is >= gap).  Gaps-and-islands over a
+    per-group sort — per-group work is bounded by the group's size, and
+    the plan only ever feeds batch-affected groups here.  Interval
+    arithmetic keeps the comparison type-agnostic (TIMESTAMP and
+    TIMESTAMP_NTZ both add day-time intervals; ``unix_micros`` would
+    reject NTZ).  NULL-ts rows carry no event time and join no session;
+    they are dropped from the windowed aggregate (Spark's ``window()``
+    and Flink's window assigner both exclude them)."""
+    from pyspark.sql.window import Window
+
+    part = (
+        [F.col(c) for c in group_cols] if group_cols else [F.lit(1)]
+    )
+    ts = F.col(ts_col)
+    w = Window.partitionBy(*part).orderBy(ts)
+    prev = F.lag(ts).over(w)
+    brk = (
+        F.when(
+            prev.isNull() | (ts >= prev + _gap_interval(gap_us)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    sid = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.filter(ts.isNotNull()).withColumn("__sid", sid)
 
 
 class _Plan:
@@ -238,19 +318,7 @@ class _AggRecomputePlan(_Plan):
         self.seq_col = seq_col
 
     def _exprs(self):
-        outs = []
-        for name, (fn, col) in self.aggs.items():
-            if fn == "count":
-                outs.append(F.count(F.lit(1)).alias(name))
-            elif fn == "avg":
-                outs.append(
-                    (
-                        F.sum(col).cast("double") / F.count(col).cast("double")
-                    ).alias(name)
-                )
-            else:
-                outs.append(getattr(F, fn)(col).alias(name))
-        return outs
+        return _recompute_exprs(self.aggs)
 
     def step(self, state, batch: DataFrame):
         table_old, agg_old = state if state is not None else (None, None)
@@ -288,6 +356,135 @@ class _AggRecomputePlan(_Plan):
         )
 
 
+class _SessionPlan(_Plan):
+    """Session-window aggregates over a changelog (Flink's
+    ``SESSION(ts, INTERVAL gap)`` merging group windows —
+    SessionWindows.withGap + MergingWindowAssigner): unlike TUMBLE/HOP,
+    a row's window is NOT a row-local function of its timestamp — a new
+    arrival can MERGE two existing sessions and a retraction can SPLIT
+    one — so the plan keeps the materialized table
+    (``_upsert_table_state``, keyed by the source PRIMARY KEY) and
+    re-sessionizes ONLY the groups each batch touches, the
+    affected-group recompute discipline ``_AggRecomputePlan`` and
+    ``merge_topn_state`` use.  Per-batch work is bounded by the
+    affected groups' sizes, never the table; a group's sessionization
+    is one sort of its own rows (gaps-and-islands), which is exactly
+    the state Flink's merging window assigner keeps per key.
+
+    Output rows: ``group_cols + [w_start, w_end] + aggs``, with
+    ``w_start = min(ts)`` and ``w_end = max(ts) + gap`` (Flink's
+    session window extent).  The output delta is the signed diff of
+    the affected groups' session rows — a merge retracts both old
+    sessions and inserts the union, a split retracts one and inserts
+    the pieces.
+
+    ``expire(state, watermark)`` evicts CLOSED sessions: a session is
+    closed once ``w_end <= watermark`` (no on-time row at
+    ``ts >= watermark`` can be within ``gap`` of its last element, so
+    it can never merge again).  Table rows of closed sessions and
+    result rows with ``w_end <= watermark`` are dropped together — the
+    consistent forget the Top-N plan also applies; NULL-ts table rows
+    are kept (``expire_state``'s convention) but never aggregate."""
+
+    kind = "session"
+
+    def __init__(
+        self, keys, group_cols, aggs, ts_col, gap, w_start, w_end,
+        ttl, op_col, seq_col,
+    ) -> None:
+        if ttl is not None and ttl != ts_col:
+            raise ValueError(
+                "session ttl must be the session's ts column (expiry "
+                f"evicts closed sessions), got {ttl!r} != {ts_col!r}"
+            )
+        super().__init__(ttl)
+        self.keys = list(keys)
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)
+        self.ts_col = ts_col
+        self.gap_us = _gap_micros(gap)
+        self.w_start = w_start
+        self.w_end = w_end
+        self.op_col = op_col
+        self.seq_col = seq_col
+        overlap = {w_start, w_end} & set(self.group_cols)
+        if overlap:
+            raise ValueError(
+                f"window output column(s) {sorted(overlap)} collide with "
+                "group columns"
+            )
+
+    def _sessions(self, rows: DataFrame) -> DataFrame:
+        s = _with_session_ids(rows, self.ts_col, self.gap_us, self.group_cols)
+        return s.groupBy(*self.group_cols, "__sid").agg(
+            F.min(self.ts_col).alias(self.w_start),
+            (F.max(self.ts_col) + _gap_interval(self.gap_us)).alias(
+                self.w_end
+            ),
+            *_recompute_exprs(self.aggs),
+        ).drop("__sid")
+
+    def step(self, state, batch: DataFrame):
+        table_old, res_old = state if state is not None else (None, None)
+        table_new = _upsert_table_state(
+            table_old, batch, self.keys, self.op_col, self.seq_col
+        )
+        if self.group_cols:
+            affected = _affected_groups(batch, self.group_cols, self.op_col)
+            rows_aff = _keyset_join(
+                table_new, affected, self.group_cols, "left_semi"
+            )
+        else:
+            # a global session window is one group; every batch with DML
+            # touches it, and its recompute is one sort of its own rows
+            rows_aff = table_new
+        new_aff = self._sessions(rows_aff)
+        old_aff, res_keep = None, None
+        if res_old is not None:
+            if self.group_cols:
+                old_aff = _keyset_join(
+                    res_old, affected, self.group_cols, "left_semi"
+                )
+                res_keep = _keyset_join(
+                    res_old, affected, self.group_cols, "left_anti"
+                )
+            else:
+                old_aff = res_old
+        res_new = (
+            new_aff if res_keep is None else res_keep.unionByName(new_aff)
+        )
+        return (table_new, res_new), _signed_diff(new_aff, old_aff)
+
+    def _expire(self, state, watermark):
+        from pyspark.sql.window import Window
+
+        table_st, res_st = state
+        wm = F.lit(watermark)
+        # a table row expires when its SESSION is closed (w_end behind
+        # the watermark) — evicting by raw ts would split a still-open
+        # chained session mid-aggregation.  NULL-ts rows are kept.
+        null_ts = table_st.filter(F.col(self.ts_col).isNull())
+        s = _with_session_ids(
+            table_st, self.ts_col, self.gap_us, self.group_cols
+        )
+        part = (
+            [F.col(c) for c in self.group_cols]
+            if self.group_cols
+            else [F.lit(1)]
+        )
+        send = F.max(F.col(self.ts_col)).over(
+            Window.partitionBy(*part, F.col("__sid"))
+        ) + _gap_interval(self.gap_us)
+        table_kept = (
+            s.withColumn("__send", send)
+            .filter(F.col("__send") > wm)
+            .drop("__sid", "__send")
+            .unionByName(null_ts)
+        )
+        res_kept = res_st.filter(F.col(self.w_end) > wm)
+        return (table_kept, res_kept)
+
+
 class _JoinPlan(_Plan):
     kind = "join"
 
@@ -323,6 +520,85 @@ class _JoinPlan(_Plan):
             expire_state(a_st, watermark, ts_a),
             expire_state(b_st, watermark, ts_b),
         )
+
+
+class _JoinChainPlan(_Plan):
+    """Multi-way (3+ input) equi-join maintenance: a LEFT-DEEP cascade
+    of :func:`merge_join_state_deltas` stages — the stacked
+    StreamingJoinOperator chain Flink's planner builds for ``FROM a
+    JOIN b ON .. JOIN c ON ..``.  Stage i's state pair is (the
+    accumulated multiset of the first i+1 inputs' join, input i+2's
+    accumulated multiset); stage i's OUTPUT delta — exact for arbitrary
+    signed multiplicities because the delta rule is bilinear — feeds
+    stage i+1 as its left-side delta, so one microbatch propagates
+    through the whole chain in one pass, each stage's work
+    batch-delta-driven (dA⋈B_old + A_old⋈dB + dA⋈dB), never a rescan
+    of any accumulated side.
+
+    At 100 TB the shape to watch is the INTERMEDIATE state (stage i's
+    left accumulation is the i-way join's materialization — Flink pays
+    the same; order the chain smallest-joins-first).  ``ttl`` is not
+    supported: composed intermediate rows carry several event-time
+    columns with no single eviction key — expire the INPUTS upstream
+    (per-side windows) instead."""
+
+    kind = "join_chain"
+
+    def __init__(self, stages, ttl, op_col, seq_col) -> None:
+        if ttl is not None:
+            raise ValueError(
+                "join chains do not support ttl (composed intermediate "
+                "state has no single event-time column); expire the "
+                "input changelogs upstream instead"
+            )
+        super().__init__(None)
+        self.stages = []
+        for st in stages:
+            if not (isinstance(st, (tuple, list)) and len(st) == 2):
+                raise ValueError(
+                    "chain= takes [(on_cols, how), ...] — one stage per "
+                    "JOIN after the first table"
+                )
+            on, how = st
+            if how not in ("inner", "left", "right", "full"):
+                raise ValueError(
+                    f"how must be inner/left/right/full, got {how!r}"
+                )
+            self.stages.append((list(on), how))
+        if len(self.stages) < 2:
+            raise ValueError(
+                "a join chain needs at least two stages (use on=/how= "
+                "for a two-input join)"
+            )
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def step(self, state, *batches):
+        from flink_cdc_2_3_0_src_spark.operators.changelog import (
+            merge_join_state_deltas,
+            signed_multiset,
+        )
+
+        if len(batches) != len(self.stages) + 1:
+            raise ValueError(
+                f"join chain of {len(self.stages)} stages steps "
+                f"{len(self.stages) + 1} batches, got {len(batches)}"
+            )
+        states = state if state is not None else [None] * len(self.stages)
+        delta = signed_multiset(batches[0], self.op_col, self.seq_col)
+        new_states = []
+        for i, (on, how) in enumerate(self.stages):
+            d_right = signed_multiset(
+                batches[i + 1], self.op_col, self.seq_col
+            )
+            st_i, delta = merge_join_state_deltas(
+                states[i], delta, d_right, on, how=how
+            )
+            new_states.append(st_i)
+        return tuple(new_states), delta
+
+    def _expire(self, state, watermark):  # pragma: no cover - unreachable
+        raise AssertionError("join chains are constructed with ttl=None")
 
 
 class _DedupPlan(_Plan):
@@ -533,6 +809,8 @@ def maintain(
     dedup=None,
     hll=None,
     hist=None,
+    session=None,
+    chain=None,
     ttl=None,
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
@@ -548,6 +826,12 @@ def maintain(
       strategy split ``agg_auto`` applies one-shot.
     * ``on=[...]`` (+ ``how``) — two-changelog equi-join
       (``plan.step(state, batch_a, batch_b)``).
+    * ``chain=[(on_cols, how), ...]`` — multi-way (3+ changelog)
+      equi-join as a left-deep cascade of maintained join stages
+      (``plan.step(state, b0, b1, b2, ...)``); each stage's on-columns
+      name columns of the ACCUMULATED left side (rename right-side join
+      columns to match before stepping).  No ttl — expire the input
+      changelogs upstream.
     * ``n=...`` + ``order_sql`` (+ ``group_cols``, ``keys``) — top-n
       per group.
     * ``dedup=True`` (or ``dedup={"bands":…, "rows":…,
@@ -564,6 +848,17 @@ def maintain(
       (vmin, vmax) domain fixes the bin edges (the cell-count addition
       monoid needs them fixed), and the output delta is the signed diff
       of the affected groups' finalized quantile rows.
+
+    The aggregate shape takes one modifier:
+
+    * ``session=("<ts col>", "<n> <unit>")`` (or a dict adding
+      ``w_start``/``w_end`` output names) — session-window aggregation
+      (Flink's ``SESSION(ts, INTERVAL gap)`` merging windows).  Always
+      table-state backed (``keys=`` required): a session's window is
+      not a row-local timestamp function — arrivals merge sessions and
+      retractions split them — so affected groups re-sessionize from
+      the materialized table.  ``ttl=<ts col>`` then evicts CLOSED
+      sessions (w_end behind the watermark).
 
     The family's k-NN graph member (``similarity.merge_knn_state``) is
     deliberately NOT dispatched here: exact k-NN has no batch-restricted
@@ -595,11 +890,17 @@ def maintain(
     shapes = [
         aggs is not None, on is not None, n is not None,
         dedup is not None, hll is not None, hist is not None,
+        chain is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
-            "declare exactly one shape: aggs=... | on=... | "
+            "declare exactly one shape: aggs=... | on=... | chain=... | "
             "n=...+order_sql | dedup=... | hll=... | hist=..."
+        )
+    if session is not None and aggs is None:
+        raise ValueError(
+            "session= is a modifier of the aggregate shape; declare "
+            "aggs= with it"
         )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)
@@ -607,6 +908,8 @@ def maintain(
         return _HllPlan(hll, ttl)
     if hist is not None:
         return _HistPlan(hist, ttl)
+    if chain is not None:
+        return _JoinChainPlan(chain, ttl, op_col, seq_col)
     if on is not None:
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(
@@ -619,12 +922,45 @@ def maintain(
                 "top-n maintenance needs keys=, group_cols= and order_sql="
             )
         return _TopNPlan(keys, group_cols, order_sql, n, ttl, op_col, seq_col)
-    if not group_cols:
+    if session is not None and not group_cols:
+        group_cols = []
+    elif not group_cols:
         raise ValueError("aggregate maintenance needs group_cols=")
     fns = {fn for fn, _ in aggs.values()}
     unsupported = fns - _AGG_FNS
     if unsupported:
         raise ValueError(f"unsupported aggregate(s): {sorted(unsupported)}")
+    if session is not None:
+        if isinstance(session, dict):
+            unknown = set(session) - {"ts", "gap", "w_start", "w_end"}
+            if unknown:
+                raise ValueError(
+                    f"unknown session options: {sorted(unknown)}"
+                )
+            if "ts" not in session or "gap" not in session:
+                raise ValueError(
+                    "session= needs at least {'ts': <col>, 'gap': "
+                    "'<n> <unit>'}"
+                )
+            ts_col, gap = session["ts"], session["gap"]
+            w_start = session.get("w_start", "w_start")
+            w_end = session.get("w_end", "w_end")
+        elif isinstance(session, (tuple, list)) and len(session) == 2:
+            (ts_col, gap), w_start, w_end = session, "w_start", "w_end"
+        else:
+            raise ValueError(
+                "session= takes (ts_col, gap) or a dict with "
+                "ts/gap/w_start/w_end"
+            )
+        if not keys:
+            raise ValueError(
+                "session-window maintenance keeps table state and needs "
+                "keys= (the changelog's primary key)"
+            )
+        return _SessionPlan(
+            keys, group_cols, aggs, ts_col, gap, w_start, w_end,
+            ttl, op_col, seq_col,
+        )
     if fns & {"min", "max"}:
         if not keys:
             raise ValueError(

@@ -33,10 +33,24 @@ compiles to stateful operators for CDC pipelines:
   Spark's sliding ``window()`` generator — each row replicates into
   its size/slide windows and the signed algebra holds per window
   group; sum/count/avg only (min/max would need per-window table state
-  a PK-keyed upsert cannot express under replication).
+  a PK-keyed upsert cannot express under replication).  ``GROUP BY
+  [g,] SESSION(ts, INTERVAL '<gap>' u)`` (merging session windows,
+  Flink's SessionWindows.withGap) dispatches the dedicated table-state
+  session plan: a session's window is NOT a row-local timestamp
+  function — an arrival can merge two sessions, a retraction can split
+  one — so affected groups re-sessionize from the materialized table
+  (all five aggregate functions supported; ``SESSION_START/END``
+  project the window; ``ttl=<ts col>`` evicts CLOSED sessions behind
+  the watermark).
 * **Equi-join** ``SELECT a.x, b.y FROM ta a [INNER|LEFT|RIGHT|FULL]
   JOIN tb b ON a.k = b.k [AND ..]`` → ``maintain(on=..)``
-  (StreamingJoinOperator).
+  (StreamingJoinOperator).  Three or more tables — ``FROM a JOIN b ON
+  .. JOIN c ON ..``, each ON referencing the newly-joined alias and
+  one earlier alias (a left-deep chain) → ``maintain(chain=..)``, the
+  stacked-StreamingJoinOperator cascade Flink's planner builds; each
+  stage's output delta feeds the next stage (exact for arbitrary
+  multiplicities — the delta rule is bilinear), so one microbatch
+  propagates through the chain in one batch-driven pass.
 * **Top-N** ``SELECT .. FROM (SELECT *, ROW_NUMBER() OVER (PARTITION
   BY g ORDER BY o) AS rn FROM t [WHERE p]) WHERE rn <= n`` →
   ``maintain(n=..)`` (RankOperator; Flink's documented streaming Top-N
@@ -117,10 +131,18 @@ _AGG_RE = re.compile(
     r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_JOIN_RE = re.compile(
+_JOIN_HEAD = re.compile(
     r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<ta>[`\"\w.]+)(?:\s+AS)?\s+"
-    r"(?P<a>\w+)\s+(?:(?P<how>INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?"
-    r"JOIN\s+(?P<tb>[`\"\w.]+)(?:\s+AS)?\s+(?P<b>\w+)\s+"
+    r"(?P<a>\w+)\s+"
+    r"(?P<rest>(?:(?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?)?JOIN\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_JOIN_KW = re.compile(
+    r"\b((?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN|JOIN)\b",
+    re.IGNORECASE,
+)
+_JOIN_SEG = re.compile(
+    r"^\s*(?P<tb>[`\"\w.]+)(?:\s+AS)?\s+(?P<b>\w+)\s+"
     r"ON\s+(?P<conds>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -162,6 +184,17 @@ _HOP_ARGS = (
 _HOP = re.compile(r"^HOP\s*" + _HOP_ARGS, re.IGNORECASE | re.DOTALL)
 _HOP_FIELD = re.compile(
     r"^HOP_(?P<which>START|END)\s*" + _HOP_ARGS,
+    re.IGNORECASE | re.DOTALL,
+)
+# Flink's session-window syntax: SESSION(ts, INTERVAL '<gap>' u) —
+# merging windows (SessionWindows.withGap).  Unlike TUMBLE/HOP the
+# window is NOT a row-local timestamp function (arrivals merge
+# sessions, retractions split them), so the bridge dispatches the
+# dedicated table-state session plan rather than deriving window
+# columns per batch
+_SESSION = re.compile(r"^SESSION\s*" + _TUMBLE_ARGS, re.IGNORECASE | re.DOTALL)
+_SESSION_FIELD = re.compile(
+    r"^SESSION_(?P<which>START|END)\s*" + _TUMBLE_ARGS,
     re.IGNORECASE | re.DOTALL,
 )
 _W_START, _W_END = "__w_start", "__w_end"
@@ -224,14 +257,20 @@ class InsertSelect:
     n: Optional[int] = None
     # join
     join_how: str = "inner"
-    join_aliases: tuple = ()  # (alias_a, alias_b)
+    join_aliases: tuple = ()  # (alias_a, alias_b[, alias_c, ...])
     join_on: list = field(default_factory=list)  # [(col_a, col_b)]
+    # multi-way (3+ table) chain: one dict per JOIN after the first
+    # table — {"alias": <new alias>, "how": .., "on": [(earlier alias,
+    # earlier col, new-side col), ...]}; empty for two-way joins
+    join_chain: list = field(default_factory=list)
     # output projection: (source column name or "<alias>.<col>", out name)
     select: list = field(default_factory=list)
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
     # sliding window: (ts column, slide duration, size duration)
     hop: Optional[tuple] = None
+    # merging session window: (ts column, gap duration string)
+    session: Optional[tuple] = None
     # HAVING predicate over the RESULT columns (aggregate aliases +
     # group cols); row-local on result rows, so it filters the signed
     # delta stream directly
@@ -281,51 +320,101 @@ def parse_insert_select(sql: str) -> InsertSelect:
             select=items,
         )
 
-    jm = _JOIN_RE.match(select)
+    jm = _JOIN_HEAD.match(select)
     if jm and " GROUP " not in select.upper():
-        a, b = jm.group("a"), jm.group("b")
-        on = []
-        for cond in re.split(r"\s+AND\s+", jm.group("conds").strip(),
-                             flags=re.IGNORECASE):
-            cm = _JOIN_COND.match(cond.strip())
-            if not cm:
+        aliases = [jm.group("a")]
+        tables = [jm.group("ta").strip('`"')]
+        parts = _JOIN_KW.split(jm.group("rest"))
+        if parts[0].strip():
+            raise ValueError(_SHAPES_MSG)
+        raw_stages = []
+        for kw, seg in zip(parts[1::2], parts[2::2]):
+            sm = _JOIN_SEG.match(seg)
+            if not sm:
                 raise ValueError(
-                    f"join condition {cond.strip()!r} is not an equi-join "
-                    "predicate <a>.<col> = <b>.<col> — only equi-joins "
-                    "have incremental maintenance plans"
+                    f"cannot parse join segment {seg.strip()!r}: expected "
+                    "<table> [AS] <alias> ON <equi-join conditions>"
                 )
-            lq, lc, rq, rc = cm.group("lq", "lc", "rq", "rc")
-            if {lq, rq} != {a, b}:
-                raise ValueError(
-                    f"join condition {cond.strip()!r} must reference both "
-                    f"table aliases {a!r} and {b!r}"
-                )
-            on.append((lc, rc) if lq == a else (rc, lc))
+            howkw = kw.split()[0].lower()
+            raw_stages.append(
+                ("inner" if howkw == "join" else howkw,
+                 sm.group("tb").strip('`"'), sm.group("b"),
+                 sm.group("conds"))
+            )
+        two_way = len(raw_stages) == 1
+        stages = []
+        for how, tb, bal, conds in raw_stages:
+            if bal in aliases:
+                raise ValueError(f"duplicate table alias {bal!r}")
+            on = []
+            for cond in re.split(r"\s+AND\s+", conds.strip(),
+                                 flags=re.IGNORECASE):
+                cm = _JOIN_COND.match(cond.strip())
+                if not cm:
+                    raise ValueError(
+                        f"join condition {cond.strip()!r} is not an "
+                        "equi-join predicate <a>.<col> = <b>.<col> — only "
+                        "equi-joins have incremental maintenance plans"
+                    )
+                lq, lc, rq, rc = cm.group("lq", "lc", "rq", "rc")
+                if two_way and {lq, rq} != {aliases[0], bal}:
+                    raise ValueError(
+                        f"join condition {cond.strip()!r} must reference "
+                        f"both table aliases {aliases[0]!r} and {bal!r}"
+                    )
+                if rq == bal and lq in aliases:
+                    on.append((lq, lc, rc))
+                elif lq == bal and rq in aliases:
+                    on.append((rq, rc, lc))
+                else:
+                    raise ValueError(
+                        f"join condition {cond.strip()!r} must reference "
+                        f"the newly-joined alias {bal!r} and one earlier "
+                        f"alias (of {aliases}) — a left-deep chain joins "
+                        "each table against the tables before it"
+                    )
+            aliases.append(bal)
+            tables.append(tb)
+            stages.append({"alias": bal, "how": how, "on": on})
         items = []
         for raw in _split_select_items(jm.group("items")):
             expr, alias = _split_alias(raw)
             qm = _QUAL_ITEM.match(expr)
-            if not qm or qm.group("q") not in (a, b):
+            if not qm or qm.group("q") not in aliases:
+                hint = (
+                    f"({aliases[0]}.<col> / {aliases[1]}.<col>)"
+                    if two_way
+                    else f"(<alias>.<col> with alias in {aliases})"
+                )
                 raise ValueError(
                     f"join select items must be alias-qualified columns "
-                    f"({a}.<col> / {b}.<col>), got {raw!r}"
+                    f"{hint}, got {raw!r}"
                 )
-            items.append((f"{qm.group('q')}.{qm.group('c')}", alias or qm.group("c")))
-        how = (jm.group("how") or "inner").lower()
+            items.append(
+                (f"{qm.group('q')}.{qm.group('c')}", alias or qm.group("c"))
+            )
+        if two_way:
+            st = stages[0]
+            return InsertSelect(
+                sink=sink, shape="join", sources=tables,
+                join_how=st["how"], join_aliases=tuple(aliases),
+                join_on=[(lc, rc) for _, lc, rc in st["on"]], select=items,
+            )
         return InsertSelect(
-            sink=sink, shape="join",
-            sources=[jm.group("ta").strip('`"'), jm.group("tb").strip('`"')],
-            join_how=how, join_aliases=(a, b), join_on=on, select=items,
+            sink=sink, shape="join", sources=tables,
+            join_aliases=tuple(aliases), join_chain=stages, select=items,
         )
 
     am = _AGG_RE.match(select)
     if am:
-        groups, tumble, hop = [], None, None
+        groups, tumble, hop, session = [], None, None, None
         for part in _split_select_items(am.group("groups")):
             tm_ = _TUMBLE.match(part.strip())
             if tm_:
-                if tumble is not None or hop is not None:
-                    raise ValueError("at most one TUMBLE/HOP window per GROUP BY")
+                if tumble is not None or hop is not None or session is not None:
+                    raise ValueError(
+                        "at most one TUMBLE/HOP/SESSION window per GROUP BY"
+                    )
                 tumble = (
                     tm_.group("col"),
                     f"{tm_.group('n')} {tm_.group('unit').lower()}s",
@@ -337,8 +426,10 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 continue
             hm_ = _HOP.match(part.strip())
             if hm_:
-                if tumble is not None or hop is not None:
-                    raise ValueError("at most one TUMBLE/HOP window per GROUP BY")
+                if tumble is not None or hop is not None or session is not None:
+                    raise ValueError(
+                        "at most one TUMBLE/HOP/SESSION window per GROUP BY"
+                    )
                 hop = (
                     hm_.group("col"),
                     f"{hm_.group('sn')} {hm_.group('su').lower()}s",
@@ -346,11 +437,25 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 )
                 groups.extend([_W_START, _W_END])
                 continue
+            sm_ = _SESSION.match(part.strip())
+            if sm_:
+                if tumble is not None or hop is not None or session is not None:
+                    raise ValueError(
+                        "at most one TUMBLE/HOP/SESSION window per GROUP BY"
+                    )
+                session = (
+                    sm_.group("col"),
+                    f"{sm_.group('n')} {sm_.group('unit').lower()}s",
+                )
+                # session windows are NOT row-local: the window columns
+                # are produced by the maintenance plan itself, so they
+                # are not GROUP BY inputs here
+                continue
             im = _IDENT.match(part.strip())
             if not im:
                 raise ValueError(
                     "GROUP BY items must be plain column names or "
-                    f"TUMBLE(ts, INTERVAL '<n>' <unit>), got {part.strip()!r}"
+                    f"TUMBLE/HOP/SESSION(ts, INTERVAL ..), got {part.strip()!r}"
                 )
             groups.append(im.group("name"))
         items, aggs = [], {}
@@ -400,12 +505,27 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 src = _W_START if which == "START" else _W_END
                 items.append((src, alias or f"w_{which.lower()}"))
                 continue
+            sf = _SESSION_FIELD.match(expr)
+            if sf:
+                spec = (
+                    sf.group("col"),
+                    f"{sf.group('n')} {sf.group('unit').lower()}s",
+                )
+                if session is None or spec != session:
+                    raise ValueError(
+                        f"{expr!r} does not match the GROUP BY's SESSION "
+                        "window (same time column and gap required)"
+                    )
+                which = sf.group("which").upper()
+                src = _W_START if which == "START" else _W_END
+                items.append((src, alias or f"w_{which.lower()}"))
+                continue
             im = _IDENT.match(expr)
             if not im or im.group("name") not in groups:
                 raise ValueError(
                     f"aggregate select item {raw!r} is neither a GROUP BY "
-                    "column, TUMBLE/HOP_START/END of the window, nor "
-                    "FN(expr) with FN in SUM/COUNT/AVG/MIN/MAX"
+                    "column, TUMBLE/HOP/SESSION_START/END of the window, "
+                    "nor FN(expr) with FN in SUM/COUNT/AVG/MIN/MAX"
                 )
             items.append((im.group("name"), alias or im.group("name")))
         selected_groups = {s for s, _ in items if s is not None}
@@ -418,12 +538,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 f"SELECT must project every GROUP BY column (the upsert "
                 f"sink's key — Flink requires the same); missing {missing}"
             )
-        if (tumble is not None or hop is not None) and not (
-            selected_groups & {_W_START, _W_END}
-        ):
+        if (
+            tumble is not None or hop is not None or session is not None
+        ) and not (selected_groups & {_W_START, _W_END}):
             raise ValueError(
-                "a windowed aggregate must project TUMBLE/HOP_START "
-                "and/or _END (the window is the sink's key)"
+                "a windowed aggregate must project TUMBLE/HOP/SESSION_"
+                "START and/or _END (the window is the sink's key)"
             )
         if not aggs:
             raise ValueError("no aggregate function in the SELECT list")
@@ -433,7 +553,8 @@ def parse_insert_select(sql: str) -> InsertSelect:
         return InsertSelect(
             sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
             group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
-            select=items, tumble=tumble, hop=hop, having=having,
+            select=items, tumble=tumble, hop=hop, session=session,
+            having=having,
         )
     raise ValueError(_SHAPES_MSG)
 
@@ -577,7 +698,32 @@ class SqlMaintenanceJob:
             # from empty, emitting a duplicate-keyed result with no
             # retraction of the earlier one
             ttl = _W_END
-        if stmt.shape == "agg":
+        if stmt.shape == "agg" and stmt.session is not None:
+            # merging session windows: always the table-state session
+            # plan (arrivals merge sessions, retractions split them —
+            # never row-local), keyed by the source PRIMARY KEY; all
+            # five aggregate functions recompute per affected group
+            keys, _ = self._preps[0]
+            if not keys:
+                raise ValueError(
+                    f"SESSION windows keep table state keyed by the "
+                    f"source's PRIMARY KEY, but table {stmt.sources[0]!r} "
+                    "declares none"
+                )
+            ts_col, gap = stmt.session
+            self.plan = maintain(
+                aggs={
+                    name: _agg_col(fn, args)
+                    for name, (fn, args) in stmt.aggs.items()
+                },
+                group_cols=stmt.group_cols, keys=keys,
+                session={
+                    "ts": ts_col, "gap": gap,
+                    "w_start": _W_START, "w_end": _W_END,
+                },
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
+        elif stmt.shape == "agg":
             keys, _ = self._preps[0]
             aggs = {
                 name: _agg_col(fn, args)
@@ -607,6 +753,36 @@ class SqlMaintenanceJob:
             self.plan = maintain(
                 aggs=aggs, group_cols=stmt.group_cols,
                 keys=keys if fns & {"min", "max"} else None,
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
+        elif stmt.shape == "join" and stmt.join_chain:
+            # multi-way chain: resolve each stage's ON columns to their
+            # names in the ACCUMULATED left frame (a right-side join
+            # column is renamed to the earlier column's accumulated
+            # name, exactly like the two-way alignment below) — all
+            # statically known from the join conditions
+            outname: dict = {}
+
+            def _resolve(q: str, c: str) -> str:
+                return outname.get((q, c), c)
+
+            self._chain_on, self._chain_renames = [], []
+            for stage in stmt.join_chain:
+                ons, rns = [], []
+                for q, lc, rc in stage["on"]:
+                    target = _resolve(q, lc)
+                    ons.append(target)
+                    if rc != target:
+                        rns.append((rc, target))
+                        outname[(stage["alias"], rc)] = target
+                self._chain_on.append(ons)
+                self._chain_renames.append(rns)
+            self._join_outname = outname
+            self.plan = maintain(
+                chain=[
+                    (ons, stage["how"])
+                    for ons, stage in zip(self._chain_on, stmt.join_chain)
+                ],
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "join":
@@ -643,10 +819,12 @@ class SqlMaintenanceJob:
         # tombstones; the stateless delta plan uses a plain row filter
         from flink_cdc_2_3_0_src_spark.operators.maintain import (
             _AggRecomputePlan,
+            _SessionPlan,
         )
 
         self._where_tombstones = stmt.where is not None and (
-            stmt.shape == "topn" or isinstance(self.plan, _AggRecomputePlan)
+            stmt.shape == "topn"
+            or isinstance(self.plan, (_AggRecomputePlan, _SessionPlan))
         )
         self._state = None
         self._acc: Optional[DataFrame] = None
@@ -699,7 +877,38 @@ class SqlMaintenanceJob:
         missing = [s for s in self.stmt.sources if s not in batches]
         if missing:
             raise ValueError(f"step() missing batch for table(s) {missing}")
-        if self.stmt.shape == "join":
+        if self.stmt.shape == "join" and self.stmt.join_chain:
+            prepped = [self._prep(0, batches[self.stmt.sources[0]])]
+            acc_cols = set(prepped[0].columns) - {self.op_col, self.seq_col}
+            for i, stage in enumerate(self.stmt.join_chain):
+                b = self._prep(i + 1, batches[self.stmt.sources[i + 1]])
+                for rc, target in self._chain_renames[i]:
+                    if target in b.columns:
+                        raise ValueError(
+                            f"cannot align join column {rc!r} to "
+                            f"{target!r}: side {self.stmt.sources[i + 1]!r} "
+                            f"already has an unrelated column named "
+                            f"{target!r} — rename one of them in the "
+                            "source DDL"
+                        )
+                    b = b.withColumnRenamed(rc, target)
+                shared = (
+                    set(b.columns)
+                    - {self.op_col, self.seq_col}
+                    - set(self._chain_on[i])
+                ) & acc_cols
+                if shared:
+                    raise ValueError(
+                        f"join stage {i + 1} shares non-key column(s) "
+                        f"{sorted(shared)} with the accumulated left side; "
+                        "the maintained chain needs distinct non-key "
+                        "column names across all sides — rename them in "
+                        "the source DDLs"
+                    )
+                acc_cols |= set(b.columns) - {self.op_col, self.seq_col}
+                prepped.append(b)
+            self._state, delta = self.plan.step(self._state, *prepped)
+        elif self.stmt.shape == "join":
             a = self._prep(0, batches[self.stmt.sources[0]])
             b = self._prep(1, batches[self.stmt.sources[1]])
             # merge_join_state equi-joins on same-named columns: align
@@ -822,7 +1031,13 @@ class SqlMaintenanceJob:
                 ),
             ).drop("__dup")
         cols = []
-        if self.stmt.shape == "join":
+        if self.stmt.shape == "join" and self.stmt.join_chain:
+            for src, out in self.stmt.select:
+                q, c = src.split(".", 1)
+                cols.append(
+                    F.col(self._join_outname.get((q, c), c)).alias(out)
+                )
+        elif self.stmt.shape == "join":
             a, _b = self.stmt.join_aliases
             on_a = {ca for ca, _ in self.stmt.join_on}
             for src, out in self.stmt.select:

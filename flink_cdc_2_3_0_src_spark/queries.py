@@ -98,7 +98,15 @@ _PRIORITY: list[str] = [
     # of B4's merge_agg_state), producing the same enrichment join via
     # per-batch deltas; a genuinely new operator class with no prior
     # window row.)
-    "cdc_delta_join",
+    # (cdc_delta_join: demoted in r10 — the incremental-join class
+    # keeps a STRONGER in-window witness in cdc_sql_three_way_join,
+    # which routes the SAME trilinear delta-join core
+    # (merge_join_state_deltas) through the SQL planner as a CASCADE of
+    # maintained stages — three changelogs, an inner and a LEFT-OUTER
+    # stage (null-pad retraction mid-stream), the stacked
+    # StreamingJoinOperator chain Flink's planner builds for FROM a
+    # JOIN b JOIN c.  delta_join stays registered + locally swept.)
+    "cdc_sql_three_way_join",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
     "cdc_metadata_columns", "cdc_mongo_changestream_decode",
     "b6_all_types_decode",
@@ -184,7 +192,19 @@ _PRIORITY: list[str] = [
     # Its slot goes to dedup_fuzzy_blocked, the round-4 sub-quadratic
     # edit-distance scale twin.)
     "dedup_fuzzy_blocked",
-    "dedup_clusters", "dedup_semantic",
+    # (dedup_clusters: LSH-pair connected-components grouping — demoted
+    # in r10; the dedup family keeps SIX window witnesses (exact,
+    # spans, minhash pairs, fuzzy-blocked, semantic, embedding-lsh) and
+    # clusters stays registered + locally swept.  Its slot goes to
+    # cdc_sql_session_window: merging SESSION windows on the SQL
+    # maintenance surface (Flink's SessionWindows.withGap /
+    # MergingWindowAssigner — GROUP BY SESSION(ts, INTERVAL ..)) — a
+    # genuinely new operator class: unlike TUMBLE/HOP the window is not
+    # a row-local timestamp function (arrivals MERGE sessions,
+    # retractions SPLIT them), so it needs its own table-state
+    # maintenance plan (_SessionPlan, affected-group re-sessionization)
+    # that no other window row exercises.)
+    "cdc_sql_session_window", "dedup_semantic",
     # (dedup_simhash: demoted in r8 — the dedup family keeps SEVEN
     # window witnesses (exact, spans, minhash pairs, fuzzy-blocked,
     # clusters, semantic, embedding-lsh), and simhash remains a BENCH
@@ -4606,6 +4626,247 @@ def cdc_sql_ddl_maintained_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_dec").cast("double").alias("sum_value"),
         "n_live",
         "avg_value",
+    )
+
+
+# SESSION windows on the SQL maintenance surface (r10): Flink's
+# merging group windows (SessionWindows.withGap — the GROUP BY
+# SESSION(ts, INTERVAL ..) syntax of the reference's SQL jobs).  Unlike
+# TUMBLE/HOP a session's window is NOT a row-local timestamp function:
+# an arrival can MERGE two sessions and a retraction can SPLIT one, so
+# the planner dispatches the dedicated table-state plan
+# (operators/maintain.py _SessionPlan) that re-sessionizes ONLY the
+# groups each batch touches — Flink's MergingWindowAssigner state,
+# re-expressed as affected-group gaps-and-islands.  The oracle
+# sessionizes the materialized log in one window pass — a different
+# algorithm (global gaps-and-islands vs per-batch incremental
+# maintenance); session membership is order-tie-proof (a tied row
+# never opens a session boundary), so the engines agree exactly.
+@register(
+    "cdc_sql_session_window",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL}),
+    s AS (
+        SELECT user_id % 10 AS bucket, value, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 7200000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM m WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id % 10 ORDER BY ts)
+    ),
+    sid AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY bucket ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM s
+    )
+    SELECT bucket, MIN(ts) AS w_start,
+           MAX(ts) + INTERVAL 2 HOUR AS w_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows, MIN(value) AS min_value
+    FROM sid GROUP BY bucket, sid
+    """,
+)
+def cdc_sql_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket,"
+        " SESSION_START(ts, INTERVAL '2' HOUR) AS w_start,"
+        " SESSION_END(ts, INTERVAL '2' HOUR) AS w_end,"
+        " SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec,"
+        " COUNT(*) AS n_rows, MIN(value) AS min_value"
+        " FROM events_cdc GROUP BY bucket, SESSION(ts, INTERVAL '2' HOUR)",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=4,
+    )
+    return out.select(
+        "bucket",
+        "w_start",
+        "w_end",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "n_rows",
+        "min_value",
+    )
+
+
+# Multi-way join chains on the SQL maintenance surface (r10): FROM a
+# JOIN b ON .. LEFT JOIN c ON .. compiles to a left-deep CASCADE of
+# maintained join stages (operators/maintain.py _JoinChainPlan — the
+# stacked StreamingJoinOperators Flink's planner builds for a 3-table
+# streaming join).  Each stage's signed output delta feeds the next
+# stage — exact for arbitrary multiplicities because the delta rule is
+# bilinear — so one microbatch propagates through the whole chain in
+# one batch-driven pass, never rescanning any accumulated side.  The
+# three upsert changelogs exercise updates, deletes, a customer
+# re-pointed to a DELETED nation (the left-outer third stage retracts
+# the match and inserts a null pad mid-stream), and nation deletions.
+# The oracle materializes the same logs and runs the 3-way join
+# one-shot — a different algorithm.
+@register(
+    "cdc_sql_three_way_join",
+    """
+    WITH o_log AS (
+        SELECT o_orderkey AS k, o_custkey AS ck, o_totalprice AS amt,
+               '+I' AS _op, o_orderkey * 3 AS _seq
+        FROM orders WHERE o_orderkey % 20 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice * 2, '+U',
+               o_orderkey * 3 + 1
+        FROM orders WHERE o_orderkey % 60 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, '-D',
+               o_orderkey * 3 + 2
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    o_m AS (
+        SELECT k, ck, amt FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY _seq DESC) AS rn
+            FROM o_log
+        ) WHERE rn = 1 AND _op <> '-D'
+    ),
+    c_log AS (
+        SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nk,
+               '+I' AS _op, c_custkey * 3 AS _seq
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, CAST((c_nationkey + 1) % 25 AS BIGINT), '+U',
+               c_custkey * 3 + 1
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, CAST(c_nationkey AS BIGINT), '-D',
+               c_custkey * 3 + 2
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    c_m AS (
+        SELECT ck, nk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY ck ORDER BY _seq DESC) AS rn
+            FROM c_log
+        ) WHERE rn = 1 AND _op <> '-D'
+    ),
+    n_log AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name,
+               '+I' AS _op, n_nationkey * 3 AS _seq
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), n_name, '-D',
+               n_nationkey * 3 + 2
+        FROM nation WHERE n_nationkey % 5 = 0
+    ),
+    n_m AS (
+        SELECT nk, n_name FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY nk ORDER BY _seq DESC) AS rn
+            FROM n_log
+        ) WHERE rn = 1 AND _op <> '-D'
+    )
+    SELECT o_m.k AS order_id, o_m.amt, c_m.ck AS cust,
+           c_m.nk AS nation_key, n_m.n_name AS nation_name
+    FROM o_m JOIN c_m ON o_m.ck = c_m.ck
+    LEFT JOIN n_m ON c_m.nk = n_m.nk
+    """,
+)
+def cdc_sql_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        ensure_retractions,
+    )
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    o_base = o.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("amt"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("o_orderkey") * 3).cast("long").alias(SEQ_COL),
+    )
+    o_upd = o.filter(F.col("o_orderkey") % 60 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        (F.col("o_totalprice") * 2).alias("amt"),
+        F.lit("+U").alias(OP_COL),
+        (F.col("o_orderkey") * 3 + 1).cast("long").alias(SEQ_COL),
+    )
+    o_del = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("amt"),
+        F.lit("-D").alias(OP_COL),
+        (F.col("o_orderkey") * 3 + 2).cast("long").alias(SEQ_COL),
+    )
+    o_log = ensure_retractions(
+        o_base.unionByName(o_upd).unionByName(o_del),
+        ChangelogMode.UPSERT,
+        ["k"],
+    )
+
+    c = ld(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c_base = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("c_custkey") * 3).cast("long").alias(SEQ_COL),
+    )
+    c_upd = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        ((F.col("c_nationkey") + 1) % 25).cast("long").alias("nk"),
+        F.lit("+U").alias(OP_COL),
+        (F.col("c_custkey") * 3 + 1).cast("long").alias(SEQ_COL),
+    )
+    c_del = c.filter(F.col("c_custkey") % 11 == 0).select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").cast("long").alias("nk"),
+        F.lit("-D").alias(OP_COL),
+        (F.col("c_custkey") * 3 + 2).cast("long").alias(SEQ_COL),
+    )
+    c_log = ensure_retractions(
+        c_base.unionByName(c_upd).unionByName(c_del),
+        ChangelogMode.UPSERT,
+        ["ck"],
+    )
+
+    n = ld(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_base = n.select(
+        F.col("n_nationkey").cast("long").alias("nk"),
+        F.col("n_name"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("n_nationkey") * 3).cast("long").alias(SEQ_COL),
+    )
+    n_del = n.filter(F.col("n_nationkey") % 5 == 0).select(
+        F.col("n_nationkey").cast("long").alias("nk"),
+        F.col("n_name"),
+        F.lit("-D").alias(OP_COL),
+        (F.col("n_nationkey") * 3 + 2).cast("long").alias(SEQ_COL),
+    )
+    n_log = ensure_retractions(
+        n_base.unionByName(n_del), ChangelogMode.UPSERT, ["nk"]
+    )
+
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT o.k AS order_id, o.amt, c.ck AS cust,"
+        " c.nk AS nation_key, n.n_name AS nation_name"
+        " FROM o_t o JOIN c_t c ON o.ck = c.ck"
+        " LEFT JOIN n_t n ON c.nk = n.nk",
+        {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
+        {"o_t": o_log, "c_t": c_log, "n_t": n_log},
+        # 3 seq-range batches: multi-batch chain propagation without
+        # paying a 4th fixed-overhead stage-step round at driver-check
+        # time (split-invariance at {1,3,5} is test-pinned)
+        n_batches=3,
     )
 
 

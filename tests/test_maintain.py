@@ -541,3 +541,85 @@ def test_maintain_hist_plan_matches_one_shot(spark):
         maintain(hist=False)
     with pytest.raises(ValueError, match="group column"):
         maintain(hist={"vmin": vmin, "vmax": vmax}, ttl="ts").expire(state, 0)
+
+
+def test_maintain_session_dispatch_and_guards(spark):
+    aggs = {"s": ("sum", F.col("v"))}
+    plan = maintain(
+        aggs=aggs, group_cols=["g"], keys=["k"], session=("ts", "2 hours")
+    )
+    assert plan.kind == "session"
+    with pytest.raises(ValueError, match="modifier of the aggregate"):
+        maintain(on=["k"], session=("ts", "2 hours"))
+    with pytest.raises(ValueError, match="keys="):
+        maintain(aggs=aggs, group_cols=["g"], session=("ts", "2 hours"))
+    with pytest.raises(ValueError, match="session gap"):
+        maintain(
+            aggs=aggs, group_cols=["g"], keys=["k"],
+            session=("ts", "2 fortnights"),
+        )
+    with pytest.raises(ValueError, match="collide with group"):
+        maintain(
+            aggs=aggs, group_cols=["w_start"], keys=["k"],
+            session=("ts", "2 hours"),
+        )
+    with pytest.raises(ValueError, match="session ttl"):
+        maintain(
+            aggs=aggs, group_cols=["g"], keys=["k"],
+            session=("ts", "2 hours"), ttl="g",
+        )
+    with pytest.raises(ValueError, match="unknown session options"):
+        maintain(
+            aggs=aggs, group_cols=["g"], keys=["k"],
+            session={"ts": "ts", "gap": "1 hour", "bogus": 1},
+        )
+
+
+def test_maintain_global_session_no_group_cols(spark):
+    """GROUP BY SESSION(..) alone (no key columns): one global session
+    timeline; split-invariant and equal to one-shot sessionization."""
+    from datetime import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.operators.changelog import materialize
+
+    schema = f"k long, v double, ts timestamp, {OP_COL} string, {SEQ_COL} long"
+    rows = [
+        (1, 1.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+        (2, 2.0, dt(2024, 1, 1, 0, 30), "+I", 2),
+        (3, 4.0, dt(2024, 1, 1, 6, 0), "+I", 3),
+        (2, 2.0, dt(2024, 1, 1, 0, 30), "-D", 4),
+    ]
+    log = spark.createDataFrame(rows, schema)
+    plan = maintain(
+        aggs={"s": ("sum", F.col("v")), "n": ("count", F.lit(1))},
+        keys=["k"], session={"ts": "ts", "gap": "1 hour"},
+    )
+    single = _net(_run_plan(plan, [log])[1])
+    plan2 = maintain(
+        aggs={"s": ("sum", F.col("v")), "n": ("count", F.lit(1))},
+        keys=["k"], session={"ts": "ts", "gap": "1 hour"},
+    )
+    split = _net(_run_plan(plan2, _seq_batches(log, 3))[1])
+    assert single == split
+    assert single == {
+        (dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 1, 0), 1.0, 1),
+        (dt(2024, 1, 1, 6, 0), dt(2024, 1, 1, 7, 0), 4.0, 1),
+    }
+
+
+def test_maintain_chain_dispatch_and_guards(spark):
+    plan = maintain(chain=[(["k"], "inner"), (["j"], "left")])
+    assert plan.kind == "join_chain"
+    with pytest.raises(ValueError, match="at least two stages"):
+        maintain(chain=[(["k"], "inner")])
+    with pytest.raises(ValueError, match="how must be"):
+        maintain(chain=[(["k"], "inner"), (["j"], "cross")])
+    with pytest.raises(ValueError, match="do not support ttl"):
+        maintain(chain=[(["k"], "inner"), (["j"], "inner")], ttl="ts")
+    with pytest.raises(ValueError, match="exactly one shape"):
+        maintain(chain=[(["k"], "inner"), (["j"], "inner")], on=["k"])
+    with pytest.raises(ValueError, match="steps 3 batches"):
+        df = spark.createDataFrame(
+            [(1, 1, "+I", 1)], f"k long, j long, {OP_COL} string, {SEQ_COL} long"
+        )
+        plan.step(None, df, df)

@@ -608,7 +608,7 @@ def test_tumbling_window_ttl_expires_behind_watermark(spark):
          "does not match the GROUP BY's TUMBLE"),
         ("INSERT INTO s SELECT SUM(v) AS s FROM t "
          "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
-         "must project TUMBLE/HOP_START"),
+         "must project TUMBLE/HOP/SESSION_START"),
         ("INSERT INTO s SELECT g, SUM(v) AS s FROM t "
          "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), "
          "TUMBLE(ts2, INTERVAL '5' MINUTE)",
@@ -1046,3 +1046,421 @@ def test_having_rewrite_word_boundary_and_literals(spark):
             ],
             {"ta": ["k"], "tb": ["k"], "tc": ["id"]},
         )
+
+
+# ---------------------------------------------------------------------------
+# SESSION windows (merging group windows — Flink's SessionWindows.withGap)
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = (
+    "INSERT INTO sink SELECT g,"
+    " SESSION_START(ts, INTERVAL '2' HOUR) AS ws,"
+    " SESSION_END(ts, INTERVAL '2' HOUR) AS we,"
+    " SUM(v) AS s, COUNT(*) AS n, MAX(v) AS mx"
+    " FROM t GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)"
+)
+
+# changelog exercising the two NON-row-local session transitions: the
+# +U at seq 6 moves user 3 from an isolated session into gap-reach of
+# the first — two sessions MERGE; the -D at seq 7 removes the bridge
+# row between 00:00 and 03:10 — one session SPLITS in two
+_SESSION_ROWS = [
+    (1, "a", 1.0, "2024-01-01 00:00:00", "+I", 1),
+    (2, "a", 2.0, "2024-01-01 01:45:00", "+I", 2),
+    (6, "a", 6.0, "2024-01-01 03:10:00", "+I", 3),
+    (4, "b", 4.0, "2024-01-01 01:00:00", "+I", 4),
+    (3, "a", 3.0, "2024-01-01 09:00:00", "+I", 5),
+    (3, "a", 3.0, "2024-01-01 09:00:00", "-U", 6),
+    (3, "a", 9.0, "2024-01-01 04:00:00", "+U", 6),
+    (2, "a", 2.0, "2024-01-01 01:45:00", "-D", 7),
+    (5, "a", 5.0, None, "+I", 8),  # NULL ts: live row, no session
+]
+_SESSION_SCHEMA = (
+    f"user_id long, g string, v double, ts_s string, {OP_COL} string, "
+    f"{SEQ_COL} long"
+)
+
+
+def _session_log(spark):
+    return (
+        spark.createDataFrame(_SESSION_ROWS, _SESSION_SCHEMA)
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+
+
+def _direct_sessions(mat, gap_expr="INTERVAL 2 HOUR"):
+    """One-shot gaps-and-islands over the materialized table — a
+    different algorithm than the plan's incremental affected-group
+    recompute."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("g").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = (
+        F.when(prev.isNull() | (F.col("ts") >= prev + F.expr(gap_expr)), 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    sid = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        mat.filter(F.col("ts").isNotNull())
+        .withColumn("sid", sid)
+        .groupBy("g", "sid")
+        .agg(
+            F.min("ts").alias("ws"),
+            (F.max("ts") + F.expr(gap_expr)).alias("we"),
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("mx"),
+        )
+        .select("g", "ws", "we", "s", "n", "mx")
+    )
+
+
+def test_session_parse_shape():
+    st = parse_insert_select(_SESSION_SQL)
+    assert st.shape == "agg" and st.session == ("ts", "2 hours")
+    assert st.group_cols == ["g"]  # window cols are plan-produced
+    assert ("__w_start", "ws") in st.select and ("__w_end", "we") in st.select
+
+
+@pytest.mark.parametrize("n_batches", [1, 2, 4])
+def test_session_window_replay_matches_direct_any_split(spark, n_batches):
+    """Session maintenance telescopes to the direct one-shot
+    sessionization for ANY batch split — including the batch boundary
+    that lands between a session's creation and the update that MERGES
+    it with its neighbor, and the one before the delete that SPLITS
+    one."""
+    log = _session_log(spark)
+    got = replay_insert_maintained(
+        _SESSION_SQL, {"t": ["user_id"]}, {"t": log}, n_batches=n_batches
+    )
+    direct = _direct_sessions(materialize(log, ["user_id"]))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # final state: group a = [00:00,02:00) split piece {1.0},
+    # [03:10,06:00) merged piece {6.0, 9.0}; group b untouched
+    import datetime as dt
+
+    rows = {
+        (r["g"], r["ws"]): (r["s"], r["n"], r["mx"])
+        for r in got.collect()
+    }
+    assert rows[("a", dt.datetime(2024, 1, 1, 0, 0))] == (1.0, 1, 1.0)
+    assert rows[("a", dt.datetime(2024, 1, 1, 3, 10))] == (15.0, 2, 9.0)
+    assert rows[("b", dt.datetime(2024, 1, 1, 1, 0))] == (4.0, 1, 4.0)
+
+
+def test_session_merge_emits_retract_insert_pair(spark):
+    """Delta contract across a MERGE: when an arrival bridges two
+    existing sessions, the batch's delta retracts BOTH old session rows
+    and inserts the merged one (Flink's MergingWindowAssigner firing a
+    merge callback)."""
+    schema = (
+        f"user_id long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    from datetime import datetime as dt
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "a", 1.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+            (2, "a", 2.0, dt(2024, 1, 1, 5, 0), "+I", 2),
+        ],
+        schema,
+    )
+    # prior sessions: [00:00,02:00) and [05:00,07:00).  The two arrivals
+    # chain-bridge them: 00:00→01:30 (1.5h), 01:30→03:15 (1.75h),
+    # 03:15→05:00 (1.75h) — every hop strictly under the 2h gap, so all
+    # four rows collapse into ONE merged session
+    b2 = spark.createDataFrame(
+        [
+            (3, "a", 3.0, dt(2024, 1, 1, 1, 30), "+I", 3),
+            (4, "a", 4.0, dt(2024, 1, 1, 3, 15), "+I", 4),
+        ],
+        schema,
+    )
+    job = plan_insert_maintained(_SESSION_SQL, {"t": ["user_id"]})
+    job.step({"t": b1})
+    delta2 = job.step({"t": b2}).collect()
+    from flink_cdc_2_3_0_src_spark.operators.changelog import MULT_COL
+
+    # step() deltas carry the PLAN's frame (internal window columns);
+    # the SELECT's output names apply at result()/delta_changelog()
+    retracted = {
+        (r["__w_start"], r["__w_end"]) for r in delta2 if r[MULT_COL] == -1
+    }
+    inserted = {
+        (r["__w_start"], r["__w_end"], r["s"], r["n"])
+        for r in delta2
+        if r[MULT_COL] == 1
+    }
+    # both prior sessions retract; one merged session spanning all four
+    # rows inserts ([00:00, 07:00) with sum 10)
+    assert retracted == {
+        (dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 2, 0)),
+        (dt(2024, 1, 1, 5, 0), dt(2024, 1, 1, 7, 0)),
+    }
+    assert inserted == {
+        (dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 7, 0), 10.0, 4)
+    }
+
+
+def test_session_ttl_expires_closed_sessions(spark):
+    """ttl=<ts col> evicts CLOSED sessions (w_end <= watermark): their
+    table rows and result rows forget together, the still-open session
+    survives and keeps aggregating, and the folded sink keeps
+    already-emitted rows (TTL forgets state, not results)."""
+    schema = (
+        f"user_id long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    from datetime import datetime as dt
+
+    b1 = spark.createDataFrame(
+        [
+            (1, "a", 1.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+            (2, "a", 2.0, dt(2024, 1, 1, 6, 0), "+I", 2),
+            (3, "a", 3.0, None, "+I", 3),  # NULL ts: kept by expiry
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(4, "a", 4.0, dt(2024, 1, 1, 7, 0), "+I", 4)], schema
+    )
+    job = plan_insert_maintained(
+        _SESSION_SQL, {"t": ["user_id"]}, ttl="ts"
+    )
+    job.step({"t": b1})
+    # sessions: [00:00,02:00) and [06:00,08:00); watermark 03:00 closes
+    # the first only
+    job.expire(watermark=dt(2024, 1, 1, 3, 0))
+    table_st, res_st = job._state
+    assert sorted(r["user_id"] for r in table_st.collect()) == [2, 3]
+    assert [r["__w_start"] for r in res_st.collect()] == [dt(2024, 1, 1, 6, 0)]
+    # the open session keeps aggregating (7:00 is within 2h of 6:00)
+    job.step({"t": b2})
+    got = {(r["ws"], r["we"], r["s"]) for r in job.result().collect()}
+    assert got == {
+        (dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 2, 0), 1.0),  # emitted, kept
+        (dt(2024, 1, 1, 6, 0), dt(2024, 1, 1, 9, 0), 6.0),
+    }
+
+
+def test_session_where_crossing_update_rewrites_tombstone(spark):
+    """WHERE on the session plan follows the table-state discipline: an
+    update whose NEW image fails the predicate must REMOVE the key from
+    the sessionized table (a dropped +U would leave the old image live
+    and its session ghost-populated)."""
+    schema = (
+        f"user_id long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    from datetime import datetime as dt
+
+    rows = [
+        (1, "a", 10.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+        (2, "a", 20.0, dt(2024, 1, 1, 1, 0), "+I", 2),
+        # new image fails v > 5 -> key 2 must leave the filtered table,
+        # shrinking the session to row 1 alone
+        (2, "a", 20.0, dt(2024, 1, 1, 1, 0), "-U", 3),
+        (2, "a", 1.0, dt(2024, 1, 1, 1, 0), "+U", 3),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT g,"
+        " SESSION_START(ts, INTERVAL '2' HOUR) AS ws,"
+        " SUM(v) AS s, COUNT(*) AS n"
+        " FROM t WHERE v > 5 GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)"
+    )
+    for n_batches in (1, 2):
+        got = replay_insert_maintained(
+            sql, {"t": ["user_id"]},
+            {"t": spark.createDataFrame(rows, schema)}, n_batches=n_batches,
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            ("a", dt(2024, 1, 1, 0, 0), 10.0, 1)
+        ]
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("INSERT INTO s SELECT g, SUM(v) AS s FROM t "
+         "GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)",
+         "must project TUMBLE/HOP/SESSION_START"),
+        ("INSERT INTO s SELECT g, SESSION_START(ts, INTERVAL '1' HOUR) AS w, "
+         "SUM(v) AS s FROM t GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)",
+         "does not match the GROUP BY's SESSION"),
+        ("INSERT INTO s SELECT SESSION_START(ts, INTERVAL '1' HOUR) AS w, "
+         "SUM(v) AS s FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), "
+         "SESSION(ts, INTERVAL '1' HOUR)",
+         "at most one TUMBLE/HOP/SESSION"),
+    ],
+)
+def test_session_parse_errors(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
+
+
+def test_session_requires_primary_key(spark):
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        plan_insert_maintained(_SESSION_SQL, {"t": []})
+
+
+def test_streaming_session_window_matches_direct(spark, tmp_path):
+    """The session shape through a REAL Structured Streaming query:
+    per-microbatch steps (including mid-stream merges and splits) land
+    on the same final sink as the one-shot sessionization."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    log = _session_log(spark)
+    replay_dir = str(tmp_path / "replay_sql_session")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    job = plan_insert_maintained(_SESSION_SQL, {"t": ["user_id"]})
+
+    def process(batch_df, batch_id):
+        job.step({"t": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sql_session"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    direct = _direct_sessions(materialize(log, ["user_id"]))
+    assert sorted(map(tuple, job.result().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way (3+ table) join chains — stacked StreamingJoinOperators
+# ---------------------------------------------------------------------------
+
+_CHAIN_SQL = (
+    "INSERT INTO sink SELECT o.k AS order_id, o.amt, c.ck AS cust, n.nname"
+    " FROM orders o JOIN customer c ON o.ck = c.ck"
+    " LEFT JOIN nation n ON c.nk = n.nk"
+)
+
+_CHAIN_ORDERS = [
+    (1, 10, 5.0, "+I", 1), (2, 10, 7.0, "+I", 2), (3, 20, 9.0, "+I", 3),
+    (2, 10, 7.0, "-U", 4), (2, 20, 8.0, "+U", 4), (1, 10, 5.0, "-D", 5),
+]
+_CHAIN_CUST = [
+    (10, 100, "+I", 1), (20, 200, "+I", 2),
+    # moves every ck=20 row off nation 200 — its nk has NO nation row,
+    # so the left-outer third stage must retract the match and insert
+    # null pads
+    (20, 200, "-U", 3), (20, 300, "+U", 3),
+]
+_CHAIN_NATION = [(100, "x", "+I", 1), (200, "y", "+I", 2)]
+
+
+def _chain_logs(spark):
+    a = spark.createDataFrame(
+        _CHAIN_ORDERS,
+        f"k long, ck long, amt double, {OP_COL} string, {SEQ_COL} long",
+    )
+    b = spark.createDataFrame(
+        _CHAIN_CUST, f"ck long, nk long, {OP_COL} string, {SEQ_COL} long"
+    )
+    c = spark.createDataFrame(
+        _CHAIN_NATION, f"nk long, nname string, {OP_COL} string, {SEQ_COL} long"
+    )
+    return {"orders": a, "customer": b, "nation": c}
+
+
+_CHAIN_TABLES = {"orders": ["k"], "customer": ["ck"], "nation": ["nk"]}
+
+
+def test_parse_three_way_chain_shape():
+    st = parse_insert_select(_CHAIN_SQL)
+    assert st.shape == "join"
+    assert st.sources == ["orders", "customer", "nation"]
+    assert st.join_aliases == ("o", "c", "n")
+    assert st.join_chain == [
+        {"alias": "c", "how": "inner", "on": [("o", "ck", "ck")]},
+        {"alias": "n", "how": "left", "on": [("c", "nk", "nk")]},
+    ]
+    # two-way statements keep the legacy representation (no chain)
+    st2 = parse_insert_select(
+        "INSERT INTO s SELECT a.x, b.y FROM ta a JOIN tb b ON a.k = b.k"
+    )
+    assert st2.join_chain == [] and st2.join_on == [("k", "k")]
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        # ON must bridge the NEW alias to an EARLIER one
+        ("INSERT INTO s SELECT a.x FROM ta a JOIN tb b ON a.k = b.k "
+         "JOIN tc c ON d.j = c.j",
+         "one earlier alias"),
+        ("INSERT INTO s SELECT a.x FROM ta a JOIN tb b ON a.k = b.k "
+         "JOIN tc a ON a.k = a.k",
+         "duplicate table alias"),
+        ("INSERT INTO s SELECT a.x, q.y FROM ta a JOIN tb b ON a.k = b.k "
+         "JOIN tc c ON a.j = c.j",
+         "alias-qualified columns"),
+    ],
+)
+def test_parse_chain_errors(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
+
+
+@pytest.mark.parametrize("n_batches", [1, 3, 5])
+def test_three_way_chain_replay_matches_direct(spark, n_batches):
+    """The cascaded chain telescopes to the direct 3-way join of the
+    materialized tables for ANY batch split — including the customer
+    re-pointing that forces the left-outer third stage to retract a
+    match and insert null pads mid-stream."""
+    logs = _chain_logs(spark)
+    got = replay_insert_maintained(
+        _CHAIN_SQL, _CHAIN_TABLES, logs, n_batches=n_batches
+    )
+    direct = (
+        materialize(logs["orders"], ["k"])
+        .join(materialize(logs["customer"], ["ck"]), "ck")
+        .join(materialize(logs["nation"], ["nk"]), "nk", "left")
+        .select(
+            F.col("k").alias("order_id"), "amt",
+            F.col("ck").alias("cust"), "nname",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # the re-pointed customers really are null-padded (nk 300 has no
+    # nation), so the outer stage's pad maintenance was exercised
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [(2, 8.0, 20, None), (3, 9.0, 20, None)]
+
+
+def test_chain_shares_nonkey_column_raises(spark):
+    logs = _chain_logs(spark)
+    # nation's payload renamed to collide with orders' 'amt'
+    logs["nation"] = logs["nation"].withColumnRenamed("nname", "amt")
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT o.k AS order_id, n.amt AS namt"
+        " FROM orders o JOIN customer c ON o.ck = c.ck"
+        " JOIN nation n ON c.nk = n.nk",
+        _CHAIN_TABLES,
+    )
+    with pytest.raises(ValueError, match="shares non-key column"):
+        job.step({t: logs[t] for t in logs})
+
+
+def test_chain_rejects_ttl(spark):
+    with pytest.raises(ValueError, match="do not support ttl"):
+        plan_insert_maintained(_CHAIN_SQL, _CHAIN_TABLES, ttl=("a", "b"))
