@@ -554,17 +554,28 @@ class _JoinChainPlan(_Plan):
         super().__init__(None)
         self.stages = []
         for st in stages:
-            if not (isinstance(st, (tuple, list)) and len(st) == 2):
+            if not (isinstance(st, (tuple, list)) and len(st) in (2, 3)):
                 raise ValueError(
-                    "chain= takes [(on_cols, how), ...] — one stage per "
-                    "JOIN after the first table"
+                    "chain= takes [(on_cols, how[, pair_filter_sql]), ...] "
+                    "— one stage per JOIN after the first table"
                 )
-            on, how = st
+            on, how = st[0], st[1]
+            flt = st[2] if len(st) == 3 else None
             if how not in ("inner", "left", "right", "full"):
                 raise ValueError(
                     f"how must be inner/left/right/full, got {how!r}"
                 )
-            self.stages.append((list(on), how))
+            if flt is not None and how != "inner":
+                # σ_p commutes with the delta algebra only when the pad
+                # rows don't depend on p — i.e. inner joins; an outer
+                # join's ON-clause predicate changes WHICH rows get
+                # null-padded, a different operator
+                raise ValueError(
+                    "a stage pair-filter is supported on inner stages "
+                    "only (outer ON-clause predicates change the null "
+                    "pad, not just the output)"
+                )
+            self.stages.append((list(on), how, flt))
         if len(self.stages) < 2:
             raise ValueError(
                 "a join chain needs at least two stages (use on=/how= "
@@ -587,13 +598,20 @@ class _JoinChainPlan(_Plan):
         states = state if state is not None else [None] * len(self.stages)
         delta = signed_multiset(batches[0], self.op_col, self.seq_col)
         new_states = []
-        for i, (on, how) in enumerate(self.stages):
+        for i, (on, how, flt) in enumerate(self.stages):
             d_right = signed_multiset(
                 batches[i + 1], self.op_col, self.seq_col
             )
             st_i, delta = merge_join_state_deltas(
                 states[i], delta, d_right, on, how=how
             )
+            if flt is not None:
+                # row-local pair predicate (interval-join bounds): exact
+                # as a post-filter on the stage's output delta because
+                # σ_p is linear over signed multisets — and the FILTERED
+                # delta is what feeds the next stage, so its left state
+                # accumulates σ_p(stage output) exactly
+                delta = delta.filter(F.expr(flt))
             new_states.append(st_i)
         return tuple(new_states), delta
 
@@ -826,12 +844,14 @@ def maintain(
       strategy split ``agg_auto`` applies one-shot.
     * ``on=[...]`` (+ ``how``) — two-changelog equi-join
       (``plan.step(state, batch_a, batch_b)``).
-    * ``chain=[(on_cols, how), ...]`` — multi-way (3+ changelog)
-      equi-join as a left-deep cascade of maintained join stages
-      (``plan.step(state, b0, b1, b2, ...)``); each stage's on-columns
-      name columns of the ACCUMULATED left side (rename right-side join
-      columns to match before stepping).  No ttl — expire the input
-      changelogs upstream.
+    * ``chain=[(on_cols, how[, pair_filter_sql]), ...]`` — multi-way
+      (3+ changelog) equi-join as a left-deep cascade of maintained
+      join stages (``plan.step(state, b0, b1, b2, ...)``); each stage's
+      on-columns name columns of the ACCUMULATED left side (rename
+      right-side join columns to match before stepping).  An optional
+      third element is a row-local pair predicate (interval-join
+      bounds) filtering that INNER stage's output delta.  No ttl —
+      expire the input changelogs upstream.
     * ``n=...`` + ``order_sql`` (+ ``group_cols``, ``keys``) — top-n
       per group.
     * ``dedup=True`` (or ``dedup={"bands":…, "rows":…,

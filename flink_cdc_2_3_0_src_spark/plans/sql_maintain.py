@@ -34,6 +34,11 @@ compiles to stateful operators for CDC pipelines:
   its size/slide windows and the signed algebra holds per window
   group; sum/count/avg only (min/max would need per-window table state
   a PK-keyed upsert cannot express under replication).  ``GROUP BY
+  CUMULATE(ts, INTERVAL '<step>' u, INTERVAL '<size>' u)`` (cumulative
+  windows — within each size-aligned bucket the windows are [S,
+  S+k*step), the running-total dashboard shape) replicates rows into
+  the remaining windows of their bucket via an exploded k-sequence;
+  row-local like HOP, sum/count/avg only.  ``GROUP BY
   [g,] SESSION(ts, INTERVAL '<gap>' u)`` (merging session windows,
   Flink's SessionWindows.withGap) dispatches the dedicated table-state
   session plan: a session's window is NOT a row-local timestamp
@@ -50,7 +55,12 @@ compiles to stateful operators for CDC pipelines:
   stacked-StreamingJoinOperator cascade Flink's planner builds; each
   stage's output delta feeds the next stage (exact for arbitrary
   multiplicities — the delta rule is bilinear), so one microbatch
-  propagates through the chain in one batch-driven pass.
+  propagates through the chain in one batch-driven pass.  Non-equi ON
+  conjuncts (``AND a.ts BETWEEN b.ts - x AND b.ts + y`` — Flink's
+  interval join) ride alongside the equi key on INNER joins: a pair
+  predicate is row-local over the joined row, so filtering the output
+  delta with it is exact (outer ON-clause predicates change the null
+  pad and are refused with guidance).
 * **Top-N** ``SELECT .. FROM (SELECT *, ROW_NUMBER() OVER (PARTITION
   BY g ORDER BY o) AS rn FROM t [WHERE p]) WHERE rn <= n`` →
   ``maintain(n=..)`` (RankOperator; Flink's documented streaming Top-N
@@ -186,6 +196,18 @@ _HOP_FIELD = re.compile(
     r"^HOP_(?P<which>START|END)\s*" + _HOP_ARGS,
     re.IGNORECASE | re.DOTALL,
 )
+# Flink's cumulative-window syntax: CUMULATE(ts, INTERVAL '<step>' u,
+# INTERVAL '<size>' u) — within each size-aligned bucket [S, S+size),
+# the windows are [S, S+step), [S, S+2*step), ..., [S, S+size); a row
+# at t belongs to every window of its bucket whose end is past t.
+# Window membership is a row-local timestamp function (like HOP, unlike
+# SESSION), so rows replicate per window and the signed changelog
+# algebra holds per window group
+_CUMULATE = re.compile(r"^CUMULATE\s*" + _HOP_ARGS, re.IGNORECASE | re.DOTALL)
+_CUMULATE_FIELD = re.compile(
+    r"^CUMULATE_(?P<which>START|END)\s*" + _HOP_ARGS,
+    re.IGNORECASE | re.DOTALL,
+)
 # Flink's session-window syntax: SESSION(ts, INTERVAL '<gap>' u) —
 # merging windows (SessionWindows.withGap).  Unlike TUMBLE/HOP the
 # window is NOT a row-local timestamp function (arrivals merge
@@ -259,9 +281,14 @@ class InsertSelect:
     join_how: str = "inner"
     join_aliases: tuple = ()  # (alias_a, alias_b[, alias_c, ...])
     join_on: list = field(default_factory=list)  # [(col_a, col_b)]
+    # non-equi ON conjuncts of a two-way join (interval bounds etc.),
+    # alias-qualified SQL strings applied as a row-local filter on the
+    # output delta (inner joins only)
+    join_extra: list = field(default_factory=list)
     # multi-way (3+ table) chain: one dict per JOIN after the first
     # table — {"alias": <new alias>, "how": .., "on": [(earlier alias,
-    # earlier col, new-side col), ...]}; empty for two-way joins
+    # earlier col, new-side col), ...], "extra": [pair-predicate SQL]};
+    # empty for two-way joins
     join_chain: list = field(default_factory=list)
     # output projection: (source column name or "<alias>.<col>", out name)
     select: list = field(default_factory=list)
@@ -269,6 +296,8 @@ class InsertSelect:
     tumble: Optional[tuple] = None
     # sliding window: (ts column, slide duration, size duration)
     hop: Optional[tuple] = None
+    # cumulative window: (ts column, step duration, size duration)
+    cumulate: Optional[tuple] = None
     # merging session window: (ts column, gap duration string)
     session: Optional[tuple] = None
     # HAVING predicate over the RESULT columns (aggregate aliases +
@@ -346,16 +375,29 @@ def parse_insert_select(sql: str) -> InsertSelect:
         for how, tb, bal, conds in raw_stages:
             if bal in aliases:
                 raise ValueError(f"duplicate table alias {bal!r}")
-            on = []
-            for cond in re.split(r"\s+AND\s+", conds.strip(),
-                                 flags=re.IGNORECASE):
+            on, extra = [], []
+            for cond in _split_on_conjuncts(conds):
                 cm = _JOIN_COND.match(cond.strip())
                 if not cm:
-                    raise ValueError(
-                        f"join condition {cond.strip()!r} is not an "
-                        "equi-join predicate <a>.<col> = <b>.<col> — only "
-                        "equi-joins have incremental maintenance plans"
-                    )
+                    # a non-equi conjunct is a row-local PAIR predicate —
+                    # Flink's interval-join bounds (a.ts BETWEEN b.ts -
+                    # x AND b.ts + y) and the like.  It is applied as a
+                    # filter on the stage's OUTPUT delta, which is exact
+                    # for INNER stages (σ_p commutes with the delta
+                    # algebra); outer stages refuse it below.
+                    bad = [
+                        q
+                        for q in re.findall(r"\b(\w+)\s*\.", cond)
+                        if q not in aliases and q != bal
+                    ]
+                    if bad:
+                        raise ValueError(
+                            f"join condition {cond.strip()!r} references "
+                            f"unknown alias(es) {sorted(set(bad))}; known: "
+                            f"{aliases + [bal]}"
+                        )
+                    extra.append(cond.strip())
+                    continue
                 lq, lc, rq, rc = cm.group("lq", "lc", "rq", "rc")
                 if two_way and {lq, rq} != {aliases[0], bal}:
                     raise ValueError(
@@ -373,9 +415,25 @@ def parse_insert_select(sql: str) -> InsertSelect:
                         f"alias (of {aliases}) — a left-deep chain joins "
                         "each table against the tables before it"
                     )
+            if not on:
+                raise ValueError(
+                    f"the JOIN on {bal!r} needs at least one equi-join "
+                    "condition <a>.<col> = <b>.<col> (the maintained "
+                    "join's key); time bounds and other pair predicates "
+                    "ride alongside it as ON conjuncts"
+                )
+            if extra and how != "inner":
+                raise ValueError(
+                    "non-equi ON conjuncts are supported on INNER joins "
+                    "only: on an OUTER join the ON clause decides the "
+                    "null pad (different semantics from a post-join "
+                    "filter) — move the predicate to a WHERE over the "
+                    "sink, or use an inner join"
+                )
             aliases.append(bal)
             tables.append(tb)
-            stages.append({"alias": bal, "how": how, "on": on})
+            stages.append({"alias": bal, "how": how, "on": on,
+                           "extra": extra})
         items = []
         for raw in _split_select_items(jm.group("items")):
             expr, alias = _split_alias(raw)
@@ -399,6 +457,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 sink=sink, shape="join", sources=tables,
                 join_how=st["how"], join_aliases=tuple(aliases),
                 join_on=[(lc, rc) for _, lc, rc in st["on"]], select=items,
+                join_extra=st["extra"],
             )
         return InsertSelect(
             sink=sink, shape="join", sources=tables,
@@ -407,11 +466,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
 
     am = _AGG_RE.match(select)
     if am:
-        groups, tumble, hop, session = [], None, None, None
+        groups, tumble, hop, cumulate, session = [], None, None, None, None
         for part in _split_select_items(am.group("groups")):
             tm_ = _TUMBLE.match(part.strip())
             if tm_:
-                if tumble is not None or hop is not None or session is not None:
+                if (tumble is not None or hop is not None
+                        or cumulate is not None or session is not None):
                     raise ValueError(
                         "at most one TUMBLE/HOP/SESSION window per GROUP BY"
                     )
@@ -426,7 +486,8 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 continue
             hm_ = _HOP.match(part.strip())
             if hm_:
-                if tumble is not None or hop is not None or session is not None:
+                if (tumble is not None or hop is not None
+                        or cumulate is not None or session is not None):
                     raise ValueError(
                         "at most one TUMBLE/HOP/SESSION window per GROUP BY"
                     )
@@ -437,9 +498,25 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 )
                 groups.extend([_W_START, _W_END])
                 continue
+            cm_ = _CUMULATE.match(part.strip())
+            if cm_:
+                if (tumble is not None or hop is not None
+                        or cumulate is not None or session is not None):
+                    raise ValueError(
+                        "at most one TUMBLE/HOP/CUMULATE/SESSION window "
+                        "per GROUP BY"
+                    )
+                cumulate = (
+                    cm_.group("col"),
+                    f"{cm_.group('sn')} {cm_.group('su').lower()}s",
+                    f"{cm_.group('zn')} {cm_.group('zu').lower()}s",
+                )
+                groups.extend([_W_START, _W_END])
+                continue
             sm_ = _SESSION.match(part.strip())
             if sm_:
-                if tumble is not None or hop is not None or session is not None:
+                if (tumble is not None or hop is not None
+                        or cumulate is not None or session is not None):
                     raise ValueError(
                         "at most one TUMBLE/HOP/SESSION window per GROUP BY"
                     )
@@ -505,6 +582,22 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 src = _W_START if which == "START" else _W_END
                 items.append((src, alias or f"w_{which.lower()}"))
                 continue
+            cf = _CUMULATE_FIELD.match(expr)
+            if cf:
+                spec = (
+                    cf.group("col"),
+                    f"{cf.group('sn')} {cf.group('su').lower()}s",
+                    f"{cf.group('zn')} {cf.group('zu').lower()}s",
+                )
+                if cumulate is None or spec != cumulate:
+                    raise ValueError(
+                        f"{expr!r} does not match the GROUP BY's CUMULATE "
+                        "window (same time column, step and size required)"
+                    )
+                which = cf.group("which").upper()
+                src = _W_START if which == "START" else _W_END
+                items.append((src, alias or f"w_{which.lower()}"))
+                continue
             sf = _SESSION_FIELD.match(expr)
             if sf:
                 spec = (
@@ -539,11 +632,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 f"sink's key — Flink requires the same); missing {missing}"
             )
         if (
-            tumble is not None or hop is not None or session is not None
+            tumble is not None or hop is not None
+            or cumulate is not None or session is not None
         ) and not (selected_groups & {_W_START, _W_END}):
             raise ValueError(
-                "a windowed aggregate must project TUMBLE/HOP/SESSION_"
-                "START and/or _END (the window is the sink's key)"
+                "a windowed aggregate must project TUMBLE/HOP/CUMULATE/"
+                "SESSION_START and/or _END (the window is the sink's key)"
             )
         if not aggs:
             raise ValueError("no aggregate function in the SELECT list")
@@ -553,8 +647,8 @@ def parse_insert_select(sql: str) -> InsertSelect:
         return InsertSelect(
             sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
             group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
-            select=items, tumble=tumble, hop=hop, session=session,
-            having=having,
+            select=items, tumble=tumble, hop=hop, cumulate=cumulate,
+            session=session, having=having,
         )
     raise ValueError(_SHAPES_MSG)
 
@@ -617,6 +711,55 @@ def _names(csv: str, what: str) -> list:
     return out
 
 
+def _split_on_conjuncts(conds: str) -> list:
+    """Split an ON clause on top-level ``AND`` — outside parentheses and
+    string literals, and NOT the ``AND`` that belongs to a ``BETWEEN x
+    AND y`` (each BETWEEN absorbs the next AND-joined fragment, so
+    interval-join bounds stay one conjunct)."""
+    s = conds.strip()
+    parts, cur, depth, in_str = [], [], 0, False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and not in_str
+            and re.match(r"(?i)\bAND\b", s[i : i + 3])
+            and (i == 0 or not s[i - 1].isalnum())
+            and (i + 3 >= n or not s[i + 3].isalnum())
+        ):
+            parts.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    # merge each BETWEEN's bound back: BETWEEN consumes the next part
+    out, j = [], 0
+    while j < len(parts):
+        piece = parts[j]
+        pending = len(re.findall(r"(?i)\bBETWEEN\b", piece))
+        while pending > 0 and j + 1 < len(parts):
+            j += 1
+            pending += len(re.findall(r"(?i)\bBETWEEN\b", parts[j])) - 1
+            piece = piece + " AND " + parts[j]
+        out.append(piece.strip())
+        j += 1
+    return [p for p in out if p]
+
+
 def _table_meta(tables: dict, name: str):
     """(primary_key, apply_computed) for a registered source: accepts a
     ResolvedTable (full DDL surface) or a plain primary-key sequence."""
@@ -657,6 +800,24 @@ def _where_over_table_state(df: DataFrame, pred_sql: str, op_col: str):
     )
 
 
+def _rewrite_pair_pred(conds: Sequence[str], aliases, resolve) -> Optional[str]:
+    """Rewrite alias-qualified references (``a.ts``) in pair predicates
+    to their unqualified names in the joined delta frame (join-column
+    renames applied via ``resolve``), AND-join the conjuncts.  Only
+    known aliases rewrite — ``1.5`` or ``interval'...'`` text stays
+    verbatim."""
+
+    def repl(m):
+        q, c = m.group(1), m.group(2)
+        return resolve(q, c) if q in aliases else m.group(0)
+
+    rewritten = [
+        "(" + re.sub(r"\b(\w+)\s*\.\s*(\w+)\b", repl, cond) + ")"
+        for cond in conds
+    ]
+    return " AND ".join(rewritten) if rewritten else None
+
+
 def _agg_col(fn: str, args: str):
     """(maintain-fn, Column) for one parsed aggregate — COUNT(*) is the
     live-row count; COUNT(expr) becomes a signed non-null-indicator sum
@@ -686,7 +847,7 @@ class SqlMaintenanceJob:
         self.op_col = op_col
         self.seq_col = seq_col
         self._preps = [_table_meta(tables, s) for s in stmt.sources]
-        win_ts = (stmt.tumble or stmt.hop or (None,))[0]
+        win_ts = (stmt.tumble or stmt.hop or stmt.cumulate or (None,))[0]
         if stmt.shape == "agg" and win_ts is not None and ttl == win_ts:
             # ttl on the window's TIME column means "expire whole
             # CLOSED windows behind the watermark" — Flink's
@@ -744,6 +905,30 @@ class SqlMaintenanceJob:
                     "sliding window's row replication cannot key by the "
                     "source PRIMARY KEY) — use TUMBLE for min/max"
                 )
+            if stmt.cumulate is not None:
+                if fns & {"min", "max"}:
+                    # same replication argument as HOP: a row lives in
+                    # several cumulate windows of its bucket at once
+                    raise ValueError(
+                        "CUMULATE windows support sum/count/avg aggregates "
+                        "only (min/max needs per-window table state, which "
+                        "cumulative row replication cannot key by the "
+                        "source PRIMARY KEY) — use TUMBLE for min/max"
+                    )
+                from flink_cdc_2_3_0_src_spark.operators.maintain import (
+                    _gap_micros,
+                )
+
+                _, step, size = stmt.cumulate
+                step_us, size_us = _gap_micros(step), _gap_micros(size)
+                if size_us % step_us != 0 or size_us < step_us:
+                    raise ValueError(
+                        f"CUMULATE size ({size}) must be a positive "
+                        f"integral multiple of step ({step}) — Flink "
+                        "requires the same"
+                    )
+                self._cumulate_n = size_us // step_us
+                self._cumulate_step_us = step_us
             if fns & {"min", "max"} and not keys:
                 raise ValueError(
                     f"MIN/MAX maintenance keeps table state keyed by the "
@@ -778,14 +963,35 @@ class SqlMaintenanceJob:
                 self._chain_on.append(ons)
                 self._chain_renames.append(rns)
             self._join_outname = outname
+            alias_set = set(stmt.join_aliases)
             self.plan = maintain(
                 chain=[
-                    (ons, stage["how"])
+                    (
+                        ons,
+                        stage["how"],
+                        _rewrite_pair_pred(
+                            stage.get("extra") or [], alias_set, _resolve
+                        ),
+                    )
                     for ons, stage in zip(self._chain_on, stmt.join_chain)
                 ],
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "join":
+            self._join_filter_sql = None
+            if stmt.join_extra:
+                a_al, b_al = stmt.join_aliases
+
+                def _resolve2(q, c):
+                    if q == b_al:
+                        for ca, cb in stmt.join_on:
+                            if c == cb:
+                                return ca
+                    return c
+
+                self._join_filter_sql = _rewrite_pair_pred(
+                    stmt.join_extra, {a_al, b_al}, _resolve2
+                )
             self.plan = maintain(
                 on=[ca for ca, _ in stmt.join_on], how=stmt.join_how,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
@@ -867,6 +1073,33 @@ class SqlMaintenanceJob:
                 .withColumn(_W_END, F.col("__w.end"))
                 .drop("__w")
             )
+        elif self.stmt.cumulate is not None:
+            # CUMULATE(ts, step, size): within each size-aligned bucket
+            # [S, S+size) the windows are [S, S+k*step) for k=1..n; a
+            # row at t belongs to every window of its bucket whose end
+            # is past t.  Row-local, like HOP: replicate via an exploded
+            # k-sequence over the size bucket's window() start, then
+            # keep the ends past the row's timestamp — a changelog
+            # ±pair replicates identically, so the signed algebra holds
+            # per (bucket start, window end) group
+            ts_col, _step, size = self.stmt.cumulate
+            w = F.window(F.col(ts_col), size)
+            step_iv = F.expr(
+                f"INTERVAL {self._cumulate_step_us} MICROSECOND"
+            )
+            out = (
+                out.filter(F.col(ts_col).isNotNull())
+                .withColumn(_W_START, w["start"])
+                .select(
+                    "*",
+                    F.explode(
+                        F.sequence(F.lit(1), F.lit(self._cumulate_n))
+                    ).alias("__k"),
+                )
+                .withColumn(_W_END, F.col(_W_START) + step_iv * F.col("__k"))
+                .filter(F.col(_W_END) > F.col(ts_col))
+                .drop("__k")
+            )
         return out
 
     def step(self, batches: dict) -> DataFrame:
@@ -941,6 +1174,12 @@ class SqlMaintenanceJob:
                     "state columns)"
                 )
             self._state, delta = self.plan.step(self._state, a, b)
+            if self._join_filter_sql is not None:
+                # interval-join bounds etc.: row-local pair predicate on
+                # the output delta — exact for the inner join (σ_p is
+                # linear over signed multisets); the accumulated sink
+                # then materializes σ_p(A ⋈ B)
+                delta = delta.filter(F.expr(self._join_filter_sql))
         else:
             batch = self._prep(0, batches[self.stmt.sources[0]])
             self._state, delta = self.plan.step(self._state, batch)

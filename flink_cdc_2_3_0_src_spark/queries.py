@@ -4697,6 +4697,118 @@ def cdc_sql_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interval-join bounds on the SQL maintenance surface (r10): Flink's
+# interval join — non-equi ON conjuncts (a.ts BETWEEN b.ts ± bound)
+# riding alongside the equi key.  The pair predicate is row-local over
+# the joined row, so filtering the maintained join's signed output
+# delta with it is exact (σ_p is linear over signed multisets; inner
+# joins only — outer ON-clause predicates change the null pad and are
+# refused with guidance).  The maintained form: user-state changelog
+# (PK user_id) interval-joined with an error-event stream — "errors
+# within a day of the user's last state change".
+@register(
+    "cdc_sql_interval_join",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL}),
+    e AS (
+        SELECT event_id, user_id, ts AS err_ts
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT m.user_id, m.value, e.event_id, e.err_ts
+    FROM m JOIN e ON m.user_id = e.user_id
+    WHERE e.err_ts BETWEEN m.ts - INTERVAL 1 DAY
+                       AND m.ts + INTERVAL 1 DAY
+    """,
+)
+def cdc_sql_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    ev = ld(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT a.user_id AS user_id, a.value,"
+        " e.event_id, e.err_ts"
+        " FROM user_state a JOIN errors e ON a.user_id = e.user_id"
+        " AND e.err_ts BETWEEN a.ts - INTERVAL '1' DAY"
+        " AND a.ts + INTERVAL '1' DAY",
+        {"user_state": ["user_id"], "errors": ["event_id"]},
+        {"user_state": log, "errors": ev},
+        n_batches=3,
+    )
+    return out
+
+
+# CUMULATE windows on the SQL maintenance surface (r10): Flink's
+# cumulative windows (the third row-local windowing form next to
+# TUMBLE and HOP) — within each size-aligned bucket [S, S+size) the
+# windows are [S, S+k*step); a row belongs to every window of its
+# bucket whose end is past its timestamp, so early ends "freeze" while
+# the bucket's later ends keep accumulating (the running-total-per-day
+# dashboard shape).  Row replication via an exploded k-sequence; the
+# signed changelog algebra holds per (bucket, end) group — same
+# argument as HOP.  The oracle replicates with time_bucket +
+# generate_series — a different mechanism.
+@register(
+    "cdc_sql_cumulate_window",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL}),
+    r AS (
+        SELECT user_id % 10 AS bucket, value, ts,
+               time_bucket(INTERVAL '6 hours', ts) AS ws
+        FROM m WHERE ts IS NOT NULL
+    ),
+    e AS (
+        SELECT r.bucket, r.value, r.ws,
+               r.ws + k * INTERVAL '2 hours' AS we
+        FROM r CROSS JOIN generate_series(1, 3) AS g(k)
+        WHERE r.ws + k * INTERVAL '2 hours' > r.ts
+    )
+    SELECT bucket, ws AS w_start, we AS w_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM e GROUP BY bucket, ws, we
+    """,
+)
+def cdc_sql_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket,"
+        " CUMULATE_START(ts, INTERVAL '2' HOUR, INTERVAL '6' HOUR)"
+        " AS w_start,"
+        " CUMULATE_END(ts, INTERVAL '2' HOUR, INTERVAL '6' HOUR) AS w_end,"
+        " SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec,"
+        " COUNT(*) AS n_rows"
+        " FROM events_cdc"
+        " GROUP BY bucket, CUMULATE(ts, INTERVAL '2' HOUR, INTERVAL '6' HOUR)",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+    return out.select(
+        "bucket",
+        "w_start",
+        "w_end",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "n_rows",
+    )
+
+
 # Multi-way join chains on the SQL maintenance surface (r10): FROM a
 # JOIN b ON .. LEFT JOIN c ON .. compiles to a left-deep CASCADE of
 # maintained join stages (operators/maintain.py _JoinChainPlan — the

@@ -70,6 +70,12 @@ DEFAULT_QUERIES = [
     "sketch_hist_incremental",
     "cdc_sql_ddl_maintained_agg",
     "cdc_sql_ddl_maintained_sum",
+    # r10 late additions: session windows, windowing TVF forms, the
+    # join-chain cascade, interval-join bounds (same replay caveat)
+    "cdc_sql_session_window",
+    "cdc_sql_three_way_join",
+    "cdc_sql_cumulate_window",
+    "cdc_sql_interval_join",
 ]
 
 

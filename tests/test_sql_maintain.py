@@ -608,7 +608,7 @@ def test_tumbling_window_ttl_expires_behind_watermark(spark):
          "does not match the GROUP BY's TUMBLE"),
         ("INSERT INTO s SELECT SUM(v) AS s FROM t "
          "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
-         "must project TUMBLE/HOP/SESSION_START"),
+         "must project TUMBLE/HOP"),
         ("INSERT INTO s SELECT g, SUM(v) AS s FROM t "
          "GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE), "
          "TUMBLE(ts2, INTERVAL '5' MINUTE)",
@@ -1289,7 +1289,7 @@ def test_session_where_crossing_update_rewrites_tombstone(spark):
     [
         ("INSERT INTO s SELECT g, SUM(v) AS s FROM t "
          "GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)",
-         "must project TUMBLE/HOP/SESSION_START"),
+         "must project TUMBLE/HOP"),
         ("INSERT INTO s SELECT g, SESSION_START(ts, INTERVAL '1' HOUR) AS w, "
          "SUM(v) AS s FROM t GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)",
          "does not match the GROUP BY's SESSION"),
@@ -1389,8 +1389,10 @@ def test_parse_three_way_chain_shape():
     assert st.sources == ["orders", "customer", "nation"]
     assert st.join_aliases == ("o", "c", "n")
     assert st.join_chain == [
-        {"alias": "c", "how": "inner", "on": [("o", "ck", "ck")]},
-        {"alias": "n", "how": "left", "on": [("c", "nk", "nk")]},
+        {"alias": "c", "how": "inner", "on": [("o", "ck", "ck")],
+         "extra": []},
+        {"alias": "n", "how": "left", "on": [("c", "nk", "nk")],
+         "extra": []},
     ]
     # two-way statements keep the legacy representation (no chain)
     st2 = parse_insert_select(
@@ -1464,3 +1466,274 @@ def test_chain_shares_nonkey_column_raises(spark):
 def test_chain_rejects_ttl(spark):
     with pytest.raises(ValueError, match="do not support ttl"):
         plan_insert_maintained(_CHAIN_SQL, _CHAIN_TABLES, ttl=("a", "b"))
+
+
+def test_statement_set_reads_session_sink(spark):
+    """A downstream statement can read an upstream SESSION-window sink:
+    the session agg's delta renders as an upsert changelog keyed by
+    (group, window) — merged/split sessions arrive downstream as
+    retract-then-insert, so a per-group MAX over session sums stays
+    exact across batches."""
+    from datetime import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import SqlStatementSet
+
+    rows = [
+        (1, "a", 1.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+        (2, "a", 2.0, dt(2024, 1, 1, 0, 30), "+I", 2),
+        (3, "a", 9.0, dt(2024, 1, 1, 6, 0), "+I", 3),
+        (4, "b", 4.0, dt(2024, 1, 1, 1, 0), "+I", 4),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"k long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long",
+    )
+    ss = SqlStatementSet(
+        [
+            "INSERT INTO sess SELECT g,"
+            " SESSION_START(ts, INTERVAL '2' HOUR) AS ws,"
+            " SESSION_END(ts, INTERVAL '2' HOUR) AS we,"
+            " SUM(v) AS sv FROM t GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)",
+            "INSERT INTO best SELECT g, MAX(sv) AS best_sv FROM sess "
+            "GROUP BY g",
+        ],
+        {"t": ["k"]},
+    )
+    ss.step({"t": log.filter(F.col(SEQ_COL) <= 2)})
+    ss.step({"t": log.filter(F.col(SEQ_COL) > 2)})
+    res = ss.results()
+    assert sorted(map(tuple, res["best"].collect())) == [
+        ("a", 9.0), ("b", 4.0),
+    ]
+    assert sorted(map(tuple, res["sess"].collect())) == [
+        ("a", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 2, 30), 3.0),
+        ("a", dt(2024, 1, 1, 6, 0), dt(2024, 1, 1, 8, 0), 9.0),
+        ("b", dt(2024, 1, 1, 1, 0), dt(2024, 1, 1, 3, 0), 4.0),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# CUMULATE windows (Flink's cumulative windows — the third row-local
+# windowing form next to TUMBLE and HOP)
+# ---------------------------------------------------------------------------
+
+_CUMULATE_SQL = (
+    "INSERT INTO sink SELECT g,"
+    " CUMULATE_START(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS ws,"
+    " CUMULATE_END(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR) AS we,"
+    " SUM(v) AS s, COUNT(*) AS n"
+    " FROM t GROUP BY g, CUMULATE(ts, INTERVAL '1' HOUR, INTERVAL '4' HOUR)"
+)
+
+
+def test_cumulate_parse_shape():
+    st = parse_insert_select(_CUMULATE_SQL)
+    assert st.cumulate == ("ts", "1 hours", "4 hours")
+    assert ("__w_start", "ws") in st.select and ("__w_end", "we") in st.select
+
+
+@pytest.mark.parametrize("n_batches", [1, 2, 4])
+def test_cumulate_window_replay_any_split(spark, n_batches):
+    """Each row replicates into the cumulate windows of its size bucket
+    whose end is past its timestamp; a retraction removes ALL its
+    replicas, and the accumulated deltas telescope for any split."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, "a", 1.0, dt(2024, 1, 1, 0, 30), "+I", 1),  # ends 01..04
+        (2, "a", 2.0, dt(2024, 1, 1, 2, 30), "+I", 2),  # ends 03, 04
+        (3, "a", 4.0, dt(2024, 1, 1, 5, 0), "+I", 3),   # ends 06..08
+        (2, "a", 2.0, dt(2024, 1, 1, 2, 30), "-D", 4),  # all replicas go
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"k long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long",
+    )
+    got = replay_insert_maintained(
+        _CUMULATE_SQL, {"t": ["k"]}, {"t": log}, n_batches=n_batches
+    )
+    from datetime import datetime as dt
+
+    exp = sorted(
+        [
+            ("a", dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, h, 0), 1.0, 1)
+            for h in (1, 2, 3, 4)
+        ]
+        + [
+            ("a", dt(2024, 1, 1, 4, 0), dt(2024, 1, 1, h, 0), 4.0, 1)
+            for h in (6, 7, 8)
+        ]
+    )
+    assert sorted(map(tuple, got.collect())) == exp
+
+
+def test_cumulate_guards(spark):
+    with pytest.raises(ValueError, match="sum/count/avg aggregates only"):
+        plan_insert_maintained(
+            _CUMULATE_SQL.replace("SUM(v) AS s", "MAX(v) AS s"),
+            {"t": ["k"]},
+        )
+    with pytest.raises(ValueError, match="integral multiple"):
+        plan_insert_maintained(
+            _CUMULATE_SQL.replace("INTERVAL '4' HOUR", "INTERVAL '90' MINUTE"),
+            {"t": ["k"]},
+        )
+    with pytest.raises(ValueError, match="does not match the GROUP BY's CUMULATE"):
+        parse_insert_select(
+            _CUMULATE_SQL.replace(
+                "CUMULATE_START(ts, INTERVAL '1' HOUR",
+                "CUMULATE_START(ts, INTERVAL '2' HOUR",
+            )
+        )
+
+
+def test_cumulate_ttl_expires_closed_windows(spark):
+    """ttl=<ts col> on a CUMULATE aggregate expires window-END-keyed
+    state behind the watermark (the early ends of a bucket age out
+    first while the bucket's later ends keep aggregating)."""
+    from datetime import datetime as dt
+
+    schema = (
+        f"k long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 1.0, dt(2024, 1, 1, 0, 30), "+I", 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a", 2.0, dt(2024, 1, 1, 3, 30), "+I", 2)], schema
+    )
+    job = plan_insert_maintained(_CUMULATE_SQL, {"t": ["k"]}, ttl="ts")
+    job.step({"t": b1})
+    # watermark 02:30: ends 01:00 and 02:00 are closed and evict; ends
+    # 03:00/04:00 stay open
+    job.expire(watermark=dt(2024, 1, 1, 2, 30))
+    live_ends = {r["__w_end"] for r in job._state.collect()}
+    assert live_ends == {dt(2024, 1, 1, 3, 0), dt(2024, 1, 1, 4, 0)}
+    job.step({"t": b2})
+    got = {(r["we"], r["s"], r["n"]) for r in job.result().collect()}
+    # emitted rows for the expired ends stay; the open 04:00 window
+    # keeps aggregating (1.0 + 2.0); 03:00 keeps only the first row
+    assert got == {
+        (dt(2024, 1, 1, 1, 0), 1.0, 1),
+        (dt(2024, 1, 1, 2, 0), 1.0, 1),
+        (dt(2024, 1, 1, 3, 0), 1.0, 1),
+        (dt(2024, 1, 1, 4, 0), 3.0, 2),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Interval-join bounds (non-equi ON conjuncts — Flink's interval join)
+# ---------------------------------------------------------------------------
+
+_INTERVAL_SQL = (
+    "INSERT INTO sink SELECT a.k AS ak, a.v, b.seg"
+    " FROM ta a JOIN tb b ON a.uid = b.uid"
+    " AND a.ts BETWEEN b.ts_b - INTERVAL '1' HOUR"
+    " AND b.ts_b + INTERVAL '1' HOUR"
+)
+
+
+def _interval_logs(spark):
+    from datetime import datetime as dt
+
+    A = [
+        (1, 10, 1.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+        (2, 10, 2.0, dt(2024, 1, 1, 5, 0), "+I", 2),   # out of window
+        (3, 20, 3.0, dt(2024, 1, 1, 0, 30), "+I", 3),  # other uid, far ts
+        # the update MOVES k=2 into b's time window — the maintained
+        # interval join must emit the pair mid-stream
+        (2, 10, 2.0, dt(2024, 1, 1, 5, 0), "-U", 4),
+        (2, 10, 2.5, dt(2024, 1, 1, 0, 45), "+U", 4),
+    ]
+    B = [
+        (10, "x", dt(2024, 1, 1, 0, 20), "+I", 1),
+        (20, "y", dt(2024, 1, 1, 9, 0), "+I", 2),
+    ]
+    a = spark.createDataFrame(
+        A, f"k long, uid long, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long",
+    )
+    b = spark.createDataFrame(
+        B, f"uid long, seg string, ts_b timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long",
+    )
+    return a, b
+
+
+def test_interval_join_parse():
+    st = parse_insert_select(_INTERVAL_SQL)
+    assert st.join_on == [("uid", "uid")]
+    assert len(st.join_extra) == 1 and "BETWEEN" in st.join_extra[0]
+    # BETWEEN's AND must not split the bound (the conjunct splitter is
+    # BETWEEN-aware)
+    assert "b.ts_b + INTERVAL '1' HOUR" in st.join_extra[0]
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_interval_join_replay_matches_direct(spark, n_batches):
+    a, b = _interval_logs(spark)
+    got = replay_insert_maintained(
+        _INTERVAL_SQL, {"ta": ["k"], "tb": ["uid"]}, {"ta": a, "tb": b},
+        n_batches=n_batches,
+    )
+    direct = (
+        materialize(a, ["k"])
+        .join(materialize(b, ["uid"]), "uid")
+        .filter(
+            (F.col("ts") >= F.col("ts_b") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("ts") <= F.col("ts_b") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(F.col("k").alias("ak"), "v", "seg")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 1.0, "x"), (2, 2.5, "x"),
+    ]
+
+
+def test_interval_join_on_chain_stage(spark):
+    """A pair predicate on a chain's inner stage filters that stage's
+    output delta before it feeds the next stage."""
+    from datetime import datetime as dt
+
+    a, b = _interval_logs(spark)
+    c = spark.createDataFrame(
+        [("x", 100, "+I", 1), ("y", 200, "+I", 2)],
+        f"seg string, segno long, {OP_COL} string, {SEQ_COL} long",
+    )
+    sql = (
+        "INSERT INTO sink SELECT a.k AS ak, a.v, c.segno"
+        " FROM ta a JOIN tb b ON a.uid = b.uid"
+        " AND a.ts BETWEEN b.ts_b - INTERVAL '1' HOUR"
+        " AND b.ts_b + INTERVAL '1' HOUR"
+        " JOIN tc c ON b.seg = c.seg"
+    )
+    got = replay_insert_maintained(
+        sql, {"ta": ["k"], "tb": ["uid"], "tc": ["seg"]},
+        {"ta": a, "tb": b, "tc": c}, n_batches=3,
+    )
+    assert sorted(map(tuple, got.collect())) == [
+        (1, 1.0, 100), (2, 2.5, 100),
+    ]
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        (_INTERVAL_SQL.replace("JOIN tb", "LEFT JOIN tb"),
+         "INNER joins only"),
+        ("INSERT INTO s SELECT a.k FROM ta a JOIN tb b ON a.ts < b.ts_b",
+         "at least one equi-join condition"),
+        ("INSERT INTO s SELECT a.k FROM ta a JOIN tb b ON a.uid = b.uid "
+         "AND q.ts < b.ts_b",
+         "unknown alias"),
+    ],
+)
+def test_interval_join_guards(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
