@@ -231,6 +231,33 @@ _SHAPES_MSG = (
 )
 
 
+def _split_join_keywords(rest: str) -> list:
+    """``_JOIN_KW.split``-shaped output ([pre, kw, seg, kw, seg, ...]),
+    but string-literal-aware: a ``'left join'`` inside a quoted ON
+    literal is data, not a stage boundary."""
+    quote_spans, in_str, start = [], False, 0
+    for i, ch in enumerate(rest):
+        if in_str:
+            if ch == "'":
+                in_str = False
+                quote_spans.append((start, i))
+        elif ch == "'":
+            in_str, start = True, i
+
+    def quoted(pos: int) -> bool:
+        return any(a <= pos <= b for a, b in quote_spans)
+
+    parts, last = [], 0
+    for m in _JOIN_KW.finditer(rest):
+        if quoted(m.start()):
+            continue
+        parts.append(rest[last : m.start()])
+        parts.append(m.group(1))
+        last = m.end()
+    parts.append(rest[last:])
+    return parts
+
+
 def _split_alias(item: str) -> tuple[str, Optional[str]]:
     """Split ``<expr> AS <alias>`` at the LAST top-level AS (outside
     parens and quotes) — ``CAST(x AS INT) AS y`` keeps the inner AS."""
@@ -353,7 +380,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
     if jm and " GROUP " not in select.upper():
         aliases = [jm.group("a")]
         tables = [jm.group("ta").strip('`"')]
-        parts = _JOIN_KW.split(jm.group("rest"))
+        parts = _split_join_keywords(jm.group("rest"))
         if parts[0].strip():
             raise ValueError(_SHAPES_MSG)
         raw_stages = []
@@ -385,9 +412,18 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     # filter on the stage's OUTPUT delta, which is exact
                     # for INNER stages (σ_p commutes with the delta
                     # algebra); outer stages refuse it below.
+                    # identifier-shaped refs only: a decimal literal's
+                    # "1." must not read as an alias, and literals stay
+                    # out of the scan entirely
                     bad = [
                         q
-                        for q in re.findall(r"\b(\w+)\s*\.", cond)
+                        for seg_i, seg in enumerate(
+                            re.split(r"('(?:[^']|'')*')", cond)
+                        )
+                        if seg_i % 2 == 0
+                        for q in re.findall(
+                            r"\b([A-Za-z_]\w*)\s*\.\s*[A-Za-z_]", seg
+                        )
                         if q not in aliases and q != bal
                     ]
                     if bad:
@@ -716,8 +752,17 @@ def _split_on_conjuncts(conds: str) -> list:
     string literals, and NOT the ``AND`` that belongs to a ``BETWEEN x
     AND y`` (each BETWEEN absorbs the next AND-joined fragment, so
     interval-join bounds stay one conjunct)."""
+    def _ident_char(ch: str) -> bool:
+        # SQL identifier characters: \b would treat '_' as a boundary
+        # and split price_and_tax mid-identifier
+        return ch.isalnum() or ch == "_"
+
     s = conds.strip()
+    # parts carry (text, top_level_between_count): BETWEENs inside
+    # parentheses or string literals already hold their own AND and
+    # must not absorb a following conjunct
     parts, cur, depth, in_str = [], [], 0, False
+    n_btw = 0
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
@@ -735,26 +780,34 @@ def _split_on_conjuncts(conds: str) -> list:
         if (
             depth == 0
             and not in_str
-            and re.match(r"(?i)\bAND\b", s[i : i + 3])
-            and (i == 0 or not s[i - 1].isalnum())
-            and (i + 3 >= n or not s[i + 3].isalnum())
+            and s[i : i + 3].upper() == "AND"
+            and (i == 0 or not _ident_char(s[i - 1]))
+            and (i + 3 >= n or not _ident_char(s[i + 3]))
         ):
-            parts.append("".join(cur))
-            cur = []
+            parts.append(("".join(cur), n_btw))
+            cur, n_btw = [], 0
             i += 3
             continue
+        if (
+            depth == 0
+            and not in_str
+            and s[i : i + 7].upper() == "BETWEEN"
+            and (i == 0 or not _ident_char(s[i - 1]))
+            and (i + 7 >= n or not _ident_char(s[i + 7]))
+        ):
+            n_btw += 1
         cur.append(ch)
         i += 1
-    parts.append("".join(cur))
-    # merge each BETWEEN's bound back: BETWEEN consumes the next part
+    parts.append(("".join(cur), n_btw))
+    # merge each top-level BETWEEN's bound back: it consumes the next
+    # AND-split part (which may itself open further BETWEENs)
     out, j = [], 0
     while j < len(parts):
-        piece = parts[j]
-        pending = len(re.findall(r"(?i)\bBETWEEN\b", piece))
+        piece, pending = parts[j]
         while pending > 0 and j + 1 < len(parts):
             j += 1
-            pending += len(re.findall(r"(?i)\bBETWEEN\b", parts[j])) - 1
-            piece = piece + " AND " + parts[j]
+            piece = piece + " AND " + parts[j][0]
+            pending += parts[j][1] - 1
         out.append(piece.strip())
         j += 1
     return [p for p in out if p]
@@ -804,17 +857,25 @@ def _rewrite_pair_pred(conds: Sequence[str], aliases, resolve) -> Optional[str]:
     """Rewrite alias-qualified references (``a.ts``) in pair predicates
     to their unqualified names in the joined delta frame (join-column
     renames applied via ``resolve``), AND-join the conjuncts.  Only
-    known aliases rewrite — ``1.5`` or ``interval'...'`` text stays
-    verbatim."""
+    known aliases rewrite, only OUTSIDE string literals — ``1.5`` and
+    ``'a.b'`` text stays verbatim."""
 
     def repl(m):
         q, c = m.group(1), m.group(2)
         return resolve(q, c) if q in aliases else m.group(0)
 
-    rewritten = [
-        "(" + re.sub(r"\b(\w+)\s*\.\s*(\w+)\b", repl, cond) + ")"
-        for cond in conds
-    ]
+    def rewrite(cond: str) -> str:
+        segs = re.split(r"('(?:[^']|'')*')", cond)
+        return "".join(
+            seg
+            if i % 2
+            else re.sub(
+                r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\b", repl, seg
+            )
+            for i, seg in enumerate(segs)
+        )
+
+    rewritten = ["(" + rewrite(cond) + ")" for cond in conds]
     return " AND ".join(rewritten) if rewritten else None
 
 
@@ -1020,6 +1081,42 @@ class SqlMaintenanceJob:
                 group_cols=stmt.group_cols, keys=keys,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        if stmt.shape == "join":
+            # the maintained frame carries ONE physical column per join
+            # key (right side renamed onto left), and an outer stage's
+            # PAD rows carry the non-padded side's value in it — so
+            # projecting the PADDED side's join column would emit that
+            # value where SQL emits NULL.  Refuse with guidance rather
+            # than silently coalesce.
+            pad = set()
+            if stmt.join_chain:
+                for stage in stmt.join_chain:
+                    if stage["how"] in ("left", "full"):
+                        pad |= {
+                            (stage["alias"], rc) for _, _, rc in stage["on"]
+                        }
+                    if stage["how"] in ("right", "full"):
+                        pad |= {(q, lc) for q, lc, _ in stage["on"]}
+            else:
+                a_al, b_al = stmt.join_aliases
+                if stmt.join_how in ("left", "full"):
+                    pad |= {(b_al, cb) for _, cb in stmt.join_on}
+                if stmt.join_how in ("right", "full"):
+                    pad |= {(a_al, ca) for ca, _ in stmt.join_on}
+            bad = [
+                src
+                for src, _ in stmt.select
+                if tuple(src.split(".", 1)) in pad
+            ]
+            if bad:
+                raise ValueError(
+                    f"SELECT projects the null-padded side's join "
+                    f"column(s) {bad}: on an outer join's pad rows SQL "
+                    "emits NULL there, but the maintained frame's "
+                    "coalesced key column carries the matched side's "
+                    "value — project the non-padded side's join column "
+                    "instead (equal on every matched row)"
+                )
         # WHERE application mode: the table-state plans (min/max
         # recompute, Top-N) need failing +I/+U images rewritten to -D
         # tombstones; the stateless delta plan uses a plain row filter

@@ -1737,3 +1737,71 @@ def test_interval_join_on_chain_stage(spark):
 def test_interval_join_guards(sql, msg):
     with pytest.raises(ValueError, match=msg):
         parse_insert_select(sql)
+
+
+def test_pair_predicate_parsing_edge_cases():
+    """Review-fix regressions in the ON-clause parsing layer: decimal
+    literals are not aliases, '_and_' inside an identifier is not a
+    conjunct boundary, string literals survive both splitting and
+    rewriting, a parenthesized BETWEEN does not absorb the next
+    conjunct, and a 'left join' inside an ON literal is not a stage
+    boundary."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        _rewrite_pair_pred,
+        _split_on_conjuncts,
+    )
+
+    st = parse_insert_select(
+        "INSERT INTO s SELECT a.k AS k2, b.y FROM ta a JOIN tb b "
+        "ON a.k = b.k AND a.ratio > 1.5"
+    )
+    assert st.join_extra == ["a.ratio > 1.5"]
+
+    assert _split_on_conjuncts("a.k = b.k AND a.price_and_tax > 5") == [
+        "a.k = b.k", "a.price_and_tax > 5",
+    ]
+    assert _split_on_conjuncts(
+        "(a.ts BETWEEN b.lo AND b.hi) AND a.k = b.k"
+    ) == ["(a.ts BETWEEN b.lo AND b.hi)", "a.k = b.k"]
+
+    assert _rewrite_pair_pred(
+        ["tag <> 'a.b'"], {"a", "b"}, lambda q, c: "X"
+    ) == "(tag <> 'a.b')"
+
+    st6 = parse_insert_select(
+        "INSERT INTO s SELECT a.k AS k2 FROM ta a JOIN tb b "
+        "ON a.k = b.k AND b.note <> 'left join x'"
+    )
+    assert st6.join_extra == ["b.note <> 'left join x'"]
+
+
+def test_outer_join_padded_key_projection_refused(spark):
+    """The maintained frame keeps ONE physical column per join key; an
+    outer stage's pad rows carry the matched side's value in it, so
+    projecting the PADDED side's join column (SQL: NULL on pads) is
+    refused with guidance — for 2-way joins and chain stages alike.
+    The non-padded side's key still projects."""
+    with pytest.raises(ValueError, match="null-padded side"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT a.x, b.k AS bk FROM ta a "
+            "LEFT JOIN tb b ON a.k = b.k",
+            {"ta": ["k"], "tb": ["k"]},
+        )
+    with pytest.raises(ValueError, match="null-padded side"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT o.k AS ok, n.nk AS nnk FROM o_t o "
+            "JOIN c_t c ON o.ck = c.ck LEFT JOIN n_t n ON c.nk = n.nk",
+            _CHAIN_TABLES | {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
+        )
+    # RIGHT pads the LEFT side: a's key refused, b's key fine
+    with pytest.raises(ValueError, match="null-padded side"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT a.k AS ak FROM ta a "
+            "RIGHT JOIN tb b ON a.k = b.k",
+            {"ta": ["k"], "tb": ["k"]},
+        )
+    plan_insert_maintained(
+        "INSERT INTO s SELECT a.k AS ak, b.y FROM ta a "
+        "LEFT JOIN tb b ON a.k = b.k",
+        {"ta": ["k"], "tb": ["k"]},
+    )
