@@ -285,6 +285,154 @@ class _AggDeltaPlan(_Plan):
         return expire_state(state, watermark, self._ttl)
 
 
+class _DistinctAggPlan(_Plan):
+    """sum/count/avg aggregates where some are over DISTINCT values
+    (Flink's streaming distinct aggregation — StreamExecGroupAggregate
+    with DistinctViewSpec MapState): plain signed-delta state is not
+    enough because a retraction only removes a VALUE from the distinct
+    set when its last live occurrence goes, so the plan keeps, per
+    distinct aggregate, a signed (group, value)->count multiset — the
+    per-key distinct-view state Flink keeps — alongside the plain
+    signed sums.  Per batch: merge the batch's signed deltas into both
+    state kinds, then recompute ONLY the affected groups' outputs
+    (distinct outputs from the value multiset's live rows, plain
+    outputs row-wise) and emit the signed diff.  Per-batch work is
+    O(batch + affected groups' distinct-value cardinality) — the same
+    bound Flink's MapState update pays.
+
+    NULL values never enter a distinct view (SQL: COUNT(DISTINCT x)
+    ignores NULLs; an all-NULL group counts 0 and sums NULL); group
+    liveness comes from the plain state's live-row count, so a group
+    whose rows all carry NULL distinct values still emits a row."""
+
+    kind = "agg"
+
+    def __init__(
+        self, group_cols, aggs, distinct, ttl, op_col, seq_col
+    ) -> None:
+        super().__init__(ttl)
+        self.group_cols = list(group_cols)
+        self.aggs = dict(aggs)  # plain sum/count/avg
+        self.distinct = list(distinct.items())  # [(name, (fn, col))]
+        self.op_col = op_col
+        self._sum_cols: dict[str, Column] = {}
+        for name, (fn, col) in self.aggs.items():
+            if fn in ("sum", "avg"):
+                self._sum_cols[f"__s_{name}"] = col
+            if fn == "avg":
+                self._sum_cols[f"__c_{name}"] = F.when(
+                    col.isNotNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+
+    def _merge_values(self, vs_old, dml, col: Column):
+        from flink_cdc_2_3_0_src_spark.operators.changelog import (
+            signed_count,
+        )
+
+        d = (
+            dml.filter(col.isNotNull())
+            .groupBy(*self.group_cols, col.alias("__v"))
+            .agg(signed_count(self.op_col).alias("__n"))
+        )
+        if vs_old is None:
+            merged = d
+        else:
+            merged = (
+                vs_old.unionByName(d)
+                .groupBy(*self.group_cols, "__v")
+                .agg(F.sum("__n").alias("__n"))
+            )
+        return merged.filter(F.col("__n") != 0)
+
+    def _finalize(self, plain_st, vss, affected) -> DataFrame:
+        pk = F.struct(*[F.col(c) for c in self.group_cols])
+        base = plain_st
+        if affected is not None:
+            base = _keyset_join(base, affected, self.group_cols, "left_semi")
+        outs = []
+        for name, (fn, _col) in self.aggs.items():
+            if fn == "sum":
+                outs.append(F.col(f"__s_{name}").alias(name))
+            elif fn == "count":
+                outs.append(F.col("__rows").alias(name))
+            else:
+                outs.append(
+                    (
+                        F.col(f"__s_{name}").cast("double")
+                        / F.nullif(F.col(f"__c_{name}"), F.lit(0)).cast(
+                            "double"
+                        )
+                    ).alias(name)
+                )
+        base = base.select(*self.group_cols, *outs).withColumn("__pk", pk)
+        for (name, (fn, _col)), vs in zip(self.distinct, vss):
+            live = vs.filter(F.col("__n") > 0)
+            if affected is not None:
+                live = _keyset_join(
+                    live, affected, self.group_cols, "left_semi"
+                )
+            if fn == "count":
+                expr = F.count(F.lit(1))
+            elif fn == "sum":
+                expr = F.sum("__v")
+            else:
+                expr = F.avg("__v")
+            agg_i = (
+                live.groupBy(*self.group_cols)
+                .agg(expr.alias(name))
+                .withColumn("__pk", pk)
+                .select("__pk", name)
+            )
+            # null-safe struct key: NULL group values must still match
+            base = base.join(agg_i, "__pk", "left")
+            if fn == "count":
+                # COUNT(DISTINCT x) over a live group with no non-null
+                # values is 0, not NULL
+                base = base.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0).cast("long"))
+                )
+        return base.drop("__pk")
+
+    def step(self, state, batch: DataFrame):
+        dml = batch.filter(
+            F.col(self.op_col).isin(
+                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+            )
+        )
+        plain_old, vss_old = (
+            (state[0], list(state[1:]))
+            if state is not None
+            else (None, [None] * len(self.distinct))
+        )
+        plain_new = merge_agg_state(
+            plain_old, dml, self.group_cols, self._sum_cols,
+            op_col=self.op_col,
+        )
+        vss_new = [
+            self._merge_values(vs, dml, col)
+            for vs, (_name, (_fn, col)) in zip(vss_old, self.distinct)
+        ]
+        affected = _affected_groups(batch, self.group_cols, self.op_col)
+        new_aff = self._finalize(plain_new, vss_new, affected)
+        old_aff = None
+        if plain_old is not None:
+            old_aff = self._finalize(plain_old, vss_old, affected)
+        return (plain_new, *vss_new), _signed_diff(new_aff, old_aff)
+
+    def _expire(self, state, watermark):
+        plain_st, vss = state[0], state[1:]
+        if self._ttl not in plain_st.columns:
+            raise ValueError(
+                f"ttl column {self._ttl!r} is not a group column of this "
+                "aggregate — time-bucketed TTL needs the bucket in "
+                "group_cols"
+            )
+        return (
+            expire_state(plain_st, watermark, self._ttl),
+            *[expire_state(vs, watermark, self._ttl) for vs in vss],
+        )
+
+
 class _AggRecomputePlan(_Plan):
     """Aggregates including min/max: not retraction-computable without
     state (agg_auto's other branch), so the plan maintains the
@@ -829,6 +977,7 @@ def maintain(
     hist=None,
     session=None,
     chain=None,
+    distinct=None,
     ttl=None,
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
@@ -869,7 +1018,15 @@ def maintain(
       monoid needs them fixed), and the output delta is the signed diff
       of the affected groups' finalized quantile rows.
 
-    The aggregate shape takes one modifier:
+    The aggregate shape takes two modifiers:
+
+    * ``distinct={name: (fn, col)}`` — sum/count/avg over DISTINCT
+      values (Flink's streaming distinct aggregation): the plan keeps a
+      signed (group, value)->count multiset per distinct aggregate (the
+      distinct-view MapState) so a retraction removes a value only when
+      its last live occurrence goes.  Combine with plain sum/count/avg
+      in ``aggs`` (which may then be ``{}``); min/max and session
+      windows are not combinable with distinct — split the statement.
 
     * ``session=("<ts col>", "<n> <unit>")`` (or a dict adding
       ``w_start``/``w_end`` output names) — session-window aggregation
@@ -950,6 +1107,30 @@ def maintain(
     unsupported = fns - _AGG_FNS
     if unsupported:
         raise ValueError(f"unsupported aggregate(s): {sorted(unsupported)}")
+    if distinct:
+        bad = {fn for fn, _ in distinct.values()} - {"sum", "count", "avg"}
+        if bad:
+            raise ValueError(
+                f"distinct aggregates support sum/count/avg, got "
+                f"{sorted(bad)} (MIN/MAX(DISTINCT x) equals plain "
+                "MIN/MAX(x) — drop the DISTINCT)"
+            )
+        overlap = set(distinct) & set(aggs)
+        if overlap:
+            raise ValueError(f"duplicate output column(s) {sorted(overlap)}")
+        if fns & {"min", "max"}:
+            raise ValueError(
+                "distinct aggregates cannot combine with min/max in one "
+                "statement (different state plans); split the statement"
+            )
+        if session is not None:
+            raise ValueError(
+                "distinct aggregates are not supported on SESSION "
+                "windows; use TUMBLE/HOP/CUMULATE or plain groups"
+            )
+        return _DistinctAggPlan(
+            group_cols, aggs, distinct, ttl, op_col, seq_col
+        )
     if session is not None:
         if isinstance(session, dict):
             unknown = set(session) - {"ts", "gap", "w_start", "w_end"}

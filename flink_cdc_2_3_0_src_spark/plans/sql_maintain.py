@@ -933,6 +933,17 @@ class SqlMaintenanceJob:
                     "declares none"
                 )
             ts_col, gap = stmt.session
+            bad_distinct = [
+                name
+                for name, (_fn, args) in stmt.aggs.items()
+                if re.match(r"(?is)^DISTINCT\s+", args.strip())
+            ]
+            if bad_distinct:
+                raise ValueError(
+                    f"DISTINCT aggregates ({bad_distinct}) are not "
+                    "supported on SESSION windows; use TUMBLE/HOP/"
+                    "CUMULATE or plain groups"
+                )
             self.plan = maintain(
                 aggs={
                     name: _agg_col(fn, args)
@@ -947,10 +958,20 @@ class SqlMaintenanceJob:
             )
         elif stmt.shape == "agg":
             keys, _ = self._preps[0]
-            aggs = {
-                name: _agg_col(fn, args)
-                for name, (fn, args) in stmt.aggs.items()
-            }
+            # FN(DISTINCT expr) routes to the distinct-view plan
+            # (Flink's streaming distinct aggregation); MIN/MAX
+            # (DISTINCT x) equals plain MIN/MAX(x) and rides as such
+            aggs, distinct = {}, {}
+            for name, (fn, args) in stmt.aggs.items():
+                dm = re.match(r"(?is)^DISTINCT\s+(.+)$", args.strip())
+                if dm is None:
+                    aggs[name] = _agg_col(fn, args)
+                elif fn in ("min", "max"):
+                    aggs[name] = _agg_col(fn, dm.group(1))
+                elif fn == "count" and dm.group(1).strip() == "*":
+                    raise ValueError("COUNT(DISTINCT *) is not valid SQL")
+                else:
+                    distinct[name] = (fn, F.expr(dm.group(1)))
             fns = {fn for fn, _ in aggs.values()}
             if stmt.hop is not None and fns & {"min", "max"}:
                 # the HOP generator replicates each row into size/slide
@@ -999,6 +1020,7 @@ class SqlMaintenanceJob:
             self.plan = maintain(
                 aggs=aggs, group_cols=stmt.group_cols,
                 keys=keys if fns & {"min", "max"} else None,
+                distinct=distinct or None,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "join" and stmt.join_chain:

@@ -4697,6 +4697,47 @@ def cdc_sql_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DISTINCT aggregates on the SQL maintenance surface (r10): Flink's
+# streaming distinct aggregation (StreamExecGroupAggregate with a
+# distinct-view MapState per distinct aggregate).  Plain signed deltas
+# cannot maintain COUNT(DISTINCT x) — a retraction removes the value
+# only when its LAST live occurrence goes — so the plan keeps a signed
+# (group, value)->count multiset per distinct aggregate
+# (operators/maintain.py _DistinctAggPlan) and recomputes only
+# batch-affected groups.  The value expression floors the double into
+# a small integer domain so duplicates actually occur and both engines
+# agree exactly; the oracle runs the same statement one-shot.
+@register(
+    "cdc_sql_distinct_agg",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT user_id % 10 AS bucket,
+           COUNT(*) AS n_live,
+           COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd,
+           SUM(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS sd
+    FROM m GROUP BY user_id % 10
+    """,
+)
+def cdc_sql_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket, COUNT(*) AS n_live,"
+        " COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd,"
+        " SUM(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS sd"
+        " FROM events_cdc GROUP BY bucket",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+    return out
+
+
 # Interval-join bounds on the SQL maintenance surface (r10): Flink's
 # interval join — non-equi ON conjuncts (a.ts BETWEEN b.ts ± bound)
 # riding alongside the equi key.  The pair predicate is row-local over

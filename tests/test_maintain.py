@@ -623,3 +623,35 @@ def test_maintain_chain_dispatch_and_guards(spark):
             [(1, 1, "+I", 1)], f"k long, j long, {OP_COL} string, {SEQ_COL} long"
         )
         plan.step(None, df, df)
+
+
+def test_maintain_distinct_dispatch_and_guards(spark):
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+    )
+
+    plan = maintain(
+        aggs={}, distinct={"nd": ("count", F.col("v"))}, group_cols=["g"]
+    )
+    assert isinstance(plan, _DistinctAggPlan)
+    with pytest.raises(ValueError, match="sum/count/avg"):
+        maintain(
+            aggs={}, distinct={"m": ("max", F.col("v"))}, group_cols=["g"]
+        )
+    with pytest.raises(ValueError, match="duplicate output column"):
+        maintain(
+            aggs={"x": ("sum", F.col("v"))},
+            distinct={"x": ("count", F.col("v"))},
+            group_cols=["g"],
+        )
+    with pytest.raises(ValueError, match="cannot combine with min/max"):
+        maintain(
+            aggs={"m": ("max", F.col("v"))}, keys=["k"],
+            distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
+        )
+    with pytest.raises(ValueError, match="not supported on SESSION"):
+        maintain(
+            aggs={"s": ("sum", F.col("v"))}, keys=["k"],
+            distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
+            session=("ts", "1 hour"),
+        )

@@ -1805,3 +1805,146 @@ def test_outer_join_padded_key_projection_refused(spark):
         "LEFT JOIN tb b ON a.k = b.k",
         {"ta": ["k"], "tb": ["k"]},
     )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT aggregates (Flink's streaming distinct aggregation)
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ROWS = [
+    (1, "a", 10, "+I", 1),
+    (2, "a", 10, "+I", 2),    # duplicate value: distinct set unchanged
+    (3, "a", 20, "+I", 3),
+    (4, "a", None, "+I", 4),  # NULL never enters a distinct view
+    (5, "b", None, "+I", 5),  # live group with ONLY null values
+    (2, "a", 10, "-D", 6),    # 10 still live via user 1
+    (1, "a", 10, "-U", 7),
+    (1, "a", 30, "+U", 7),    # now 10's LAST occurrence went; 30 added
+]
+_DISTINCT_SCHEMA = (
+    f"k long, g string, v long, {OP_COL} string, {SEQ_COL} long"
+)
+_DISTINCT_SQL = (
+    "INSERT INTO sink SELECT g, COUNT(*) AS n_rows,"
+    " COUNT(DISTINCT v) AS nd, SUM(DISTINCT v) AS sd,"
+    " AVG(DISTINCT v) AS ad FROM t GROUP BY g"
+)
+
+
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_distinct_agg_replay_matches_direct(spark, n_batches):
+    """The distinct-view state removes a value only when its LAST live
+    occurrence retracts; NULLs never enter; a live group with only
+    NULL values counts 0 and sums NULL — SQL semantics, any split."""
+    log = spark.createDataFrame(_DISTINCT_ROWS, _DISTINCT_SCHEMA)
+    got = replay_insert_maintained(
+        _DISTINCT_SQL, {"t": ["k"]}, {"t": log}, n_batches=n_batches
+    )
+    direct = (
+        materialize(log, ["k"])
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("nd"),
+            F.sum_distinct(F.col("v")).alias("sd"),
+            (
+                F.sum_distinct(F.col("v")).cast("double")
+                / F.countDistinct("v")
+            ).alias("ad"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    rows = {r["g"]: r for r in got.collect()}
+    assert (rows["a"]["nd"], rows["a"]["sd"]) == (2, 50)  # {20, 30}
+    assert (rows["b"]["nd"], rows["b"]["sd"]) == (0, None)
+
+
+def test_distinct_agg_on_tumble_window(spark):
+    """DISTINCT aggregates compose with row-local windows (the window
+    columns are just group columns to the distinct-view plan)."""
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1, 0, 1), 7, "+I", 1),
+        (2, dt(2024, 1, 1, 0, 2), 7, "+I", 2),
+        (3, dt(2024, 1, 1, 0, 3), 9, "+I", 3),
+        (4, dt(2024, 1, 1, 0, 7), 7, "+I", 4),
+        (2, dt(2024, 1, 1, 0, 2), 7, "-D", 5),
+    ]
+    log = spark.createDataFrame(
+        rows, f"k long, ts timestamp, v long, {OP_COL} string, {SEQ_COL} long"
+    )
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE) AS ws,"
+        " COUNT(DISTINCT v) AS nd FROM t"
+        " GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+        {"t": ["k"]}, {"t": log}, n_batches=2,
+    )
+    from datetime import datetime as dt
+
+    assert sorted(map(tuple, got.collect())) == [
+        (dt(2024, 1, 1, 0, 0), 2),  # {7, 9} — the deleted 7 had a twin
+        (dt(2024, 1, 1, 0, 5), 1),
+    ]
+
+
+def test_distinct_agg_guards(spark):
+    log_tables = {"t": ["k"]}
+    with pytest.raises(ValueError, match="cannot combine with min/max"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g, COUNT(DISTINCT v) AS nd, MAX(v) AS mx "
+            "FROM t GROUP BY g",
+            log_tables,
+        )
+    with pytest.raises(ValueError, match="not supported on SESSION"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g,"
+            " SESSION_START(ts, INTERVAL '1' HOUR) AS ws,"
+            " COUNT(DISTINCT v) AS nd FROM t"
+            " GROUP BY g, SESSION(ts, INTERVAL '1' HOUR)",
+            log_tables,
+        )
+    with pytest.raises(ValueError, match="COUNT\\(DISTINCT \\*\\)"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g, COUNT(DISTINCT *) AS nd FROM t "
+            "GROUP BY g",
+            log_tables,
+        )
+    # MIN(DISTINCT x) == MIN(x): passes through as a plain aggregate
+    job = plan_insert_maintained(
+        "INSERT INTO s SELECT g, MIN(DISTINCT v) AS mn FROM t GROUP BY g",
+        log_tables,
+    )
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _AggRecomputePlan,
+    )
+
+    assert isinstance(job.plan, _AggRecomputePlan)
+
+
+def test_distinct_agg_having_and_ttl(spark):
+    """HAVING rewrites the textual COUNT(DISTINCT v) to its alias and
+    gates the delta stream; ttl on a bucket group column evicts both
+    the plain state and every distinct-view state."""
+    log = spark.createDataFrame(_DISTINCT_ROWS, _DISTINCT_SCHEMA)
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT g, COUNT(DISTINCT v) AS nd FROM t "
+        "GROUP BY g HAVING COUNT(DISTINCT v) >= 1",
+        {"t": ["k"]}, {"t": log}, n_batches=2,
+    )
+    assert sorted(map(tuple, got.collect())) == [("a", 2)]
+
+    rows1 = [(1, 10, 5, "+I", 1), (2, 20, 7, "+I", 2)]
+    schema = f"k long, bkt long, v long, {OP_COL} string, {SEQ_COL} long"
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT bkt, COUNT(DISTINCT v) AS nd FROM t "
+        "GROUP BY bkt",
+        {"t": ["k"]}, ttl="bkt",
+    )
+    job.step({"t": spark.createDataFrame(rows1, schema)})
+    job.expire(watermark=15)
+    plain, vs = job._state
+    assert [r["bkt"] for r in plain.collect()] == [20]
+    assert [r["bkt"] for r in vs.collect()] == [20]
