@@ -76,6 +76,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_three_way_join",
     "cdc_sql_cumulate_window",
     "cdc_sql_interval_join",
+    "cdc_sql_distinct_agg",
 ]
 
 
