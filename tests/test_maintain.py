@@ -655,3 +655,145 @@ def test_maintain_distinct_dispatch_and_guards(spark):
             distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
             session=("ts", "1 hour"),
         )
+
+
+def test_maintain_session_fuzz_vs_python_reference(spark):
+    """Randomized (seeded) upsert logs through batch splits: the
+    session plan's accumulated deltas AND final result state equal a
+    pure-Python gaps-and-islands replay.  Timestamp moves force session
+    merges and splits mid-stream; NULL timestamps stay live but never
+    session; integer sums keep comparisons exact."""
+    import random
+    from datetime import datetime, timedelta
+
+    GAP_MIN = 10
+    base = datetime(2024, 1, 1)
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        live = {}
+        rows = []
+        for seq in range(1, rng.randint(14, 30)):
+            uid = rng.randrange(7)
+            g = "ab"[uid % 2]
+            if uid in live and rng.random() < 0.25:
+                ov, om = live[uid]
+                rows.append((uid, g, ov, om, "-D", seq))
+                del live[uid]
+            else:
+                v = rng.randrange(50)
+                m = (
+                    None
+                    if rng.random() < 0.15
+                    else rng.randrange(0, 120)
+                )
+                if uid in live:
+                    ov, om = live[uid]
+                    rows.append((uid, g, ov, om, "-U", seq))
+                    rows.append((uid, g, v, m, "+U", seq))
+                else:
+                    rows.append((uid, g, v, m, "+I", seq))
+                live[uid] = (v, m)
+        log = spark.createDataFrame(
+            [
+                (
+                    k, g, v,
+                    None if m is None else base + timedelta(minutes=m),
+                    op, seq,
+                )
+                for k, g, v, m, op, seq in rows
+            ],
+            f"k long, g string, v long, ts timestamp, {OP_COL} string, "
+            f"{SEQ_COL} long",
+        )
+        # python reference: per group, sort live non-null-ts rows and
+        # break on gaps >= GAP_MIN
+        by_g = {}
+        for uid, (v, m) in live.items():
+            if m is not None:
+                by_g.setdefault("ab"[uid % 2], []).append((m, v))
+        want = set()
+        for g, pts in by_g.items():
+            pts.sort()
+            cur = [pts[0]]
+            for p in pts[1:]:
+                if p[0] - cur[-1][0] >= GAP_MIN:
+                    ws, we = cur[0][0], cur[-1][0] + GAP_MIN
+                    want.add((
+                        g,
+                        base + timedelta(minutes=ws),
+                        base + timedelta(minutes=we),
+                        sum(v for _, v in cur),
+                        len(cur),
+                    ))
+                    cur = [p]
+                else:
+                    cur.append(p)
+            ws, we = cur[0][0], cur[-1][0] + GAP_MIN
+            want.add((
+                g,
+                base + timedelta(minutes=ws),
+                base + timedelta(minutes=we),
+                sum(v for _, v in cur),
+                len(cur),
+            ))
+        for nb in (1, 4):
+            plan = maintain(
+                aggs={"s": ("sum", F.col("v")),
+                      "n": ("count", F.lit(1))},
+                group_cols=["g"], keys=["k"],
+                session=("ts", f"{GAP_MIN} minutes"),
+            )
+            state, parts = _run_plan(plan, _seq_batches(log, nb))
+            assert _net(parts) == want, f"session trial={trial} nb={nb}"
+            final = {tuple(r) for r in state[1].collect()}
+            assert final == want, f"session state trial={trial} nb={nb}"
+
+
+def test_maintain_distinct_fuzz_vs_python_reference(spark):
+    """Randomized (seeded) upsert logs through batch splits: the
+    distinct-agg plan's accumulated deltas equal a pure-Python distinct
+    set replay — duplicate values, NULLs, re-inserts and group-moving
+    updates included."""
+    import random
+
+    rng = random.Random(0xD15C)
+    for trial in range(3):
+        live = {}
+        rows = []
+        for seq in range(1, rng.randint(14, 30)):
+            uid = rng.randrange(8)
+            g = uid % 3
+            if uid in live and rng.random() < 0.25:
+                rows.append((g, uid, live[uid], "-D", seq))
+                del live[uid]
+            else:
+                # small value domain so duplicates are common
+                v = None if rng.random() < 0.2 else rng.randrange(5)
+                if uid in live:
+                    rows.append((g, uid, live[uid], "-U", seq))
+                    rows.append((g, uid, v, "+U", seq))
+                else:
+                    rows.append((g, uid, v, "+I", seq))
+                live[uid] = v
+        log = spark.createDataFrame(
+            rows,
+            f"g long, k long, v long, {OP_COL} string, {SEQ_COL} long",
+        )
+        by_g = {}
+        for uid, v in live.items():
+            by_g.setdefault(uid % 3, []).append(v)
+        want = set()
+        for g, vs in by_g.items():
+            dv = {v for v in vs if v is not None}
+            want.add((
+                g, len(vs), len(dv), sum(dv) if dv else None,
+            ))
+        for nb in (1, 4):
+            plan = maintain(
+                aggs={"n": ("count", F.lit(1))},
+                distinct={"nd": ("count", F.col("v")),
+                          "sd": ("sum", F.col("v"))},
+                group_cols=["g"],
+            )
+            _, parts = _run_plan(plan, _seq_batches(log, nb))
+            assert _net(parts) == want, f"distinct trial={trial} nb={nb}"
