@@ -103,6 +103,56 @@ def _affected_groups(
     )
 
 
+def _dml_only(batch: DataFrame, op_col: str) -> DataFrame:
+    """Restrict to the four DML ops — control rows (+H/+S) carry no row
+    image and must not inflate live-row counts (signed_multiset's
+    discipline)."""
+    return batch.filter(
+        F.col(op_col).isin(
+            OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+        )
+    )
+
+
+def _delta_sum_cols(aggs: dict) -> dict:
+    """Signed-sum state columns for plain sum/count/avg aggregates over
+    ``merge_agg_state``.  Each avg additionally tracks a signed
+    NON-NULL value count so avg follows SQL semantics (NULLs excluded
+    from the denominator) and agrees with the recompute plans —
+    single-sourced here for every delta-state plan."""
+    out: dict[str, Column] = {}
+    for name, (fn, col) in aggs.items():
+        if fn in ("sum", "avg"):
+            out[f"__s_{name}"] = col
+        if fn == "avg":
+            out[f"__c_{name}"] = F.when(
+                col.isNotNull(), F.lit(1)
+            ).otherwise(F.lit(0))
+    return out
+
+
+def _delta_finalize_exprs(aggs: dict) -> list:
+    """Output expressions over ``merge_agg_state`` state columns for
+    the plain sum/count/avg aggregates (avg = signed sum / signed
+    non-null count; NULL when the group's live values are all NULL)."""
+    outs = []
+    for name, (fn, _col) in aggs.items():
+        if fn == "sum":
+            outs.append(F.col(f"__s_{name}").alias(name))
+        elif fn == "count":
+            outs.append(F.col("__rows").alias(name))
+        else:
+            outs.append(
+                (
+                    F.col(f"__s_{name}").cast("double")
+                    / F.nullif(F.col(f"__c_{name}"), F.lit(0)).cast(
+                        "double"
+                    )
+                ).alias(name)
+            )
+    return outs
+
+
 def _recompute_exprs(aggs: dict) -> list:
     """Aggregate expressions for the table-recompute plans, SQL
     semantics: COUNT = live rows, AVG = sum / non-null count (agrees
@@ -218,47 +268,18 @@ class _AggDeltaPlan(_Plan):
         self.op_col = op_col
         # internal state keeps one signed sum per distinct value column
         # needed by any sum/avg, the live-row count, and — for each avg —
-        # a signed NON-NULL count of its value column, so avg follows SQL
-        # semantics (NULLs excluded from the denominator) and agrees with
-        # _AggRecomputePlan's count(col): without it, adding a min/max
-        # agg to a query would silently flip its avg semantics
-        self._sum_cols: dict[str, Column] = {}
-        for name, (fn, col) in self.aggs.items():
-            if fn in ("sum", "avg"):
-                self._sum_cols[f"__s_{name}"] = col
-            if fn == "avg":
-                self._sum_cols[f"__c_{name}"] = F.when(
-                    col.isNotNull(), F.lit(1)
-                ).otherwise(F.lit(0))
+        # a signed NON-NULL count of its value column (see
+        # _delta_sum_cols): without it, adding a min/max agg to a query
+        # would silently flip its avg semantics
+        self._sum_cols = _delta_sum_cols(self.aggs)
 
     def _finalize(self, state: DataFrame) -> DataFrame:
-        outs = []
-        for name, (fn, _col) in self.aggs.items():
-            if fn == "sum":
-                outs.append(F.col(f"__s_{name}").alias(name))
-            elif fn == "count":
-                outs.append(F.col("__rows").alias(name))
-            else:  # avg = signed sum / signed non-null count (NULL when
-                # the group's live rows are all NULL, as in SQL)
-                outs.append(
-                    (
-                        F.col(f"__s_{name}").cast("double")
-                        / F.nullif(
-                            F.col(f"__c_{name}"), F.lit(0)
-                        ).cast("double")
-                    ).alias(name)
-                )
-        return state.select(*self.group_cols, *outs)
+        return state.select(
+            *self.group_cols, *_delta_finalize_exprs(self.aggs)
+        )
 
     def step(self, state, batch: DataFrame):
-        # restrict to the four DML ops up front — control rows (+H/+S)
-        # carry no row image and must not inflate live-row counts
-        # (signed_multiset's discipline, applied to the agg path)
-        dml = batch.filter(
-            F.col(self.op_col).isin(
-                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
-            )
-        )
+        dml = _dml_only(batch, self.op_col)
         new_state = merge_agg_state(
             state, dml, self.group_cols, self._sum_cols, op_col=self.op_col
         )
@@ -315,14 +336,7 @@ class _DistinctAggPlan(_Plan):
         self.aggs = dict(aggs)  # plain sum/count/avg
         self.distinct = list(distinct.items())  # [(name, (fn, col))]
         self.op_col = op_col
-        self._sum_cols: dict[str, Column] = {}
-        for name, (fn, col) in self.aggs.items():
-            if fn in ("sum", "avg"):
-                self._sum_cols[f"__s_{name}"] = col
-            if fn == "avg":
-                self._sum_cols[f"__c_{name}"] = F.when(
-                    col.isNotNull(), F.lit(1)
-                ).otherwise(F.lit(0))
+        self._sum_cols = _delta_sum_cols(self.aggs)
 
     def _merge_values(self, vs_old, dml, col: Column):
         from flink_cdc_2_3_0_src_spark.operators.changelog import (
@@ -349,22 +363,9 @@ class _DistinctAggPlan(_Plan):
         base = plain_st
         if affected is not None:
             base = _keyset_join(base, affected, self.group_cols, "left_semi")
-        outs = []
-        for name, (fn, _col) in self.aggs.items():
-            if fn == "sum":
-                outs.append(F.col(f"__s_{name}").alias(name))
-            elif fn == "count":
-                outs.append(F.col("__rows").alias(name))
-            else:
-                outs.append(
-                    (
-                        F.col(f"__s_{name}").cast("double")
-                        / F.nullif(F.col(f"__c_{name}"), F.lit(0)).cast(
-                            "double"
-                        )
-                    ).alias(name)
-                )
-        base = base.select(*self.group_cols, *outs).withColumn("__pk", pk)
+        base = base.select(
+            *self.group_cols, *_delta_finalize_exprs(self.aggs)
+        ).withColumn("__pk", pk)
         for (name, (fn, _col)), vs in zip(self.distinct, vss):
             live = vs.filter(F.col("__n") > 0)
             if affected is not None:
@@ -394,11 +395,7 @@ class _DistinctAggPlan(_Plan):
         return base.drop("__pk")
 
     def step(self, state, batch: DataFrame):
-        dml = batch.filter(
-            F.col(self.op_col).isin(
-                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
-            )
-        )
+        dml = _dml_only(batch, self.op_col)
         plain_old, vss_old = (
             (state[0], list(state[1:]))
             if state is not None
@@ -1078,6 +1075,11 @@ def maintain(
         raise ValueError(
             "session= is a modifier of the aggregate shape; declare "
             "aggs= with it"
+        )
+    if distinct is not None and aggs is None:
+        raise ValueError(
+            "distinct= is a modifier of the aggregate shape; declare "
+            "aggs= with it (aggs={} is fine for distinct-only queries)"
         )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)

@@ -920,6 +920,25 @@ class SqlMaintenanceJob:
             # from empty, emitting a duplicate-keyed result with no
             # retraction of the earlier one
             ttl = _W_END
+        aggs, distinct = {}, {}
+        if stmt.shape == "agg":
+            # FN(DISTINCT expr) routes to the distinct-view plan
+            # (Flink's streaming distinct aggregation); MIN/MAX
+            # (DISTINCT x) equals plain MIN/MAX(x) and rides as such.
+            # \b (not \s) after DISTINCT: COUNT(DISTINCT(v)) is valid
+            # SQL with no whitespace before the expression
+            for name, (fn, args) in stmt.aggs.items():
+                dm = re.match(r"(?is)^DISTINCT\b\s*(.+)$", args.strip())
+                if dm is None:
+                    aggs[name] = _agg_col(fn, args)
+                elif dm.group(1).strip() == "*":
+                    raise ValueError(
+                        f"{fn.upper()}(DISTINCT *) is not valid SQL"
+                    )
+                elif fn in ("min", "max"):
+                    aggs[name] = _agg_col(fn, dm.group(1))
+                else:
+                    distinct[name] = (fn, F.expr(dm.group(1)))
         if stmt.shape == "agg" and stmt.session is not None:
             # merging session windows: always the table-state session
             # plan (arrivals merge sessions, retractions split them —
@@ -933,22 +952,16 @@ class SqlMaintenanceJob:
                     "declares none"
                 )
             ts_col, gap = stmt.session
-            bad_distinct = [
-                name
-                for name, (_fn, args) in stmt.aggs.items()
-                if re.match(r"(?is)^DISTINCT\s+", args.strip())
-            ]
-            if bad_distinct:
+            if distinct:
+                # (MIN/MAX(DISTINCT x) already rewrote to plain above
+                # and is fine here — only sum/count/avg views refuse)
                 raise ValueError(
-                    f"DISTINCT aggregates ({bad_distinct}) are not "
+                    f"DISTINCT aggregates ({sorted(distinct)}) are not "
                     "supported on SESSION windows; use TUMBLE/HOP/"
                     "CUMULATE or plain groups"
                 )
             self.plan = maintain(
-                aggs={
-                    name: _agg_col(fn, args)
-                    for name, (fn, args) in stmt.aggs.items()
-                },
+                aggs=aggs,
                 group_cols=stmt.group_cols, keys=keys,
                 session={
                     "ts": ts_col, "gap": gap,
@@ -958,20 +971,6 @@ class SqlMaintenanceJob:
             )
         elif stmt.shape == "agg":
             keys, _ = self._preps[0]
-            # FN(DISTINCT expr) routes to the distinct-view plan
-            # (Flink's streaming distinct aggregation); MIN/MAX
-            # (DISTINCT x) equals plain MIN/MAX(x) and rides as such
-            aggs, distinct = {}, {}
-            for name, (fn, args) in stmt.aggs.items():
-                dm = re.match(r"(?is)^DISTINCT\s+(.+)$", args.strip())
-                if dm is None:
-                    aggs[name] = _agg_col(fn, args)
-                elif fn in ("min", "max"):
-                    aggs[name] = _agg_col(fn, dm.group(1))
-                elif fn == "count" and dm.group(1).strip() == "*":
-                    raise ValueError("COUNT(DISTINCT *) is not valid SQL")
-                else:
-                    distinct[name] = (fn, F.expr(dm.group(1)))
             fns = {fn for fn, _ in aggs.values()}
             if stmt.hop is not None and fns & {"min", "max"}:
                 # the HOP generator replicates each row into size/slide

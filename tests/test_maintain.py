@@ -758,30 +758,34 @@ def test_maintain_distinct_fuzz_vs_python_reference(spark):
 
     rng = random.Random(0xD15C)
     for trial in range(3):
-        live = {}
+        live = {}  # uid -> (g, v); g is mutable so updates MOVE groups
         rows = []
         for seq in range(1, rng.randint(14, 30)):
             uid = rng.randrange(8)
-            g = uid % 3
             if uid in live and rng.random() < 0.25:
-                rows.append((g, uid, live[uid], "-D", seq))
+                og, ov = live[uid]
+                rows.append((og, uid, ov, "-D", seq))
                 del live[uid]
             else:
-                # small value domain so duplicates are common
+                # small domains so duplicate values and group-moving
+                # updates (-U in the OLD group, +U in the NEW) are
+                # common — the dual-affected-group delta path
+                g = rng.randrange(3)
                 v = None if rng.random() < 0.2 else rng.randrange(5)
                 if uid in live:
-                    rows.append((g, uid, live[uid], "-U", seq))
+                    og, ov = live[uid]
+                    rows.append((og, uid, ov, "-U", seq))
                     rows.append((g, uid, v, "+U", seq))
                 else:
                     rows.append((g, uid, v, "+I", seq))
-                live[uid] = v
+                live[uid] = (g, v)
         log = spark.createDataFrame(
             rows,
             f"g long, k long, v long, {OP_COL} string, {SEQ_COL} long",
         )
         by_g = {}
-        for uid, v in live.items():
-            by_g.setdefault(uid % 3, []).append(v)
+        for _uid, (g, v) in live.items():
+            by_g.setdefault(g, []).append(v)
         want = set()
         for g, vs in by_g.items():
             dv = {v for v in vs if v is not None}

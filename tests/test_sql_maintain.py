@@ -1948,3 +1948,40 @@ def test_distinct_agg_having_and_ttl(spark):
     plain, vs = job._state
     assert [r["bkt"] for r in plain.collect()] == [20]
     assert [r["bkt"] for r in vs.collect()] == [20]
+
+
+def test_distinct_parse_edge_cases(spark):
+    """Second-review regressions: COUNT(DISTINCT(v)) — no whitespace
+    after DISTINCT — routes to the distinct plan; SUM/AVG(DISTINCT *)
+    get the crisp invalid-SQL error; MIN(DISTINCT x) on a SESSION
+    window is accepted (it rewrites to plain MIN); distinct= with a
+    non-aggregate shape raises the modifier error."""
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+        maintain,
+    )
+
+    job = plan_insert_maintained(
+        "INSERT INTO s SELECT g, COUNT(DISTINCT(v)) AS nd FROM t GROUP BY g",
+        {"t": ["k"]},
+    )
+    assert isinstance(job.plan, _DistinctAggPlan)
+    with pytest.raises(ValueError, match="SUM\\(DISTINCT \\*\\)"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g, SUM(DISTINCT *) AS sd FROM t "
+            "GROUP BY g",
+            {"t": ["k"]},
+        )
+    # MIN(DISTINCT v) == MIN(v): fine on a session window
+    job2 = plan_insert_maintained(
+        "INSERT INTO s SELECT g,"
+        " SESSION_START(ts, INTERVAL '1' HOUR) AS ws,"
+        " MIN(DISTINCT v) AS mn FROM t"
+        " GROUP BY g, SESSION(ts, INTERVAL '1' HOUR)",
+        {"t": ["k"]},
+    )
+    from flink_cdc_2_3_0_src_spark.operators.maintain import _SessionPlan
+
+    assert isinstance(job2.plan, _SessionPlan)
+    with pytest.raises(ValueError, match="modifier of the aggregate"):
+        maintain(on=["k"], distinct={"nd": ("count", F.col("v"))})
