@@ -109,7 +109,20 @@ _PRIORITY: list[str] = [
     "cdc_sql_three_way_join",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
     "cdc_metadata_columns", "cdc_mongo_changestream_decode",
-    "b6_all_types_decode",
+    # (b6_all_types_decode: demoted r10 — the decode family held SIX
+    # window rows and B6 keeps TWO (cdc_dbz_typed_decode, the
+    # declared-schema envelope decode whose converter matrix subsumes
+    # the all-types row, and cdc_mongo_nested_decode); the all-types
+    # row stays registered + locally swept.  Its slot goes to
+    # cdc_sql_distinct_agg: DISTINCT aggregates on the SQL maintenance
+    # surface (Flink's streaming distinct aggregation,
+    # StreamExecGroupAggregate + DistinctViewSpec MapState) — a
+    # genuinely new state discipline: plain signed deltas cannot
+    # maintain COUNT(DISTINCT x) because a retraction removes a value
+    # only when its LAST live occurrence goes, so _DistinctAggPlan
+    # keeps a signed (group, value)->count multiset per distinct
+    # aggregate; no other window row exercises it.)
+    "cdc_sql_distinct_agg",
     # (cdc_compact_changelog: log compaction — demoted; its upsert-by-PK
     # semantics are already witnessed in-window by cdc_materialize and
     # the envelope round trip by cdc_dbz_roundtrip.  Its slot went to
