@@ -1985,3 +1985,130 @@ def test_distinct_parse_edge_cases(spark):
     assert isinstance(job2.plan, _SessionPlan)
     with pytest.raises(ValueError, match="modifier of the aggregate"):
         maintain(on=["k"], distinct={"nd": ("count", F.col("v"))})
+
+
+def test_streaming_three_way_chain_matches_direct(spark, tmp_path):
+    """The 3-table chain through a REAL Structured Streaming query: the
+    three changelogs multiplex one replay stream (side column), each
+    microbatch steps the cascade once, and the final sink equals the
+    one-shot 3-way join of the materialized tables — including the
+    mid-stream customer re-point that exercises the left-outer pad."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    logs = _chain_logs(spark)
+    mux = (
+        logs["orders"].select(
+            F.lit("o").alias("side"), "k", "ck",
+            F.col("amt").alias("d1"),
+            F.lit(None).cast("long").alias("nk"),
+            F.lit(None).cast("string").alias("nname"),
+            OP_COL, SEQ_COL,
+        )
+        .unionByName(
+            logs["customer"].select(
+                F.lit("c").alias("side"),
+                F.lit(None).cast("long").alias("k"), "ck",
+                F.lit(None).cast("double").alias("d1"), "nk",
+                F.lit(None).cast("string").alias("nname"), OP_COL, SEQ_COL,
+            )
+        )
+        .unionByName(
+            logs["nation"].select(
+                F.lit("n").alias("side"),
+                F.lit(None).cast("long").alias("k"),
+                F.lit(None).cast("long").alias("ck"),
+                F.lit(None).cast("double").alias("d1"), "nk", "nname",
+                OP_COL, SEQ_COL,
+            )
+        )
+    )
+    replay_dir = str(tmp_path / "replay_chain")
+    write_replay_files(mux, replay_dir, n_files=3)
+
+    job = plan_insert_maintained(_CHAIN_SQL, _CHAIN_TABLES)
+
+    def process(batch_df, batch_id):
+        job.step(
+            {
+                "orders": batch_df.filter(F.col("side") == "o").select(
+                    "k", "ck", F.col("d1").alias("amt"), OP_COL, SEQ_COL
+                ),
+                "customer": batch_df.filter(F.col("side") == "c").select(
+                    "ck", "nk", OP_COL, SEQ_COL
+                ),
+                "nation": batch_df.filter(F.col("side") == "n").select(
+                    "nk", "nname", OP_COL, SEQ_COL
+                ),
+            }
+        )
+
+    q = (
+        read_replay_stream(spark, replay_dir, mux.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_chain"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    direct = (
+        materialize(logs["orders"], ["k"])
+        .join(materialize(logs["customer"], ["ck"]), "ck")
+        .join(materialize(logs["nation"], ["nk"]), "nk", "left")
+        .select(
+            F.col("k").alias("order_id"), "amt",
+            F.col("ck").alias("cust"), "nname",
+        )
+    )
+    assert sorted(map(tuple, job.result().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_streaming_distinct_agg_matches_direct(spark, tmp_path):
+    """DISTINCT aggregates through a REAL Structured Streaming query:
+    per-microbatch distinct-view maintenance lands on the one-shot
+    result, including a duplicate value whose first occurrence retracts
+    mid-stream."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    log = spark.createDataFrame(_DISTINCT_ROWS, _DISTINCT_SCHEMA)
+    replay_dir = str(tmp_path / "replay_distinct")
+    write_replay_files(log, replay_dir, n_files=3)
+
+    job = plan_insert_maintained(_DISTINCT_SQL, {"t": ["k"]})
+
+    def process(batch_df, batch_id):
+        job.step({"t": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_distinct"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    direct = (
+        materialize(log, ["k"])
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("nd"),
+            F.sum_distinct(F.col("v")).alias("sd"),
+            (
+                F.sum_distinct(F.col("v")).cast("double")
+                / F.countDistinct("v")
+            ).alias("ad"),
+        )
+    )
+    assert sorted(map(tuple, job.result().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
