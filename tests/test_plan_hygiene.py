@@ -91,3 +91,67 @@ def test_spread_small_scan_counts_splits_not_files(spark):
         assert "Exchange" not in plan
     finally:
         spark.conf.set(key, old)
+
+
+def test_session_delta_lineage_is_affected_group_restricted(spark):
+    """The session plan's output delta must be built from AFFECTED-group
+    restricted frames (the left-semi keyset join before the
+    gaps-and-islands sort), never a full-table window sort — the bound
+    that keeps per-batch work proportional to the touched groups' sizes
+    at 100 TB."""
+    from datetime import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+    from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+    from pyspark.sql import functions as F
+
+    schema = (
+        f"k long, g string, v double, ts timestamp, {OP_COL} string, "
+        f"{SEQ_COL} long"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, "a", 1.0, dt(2024, 1, 1, 0, 0), "+I", 1),
+            (2, "b", 2.0, dt(2024, 1, 1, 0, 0), "+I", 2),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [(3, "a", 3.0, dt(2024, 1, 1, 0, 30), "+I", 3)], schema
+    )
+    plan = maintain(
+        aggs={"s": ("sum", F.col("v"))}, group_cols=["g"], keys=["k"],
+        session=("ts", "2 hours"),
+    )
+    state, _ = plan.step(None, b1)
+    state = tuple(s.localCheckpoint(eager=True) for s in state)
+    _, delta = plan.step(state, b2)
+    plan_str = delta._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan_str, plan_str
+    # and the restriction is effective: only group a re-emits
+    assert {r["g"] for r in delta.collect()} == {"a"}
+
+
+def test_distinct_delta_lineage_is_affected_group_restricted(spark):
+    """Same bound for the distinct-view plan: finalization joins are
+    restricted to batch-affected groups."""
+    from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+    from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+    from pyspark.sql import functions as F
+
+    schema = f"g long, k long, v long, {OP_COL} string, {SEQ_COL} long"
+    b1 = spark.createDataFrame(
+        [(0, 1, 5, "+I", 1), (1, 2, 7, "+I", 2)], schema
+    )
+    b2 = spark.createDataFrame([(0, 3, 9, "+I", 3)], schema)
+    plan = maintain(
+        aggs={"n": ("count", F.lit(1))},
+        distinct={"nd": ("count", F.col("v"))},
+        group_cols=["g"],
+    )
+    state, _ = plan.step(None, b1)
+    state = tuple(s.localCheckpoint(eager=True) for s in state)
+    _, delta = plan.step(state, b2)
+    plan_str = delta._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan_str, plan_str
+    assert {r["g"] for r in delta.collect()} == {0}
