@@ -1430,6 +1430,118 @@ def plan_insert_maintained(
                              op_col=op_col, seq_col=seq_col, ttl=ttl)
 
 
+def explain_insert_maintained(
+    sql: str, tables: dict, op_col: str = OP_COL, seq_col: str = SEQ_COL,
+    ttl=None,
+) -> str:
+    """Flink's ``EXPLAIN`` for the maintenance surface: compile the
+    statement (same dispatch as :func:`plan_insert_maintained`) and
+    describe the chosen incremental plan — shape, plan class, state
+    layout, window form, filters — without running any data (an active
+    SparkSession is still required: compilation builds the plan's
+    Column expressions).  The Spark form of the optimized-plan section
+    Flink prints for a streaming INSERT (StreamExecGroupAggregate /
+    StreamingJoinOperator / RankOperator and their state specs)."""
+    import importlib
+
+    # the operators package re-exports the maintain FUNCTION, shadowing
+    # the submodule attribute — resolve the module explicitly
+    _m = importlib.import_module(
+        "flink_cdc_2_3_0_src_spark.operators.maintain"
+    )
+    job = SqlMaintenanceJob(
+        parse_insert_select(sql), tables,
+        op_col=op_col, seq_col=seq_col, ttl=ttl,
+    )
+    stmt, plan = job.stmt, job.plan
+    lines = [f"sink: {stmt.sink}", f"shape: {stmt.shape}"]
+    state = {
+        _m._AggDeltaPlan: (
+            "StreamExecGroupAggregate (signed-delta): state = one row "
+            "per group (signed sums + live-row count); per-batch work "
+            "= batch + affected groups"
+        ),
+        _m._DistinctAggPlan: (
+            "StreamExecGroupAggregate (distinct views): state = plain "
+            "signed sums + one signed (group, value)->count multiset "
+            "per DISTINCT aggregate; per-batch work = batch + affected "
+            "groups' distinct-value cardinality"
+        ),
+        _m._AggRecomputePlan: (
+            "StreamExecGroupAggregate (min/max recompute): state = "
+            "PK-keyed materialized table + group aggregates; per-batch "
+            "work = batch + affected groups' sizes"
+        ),
+        _m._SessionPlan: (
+            "Session window aggregate (MergingWindowAssigner): state = "
+            "PK-keyed materialized table + session result rows; "
+            "affected groups re-sessionize (gaps-and-islands per group)"
+        ),
+        _m._JoinPlan: (
+            "StreamingJoinOperator: state = one signed multiset per "
+            "side; per-batch dJ = dA⋈B_old + A_old⋈dB + dA⋈dB"
+        ),
+        _m._JoinChainPlan: (
+            "Stacked StreamingJoinOperators (left-deep cascade): one "
+            "state pair per stage; each stage's output delta feeds the "
+            "next, batch-driven end to end"
+        ),
+        _m._TopNPlan: (
+            "RankOperator (streaming Top-N): state = PK-keyed "
+            "materialized table + per-group membership; affected "
+            "groups re-rank"
+        ),
+    }[type(plan)]
+    lines.append(f"plan: {state}")
+    if stmt.tumble:
+        lines.append(
+            f"window: TUMBLE({stmt.tumble[0]}, {stmt.tumble[1]}) — "
+            "row-local bucket group"
+        )
+    if stmt.hop:
+        lines.append(
+            f"window: HOP({stmt.hop[0]}, slide {stmt.hop[1]}, size "
+            f"{stmt.hop[2]}) — row replication per window"
+        )
+    if stmt.cumulate:
+        lines.append(
+            f"window: CUMULATE({stmt.cumulate[0]}, step "
+            f"{stmt.cumulate[1]}, size {stmt.cumulate[2]}) — row "
+            "replication into remaining bucket windows"
+        )
+    if stmt.session:
+        lines.append(
+            f"window: SESSION({stmt.session[0]}, gap {stmt.session[1]}) "
+            "— merging windows (plan-side assignment)"
+        )
+    if stmt.where:
+        mode = (
+            "tombstone-rewrite on table state"
+            if job._where_tombstones
+            else "plain row pre-filter (commutes with signed algebra)"
+        )
+        lines.append(f"where: {stmt.where!r} — {mode}")
+    if stmt.having:
+        lines.append(
+            f"having: {stmt.having!r} — delta-stream emission gate"
+        )
+    if stmt.shape == "join" and not stmt.join_chain and stmt.join_extra:
+        lines.append(
+            f"pair predicates: {stmt.join_extra} — filter on the "
+            "output delta (inner join)"
+        )
+    for i, stage in enumerate(stmt.join_chain):
+        extra = f", pair predicates {stage['extra']}" if stage["extra"] else ""
+        lines.append(
+            f"stage {i + 1}: {stage['how'].upper()} JOIN "
+            f"{stmt.sources[i + 1]} AS {stage['alias']} ON "
+            f"{stage['on']}{extra}"
+        )
+    if ttl is not None:
+        lines.append(f"state ttl: expire(watermark) keyed on {ttl!r}")
+    return "\n".join(lines)
+
+
 class SqlStatementSet:
     """Flink's STATEMENT SET: several INSERT-SELECTs compiled together,
     where a later statement may read an EARLIER statement's sink — the

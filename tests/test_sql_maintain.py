@@ -2112,3 +2112,39 @@ def test_streaming_distinct_agg_matches_direct(spark, tmp_path):
     assert sorted(map(tuple, job.result().collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_explain_describes_dispatched_plans(spark):
+    """Flink's EXPLAIN for the maintenance surface: the description
+    names the dispatched plan class, window form, filter modes, chain
+    stages, and ttl — without executing any data."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    out = explain_insert_maintained(
+        _SESSION_SQL.replace("FROM t ", "FROM t WHERE v > 0 "),
+        {"t": ["k"]}, ttl="ts",
+    )
+    assert "Session window aggregate" in out
+    assert "tombstone-rewrite" in out and "SESSION(ts, gap 2 hours)" in out
+    assert "state ttl" in out
+
+    out2 = explain_insert_maintained(_CHAIN_SQL, _CHAIN_TABLES)
+    assert "Stacked StreamingJoinOperators" in out2
+    assert "stage 2: LEFT JOIN nation" in out2
+
+    out3 = explain_insert_maintained(
+        "INSERT INTO s SELECT g, COUNT(DISTINCT v) AS nd FROM t GROUP BY g"
+        " HAVING COUNT(DISTINCT v) > 1",
+        {"t": ["k"]},
+    )
+    assert "distinct views" in out3 and "emission gate" in out3
+
+    out4 = explain_insert_maintained(
+        "INSERT INTO s SELECT bucket, user_id, v FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket "
+        "ORDER BY v DESC, user_id) AS rn FROM t) WHERE rn <= 2",
+        {"t": ["user_id"]},
+    )
+    assert "RankOperator" in out4
