@@ -283,6 +283,13 @@ class _AggDeltaPlan(_Plan):
         new_state = merge_agg_state(
             state, dml, self.group_cols, self._sum_cols, op_col=self.op_col
         )
+        if not self.group_cols:
+            # global aggregate (the empty grouping set): state is one
+            # row; every batch with DML "affects" it, and an empty
+            # batch's recompute diffs to nothing
+            new_aff = self._finalize(new_state)
+            old_aff = self._finalize(state) if state is not None else None
+            return new_state, _signed_diff(new_aff, old_aff)
         affected = _affected_groups(batch, self.group_cols, self.op_col)
         new_aff = self._finalize(
             _keyset_join(new_state, affected, self.group_cols, "left_semi")
@@ -499,6 +506,82 @@ class _AggRecomputePlan(_Plan):
             if self._ttl in agg_st.columns
             else agg_st,
         )
+
+
+class _GroupingSetsPlan(_Plan):
+    """GROUPING SETS over a changelog: one signed-delta aggregate plan
+    per grouping set (Flink's streaming planner expands grouping sets
+    the same way — the Expand node feeding StreamExecGroupAggregate),
+    each set's delta NULL-filled to the full group-column list and
+    tagged with the SQL-standard GROUPING_ID bitmask (bit i set when
+    the i-th group column is AGGREGATED in that set, left-to-right) so
+    subtotal rows never collide with detail rows whose group values are
+    genuinely NULL.  sum/count/avg only (each per-set plan is the
+    stateless signed-delta plan; the empty set () rides the global-
+    aggregate form).  ttl is unsupported — a time bucket absent from a
+    set has no state key to expire there."""
+
+    kind = "agg"
+
+    def __init__(
+        self, group_cols, sets, aggs, gid_col, ttl, op_col, seq_col
+    ) -> None:
+        if ttl is not None:
+            raise ValueError(
+                "grouping sets do not support ttl (a time-bucket column "
+                "is aggregated away in subtotal sets); expire the input "
+                "changelog upstream"
+            )
+        super().__init__(None)
+        self.group_cols = list(group_cols)
+        self.sets = [list(s) for s in sets]
+        for s in self.sets:
+            unknown = set(s) - set(self.group_cols)
+            if unknown:
+                raise ValueError(
+                    f"grouping set {s} references non-group column(s) "
+                    f"{sorted(unknown)}"
+                )
+        self.gid_col = gid_col
+        self.agg_names = list(aggs)
+        self.plans = [
+            _AggDeltaPlan(s, aggs, None, op_col, seq_col) for s in self.sets
+        ]
+
+    def _gid(self, s) -> int:
+        n = len(self.group_cols)
+        return sum(
+            1 << (n - 1 - i)
+            for i, c in enumerate(self.group_cols)
+            if c not in s
+        )
+
+    def step(self, state, batch: DataFrame):
+        states = state if state is not None else [None] * len(self.plans)
+        types = {f.name: f.dataType for f in batch.schema.fields}
+        new_states, deltas = [], []
+        for plan, st, s in zip(self.plans, states, self.sets):
+            st2, d = plan.step(st, batch)
+            new_states.append(st2)
+            cols = [
+                F.col(c) if c in s else F.lit(None).cast(types[c]).alias(c)
+                for c in self.group_cols
+            ]
+            deltas.append(
+                d.select(
+                    *cols,
+                    F.lit(self._gid(s)).cast("long").alias(self.gid_col),
+                    *self.agg_names,
+                    MULT_COL,
+                )
+            )
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return tuple(new_states), out
+
+    def _expire(self, state, watermark):  # pragma: no cover - unreachable
+        raise AssertionError("grouping sets are constructed with ttl=None")
 
 
 class _SessionPlan(_Plan):
@@ -975,6 +1058,8 @@ def maintain(
     session=None,
     chain=None,
     distinct=None,
+    grouping_sets=None,
+    gid_col: str = "__gid",
     ttl=None,
     op_col: str = OP_COL,
     seq_col: str = SEQ_COL,
@@ -1015,7 +1100,13 @@ def maintain(
       monoid needs them fixed), and the output delta is the signed diff
       of the affected groups' finalized quantile rows.
 
-    The aggregate shape takes two modifiers:
+    The aggregate shape takes three modifiers:
+
+    * ``grouping_sets=[[cols...], ...]`` (+ ``group_cols`` = the union
+      list, ``gid_col`` for the GROUPING_ID output) — one stateless
+      signed-delta plan per set, deltas NULL-filled to the full group
+      list and tagged with the SQL GROUPING_ID bitmask; sum/count/avg
+      only, no ttl.
 
     * ``distinct={name: (fn, col)}`` — sum/count/avg over DISTINCT
       values (Flink's streaming distinct aggregation): the plan keeps a
@@ -1081,6 +1172,11 @@ def maintain(
             "distinct= is a modifier of the aggregate shape; declare "
             "aggs= with it (aggs={} is fine for distinct-only queries)"
         )
+    if grouping_sets is not None and aggs is None:
+        raise ValueError(
+            "grouping_sets= is a modifier of the aggregate shape; "
+            "declare aggs= with it"
+        )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)
     if hll is not None:
@@ -1103,12 +1199,31 @@ def maintain(
         return _TopNPlan(keys, group_cols, order_sql, n, ttl, op_col, seq_col)
     if session is not None and not group_cols:
         group_cols = []
-    elif not group_cols:
-        raise ValueError("aggregate maintenance needs group_cols=")
+    elif group_cols is None:
+        raise ValueError(
+            "aggregate maintenance needs group_cols= (pass [] explicitly "
+            "for a GLOBAL aggregate — the empty grouping set)"
+        )
     fns = {fn for fn, _ in aggs.values()}
     unsupported = fns - _AGG_FNS
     if unsupported:
         raise ValueError(f"unsupported aggregate(s): {sorted(unsupported)}")
+    if not group_cols and session is None and (fns & {"min", "max"} or distinct):
+        raise ValueError(
+            "a GLOBAL aggregate (group_cols=[]) supports the stateless "
+            "signed-delta plan only (sum/count/avg, no distinct) — "
+            "min/max and distinct views need group-keyed affected sets"
+        )
+    if grouping_sets is not None:
+        if fns & {"min", "max"} or distinct or session is not None:
+            raise ValueError(
+                "grouping sets support plain sum/count/avg aggregates "
+                "only (each set rides its own stateless signed-delta "
+                "plan) — split min/max/distinct/session statements"
+            )
+        return _GroupingSetsPlan(
+            group_cols, grouping_sets, aggs, gid_col, ttl, op_col, seq_col
+        )
     if distinct:
         bad = {fn for fn, _ in distinct.values()} - {"sum", "count", "avg"}
         if bad:

@@ -327,6 +327,9 @@ class InsertSelect:
     cumulate: Optional[tuple] = None
     # merging session window: (ts column, gap duration string)
     session: Optional[tuple] = None
+    # GROUPING SETS: list of column lists (group_cols is their ordered
+    # union); empty when the GROUP BY is plain
+    grouping_sets: list = field(default_factory=list)
     # HAVING predicate over the RESULT columns (aggregate aliases +
     # group cols); row-local on result rows, so it filters the signed
     # delta stream directly
@@ -503,7 +506,38 @@ def parse_insert_select(sql: str) -> InsertSelect:
     am = _AGG_RE.match(select)
     if am:
         groups, tumble, hop, cumulate, session = [], None, None, None, None
-        for part in _split_select_items(am.group("groups")):
+        grouping_sets: list = []
+        gs = re.match(
+            r"(?is)^GROUPING\s+SETS\s*\((?P<sets>.*)\)\s*$",
+            am.group("groups").strip(),
+        )
+        if gs:
+            # GROUP BY GROUPING SETS ((a, b), (a), ()) — the full group
+            # column list is the ordered union; each set compiles to
+            # its own maintenance plan, deltas tagged with GROUPING_ID
+            for part in _split_select_items(gs.group("sets")):
+                sm = re.match(
+                    r"^\(\s*(?P<cols>.*?)\s*\)$", part.strip(), re.DOTALL
+                )
+                if not sm:
+                    raise ValueError(
+                        "GROUPING SETS items must be parenthesized "
+                        f"column lists, got {part.strip()!r}"
+                    )
+                cols = (
+                    _names(sm.group("cols"), "GROUPING SETS")
+                    if sm.group("cols").strip()
+                    else []
+                )
+                grouping_sets.append(cols)
+                for c in cols:
+                    if c not in groups:
+                        groups.append(c)
+            if not grouping_sets:
+                raise ValueError("GROUPING SETS needs at least one set")
+        for part in (
+            [] if gs else _split_select_items(am.group("groups"))
+        ):
             tm_ = _TUMBLE.match(part.strip())
             if tm_:
                 if (tumble is not None or hop is not None
@@ -649,6 +683,15 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 src = _W_START if which == "START" else _W_END
                 items.append((src, alias or f"w_{which.lower()}"))
                 continue
+            gim = re.match(r"(?is)^GROUPING_ID\s*\(\s*\)$", expr)
+            if gim:
+                if not grouping_sets:
+                    raise ValueError(
+                        "GROUPING_ID() is only valid with GROUP BY "
+                        "GROUPING SETS"
+                    )
+                items.append(("__gid", alias or "grouping_id"))
+                continue
             im = _IDENT.match(expr)
             if not im or im.group("name") not in groups:
                 raise ValueError(
@@ -677,6 +720,13 @@ def parse_insert_select(sql: str) -> InsertSelect:
             )
         if not aggs:
             raise ValueError("no aggregate function in the SELECT list")
+        if len(grouping_sets) > 1 and "__gid" not in selected_groups:
+            raise ValueError(
+                "a GROUPING SETS query with more than one set must "
+                "project GROUPING_ID() — without it, subtotal rows "
+                "collide with detail rows whose group values are NULL "
+                "in a keyed sink"
+            )
         having = _clean(am.group("having"))
         if having is not None:
             having = _rewrite_having(having, aggs)
@@ -684,7 +734,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
             sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
             group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
             select=items, tumble=tumble, hop=hop, cumulate=cumulate,
-            session=session, having=having,
+            session=session, grouping_sets=grouping_sets, having=having,
         )
     raise ValueError(_SHAPES_MSG)
 
@@ -967,6 +1017,16 @@ class SqlMaintenanceJob:
                     "ts": ts_col, "gap": gap,
                     "w_start": _W_START, "w_end": _W_END,
                 },
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
+        elif stmt.shape == "agg" and stmt.grouping_sets:
+            # GROUPING SETS: one signed-delta plan per set, deltas
+            # NULL-filled + GROUPING_ID-tagged (maintain()'s guards
+            # refuse min/max and distinct here with guidance)
+            self.plan = maintain(
+                aggs=aggs, group_cols=stmt.group_cols,
+                grouping_sets=stmt.grouping_sets, gid_col="__gid",
+                distinct=distinct or None,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "agg":

@@ -4710,6 +4710,59 @@ def cdc_sql_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GROUPING SETS on the SQL maintenance surface (r10): Flink's
+# streaming planner expands grouping sets into an Expand node feeding
+# the group aggregate; here each set compiles to its own stateless
+# signed-delta plan, deltas NULL-filled to the full group list and
+# tagged with the SQL-standard GROUPING_ID bitmask so subtotal rows
+# never collide with detail rows whose group values are genuinely NULL
+# (operators/maintain.py _GroupingSetsPlan).  The oracle runs the same
+# GROUPING SETS one-shot with DuckDB's GROUPING(a, b) bitmask — the
+# same left-to-right aggregated=1 convention.
+@register(
+    "cdc_sql_grouping_sets",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT user_id % 10 AS bucket, user_id % 3 AS b3,
+           GROUPING(user_id % 10, user_id % 3) AS gid,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_live
+    FROM m
+    GROUP BY GROUPING SETS ((user_id % 10, user_id % 3), (user_id % 10), ())
+    """,
+)
+def cdc_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(
+        _EVENTS_CDC_DDL.replace(
+            "bucket AS CAST(user_id % 10 AS BIGINT),",
+            "bucket AS CAST(user_id % 10 AS BIGINT),\n"
+            "        b3 AS CAST(user_id % 3 AS BIGINT),",
+        )
+    )
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket, b3, GROUPING_ID() AS gid,"
+        " SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec,"
+        " COUNT(*) AS n_live"
+        " FROM events_cdc GROUP BY GROUPING SETS ((bucket, b3), (bucket), ())",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+    return out.select(
+        "bucket",
+        "b3",
+        "gid",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "n_live",
+    )
+
+
 # DISTINCT aggregates on the SQL maintenance surface (r10): Flink's
 # streaming distinct aggregation (StreamExecGroupAggregate with a
 # distinct-view MapState per distinct aggregate).  Plain signed deltas

@@ -2148,3 +2148,86 @@ def test_explain_describes_dispatched_plans(spark):
         {"t": ["user_id"]},
     )
     assert "RankOperator" in out4
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (Flink's Expand + streaming group aggregate)
+# ---------------------------------------------------------------------------
+
+_GS_ROWS = [
+    (1, "a", "x", 10.0, "+I", 1),
+    (2, "a", "y", 20.0, "+I", 2),
+    (3, "b", "x", 30.0, "+I", 3),
+    # group-moving update: (a,y) -> (b,y) touches two detail groups and
+    # both subtotal levels
+    (2, "a", "y", 20.0, "-U", 4),
+    (2, "b", "y", 25.0, "+U", 4),
+    (1, "a", "x", 10.0, "-D", 5),  # empties (a,x) and the (a) subtotal
+    # NULL group value: must NOT merge with the (g) subtotal rows —
+    # GROUPING_ID keeps them apart in the keyed sink
+    (4, None, "x", 7.0, "+I", 6),
+]
+_GS_SCHEMA = (
+    f"k long, g string, h string, v double, {OP_COL} string, {SEQ_COL} long"
+)
+_GS_SQL = (
+    "INSERT INTO sink SELECT g, h, GROUPING_ID() AS gid,"
+    " SUM(v) AS s, COUNT(*) AS n"
+    " FROM t GROUP BY GROUPING SETS ((g, h), (g), ())"
+)
+
+
+def test_grouping_sets_parse_shape():
+    st = parse_insert_select(_GS_SQL)
+    assert st.grouping_sets == [["g", "h"], ["g"], []]
+    assert st.group_cols == ["g", "h"]
+    assert ("__gid", "gid") in st.select
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_grouping_sets_replay_matches_spark_sql(spark, n_batches):
+    """The maintained grouping sets equal Spark SQL's own GROUP BY
+    GROUPING SETS + grouping_id() over the materialized table — same
+    bitmask convention, NULL detail rows kept apart from subtotals."""
+    log = spark.createDataFrame(_GS_ROWS, _GS_SCHEMA)
+    got = replay_insert_maintained(
+        _GS_SQL, {"t": ["k"]}, {"t": log}, n_batches=n_batches
+    )
+    materialize(log, ["k"]).createOrReplaceTempView("m_gs")
+    direct = spark.sql(
+        "SELECT g, h, grouping_id() AS gid, SUM(v) AS s, COUNT(*) AS n "
+        "FROM m_gs GROUP BY GROUPING SETS ((g, h), (g), ())"
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+    rows = {
+        (r["g"], r["h"], r["gid"]): (r["s"], r["n"])
+        for r in got.collect()
+    }
+    # detail row with a genuinely NULL g stays separate from the (g)
+    # subtotal and the grand total
+    assert rows[(None, "x", 0)] == (7.0, 1)
+    assert rows[(None, None, 1)] == (7.0, 1)
+    assert rows[(None, None, 3)] == (62.0, 3)
+
+
+def test_grouping_sets_guards(spark):
+    with pytest.raises(ValueError, match="must project GROUPING_ID"):
+        parse_insert_select(
+            "INSERT INTO s SELECT g, h, SUM(v) AS s FROM t "
+            "GROUP BY GROUPING SETS ((g, h), (g))"
+        )
+    with pytest.raises(ValueError, match="only valid with GROUP BY"):
+        parse_insert_select(
+            "INSERT INTO s SELECT g, GROUPING_ID() AS gid, SUM(v) AS s "
+            "FROM t GROUP BY g"
+        )
+    with pytest.raises(ValueError, match="plain sum/count/avg"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g, h, GROUPING_ID() AS gid, MAX(v) AS mx "
+            "FROM t GROUP BY GROUPING SETS ((g, h), (g), ())",
+            {"t": ["k"]},
+        )
+    with pytest.raises(ValueError, match="do not support ttl"):
+        plan_insert_maintained(_GS_SQL, {"t": ["k"]}, ttl="g")
