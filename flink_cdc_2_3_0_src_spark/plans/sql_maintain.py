@@ -1532,6 +1532,11 @@ def explain_insert_maintained(
             "PK-keyed materialized table + group aggregates; per-batch "
             "work = batch + affected groups' sizes"
         ),
+        _m._GroupingSetsPlan: (
+            "Expand + StreamExecGroupAggregate (grouping sets): one "
+            "signed-delta plan per set, deltas NULL-filled to the full "
+            "group list + GROUPING_ID bitmask"
+        ),
         _m._SessionPlan: (
             "Session window aggregate (MergingWindowAssigner): state = "
             "PK-keyed materialized table + session result rows; "

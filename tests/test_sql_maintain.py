@@ -2231,3 +2231,12 @@ def test_grouping_sets_guards(spark):
         )
     with pytest.raises(ValueError, match="do not support ttl"):
         plan_insert_maintained(_GS_SQL, {"t": ["k"]}, ttl="g")
+
+
+def test_explain_grouping_sets(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    out = explain_insert_maintained(_GS_SQL, {"t": ["k"]})
+    assert "grouping sets" in out and "GROUPING_ID bitmask" in out
