@@ -847,6 +847,182 @@ class _JoinChainPlan(_Plan):
         raise AssertionError("join chains are constructed with ttl=None")
 
 
+class _TemporalJoinPlan(_Plan):
+    """Event-time temporal join over a VERSIONED table — Flink's
+    ``FROM probe p JOIN dim FOR SYSTEM_TIME AS OF p.<ptime> AS d ON
+    p.k = d.k`` (TemporalRowTimeJoinOperator; the reference's
+    dim-enrichment pattern for CDC pipelines, e.g. joining an order
+    stream against a MySQL-CDC-maintained currency-rate table).  Each
+    probe row joins the dim VERSION valid at the probe row's event
+    time: the latest dim image with version time <= probe time, unless
+    that image is a delete tombstone.  Output is APPEND-ONLY — an
+    enrichment, once emitted, is never retracted when the dim changes
+    later; the defining difference from the regular maintained join
+    (``_JoinPlan``), whose output updates retroactively.
+
+    * **probe side**: append-only (+I rows only — Flink requires the
+      same; a retraction arriving here raises).  No probe state is
+      kept: a probe row is enriched in its own batch.
+    * **build side**: a changelog of the versioned table.  State = the
+      VERSION HISTORY: every +I/+U image opens a version at its event
+      time; a -D opens a TOMBSTONE version (the key has no valid image
+      from then until the next insert).  -U rows are inert (the
+      boundary is carried by the paired +U/-D) and NULL-version-time
+      rows are dropped (a version needs an event time — Flink's
+      rowtime is watermark-defined and non-null).
+    * **watermark contract**: the batch boundary acts as the
+      watermark — every dim version with vts <= a probe row's ptime
+      must arrive in the probe row's batch or earlier.  CDC replays in
+      global commit order satisfy this; Flink instead BUFFERS probe
+      rows until the watermark passes both inputs, trading latency for
+      the same result.
+    * **ttl** (= the build version-time column): VERSIONED cleanup,
+      not plain eviction — per key, keep every version at/after the
+      watermark PLUS the latest one before it (still the valid image
+      for future probes).  Flink's TemporalRowTimeJoinOperator cleans
+      its MapState the same way.  Probes older than the watermark see
+      the kept snapshot (the retention trade the caller opts into).
+
+    At 100 TB: the probe batch shuffles once on the join key against
+    key-partitioned version state (batch × affected-key versions, the
+    classic distributed AS-OF join); the per-probe version pick is a
+    window over each probe row's candidate versions, bounded by that
+    key's version count — never state-sized work.
+    """
+
+    kind = "temporal"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {"on", "ptime", "btime", "how"}
+        if unknown:
+            raise ValueError(f"unknown temporal options: {sorted(unknown)}")
+        missing = {"on", "ptime", "btime"} - set(opts)
+        if missing:
+            raise ValueError(
+                f"temporal= needs {sorted(missing)}: "
+                "{'on': [key cols], 'ptime': <probe event-time col>, "
+                "'btime': <build version-time col>[, 'how': inner|left]}"
+            )
+        how = opts.get("how", "inner")
+        if how not in ("inner", "left"):
+            raise ValueError(
+                f"temporal join how must be inner or left, got {how!r} "
+                "(Flink supports the same two for FOR SYSTEM_TIME AS OF)"
+            )
+        super().__init__(ttl)
+        self.on = list(opts["on"])
+        self.ptime = opts["ptime"]
+        self.btime = opts["btime"]
+        self.how = how
+        self.op_col = op_col
+        self.seq_col = seq_col
+        if ttl is not None and ttl != self.btime:
+            raise ValueError(
+                "temporal ttl must name the build version-time column "
+                f"({self.btime!r}) — versioned cleanup keys on it"
+            )
+
+    def step(self, state, batch_p: DataFrame, batch_b: DataFrame = None):
+        if batch_b is None:
+            raise ValueError(
+                "temporal plan steps two batches: plan.step(state, "
+                "probe_batch, build_batch)"
+            )
+        # contract check, cheap (LIMIT-1 probe): the probe side of an
+        # event-time temporal join must be append-only — Flink rejects
+        # an updating probe stream at plan time; we can only see it at
+        # runtime
+        offending = batch_p.filter(
+            F.col(self.op_col).isin(
+                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
+            )
+        ).limit(1)
+        if offending.count() > 0:
+            raise ValueError(
+                "the probe side of a temporal join must be append-only "
+                "(+I rows only) — Flink requires the same for FOR "
+                "SYSTEM_TIME AS OF; route an updating stream through a "
+                "regular maintained join instead"
+            )
+        p_payload = [
+            c for c in batch_p.columns
+            if c not in (self.op_col, self.seq_col)
+        ]
+        b_payload = [
+            c for c in batch_b.columns
+            if c not in (self.op_col, self.seq_col)
+        ]
+        clash = (set(p_payload) & set(b_payload)) - set(self.on)
+        if clash:
+            raise ValueError(
+                f"temporal join sides share non-key column(s) "
+                f"{sorted(clash)}; rename them upstream (the enriched "
+                "row carries both sides' payloads)"
+            )
+        vers_new = (
+            batch_b.filter(
+                F.col(self.op_col).isin(OP_INSERT, OP_UPDATE_AFTER, OP_DELETE)
+            )
+            .filter(F.col(self.btime).isNotNull())
+            .select(
+                *b_payload,
+                F.col(self.op_col)
+                .isin(OP_INSERT, OP_UPDATE_AFTER)
+                .cast("int")
+                .alias("__alive"),
+                F.col(self.seq_col).alias("__bseq"),
+            )
+        )
+        new_state = (
+            vers_new
+            if state is None
+            else state.unionByName(vers_new)
+        ).localCheckpoint(eager=True)
+
+        probe = batch_p.filter(F.col(self.op_col) == OP_INSERT).select(
+            *p_payload, F.col(self.seq_col).alias("__pseq")
+        )
+        from pyspark.sql.window import Window
+
+        b_value_cols = [c for c in b_payload if c not in self.on]
+        cand = probe.join(new_state, on=self.on, how="inner").filter(
+            F.col(self.btime) <= F.col(self.ptime)
+        )
+        w = Window.partitionBy("__pseq").orderBy(
+            F.col(self.btime).desc(), F.col("__bseq").desc()
+        )
+        best = (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__alive") == 1))
+            .select("__pseq", *b_value_cols)
+        )
+        out = probe.join(best, "__pseq", self.how).drop("__pseq")
+        return new_state, out.withColumn(
+            MULT_COL, F.lit(1).cast("long")
+        )
+
+    def _expire(self, state, watermark):
+        # versioned cleanup: keep versions at/after the watermark plus,
+        # per key, the LATEST version before it — that one is still the
+        # valid image for any future probe between the watermark and
+        # the next version boundary
+        from pyspark.sql.window import Window
+
+        wm = F.lit(watermark)
+        ts = F.col(self.btime)
+        old = state.filter(ts < wm)
+        w = Window.partitionBy(*self.on).orderBy(
+            ts.desc(), F.col("__bseq").desc()
+        )
+        keep_old = (
+            old.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return state.filter(ts >= wm).unionByName(keep_old)
+
+
 class _DedupPlan(_Plan):
     """Incremental ingest near-dup dedup (merge_neardup_state): each
     arrival batch probes the seen corpus's LSH bucket state.  Batches
@@ -1057,6 +1233,7 @@ def maintain(
     hist=None,
     session=None,
     chain=None,
+    temporal=None,
     distinct=None,
     grouping_sets=None,
     gid_col: str = "__gid",
@@ -1085,6 +1262,13 @@ def maintain(
       expire the input changelogs upstream.
     * ``n=...`` + ``order_sql`` (+ ``group_cols``, ``keys``) — top-n
       per group.
+    * ``temporal={"on": [...], "ptime": <col>, "btime": <col>[,
+      "how": "inner"|"left"]}`` — event-time temporal join of an
+      append-only probe stream against a VERSIONED changelog
+      (Flink's ``FOR SYSTEM_TIME AS OF``; ``plan.step(state,
+      probe_batch, build_batch)``).  Output is append-only (+1 rows
+      only); ``ttl=<btime>`` enables versioned state cleanup (keep
+      the latest version before the watermark, drop older ones).
     * ``dedup=True`` (or ``dedup={"bands":…, "rows":…,
       "threshold":…}``) — incremental ingest near-dup dedup over
       document batches arriving in ascending doc_id order; the output
@@ -1155,12 +1339,13 @@ def maintain(
     shapes = [
         aggs is not None, on is not None, n is not None,
         dedup is not None, hll is not None, hist is not None,
-        chain is not None,
+        chain is not None, temporal is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
-            "n=...+order_sql | dedup=... | hll=... | hist=..."
+            "temporal=... | n=...+order_sql | dedup=... | hll=... | "
+            "hist=..."
         )
     if session is not None and aggs is None:
         raise ValueError(
@@ -1185,6 +1370,14 @@ def maintain(
         return _HistPlan(hist, ttl)
     if chain is not None:
         return _JoinChainPlan(chain, ttl, op_col, seq_col)
+    if temporal is not None:
+        if not isinstance(temporal, dict):
+            raise ValueError(
+                "temporal= takes an options dict: {'on': [key cols], "
+                "'ptime': <probe ts col>, 'btime': <build version-time "
+                "col>[, 'how': inner|left]}"
+            )
+        return _TemporalJoinPlan(temporal, ttl, op_col, seq_col)
     if on is not None:
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(
