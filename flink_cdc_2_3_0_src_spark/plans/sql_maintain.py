@@ -61,6 +61,18 @@ compiles to stateful operators for CDC pipelines:
   predicate is row-local over the joined row, so filtering the output
   delta with it is exact (outer ON-clause predicates change the null
   pad and are refused with guidance).
+* **Temporal join** ``SELECT p.x, d.y FROM probe p [LEFT] JOIN dim
+  FOR SYSTEM_TIME AS OF p.<ptime> AS d ON p.k = d.k`` →
+  ``maintain(temporal=..)`` (TemporalRowTimeJoinOperator; the
+  reference's dim-enrichment pattern — each append-only probe row
+  joins the dim VERSION valid at the probe's event time, and the
+  output is append-only: later dim changes never retract an emitted
+  enrichment).  The versioned side must be registered with a rowtime
+  (a ``WATERMARK`` clause, or ``{'primary_key': .., 'rowtime': ..}``)
+  and the ON clause must cover its full PRIMARY KEY, both Flink
+  requirements; INNER/LEFT only; ``ttl=<version-time col>`` enables
+  versioned state cleanup (keep the latest version before the
+  watermark).
 * **Top-N** ``SELECT .. FROM (SELECT *, ROW_NUMBER() OVER (PARTITION
   BY g ORDER BY o) AS rn FROM t [WHERE p]) WHERE rn <= n`` →
   ``maintain(n=..)`` (RankOperator; Flink's documented streaming Top-N
@@ -153,6 +165,15 @@ _JOIN_KW = re.compile(
 )
 _JOIN_SEG = re.compile(
     r"^\s*(?P<tb>[`\"\w.]+)(?:\s+AS)?\s+(?P<b>\w+)\s+"
+    r"ON\s+(?P<conds>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# Flink's event-time temporal join segment: ``JOIN dim FOR SYSTEM_TIME
+# AS OF p.<ptime> AS d ON p.k = d.k`` — the versioned-table enrichment
+# pattern (an order stream joining the rate valid at order time)
+_TEMPORAL_SEG = re.compile(
+    r"^\s*(?P<tb>[`\"\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"(?P<pq>\w+)\.(?P<pc>\w+)(?:\s+AS)?\s+(?P<b>\w+)\s+"
     r"ON\s+(?P<conds>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -296,7 +317,7 @@ class InsertSelect:
     """Parsed, shape-classified INSERT-SELECT statement."""
 
     sink: str
-    shape: str  # "agg" | "join" | "topn"
+    shape: str  # "agg" | "join" | "temporal" | "topn"
     sources: list  # source table names, in FROM order
     # agg / topn
     group_cols: list = field(default_factory=list)
@@ -319,6 +340,9 @@ class InsertSelect:
     join_chain: list = field(default_factory=list)
     # output projection: (source column name or "<alias>.<col>", out name)
     select: list = field(default_factory=list)
+    # event-time temporal join (shape == "temporal"): (probe alias,
+    # probe event-time column, build alias) — FOR SYSTEM_TIME AS OF
+    temporal: Optional[tuple] = None
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
     # sliding window: (ts column, slide duration, size duration)
@@ -387,17 +411,50 @@ def parse_insert_select(sql: str) -> InsertSelect:
         if parts[0].strip():
             raise ValueError(_SHAPES_MSG)
         raw_stages = []
+        temporal = None
         for kw, seg in zip(parts[1::2], parts[2::2]):
+            howkw = kw.split()[0].lower()
+            how = "inner" if howkw == "join" else howkw
+            tsm = _TEMPORAL_SEG.match(seg)
+            if tsm:
+                # FOR SYSTEM_TIME AS OF <probe alias>.<ptime> — the
+                # event-time temporal join segment (versioned build side)
+                if temporal is not None or raw_stages:
+                    raise ValueError(
+                        "a temporal join (FOR SYSTEM_TIME AS OF) is "
+                        "supported as the only join of the statement — "
+                        "enrich first, then feed the sink to further "
+                        "statements (STATEMENT SET) for more joins"
+                    )
+                if how not in ("inner", "left"):
+                    raise ValueError(
+                        f"temporal joins support INNER and LEFT only, "
+                        f"got {how.upper()} (Flink's FOR SYSTEM_TIME AS "
+                        "OF supports the same two)"
+                    )
+                temporal = (tsm.group("pq"), tsm.group("pc"))
+                raw_stages.append(
+                    (how, tsm.group("tb").strip('`"'), tsm.group("b"),
+                     tsm.group("conds"))
+                )
+                continue
             sm = _JOIN_SEG.match(seg)
             if not sm:
                 raise ValueError(
                     f"cannot parse join segment {seg.strip()!r}: expected "
-                    "<table> [AS] <alias> ON <equi-join conditions>"
+                    "<table> [AS] <alias> ON <equi-join conditions> (or "
+                    "<table> FOR SYSTEM_TIME AS OF <probe>.<ts> [AS] "
+                    "<alias> ON ... for a temporal join)"
                 )
-            howkw = kw.split()[0].lower()
+            if temporal is not None:
+                raise ValueError(
+                    "a temporal join (FOR SYSTEM_TIME AS OF) is "
+                    "supported as the only join of the statement — "
+                    "enrich first, then feed the sink to further "
+                    "statements (STATEMENT SET) for more joins"
+                )
             raw_stages.append(
-                ("inner" if howkw == "join" else howkw,
-                 sm.group("tb").strip('`"'), sm.group("b"),
+                (how, sm.group("tb").strip('`"'), sm.group("b"),
                  sm.group("conds"))
             )
         two_way = len(raw_stages) == 1
@@ -489,6 +546,27 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 )
             items.append(
                 (f"{qm.group('q')}.{qm.group('c')}", alias or qm.group("c"))
+            )
+        if temporal is not None:
+            st = stages[0]
+            pq, pc = temporal
+            if pq != aliases[0]:
+                raise ValueError(
+                    f"FOR SYSTEM_TIME AS OF {pq}.{pc} must reference the "
+                    f"probe (first) table's alias {aliases[0]!r} — the "
+                    "AS OF time is the probe row's event time"
+                )
+            if st["extra"]:
+                raise ValueError(
+                    f"temporal join ON clauses support equi conditions "
+                    f"only, got {st['extra']}; filter the enriched sink "
+                    "downstream instead"
+                )
+            return InsertSelect(
+                sink=sink, shape="temporal", sources=tables,
+                join_how=st["how"], join_aliases=tuple(aliases),
+                join_on=[(lc, rc) for _, lc, rc in st["on"]],
+                select=items, temporal=(pq, pc, st["alias"]),
             )
         if two_way:
             st = stages[0]
@@ -865,7 +943,9 @@ def _split_on_conjuncts(conds: str) -> list:
 
 def _table_meta(tables: dict, name: str):
     """(primary_key, apply_computed) for a registered source: accepts a
-    ResolvedTable (full DDL surface) or a plain primary-key sequence."""
+    ResolvedTable (full DDL surface), a plain primary-key sequence, or
+    a dict ``{"primary_key": [...][, "rowtime": <col>]}`` (the light
+    registration form for versioned tables outside the DDL surface)."""
     if name not in tables:
         raise ValueError(
             f"unknown table {name!r}; registered: {sorted(tables)}"
@@ -873,7 +953,23 @@ def _table_meta(tables: dict, name: str):
     t = tables[name]
     if hasattr(t, "primary_key"):
         return list(t.primary_key), t.apply_computed
+    if isinstance(t, dict):
+        return list(t.get("primary_key", [])), (lambda df: df)
     return list(t), (lambda df: df)
+
+
+def _table_rowtime(tables: dict, name: str) -> Optional[str]:
+    """The registered table's event-time (rowtime) column: a
+    ResolvedTable's WATERMARK column, or the ``rowtime`` key of a
+    dict registration.  None when undeclared — the temporal join's
+    versioned side requires one (Flink derives version boundaries from
+    the versioned table's watermark-declared rowtime)."""
+    t = tables[name]
+    if hasattr(t, "watermark"):
+        return t.watermark[0] if t.watermark else None
+    if isinstance(t, dict):
+        return t.get("rowtime")
+    return None
 
 
 def _ckpt(state):
@@ -1119,6 +1215,50 @@ class SqlMaintenanceJob:
                 ],
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        elif stmt.shape == "temporal":
+            # FOR SYSTEM_TIME AS OF: the versioned (build) side needs a
+            # declared rowtime (its version boundaries) and its PRIMARY
+            # KEY fully covered by the ON clause — Flink requires both
+            # of an event-time temporal join
+            pk_b, _ = self._preps[1]
+            btime = _table_rowtime(tables, stmt.sources[1])
+            if btime is None:
+                raise ValueError(
+                    f"the versioned side {stmt.sources[1]!r} of a "
+                    "temporal join needs a declared event-time column: "
+                    "register it with a WATERMARK clause "
+                    "(create_table_source) or as {'primary_key': [...], "
+                    "'rowtime': <col>}"
+                )
+            if not pk_b:
+                raise ValueError(
+                    f"the versioned side {stmt.sources[1]!r} of a "
+                    "temporal join needs a PRIMARY KEY (the version key)"
+                )
+            on_b = {cb for _, cb in stmt.join_on}
+            missing_pk = [k for k in pk_b if k not in on_b]
+            if missing_pk:
+                raise ValueError(
+                    f"a temporal join's ON clause must cover the "
+                    f"versioned table's full PRIMARY KEY; missing "
+                    f"{missing_pk} (Flink requires the same — versions "
+                    "are keyed by it)"
+                )
+            if btime in on_b:
+                raise ValueError(
+                    f"the version-time column {btime!r} cannot be a "
+                    "join key of the temporal join"
+                )
+            self._join_filter_sql = None
+            self._btime = btime
+            pq, pc, _b_al = stmt.temporal
+            self.plan = maintain(
+                temporal={
+                    "on": [ca for ca, _ in stmt.join_on],
+                    "ptime": pc, "btime": btime, "how": stmt.join_how,
+                },
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
         elif stmt.shape == "join":
             self._join_filter_sql = None
             if stmt.join_extra:
@@ -1162,15 +1302,21 @@ class SqlMaintenanceJob:
                 group_cols=stmt.group_cols, keys=keys,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
-        if stmt.shape == "join":
+        if stmt.shape in ("join", "temporal"):
             # the maintained frame carries ONE physical column per join
             # key (right side renamed onto left), and an outer stage's
             # PAD rows carry the non-padded side's value in it — so
             # projecting the PADDED side's join column would emit that
             # value where SQL emits NULL.  Refuse with guidance rather
-            # than silently coalesce.
+            # than silently coalesce.  (For a LEFT temporal join the
+            # key columns physically come from the PROBE side, so the
+            # same rule applies to the versioned side's key columns.)
             pad = set()
-            if stmt.join_chain:
+            if stmt.shape == "temporal":
+                if stmt.join_how == "left":
+                    b_al = stmt.temporal[2]
+                    pad |= {(b_al, cb) for _, cb in stmt.join_on}
+            elif stmt.join_chain:
                 for stage in stmt.join_chain:
                     if stage["how"] in ("left", "full"):
                         pad |= {
@@ -1319,7 +1465,7 @@ class SqlMaintenanceJob:
                 acc_cols |= set(b.columns) - {self.op_col, self.seq_col}
                 prepped.append(b)
             self._state, delta = self.plan.step(self._state, *prepped)
-        elif self.stmt.shape == "join":
+        elif self.stmt.shape in ("join", "temporal"):
             a = self._prep(0, batches[self.stmt.sources[0]])
             b = self._prep(1, batches[self.stmt.sources[1]])
             # merge_join_state equi-joins on same-named columns: align
@@ -1404,9 +1550,23 @@ class SqlMaintenanceJob:
                 "feed the join's signed deltas to a multiset consumer, "
                 "not a keyed upsert sink"
             )
-        cols = []
-        for src, out in self.stmt.select:
-            cols.append(F.col(out if src is None else src).alias(out))
+        if self.stmt.shape == "temporal":
+            # append-only enrichment: renderable as a keyed +I stream
+            # when the probe's PRIMARY KEY is projected (each probe row
+            # enriches exactly once, so PK-keyed rows are unique)
+            pk, _ = self._preps[0]
+            a_al = self.stmt.join_aliases[0]
+            projected = {s for s, _ in self.stmt.select}
+            missing = [k for k in pk if f"{a_al}.{k}" not in projected]
+            if not pk or missing:
+                raise ValueError(
+                    "rendering a temporal join's delta as a changelog "
+                    "needs the probe table's PRIMARY KEY projected "
+                    f"(missing {missing if pk else 'a declared PRIMARY KEY'}) "
+                    "— with it, the append-only enrichment is a keyed "
+                    "insert stream"
+                )
+        cols = self._select_cols()
         neg = delta.filter(F.col(MULT_COL) < 0).select(
             *cols,
             F.lit(OP_DELETE).alias(self.op_col),
@@ -1430,23 +1590,10 @@ class SqlMaintenanceJob:
             return
         self._state = _ckpt(self.plan.expire(self._state, watermark))
 
-    # -- results -----------------------------------------------------
-    def result(self) -> DataFrame:
-        """Current sink content: accumulated live rows, projected to the
-        SELECT's output columns.  Join outputs keep multiset semantics
-        (a live multiplicity m emits m rows, like
-        ``delta_join_changelog``); agg/top-n live rows are keyed and
-        carry multiplicity 1 by the plans' contracts."""
-        if self._acc is None:
-            raise ValueError("no batches stepped yet")
-        live = self._acc.filter(F.col(MULT_COL) > 0)
-        if self.stmt.shape == "join":
-            live = live.withColumn(
-                "__dup",
-                F.explode(
-                    F.sequence(F.lit(1).cast("long"), F.col(MULT_COL))
-                ),
-            ).drop("__dup")
+    def _select_cols(self) -> list:
+        """The SELECT's output projection over the delta/result frame,
+        resolving alias-qualified join items to the maintained frame's
+        unqualified (join-key-aligned) column names."""
         cols = []
         if self.stmt.shape == "join" and self.stmt.join_chain:
             for src, out in self.stmt.select:
@@ -1454,7 +1601,7 @@ class SqlMaintenanceJob:
                 cols.append(
                     F.col(self._join_outname.get((q, c), c)).alias(out)
                 )
-        elif self.stmt.shape == "join":
+        elif self.stmt.shape in ("join", "temporal"):
             a, _b = self.stmt.join_aliases
             on_a = {ca for ca, _ in self.stmt.join_on}
             for src, out in self.stmt.select:
@@ -1470,7 +1617,26 @@ class SqlMaintenanceJob:
         else:
             for src, out in self.stmt.select:
                 cols.append(F.col(out if src is None else src).alias(out))
-        return live.select(*cols)
+        return cols
+
+    # -- results -----------------------------------------------------
+    def result(self) -> DataFrame:
+        """Current sink content: accumulated live rows, projected to the
+        SELECT's output columns.  Join and temporal outputs keep
+        multiset semantics (a live multiplicity m emits m rows, like
+        ``delta_join_changelog``); agg/top-n live rows are keyed and
+        carry multiplicity 1 by the plans' contracts."""
+        if self._acc is None:
+            raise ValueError("no batches stepped yet")
+        live = self._acc.filter(F.col(MULT_COL) > 0)
+        if self.stmt.shape in ("join", "temporal"):
+            live = live.withColumn(
+                "__dup",
+                F.explode(
+                    F.sequence(F.lit(1).cast("long"), F.col(MULT_COL))
+                ),
+            ).drop("__dup")
+        return live.select(*self._select_cols())
 
 
 def plan_insert_maintained(
@@ -1551,6 +1717,13 @@ def explain_insert_maintained(
             "state pair per stage; each stage's output delta feeds the "
             "next, batch-driven end to end"
         ),
+        _m._TemporalJoinPlan: (
+            "TemporalRowTimeJoinOperator (FOR SYSTEM_TIME AS OF): "
+            "state = the versioned side's version history (images + "
+            "tombstones, keyed by its PRIMARY KEY); probe rows are "
+            "append-only and enrich against the version valid at their "
+            "event time; output is append-only"
+        ),
         _m._TopNPlan: (
             "RankOperator (streaming Top-N): state = PK-keyed "
             "materialized table + per-group membership; affected "
@@ -1589,6 +1762,13 @@ def explain_insert_maintained(
     if stmt.having:
         lines.append(
             f"having: {stmt.having!r} — delta-stream emission gate"
+        )
+    if stmt.shape == "temporal":
+        pq, pc, b_al = stmt.temporal
+        lines.append(
+            f"as of: {pq}.{pc} (probe event time) vs "
+            f"{job._btime!r} (version time of {b_al}); "
+            f"{stmt.join_how.upper()} semantics on missing versions"
         )
     if stmt.shape == "join" and not stmt.join_chain and stmt.join_extra:
         lines.append(
@@ -1659,6 +1839,18 @@ class SqlStatementSet:
             elif stmt.shape == "topn":
                 pk, _ = job._preps[0]
                 keys = [out for src, out in stmt.select if src in pk]
+            elif stmt.shape == "temporal":
+                # an append-only enrichment is a readable keyed table
+                # when the probe's PRIMARY KEY is projected (the
+                # delta_changelog contract); otherwise it stays a
+                # terminal multiset sink
+                pk, _ = job._preps[0]
+                a_al = stmt.join_aliases[0]
+                proj = {src: out for src, out in stmt.select}
+                if pk and all(f"{a_al}.{k}" in proj for k in pk):
+                    keys = [proj[f"{a_al}.{k}"] for k in pk]
+                else:
+                    keys = None
             else:  # join: multiset output, not a keyed table
                 keys = None
             if keys is not None:

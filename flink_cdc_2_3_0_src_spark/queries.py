@@ -5089,6 +5089,124 @@ def cdc_sql_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Event-time temporal join on the SQL maintenance surface (r10): FROM
+# probe JOIN dim FOR SYSTEM_TIME AS OF probe.ts — Flink's versioned-
+# table enrichment (TemporalRowTimeJoinOperator), the reference's
+# classic CDC pattern (an order stream joining the currency rate valid
+# at order time).  Each append-only probe row joins the dim VERSION
+# valid at its event time; the output is append-only — later dim
+# changes never retract an emitted enrichment (the defining difference
+# from the regular delta join).  The versioned user-tier dim runs three
+# generations: an initial tier per user (day 3), a tier change for even
+# users (day 15), and a DELETE tombstone for every 5th user (day 24) —
+# probes before a user's first version and after its tombstone take the
+# LEFT join's null pad.  Global seq = event-time micros on BOTH logs,
+# the commit-order contract that makes batch boundaries act as the
+# watermark.  The oracle ranks the version history per probe row
+# one-shot (a different algorithm).
+@register(
+    "cdc_sql_temporal_join",
+    """
+    WITH probe AS (
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_id % 3 = 0
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+        SELECT user_id,
+               'T' || CAST(user_id % 3 AS VARCHAR) AS tier,
+               TIMESTAMP '2024-01-03 00:00:00'
+                   + (user_id % 7) * INTERVAL 1 HOUR AS vts,
+               1 AS alive
+        FROM users
+        UNION ALL
+        SELECT user_id,
+               'T' || CAST((user_id + 1) % 3 AS VARCHAR),
+               TIMESTAMP '2024-01-15 12:00:00'
+                   + (user_id % 5) * INTERVAL 1 HOUR,
+               1
+        FROM users WHERE user_id % 2 = 0
+        UNION ALL
+        SELECT user_id, NULL, TIMESTAMP '2024-01-24 00:00:00', 0
+        FROM users WHERE user_id % 5 = 0
+    ),
+    ranked AS (
+        SELECT p.event_id, p.ts, p.user_id, p.value, d.tier, d.alive,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id ORDER BY d.vts DESC) AS rn
+        FROM probe p LEFT JOIN dim d
+          ON p.user_id = d.user_id AND d.vts <= p.ts
+    )
+    SELECT event_id AS eid, ts AS ets, user_id AS uid, value AS val,
+           CASE WHEN alive = 1 THEN tier END AS tier
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_sql_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    ev = ld(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "ts", "user_id", "value",
+        F.lit("+I").alias(OP_COL),
+        # ts is TIMESTAMP_NTZ (nanos-normalized); session TZ is UTC,
+        # so the cast is a stable bijection into epoch micros
+        F.unix_micros(F.col("ts").cast("timestamp")).alias(SEQ_COL),
+    )
+    users = ev.select("user_id").distinct()
+    v1 = users.select(
+        "user_id",
+        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string")).alias(
+            "tier"
+        ),
+        F.expr(
+            "timestamp_ntz'2024-01-03 00:00:00' + make_interval(0, 0, 0, "
+            "0, CAST(user_id % 7 AS INT), 0, 0)"
+        ).alias("vts"),
+        F.lit("+I").alias(OP_COL),
+    )
+    v2 = users.filter(F.col("user_id") % 2 == 0).select(
+        "user_id",
+        F.concat(
+            F.lit("T"), ((F.col("user_id") + 1) % 3).cast("string")
+        ).alias("tier"),
+        F.expr(
+            "timestamp_ntz'2024-01-15 12:00:00' + make_interval(0, 0, 0, "
+            "0, CAST(user_id % 5 AS INT), 0, 0)"
+        ).alias("vts"),
+        F.lit("+U").alias(OP_COL),
+    )
+    v3 = users.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.lit(None).cast("string").alias("tier"),
+        F.lit("2024-01-24 00:00:00").cast("timestamp_ntz").alias("vts"),
+        F.lit("-D").alias(OP_COL),
+    )
+    # upsert-form version log is all the temporal build side consumes
+    # (+I/+U open versions, -D opens a tombstone; -U rows would be
+    # inert anyway) — no ensure_retractions round needed
+    dim_log = (
+        v1.unionByName(v2)
+        .unionByName(v3)
+        .withColumn(
+            SEQ_COL, F.unix_micros(F.col("vts").cast("timestamp"))
+        )
+    )
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT p.event_id AS eid, p.ts AS ets,"
+        " p.user_id AS uid, p.value AS val, d.tier AS tier"
+        " FROM ev p LEFT JOIN tiers FOR SYSTEM_TIME AS OF p.ts AS d"
+        " ON p.user_id = d.user_id",
+        {"ev": ["event_id"],
+         "tiers": {"primary_key": ["user_id"], "rowtime": "vts"}},
+        {"ev": probe, "tiers": dim_log},
+        n_batches=3,
+    )
+    return out
+
+
 # Semantic clustering: exact integer-arithmetic Lloyd's k-means over the
 # embedding table (operators/clustering.py) — the cluster-then-dedup /
 # topic-bucketing / IVF-coarse-quantizer primitive.  Iterative algorithm

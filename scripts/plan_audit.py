@@ -77,6 +77,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_cumulate_window",
     "cdc_sql_interval_join",
     "cdc_sql_distinct_agg",
+    "cdc_sql_temporal_join",
 ]
 
 

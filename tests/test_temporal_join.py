@@ -205,3 +205,195 @@ def test_temporal_non_key_column_clash_raises(spark):
     probe = _probe_log(spark).withColumnRenamed("pid", "pts2")
     with pytest.raises(ValueError, match="share non-key column"):
         plan.step(None, probe, dim)
+
+
+# ---- SQL surface: FOR SYSTEM_TIME AS OF --------------------------------
+
+from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (  # noqa: E402
+    SqlStatementSet,
+    explain_insert_maintained,
+    parse_insert_select,
+    plan_insert_maintained,
+    replay_insert_maintained,
+)
+
+_TJ_SQL = (
+    "INSERT INTO sink SELECT p.pid, p.pts, p.k, d.tier "
+    "FROM probe p JOIN dim FOR SYSTEM_TIME AS OF p.pts AS d "
+    "ON p.k = d.k"
+)
+_TJ_TABLES = {
+    "probe": ["pid"],
+    "dim": {"primary_key": ["k"], "rowtime": "vts"},
+}
+
+
+def test_parse_temporal_shape():
+    st = parse_insert_select(_TJ_SQL)
+    assert st.shape == "temporal"
+    assert st.sources == ["probe", "dim"]
+    assert st.temporal == ("p", "pts", "d")
+    assert st.join_how == "inner"
+    assert st.join_on == [("k", "k")]
+    st2 = parse_insert_select(_TJ_SQL.replace("JOIN dim", "LEFT JOIN dim"))
+    assert st2.join_how == "left"
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        (_TJ_SQL.replace("JOIN dim", "RIGHT JOIN dim"),
+         "INNER and LEFT only"),
+        (_TJ_SQL.replace("AS OF p.pts", "AS OF x.pts"),
+         "probe .first. table's alias"),
+        (_TJ_SQL + " AND p.pts < d.vts", "equi conditions only"),
+        (_TJ_SQL + " JOIN other o ON o.k = p.k", "only join"),
+        ("INSERT INTO sink SELECT a.x, d.y FROM ta a JOIN tb b "
+         "ON a.k = b.k JOIN dim FOR SYSTEM_TIME AS OF a.ts AS d "
+         "ON a.k = d.k", "only join"),
+    ],
+)
+def test_parse_temporal_errors(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
+
+
+@pytest.mark.parametrize(
+    "tables,msg",
+    [
+        ({"probe": ["pid"], "dim": ["k"]}, "declared event-time"),
+        ({"probe": ["pid"], "dim": {"primary_key": ["k", "k2"],
+                                    "rowtime": "vts"}},
+         "full PRIMARY KEY"),
+        ({"probe": ["pid"], "dim": {"primary_key": ["k"],
+                                    "rowtime": "k"}},
+         "cannot be a join key"),
+        ({"probe": ["pid"], "dim": {"primary_key": [],
+                                    "rowtime": "vts"}},
+         "needs a PRIMARY KEY"),
+    ],
+)
+def test_temporal_plan_registration_errors(spark, tables, msg):
+    with pytest.raises(ValueError, match=msg):
+        plan_insert_maintained(_TJ_SQL, tables)
+
+
+def test_temporal_left_padded_key_projection_refused(spark):
+    with pytest.raises(ValueError, match="null-padded side"):
+        plan_insert_maintained(
+            "INSERT INTO sink SELECT p.pid, d.k, d.tier FROM probe p "
+            "LEFT JOIN dim FOR SYSTEM_TIME AS OF p.pts AS d ON p.k = d.k",
+            _TJ_TABLES,
+        )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_sql_temporal_replay_inner(spark, n_batches):
+    out = replay_insert_maintained(
+        _TJ_SQL, _TJ_TABLES,
+        {"probe": _probe_log(spark), "dim": _dim_log(spark)},
+        n_batches=n_batches,
+    )
+    assert set(out.columns) == {"pid", "pts", "k", "tier"}
+    got = {(r["pid"], r["k"], r["pts"], r["tier"]) for r in out.collect()}
+    assert got == EXPECT_INNER
+
+
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_sql_temporal_replay_left(spark, n_batches):
+    out = replay_insert_maintained(
+        _TJ_SQL.replace("JOIN dim", "LEFT JOIN dim"), _TJ_TABLES,
+        {"probe": _probe_log(spark), "dim": _dim_log(spark)},
+        n_batches=n_batches,
+    )
+    got = {(r["pid"], r["k"], r["pts"], r["tier"]) for r in out.collect()}
+    assert got == EXPECT_LEFT
+
+
+def test_sql_temporal_explain(spark):
+    txt = explain_insert_maintained(_TJ_SQL, _TJ_TABLES)
+    assert "TemporalRowTimeJoinOperator" in txt
+    assert "as of: p.pts" in txt
+    assert "shape: temporal" in txt
+
+
+def test_sql_temporal_feeds_statement_set(spark):
+    # enrich → aggregate: the temporal sink projects the probe PK, so
+    # it is a readable keyed table for the downstream statement
+    # (delta_changelog renders its append-only +I stream)
+    sset = SqlStatementSet(
+        [
+            _TJ_SQL.replace("INTO sink", "INTO enriched"),
+            "INSERT INTO by_tier SELECT tier, COUNT(*) AS n "
+            "FROM enriched GROUP BY tier",
+        ],
+        _TJ_TABLES,
+    )
+    assert sset.external == ["dim", "probe"]
+    probe, dim = _probe_log(spark), _dim_log(spark)
+    for bp, bb in zip(_seq_batches(probe, 3), _seq_batches(dim, 3)):
+        sset.step({"probe": bp, "dim": bb})
+    res = sset.results()
+    tiers = {(r["tier"], r["n"]) for r in res["by_tier"].collect()}
+    # EXPECT_INNER tiers: a×1, b×2, x×1, c×1
+    assert tiers == {("a", 1), ("b", 2), ("x", 1), ("c", 1)}
+    enriched = {(r["pid"], r["tier"]) for r in res["enriched"].collect()}
+    assert enriched == {(p, t) for p, _, _, t in EXPECT_INNER}
+
+
+def test_streaming_temporal_join_matches_expected(spark, tmp_path):
+    """The temporal join through a REAL Structured Streaming query:
+    probe + versioned-dim changelogs multiplex one replay stream (the
+    family's witness harness), each microbatch steps the job once, and
+    the final sink equals the version-valid enrichment — including the
+    tombstone window and the post-tombstone re-insert."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    probe, dim = _probe_log(spark), _dim_log(spark)
+    mux = probe.select(
+        F.lit("p").alias("side"), "pid", "k", "pts",
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(None).cast("long").alias("vts"),
+        OP_COL, SEQ_COL,
+    ).unionByName(
+        dim.select(
+            F.lit("d").alias("side"),
+            F.lit(None).cast("long").alias("pid"), "k",
+            F.lit(None).cast("long").alias("pts"), "tier", "vts",
+            OP_COL, SEQ_COL,
+        )
+    )
+    replay_dir = str(tmp_path / "replay_temporal")
+    write_replay_files(mux, replay_dir, n_files=3)
+
+    job = plan_insert_maintained(_TJ_SQL, _TJ_TABLES)
+
+    def process(batch_df, batch_id):
+        job.step(
+            {
+                "probe": batch_df.filter(F.col("side") == "p").select(
+                    "pid", "k", "pts", OP_COL, SEQ_COL
+                ),
+                "dim": batch_df.filter(F.col("side") == "d").select(
+                    "k", "tier", "vts", OP_COL, SEQ_COL
+                ),
+            }
+        )
+
+    q = (
+        read_replay_stream(spark, replay_dir, mux.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_temporal"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["pid"], r["k"], r["pts"], r["tier"])
+        for r in job.result().collect()
+    }
+    assert got == EXPECT_INNER
