@@ -354,6 +354,10 @@ class InsertSelect:
     # GROUPING SETS: list of column lists (group_cols is their ordered
     # union); empty when the GROUP BY is plain
     grouping_sets: list = field(default_factory=list)
+    # UNION ALL aggregate: one (select_exprs, where) per source, where
+    # select_exprs = [(expr sql, out name)] aligned positionally onto
+    # the first branch's output names; empty for single-source shapes
+    union_branches: list = field(default_factory=list)
     # HAVING predicate over the RESULT columns (aggregate aliases +
     # group cols); row-local on result rows, so it filters the signed
     # delta stream directly
@@ -580,6 +584,10 @@ def parse_insert_select(sql: str) -> InsertSelect:
             sink=sink, shape="join", sources=tables,
             join_aliases=tuple(aliases), join_chain=stages, select=items,
         )
+
+    um = _parse_union_agg(sink, select)
+    if um is not None:
+        return um
 
     am = _AGG_RE.match(select)
     if am:
@@ -815,6 +823,155 @@ def parse_insert_select(sql: str) -> InsertSelect:
             session=session, grouping_sets=grouping_sets, having=having,
         )
     raise ValueError(_SHAPES_MSG)
+
+
+def _extract_parenthesized_from(select: str):
+    """``SELECT <items> FROM ( <body> ) <tail>`` → (items, body, tail)
+    with the body extracted by balanced-paren scan (string-literal
+    aware); None when the statement's FROM is not parenthesized."""
+    m = re.match(r"(?is)^SELECT\s+(?P<items>.*?)\s+FROM\s*\(", select)
+    if not m:
+        return None
+    depth, in_str, i = 1, False, m.end()
+    while i < len(select) and depth:
+        ch = select[i]
+        if in_str:
+            in_str = ch != "'"
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    return m.group("items"), select[m.end() : i - 1], select[i:]
+
+
+def _split_top_union_all(body: str) -> list:
+    """Split a subquery body on top-level ``UNION ALL`` (outside parens
+    and string literals).  Returns the branches; a single-element list
+    means the body is not a union."""
+    parts, cur, depth, in_str = [], [], 0, False
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = re.match(r"(?is)UNION\s+ALL\b", body[i:])
+            if m and (i == 0 or not (body[i - 1].isalnum()
+                                     or body[i - 1] == "_")):
+                parts.append("".join(cur))
+                cur = []
+                i += m.end()
+                continue
+            if re.match(r"(?is)UNION\b", body[i:]) and not m and (
+                i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+            ):
+                raise ValueError(
+                    "only UNION ALL is supported over changelogs (plain "
+                    "UNION's dedup is a stateful operator of its own — "
+                    "aggregate with COUNT/GROUP BY instead)"
+                )
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_UNION_BRANCH_RE = re.compile(
+    r"^\s*SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UNION_TAIL_RE = re.compile(
+    r"^(?:\s+(?:AS\s+)?(?!GROUP\b|WHERE\b|HAVING\b)\w+)?\s*"
+    r"(?P<rest>(?:WHERE\s+.*?\s+)?GROUP\s+BY\s+.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_union_agg(sink: str, select: str) -> Optional[InsertSelect]:
+    """``SELECT .. FROM (SELECT .. FROM a [WHERE ..] UNION ALL SELECT
+    .. FROM b [WHERE ..] ..) [u] [WHERE ..] GROUP BY ..`` — a maintained
+    aggregate over the UNION ALL of several changelogs.  Exact by
+    linearity: the signed multiset of a union is the sum of the
+    branches' signed multisets, so each branch's per-batch rows are
+    projected (row-local, positional alignment onto the first branch's
+    output names — SQL's union column rule) and stacked before the
+    aggregate plan sees them.  Flink compiles the same statement to a
+    union of changelog inputs feeding one StreamExecGroupAggregate.
+    Returns None when the statement's FROM is not a parenthesized
+    top-level UNION ALL (so other shapes get their turn)."""
+    ext = _extract_parenthesized_from(select)
+    if ext is None:
+        return None
+    items, body, tail = ext
+    branches = _split_top_union_all(body)
+    if len(branches) < 2:
+        return None
+    tm = _UNION_TAIL_RE.match(tail)
+    if not tm:
+        raise ValueError(
+            "a UNION ALL source must feed a grouped aggregate: SELECT "
+            "g, FN(x) .. FROM (SELECT .. UNION ALL SELECT ..) [WHERE p] "
+            "GROUP BY g"
+        )
+    first_names: list = []
+    parsed = []
+    for bi, btxt in enumerate(branches):
+        bm = _UNION_BRANCH_RE.match(btxt)
+        if not bm:
+            raise ValueError(
+                f"cannot parse UNION ALL branch {btxt[:80]!r}: expected "
+                "SELECT <exprs> FROM <table> [WHERE <pred>] (one source "
+                "table per branch)"
+            )
+        exprs = []
+        for raw in _split_select_items(bm.group("items")):
+            expr, alias = _split_alias(raw)
+            if alias is None:
+                im = _IDENT.match(expr)
+                alias = im.group("name") if im else None
+            if bi == 0:
+                if alias is None:
+                    raise ValueError(
+                        f"first UNION ALL branch item {raw!r} needs a "
+                        "name: a plain column or <expr> AS <alias> (it "
+                        "defines the union's output columns)"
+                    )
+                first_names.append(alias)
+            exprs.append(expr)
+        parsed.append(
+            (bm.group("src").strip('`"'), exprs, _clean(bm.group("where")))
+        )
+    for src, exprs, _w in parsed:
+        if len(exprs) != len(first_names):
+            raise ValueError(
+                f"UNION ALL branch over {src!r} selects {len(exprs)} "
+                f"column(s) but the first branch selects "
+                f"{len(first_names)} — branches align positionally"
+            )
+    st = parse_insert_select(
+        f"INSERT INTO {sink} SELECT {items} FROM __union__ "
+        + tm.group("rest")
+    )
+    st.sources = [src for src, _, _ in parsed]
+    st.union_branches = [
+        (list(zip(exprs, first_names)), w) for _, exprs, w in parsed
+    ]
+    return st
 
 
 def _rewrite_having(having: str, aggs: dict) -> str:
@@ -1085,6 +1242,17 @@ class SqlMaintenanceJob:
                     aggs[name] = _agg_col(fn, dm.group(1))
                 else:
                     distinct[name] = (fn, F.expr(dm.group(1)))
+        if stmt.shape == "agg" and stmt.union_branches:
+            fns = {fn for fn, _ in aggs.values()}
+            if fns & {"min", "max"} or stmt.session is not None:
+                raise ValueError(
+                    "UNION ALL inputs support sum/count/avg (incl. "
+                    "DISTINCT) aggregates and row-local windows only — "
+                    "min/max and SESSION windows keep PK-keyed table "
+                    "state, which a union of tables does not have; "
+                    "aggregate per source in a STATEMENT SET and "
+                    "combine the sinks instead"
+                )
         if stmt.shape == "agg" and stmt.session is not None:
             # merging session windows: always the table-state session
             # plan (arrivals merge sessions, retractions split them —
@@ -1363,6 +1531,22 @@ class SqlMaintenanceJob:
     def _prep(self, i: int, batch: DataFrame) -> DataFrame:
         _, computed = self._preps[i]
         out = computed(batch)
+        if self.stmt.union_branches:
+            # per-branch projection of a UNION ALL input: row-local, so
+            # it commutes with the signed algebra like the WHERE below;
+            # branch columns align positionally onto the first branch's
+            # output names (SQL's union column rule)
+            exprs, where = self.stmt.union_branches[i]
+            if where is not None:
+                out = out.filter(F.expr(where))
+            out = out.select(
+                *[F.expr(e).alias(o) for e, o in exprs],
+                F.col(self.op_col), F.col(self.seq_col),
+            )
+            return out
+        return self._agg_transforms(out)
+
+    def _agg_transforms(self, out: DataFrame) -> DataFrame:
         if self.stmt.where and self.stmt.shape in ("agg", "topn"):
             if self._where_tombstones:
                 # table-state plans: failing +I/+U images become -D
@@ -1504,6 +1688,19 @@ class SqlMaintenanceJob:
                 # linear over signed multisets); the accumulated sink
                 # then materializes σ_p(A ⋈ B)
                 delta = delta.filter(F.expr(self._join_filter_sql))
+        elif self.stmt.union_branches:
+            # UNION ALL: per-branch projected batches stack before the
+            # aggregate plan — exact because the signed multiset of a
+            # union is the sum of the branches' signed multisets
+            combined = None
+            for i, src in enumerate(self.stmt.sources):
+                b = self._prep(i, batches[src])
+                combined = (
+                    b if combined is None else combined.unionByName(b)
+                )
+            self._state, delta = self.plan.step(
+                self._state, self._agg_transforms(combined)
+            )
         else:
             batch = self._prep(0, batches[self.stmt.sources[0]])
             self._state, delta = self.plan.step(self._state, batch)
@@ -1731,6 +1928,12 @@ def explain_insert_maintained(
         ),
     }[type(plan)]
     lines.append(f"plan: {state}")
+    if stmt.union_branches:
+        lines.append(
+            f"input: UNION ALL of {len(stmt.union_branches)} branches "
+            f"over {stmt.sources} (per-branch row-local projection, "
+            "signed multisets add)"
+        )
     if stmt.tumble:
         lines.append(
             f"window: TUMBLE({stmt.tumble[0]}, {stmt.tumble[1]}) — "

@@ -5207,6 +5207,109 @@ def cdc_sql_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# UNION ALL aggregate on the SQL maintenance surface (r10): a grouped
+# SUM/COUNT maintained over the UNION ALL of an orders changelog
+# (updates + deletes) and an append-only events stream — exact by
+# linearity (the signed multiset of a union is the sum of the branches'
+# signed multisets; Flink compiles the same statement to a union of
+# changelog inputs feeding one StreamExecGroupAggregate).  The orders
+# branch carries a per-branch WHERE (price floor) that filters the
+# retraction pairs consistently; DECIMAL(18,2) sums keep the float
+# parity exact across any batch split.  The oracle materializes each
+# branch one-shot, unions, and aggregates directly.
+@register(
+    "cdc_sql_union_agg",
+    """
+    WITH o_log AS (
+        SELECT o_orderkey AS k, o_orderpriority AS g, o_totalprice AS v,
+               '+I' AS _op, o_orderkey * 3 AS _seq
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice * 2, '+U',
+               o_orderkey * 3 + 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, '-D',
+               o_orderkey * 3 + 2
+        FROM orders WHERE o_orderkey % 9 = 0
+    ),
+    o_m AS (
+        SELECT g, v FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY _seq DESC) AS rn
+            FROM o_log
+        ) WHERE rn = 1 AND _op <> '-D'
+    ),
+    u AS (
+        SELECT g, v FROM o_m WHERE v > 1000
+        UNION ALL
+        SELECT event_type AS g, value AS v FROM events
+    )
+    SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           COUNT(*) AS n
+    FROM u GROUP BY g
+    """,
+)
+def cdc_sql_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        ensure_retractions,
+    )
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o_base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("o_orderkey") * 3).cast("long").alias(SEQ_COL),
+    )
+    o_upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice") * 2).alias("v"),
+        F.lit("+U").alias(OP_COL),
+        (F.col("o_orderkey") * 3 + 1).cast("long").alias(SEQ_COL),
+    )
+    o_del = o.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.lit("-D").alias(OP_COL),
+        (F.col("o_orderkey") * 3 + 2).cast("long").alias(SEQ_COL),
+    )
+    o_log = ensure_retractions(
+        o_base.unionByName(o_upd).unionByName(o_del),
+        ChangelogMode.UPSERT,
+        ["k"],
+    )
+    e_log = ld(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("value"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("event_id") * 3).cast("long").alias(SEQ_COL),
+    )
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT g,"
+        " SUM(CAST(v AS DECIMAL(18,2))) AS s_dec, COUNT(*) AS n FROM ("
+        "SELECT g, v FROM o_cdc WHERE v > 1000"
+        " UNION ALL "
+        "SELECT event_type AS g, value AS v FROM e_cdc"
+        ") u GROUP BY g",
+        {"o_cdc": ["k"], "e_cdc": []},
+        {"o_cdc": o_log, "e_cdc": e_log},
+        n_batches=3,
+    )
+    return out.select(
+        "g", F.col("s_dec").cast("double").alias("sum_v"), "n"
+    )
+
+
 # Semantic clustering: exact integer-arithmetic Lloyd's k-means over the
 # embedding table (operators/clustering.py) — the cluster-then-dedup /
 # topic-bucketing / IVF-coarse-quantizer primitive.  Iterative algorithm

@@ -2240,3 +2240,121 @@ def test_explain_grouping_sets(spark):
 
     out = explain_insert_maintained(_GS_SQL, {"t": ["k"]})
     assert "grouping sets" in out and "GROUPING_ID bitmask" in out
+
+
+# ---- UNION ALL aggregates (r10) -----------------------------------------
+# A maintained aggregate over the UNION ALL of several changelogs —
+# exact by linearity (the signed multiset of a union is the sum of the
+# branches' signed multisets); Flink compiles the same statement to a
+# union of changelog inputs feeding one StreamExecGroupAggregate.
+
+_UNION_SQL = (
+    "INSERT INTO sink SELECT g, SUM(v) AS s, COUNT(*) AS n FROM ("
+    "SELECT g, v FROM ta WHERE v > 0"
+    " UNION ALL "
+    "SELECT grp AS g, amt * 2 AS v FROM tb"
+    ") u GROUP BY g"
+)
+_UA_ROWS = [
+    (1, "a", 10.0, "+I", 1),
+    (2, "a", -3.0, "+I", 2),   # branch WHERE filters this out
+    (3, "b", 5.0, "+I", 3),
+    (1, "a", 10.0, "-U", 6), (1, "a", 20.0, "+U", 6),
+]
+_UB_ROWS = [
+    (7, "a", 1.5, "+I", 4),
+    (8, "c", 2.0, "+I", 5),
+    (8, "c", 2.0, "-D", 7),
+]
+_U_SCHEMA_A = f"user_id long, g string, v double, {OP_COL} string, {SEQ_COL} long"
+_U_SCHEMA_B = f"user_id long, grp string, amt double, {OP_COL} string, {SEQ_COL} long"
+
+
+def test_parse_union_agg_shape():
+    st = parse_insert_select(_UNION_SQL)
+    assert st.shape == "agg"
+    assert st.sources == ["ta", "tb"]
+    assert len(st.union_branches) == 2
+    exprs0, where0 = st.union_branches[0]
+    assert exprs0 == [("g", "g"), ("v", "v")] and where0 == "v > 0"
+    exprs1, where1 = st.union_branches[1]
+    assert exprs1 == [("grp", "g"), ("amt * 2", "v")] and where1 is None
+    assert st.group_cols == ["g"] and set(st.aggs) == {"s", "n"}
+
+
+@pytest.mark.parametrize(
+    "sql,msg",
+    [
+        ("INSERT INTO s SELECT g, SUM(v) AS s FROM ("
+         "SELECT g, v FROM a UNION SELECT g, v FROM b) GROUP BY g",
+         "only UNION ALL"),
+        ("INSERT INTO s SELECT g, SUM(v) AS s FROM ("
+         "SELECT g, v FROM a UNION ALL SELECT g FROM b) GROUP BY g",
+         "align positionally"),
+        ("INSERT INTO s SELECT g, SUM(v) AS s FROM ("
+         "SELECT g, v FROM a UNION ALL SELECT g, v FROM b)",
+         "grouped aggregate"),
+        ("INSERT INTO s SELECT g, SUM(v) AS s FROM ("
+         "SELECT lower(g), v FROM a UNION ALL SELECT g, v FROM b) "
+         "GROUP BY g", "needs a name"),
+    ],
+)
+def test_parse_union_agg_errors(sql, msg):
+    with pytest.raises(ValueError, match=msg):
+        parse_insert_select(sql)
+
+
+def test_union_agg_minmax_and_session_refused(spark):
+    with pytest.raises(ValueError, match="UNION ALL inputs support"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT g, MAX(v) AS m FROM ("
+            "SELECT g, v FROM ta UNION ALL SELECT g, v FROM tb) "
+            "GROUP BY g",
+            {"ta": ["user_id"], "tb": ["user_id"]},
+        )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_union_agg_replay_matches_direct(spark, n_batches):
+    la = _log(spark, _UA_ROWS, _U_SCHEMA_A)
+    lb = _log(spark, _UB_ROWS, _U_SCHEMA_B)
+    out = replay_insert_maintained(
+        _UNION_SQL, {"ta": ["user_id"], "tb": ["user_id"]},
+        {"ta": la, "tb": lb}, n_batches=n_batches,
+    )
+    got = {(r["g"], r["s"], r["n"]) for r in out.collect()}
+    # live: ta has a=20 (after update; -3 filtered), b=5; tb contributes
+    # a += 1.5*2 = 3 (the branch doubles amt); tb's c was deleted
+    assert got == {("a", 23.0, 2), ("b", 5.0, 1)}
+
+
+def test_union_agg_with_tumble_window(spark):
+    # row-local windows ride the union: the ts column is a union output
+    rows_a = [(1, "2024-01-01 00:10:00", 2.0, "+I", 1),
+              (2, "2024-01-01 01:10:00", 3.0, "+I", 2)]
+    rows_b = [(3, "2024-01-01 00:20:00", 5.0, "+I", 3)]
+    sch = f"user_id long, ts string, v double, {OP_COL} string, {SEQ_COL} long"
+    la = _log(spark, rows_a, sch).withColumn("ts", F.col("ts").cast("timestamp"))
+    lb = _log(spark, rows_b, sch).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS w,"
+        " SUM(v) AS s FROM ("
+        "SELECT ts, v FROM ta UNION ALL SELECT ts, v FROM tb) u"
+        " GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)",
+        {"ta": ["user_id"], "tb": ["user_id"]},
+        {"ta": la, "tb": lb}, n_batches=2,
+    )
+    got = {(str(r["w"]), r["s"]) for r in out.collect()}
+    assert got == {("2024-01-01 00:00:00", 7.0), ("2024-01-01 01:00:00", 3.0)}
+
+
+def test_union_agg_explain(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    txt = explain_insert_maintained(
+        _UNION_SQL, {"ta": ["user_id"], "tb": ["user_id"]}
+    )
+    assert "UNION ALL of 2 branches" in txt
+    assert "signed-delta" in txt
