@@ -1023,6 +1023,294 @@ class _TemporalJoinPlan(_Plan):
         return state.filter(ts >= wm).unionByName(keep_old)
 
 
+class _OverPlan(_Plan):
+    """OVER aggregation on an append-only stream — Flink's
+    StreamExecOverAggregate (``SUM(v) OVER (PARTITION BY k ORDER BY ts
+    ROWS|RANGE BETWEEN .. PRECEDING AND CURRENT ROW)``): each arriving
+    row is emitted once, enriched with its frame aggregate over the
+    rows at/before it within its key.  Input must be append-only and
+    the ORDER BY a time attribute ascending — Flink's requirements;
+    output is append-only.
+
+    State, by frame:
+
+    * ``ROWS n PRECEDING``: the latest n rows per key (what any future
+      row's frame can still reach).  Per-batch work = batch + affected
+      keys' retained rows.
+    * ``RANGE INTERVAL g PRECEDING``: rows within g of each key's max
+      time.  Retention is sound because arrivals are in-order per key
+      (the seq/event-time consistency contract the family's replay
+      model gives — Flink gets it from the watermark).
+    * ``UNBOUNDED PRECEDING``: one ACCUMULATOR row per key (signed sums
+      + counts; min/max accumulate monotonically on an append-only
+      stream, so they fold too) — O(keys) state, never a history
+      rescan.
+
+    Ordering inside a batch is (ts, seq) — the unique seq breaks ties
+    deterministically (DuckDB oracles order the same way).
+    """
+
+    kind = "over"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {
+            "partition", "order", "aggs", "rows", "range"
+        }
+        if unknown:
+            raise ValueError(f"unknown over options: {sorted(unknown)}")
+        missing = {"partition", "order", "aggs"} - set(opts)
+        if missing:
+            raise ValueError(
+                f"over= needs {sorted(missing)}: {{'partition': [key "
+                "cols], 'order': <ts col>, 'aggs': {name: (fn, col "
+                "sql)}, 'rows': <n>|None, 'range': '<n> <unit>'|None}} "
+                "(rows/range both absent = UNBOUNDED PRECEDING)"
+            )
+        if opts.get("rows") is not None and opts.get("range") is not None:
+            raise ValueError("over= takes rows= or range=, not both")
+        super().__init__(ttl)
+        self.partition = list(opts["partition"])
+        if not self.partition:
+            raise ValueError(
+                "over= needs a non-empty partition (a global OVER "
+                "window funnels every row through one task — Flink "
+                "refuses it on streams too)"
+            )
+        self.order = opts["order"]
+        self.aggs = dict(opts["aggs"])
+        bad = {fn for fn, _ in self.aggs.values()} - _AGG_FNS
+        if bad:
+            raise ValueError(f"unsupported aggregate(s): {sorted(bad)}")
+        self.rows = opts.get("rows")
+        if self.rows is not None:
+            self.rows = int(self.rows)
+            if self.rows < 0:
+                raise ValueError("rows= must be >= 0")
+        self.range_us = (
+            _gap_micros(opts["range"])
+            if opts.get("range") is not None
+            else None
+        )
+        self.op_col = op_col
+        self.seq_col = seq_col
+        if ttl is not None and ttl != self.order:
+            raise ValueError(
+                "over ttl must name the ORDER BY time column "
+                f"({self.order!r})"
+            )
+
+    # frame aggregate expressions over a (partitioned, ordered) window
+    def _win_exprs(self, w):
+        outs = []
+        for name, (fn, col_sql) in self.aggs.items():
+            col = F.expr(col_sql)
+            if fn == "count":
+                expr = F.count(
+                    F.lit(1) if col_sql.strip() == "*" else col
+                )
+            elif fn == "avg":
+                expr = F.sum(col).cast("double") / F.count(col).cast(
+                    "double"
+                )
+            else:
+                expr = getattr(F, fn)(col)
+            outs.append(expr.over(w).alias(name))
+        return outs
+
+    def step(self, state, batch: DataFrame):
+        from pyspark.sql.window import Window
+
+        offending = batch.filter(
+            F.col(self.op_col).isin(
+                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
+            )
+        ).limit(1)
+        if offending.count() > 0:
+            raise ValueError(
+                "OVER aggregation takes an append-only input (+I rows "
+                "only) — Flink's StreamExecOverAggregate requires the "
+                "same; pre-aggregate an updating stream with GROUP BY "
+                "instead"
+            )
+        rows = batch.filter(F.col(self.op_col) == OP_INSERT).select(
+            *[c for c in batch.columns if c != self.op_col]
+        )
+        payload = [c for c in rows.columns if c != self.seq_col]
+
+        if self.rows is None and self.range_us is None:
+            return self._step_unbounded(state, rows, payload)
+
+        affected = rows.select(*self.partition).distinct()
+        kept = (
+            _keyset_join(state, affected, self.partition, "left_semi")
+            if state is not None
+            else None
+        )
+        hist = rows.withColumn("__new", F.lit(1))
+        if kept is not None:
+            hist = hist.unionByName(kept.withColumn("__new", F.lit(0)))
+        order = [F.col(self.order).asc(), F.col(self.seq_col).asc()]
+        w = Window.partitionBy(*self.partition).orderBy(*order)
+        if self.rows is not None:
+            w = w.rowsBetween(-self.rows, 0)
+            # retention: the latest `rows` rows per key can still sit in
+            # a future row's frame
+            rk = F.row_number().over(
+                Window.partitionBy(*self.partition).orderBy(
+                    F.col(self.order).desc(), F.col(self.seq_col).desc()
+                )
+            )
+            keep_pred = rk <= max(self.rows, 1)
+        else:
+            # RANGE over event time: order by epoch micros so the frame
+            # bound is a plain long offset (timestamp- and numeric-
+            # agnostic via the caller's contract that `order` is a
+            # timestamp column)
+            w = (
+                Window.partitionBy(*self.partition)
+                .orderBy(F.unix_micros(
+                    F.col(self.order).cast("timestamp")
+                ))
+                .rangeBetween(-self.range_us, 0)
+            )
+            kmax = F.max(F.col(self.order)).over(
+                Window.partitionBy(*self.partition)
+            )
+            keep_pred = F.unix_micros(
+                F.col(self.order).cast("timestamp")
+            ) >= F.unix_micros(
+                kmax.cast("timestamp")
+            ) - F.lit(self.range_us)
+        out = (
+            hist.select("*", *self._win_exprs(w))
+            .filter(F.col("__new") == 1)
+            .drop("__new", self.seq_col)
+            .withColumn(MULT_COL, F.lit(1).cast("long"))
+        )
+        pruned = (
+            hist.drop("__new").withColumn("__keep", keep_pred)
+            .filter(F.col("__keep"))
+            .drop("__keep")
+        )
+        if state is not None:
+            unaffected = _keyset_join(
+                state, affected, self.partition, "left_anti"
+            )
+            pruned = pruned.unionByName(unaffected)
+        return pruned.localCheckpoint(eager=True), out
+
+    def _step_unbounded(self, state, rows, payload):
+        from pyspark.sql.window import Window
+
+        # per-key accumulators: signed sums + counts for sum/count/avg,
+        # monotone min/max (append-only ⇒ min/max only improve)
+        acc_cols, needs = {}, []
+        for name, (fn, col_sql) in self.aggs.items():
+            col = F.expr(col_sql)
+            if fn in ("sum", "avg"):
+                acc_cols[f"__s_{name}"] = F.sum(col)
+            if fn in ("avg",):
+                acc_cols[f"__c_{name}"] = F.count(col)
+            if fn == "count":
+                acc_cols[f"__n_{name}"] = F.count(
+                    F.lit(1) if col_sql.strip() == "*" else col
+                )
+            if fn in ("min", "max"):
+                acc_cols[f"__m_{name}"] = getattr(F, fn)(col)
+            needs.append(name)
+        w = Window.partitionBy(*self.partition).orderBy(
+            F.col(self.order).asc(), F.col(self.seq_col).asc()
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        run = rows.select(
+            "*",
+            *[e.over(w).alias(f"__r{k}") for k, e in acc_cols.items()],
+        )
+        if state is not None:
+            st = state
+            for k in acc_cols:
+                st = st.withColumnRenamed(k, f"__o{k}")
+            run = run.join(st, on=self.partition, how="left")
+        else:
+            for k in acc_cols:
+                run = run.withColumn(
+                    f"__o{k}", F.lit(None).cast(run.schema[f"__r{k}"].dataType)
+                )
+        outs = []
+        for name, (fn, _col_sql) in self.aggs.items():
+            if fn == "sum":
+                expr = F.col(f"__o__s_{name}") + F.col(f"__r__s_{name}")
+                expr = F.coalesce(
+                    expr, F.col(f"__r__s_{name}"), F.col(f"__o__s_{name}")
+                )
+            elif fn == "count":
+                expr = F.coalesce(
+                    F.col(f"__o__n_{name}"), F.lit(0).cast("long")
+                ) + F.col(f"__r__n_{name}")
+            elif fn == "avg":
+                s = F.coalesce(
+                    F.col(f"__o__s_{name}") + F.col(f"__r__s_{name}"),
+                    F.col(f"__r__s_{name}"),
+                    F.col(f"__o__s_{name}"),
+                )
+                c = F.coalesce(
+                    F.col(f"__o__c_{name}"), F.lit(0).cast("long")
+                ) + F.col(f"__r__c_{name}")
+                expr = s.cast("double") / F.nullif(
+                    c, F.lit(0)
+                ).cast("double")
+            else:  # min / max — monotone on append-only input
+                pick = F.least if fn == "min" else F.greatest
+                expr = pick(
+                    F.col(f"__o__m_{name}"), F.col(f"__r__m_{name}")
+                )
+                expr = F.coalesce(
+                    expr, F.col(f"__r__m_{name}"), F.col(f"__o__m_{name}")
+                )
+            outs.append(expr.alias(name))
+        out = run.select(
+            *[c for c in payload if c != self.seq_col], *outs
+        ).withColumn(MULT_COL, F.lit(1).cast("long"))
+        batch_acc = rows.groupBy(*self.partition).agg(
+            *[e.alias(k) for k, e in acc_cols.items()]
+        )
+        if state is None:
+            new_state = batch_acc
+        else:
+            merged = (
+                state.unionByName(batch_acc)
+                .groupBy(*self.partition)
+            )
+            folds = []
+            for name, (fn, _c) in self.aggs.items():
+                if fn in ("sum", "avg"):
+                    folds.append(
+                        F.sum(f"__s_{name}").alias(f"__s_{name}")
+                    )
+                if fn == "avg":
+                    folds.append(
+                        F.sum(f"__c_{name}").alias(f"__c_{name}")
+                    )
+                if fn == "count":
+                    folds.append(
+                        F.sum(f"__n_{name}").alias(f"__n_{name}")
+                    )
+                if fn in ("min", "max"):
+                    folds.append(
+                        getattr(F, fn)(f"__m_{name}").alias(f"__m_{name}")
+                    )
+            new_state = merged.agg(*folds)
+        return new_state.localCheckpoint(eager=True), out
+
+    def _expire(self, state, watermark):
+        if self.rows is None and self.range_us is None:
+            raise ValueError(
+                "UNBOUNDED OVER state is one accumulator per key with "
+                "no event-time column; ttl does not apply"
+            )
+        return expire_state(state, watermark, self.order)
+
+
 class _DedupPlan(_Plan):
     """Incremental ingest near-dup dedup (merge_neardup_state): each
     arrival batch probes the seen corpus's LSH bucket state.  Batches
@@ -1234,6 +1522,7 @@ def maintain(
     session=None,
     chain=None,
     temporal=None,
+    over=None,
     distinct=None,
     grouping_sets=None,
     gid_col: str = "__gid",
@@ -1269,6 +1558,14 @@ def maintain(
       probe_batch, build_batch)``).  Output is append-only (+1 rows
       only); ``ttl=<btime>`` enables versioned state cleanup (keep
       the latest version before the watermark, drop older ones).
+    * ``over={"partition": [...], "order": <ts col>, "aggs": {name:
+      (fn, col sql)}[, "rows": <n> | "range": "<n> <unit>"]}`` — OVER
+      aggregation on an append-only stream (Flink's
+      StreamExecOverAggregate): each arriving row emits once with its
+      frame aggregate (``.. PRECEDING AND CURRENT ROW``; rows/range
+      both absent = UNBOUNDED).  State = the latest frame-reachable
+      rows per key (bounded frames) or one accumulator per key
+      (unbounded); ``ttl=<order col>`` evicts bounded-frame state.
     * ``dedup=True`` (or ``dedup={"bands":…, "rows":…,
       "threshold":…}``) — incremental ingest near-dup dedup over
       document batches arriving in ascending doc_id order; the output
@@ -1339,13 +1636,13 @@ def maintain(
     shapes = [
         aggs is not None, on is not None, n is not None,
         dedup is not None, hll is not None, hist is not None,
-        chain is not None, temporal is not None,
+        chain is not None, temporal is not None, over is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
-            "temporal=... | n=...+order_sql | dedup=... | hll=... | "
-            "hist=..."
+            "temporal=... | over=... | n=...+order_sql | dedup=... | "
+            "hll=... | hist=..."
         )
     if session is not None and aggs is None:
         raise ValueError(
@@ -1378,6 +1675,14 @@ def maintain(
                 "col>[, 'how': inner|left]}"
             )
         return _TemporalJoinPlan(temporal, ttl, op_col, seq_col)
+    if over is not None:
+        if not isinstance(over, dict):
+            raise ValueError(
+                "over= takes an options dict: {'partition': [key cols], "
+                "'order': <ts col>, 'aggs': {name: (fn, col sql)}[, "
+                "'rows': <n> | 'range': '<n> <unit>']}"
+            )
+        return _OverPlan(over, ttl, op_col, seq_col)
     if on is not None:
         if how not in ("inner", "left", "right", "full"):
             raise ValueError(

@@ -1,0 +1,190 @@
+"""OVER aggregation maintenance (_OverPlan — Flink's
+StreamExecOverAggregate: ``FN(v) OVER (PARTITION BY k ORDER BY ts
+ROWS|RANGE BETWEEN .. PRECEDING AND CURRENT ROW)`` over an append-only
+stream).  Split-invariance for all three frame forms (ROWS n / RANGE
+interval / UNBOUNDED), the append-only contract, state retention
+bounds, and TTL; the SQL surface rides below."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+
+COLS = ["k", "ts", "v", OP_COL, SEQ_COL]
+
+
+def _rows_log(spark):
+    # per-key event times strictly increase with seq (the in-order
+    # contract both Flink's watermark and the family's replay model
+    # give); key b exercises NULL values in the frame
+    rows = [
+        ("a", 10, 1.0, "+I", 1),
+        ("a", 20, 2.0, "+I", 2),
+        ("b", 15, 5.0, "+I", 3),
+        ("a", 30, 4.0, "+I", 4),
+        ("b", 25, None, "+I", 5),
+        ("a", 40, 8.0, "+I", 6),
+        ("b", 35, 7.0, "+I", 7),
+        ("a", 50, 16.0, "+I", 8),
+    ]
+    return spark.createDataFrame(rows, COLS).select(
+        "k", F.col("ts").cast("long").alias("ts"), "v",
+        OP_COL, F.col(SEQ_COL).cast("long").alias(SEQ_COL),
+    )
+
+
+def _seq_batches(df, n_batches):
+    hi = int(df.agg(F.max(SEQ_COL)).collect()[0][0])
+    out = []
+    for i in range(n_batches):
+        lo = i * (hi + 1) // n_batches
+        up = (i + 1) * (hi + 1) // n_batches
+        out.append(df.filter((F.col(SEQ_COL) >= lo) & (F.col(SEQ_COL) < up)))
+    return out
+
+
+def _replay(spark, plan, n_batches, cols=("k", "ts", "s")):
+    state, rows = None, []
+    for b in _seq_batches(_rows_log(spark), n_batches):
+        state, out = plan.step(state, b)
+        got = out.collect()
+        assert all(r["__mult"] == 1 for r in got)
+        rows.extend(tuple(r[c] for c in cols) for r in got)
+    return state, set(rows)
+
+
+# SUM over ROWS BETWEEN 1 PRECEDING AND CURRENT ROW
+EXPECT_ROWS1 = {
+    ("a", 10, 1.0), ("a", 20, 3.0), ("a", 30, 6.0), ("a", 40, 12.0),
+    ("a", 50, 24.0),
+    ("b", 15, 5.0), ("b", 25, 5.0), ("b", 35, 7.0),
+}
+# SUM over RANGE 15 'time units' (micros in test: ts treated as
+# timestamp-castable longs? no — RANGE uses timestamps; see range test)
+EXPECT_UNBOUNDED = {
+    ("a", 10, 1.0), ("a", 20, 3.0), ("a", 30, 7.0), ("a", 40, 15.0),
+    ("a", 50, 31.0),
+    ("b", 15, 5.0), ("b", 25, 5.0), ("b", 35, 12.0),
+}
+
+
+@pytest.mark.parametrize("n_batches", [1, 2, 4])
+def test_over_rows_frame_split_invariance(spark, n_batches):
+    plan = maintain(over={"partition": ["k"], "order": "ts",
+                          "aggs": {"s": ("sum", "v")}, "rows": 1})
+    _, got = _replay(spark, plan, n_batches)
+    assert got == EXPECT_ROWS1
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_over_unbounded_split_invariance(spark, n_batches):
+    plan = maintain(over={"partition": ["k"], "order": "ts",
+                          "aggs": {"s": ("sum", "v")}})
+    state, got = _replay(spark, plan, n_batches)
+    assert got == EXPECT_UNBOUNDED
+    # unbounded state is ONE accumulator row per key — never history
+    assert state.count() == 2
+
+
+def test_over_unbounded_min_max_count_avg(spark):
+    plan = maintain(over={"partition": ["k"], "order": "ts", "aggs": {
+        "mn": ("min", "v"), "mx": ("max", "v"),
+        "n": ("count", "*"), "nv": ("count", "v"), "a": ("avg", "v"),
+    }})
+    state, rows = None, {}
+    for b in _seq_batches(_rows_log(spark), 3):
+        state, out = plan.step(state, b)
+        for r in out.collect():
+            rows[(r["k"], r["ts"])] = (
+                r["mn"], r["mx"], r["n"], r["nv"], r["a"]
+            )
+    # key b: NULLs excluded from min/max/avg/count(v), counted by n
+    assert rows[("b", 15)] == (5.0, 5.0, 1, 1, 5.0)
+    assert rows[("b", 25)] == (5.0, 5.0, 2, 1, 5.0)
+    assert rows[("b", 35)] == (5.0, 7.0, 3, 2, 6.0)
+    assert rows[("a", 50)] == (1.0, 16.0, 5, 5, 31.0 / 5)
+
+
+def test_over_rows_state_retention_bound(spark):
+    plan = maintain(over={"partition": ["k"], "order": "ts",
+                          "aggs": {"s": ("sum", "v")}, "rows": 2})
+    state = None
+    for b in _seq_batches(_rows_log(spark), 2):
+        state, _ = plan.step(state, b)
+    # retention: at most `rows`=2 rows per key
+    per_key = {
+        r["k"]: r["n"]
+        for r in state.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key == {"a": 2, "b": 2}
+
+
+def test_over_range_frame_with_timestamps(spark):
+    rows = [
+        ("a", "2024-01-01 00:00:10", 1.0, "+I", 1),
+        ("a", "2024-01-01 00:00:20", 2.0, "+I", 2),
+        ("a", "2024-01-01 00:00:45", 4.0, "+I", 3),
+        ("a", "2024-01-01 00:00:55", 8.0, "+I", 4),
+    ]
+    log = spark.createDataFrame(rows, COLS).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    plan = maintain(over={"partition": ["k"], "order": "ts",
+                          "aggs": {"s": ("sum", "v")},
+                          "range": "15 seconds"})
+    state, got = None, {}
+    hi = 4
+    for i in range(2):
+        b = log.filter(
+            (F.col(SEQ_COL) > i * hi // 2) & (F.col(SEQ_COL) <= (i + 1) * hi // 2)
+        )
+        state, out = plan.step(state, b)
+        for r in out.collect():
+            got[str(r["ts"])] = r["s"]
+    assert got == {
+        "2024-01-01 00:00:10": 1.0,
+        "2024-01-01 00:00:20": 3.0,   # 10s within 15s of 20s
+        "2024-01-01 00:00:45": 4.0,   # nothing within 15s
+        "2024-01-01 00:00:55": 12.0,  # 45s within 15s of 55s
+    }
+    # range retention: only rows within 15s of each key's max remain
+    assert state.count() == 2
+
+
+def test_over_append_only_contract_and_errors(spark):
+    plan = maintain(over={"partition": ["k"], "order": "ts",
+                          "aggs": {"s": ("sum", "v")}, "rows": 1})
+    bad = spark.createDataFrame([("a", 1, 1.0, "-D", 1)], COLS)
+    with pytest.raises(ValueError, match="append-only"):
+        plan.step(None, bad)
+    with pytest.raises(ValueError, match="not both"):
+        maintain(over={"partition": ["k"], "order": "ts",
+                       "aggs": {"s": ("sum", "v")}, "rows": 1,
+                       "range": "1 hours"})
+    with pytest.raises(ValueError, match="non-empty partition"):
+        maintain(over={"partition": [], "order": "ts",
+                       "aggs": {"s": ("sum", "v")}})
+    with pytest.raises(ValueError, match="needs"):
+        maintain(over={"partition": ["k"]})
+    with pytest.raises(ValueError, match="ORDER BY time column"):
+        maintain(over={"partition": ["k"], "order": "ts",
+                       "aggs": {"s": ("sum", "v")}, "rows": 1}, ttl="v")
+    with pytest.raises(ValueError, match="ttl does not apply"):
+        maintain(over={"partition": ["k"], "order": "ts",
+                       "aggs": {"s": ("sum", "v")}}, ttl="ts").expire(
+            None, 0
+        )
+
+
+def test_over_ttl_evicts_bounded_state(spark):
+    plan = maintain(over={"partition": ["k"], "order": "ts",
+                          "aggs": {"s": ("sum", "v")}, "rows": 5},
+                    ttl="ts")
+    state = None
+    for b in _seq_batches(_rows_log(spark), 2):
+        state, _ = plan.step(state, b)
+    kept = plan.expire(state, 30)
+    assert {r["ts"] for r in kept.collect()} == {30, 40, 50, 35}
