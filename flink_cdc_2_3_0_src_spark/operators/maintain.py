@@ -1023,6 +1023,110 @@ class _TemporalJoinPlan(_Plan):
         return state.filter(ts >= wm).unionByName(keep_old)
 
 
+class _LookupJoinPlan(_Plan):
+    """Processing-time lookup join — Flink's ``FROM probe p [LEFT]
+    JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d ON p.k = d.k``
+    (StreamExecLookupJoin / LookupJoinRunner; the reference's JDBC
+    dim-table enrichment, flink-connector-jdbc's
+    JdbcRowDataLookupFunction).  Each arriving probe row is enriched
+    against the dim table's CURRENT content at the moment it is
+    processed; output is append-only — later dim changes never retract
+    an emitted enrichment, and unlike the event-time temporal join no
+    version history is kept (there is NO dim state in the operator at
+    all: the dim is re-consulted per batch, which is exactly Flink's
+    per-record external lookup batched up).
+
+    * **probe side**: append-only (+I rows only; updating inputs are
+      refused — Flink's lookup join has the same source requirement
+      for deterministic results).
+    * **dim side**: a SNAPSHOT of the external table's current rows
+      per step (plain rows, not a changelog) — the microbatch form of
+      "query the dimension at processing time".  Between batches the
+      snapshot may change freely; each batch's probes see their
+      batch's snapshot.
+    * **determinism note**: like Flink's processing-time join, results
+      depend on WHEN a probe row is processed relative to dim changes
+      — the batch boundary is that clock here (documented, test-pinned
+      with a mid-stream dim change).
+
+    No state, so no ttl.  At 100 TB: per batch one equi-join of the
+    probe batch against the dim (AQE broadcasts a small dim
+    automatically — the lookup-cache analogue); work is batch-sized,
+    never history-sized.
+    """
+
+    kind = "lookup"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {"on", "how"}
+        if unknown:
+            raise ValueError(f"unknown lookup options: {sorted(unknown)}")
+        if "on" not in opts or not list(opts["on"]):
+            raise ValueError(
+                "lookup= needs {'on': [join key cols][, 'how': "
+                "inner|left]}"
+            )
+        if ttl is not None:
+            raise ValueError(
+                "a lookup join keeps no state (the dim is re-consulted "
+                "per batch); ttl does not apply"
+            )
+        super().__init__(None)
+        self.on = list(opts["on"])
+        self.how = opts.get("how", "inner")
+        if self.how not in ("inner", "left"):
+            raise ValueError(
+                f"lookup join how must be inner or left, got "
+                f"{self.how!r} (Flink's lookup join supports the same "
+                "two for deterministic enrichment)"
+            )
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def step(self, state, probe: DataFrame, dim: DataFrame):
+        offending = probe.filter(
+            F.col(self.op_col).isin(
+                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
+            )
+        ).limit(1)
+        if offending.count() > 0:
+            raise ValueError(
+                "the probe side of a lookup join must be append-only "
+                "(+I rows only) — enrich first, aggregate later, or use "
+                "a maintained equi-join for updating probes"
+            )
+        rows = probe.filter(F.col(self.op_col) == OP_INSERT).select(
+            *[
+                c
+                for c in probe.columns
+                if c not in (self.op_col, self.seq_col)
+            ]
+        )
+        dim_rows = dim.select(
+            *[
+                c
+                for c in dim.columns
+                if c not in (self.op_col, self.seq_col)
+            ]
+        )
+        shared = (
+            set(rows.columns) & set(dim_rows.columns)
+        ) - set(self.on)
+        if shared:
+            raise ValueError(
+                f"lookup join sides share non-key column(s) "
+                f"{sorted(shared)}; rename them on one side first"
+            )
+        out = rows.join(dim_rows, on=self.on, how=self.how).withColumn(
+            MULT_COL, F.lit(1).cast("long")
+        )
+        return state, out
+
+    def _expire(self, state, watermark):  # pragma: no cover - guarded
+        raise ValueError("lookup join keeps no state; ttl does not apply")
+
+
 class _OverPlan(_Plan):
     """OVER aggregation on an append-only stream — Flink's
     StreamExecOverAggregate (``SUM(v) OVER (PARTITION BY k ORDER BY ts
@@ -1108,14 +1212,16 @@ class _OverPlan(_Plan):
             if fn == "count":
                 expr = F.count(
                     F.lit(1) if col_sql.strip() == "*" else col
-                )
+                ).over(w)
             elif fn == "avg":
-                expr = F.sum(col).cast("double") / F.count(col).cast(
-                    "double"
-                )
+                # .over applies per aggregate — a windowed division of
+                # two aggregates is not a valid window expression
+                expr = F.sum(col).over(w).cast("double") / F.count(
+                    col
+                ).over(w).cast("double")
             else:
-                expr = getattr(F, fn)(col)
-            outs.append(expr.over(w).alias(name))
+                expr = getattr(F, fn)(col).over(w)
+            outs.append(expr.alias(name))
         return outs
 
     def step(self, state, batch: DataFrame):
@@ -1308,6 +1414,133 @@ class _OverPlan(_Plan):
                 "UNBOUNDED OVER state is one accumulator per key with "
                 "no event-time column; ttl does not apply"
             )
+        return expire_state(state, watermark, self.order)
+
+
+class _DedupRowPlan(_Plan):
+    """Row deduplication on an append-only stream — Flink's
+    StreamExecDeduplicate (``SELECT .. FROM (SELECT *, ROW_NUMBER()
+    OVER (PARTITION BY k ORDER BY ts [DESC]) AS rn FROM t) WHERE
+    rn = 1``): keep each key's FIRST (ASC) or LAST (DESC) row by event
+    time, ties broken by arrival seq.  State = exactly ONE row per key
+    (Flink's RowTimeDeduplicateFunction ValueState).  Out-of-order
+    arrivals are handled exactly: a later batch's row can beat the
+    stored winner in either direction, emitting a retraction of the
+    previously-emitted row and an insert of the new winner — so
+    keep-first output is updating too when events arrive out of order
+    (the rowtime dedup semantics; proc-time keep-first never updates
+    because arrival order IS the order).
+
+    Exactness for any batch split: per-key min/max by (order, seq) is
+    a monoid, so folding batches in any grouping lands on the same
+    winner.  Rows with a NULL order value are dropped (a NULL event
+    time has no place in time-ordered dedup — same rule the session
+    and cumulate windows apply).
+
+    Per-batch work = batch + affected keys' single state rows (a
+    left-semi keyset probe); unaffected state is carried untouched.
+    ``ttl=<order col>`` evicts winners behind the watermark — a late
+    re-arrival then re-emits as a fresh first/last (Flink's state-TTL
+    trade: forget state, never retract emitted results)."""
+
+    kind = "dedup_row"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {"keys", "order", "keep"}
+        if unknown:
+            raise ValueError(f"unknown dedup_row options: {sorted(unknown)}")
+        missing = {"keys", "order"} - set(opts)
+        if missing:
+            raise ValueError(
+                f"dedup_row= needs {sorted(missing)}: {{'keys': [partition "
+                "cols], 'order': <ts col>[, 'keep': 'first'|'last']}}"
+            )
+        super().__init__(ttl)
+        self.keys = list(opts["keys"])
+        if not self.keys:
+            raise ValueError("dedup_row= needs a non-empty keys list")
+        self.order = opts["order"]
+        self.keep = opts.get("keep", "first")
+        if self.keep not in ("first", "last"):
+            raise ValueError(
+                f"keep must be 'first' or 'last', got {self.keep!r}"
+            )
+        if self.order in self.keys:
+            raise ValueError(
+                "the order column cannot be a partition key of the "
+                "deduplication"
+            )
+        self.op_col = op_col
+        self.seq_col = seq_col
+        if ttl is not None and ttl != self.order:
+            raise ValueError(
+                "dedup_row ttl must name the ORDER BY time column "
+                f"({self.order!r})"
+            )
+
+    def step(self, state, batch: DataFrame):
+        from pyspark.sql.window import Window
+
+        offending = batch.filter(
+            F.col(self.op_col).isin(
+                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
+            )
+        ).limit(1)
+        if offending.count() > 0:
+            raise ValueError(
+                "row deduplication takes an append-only input (+I rows "
+                "only) — Flink's StreamExecDeduplicate requires the "
+                "same; materialize an updating stream by its key instead"
+            )
+        cand = batch.filter(
+            (F.col(self.op_col) == OP_INSERT)
+            & F.col(self.order).isNotNull()
+        ).select(*[c for c in batch.columns if c != self.op_col])
+        affected = cand.select(*self.keys).distinct()
+        state_aff = (
+            _keyset_join(state, affected, self.keys, "left_semi")
+            if state is not None
+            else None
+        )
+        pool = (
+            cand if state_aff is None else cand.unionByName(state_aff)
+        )
+        asc = self.keep == "first"
+        order_cols = [
+            F.col(self.order).asc() if asc else F.col(self.order).desc(),
+            F.col(self.seq_col).asc() if asc else F.col(self.seq_col).desc(),
+        ]
+        w = Window.partitionBy(*self.keys).orderBy(*order_cols)
+        best = (
+            pool.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        payload = list(best.columns)
+        pos = best.withColumn(MULT_COL, F.lit(1).cast("long"))
+        delta = (
+            pos
+            if state_aff is None
+            else pos.unionByName(
+                state_aff.withColumn(MULT_COL, F.lit(-1).cast("long"))
+            )
+        )
+        delta = (
+            delta.groupBy(*payload)
+            .agg(F.sum(MULT_COL).alias(MULT_COL))
+            .filter(F.col(MULT_COL) != 0)
+        )
+        new_state = (
+            best
+            if state is None
+            else _keyset_join(
+                state, affected, self.keys, "left_anti"
+            ).unionByName(best)
+        )
+        return new_state.localCheckpoint(eager=True), delta
+
+    def _expire(self, state, watermark):
         return expire_state(state, watermark, self.order)
 
 
@@ -1517,11 +1750,13 @@ def maintain(
     order_sql: Optional[str] = None,
     n: Optional[int] = None,
     dedup=None,
+    dedup_row=None,
     hll=None,
     hist=None,
     session=None,
     chain=None,
     temporal=None,
+    lookup=None,
     over=None,
     distinct=None,
     grouping_sets=None,
@@ -1558,6 +1793,12 @@ def maintain(
       probe_batch, build_batch)``).  Output is append-only (+1 rows
       only); ``ttl=<btime>`` enables versioned state cleanup (keep
       the latest version before the watermark, drop older ones).
+    * ``lookup={"on": [...][, "how": "inner"|"left"]}`` —
+      processing-time lookup join (Flink's ``FOR SYSTEM_TIME AS OF
+      PROCTIME()`` / JDBC dim enrichment): ``plan.step(None,
+      probe_batch, dim_snapshot)`` — probe rows are append-only, the
+      dim argument is the external table's CURRENT rows (a snapshot,
+      not a changelog), output is append-only; no state, no ttl.
     * ``over={"partition": [...], "order": <ts col>, "aggs": {name:
       (fn, col sql)}[, "rows": <n> | "range": "<n> <unit>"]}`` — OVER
       aggregation on an append-only stream (Flink's
@@ -1570,6 +1811,13 @@ def maintain(
       "threshold":…}``) — incremental ingest near-dup dedup over
       document batches arriving in ascending doc_id order; the output
       delta is the kept rows as +1 inserts.
+    * ``dedup_row={"keys": [...], "order": <ts col>[, "keep":
+      "first"|"last"]}`` — row deduplication on an append-only stream
+      (Flink's StreamExecDeduplicate, the ``ROW_NUMBER() .. WHERE
+      rn = 1`` SQL pattern): keep each key's first/last row by
+      (order, arrival seq); state = one row per key; out-of-order
+      arrivals retract the previously-emitted winner exactly.
+      ``ttl=<order col>`` evicts winners behind the watermark.
     * ``hll=True`` (or ``hll={"group_col":…, "m":…}``) — incremental
       per-group HLL distinct-count maintenance over document batches;
       the output delta is the signed diff of the affected groups'
@@ -1637,12 +1885,13 @@ def maintain(
         aggs is not None, on is not None, n is not None,
         dedup is not None, hll is not None, hist is not None,
         chain is not None, temporal is not None, over is not None,
+        dedup_row is not None, lookup is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
-            "temporal=... | over=... | n=...+order_sql | dedup=... | "
-            "hll=... | hist=..."
+            "temporal=... | lookup=... | over=... | n=...+order_sql | "
+            "dedup=... | dedup_row=... | hll=... | hist=..."
         )
     if session is not None and aggs is None:
         raise ValueError(
@@ -1661,6 +1910,13 @@ def maintain(
         )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)
+    if dedup_row is not None:
+        if not isinstance(dedup_row, dict):
+            raise ValueError(
+                "dedup_row= takes an options dict: {'keys': [partition "
+                "cols], 'order': <ts col>[, 'keep': 'first'|'last']}"
+            )
+        return _DedupRowPlan(dedup_row, ttl, op_col, seq_col)
     if hll is not None:
         return _HllPlan(hll, ttl)
     if hist is not None:
@@ -1675,6 +1931,13 @@ def maintain(
                 "col>[, 'how': inner|left]}"
             )
         return _TemporalJoinPlan(temporal, ttl, op_col, seq_col)
+    if lookup is not None:
+        if not isinstance(lookup, dict):
+            raise ValueError(
+                "lookup= takes an options dict: {'on': [join key cols]"
+                "[, 'how': inner|left]}"
+            )
+        return _LookupJoinPlan(lookup, ttl, op_col, seq_col)
     if over is not None:
         if not isinstance(over, dict):
             raise ValueError(

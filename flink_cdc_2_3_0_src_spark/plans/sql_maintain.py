@@ -77,6 +77,18 @@ compiles to stateful operators for CDC pipelines:
   BY g ORDER BY o) AS rn FROM t [WHERE p]) WHERE rn <= n`` →
   ``maintain(n=..)`` (RankOperator; Flink's documented streaming Top-N
   pattern).
+* **OVER aggregation** ``SELECT c1, .., FN(x) OVER (PARTITION BY k
+  ORDER BY ts [ROWS|RANGE BETWEEN <bound> PRECEDING AND CURRENT ROW])
+  FROM t [WHERE p]`` → ``maintain(over=..)``
+  (StreamExecOverAggregate): append-only input, each arrival emitted
+  once with its frame aggregate — state is the frame-reachable rows
+  per key (bounded frames) or one accumulator row per key
+  (UNBOUNDED).  All OVER windows of one SELECT must be identical and
+  the ORDER BY ascending event time, Flink's requirements; updating
+  inputs are refused with guidance.  ``WHERE`` filters arrivals
+  before they enter any frame (SQL's evaluation order);
+  ``ttl=<order col>`` expires bounded-frame state behind the
+  watermark.
 
 Semantics notes
 ---------------
@@ -177,13 +189,23 @@ _TEMPORAL_SEG = re.compile(
     r"ON\s+(?P<conds>.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# Flink's processing-time lookup join segment: ``JOIN dim FOR
+# SYSTEM_TIME AS OF PROCTIME() AS d ON p.k = d.k`` — per-batch
+# enrichment against the dim table's CURRENT snapshot (the JDBC
+# dim-table pattern; no version history)
+_LOOKUP_SEG = re.compile(
+    r"^\s*(?P<tb>[`\"\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+"
+    r"PROCTIME\s*\(\s*\)(?:\s+AS)?\s+(?P<b>\w+)\s+"
+    r"ON\s+(?P<conds>.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _TOPN_RE = re.compile(
     r"^SELECT\s+(?P<items>.*?)\s+FROM\s*\(\s*"
     r"SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*"
     r"PARTITION\s+BY\s+(?P<groups>.*?)\s+ORDER\s+BY\s+(?P<order>.*?)\s*\)"
     r"\s+AS\s+(?P<rn>\w+)\s+FROM\s+(?P<src>[`\"\w.]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?\s*\)(?:\s*(?:AS\s+)?\w+)?\s+"
-    r"WHERE\s+(?P<rn2>\w+)\s*<=\s*(?P<n>\d+)\s*;?\s*$",
+    r"WHERE\s+(?P<rn2>\w+)\s*(?P<cmp><=|=)\s*(?P<n>\d+)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _JOIN_COND = re.compile(
@@ -242,13 +264,44 @@ _SESSION_FIELD = re.compile(
 )
 _W_START, _W_END = "__w_start", "__w_end"
 
+# Flink's OVER aggregation (StreamExecOverAggregate): ``SELECT c1, ..,
+# FN(x) OVER (PARTITION BY k ORDER BY ts [ROWS|RANGE BETWEEN ..
+# PRECEDING AND CURRENT ROW]) FROM t`` — each append-only arrival is
+# emitted once, enriched with its frame aggregate.  Flink requires all
+# OVER windows of one SELECT to be identical and the ORDER BY to be an
+# ascending time attribute; the same rules apply here.  The frame's
+# PRECEDING bound is UNBOUNDED, a row count (ROWS) or an INTERVAL
+# literal (RANGE); no frame clause means UNBOUNDED.
+_OVER_WIN = (
+    r"OVER\s*\(\s*PARTITION\s+BY\s+(?P<partition>.*?)\s+ORDER\s+BY\s+"
+    r"(?P<order>[`\"]?\w+[`\"]?)(?:\s+(?P<dir>ASC|DESC))?"
+    r"(?:\s+(?P<frame>ROWS|RANGE)\s+BETWEEN\s+(?P<pre>UNBOUNDED|\d+|"
+    r"INTERVAL\s+'\d+'\s+(?:SECOND|MINUTE|HOUR|DAY)S?)\s+PRECEDING\s+"
+    r"AND\s+CURRENT\s+ROW)?\s*\)$"
+)
+_OVER_ITEM = re.compile(
+    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\((?P<args>.*?)\)\s+" + _OVER_WIN,
+    re.IGNORECASE | re.DOTALL,
+)
+_OVER_RE = re.compile(
+    r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.*?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OVER_INTERVAL = re.compile(
+    r"^INTERVAL\s+'(?P<n>\d+)'\s+(?P<unit>SECOND|MINUTE|HOUR|DAY)S?$",
+    re.IGNORECASE,
+)
+
 _SHAPES_MSG = (
     "unsupported INSERT-SELECT shape; the maintenance planner dispatches "
-    "the three forms Flink's streaming planner compiles for CDC "
+    "the forms Flink's streaming planner compiles for CDC "
     "pipelines: grouped aggregate (SELECT g, FN(x) .. FROM t [WHERE p] "
     "GROUP BY g), equi-join (SELECT a.x, b.y FROM ta a JOIN tb b ON "
-    "a.k = b.k), and Top-N (SELECT .. FROM (SELECT *, ROW_NUMBER() OVER "
-    "(PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= n)"
+    "a.k = b.k), Top-N (SELECT .. FROM (SELECT *, ROW_NUMBER() OVER "
+    "(PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= n), and OVER "
+    "aggregation (SELECT c1, .., FN(x) OVER (PARTITION BY k ORDER BY ts "
+    "[ROWS|RANGE BETWEEN .. PRECEDING AND CURRENT ROW]) FROM t)"
 )
 
 
@@ -317,7 +370,7 @@ class InsertSelect:
     """Parsed, shape-classified INSERT-SELECT statement."""
 
     sink: str
-    shape: str  # "agg" | "join" | "temporal" | "topn"
+    shape: str  # "agg" | "join" | "temporal" | "topn" | "over"
     sources: list  # source table names, in FROM order
     # agg / topn
     group_cols: list = field(default_factory=list)
@@ -343,6 +396,9 @@ class InsertSelect:
     # event-time temporal join (shape == "temporal"): (probe alias,
     # probe event-time column, build alias) — FOR SYSTEM_TIME AS OF
     temporal: Optional[tuple] = None
+    # processing-time lookup join (shape == "lookup"): the dim alias —
+    # FOR SYSTEM_TIME AS OF PROCTIME()
+    lookup: Optional[str] = None
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
     # sliding window: (ts column, slide duration, size duration)
@@ -351,6 +407,15 @@ class InsertSelect:
     cumulate: Optional[tuple] = None
     # merging session window: (ts column, gap duration string)
     session: Optional[tuple] = None
+    # Top-N rank filter spelled ``rn = 1`` (deduplication candidate:
+    # the job dispatch routes it to the dedup plan when the ORDER BY
+    # is the source's declared rowtime — Flink's Deduplicate-vs-Rank
+    # planner split)
+    rank_eq: bool = False
+    # OVER aggregation (shape == "over"): {"partition": [cols],
+    # "order": <ts col>, "rows": n|None, "range": "<n> <unit>s"|None}
+    # — rows/range both None means UNBOUNDED PRECEDING
+    over: Optional[dict] = None
     # GROUPING SETS: list of column lists (group_cols is their ordered
     # union); empty when the GROUP BY is plain
     grouping_sets: list = field(default_factory=list)
@@ -400,11 +465,17 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     "optimization); select the table columns only"
                 )
             items.append((name, alias or name))
+        if tm.group("cmp") == "=" and int(tm.group("n")) != 1:
+            raise ValueError(
+                f"rank = {tm.group('n')} selects a single rank position; "
+                "only rank = 1 (deduplication / per-group winner) is "
+                "supported — use <= n for Top-N membership"
+            )
         return InsertSelect(
             sink=sink, shape="topn", sources=[tm.group("src").strip('`"')],
             group_cols=groups, order_sql=tm.group("order").strip(),
             n=int(tm.group("n")), where=_clean(tm.group("where")),
-            select=items,
+            select=items, rank_eq=tm.group("cmp") == "=",
         )
 
     jm = _JOIN_HEAD.match(select)
@@ -416,9 +487,34 @@ def parse_insert_select(sql: str) -> InsertSelect:
             raise ValueError(_SHAPES_MSG)
         raw_stages = []
         temporal = None
+        lookup_alias = None
         for kw, seg in zip(parts[1::2], parts[2::2]):
             howkw = kw.split()[0].lower()
             how = "inner" if howkw == "join" else howkw
+            lsm = _LOOKUP_SEG.match(seg)
+            if lsm:
+                # FOR SYSTEM_TIME AS OF PROCTIME() — the processing-
+                # time lookup join segment (dim snapshot per batch)
+                if lookup_alias is not None or temporal is not None \
+                        or raw_stages:
+                    raise ValueError(
+                        "a lookup join (FOR SYSTEM_TIME AS OF "
+                        "PROCTIME()) is supported as the only join of "
+                        "the statement — enrich first, then feed the "
+                        "sink to further statements (STATEMENT SET)"
+                    )
+                if how not in ("inner", "left"):
+                    raise ValueError(
+                        f"lookup joins support INNER and LEFT only, "
+                        f"got {how.upper()} (Flink's lookup join "
+                        "supports the same two)"
+                    )
+                lookup_alias = lsm.group("b")
+                raw_stages.append(
+                    (how, lsm.group("tb").strip('`"'), lsm.group("b"),
+                     lsm.group("conds"))
+                )
+                continue
             tsm = _TEMPORAL_SEG.match(seg)
             if tsm:
                 # FOR SYSTEM_TIME AS OF <probe alias>.<ptime> — the
@@ -450,9 +546,9 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     "<table> FOR SYSTEM_TIME AS OF <probe>.<ts> [AS] "
                     "<alias> ON ... for a temporal join)"
                 )
-            if temporal is not None:
+            if temporal is not None or lookup_alias is not None:
                 raise ValueError(
-                    "a temporal join (FOR SYSTEM_TIME AS OF) is "
+                    "a temporal/lookup join (FOR SYSTEM_TIME AS OF) is "
                     "supported as the only join of the statement — "
                     "enrich first, then feed the sink to further "
                     "statements (STATEMENT SET) for more joins"
@@ -572,6 +668,20 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 join_on=[(lc, rc) for _, lc, rc in st["on"]],
                 select=items, temporal=(pq, pc, st["alias"]),
             )
+        if lookup_alias is not None:
+            st = stages[0]
+            if st["extra"]:
+                raise ValueError(
+                    f"lookup join ON clauses support equi conditions "
+                    f"only, got {st['extra']}; filter the enriched sink "
+                    "downstream instead"
+                )
+            return InsertSelect(
+                sink=sink, shape="lookup", sources=tables,
+                join_how=st["how"], join_aliases=tuple(aliases),
+                join_on=[(lc, rc) for _, lc, rc in st["on"]],
+                select=items, lookup=st["alias"],
+            )
         if two_way:
             st = stages[0]
             return InsertSelect(
@@ -593,9 +703,41 @@ def parse_insert_select(sql: str) -> InsertSelect:
     if am:
         groups, tumble, hop, cumulate, session = [], None, None, None, None
         grouping_sets: list = []
+        group_clause = am.group("groups").strip()
+        # ROLLUP/CUBE are GROUPING SETS sugar (the SQL standard's and
+        # Flink's expansion): ROLLUP(a, b) = ((a,b),(a),()),
+        # CUBE(a, b) = every subset.  Rewrite to the sets form so one
+        # plan path (and one GROUPING_ID discipline) serves all three.
+        rc = re.match(
+            r"(?is)^(?P<kind>ROLLUP|CUBE)\s*\((?P<cols>.*)\)\s*$",
+            group_clause,
+        )
+        if rc:
+            if not rc.group("cols").strip():
+                raise ValueError(
+                    f"{rc.group('kind').upper()} needs at least one "
+                    "column"
+                )
+            cols = _names(rc.group("cols"), rc.group("kind").upper())
+            if rc.group("kind").upper() == "ROLLUP":
+                sets = [cols[:i] for i in range(len(cols), -1, -1)]
+            else:
+                if len(cols) > 6:
+                    raise ValueError(
+                        "CUBE over more than 6 columns expands to "
+                        f"{2 ** len(cols)} grouping sets — write the "
+                        "GROUPING SETS you actually need"
+                    )
+                sets = [
+                    [c for j, c in enumerate(cols) if mask & (1 << j)]
+                    for mask in range((1 << len(cols)) - 1, -1, -1)
+                ]
+            group_clause = "GROUPING SETS (" + ", ".join(
+                "(" + ", ".join(s) + ")" for s in sets
+            ) + ")"
         gs = re.match(
             r"(?is)^GROUPING\s+SETS\s*\((?P<sets>.*)\)\s*$",
-            am.group("groups").strip(),
+            group_clause,
         )
         if gs:
             # GROUP BY GROUPING SETS ((a, b), (a), ()) — the full group
@@ -822,7 +964,111 @@ def parse_insert_select(sql: str) -> InsertSelect:
             select=items, tumble=tumble, hop=hop, cumulate=cumulate,
             session=session, grouping_sets=grouping_sets, having=having,
         )
+
+    ov = parse_over_select(sink, select)
+    if ov is not None:
+        return ov
     raise ValueError(_SHAPES_MSG)
+
+
+def parse_over_select(sink: str, select: str) -> Optional[InsertSelect]:
+    """Parse the OVER-aggregation shape (Flink's
+    StreamExecOverAggregate, e.g. MySqlConnectorITCase-style pipelines
+    feeding ``SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN n
+    PRECEDING AND CURRENT ROW)``).  Returns None when the SELECT has no
+    OVER item at all (the caller falls through to the generic
+    shape error)."""
+    om = _OVER_RE.match(select)
+    if om is None:
+        return None
+    raw_items = _split_select_items(om.group("items"))
+    if not any(
+        _OVER_ITEM.match(_split_alias(r)[0]) for r in raw_items
+    ):
+        return None
+    items, aggs = [], {}
+    spec = None
+    spec_src = None
+    auto_idx = 0
+    for raw in raw_items:
+        expr, alias = _split_alias(raw)
+        ovm = _OVER_ITEM.match(expr)
+        if ovm:
+            fn = ovm.group("fn").lower()
+            args = ovm.group("args").strip()
+            if re.match(r"(?is)^DISTINCT\b", args):
+                raise ValueError(
+                    f"{fn.upper()}(DISTINCT ..) OVER is not supported: "
+                    "a distinct frame aggregate needs per-frame distinct "
+                    "views — pre-aggregate with GROUP BY FN(DISTINCT ..) "
+                    "instead"
+                )
+            if ovm.group("dir") and ovm.group("dir").upper() == "DESC":
+                raise ValueError(
+                    "OVER aggregation requires the ORDER BY to be an "
+                    "ASCENDING time attribute (Flink's "
+                    "StreamExecOverAggregate requires the same — frames "
+                    "grow forward in event time)"
+                )
+            partition = _names(ovm.group("partition"), "PARTITION BY")
+            order = ovm.group("order").strip('`"')
+            rows_n, range_s = None, None
+            if ovm.group("frame") is not None:
+                pre = ovm.group("pre").strip()
+                if pre.upper() == "UNBOUNDED":
+                    pass  # UNBOUNDED PRECEDING — accumulator form
+                elif ovm.group("frame").upper() == "ROWS":
+                    if not pre.isdigit():
+                        raise ValueError(
+                            f"ROWS frame bound must be an integer or "
+                            f"UNBOUNDED, got {pre!r}"
+                        )
+                    rows_n = int(pre)
+                else:  # RANGE
+                    ivm = _OVER_INTERVAL.match(pre)
+                    if not ivm:
+                        raise ValueError(
+                            f"RANGE frame bound must be INTERVAL '<n>' "
+                            f"<unit> or UNBOUNDED, got {pre!r}"
+                        )
+                    range_s = (
+                        f"{ivm.group('n')} {ivm.group('unit').lower()}s"
+                    )
+            this_spec = (tuple(partition), order, rows_n, range_s)
+            if spec is None:
+                spec, spec_src = this_spec, expr
+            elif spec != this_spec:
+                raise ValueError(
+                    f"all OVER windows of one SELECT must be identical "
+                    f"(Flink's StreamExecOverAggregate compiles ONE over "
+                    f"window per query): {expr!r} differs from "
+                    f"{spec_src!r} — split differing windows into "
+                    "separate statements"
+                )
+            if alias is None:
+                base = re.sub(r"\W+", "_", args.strip("*") or "all")
+                alias = f"{fn}_{base}".strip("_") or f"{fn}_{auto_idx}"
+                auto_idx += 1
+            if alias in aggs:
+                raise ValueError(f"duplicate output column {alias!r}")
+            aggs[alias] = (fn, args)
+            items.append((None, alias))
+            continue
+        im = _IDENT.match(expr)
+        if not im:
+            raise ValueError(
+                f"OVER-shape select items must be plain source columns "
+                f"or FN(expr) OVER (<the shared window>), got {raw!r}"
+            )
+        items.append((im.group("name"), alias or im.group("name")))
+    return InsertSelect(
+        sink=sink, shape="over", sources=[om.group("src").strip('`"')],
+        aggs=aggs, where=_clean(om.group("where")), select=items,
+        over={
+            "partition": list(spec[0]), "order": spec[1],
+            "rows": spec[2], "range": spec[3],
+        },
+    )
 
 
 def _extract_parenthesized_from(select: str):
@@ -1346,6 +1592,21 @@ class SqlMaintenanceJob:
                 distinct=distinct or None,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        elif stmt.shape == "over":
+            # OVER aggregation: append-only input, each row emitted
+            # once with its frame aggregate — Flink's
+            # StreamExecOverAggregate; the plan validates the frame
+            # and refuses updating inputs with guidance
+            self.plan = maintain(
+                over={
+                    "partition": stmt.over["partition"],
+                    "order": stmt.over["order"],
+                    "aggs": dict(stmt.aggs),
+                    "rows": stmt.over["rows"],
+                    "range": stmt.over["range"],
+                },
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
         elif stmt.shape == "join" and stmt.join_chain:
             # multi-way chain: resolve each stage's ON columns to their
             # names in the ACCUMULATED left frame (a right-side join
@@ -1427,6 +1688,18 @@ class SqlMaintenanceJob:
                 },
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        elif stmt.shape == "lookup":
+            # processing-time lookup join: no state, the dim's CURRENT
+            # snapshot is consulted per batch (step() takes it under
+            # the dim table's name)
+            self._join_filter_sql = None
+            self.plan = maintain(
+                lookup={
+                    "on": [ca for ca, _ in stmt.join_on],
+                    "how": stmt.join_how,
+                },
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
         elif stmt.shape == "join":
             self._join_filter_sql = None
             if stmt.join_extra:
@@ -1444,6 +1717,30 @@ class SqlMaintenanceJob:
                 )
             self.plan = maintain(
                 on=[ca for ca, _ in stmt.join_on], how=stmt.join_how,
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
+        elif stmt.shape == "topn" and self._dedup_row_spec(tables):
+            # rank = 1 ordered by the source's declared ROWTIME — the
+            # deduplication form (Flink's planner compiles exactly this
+            # split: rank over a time attribute → StreamExecDeduplicate,
+            # rank over a value → StreamExecRank).  State = one row per
+            # partition key; no PRIMARY KEY needed.
+            order_col, keep = self._dedup_row_spec(tables)
+            missing_keys = [
+                k for k in stmt.group_cols
+                if k not in {s for s, _ in stmt.select}
+            ]
+            if missing_keys:
+                raise ValueError(
+                    f"deduplication SELECT must project the PARTITION BY "
+                    f"column(s) {missing_keys} — the winners are keyed "
+                    "by them in an upsert sink"
+                )
+            self.plan = maintain(
+                dedup_row={
+                    "keys": stmt.group_cols, "order": order_col,
+                    "keep": keep,
+                },
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         else:  # topn
@@ -1470,7 +1767,7 @@ class SqlMaintenanceJob:
                 group_cols=stmt.group_cols, keys=keys,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
-        if stmt.shape in ("join", "temporal"):
+        if stmt.shape in ("join", "temporal", "lookup"):
             # the maintained frame carries ONE physical column per join
             # key (right side renamed onto left), and an outer stage's
             # PAD rows carry the non-padded side's value in it — so
@@ -1484,6 +1781,9 @@ class SqlMaintenanceJob:
                 if stmt.join_how == "left":
                     b_al = stmt.temporal[2]
                     pad |= {(b_al, cb) for _, cb in stmt.join_on}
+            elif stmt.shape == "lookup":
+                if stmt.join_how == "left":
+                    pad |= {(stmt.lookup, cb) for _, cb in stmt.join_on}
             elif stmt.join_chain:
                 for stage in stmt.join_chain:
                     if stage["how"] in ("left", "full"):
@@ -1521,11 +1821,37 @@ class SqlMaintenanceJob:
         )
 
         self._where_tombstones = stmt.where is not None and (
-            stmt.shape == "topn"
+            (stmt.shape == "topn"
+             and getattr(self.plan, "kind", None) == "topn")
             or isinstance(self.plan, (_AggRecomputePlan, _SessionPlan))
         )
         self._state = None
         self._acc: Optional[DataFrame] = None
+
+    def _dedup_row_spec(self, tables):
+        """(order col, keep) when this rank-=1 statement is the
+        DEDUPLICATION form: ORDER BY the source's declared rowtime
+        [ASC→keep-first | DESC→keep-last] — the exact split Flink's
+        planner applies (time-attribute rank → StreamExecDeduplicate,
+        value rank → StreamExecRank); None routes to Top-N."""
+        stmt = self.stmt
+        if stmt.shape != "topn" or not stmt.rank_eq:
+            return None
+        om = re.match(
+            r"^[`\"]?(?P<col>\w+)[`\"]?(?:\s+(?P<dir>ASC|DESC))?$",
+            stmt.order_sql.strip(), re.IGNORECASE,
+        )
+        if not om:
+            return None
+        rowtime = _table_rowtime(tables, stmt.sources[0])
+        if rowtime is None or om.group("col") != rowtime:
+            return None
+        keep = (
+            "last"
+            if (om.group("dir") or "asc").lower() == "desc"
+            else "first"
+        )
+        return rowtime, keep
 
     # -- per-batch ---------------------------------------------------
     def _prep(self, i: int, batch: DataFrame) -> DataFrame:
@@ -1547,7 +1873,7 @@ class SqlMaintenanceJob:
         return self._agg_transforms(out)
 
     def _agg_transforms(self, out: DataFrame) -> DataFrame:
-        if self.stmt.where and self.stmt.shape in ("agg", "topn"):
+        if self.stmt.where and self.stmt.shape in ("agg", "topn", "over"):
             if self._where_tombstones:
                 # table-state plans: failing +I/+U images become -D
                 # tombstones so the key leaves the filtered table (see
@@ -1649,7 +1975,7 @@ class SqlMaintenanceJob:
                 acc_cols |= set(b.columns) - {self.op_col, self.seq_col}
                 prepped.append(b)
             self._state, delta = self.plan.step(self._state, *prepped)
-        elif self.stmt.shape in ("join", "temporal"):
+        elif self.stmt.shape in ("join", "temporal", "lookup"):
             a = self._prep(0, batches[self.stmt.sources[0]])
             b = self._prep(1, batches[self.stmt.sources[1]])
             # merge_join_state equi-joins on same-named columns: align
@@ -1747,6 +2073,29 @@ class SqlMaintenanceJob:
                 "feed the join's signed deltas to a multiset consumer, "
                 "not a keyed upsert sink"
             )
+        if self.stmt.shape == "lookup":
+            raise ValueError(
+                "lookup-join output is a multiset (a dim key may match "
+                "several dim rows); feed the signed deltas to a "
+                "multiset consumer, or use an event-time temporal join "
+                "(one version per probe) for a keyed changelog"
+            )
+        if self.stmt.shape == "over":
+            # append-only enrichment (like temporal): renderable as a
+            # keyed +I stream when the source's PRIMARY KEY is
+            # projected (each arrival emits exactly once)
+            pk, _ = self._preps[0]
+            projected = {s for s, _ in self.stmt.select}
+            missing = [k for k in pk if k not in projected]
+            if not pk or missing:
+                raise ValueError(
+                    "rendering an OVER aggregation's delta as a "
+                    "changelog needs the source table's PRIMARY KEY "
+                    "projected "
+                    f"(missing {missing if pk else 'a declared PRIMARY KEY'}) "
+                    "— with it, the append-only enrichment is a keyed "
+                    "insert stream"
+                )
         if self.stmt.shape == "temporal":
             # append-only enrichment: renderable as a keyed +I stream
             # when the probe's PRIMARY KEY is projected (each probe row
@@ -1798,7 +2147,7 @@ class SqlMaintenanceJob:
                 cols.append(
                     F.col(self._join_outname.get((q, c), c)).alias(out)
                 )
-        elif self.stmt.shape in ("join", "temporal"):
+        elif self.stmt.shape in ("join", "temporal", "lookup"):
             a, _b = self.stmt.join_aliases
             on_a = {ca for ca, _ in self.stmt.join_on}
             for src, out in self.stmt.select:
@@ -1826,7 +2175,9 @@ class SqlMaintenanceJob:
         if self._acc is None:
             raise ValueError("no batches stepped yet")
         live = self._acc.filter(F.col(MULT_COL) > 0)
-        if self.stmt.shape in ("join", "temporal"):
+        if self.stmt.shape in ("join", "temporal", "over", "lookup"):
+            # multiset semantics: two source rows agreeing on every
+            # projected column (and frame aggregate) are two output rows
             live = live.withColumn(
                 "__dup",
                 F.explode(
@@ -1926,6 +2277,24 @@ def explain_insert_maintained(
             "materialized table + per-group membership; affected "
             "groups re-rank"
         ),
+        _m._OverPlan: (
+            "StreamExecOverAggregate (OVER aggregation): append-only "
+            "input, each arrival emitted once with its frame "
+            "aggregate; state = frame-reachable rows per key (bounded "
+            "frames) or one accumulator row per key (UNBOUNDED)"
+        ),
+        _m._LookupJoinPlan: (
+            "StreamExecLookupJoin (processing-time lookup join): "
+            "append-only probe enriched against the dim table's "
+            "CURRENT snapshot per batch; NO operator state (the dim "
+            "is re-consulted each batch); output append-only"
+        ),
+        _m._DedupRowPlan: (
+            "StreamExecDeduplicate (rowtime deduplication): append-"
+            "only input, state = ONE row per partition key; an "
+            "out-of-order arrival beating the stored winner retracts "
+            "the emitted row and inserts the new one"
+        ),
     }[type(plan)]
     lines.append(f"plan: {state}")
     if stmt.union_branches:
@@ -1955,6 +2324,18 @@ def explain_insert_maintained(
             f"window: SESSION({stmt.session[0]}, gap {stmt.session[1]}) "
             "— merging windows (plan-side assignment)"
         )
+    if stmt.over:
+        if stmt.over["rows"] is not None:
+            frame = f"ROWS {stmt.over['rows']} PRECEDING"
+        elif stmt.over["range"] is not None:
+            frame = f"RANGE {stmt.over['range']} PRECEDING"
+        else:
+            frame = "UNBOUNDED PRECEDING"
+        lines.append(
+            f"over window: PARTITION BY {stmt.over['partition']} ORDER "
+            f"BY {stmt.over['order']} ASC, {frame} AND CURRENT ROW — "
+            "append-only in, append-only out"
+        )
     if stmt.where:
         mode = (
             "tombstone-rewrite on table state"
@@ -1965,6 +2346,17 @@ def explain_insert_maintained(
     if stmt.having:
         lines.append(
             f"having: {stmt.having!r} — delta-stream emission gate"
+        )
+    if stmt.shape == "topn" and isinstance(plan, _m._DedupRowPlan):
+        lines.append(
+            f"dedup: PARTITION BY {stmt.group_cols} keep-{plan.keep} "
+            f"by {plan.order!r} (ties: arrival seq)"
+        )
+    if stmt.shape == "lookup":
+        lines.append(
+            f"as of: PROCTIME() — {stmt.lookup} is consulted at its "
+            f"current content per batch; {stmt.join_how.upper()} "
+            "semantics on missing keys"
         )
     if stmt.shape == "temporal":
         pq, pc, b_al = stmt.temporal
@@ -2110,14 +2502,26 @@ def replay_insert_maintained(
 
     job = plan_insert_maintained(sql, tables, op_col=op_col, seq_col=seq_col)
     names = job.stmt.sources
+    # a lookup join's dim side is a SNAPSHOT, not a changelog — it has
+    # no seq column and is handed to every step whole (the external
+    # table's current content; vary it across steps by stepping
+    # manually instead)
+    static = {names[1]} if job.stmt.shape == "lookup" else set()
     if n_batches > 1:
         logs = {k: v.localCheckpoint(eager=False) for k, v in logs.items()}
     his = [
-        logs[t].agg(F.max(seq_col)).collect()[0][0] for t in names
+        logs[t].agg(F.max(seq_col)).collect()[0][0]
+        for t in names
+        if t not in static
     ]
     hi = max([h for h in his if h is not None], default=None)
     # hi=None (all-empty logs) yields one all-rows condition: a single
     # step over the empty frames still produces the output schema
     for cond in seq_range_conditions(hi, n_batches, seq_col):
-        job.step({t: logs[t].filter(cond) for t in names})
+        job.step(
+            {
+                t: (logs[t] if t in static else logs[t].filter(cond))
+                for t in names
+            }
+        )
     return job.result()

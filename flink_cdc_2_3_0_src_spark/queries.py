@@ -173,7 +173,17 @@ _PRIORITY: list[str] = [
     # histogram distribution sketch — the third sketch class
     # (CMS = frequency, HLL = cardinality, histogram = distribution)
     # and the only r7 operator class without a driver witness.)
-    "sketch_quantile_histogram",
+    # (sketch_quantile_histogram: demoted in r10 — superseded in-window
+    # by sketch_hist_incremental, the INCREMENTAL histogram-state
+    # maintenance twin (merge_hist_state, the cell-count addition
+    # monoid): it folds the SAME (group, bin) cells per batch and
+    # finalizes through the SHARED _hist_quantiles_from_cells path, so
+    # the one-shot quantile computation is a strict subpath of the
+    # incremental row — and the incremental form is the per-batch
+    # corpus-distribution shape a 100 TB ingest runs continuously
+    # (the r10 VERDICT's remaining sketch-trio promotion candidate).
+    # The one-shot row stays registered + locally swept.)
+    "sketch_hist_incremental",
     "text_lang_id", "text_gopher_filter", "dedup_exact_stats",
     # (text_quality: single blended quality score — superseded in-window
     # by text_gopher_filter, the full Gopher/C4 rule-set gate with
@@ -279,7 +289,20 @@ _PRIORITY: list[str] = [
     # (sketch_count_min sits past the window in the heavy-tail bench);
     # the 64-register min-merge monoid with the all-integer estimate
     # path gives the class an oracle-exact witness.)
-    "sketch_hll_distinct",
+    # (sketch_hll_distinct: demoted in r10 — the HLL class keeps a
+    # STRONGER in-window witness in sketch_hll_incremental (idx 4),
+    # whose per-batch register-MIN fold finalizes through the SHARED
+    # estimate path, making the one-shot computation a strict subpath
+    # of the incremental row; the one-shot stays registered + locally
+    # swept.  Its slot goes to cdc_sql_over_agg: OVER aggregation on
+    # the SQL maintenance surface (Flink's StreamExecOverAggregate —
+    # SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN n PRECEDING
+    # AND CURRENT ROW) on an append-only stream, each arrival emitted
+    # once with its frame aggregate from retained frame-reachable
+    # state) — a genuinely new operator class: the only append-only
+    # per-row enrichment aggregate in the family, with its own state
+    # discipline (_OverPlan) that no other window row exercises.)
+    "cdc_sql_over_agg",
     # (dedup_ngram_jaccard / dedup_embedding_cosine — the LSH-off
     # verification shapes — were UNREGISTERED in r6: no O(n²)-per-block
     # query remains in the registry.  The operators live on behind an
@@ -5307,6 +5330,152 @@ def cdc_sql_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "g", F.col("s_dec").cast("double").alias("sum_v"), "n"
+    )
+
+
+# OVER aggregation on the SQL maintenance surface (r10): Flink's
+# StreamExecOverAggregate — ``SUM(v) OVER (PARTITION BY k ORDER BY ts
+# ROWS BETWEEN n PRECEDING AND CURRENT ROW)`` over an append-only
+# stream, each arrival emitted once enriched with its frame aggregate
+# (flink-table-runtime's RowTimeRowsBoundedPrecedingFunction is the
+# reference operator class; the CDC repo feeds it through its SQL
+# pipelines).  The maintenance plan retains only the frame-reachable
+# rows per key (here ≤4 rows/user), so state is bounded at any scale;
+# the oracle computes the same window one-shot over the full table —
+# a genuinely different algorithm (global sort-window vs per-batch
+# retained-frame enrichment).  DECIMAL(18,2) frame sums keep the
+# float parity exact; ties in ts break on event_id (= the replay seq)
+# in both engines.
+@register(
+    "cdc_sql_over_agg",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS run_sum,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           ) AS run_n
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def cdc_sql_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT event_id, user_id,"
+        " SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id"
+        " ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        " AS run_dec,"
+        " COUNT(*) OVER (PARTITION BY user_id ORDER BY ts"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS run_n"
+        " FROM events_cdc WHERE event_id % 2 = 0",
+        {"events_cdc": ["event_id"]},
+        {"events_cdc": log},
+        n_batches=4,
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("run_dec").cast("double").alias("run_sum"),
+        "run_n",
+    )
+
+
+# Row deduplication on the SQL maintenance surface (r10): Flink's
+# StreamExecDeduplicate — `SELECT .. FROM (SELECT *, ROW_NUMBER() OVER
+# (PARTITION BY k ORDER BY <rowtime>) AS rn FROM t) WHERE rn = 1`,
+# keep-first by event time (DESC = keep-last), state = ONE row per key
+# (RowTimeDeduplicateFunction's ValueState).  The bridge applies
+# Flink's planner split exactly: rank=1 ordered by the declared
+# ROWTIME dispatches the dedup plan; a value ordering stays a rank
+# query.  Out-of-order arrivals are exact (per-key min by (ts, seq) is
+# a monoid — a late earlier-ts row retracts the previously-emitted
+# winner), so any batch split lands on the oracle's one-shot
+# ROW_NUMBER result.  At 100 TB: per-batch work = batch + affected
+# keys' single state rows; state = one row per user.
+@register(
+    "cdc_sql_dedup_first",
+    """
+    SELECT user_id, event_id, event_type, ts
+    FROM (
+        SELECT user_id, event_id, event_type, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ) WHERE rn = 1
+    """,
+)
+def cdc_sql_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id, event_id, event_type, ts"
+        " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+        " ORDER BY ts) AS rn FROM events_cdc) WHERE rn = 1",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=4,
+    )
+
+
+# Lookup join on the SQL maintenance surface (r10): Flink's
+# processing-time temporal join — `FROM orders o JOIN customer
+# FOR SYSTEM_TIME AS OF PROCTIME() AS c ON o.o_custkey = c.c_custkey`
+# (StreamExecLookupJoin; the reference's JDBC dim-table enrichment,
+# flink-connector-jdbc's JdbcRowDataLookupFunction).  Each batch's
+# append-only probe rows join the dim's CURRENT snapshot; output is
+# append-only and NO operator state exists (the dim is re-consulted
+# per batch — the batched form of Flink's per-record external lookup
+# with cache).  With a static dim the result equals a plain join, so
+# the oracle is exact; the mid-stream-dim-change semantics are pinned
+# by tests/test_sql_maintain.py's lookup witnesses.  At 100 TB: one
+# batch-sized equi-join per step; AQE broadcasts a small dim (the
+# lookup-cache analogue).
+@register(
+    "cdc_sql_lookup_join",
+    """
+    SELECT o.o_orderkey AS okey, o.o_custkey AS ckey,
+           o.o_orderpriority AS priority, c.c_mktsegment AS segment
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def cdc_sql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    probe = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.lit("+I").alias(OP_COL),
+        F.col("o_orderkey").cast("long").alias(SEQ_COL),
+    )
+    dim = ld(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT p.o_orderkey AS okey,"
+        " p.o_custkey AS ckey, p.o_orderpriority AS priority,"
+        " d.c_mktsegment AS segment"
+        " FROM orders_cdc p LEFT JOIN cust_dim"
+        " FOR SYSTEM_TIME AS OF PROCTIME() AS d"
+        " ON p.o_custkey = d.c_custkey",
+        {"orders_cdc": ["o_orderkey"], "cust_dim": []},
+        {"orders_cdc": probe, "cust_dim": dim},
+        n_batches=3,
     )
 
 

@@ -78,6 +78,10 @@ DEFAULT_QUERIES = [
     "cdc_sql_interval_join",
     "cdc_sql_distinct_agg",
     "cdc_sql_temporal_join",
+    "cdc_sql_union_agg",
+    "cdc_sql_over_agg",
+    "cdc_sql_dedup_first",
+    "cdc_sql_lookup_join",
 ]
 
 

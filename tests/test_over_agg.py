@@ -188,3 +188,245 @@ def test_over_ttl_evicts_bounded_state(spark):
         state, _ = plan.step(state, b)
     kept = plan.expire(state, 30)
     assert {r["ts"] for r in kept.collect()} == {30, 40, 50, 35}
+
+
+# ---------------------------------------------------------------------
+# SQL surface: FN(x) OVER (PARTITION BY k ORDER BY ts [frame]) FROM t
+# (plans/sql_maintain.py shape "over" → _OverPlan) — Flink's
+# StreamExecOverAggregate syntax over the maintenance bridge.
+# ---------------------------------------------------------------------
+
+def _ts_log(spark):
+    """Append-only changelog with a real timestamp order column (the
+    RANGE frame casts through timestamps) and per-key in-order
+    arrivals; v has a NULL for SQL-null-semantics coverage."""
+    rows = [
+        (1, "a", 1.0, "2024-01-01 00:01:00"),
+        (2, "b", 5.0, "2024-01-01 00:02:00"),
+        (3, "a", 2.0, "2024-01-01 00:03:00"),
+        (4, "a", None, "2024-01-01 00:04:00"),
+        (5, "b", 7.0, "2024-01-01 00:30:00"),
+        (6, "a", 4.0, "2024-01-01 00:31:00"),
+        (7, "a", 8.0, "2024-01-01 00:32:00"),
+        (8, "b", 9.0, "2024-01-01 00:33:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, k string, v double, ts string"
+    ).select(
+        "id", "k", "v", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("+I").alias(OP_COL), F.col("id").alias(SEQ_COL),
+    )
+
+
+def _one_shot(spark, df, over_sql):
+    df.drop(OP_COL).createOrReplaceTempView("__t")
+    return {
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT id, k, v, {over_sql} AS o FROM __t"
+        ).collect()
+    }
+
+
+def _sql_replay(spark, sql, log, n_batches=3):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    out = replay_insert_maintained(
+        sql, {"src": ["id"]}, {"src": log}, n_batches=n_batches
+    )
+    return {tuple(r) for r in out.collect()}
+
+
+def test_sql_over_rows_frame_matches_one_shot(spark):
+    log = _ts_log(spark)
+    sql = (
+        "INSERT INTO sink SELECT id, k, v, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS o"
+        " FROM src"
+    )
+    expected = _one_shot(
+        spark, log,
+        "SUM(v) OVER (PARTITION BY k ORDER BY ts, _seq"
+        " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)",
+    )
+    for n in (1, 3):
+        assert _sql_replay(spark, sql, log, n) == expected
+
+
+def test_sql_over_range_frame_matches_one_shot(spark):
+    log = _ts_log(spark)
+    sql = (
+        "INSERT INTO sink SELECT id, k, v, AVG(v) OVER (PARTITION BY k"
+        " ORDER BY ts RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING AND"
+        " CURRENT ROW) AS o FROM src"
+    )
+    expected = _one_shot(
+        spark, log,
+        "AVG(v) OVER (PARTITION BY k ORDER BY CAST(ts AS TIMESTAMP)"
+        " RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)",
+    )
+    assert _sql_replay(spark, sql, log, 3) == expected
+
+
+def test_sql_over_unbounded_and_where(spark):
+    log = _ts_log(spark)
+    # no frame clause = UNBOUNDED PRECEDING; WHERE filters arrivals
+    # BEFORE they enter any frame (SQL's evaluation order)
+    sql = (
+        "INSERT INTO sink SELECT id, k, v, MAX(v) OVER (PARTITION BY k"
+        " ORDER BY ts) AS o FROM src WHERE v IS NOT NULL"
+    )
+    expected = _one_shot(
+        spark, log.filter(F.col("v").isNotNull()),
+        "MAX(v) OVER (PARTITION BY k ORDER BY ts, _seq"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    )
+    for n in (1, 4):
+        assert _sql_replay(spark, sql, log, n) == expected
+
+
+def test_sql_over_parse_rules(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        parse_insert_select,
+        plan_insert_maintained,
+    )
+
+    base = "INSERT INTO sink SELECT id, k, v, "
+    # UNBOUNDED spelled explicitly, both frame kinds
+    for fr in ("ROWS", "RANGE"):
+        stmt = parse_insert_select(
+            base + f"SUM(v) OVER (PARTITION BY k ORDER BY ts {fr} "
+            "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS o FROM src"
+        )
+        assert stmt.shape == "over"
+        assert stmt.over["rows"] is None and stmt.over["range"] is None
+    with pytest.raises(ValueError, match="ASCENDING time attribute"):
+        parse_insert_select(
+            base + "SUM(v) OVER (PARTITION BY k ORDER BY ts DESC) AS o"
+            " FROM src"
+        )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        parse_insert_select(
+            base + "COUNT(DISTINCT v) OVER (PARTITION BY k ORDER BY ts)"
+            " AS o FROM src"
+        )
+    with pytest.raises(ValueError, match="must be identical"):
+        parse_insert_select(
+            base + "SUM(v) OVER (PARTITION BY k ORDER BY ts) AS o,"
+            " COUNT(*) OVER (PARTITION BY v ORDER BY ts) AS n FROM src"
+        )
+    with pytest.raises(ValueError, match="duplicate output column"):
+        parse_insert_select(
+            base + "SUM(v) OVER (PARTITION BY k ORDER BY ts) AS o,"
+            " COUNT(*) OVER (PARTITION BY k ORDER BY ts) AS o FROM src"
+        )
+    with pytest.raises(ValueError, match="plain source columns"):
+        parse_insert_select(
+            base + "v + 1, SUM(v) OVER (PARTITION BY k ORDER BY ts)"
+            " AS o FROM src"
+        )
+    # a SELECT with no OVER item at all falls to the generic shape error
+    with pytest.raises(ValueError, match="unsupported INSERT-SELECT"):
+        parse_insert_select("INSERT INTO sink SELECT id, k FROM src")
+    # unaliased over agg gets a derived stable name
+    stmt = parse_insert_select(
+        base + "SUM(v) OVER (PARTITION BY k ORDER BY ts) FROM src"
+    )
+    assert ("sum_v" in stmt.aggs) and (None, "sum_v") in stmt.select
+    # ttl must name the ORDER BY column (plan-level contract surfaces)
+    with pytest.raises(ValueError, match="ORDER BY time column"):
+        plan_insert_maintained(
+            base + "SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS"
+            " BETWEEN 1 PRECEDING AND CURRENT ROW) AS o FROM src",
+            {"src": ["id"]}, ttl="v",
+        )
+
+
+def test_sql_over_updating_input_refused(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+    )
+
+    log = _ts_log(spark).withColumn(
+        OP_COL, F.when(F.col("id") == 3, F.lit("-D")).otherwise("+I")
+    )
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT id, k, v, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts) AS o FROM src",
+        {"src": ["id"]},
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        job.step({"src": log})
+
+
+def test_sql_over_delta_changelog_and_ttl(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+    )
+
+    log = _ts_log(spark)
+    sql = (
+        "INSERT INTO sink SELECT id, k, v, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS o"
+        " FROM src"
+    )
+    job = plan_insert_maintained(sql, {"src": ["id"]}, ttl="ts")
+    d1 = job.step({"src": log.filter(F.col("id") <= 4)})
+    cl = job.delta_changelog(d1, 0)
+    got = cl.select("id", OP_COL).collect()
+    assert len(got) == 4 and all(r[OP_COL] == "+I" for r in got)
+    # bounded-frame state expires behind the watermark via the job
+    job.expire("2024-01-01 00:29:00")
+    job.step({"src": log.filter(F.col("id") > 4)})
+    assert job.result().count() == 8
+    # PK not projected → the changelog render refuses with guidance
+    job2 = plan_insert_maintained(
+        "INSERT INTO sink SELECT k, v, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts) AS o FROM src",
+        {"src": ["id"]},
+    )
+    d = job2.step({"src": log})
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        job2.delta_changelog(d, 0)
+
+
+def test_sql_over_duplicate_rows_keep_multiset(spark):
+    # two identical arrivals (same projected payload AND same frame
+    # aggregate) are two output rows — result() keeps multiset
+    # semantics like the join shapes
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+    )
+
+    rows = [(1, "a", 3.0, 10), (2, "a", 3.0, 10)]
+    log = spark.createDataFrame(
+        rows, "id long, k string, v double, ts long"
+    ).select(
+        "k", "v", "ts", F.lit("+I").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT k, v, MIN(v) OVER (PARTITION BY k"
+        " ORDER BY ts) AS o FROM src",
+        {"src": []},
+    )
+    job.step({"src": log})
+    assert job.result().count() == 2
+
+
+def test_sql_over_explain(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    txt = explain_insert_maintained(
+        "INSERT INTO sink SELECT id, k, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts RANGE BETWEEN INTERVAL '10' MINUTE PRECEDING AND"
+        " CURRENT ROW) AS o FROM src WHERE v > 0",
+        {"src": ["id"]}, ttl="ts",
+    )
+    assert "StreamExecOverAggregate" in txt
+    assert "RANGE 10 minutes PRECEDING" in txt
+    assert "where:" in txt and "state ttl" in txt

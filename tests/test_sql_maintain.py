@@ -2358,3 +2358,379 @@ def test_union_agg_explain(spark):
     )
     assert "UNION ALL of 2 branches" in txt
     assert "signed-delta" in txt
+
+
+# ---------------------------------------------------------------------------
+# OVER aggregation (Flink's StreamExecOverAggregate) — streaming witness
+# ---------------------------------------------------------------------------
+
+def test_streaming_over_agg_matches_one_shot(spark, tmp_path):
+    """OVER aggregation through a REAL Structured Streaming query:
+    per-microbatch frame enrichment over retained per-key state lands
+    on the one-shot window result — each arrival emitted exactly once,
+    frames crossing microbatch boundaries."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    rows = [
+        (i, ["a", "b", "a", "a", "b"][i % 5], float(i % 7),
+         f"2024-03-01 00:{i:02d}:00")
+        for i in range(18)
+    ]
+    log = spark.createDataFrame(
+        rows, "id long, k string, v double, ts string"
+    ).select(
+        "id", "k", "v", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("+I").alias(OP_COL), F.col("id").alias(SEQ_COL),
+    )
+    replay_dir = str(tmp_path / "replay_over")
+    write_replay_files(log, replay_dir, n_files=4)
+
+    job = plan_insert_maintained(
+        "INSERT INTO sink SELECT id, k, v, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,"
+        " COUNT(*) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN 2"
+        " PRECEDING AND CURRENT ROW) AS n FROM t",
+        {"t": ["id"]},
+    )
+
+    def process(batch_df, batch_id):
+        job.step({"t": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_over"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    log.drop(OP_COL).createOrReplaceTempView("__over_t")
+    direct = spark.sql(
+        "SELECT id, k, v, SUM(v) OVER w AS s, COUNT(*) OVER w AS n"
+        " FROM __over_t WINDOW w AS (PARTITION BY k ORDER BY ts, _seq"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    assert sorted(map(tuple, job.result().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_rollup_and_cube_rewrite_to_grouping_sets():
+    """ROLLUP/CUBE are GROUPING SETS sugar (SQL standard / Flink's
+    expansion) — the parser rewrites them so one plan path and one
+    GROUPING_ID discipline serve all three spellings."""
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT g, h, GROUPING_ID() AS gid,"
+        " SUM(v) AS s FROM t GROUP BY ROLLUP (g, h)"
+    )
+    assert st.grouping_sets == [["g", "h"], ["g"], []]
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT g, h, GROUPING_ID() AS gid,"
+        " SUM(v) AS s FROM t GROUP BY CUBE (g, h)"
+    )
+    assert sorted(map(tuple, st.grouping_sets)) == sorted(
+        [("g", "h"), ("g",), ("h",), ()]
+    )
+    with pytest.raises(ValueError, match="at least one column"):
+        parse_insert_select(
+            "INSERT INTO sink SELECT SUM(v) AS s FROM t GROUP BY ROLLUP ()"
+        )
+    with pytest.raises(ValueError, match="GROUPING SETS you actually"):
+        parse_insert_select(
+            "INSERT INTO sink SELECT a, b, c, d, e, f, g2,"
+            " GROUPING_ID() AS gid, SUM(v) AS s FROM t"
+            " GROUP BY CUBE (a, b, c, d, e, f, g2)"
+        )
+
+
+@pytest.mark.parametrize("kind,spark_kind", [
+    ("ROLLUP (g, h)", "ROLLUP(g, h)"),
+    ("CUBE (g, h)", "CUBE(g, h)"),
+])
+def test_rollup_cube_replay_matches_spark_sql(spark, kind, spark_kind):
+    log = spark.createDataFrame(_GS_ROWS, _GS_SCHEMA)
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT g, h, GROUPING_ID() AS gid,"
+        f" SUM(v) AS s, COUNT(*) AS n FROM t GROUP BY {kind}",
+        {"t": ["k"]}, {"t": log}, n_batches=3,
+    )
+    materialize(log, ["k"]).createOrReplaceTempView("m_rc")
+    direct = spark.sql(
+        "SELECT g, h, grouping_id() AS gid, SUM(v) AS s, COUNT(*) AS n "
+        f"FROM m_rc GROUP BY {spark_kind}"
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row deduplication (Flink's StreamExecDeduplicate): ROW_NUMBER() = 1
+# ordered by the declared rowtime — keep-first (ASC) / keep-last (DESC)
+# ---------------------------------------------------------------------------
+
+# out-of-order arrivals: key a's earliest-ts row arrives LAST, so the
+# stored keep-first winner must be retracted mid-stream; key c has a
+# ts tie broken by arrival seq; NULL-ts rows are dropped
+_DR_ROWS = [
+    (1, "a", 5.0, 30), (2, "b", 2.0, 10), (3, "a", 7.0, 40),
+    (4, "b", 1.0, 50), (5, "a", 9.0, 20), (6, "c", 3.0, 60),
+    (7, "c", 4.0, 60), (8, "c", 6.0, None),
+]
+_DR_SCHEMA = "id long, k string, v double, ts long"
+_DR_TABLES = {"src": {"primary_key": ["id"], "rowtime": "ts"}}
+_DR_FIRST = (
+    "INSERT INTO sink SELECT k, v, ts FROM (SELECT *,"
+    " ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn FROM src)"
+    " WHERE rn = 1"
+)
+
+
+def _dr_log(spark):
+    return spark.createDataFrame(_DR_ROWS, _DR_SCHEMA).select(
+        "id", "k", "v", "ts", F.lit("+I").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3, 5])
+def test_dedup_keep_first_any_split(spark, n_batches):
+    out = replay_insert_maintained(
+        _DR_FIRST, _DR_TABLES, {"src": _dr_log(spark)},
+        n_batches=n_batches,
+    )
+    # a's late ts=20 arrival beats the stored 30; c's tie (ts=60)
+    # keeps the earlier arrival (seq 6); NULL ts never competes
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", 9.0, 20), ("b", 2.0, 10), ("c", 3.0, 60),
+    ]
+
+
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_dedup_keep_last_any_split(spark, n_batches):
+    out = replay_insert_maintained(
+        _DR_FIRST.replace("ORDER BY ts", "ORDER BY ts DESC"),
+        _DR_TABLES, {"src": _dr_log(spark)}, n_batches=n_batches,
+    )
+    # keep-last ties go to the LATER arrival (seq 7)
+    assert sorted(map(tuple, out.collect())) == [
+        ("a", 7.0, 40), ("b", 1.0, 50), ("c", 4.0, 60),
+    ]
+
+
+def test_dedup_dispatch_rules(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    # ordering by a NON-rowtime column = a value rank → Top-N plan
+    # (Flink's StreamExecRank), not deduplication
+    txt = explain_insert_maintained(
+        "INSERT INTO sink SELECT id, k, v FROM (SELECT *, ROW_NUMBER()"
+        " OVER (PARTITION BY k ORDER BY v DESC) AS rn FROM src)"
+        " WHERE rn = 1",
+        _DR_TABLES,
+    )
+    assert "RankOperator" in txt
+    # rowtime order → dedup, keep direction from ASC/DESC
+    txt = explain_insert_maintained(_DR_FIRST, _DR_TABLES)
+    assert "StreamExecDeduplicate" in txt and "keep-first" in txt
+    # rank = k for k > 1 is refused with guidance
+    with pytest.raises(ValueError, match="rank = 2"):
+        parse_insert_select(_DR_FIRST.replace("rn = 1", "rn = 2"))
+    # partition keys must be projected (the upsert sink's key)
+    with pytest.raises(ValueError, match="PARTITION BY column"):
+        plan_insert_maintained(
+            _DR_FIRST.replace("SELECT k, v, ts", "SELECT v, ts"),
+            _DR_TABLES,
+        )
+    # updating input refused with guidance
+    job = plan_insert_maintained(_DR_FIRST, _DR_TABLES)
+    bad = _dr_log(spark).withColumn(
+        OP_COL, F.when(F.col("id") == 3, F.lit("-D")).otherwise("+I")
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        job.step({"src": bad})
+    # ttl must name the rowtime
+    with pytest.raises(ValueError, match="ORDER BY time column"):
+        plan_insert_maintained(_DR_FIRST, _DR_TABLES, ttl="v")
+
+
+def test_dedup_where_and_ttl(spark):
+    # WHERE filters arrivals before they compete (append-only input →
+    # plain pre-filter); TTL forgets winners behind the watermark so a
+    # late arrival re-opens the key (emitted rows NOT retracted —
+    # Flink's state-TTL trade)
+    job = plan_insert_maintained(
+        _DR_FIRST.replace(" FROM src)", " FROM src WHERE v < 9.0)"),
+        _DR_TABLES, ttl="ts",
+    )
+    log = _dr_log(spark)
+    job.step({"src": log.filter(F.col("id") <= 4)})
+    got = {tuple(r) for r in job.result().collect()}
+    assert got == {("a", 5.0, 30), ("b", 2.0, 10)}
+    # v=9.0 fails WHERE → a's winner stays ts=30 even though ts=20 wins
+    # the unfiltered race
+    job.step({"src": log.filter(F.col("id") == 5)})
+    got = {tuple(r) for r in job.result().collect()}
+    assert got == {("a", 5.0, 30), ("b", 2.0, 10)}
+    # expire both winners; c arrives fresh afterwards
+    job.expire(100)
+    job.step({"src": log.filter(F.col("id") >= 6)})
+    got = {tuple(r) for r in job.result().collect()}
+    assert got == {("a", 5.0, 30), ("b", 2.0, 10), ("c", 3.0, 60)}
+
+
+def test_streaming_dedup_matches_one_shot(spark, tmp_path):
+    """Deduplication through a REAL Structured Streaming query: keyed
+    winner state across microbatches lands on the one-shot
+    ROW_NUMBER()=1 result, including an out-of-order retraction."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    log = _dr_log(spark)
+    replay_dir = str(tmp_path / "replay_dedup")
+    write_replay_files(log, replay_dir, n_files=3)
+    job = plan_insert_maintained(_DR_FIRST, _DR_TABLES)
+
+    def process(batch_df, batch_id):
+        job.step({"src": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    log.drop(OP_COL).createOrReplaceTempView("__dr_t")
+    direct = spark.sql(
+        "SELECT k, v, ts FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY k ORDER BY ts ASC, _seq ASC) AS rn FROM __dr_t"
+        " WHERE ts IS NOT NULL) WHERE rn = 1"
+    )
+    assert sorted(map(tuple, job.result().collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lookup join (Flink's StreamExecLookupJoin): FOR SYSTEM_TIME AS OF
+# PROCTIME() — per-batch enrichment against the dim's CURRENT snapshot
+# ---------------------------------------------------------------------------
+
+_LK_SQL = (
+    "INSERT INTO sink SELECT p.id AS pid, p.k AS k, d.label AS label"
+    " FROM probe p LEFT JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d"
+    " ON p.k = d.k"
+)
+_LK_TABLES = {"probe": ["id"], "dim": []}
+
+
+def _lk_probe(spark, rows):
+    return spark.createDataFrame(rows, "id long, k string").select(
+        "id", "k", F.lit("+I").alias(OP_COL), F.col("id").alias(SEQ_COL)
+    )
+
+
+def test_lookup_join_sees_current_snapshot(spark):
+    """Processing-time semantics: each batch's probes see THAT batch's
+    dim content; earlier enrichments are never retracted when the dim
+    changes later (the defining difference from the maintained join)."""
+    job = plan_insert_maintained(_LK_SQL, _LK_TABLES)
+    dim1 = spark.createDataFrame([("a", "A1")], "k string, label string")
+    job.step({"probe": _lk_probe(spark, [(1, "a"), (2, "b")]),
+              "dim": dim1})
+    dim2 = spark.createDataFrame(
+        [("a", "A2"), ("b", "B1")], "k string, label string"
+    )
+    job.step({"probe": _lk_probe(spark, [(3, "a"), (4, "c")]),
+              "dim": dim2})
+    assert sorted(map(tuple, job.result().collect())) == [
+        (1, "a", "A1"), (2, "b", None), (3, "a", "A2"), (4, "c", None),
+    ]
+
+
+def test_lookup_join_static_dim_equals_plain_join(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    probe = _lk_probe(
+        spark, [(i, ["a", "b", "c", "d"][i % 4]) for i in range(12)]
+    )
+    dim = spark.createDataFrame(
+        [("a", "A"), ("b", "B"), ("a", "A-dup")],  # 1:N key a
+        "k string, label string",
+    )
+    got = replay_insert_maintained(
+        _LK_SQL, _LK_TABLES, {"probe": probe, "dim": dim}, n_batches=3
+    )
+    direct = (
+        probe.drop(OP_COL, SEQ_COL)
+        .join(dim, on="k", how="left")
+        .select(F.col("id").alias("pid"), "k", "label")
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
+def test_lookup_join_guards(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    # updating probe refused
+    job = plan_insert_maintained(_LK_SQL, _LK_TABLES)
+    bad = _lk_probe(spark, [(1, "a")]).withColumn(OP_COL, F.lit("-D"))
+    dim = spark.createDataFrame([("a", "A")], "k string, label string")
+    with pytest.raises(ValueError, match="append-only"):
+        job.step({"probe": bad, "dim": dim})
+    # RIGHT/FULL refused; only join of the statement; equi-only ON;
+    # no ttl; keyed changelog render refused (multiset)
+    with pytest.raises(ValueError, match="INNER and LEFT only"):
+        parse_insert_select(_LK_SQL.replace("LEFT JOIN", "FULL JOIN"))
+    with pytest.raises(ValueError, match="only join of the statement"):
+        parse_insert_select(
+            _LK_SQL + " JOIN other o ON o.k = p.k"
+        )
+    # a non-equi conjunct on the LEFT lookup hits the generic outer-ON
+    # refusal; on an INNER lookup it hits the lookup-specific one
+    with pytest.raises(ValueError, match="INNER joins only"):
+        parse_insert_select(
+            _LK_SQL.replace("p.k = d.k", "p.k = d.k AND p.id > 3")
+        )
+    with pytest.raises(ValueError, match="equi conditions only"):
+        parse_insert_select(
+            _LK_SQL.replace("LEFT JOIN", "JOIN").replace(
+                "p.k = d.k", "p.k = d.k AND p.id > 3"
+            )
+        )
+    with pytest.raises(ValueError, match="ttl does not apply"):
+        plan_insert_maintained(_LK_SQL, _LK_TABLES, ttl="k")
+    ok_job = plan_insert_maintained(_LK_SQL, _LK_TABLES)
+    d = ok_job.step({"probe": _lk_probe(spark, [(1, "a")]), "dim": dim})
+    with pytest.raises(ValueError, match="multiset"):
+        ok_job.delta_changelog(d, 0)
+    # padded-side join column projection refused on LEFT
+    with pytest.raises(ValueError, match="null-padded side"):
+        plan_insert_maintained(
+            "INSERT INTO sink SELECT p.id AS pid, d.k AS k FROM probe p"
+            " LEFT JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d"
+            " ON p.k = d.k",
+            _LK_TABLES,
+        )
+    txt = explain_insert_maintained(_LK_SQL, _LK_TABLES)
+    assert "StreamExecLookupJoin" in txt and "PROCTIME()" in txt
