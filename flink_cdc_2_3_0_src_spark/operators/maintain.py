@@ -1183,7 +1183,7 @@ class _OverPlan(_Plan):
             )
         self.order = opts["order"]
         self.aggs = dict(opts["aggs"])
-        bad = {fn for fn, _ in self.aggs.values()} - _AGG_FNS
+        bad = {fn for fn, _ in self.aggs.values()} - _AGG_FNS - {"lag"}
         if bad:
             raise ValueError(f"unsupported aggregate(s): {sorted(bad)}")
         self.rows = opts.get("rows")
@@ -1191,6 +1191,42 @@ class _OverPlan(_Plan):
             self.rows = int(self.rows)
             if self.rows < 0:
                 raise ValueError("rows= must be >= 0")
+        # LAG(col[, k]): offset access rides the same retained-rows
+        # state as the ROWS frame, so it requires one — and the frame
+        # bound must cover the largest offset (retention keeps exactly
+        # `rows` prior rows per key)
+        self._lag = {}
+        for name, (fn, args) in self.aggs.items():
+            if fn != "lag":
+                continue
+            parts = [a.strip() for a in str(args).split(",")]
+            if len(parts) == 1:
+                col_sql, off = parts[0], 1
+            elif len(parts) == 2 and parts[1].isdigit() and int(parts[1]) >= 1:
+                col_sql, off = parts[0], int(parts[1])
+            else:
+                raise ValueError(
+                    f"LAG takes (col) or (col, k) with integer k >= 1, "
+                    f"got LAG({args})"
+                )
+            self._lag[name] = (col_sql, off)
+        if self._lag:
+            if self.rows is None:
+                raise ValueError(
+                    "LAG in an OVER aggregation requires a ROWS frame "
+                    "(ROWS BETWEEN n PRECEDING AND CURRENT ROW) — the "
+                    "retained per-key rows are its state; UNBOUNDED "
+                    "and RANGE frames do not guarantee the offset row "
+                    "is retained"
+                )
+            worst = max(off for _, off in self._lag.values())
+            if worst > self.rows:
+                raise ValueError(
+                    f"LAG offset {worst} exceeds the ROWS frame bound "
+                    f"{self.rows}: state retains exactly {self.rows} "
+                    "prior rows per key — widen the ROWS bound to at "
+                    "least the largest offset"
+                )
         self.range_us = (
             _gap_micros(opts["range"])
             if opts.get("range") is not None
@@ -1205,9 +1241,17 @@ class _OverPlan(_Plan):
             )
 
     # frame aggregate expressions over a (partitioned, ordered) window
-    def _win_exprs(self, w):
+    def _win_exprs(self, w, w_unframed=None):
         outs = []
         for name, (fn, col_sql) in self.aggs.items():
+            if fn == "lag":
+                # offset access is position-based, not frame-based —
+                # Spark requires a frame-less window spec for lag()
+                lcol, off = self._lag[name]
+                outs.append(
+                    F.lag(F.expr(lcol), off).over(w_unframed).alias(name)
+                )
+                continue
             col = F.expr(col_sql)
             if fn == "count":
                 expr = F.count(
@@ -1257,6 +1301,7 @@ class _OverPlan(_Plan):
         if kept is not None:
             hist = hist.unionByName(kept.withColumn("__new", F.lit(0)))
         order = [F.col(self.order).asc(), F.col(self.seq_col).asc()]
+        w_unframed = Window.partitionBy(*self.partition).orderBy(*order)
         w = Window.partitionBy(*self.partition).orderBy(*order)
         if self.rows is not None:
             w = w.rowsBetween(-self.rows, 0)
@@ -1289,7 +1334,7 @@ class _OverPlan(_Plan):
                 kmax.cast("timestamp")
             ) - F.lit(self.range_us)
         out = (
-            hist.select("*", *self._win_exprs(w))
+            hist.select("*", *self._win_exprs(w, w_unframed))
             .filter(F.col("__new") == 1)
             .drop("__new", self.seq_col)
             .withColumn(MULT_COL, F.lit(1).cast("long"))

@@ -280,7 +280,8 @@ _OVER_WIN = (
     r"AND\s+CURRENT\s+ROW)?\s*\)$"
 )
 _OVER_ITEM = re.compile(
-    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\((?P<args>.*?)\)\s+" + _OVER_WIN,
+    r"^(?P<fn>SUM|COUNT|AVG|MIN|MAX|LAG)\s*\((?P<args>.*?)\)\s+"
+    + _OVER_WIN,
     re.IGNORECASE | re.DOTALL,
 )
 _OVER_RE = re.compile(

@@ -5390,6 +5390,49 @@ def cdc_sql_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LAG offset access in the OVER aggregation (r10): Flink's
+# LagAggFunction inside StreamExecOverAggregate — LAG(col, k) rides
+# the ROWS frame's retained-rows state (the offset row is retained
+# exactly when k <= the frame bound; wider offsets are refused with
+# guidance).  Offsets resolve across microbatch boundaries; the oracle
+# computes the same window one-shot.  No float math on the LAG column
+# (a pure value copy), DECIMAL frame sums for the aggregate sibling.
+@register(
+    "cdc_sql_over_lag",
+    """
+    SELECT event_id, user_id, value,
+           LAG(value, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev2,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS n_frame
+    FROM events WHERE event_id % 3 = 1
+    """,
+)
+def cdc_sql_over_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT event_id, user_id, value,"
+        " LAG(value, 2) OVER (PARTITION BY user_id ORDER BY ts"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS prev2,"
+        " COUNT(*) OVER (PARTITION BY user_id ORDER BY ts"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_frame"
+        " FROM events_cdc WHERE event_id % 3 = 1",
+        {"events_cdc": ["event_id"]},
+        {"events_cdc": log},
+        n_batches=4,
+    )
+
+
 # Row deduplication on the SQL maintenance surface (r10): Flink's
 # StreamExecDeduplicate — `SELECT .. FROM (SELECT *, ROW_NUMBER() OVER
 # (PARTITION BY k ORDER BY <rowtime>) AS rn FROM t) WHERE rn = 1`,

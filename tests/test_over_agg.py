@@ -430,3 +430,83 @@ def test_sql_over_explain(spark):
     assert "StreamExecOverAggregate" in txt
     assert "RANGE 10 minutes PRECEDING" in txt
     assert "where:" in txt and "state ttl" in txt
+
+
+def test_sql_over_lag_matches_one_shot(spark):
+    """LAG(col, k) rides the ROWS frame's retained-rows state (Flink's
+    LagAggFunction inside StreamExecOverAggregate): offsets resolve
+    across microbatch boundaries exactly because retention keeps the
+    frame-reachable rows per key."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    rows = [
+        (i, ["a", "b"][i % 2], float(i * i % 17), i * 10)
+        for i in range(14)
+    ]
+    log = spark.createDataFrame(
+        rows, "id long, k string, v double, ts long"
+    ).select(
+        "id", "k", "v", "ts", F.lit("+I").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+    sql = (
+        "INSERT INTO sink SELECT id, k, v, LAG(v, 2) OVER (PARTITION"
+        " BY k ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        " AS prev2, SUM(v) OVER (PARTITION BY k ORDER BY ts ROWS"
+        " BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM src"
+    )
+    for n in (1, 4):
+        out = replay_insert_maintained(
+            sql, {"src": ["id"]}, {"src": log}, n_batches=n
+        )
+        got = sorted(map(tuple, out.collect()))
+        log.drop(OP_COL).createOrReplaceTempView("__lag_t")
+        exp = spark.sql(
+            "SELECT id, k, v, LAG(v, 2) OVER w AS prev2,"
+            " SUM(v) OVER (PARTITION BY k ORDER BY ts, _seq ROWS"
+            " BETWEEN 3 PRECEDING AND CURRENT ROW) AS s FROM __lag_t"
+            " WINDOW w AS (PARTITION BY k ORDER BY ts, _seq)"
+        )
+        assert got == sorted(map(tuple, exp.collect()))
+
+
+def test_sql_over_lag_guards(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+    )
+
+    base = (
+        "INSERT INTO sink SELECT id, k, LAG(v{args}) OVER (PARTITION"
+        " BY k ORDER BY ts{frame}) AS p FROM src"
+    )
+    rows_frame = " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW"
+    # no frame (UNBOUNDED) / RANGE frames cannot guarantee the offset
+    # row is retained
+    with pytest.raises(ValueError, match="requires a ROWS frame"):
+        plan_insert_maintained(
+            base.format(args=", 2", frame=""), {"src": ["id"]}
+        )
+    with pytest.raises(ValueError, match="requires a ROWS frame"):
+        plan_insert_maintained(
+            base.format(
+                args=", 2",
+                frame=" RANGE BETWEEN INTERVAL '5' MINUTE PRECEDING"
+                " AND CURRENT ROW",
+            ),
+            {"src": ["id"]},
+        )
+    with pytest.raises(ValueError, match="exceeds the ROWS frame bound"):
+        plan_insert_maintained(
+            base.format(args=", 9", frame=rows_frame), {"src": ["id"]}
+        )
+    with pytest.raises(ValueError, match="integer k >= 1"):
+        plan_insert_maintained(
+            base.format(args=", 0", frame=rows_frame), {"src": ["id"]}
+        )
+    # bare LAG(col) defaults to offset 1
+    job = plan_insert_maintained(
+        base.format(args="", frame=rows_frame), {"src": ["id"]}
+    )
+    assert job.plan._lag["p"] == ("v", 1)
