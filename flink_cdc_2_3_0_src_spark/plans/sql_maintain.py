@@ -448,10 +448,48 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 f"Top-N rank filter references {tm.group('rn2')!r} but the "
                 f"ROW_NUMBER column is {tm.group('rn')!r}"
             )
-        groups = _names(tm.group("groups"), "PARTITION BY")
+        # PARTITION BY items: plain columns, plus at most one
+        # TUMBLE(ts, INTERVAL ..) — Flink's WINDOW Top-N (per-window
+        # rank) / window deduplication.  The bucket is row-local, so it
+        # derives per batch exactly like the aggregate shape's TUMBLE
+        # and becomes two ordinary group columns.
+        groups, tumble = [], None
+        for part in _split_select_items(tm.group("groups")):
+            tm_ = _TUMBLE.match(part.strip())
+            if tm_:
+                if tumble is not None:
+                    raise ValueError(
+                        "at most one TUMBLE window per PARTITION BY"
+                    )
+                tumble = (
+                    tm_.group("col"),
+                    f"{tm_.group('n')} {tm_.group('unit').lower()}s",
+                )
+                groups.extend([_W_START, _W_END])
+                continue
+            im = _IDENT.match(part.strip())
+            if not im:
+                raise ValueError(
+                    "PARTITION BY items must be plain column names or "
+                    f"TUMBLE(ts, INTERVAL ..), got {part.strip()!r}"
+                )
+            groups.append(im.group("name"))
         items = []
         for raw in _split_select_items(tm.group("items")):
             expr, alias = _split_alias(raw)
+            wf = _TUMBLE_FIELD.match(expr)
+            if wf:
+                dur = f"{wf.group('n')} {wf.group('unit').lower()}s"
+                if tumble is None or (wf.group("col"), dur) != tumble:
+                    raise ValueError(
+                        f"{expr!r} does not match the PARTITION BY's "
+                        "TUMBLE window (same time column and interval "
+                        "required)"
+                    )
+                which = wf.group("which").upper()
+                src_c = _W_START if which == "START" else _W_END
+                items.append((src_c, alias or f"w_{which.lower()}"))
+                continue
             im = _IDENT.match(expr)
             if not im:
                 raise ValueError(
@@ -476,7 +514,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
             sink=sink, shape="topn", sources=[tm.group("src").strip('`"')],
             group_cols=groups, order_sql=tm.group("order").strip(),
             n=int(tm.group("n")), where=_clean(tm.group("where")),
-            select=items, rank_eq=tm.group("cmp") == "=",
+            select=items, rank_eq=tm.group("cmp") == "=", tumble=tumble,
         )
 
     jm = _JOIN_HEAD.match(select)
@@ -1459,7 +1497,11 @@ class SqlMaintenanceJob:
         self.seq_col = seq_col
         self._preps = [_table_meta(tables, s) for s in stmt.sources]
         win_ts = (stmt.tumble or stmt.hop or stmt.cumulate or (None,))[0]
-        if stmt.shape == "agg" and win_ts is not None and ttl == win_ts:
+        if (
+            stmt.shape in ("agg", "topn")
+            and win_ts is not None
+            and ttl == win_ts
+        ):
             # ttl on the window's TIME column means "expire whole
             # CLOSED windows behind the watermark" — Flink's
             # windowed-state eviction.  The eviction keys on the
@@ -1727,9 +1769,15 @@ class SqlMaintenanceJob:
             # rank over a value → StreamExecRank).  State = one row per
             # partition key; no PRIMARY KEY needed.
             order_col, keep = self._dedup_row_spec(tables)
+            projected = {s for s, _ in stmt.select}
+            # window start/end are functionally dependent (fixed
+            # interval): projecting either identifies the window —
+            # the same rule the aggregate shape applies
+            win_ok = bool(projected & {_W_START, _W_END})
             missing_keys = [
                 k for k in stmt.group_cols
-                if k not in {s for s, _ in stmt.select}
+                if k not in projected
+                and not (k in (_W_START, _W_END) and win_ok)
             ]
             if missing_keys:
                 raise ValueError(

@@ -5390,6 +5390,60 @@ def cdc_sql_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window Top-N on the SQL maintenance surface (r10): Flink's
+# WindowRank — TUMBLE(ts, INTERVAL ..) as a rank PARTITION BY item
+# (top-k per window per group).  The bucket is row-local, so it
+# derives per batch and feeds the SAME RankOperator table-state plan
+# (affected (window, group) cells re-rank; a value update moving a
+# row out of its window's top-k retracts exactly).  The oracle ranks
+# the materialized log one-shot with DuckDB's time_bucket.  Day
+# buckets keep every test SF multi-window; `ttl=<ts>` would evict
+# whole CLOSED windows (test-pinned; not exercised here so the oracle
+# stays a pure rank query).
+@register(
+    "cdc_sql_window_topn",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT ws, user_id, value FROM (
+        SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS ws,
+               user_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY time_bucket(INTERVAL '1 day',
+                                            CAST(ts AS TIMESTAMP))
+                   ORDER BY value DESC, user_id) AS rn
+        FROM m WHERE ts IS NOT NULL
+    ) WHERE rn <= 3
+    """,
+)
+def cdc_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        ensure_retractions,
+    )
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    # the scripted log is upsert-form; the rank plan consumes full
+    # retractions (+I/-U/+U/-D), exactly what a Debezium source emits
+    log = ensure_retractions(
+        scripted_changelog(spark, sf_dir), ChangelogMode.UPSERT,
+        ["user_id"],
+    ).filter(F.col("ts").isNotNull())
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '1' DAY)"
+        " AS ws, user_id, value FROM (SELECT *, ROW_NUMBER() OVER ("
+        "PARTITION BY TUMBLE(ts, INTERVAL '1' DAY)"
+        " ORDER BY value DESC, user_id) AS rn FROM events_cdc)"
+        " WHERE rn <= 3",
+        {"events_cdc": ["user_id"]},
+        {"events_cdc": log},
+        n_batches=4,
+    )
+    return out.select(F.col("ws").cast("timestamp").alias("ws"),
+                      "user_id", "value")
+
+
 # LAG offset access in the OVER aggregation (r10): Flink's
 # LagAggFunction inside StreamExecOverAggregate — LAG(col, k) rides
 # the ROWS frame's retained-rows state (the offset row is retained

@@ -83,6 +83,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_dedup_first",
     "cdc_sql_lookup_join",
     "cdc_sql_over_lag",
+    "cdc_sql_window_topn",
 ]
 
 

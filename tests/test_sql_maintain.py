@@ -12,6 +12,7 @@ ITCase mirror through a real Structured Streaming query.
 
 from __future__ import annotations
 
+import datetime
 from decimal import Decimal
 
 import pytest
@@ -2734,3 +2735,120 @@ def test_lookup_join_guards(spark):
         )
     txt = explain_insert_maintained(_LK_SQL, _LK_TABLES)
     assert "StreamExecLookupJoin" in txt and "PROCTIME()" in txt
+
+
+# ---------------------------------------------------------------------------
+# Window Top-N / window deduplication: TUMBLE in the rank PARTITION BY
+# (Flink's WindowRank / window deduplication over the group-window form)
+# ---------------------------------------------------------------------------
+
+_WT_ROWS = [
+    (1, "x", 10.0, "2024-01-01 05:00:00", "+I", 1),
+    (2, "x", 20.0, "2024-01-01 06:00:00", "+I", 2),
+    (3, "x", 15.0, "2024-01-01 07:00:00", "+I", 3),
+    (4, "x", 30.0, "2024-01-02 05:00:00", "+I", 4),
+    # value update drops id=2 out of day-1's top-2
+    (2, "x", 20.0, "2024-01-01 06:00:00", "-U", 5),
+    (2, "x", 5.0, "2024-01-01 06:00:00", "+U", 5),
+    (5, "y", 50.0, "2024-01-01 09:00:00", "+I", 6),
+]
+_WT_SCHEMA = (
+    f"id long, g string, v double, ts string, {OP_COL} string, "
+    f"{SEQ_COL} long"
+)
+_WT_SQL = (
+    "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,"
+    " g, id, v FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY"
+    " TUMBLE(ts, INTERVAL '1' DAY), g ORDER BY v DESC, id) AS rn"
+    " FROM src) WHERE rn <= 2"
+)
+
+
+def _wt_log(spark):
+    return spark.createDataFrame(_WT_ROWS, _WT_SCHEMA).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_window_topn_matches_one_shot(spark, n_batches):
+    got = replay_insert_maintained(
+        _WT_SQL, {"src": ["id"]}, {"src": _wt_log(spark)},
+        n_batches=n_batches,
+    )
+    materialize(_wt_log(spark), ["id"]).createOrReplaceTempView("m_wt")
+    direct = spark.sql(
+        "SELECT window(ts, '1 day').start AS ws, g, id, v FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY window(ts, '1 day'),"
+        " g ORDER BY v DESC, id) AS rn FROM m_wt) WHERE rn <= 2"
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
+def test_window_topn_ttl_evicts_closed_windows(spark):
+    job = plan_insert_maintained(_WT_SQL, {"src": ["id"]}, ttl="ts")
+    log = _wt_log(spark)
+    job.step({"src": log.filter(F.col(SEQ_COL) <= 3)})
+    # watermark past day-1's end: the whole day-1 window leaves state;
+    # the already-folded sink keeps its rows (TTL forgets state only)
+    job.expire("2024-01-03 00:00:00")
+    job.step({"src": log.filter(F.col(SEQ_COL) > 3)})
+    got = {tuple(map(str, r)) for r in job.result().collect()}
+    # day-1 re-ranked rows after expiry: id=2's update re-enters as a
+    # fresh day-1 row (state was forgotten) joining the kept sink rows
+    assert ("2024-01-02 00:00:00", "x", "4", "30.0") in got
+
+
+def test_window_dedup_first_per_window(spark):
+    """TUMBLE in the PARTITION BY composes with the rank=1 rowtime
+    dedup: keep the FIRST row per (window, group) — Flink's window
+    deduplication."""
+    rows = [
+        (1, "u1", "2024-01-01 05:00:00"),
+        (2, "u1", "2024-01-01 09:00:00"),   # same day → dup
+        (3, "u1", "2024-01-02 01:00:00"),   # next day → fresh
+        (4, "u2", "2024-01-01 22:00:00"),
+    ]
+    log = spark.createDataFrame(rows, "id long, u string, ts string").select(
+        "id", "u", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("+I").alias(OP_COL), F.col("id").alias(SEQ_COL),
+    )
+    sql = (
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '1' DAY)"
+        " AS ws, u, id FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY"
+        " TUMBLE(ts, INTERVAL '1' DAY), u ORDER BY ts) AS rn FROM src)"
+        " WHERE rn = 1"
+    )
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    tables = {"src": {"primary_key": ["id"], "rowtime": "ts"}}
+    assert "StreamExecDeduplicate" in explain_insert_maintained(sql, tables)
+    got = replay_insert_maintained(sql, tables, {"src": log}, n_batches=3)
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        [
+            (datetime.datetime(2024, 1, 1), "u1", 1),
+            (datetime.datetime(2024, 1, 2), "u1", 3),
+            (datetime.datetime(2024, 1, 1), "u2", 4),
+        ],
+        key=str,
+    )
+
+
+def test_window_topn_parse_guards():
+    with pytest.raises(ValueError, match="does not match the PARTITION"):
+        parse_insert_select(
+            _WT_SQL.replace("TUMBLE_START(ts, INTERVAL '1' DAY)",
+                            "TUMBLE_START(ts, INTERVAL '2' DAY)")
+        )
+    with pytest.raises(ValueError, match="at most one TUMBLE"):
+        parse_insert_select(
+            _WT_SQL.replace(
+                "PARTITION BY TUMBLE(ts, INTERVAL '1' DAY), g",
+                "PARTITION BY TUMBLE(ts, INTERVAL '1' DAY),"
+                " TUMBLE(ts, INTERVAL '2' DAY)",
+            )
+        )
