@@ -933,18 +933,11 @@ class _TemporalJoinPlan(_Plan):
         # event-time temporal join must be append-only — Flink rejects
         # an updating probe stream at plan time; we can only see it at
         # runtime
-        offending = batch_p.filter(
-            F.col(self.op_col).isin(
-                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
-            )
-        ).limit(1)
-        if offending.count() > 0:
-            raise ValueError(
-                "the probe side of a temporal join must be append-only "
-                "(+I rows only) — Flink requires the same for FOR "
-                "SYSTEM_TIME AS OF; route an updating stream through a "
-                "regular maintained join instead"
-            )
+        _require_append_only(
+            batch_p, self.op_col, "the probe side of a temporal join",
+            "route an updating stream through a regular maintained "
+            "join instead",
+        )
         p_payload = [
             c for c in batch_p.columns
             if c not in (self.op_col, self.seq_col)
@@ -1023,6 +1016,20 @@ class _TemporalJoinPlan(_Plan):
         return state.filter(ts >= wm).unionByName(keep_old)
 
 
+def _require_append_only(batch: DataFrame, op_col: str, what: str,
+                         hint: str) -> None:
+    """Refuse updating inputs (-U/+U/-D) for the append-only plans —
+    Flink's planner rejects the same statements on updating streams."""
+    offending = batch.filter(
+        F.col(op_col).isin(OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE)
+    ).limit(1)
+    if offending.count() > 0:
+        raise ValueError(
+            f"{what} takes an append-only input (+I rows only) — "
+            f"Flink requires the same; {hint}"
+        )
+
+
 class _LookupJoinPlan(_Plan):
     """Processing-time lookup join — Flink's ``FROM probe p [LEFT]
     JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d ON p.k = d.k``
@@ -1085,17 +1092,11 @@ class _LookupJoinPlan(_Plan):
         self.seq_col = seq_col
 
     def step(self, state, probe: DataFrame, dim: DataFrame):
-        offending = probe.filter(
-            F.col(self.op_col).isin(
-                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
-            )
-        ).limit(1)
-        if offending.count() > 0:
-            raise ValueError(
-                "the probe side of a lookup join must be append-only "
-                "(+I rows only) — enrich first, aggregate later, or use "
-                "a maintained equi-join for updating probes"
-            )
+        _require_append_only(
+            probe, self.op_col, "the probe side of a lookup join",
+            "enrich first, aggregate later, or use a maintained "
+            "equi-join for updating probes",
+        )
         rows = probe.filter(F.col(self.op_col) == OP_INSERT).select(
             *[
                 c
@@ -1271,21 +1272,19 @@ class _OverPlan(_Plan):
     def step(self, state, batch: DataFrame):
         from pyspark.sql.window import Window
 
-        offending = batch.filter(
-            F.col(self.op_col).isin(
-                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
-            )
-        ).limit(1)
-        if offending.count() > 0:
-            raise ValueError(
-                "OVER aggregation takes an append-only input (+I rows "
-                "only) — Flink's StreamExecOverAggregate requires the "
-                "same; pre-aggregate an updating stream with GROUP BY "
-                "instead"
-            )
-        rows = batch.filter(F.col(self.op_col) == OP_INSERT).select(
-            *[c for c in batch.columns if c != self.op_col]
+        _require_append_only(
+            batch, self.op_col, "OVER aggregation",
+            "pre-aggregate an updating stream with GROUP BY instead",
         )
+        # NULL event times are dropped (the session/cumulate/dedup
+        # rule): a NULL sorts differently per batch split (NULLS FIRST
+        # in the window, last in the retention rank), so keeping them
+        # would break split-invariance — and Flink's rowtime is
+        # watermark-defined and non-null anyway
+        rows = batch.filter(
+            (F.col(self.op_col) == OP_INSERT)
+            & F.col(self.order).isNotNull()
+        ).select(*[c for c in batch.columns if c != self.op_col])
         payload = [c for c in rows.columns if c != self.seq_col]
 
         if self.rows is None and self.range_us is None:
@@ -1527,17 +1526,10 @@ class _DedupRowPlan(_Plan):
     def step(self, state, batch: DataFrame):
         from pyspark.sql.window import Window
 
-        offending = batch.filter(
-            F.col(self.op_col).isin(
-                OP_UPDATE_BEFORE, OP_UPDATE_AFTER, OP_DELETE
-            )
-        ).limit(1)
-        if offending.count() > 0:
-            raise ValueError(
-                "row deduplication takes an append-only input (+I rows "
-                "only) — Flink's StreamExecDeduplicate requires the "
-                "same; materialize an updating stream by its key instead"
-            )
+        _require_append_only(
+            batch, self.op_col, "row deduplication",
+            "materialize an updating stream by its key instead",
+        )
         cand = batch.filter(
             (F.col(self.op_col) == OP_INSERT)
             & F.col(self.order).isNotNull()

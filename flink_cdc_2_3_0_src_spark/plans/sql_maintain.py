@@ -1496,9 +1496,18 @@ class SqlMaintenanceJob:
         self.op_col = op_col
         self.seq_col = seq_col
         self._preps = [_table_meta(tables, s) for s in stmt.sources]
+        # rank=1 ordered by the declared rowtime dispatches the dedup
+        # plan below; computed ONCE here because the window-ttl rewrite
+        # must not fire for it (dedup state rows carry the ORDER BY
+        # time column itself — ttl on it forgets winners directly,
+        # window columns play no part in its eviction)
+        dedup_spec = (
+            self._dedup_row_spec(tables) if stmt.shape == "topn" else None
+        )
         win_ts = (stmt.tumble or stmt.hop or stmt.cumulate or (None,))[0]
         if (
             stmt.shape in ("agg", "topn")
+            and dedup_spec is None
             and win_ts is not None
             and ttl == win_ts
         ):
@@ -1639,7 +1648,22 @@ class SqlMaintenanceJob:
             # OVER aggregation: append-only input, each row emitted
             # once with its frame aggregate — Flink's
             # StreamExecOverAggregate; the plan validates the frame
-            # and refuses updating inputs with guidance
+            # and refuses updating inputs with guidance.  The ORDER BY
+            # must be the source's event-time column: the retained-
+            # frame state assumes per-key in-order arrivals w.r.t. it
+            # (Flink requires a time attribute outright).  Enforced
+            # against the declared rowtime when the table has one;
+            # a plain PK-list table leans on the documented contract.
+            rowtime = _table_rowtime(tables, stmt.sources[0])
+            if rowtime is not None and stmt.over["order"] != rowtime:
+                raise ValueError(
+                    f"the OVER ORDER BY column {stmt.over['order']!r} "
+                    f"must be the source's declared event-time column "
+                    f"{rowtime!r} — Flink's StreamExecOverAggregate "
+                    "requires a time attribute: frames over a value "
+                    "column cannot be maintained from retained arrival "
+                    "state"
+                )
             self.plan = maintain(
                 over={
                     "partition": stmt.over["partition"],
@@ -1762,13 +1786,13 @@ class SqlMaintenanceJob:
                 on=[ca for ca, _ in stmt.join_on], how=stmt.join_how,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
-        elif stmt.shape == "topn" and self._dedup_row_spec(tables):
+        elif stmt.shape == "topn" and dedup_spec:
             # rank = 1 ordered by the source's declared ROWTIME — the
             # deduplication form (Flink's planner compiles exactly this
             # split: rank over a time attribute → StreamExecDeduplicate,
             # rank over a value → StreamExecRank).  State = one row per
             # partition key; no PRIMARY KEY needed.
-            order_col, keep = self._dedup_row_spec(tables)
+            order_col, keep = dedup_spec
             projected = {s for s, _ in stmt.select}
             # window start/end are functionally dependent (fixed
             # interval): projecting either identifies the window —
@@ -2480,6 +2504,16 @@ class SqlStatementSet:
                     out for src, out in stmt.select
                     if src is not None
                 ]
+            elif stmt.shape == "topn" and getattr(
+                job.plan, "kind", None
+            ) == "dedup_row":
+                # deduplication winners are keyed by the PARTITION BY
+                # columns (one winner per key — the dispatch requires
+                # them projected, window start/end counting as one)
+                keys = [
+                    out for src, out in stmt.select
+                    if src in stmt.group_cols
+                ]
             elif stmt.shape == "topn":
                 pk, _ = job._preps[0]
                 keys = [out for src, out in stmt.select if src in pk]
@@ -2495,7 +2529,17 @@ class SqlStatementSet:
                     keys = [proj[f"{a_al}.{k}"] for k in pk]
                 else:
                     keys = None
-            else:  # join: multiset output, not a keyed table
+            elif stmt.shape == "over":
+                # same contract as temporal: an append-only per-row
+                # enrichment reads as a keyed table when the source's
+                # PRIMARY KEY is projected
+                pk, _ = job._preps[0]
+                proj = {src: out for src, out in stmt.select}
+                if pk and all(k in proj for k in pk):
+                    keys = [proj[k] for k in pk]
+                else:
+                    keys = None
+            else:  # join/lookup: multiset output, not a keyed table
                 keys = None
             if keys is not None:
                 known[stmt.sink] = keys

@@ -4803,7 +4803,8 @@ def cdc_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id % 10 AS bucket,
            COUNT(*) AS n_live,
            COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd,
-           SUM(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS sd
+           CAST(SUM(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5)
+                AS BIGINT) AS sd
     FROM m GROUP BY user_id % 10
     """,
 )
@@ -5379,7 +5380,7 @@ def cdc_sql_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         " COUNT(*) OVER (PARTITION BY user_id ORDER BY ts"
         " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS run_n"
         " FROM events_cdc WHERE event_id % 2 = 0",
-        {"events_cdc": ["event_id"]},
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
         {"events_cdc": log},
         n_batches=4,
     )
@@ -5481,7 +5482,7 @@ def cdc_sql_over_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         " COUNT(*) OVER (PARTITION BY user_id ORDER BY ts"
         " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_frame"
         " FROM events_cdc WHERE event_id % 3 = 1",
-        {"events_cdc": ["event_id"]},
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
         {"events_cdc": log},
         n_batches=4,
     )

@@ -510,3 +510,91 @@ def test_sql_over_lag_guards(spark):
         base.format(args="", frame=rows_frame), {"src": ["id"]}
     )
     assert job.plan._lag["p"] == ("v", 1)
+
+
+def test_sql_over_null_order_rows_dropped_any_split(spark):
+    """Review-fix pin: NULL event times are dropped (the session/
+    cumulate/dedup rule) — keeping them made frames split-variant
+    (NULLS FIRST in the window vs last in the retention rank)."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    rows = [
+        (1, "a", 1.0, None), (2, "a", 2.0, 10), (3, "a", 3.0, 20),
+        (4, "a", 4.0, None), (5, "b", 5.0, 15),
+    ]
+    log = spark.createDataFrame(
+        rows, "id long, k string, v double, ts long"
+    ).select(
+        "id", "k", "v", "ts", F.lit("+I").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+    sql = (
+        "INSERT INTO sink SELECT id, k, v, SUM(v) OVER (PARTITION BY k"
+        " ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS o"
+        " FROM src"
+    )
+    outs = [
+        sorted(
+            map(
+                tuple,
+                replay_insert_maintained(
+                    sql, {"src": ["id"]}, {"src": log}, n_batches=n
+                ).collect(),
+            )
+        )
+        for n in (1, 2, 4)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0] == [
+        (2, "a", 2.0, 2.0), (3, "a", 3.0, 5.0), (5, "b", 5.0, 5.0),
+    ]
+
+
+def test_sql_over_order_must_be_declared_rowtime(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+    )
+
+    with pytest.raises(ValueError, match="declared event-time column"):
+        plan_insert_maintained(
+            "INSERT INTO sink SELECT id, k, SUM(v) OVER (PARTITION BY k"
+            " ORDER BY v ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS o"
+            " FROM src",
+            {"src": {"primary_key": ["id"], "rowtime": "ts"}},
+        )
+
+
+def test_statement_set_reads_over_sink(spark):
+    """Review-fix pin: an OVER statement projecting the source PK is a
+    readable keyed table for later STATEMENT SET statements."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        SqlStatementSet,
+    )
+
+    rows = [(i, ["a", "b"][i % 2], float(i), i * 10) for i in range(8)]
+    log = spark.createDataFrame(
+        rows, "id long, k string, v double, ts long"
+    ).select(
+        "id", "k", "v", "ts", F.lit("+I").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+    ss = SqlStatementSet(
+        [
+            "INSERT INTO enriched SELECT id, k, SUM(v) OVER (PARTITION"
+            " BY k ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT"
+            " ROW) AS s FROM src",
+            "INSERT INTO agg SELECT k, SUM(s) AS tot, COUNT(*) AS n"
+            " FROM enriched GROUP BY k",
+        ],
+        {"src": ["id"]},
+    )
+    for lo, hi in ((0, 4), (4, 10)):
+        ss.step({"src": log.filter(
+            (F.col(SEQ_COL) >= lo) & (F.col(SEQ_COL) < hi)
+        )})
+    got = {r["k"]: (r["tot"], r["n"]) for r in ss.results()["agg"].collect()}
+    # frame sums per key: a has v=0,2,4,6 -> s=0,2,6,10 (sum 18, 4 rows)
+    # b has v=1,3,5,7 -> s=1,4,8,12 (sum 25, 4 rows)
+    assert got == {"a": (18.0, 4), "b": (25.0, 4)}

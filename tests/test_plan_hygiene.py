@@ -35,6 +35,11 @@ NESTED_LOOP_ALLOWED = {
     # ≤256-cells-per-group histogram frame — both sides sketch-sized,
     # never corpus-sized (promoted to the window in r8)
     "sketch_quantile_histogram",
+    # the incremental twin finalizes through the SAME
+    # _hist_quantiles_from_cells path, so it carries the same 3-row
+    # quantile broadcast over the ≤256-cells-per-group state frame
+    # (promoted to the window in r10, one-shot twin demoted)
+    "sketch_hist_incremental",
 }
 
 

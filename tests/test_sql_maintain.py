@@ -2852,3 +2852,64 @@ def test_window_topn_parse_guards():
                 " TUMBLE(ts, INTERVAL '2' DAY)",
             )
         )
+
+
+def test_window_dedup_ttl_usable(spark):
+    """Review-fix pin: the window-ttl rewrite (ttl=ts -> window end)
+    must NOT fire for the dedup dispatch — dedup state rows carry the
+    ORDER BY time column itself, so ttl='ts' forgets winners directly."""
+    rows = [
+        (1, "u1", "2024-01-01 05:00:00"),
+        (2, "u2", "2024-01-01 06:00:00"),
+        (3, "u1", "2024-01-05 01:00:00"),
+    ]
+    log = spark.createDataFrame(rows, "id long, u string, ts string").select(
+        "id", "u", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("+I").alias(OP_COL), F.col("id").alias(SEQ_COL),
+    )
+    sql = (
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '1' DAY)"
+        " AS ws, u, id FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY"
+        " TUMBLE(ts, INTERVAL '1' DAY), u ORDER BY ts) AS rn FROM src)"
+        " WHERE rn = 1"
+    )
+    job = plan_insert_maintained(
+        sql, {"src": {"primary_key": ["id"], "rowtime": "ts"}}, ttl="ts"
+    )
+    job.step({"src": log.filter(F.col("id") <= 2)})
+    job.expire("2024-01-03 00:00:00")
+    job.step({"src": log.filter(F.col("id") == 3)})
+    got = {tuple(map(str, r)) for r in job.result().collect()}
+    assert ("2024-01-05 00:00:00", "u1", "3") in got
+    assert len(got) == 3
+
+
+def test_statement_set_reads_dedup_sink(spark):
+    """A deduplication sink (one winner per partition key) is a
+    readable keyed table for later statements — keyed by the PARTITION
+    BY columns, not the source PK."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        SqlStatementSet,
+    )
+
+    log = _dr_log(spark)
+    ss = SqlStatementSet(
+        [
+            "INSERT INTO firsts SELECT k, v, ts FROM (SELECT *,"
+            " ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts) AS rn"
+            " FROM src) WHERE rn = 1",
+            "INSERT INTO stats SELECT COUNT(*) AS n,"
+            " SUM(CAST(v AS DECIMAL(18,2))) AS sv FROM firsts"
+            " GROUP BY GROUPING SETS (())",
+        ],
+        {"src": _DR_TABLES["src"]},
+    )
+    hi = 8
+    for lo, up in ((0, 4), (4, hi + 1)):
+        ss.step({"src": log.filter(
+            (F.col(SEQ_COL) >= lo) & (F.col(SEQ_COL) < up)
+        )})
+    got = [tuple(r) for r in ss.results()["stats"].collect()]
+    # winners: a(9.0), b(2.0), c(3.0) — the out-of-order retraction of
+    # a's first winner flows through the chained changelog
+    assert got == [(3, Decimal("14.00"))]
