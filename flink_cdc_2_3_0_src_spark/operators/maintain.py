@@ -1128,6 +1128,134 @@ class _LookupJoinPlan(_Plan):
         raise ValueError("lookup join keeps no state; ttl does not apply")
 
 
+class _SetOpPlan(_Plan):
+    """Streaming INTERSECT [ALL] / EXCEPT [ALL] over two changelogs —
+    Flink's set operations on unbounded inputs (Table API
+    intersect/intersectAll/minus/minusAll; SQL INTERSECT/EXCEPT, which
+    Flink's planner rewrites to stateful aggregates).  Set operations
+    are NOT linear over signed multisets (min/clamped-difference of
+    multiplicities), so unlike UNION ALL they need their own keyed
+    state: one row per DISTINCT payload image with the two sides' live
+    multiplicities — exactly the count state Flink's rewrite keeps.
+
+    Per batch: fold each side's signed row-multiset delta into the
+    affected payloads' (cntA, cntB) counts and emit the signed diff of
+    the result multiplicity
+
+    * ``INTERSECT ALL``:   min(cntA, cntB)
+    * ``INTERSECT``:       1 if cntA > 0 and cntB > 0
+    * ``EXCEPT ALL``:      max(cntA - cntB, 0)
+    * ``EXCEPT``:          1 if cntA > 0 and cntB = 0
+
+    Updating inputs are exact by construction (counts fold signed
+    deltas).  Per-batch work = batch + affected payloads' single count
+    rows; state = |distinct payload images| count rows.  No event-time
+    column in state, so no ttl.
+    """
+
+    kind = "setop"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {"op", "all"}
+        if unknown:
+            raise ValueError(f"unknown setop options: {sorted(unknown)}")
+        if opts.get("op") not in ("intersect", "except"):
+            raise ValueError(
+                "setop= needs {'op': 'intersect'|'except'[, 'all': "
+                "bool]}"
+            )
+        if ttl is not None:
+            raise ValueError(
+                "set-operation state is keyed by the payload image "
+                "with no event-time column; ttl is not supported"
+            )
+        super().__init__(None)
+        self.op = opts["op"]
+        self.all = bool(opts.get("all", False))
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def _result_mult(self, ca, cb):
+        if self.op == "intersect" and self.all:
+            out = F.least(ca, cb)
+        elif self.op == "intersect":
+            out = ((ca > 0) & (cb > 0)).cast("long")
+        elif self.all:  # except all
+            out = F.greatest(ca - cb, F.lit(0).cast("long"))
+        else:  # except
+            out = ((ca > 0) & (cb == 0)).cast("long")
+        return F.greatest(out, F.lit(0).cast("long"))
+
+    def step(self, state, batch_a: DataFrame, batch_b: DataFrame):
+        from flink_cdc_2_3_0_src_spark.operators.changelog import (
+            signed_multiset,
+        )
+
+        da = signed_multiset(batch_a, self.op_col, self.seq_col)
+        db = signed_multiset(batch_b, self.op_col, self.seq_col)
+        payload = [c for c in da.columns if c != MULT_COL]
+        if payload != [c for c in db.columns if c != MULT_COL]:
+            raise ValueError(
+                "set-operation sides must project the same columns "
+                f"(got {payload} vs "
+                f"{[c for c in db.columns if c != MULT_COL]})"
+            )
+        zero = F.lit(0).cast("long")
+        sides = da.select(
+            *payload, F.col(MULT_COL).alias("__ca"), zero.alias("__cb")
+        ).unionByName(
+            db.select(
+                *payload, zero.alias("__ca"),
+                F.col(MULT_COL).alias("__cb"),
+            )
+        )
+        affected = sides.select(*payload).distinct()
+        if state is not None:
+            old_aff = _keyset_join(state, affected, payload, "left_semi")
+            sides = sides.unionByName(old_aff)
+            unaffected = _keyset_join(state, affected, payload, "left_anti")
+        else:
+            old_aff, unaffected = None, None
+        new_counts = sides.groupBy(*payload).agg(
+            F.sum("__ca").alias("__ca"), F.sum("__cb").alias("__cb")
+        )
+        old_mult = (
+            old_aff.select(
+                *payload,
+                self._result_mult(
+                    F.col("__ca"), F.col("__cb")
+                ).alias(MULT_COL),
+            )
+            if old_aff is not None
+            else None
+        )
+        new_mult = new_counts.select(
+            *payload,
+            self._result_mult(F.col("__ca"), F.col("__cb")).alias(MULT_COL),
+        )
+        delta = new_mult
+        if old_mult is not None:
+            delta = new_mult.unionByName(
+                old_mult.withColumn(MULT_COL, -F.col(MULT_COL))
+            )
+        delta = (
+            delta.groupBy(*payload)
+            .agg(F.sum(MULT_COL).alias(MULT_COL))
+            .filter(F.col(MULT_COL) != 0)
+        )
+        kept = new_counts.filter(
+            (F.col("__ca") != 0) | (F.col("__cb") != 0)
+        )
+        new_state = (
+            kept if unaffected is None else unaffected.unionByName(kept)
+        )
+        return new_state.localCheckpoint(eager=True), delta
+
+    def _expire(self, state, watermark):  # pragma: no cover - guarded
+        raise ValueError("set-operation state has no event-time column")
+
+
 class _OverPlan(_Plan):
     """OVER aggregation on an append-only stream — Flink's
     StreamExecOverAggregate (``SUM(v) OVER (PARTITION BY k ORDER BY ts
@@ -1794,6 +1922,7 @@ def maintain(
     chain=None,
     temporal=None,
     lookup=None,
+    setop=None,
     over=None,
     distinct=None,
     grouping_sets=None,
@@ -1830,6 +1959,12 @@ def maintain(
       probe_batch, build_batch)``).  Output is append-only (+1 rows
       only); ``ttl=<btime>`` enables versioned state cleanup (keep
       the latest version before the watermark, drop older ones).
+    * ``setop={"op": "intersect"|"except"[, "all": bool]}`` —
+      streaming INTERSECT [ALL] / EXCEPT [ALL] of two changelogs
+      (``plan.step(state, batch_a, batch_b)``): state = one (cntA,
+      cntB) live-multiplicity row per distinct payload image; the
+      output delta is the signed diff of min / clamped-difference of
+      the counts.  No ttl (no event-time column in state).
     * ``lookup={"on": [...][, "how": "inner"|"left"]}`` —
       processing-time lookup join (Flink's ``FOR SYSTEM_TIME AS OF
       PROCTIME()`` / JDBC dim enrichment): ``plan.step(None,
@@ -1922,13 +2057,14 @@ def maintain(
         aggs is not None, on is not None, n is not None,
         dedup is not None, hll is not None, hist is not None,
         chain is not None, temporal is not None, over is not None,
-        dedup_row is not None, lookup is not None,
+        dedup_row is not None, lookup is not None, setop is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
-            "temporal=... | lookup=... | over=... | n=...+order_sql | "
-            "dedup=... | dedup_row=... | hll=... | hist=..."
+            "temporal=... | lookup=... | setop=... | over=... | "
+            "n=...+order_sql | dedup=... | dedup_row=... | hll=... | "
+            "hist=..."
         )
     if session is not None and aggs is None:
         raise ValueError(
@@ -1975,6 +2111,13 @@ def maintain(
                 "[, 'how': inner|left]}"
             )
         return _LookupJoinPlan(lookup, ttl, op_col, seq_col)
+    if setop is not None:
+        if not isinstance(setop, dict):
+            raise ValueError(
+                "setop= takes an options dict: {'op': 'intersect'|"
+                "'except'[, 'all': bool]}"
+            )
+        return _SetOpPlan(setop, ttl, op_col, seq_col)
     if over is not None:
         if not isinstance(over, dict):
             raise ValueError(

@@ -400,6 +400,9 @@ class InsertSelect:
     # processing-time lookup join (shape == "lookup"): the dim alias —
     # FOR SYSTEM_TIME AS OF PROCTIME()
     lookup: Optional[str] = None
+    # set operation (shape == "setop"): {"op": "intersect"|"except",
+    # "all": bool}; the two branches ride union_branches
+    setop: Optional[dict] = None
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
     # sliding window: (ts column, slide duration, size duration)
@@ -733,6 +736,10 @@ def parse_insert_select(sql: str) -> InsertSelect:
             sink=sink, shape="join", sources=tables,
             join_aliases=tuple(aliases), join_chain=stages, select=items,
         )
+
+    sm_ = _parse_setop(sink, select)
+    if sm_ is not None:
+        return sm_
 
     um = _parse_union_agg(sink, select)
     if um is not None:
@@ -1259,6 +1266,111 @@ def _parse_union_agg(sink: str, select: str) -> Optional[InsertSelect]:
     return st
 
 
+_SETOP_KW = re.compile(r"(?is)^(?P<op>INTERSECT|EXCEPT)(?P<all>\s+ALL)?\b")
+
+
+def _split_top_setop(body: str):
+    """Split on a top-level INTERSECT [ALL] / EXCEPT [ALL] (outside
+    parens and string literals).  Returns (branches, op, all_flag) or
+    None when no set operator appears."""
+    cur, depth, in_str = [], 0, False
+    parts, ops = [], []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0 and (
+            i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_")
+        ):
+            m = _SETOP_KW.match(body[i:])
+            if m:
+                parts.append("".join(cur))
+                cur = []
+                ops.append(
+                    (m.group("op").lower(), m.group("all") is not None)
+                )
+                i += m.end()
+                continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    if not ops:
+        return None
+    return [p.strip() for p in parts], ops
+
+
+def _parse_setop(sink: str, select: str) -> Optional[InsertSelect]:
+    """``SELECT .. FROM a [WHERE ..] INTERSECT [ALL]|EXCEPT [ALL]
+    SELECT .. FROM b [WHERE ..]`` — Flink's streaming set operations
+    (Table API intersect/intersectAll/minus/minusAll; the SQL planner
+    rewrites them to stateful count aggregates, which is exactly the
+    maintenance plan here).  Two branches; chain more via STATEMENT
+    SET.  Branch projections and WHEREs are row-local; columns align
+    positionally onto the first branch's output names (SQL's set-op
+    column rule)."""
+    sp = _split_top_setop(select)
+    if sp is None:
+        return None
+    branches, ops = sp
+    if len(ops) > 1:
+        raise ValueError(
+            "one set operation per statement — chain further "
+            "INTERSECT/EXCEPT steps through a STATEMENT SET"
+        )
+    op, all_flag = ops[0]
+    first_names: list = []
+    parsed = []
+    for bi, btxt in enumerate(branches):
+        bm = _UNION_BRANCH_RE.match(btxt)
+        if not bm:
+            raise ValueError(
+                f"cannot parse {op.upper()} branch {btxt[:80]!r}: "
+                "expected SELECT <exprs> FROM <table> [WHERE <pred>]"
+            )
+        exprs = []
+        for raw in _split_select_items(bm.group("items")):
+            expr, alias = _split_alias(raw)
+            if alias is None:
+                im = _IDENT.match(expr)
+                alias = im.group("name") if im else None
+            if bi == 0:
+                if alias is None:
+                    raise ValueError(
+                        f"first {op.upper()} branch item {raw!r} needs "
+                        "a name: a plain column or <expr> AS <alias>"
+                    )
+                first_names.append(alias)
+            exprs.append(expr)
+        parsed.append(
+            (bm.group("src").strip('`"'), exprs, _clean(bm.group("where")))
+        )
+    if len(parsed[1][1]) != len(first_names):
+        raise ValueError(
+            f"{op.upper()} branches select {len(parsed[0][1])} vs "
+            f"{len(parsed[1][1])} column(s) — branches align "
+            "positionally"
+        )
+    return InsertSelect(
+        sink=sink, shape="setop",
+        sources=[src for src, _, _ in parsed],
+        select=[(n, n) for n in first_names],
+        union_branches=[
+            (list(zip(exprs, first_names)), w) for _, exprs, w in parsed
+        ],
+        setop={"op": op, "all": all_flag},
+    )
+
+
 def _rewrite_having(having: str, aggs: dict) -> str:
     """HAVING over the maintained aggregate: rewrite each textual
     aggregate call (``SUM(weight)``) to its output alias so the
@@ -1755,6 +1867,18 @@ class SqlMaintenanceJob:
                 },
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        elif stmt.shape == "setop":
+            self.plan = maintain(
+                setop=stmt.setop, op_col=op_col, seq_col=seq_col,
+                ttl=ttl,
+            )
+        elif stmt.shape == "setop":
+            # INTERSECT/EXCEPT: count-keyed state plan (the branch
+            # projections ride union_branches in _prep)
+            self.plan = maintain(
+                setop=stmt.setop, op_col=op_col, seq_col=seq_col,
+                ttl=ttl,
+            )
         elif stmt.shape == "lookup":
             # processing-time lookup join: no state, the dim's CURRENT
             # snapshot is consulted per batch (step() takes it under
@@ -2087,6 +2211,12 @@ class SqlMaintenanceJob:
                 # linear over signed multisets); the accumulated sink
                 # then materializes σ_p(A ⋈ B)
                 delta = delta.filter(F.expr(self._join_filter_sql))
+        elif self.stmt.shape == "setop":
+            # set operation: per-branch row-local projections (via
+            # union_branches), then the count-state plan folds both
+            a = self._prep(0, batches[self.stmt.sources[0]])
+            b = self._prep(1, batches[self.stmt.sources[1]])
+            self._state, delta = self.plan.step(self._state, a, b)
         elif self.stmt.union_branches:
             # UNION ALL: per-branch projected batches stack before the
             # aggregate plan — exact because the signed multiset of a
@@ -2152,6 +2282,13 @@ class SqlMaintenanceJob:
                 "several dim rows); feed the signed deltas to a "
                 "multiset consumer, or use an event-time temporal join "
                 "(one version per probe) for a keyed changelog"
+            )
+        if self.stmt.shape == "setop" and self.stmt.setop["all"]:
+            raise ValueError(
+                "INTERSECT ALL / EXCEPT ALL output is a multiset "
+                "(multiplicities exceed 1); use the DISTINCT form for "
+                "a keyed changelog, or feed the signed deltas to a "
+                "multiset consumer"
             )
         if self.stmt.shape == "over":
             # append-only enrichment (like temporal): renderable as a
@@ -2248,7 +2385,9 @@ class SqlMaintenanceJob:
         if self._acc is None:
             raise ValueError("no batches stepped yet")
         live = self._acc.filter(F.col(MULT_COL) > 0)
-        if self.stmt.shape in ("join", "temporal", "over", "lookup"):
+        if self.stmt.shape in ("join", "temporal", "over", "lookup") or (
+            self.stmt.shape == "setop" and self.stmt.setop["all"]
+        ):
             # multiset semantics: two source rows agreeing on every
             # projected column (and frame aggregate) are two output rows
             live = live.withColumn(
@@ -2362,6 +2501,12 @@ def explain_insert_maintained(
             "CURRENT snapshot per batch; NO operator state (the dim "
             "is re-consulted each batch); output append-only"
         ),
+        _m._SetOpPlan: (
+            "Streaming set operation (count-state rewrite): state = "
+            "one (cntA, cntB) live-multiplicity row per distinct "
+            "payload image; output = signed diff of min / "
+            "clamped-difference of the counts"
+        ),
         _m._DedupRowPlan: (
             "StreamExecDeduplicate (rowtime deduplication): append-"
             "only input, state = ONE row per partition key; an "
@@ -2370,7 +2515,7 @@ def explain_insert_maintained(
         ),
     }[type(plan)]
     lines.append(f"plan: {state}")
-    if stmt.union_branches:
+    if stmt.union_branches and stmt.shape != "setop":
         lines.append(
             f"input: UNION ALL of {len(stmt.union_branches)} branches "
             f"over {stmt.sources} (per-branch row-local projection, "
@@ -2424,6 +2569,12 @@ def explain_insert_maintained(
         lines.append(
             f"dedup: PARTITION BY {stmt.group_cols} keep-{plan.keep} "
             f"by {plan.order!r} (ties: arrival seq)"
+        )
+    if stmt.shape == "setop":
+        lines.append(
+            f"set op: {stmt.setop['op'].upper()}"
+            f"{' ALL' if stmt.setop['all'] else ''} of {stmt.sources} "
+            "— per-branch row-local projections, count-keyed state"
         )
     if stmt.shape == "lookup":
         lines.append(

@@ -5445,6 +5445,52 @@ def cdc_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "user_id", "value")
 
 
+# Streaming set operation on the SQL maintenance surface (r10):
+# Flink's INTERSECT [ALL] / EXCEPT [ALL] on unbounded inputs (Table
+# API minusAll etc.; the SQL planner rewrites them to stateful count
+# aggregates).  Set ops are NOT linear over signed multisets, so the
+# plan keeps one (cntA, cntB) live-multiplicity row per distinct
+# payload image (operators/maintain.py _SetOpPlan) and emits the
+# signed diff of the clamped count difference — per-batch work =
+# batch + affected payloads, state = |distinct images|.  EXCEPT ALL
+# exercises real multiplicities (a customer's urgent-order count
+# minus their BUILDING-segment membership); the oracle is DuckDB's
+# native EXCEPT ALL.
+@register(
+    "cdc_sql_except_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def cdc_sql_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    a = ld(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority",
+        F.lit("+I").alias(OP_COL),
+        F.col("o_orderkey").cast("long").alias(SEQ_COL),
+    )
+    b = ld(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.lit("+I").alias(OP_COL),
+        F.col("c_custkey").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT o_custkey AS k FROM orders_cdc"
+        " WHERE o_orderpriority = '1-URGENT'"
+        " EXCEPT ALL"
+        " SELECT c_custkey AS k FROM cust_cdc"
+        " WHERE c_mktsegment = 'BUILDING'",
+        {"orders_cdc": ["o_orderkey"], "cust_cdc": ["c_custkey"]},
+        {"orders_cdc": a, "cust_cdc": b},
+        n_batches=3,
+    )
+
+
 # LAG offset access in the OVER aggregation (r10): Flink's
 # LagAggFunction inside StreamExecOverAggregate — LAG(col, k) rides
 # the ROWS frame's retained-rows state (the offset row is retained

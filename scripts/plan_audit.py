@@ -84,6 +84,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_lookup_join",
     "cdc_sql_over_lag",
     "cdc_sql_window_topn",
+    "cdc_sql_except_all",
 ]
 
 

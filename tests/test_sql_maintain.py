@@ -2913,3 +2913,115 @@ def test_statement_set_reads_dedup_sink(spark):
     # winners: a(9.0), b(2.0), c(3.0) — the out-of-order retraction of
     # a's first winner flows through the chained changelog
     assert got == [(3, Decimal("14.00"))]
+
+
+# ---------------------------------------------------------------------------
+# Set operations (Flink's streaming INTERSECT [ALL] / EXCEPT [ALL] —
+# count-state rewrite)
+# ---------------------------------------------------------------------------
+
+_SO_SCHEMA = f"id long, v string, {OP_COL} string, {SEQ_COL} long"
+
+
+def _so_logs(spark):
+    # A = {x:2, y:1, z:1}; B folds to {x:1, z:1} (one z retracted)
+    a = spark.createDataFrame(
+        [(1, "x", "+I", 1), (2, "x", "+I", 2), (3, "y", "+I", 3),
+         (4, "z", "+I", 4)],
+        _SO_SCHEMA,
+    ).drop("id")
+    b = spark.createDataFrame(
+        [(11, "x", "+I", 5), (12, "z", "+I", 6), (13, "z", "+I", 7),
+         (12, "z", "-D", 8)],
+        _SO_SCHEMA,
+    ).drop("id")
+    return a, b
+
+
+@pytest.mark.parametrize("op,expected", [
+    ("INTERSECT ALL", {("x",): 1, ("z",): 1}),
+    ("INTERSECT", {("x",): 1, ("z",): 1}),
+    ("EXCEPT ALL", {("x",): 1, ("y",): 1}),
+    ("EXCEPT", {("y",): 1}),
+])
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_setop_matches_bag_algebra(spark, op, expected, n_batches):
+    a, b = _so_logs(spark)
+    out = replay_insert_maintained(
+        f"INSERT INTO sink SELECT v FROM ta {op} SELECT v FROM tb",
+        {"ta": [], "tb": []}, {"ta": a, "tb": b}, n_batches=n_batches,
+    )
+    got: dict = {}
+    for r in out.collect():
+        got[(r["v"],)] = got.get((r["v"],), 0) + 1
+    assert got == expected, (op, n_batches)
+
+
+def test_setop_guards_and_explain(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    a, b = _so_logs(spark)
+    # >1 set operator refused with STATEMENT SET guidance
+    with pytest.raises(ValueError, match="STATEMENT SET"):
+        parse_insert_select(
+            "INSERT INTO s SELECT v FROM a EXCEPT SELECT v FROM b"
+            " EXCEPT SELECT v FROM c"
+        )
+    # column-count mismatch
+    with pytest.raises(ValueError, match="align positionally"):
+        parse_insert_select(
+            "INSERT INTO s SELECT v, id FROM a INTERSECT SELECT v FROM b"
+        )
+    # no ttl (no event-time column in count state)
+    with pytest.raises(ValueError, match="ttl is not supported"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT v FROM ta INTERSECT SELECT v FROM tb",
+            {"ta": [], "tb": []}, ttl="v",
+        )
+    # ALL output is a multiset — keyed changelog render refused;
+    # DISTINCT renders fine
+    job = plan_insert_maintained(
+        "INSERT INTO s SELECT v FROM ta INTERSECT ALL SELECT v FROM tb",
+        {"ta": [], "tb": []},
+    )
+    d = job.step({"ta": a, "tb": b})
+    with pytest.raises(ValueError, match="multiset"):
+        job.delta_changelog(d, 0)
+    job2 = plan_insert_maintained(
+        "INSERT INTO s SELECT v FROM ta EXCEPT SELECT v FROM tb",
+        {"ta": [], "tb": []},
+    )
+    d2 = job2.step({"ta": a, "tb": b})
+    assert {(r["v"], r[OP_COL]) for r in
+            job2.delta_changelog(d2, 0).collect()} == {("y", "+I")}
+    txt = explain_insert_maintained(
+        "INSERT INTO s SELECT v FROM ta EXCEPT ALL SELECT v FROM tb"
+        " WHERE v <> 'q'",
+        {"ta": [], "tb": []},
+    )
+    assert "Streaming set operation" in txt and "EXCEPT ALL" in txt
+
+
+def test_setop_per_branch_where_and_updates(spark):
+    """Per-branch WHEREs are row-local; a cross-batch update on one
+    side moves the count state and retracts the emitted diff."""
+    a = spark.createDataFrame(
+        [(1, "x", 5.0, "+I", 1), (2, "y", 9.0, "+I", 2),
+         # x's value update crosses the branch-A WHERE boundary
+         (1, "x", 5.0, "-U", 9), (1, "x", 20.0, "+U", 9)],
+        f"k long, v string, w double, {OP_COL} string, {SEQ_COL} long",
+    )
+    b = spark.createDataFrame(
+        [(11, "y", 1.0, "+I", 3)],
+        f"k long, v string, w double, {OP_COL} string, {SEQ_COL} long",
+    )
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT v FROM ta WHERE w < 10"
+        " EXCEPT SELECT v FROM tb",
+        {"ta": ["k"], "tb": ["k"]}, {"ta": a, "tb": b}, n_batches=4,
+    )
+    # after the update, x fails branch-A's WHERE → A = {y}; B = {y}
+    # → EXCEPT empty
+    assert out.count() == 0
