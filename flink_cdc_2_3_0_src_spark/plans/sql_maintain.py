@@ -403,6 +403,10 @@ class InsertSelect:
     # set operation (shape == "setop"): {"op": "intersect"|"except",
     # "all": bool}; the two branches ride union_branches
     setop: Optional[dict] = None
+    # window join (two-way shape "join"): ((alias_a, ts_a),
+    # (alias_b, ts_b), "<n> <unit>s") — a TUMBLE-bucket equality in
+    # the ON clause; rows join within the same tumbling window
+    join_window: Optional[tuple] = None
     # tumbling event-time window: (ts column, Spark duration string)
     tumble: Optional[tuple] = None
     # sliding window: (ts column, slide duration, size duration)
@@ -601,11 +605,58 @@ def parse_insert_select(sql: str) -> InsertSelect:
             )
         two_way = len(raw_stages) == 1
         stages = []
+        join_window = None
         for how, tb, bal, conds in raw_stages:
             if bal in aliases:
                 raise ValueError(f"duplicate table alias {bal!r}")
             on, extra = [], []
             for cond in _split_on_conjuncts(conds):
+                wm = _WIN_EQ.match(cond.strip())
+                if wm:
+                    # TUMBLE-bucket equality — Flink's window join
+                    if not two_way:
+                        raise ValueError(
+                            "window joins (TUMBLE(..) = TUMBLE(..)) are "
+                            "supported on two-way joins only — stage a "
+                            "chain through a STATEMENT SET"
+                        )
+                    if join_window is not None:
+                        raise ValueError(
+                            "at most one TUMBLE window equality per "
+                            "join"
+                        )
+                    if (wm.group("ln"), wm.group("lu").lower()) != (
+                        wm.group("rn"), wm.group("ru").lower()
+                    ):
+                        raise ValueError(
+                            "both sides of a window join must use the "
+                            "SAME tumbling interval (Flink's window "
+                            "join requires equal window specs)"
+                        )
+                    lq, rq = wm.group("lq"), wm.group("rq")
+                    if {lq, rq} != {aliases[0], bal}:
+                        raise ValueError(
+                            f"window-join condition {cond.strip()!r} "
+                            f"must reference both table aliases "
+                            f"{aliases[0]!r} and {bal!r}"
+                        )
+                    dur = (
+                        f"{wm.group('ln')} {wm.group('lu').lower()}s"
+                    )
+                    if lq == aliases[0]:
+                        join_window = (
+                            (lq, wm.group("lc")), (rq, wm.group("rc")),
+                            dur,
+                        )
+                    else:
+                        join_window = (
+                            (rq, wm.group("rc")), (lq, wm.group("lc")),
+                            dur,
+                        )
+                    # the derived bucket columns are ordinary equi keys
+                    on.append((aliases[0], _W_START, _W_START))
+                    on.append((aliases[0], _W_END, _W_END))
+                    continue
                 cm = _JOIN_COND.match(cond.strip())
                 if not cm:
                     # a non-equi conjunct is a row-local PAIR predicate —
@@ -653,12 +704,15 @@ def parse_insert_select(sql: str) -> InsertSelect:
                         f"alias (of {aliases}) — a left-deep chain joins "
                         "each table against the tables before it"
                     )
-            if not on:
+            if not [
+                o for o in on if o[1] not in (_W_START, _W_END)
+            ]:
                 raise ValueError(
                     f"the JOIN on {bal!r} needs at least one equi-join "
                     "condition <a>.<col> = <b>.<col> (the maintained "
-                    "join's key); time bounds and other pair predicates "
-                    "ride alongside it as ON conjuncts"
+                    "join's key); time bounds, TUMBLE window equalities "
+                    "and other pair predicates ride alongside it as ON "
+                    "conjuncts"
                 )
             if extra and how != "inner":
                 raise ValueError(
@@ -675,6 +729,24 @@ def parse_insert_select(sql: str) -> InsertSelect:
         items = []
         for raw in _split_select_items(jm.group("items")):
             expr, alias = _split_alias(raw)
+            jwf = _JOIN_WINFIELD.match(expr)
+            if jwf:
+                dur = f"{jwf.group('n')} {jwf.group('unit').lower()}s"
+                q, c = jwf.group("q"), jwf.group("c")
+                if join_window is None or dur != join_window[2] or (
+                    (q, c) not in (join_window[0], join_window[1])
+                ):
+                    raise ValueError(
+                        f"{expr!r} does not match the ON clause's "
+                        "TUMBLE window equality (same side time column "
+                        "and interval required)"
+                    )
+                which = jwf.group("which").upper()
+                src_c = _W_START if which == "START" else _W_END
+                items.append(
+                    (f"{q}.{src_c}", alias or f"w_{which.lower()}")
+                )
+                continue
             qm = _QUAL_ITEM.match(expr)
             if not qm or qm.group("q") not in aliases:
                 hint = (
@@ -730,7 +802,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 sink=sink, shape="join", sources=tables,
                 join_how=st["how"], join_aliases=tuple(aliases),
                 join_on=[(lc, rc) for _, lc, rc in st["on"]], select=items,
-                join_extra=st["extra"],
+                join_extra=st["extra"], join_window=join_window,
             )
         return InsertSelect(
             sink=sink, shape="join", sources=tables,
@@ -1265,6 +1337,22 @@ def _parse_union_agg(sink: str, select: str) -> Optional[InsertSelect]:
     ]
     return st
 
+
+# Flink's window join: a TUMBLE-bucket equality conjunct in the ON
+# clause — rows join only within the same tumbling window.  Both sides
+# derive the bucket row-locally per batch; the bucket columns become
+# ordinary equi-join keys of the maintained join.
+_WIN_EQ = re.compile(
+    r"(?is)^TUMBLE\s*\(\s*(?P<lq>\w+)\.(?P<lc>\w+)\s*,\s*"
+    r"INTERVAL\s+'(?P<ln>\d+)'\s+(?P<lu>SECOND|MINUTE|HOUR|DAY)S?\s*\)"
+    r"\s*=\s*TUMBLE\s*\(\s*(?P<rq>\w+)\.(?P<rc>\w+)\s*,\s*"
+    r"INTERVAL\s+'(?P<rn>\d+)'\s+(?P<ru>SECOND|MINUTE|HOUR|DAY)S?\s*\)$"
+)
+_JOIN_WINFIELD = re.compile(
+    r"(?is)^TUMBLE_(?P<which>START|END)\s*\(\s*(?P<q>\w+)\.(?P<c>\w+)"
+    r"\s*,\s*INTERVAL\s+'(?P<n>\d+)'\s+"
+    r"(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*\)$"
+)
 
 _SETOP_KW = re.compile(r"(?is)^(?P<op>INTERSECT|EXCEPT)(?P<all>\s+ALL)?\b")
 
@@ -2175,6 +2263,22 @@ class SqlMaintenanceJob:
         elif self.stmt.shape in ("join", "temporal", "lookup"):
             a = self._prep(0, batches[self.stmt.sources[0]])
             b = self._prep(1, batches[self.stmt.sources[1]])
+            if self.stmt.shape == "join" and self.stmt.join_window:
+                # window join: derive each side's tumbling bucket
+                # row-locally (changelog ±pairs derive identically, so
+                # the signed algebra holds per window cell); NULL event
+                # times drop — the family's windowing rule
+                (_qa, ts_a), (_qb, ts_b), dur = self.stmt.join_window
+
+                def _win(df, ts_col):
+                    w = F.window(F.col(ts_col), dur)
+                    return (
+                        df.filter(F.col(ts_col).isNotNull())
+                        .withColumn(_W_START, w["start"])
+                        .withColumn(_W_END, w["end"])
+                    )
+
+                a, b = _win(a, ts_a), _win(b, ts_b)
             # merge_join_state equi-joins on same-named columns: align
             # side b's join columns to side a's names — validating the
             # rename is unambiguous and the sides' non-key columns are
@@ -2569,6 +2673,13 @@ def explain_insert_maintained(
         lines.append(
             f"dedup: PARTITION BY {stmt.group_cols} keep-{plan.keep} "
             f"by {plan.order!r} (ties: arrival seq)"
+        )
+    if stmt.shape == "join" and stmt.join_window:
+        (qa, ca), (qb, cb), dur = stmt.join_window
+        lines.append(
+            f"window join: TUMBLE({qa}.{ca}, {dur}) = "
+            f"TUMBLE({qb}.{cb}, {dur}) — per-side row-local buckets as "
+            "equi keys"
         )
     if stmt.shape == "setop":
         lines.append(

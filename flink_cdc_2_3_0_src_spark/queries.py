@@ -5445,6 +5445,66 @@ def cdc_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "user_id", "value")
 
 
+# Window join on the SQL maintenance surface (r10): Flink's window
+# join — a TUMBLE-bucket equality conjunct in the ON clause, so rows
+# join only within the same tumbling window.  Each side derives its
+# bucket row-locally per batch (changelog ±pairs derive identically →
+# the signed algebra holds per window cell) and the buckets become
+# ordinary equi keys of the maintained trilinear join; state shrinks
+# to per-(key, window) cells, the point of window joins at scale.
+# Self-join of the events stream: same user's signup-type events
+# joined to error-type events within the same day.
+@register(
+    "cdc_sql_window_join",
+    """
+    WITH s AS (
+        SELECT event_id AS sid, user_id, ts FROM events
+        WHERE event_type = 'signup' AND ts IS NOT NULL
+    ),
+    e AS (
+        SELECT event_id AS eid, user_id, ts FROM events
+        WHERE event_type = 'error' AND ts IS NOT NULL
+    )
+    SELECT s.sid AS sid, e.eid AS eid, s.user_id AS uid,
+           time_bucket(INTERVAL '1 day', CAST(s.ts AS TIMESTAMP)) AS ws
+    FROM s JOIN e
+      ON s.user_id = e.user_id
+     AND time_bucket(INTERVAL '1 day', CAST(s.ts AS TIMESTAMP))
+       = time_bucket(INTERVAL '1 day', CAST(e.ts AS TIMESTAMP))
+    """,
+)
+def cdc_sql_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    ev = ld(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("sid"), "user_id", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), "user_id",
+        F.col("ts").alias("ets"),
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT s.sid AS sid, e.eid AS eid,"
+        " s.user_id AS uid, TUMBLE_START(s.ts, INTERVAL '1' DAY) AS ws"
+        " FROM sig s JOIN err e ON s.user_id = e.user_id"
+        " AND TUMBLE(s.ts, INTERVAL '1' DAY)"
+        " = TUMBLE(e.ets, INTERVAL '1' DAY)",
+        {"sig": ["sid"], "err": ["eid"]},
+        {"sig": s, "err": e},
+        n_batches=3,
+    )
+    return out.select(
+        "sid", "eid", "uid", F.col("ws").cast("timestamp").alias("ws")
+    )
+
+
 # Streaming set operation on the SQL maintenance surface (r10):
 # Flink's INTERSECT [ALL] / EXCEPT [ALL] on unbounded inputs (Table
 # API minusAll etc.; the SQL planner rewrites them to stateful count

@@ -85,6 +85,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_over_lag",
     "cdc_sql_window_topn",
     "cdc_sql_except_all",
+    "cdc_sql_window_join",
 ]
 
 

@@ -3025,3 +3025,111 @@ def test_setop_per_branch_where_and_updates(spark):
     # after the update, x fails branch-A's WHERE → A = {y}; B = {y}
     # → EXCEPT empty
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Window join (Flink's window join): TUMBLE-bucket equality in the ON
+# ---------------------------------------------------------------------------
+
+_WJ_SQL = (
+    "INSERT INTO sink SELECT a.aid AS aid, b.bid AS bid, a.k AS k,"
+    " TUMBLE_START(a.ts, INTERVAL '1' DAY) AS ws"
+    " FROM ta a JOIN tb b ON a.k = b.k"
+    " AND TUMBLE(a.ts, INTERVAL '1' DAY) = TUMBLE(b.bts, INTERVAL '1' DAY)"
+)
+
+
+def _wj_logs(spark):
+    a_rows = [
+        (1, "k1", "2024-01-01 05:00:00", "+I", 1),
+        (2, "k1", "2024-01-01 23:30:00", "+I", 2),
+        (3, "k2", "2024-01-02 01:00:00", "+I", 3),
+        # ts-moving update: aid=2 leaves day-1 (retracts its day-1
+        # pairs) and enters day-2
+        (2, "k1", "2024-01-01 23:30:00", "-U", 7),
+        (2, "k1", "2024-01-02 00:30:00", "+U", 7),
+    ]
+    b_rows = [
+        (11, "k1", "2024-01-01 08:00:00", "+I", 4),
+        (12, "k1", "2024-01-02 02:00:00", "+I", 5),
+        (13, "k2", "2024-01-02 03:00:00", "+I", 6),
+        (14, "k1", None, "+I", 8),  # NULL event time never joins
+    ]
+    a = spark.createDataFrame(
+        a_rows, f"aid long, k string, ts string, {OP_COL} string,"
+        f" {SEQ_COL} long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    b = spark.createDataFrame(
+        b_rows, f"bid long, k string, bts string, {OP_COL} string,"
+        f" {SEQ_COL} long"
+    ).withColumn("bts", F.col("bts").cast("timestamp"))
+    return a, b
+
+
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_window_join_matches_one_shot(spark, n_batches):
+    a, b = _wj_logs(spark)
+    got = replay_insert_maintained(
+        _WJ_SQL, {"ta": ["aid"], "tb": ["bid"]}, {"ta": a, "tb": b},
+        n_batches=n_batches,
+    )
+    ma = materialize(a, ["aid"]).filter(F.col("ts").isNotNull())
+    mb = materialize(b, ["bid"]).filter(F.col("bts").isNotNull())
+    # direct form: join on key + equal buckets (disambiguated frames)
+    wa = ma.select(
+        "aid", "k", F.window("ts", "1 day").alias("__w")
+    )
+    wb = mb.select(
+        "bid", F.col("k").alias("bk"),
+        F.window("bts", "1 day").alias("__wb"),
+    )
+    direct = wa.join(
+        wb, (F.col("k") == F.col("bk")) & (F.col("__w") == F.col("__wb"))
+    ).select("aid", "bid", "k", F.col("__w.start").alias("ws"))
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
+def test_window_join_guards(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    with pytest.raises(ValueError, match="SAME tumbling interval"):
+        parse_insert_select(
+            _WJ_SQL.replace(
+                "TUMBLE(b.bts, INTERVAL '1' DAY)",
+                "TUMBLE(b.bts, INTERVAL '2' DAY)",
+            )
+        )
+    # window equality alone is a per-window cross join — refused
+    with pytest.raises(ValueError, match="at least one equi-join"):
+        parse_insert_select(_WJ_SQL.replace("a.k = b.k AND ", ""))
+    # chains refuse window conjuncts
+    with pytest.raises(ValueError, match="two-way joins only"):
+        parse_insert_select(
+            _WJ_SQL + " JOIN tc c ON c.k = a.k"
+        )
+    # projecting the padded side's window field on an outer join is
+    # refused (pad rows carry the probe side's bucket, SQL emits NULL)
+    with pytest.raises(ValueError, match="null-padded side"):
+        plan_insert_maintained(
+            _WJ_SQL.replace("JOIN tb", "LEFT JOIN tb").replace(
+                "TUMBLE_START(a.ts, INTERVAL '1' DAY) AS ws",
+                "TUMBLE_START(b.bts, INTERVAL '1' DAY) AS ws",
+            ),
+            {"ta": ["aid"], "tb": ["bid"]},
+        )
+    # mismatched projection spec
+    with pytest.raises(ValueError, match="does not match the ON"):
+        parse_insert_select(
+            _WJ_SQL.replace(
+                "TUMBLE_START(a.ts, INTERVAL '1' DAY)",
+                "TUMBLE_START(a.ts, INTERVAL '2' DAY)",
+            )
+        )
+    txt = explain_insert_maintained(
+        _WJ_SQL, {"ta": ["aid"], "tb": ["bid"]}
+    )
+    assert "window join: TUMBLE(a.ts, 1 days)" in txt
