@@ -614,11 +614,23 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 wm = _WIN_EQ.match(cond.strip())
                 if wm:
                     # TUMBLE-bucket equality — Flink's window join
+                    if temporal is not None or lookup_alias is not None:
+                        raise ValueError(
+                            "temporal/lookup join ON clauses support "
+                            "equi conditions only — a TUMBLE window "
+                            "equality belongs to a regular stream-"
+                            "stream join (window join)"
+                        )
                     if not two_way:
                         raise ValueError(
                             "window joins (TUMBLE(..) = TUMBLE(..)) are "
                             "supported on two-way joins only — stage a "
                             "chain through a STATEMENT SET"
+                        )
+                    if int(wm.group("ln")) == 0 or int(wm.group("rn")) == 0:
+                        raise ValueError(
+                            "the window join's TUMBLE interval must be "
+                            "positive"
                         )
                     if join_window is not None:
                         raise ValueError(

@@ -3133,3 +3133,57 @@ def test_window_join_guards(spark):
         _WJ_SQL, {"ta": ["aid"], "tb": ["bid"]}
     )
     assert "window join: TUMBLE(a.ts, 1 days)" in txt
+
+
+def test_window_join_temporal_lookup_refused_and_zero_interval():
+    # a TUMBLE equality inside a temporal/lookup ON clause is refused
+    # at parse time (previously these refused all non-equi conjuncts;
+    # the window-join branch must not half-consume them)
+    with pytest.raises(ValueError, match="equi conditions only"):
+        parse_insert_select(
+            "INSERT INTO sink SELECT a.aid AS aid, b.v AS v FROM ta a"
+            " JOIN tb FOR SYSTEM_TIME AS OF a.ts AS b ON a.k = b.k"
+            " AND TUMBLE(a.ts, INTERVAL '1' DAY)"
+            " = TUMBLE(b.bts, INTERVAL '1' DAY)"
+        )
+    with pytest.raises(ValueError, match="equi conditions only"):
+        parse_insert_select(
+            "INSERT INTO sink SELECT a.aid AS aid, b.v AS v FROM ta a"
+            " JOIN tb FOR SYSTEM_TIME AS OF PROCTIME() AS b"
+            " ON a.k = b.k AND TUMBLE(a.ts, INTERVAL '1' DAY)"
+            " = TUMBLE(b.bts, INTERVAL '1' DAY)"
+        )
+    with pytest.raises(ValueError, match="must be positive"):
+        parse_insert_select(
+            _WJ_SQL.replace("INTERVAL '1' DAY", "INTERVAL '0' DAY")
+        )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_left_window_join_matches_one_shot(spark, n_batches):
+    """Outer window join: the pad/retract machinery operates over the
+    derived bucket keys — a left row whose window cell gains its first
+    match retracts the pad.  (NULL event times drop on BOTH sides
+    before windows are assigned — Flink's window assignment; a NULL-ts
+    left row therefore never appears, unlike a plain SQL LEFT JOIN.)"""
+    a, b = _wj_logs(spark)
+    a = a.filter(F.col("ts").isNotNull())
+    got = replay_insert_maintained(
+        _WJ_SQL.replace("JOIN tb", "LEFT JOIN tb"),
+        {"ta": ["aid"], "tb": ["bid"]}, {"ta": a, "tb": b},
+        n_batches=n_batches,
+    )
+    ma = materialize(a, ["aid"]).filter(F.col("ts").isNotNull())
+    mb = materialize(b, ["bid"]).filter(F.col("bts").isNotNull())
+    wa = ma.select("aid", "k", F.window("ts", "1 day").alias("__w"))
+    wb = mb.select(
+        "bid", F.col("k").alias("bk"),
+        F.window("bts", "1 day").alias("__wb"),
+    )
+    direct = wa.join(
+        wb, (F.col("k") == F.col("bk")) & (F.col("__w") == F.col("__wb")),
+        "left",
+    ).select("aid", "bid", "k", F.col("__w.start").alias("ws"))
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
