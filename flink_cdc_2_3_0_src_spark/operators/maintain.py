@@ -1128,6 +1128,165 @@ class _LookupJoinPlan(_Plan):
         raise ValueError("lookup join keeps no state; ttl does not apply")
 
 
+class _MatchPlan(_Plan):
+    """MATCH_RECOGNIZE maintenance — Flink's CEP SQL (StreamExecMatch /
+    CepOperator) for the two-step contiguous pattern::
+
+        PATTERN (A B)  AFTER MATCH SKIP TO NEXT ROW  WITHIN <interval>
+
+    A match is two CONSECUTIVE rows of a key's event-time order where
+    A's DEFINE holds on the first row, B's on the second, and the time
+    gap is within the interval.  SKIP TO NEXT ROW resumes at the row
+    after the match's FIRST row, so matches may overlap — which makes
+    the match set a pure per-position predicate (row i matches iff
+    DEFINE_A(row_i) ∧ DEFINE_B(row_{i+1}) ∧ gap ≤ within), computable
+    with one LEAD window per affected key and DIFFABLE exactly between
+    batches.  (SKIP PAST LAST ROW's greedy non-overlap needs a
+    sequential scan and is refused with guidance.)
+
+    * **input**: append-only (+I; Flink's MATCH_RECOGNIZE requires an
+      append-only input too); NULL event times drop (window rule).
+    * **state**: each key's retained rows with order time within
+      ``within`` of the key's max — the rows a future arrival can
+      still pair with.  Like the OVER plan's RANGE retention, the
+      prune is exact under per-key in-order arrivals; an out-of-order
+      row landing before already-pruned rows can re-pair across the
+      pruned boundary (emitted matches are never retracted) — Flink's
+      CEP state cleanup makes the same trade for late events.
+    * **per batch**: affected keys' retained rows ∪ batch rows, ONE
+      LEAD window over that bounded pool, measures projected, and the
+      signed diff against the same computation over the pre-batch pool
+      (an out-of-order arrival that breaks a previously-emitted
+      adjacency retracts it — consecutive-ness is stateful).
+    * ``ttl=<order col>`` additionally evicts retained rows behind an
+      explicit watermark.
+
+    ``measures`` are SQL expressions over ``A.<col>`` / ``B.<col>``;
+    defines likewise (B's may reference A's columns — the pair is in
+    scope, Flink's semantics for a matched earlier variable).
+    """
+
+    kind = "match"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {
+            "partition", "order", "within", "define_a", "define_b",
+            "measures",
+        }
+        if unknown:
+            raise ValueError(f"unknown match options: {sorted(unknown)}")
+        missing = {
+            "partition", "order", "within", "define_a", "define_b",
+            "measures",
+        } - set(opts)
+        if missing:
+            raise ValueError(
+                f"match= needs {sorted(missing)}: {{'partition': [key "
+                "cols], 'order': <ts col>, 'within': '<n> <unit>s', "
+                "'define_a': <sql over A cols>, 'define_b': <sql>, "
+                "'measures': [(sql, out name), ...]}}"
+            )
+        super().__init__(ttl)
+        self.partition = list(opts["partition"])
+        if not self.partition:
+            raise ValueError("match= needs a non-empty partition")
+        self.order = opts["order"]
+        self.within_us = _gap_micros(opts["within"])
+        self.define_a = opts["define_a"]
+        self.define_b = opts["define_b"]
+        self.measures = list(opts["measures"])
+        if not self.measures:
+            raise ValueError("match= needs at least one measure")
+        self.op_col = op_col
+        self.seq_col = seq_col
+        if ttl is not None and ttl != self.order:
+            raise ValueError(
+                "match ttl must name the ORDER BY time column "
+                f"({self.order!r})"
+            )
+
+    def _matches(self, pool: DataFrame) -> DataFrame:
+        """Measure rows of every A-B adjacency in the pool (per key,
+        (order, seq) ascending), as a signed multiset with +1 rows."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*self.partition).orderBy(
+            F.col(self.order).asc(), F.col(self.seq_col).asc()
+        )
+        payload = [c for c in pool.columns]
+        frame = pool.withColumn(
+            "__b", F.lead(F.struct(*payload)).over(w)
+        )
+        gap = F.unix_micros(
+            F.col(f"__b.{self.order}").cast("timestamp")
+        ) - F.unix_micros(F.col(self.order).cast("timestamp"))
+        matched = frame.filter(
+            F.col("__b").isNotNull()
+            & (gap <= F.lit(self.within_us))
+            & F.expr(self.define_a)
+            & F.expr(self.define_b)
+        )
+        return matched.select(
+            *self.partition,
+            *[F.expr(e).alias(n) for e, n in self.measures],
+        ).withColumn(MULT_COL, F.lit(1).cast("long"))
+
+    def step(self, state, batch: DataFrame):
+        _require_append_only(
+            batch, self.op_col, "MATCH_RECOGNIZE",
+            "pattern-match an updating stream after materializing it "
+            "upstream",
+        )
+        rows = batch.filter(
+            (F.col(self.op_col) == OP_INSERT)
+            & F.col(self.order).isNotNull()
+        ).select(*[c for c in batch.columns if c != self.op_col])
+        affected = rows.select(*self.partition).distinct()
+        old_pool = (
+            _keyset_join(state, affected, self.partition, "left_semi")
+            if state is not None
+            else None
+        )
+        new_pool = (
+            rows if old_pool is None else rows.unionByName(old_pool)
+        )
+        new_m = self._matches(new_pool)
+        delta = new_m
+        if old_pool is not None:
+            old_m = self._matches(old_pool).withColumn(
+                MULT_COL, -F.col(MULT_COL)
+            )
+            payload = [c for c in new_m.columns if c != MULT_COL]
+            delta = (
+                new_m.unionByName(old_m)
+                .groupBy(*payload)
+                .agg(F.sum(MULT_COL).alias(MULT_COL))
+                .filter(F.col(MULT_COL) != 0)
+            )
+        # retention: rows within `within` of their key's max order time
+        # can still pair with a future in-order arrival
+        from pyspark.sql.window import Window
+
+        kmax = F.max(F.col(self.order)).over(
+            Window.partitionBy(*self.partition)
+        )
+        pruned = new_pool.withColumn(
+            "__keep",
+            F.unix_micros(F.col(self.order).cast("timestamp"))
+            >= F.unix_micros(kmax.cast("timestamp"))
+            - F.lit(self.within_us),
+        ).filter(F.col("__keep")).drop("__keep")
+        if state is not None:
+            pruned = pruned.unionByName(
+                _keyset_join(state, affected, self.partition, "left_anti")
+            )
+        return pruned.localCheckpoint(eager=True), delta
+
+    def _expire(self, state, watermark):
+        return expire_state(state, watermark, self.order)
+
+
 class _SetOpPlan(_Plan):
     """Streaming INTERSECT [ALL] / EXCEPT [ALL] over two changelogs —
     Flink's set operations on unbounded inputs (Table API
@@ -1923,6 +2082,7 @@ def maintain(
     temporal=None,
     lookup=None,
     setop=None,
+    match=None,
     over=None,
     distinct=None,
     grouping_sets=None,
@@ -1959,6 +2119,13 @@ def maintain(
       probe_batch, build_batch)``).  Output is append-only (+1 rows
       only); ``ttl=<btime>`` enables versioned state cleanup (keep
       the latest version before the watermark, drop older ones).
+    * ``match={"partition": [...], "order": <ts col>, "within":
+      "<n> <unit>s", "define_a": <sql>, "define_b": <sql>,
+      "measures": [(sql, name), ...]}`` — MATCH_RECOGNIZE maintenance
+      for the two-step contiguous pattern (A B), SKIP TO NEXT ROW
+      (Flink's StreamExecMatch): state = each key's rows within
+      ``within`` of its max event time; per batch one LEAD window
+      over the affected keys' pool, diffed exactly.
     * ``setop={"op": "intersect"|"except"[, "all": bool]}`` —
       streaming INTERSECT [ALL] / EXCEPT [ALL] of two changelogs
       (``plan.step(state, batch_a, batch_b)``): state = one (cntA,
@@ -2058,13 +2225,14 @@ def maintain(
         dedup is not None, hll is not None, hist is not None,
         chain is not None, temporal is not None, over is not None,
         dedup_row is not None, lookup is not None, setop is not None,
+        match is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
-            "temporal=... | lookup=... | setop=... | over=... | "
-            "n=...+order_sql | dedup=... | dedup_row=... | hll=... | "
-            "hist=..."
+            "temporal=... | lookup=... | setop=... | match=... | "
+            "over=... | n=...+order_sql | dedup=... | dedup_row=... | "
+            "hll=... | hist=..."
         )
     if session is not None and aggs is None:
         raise ValueError(
@@ -2118,6 +2286,15 @@ def maintain(
                 "'except'[, 'all': bool]}"
             )
         return _SetOpPlan(setop, ttl, op_col, seq_col)
+    if match is not None:
+        if not isinstance(match, dict):
+            raise ValueError(
+                "match= takes an options dict: {'partition': [...], "
+                "'order': <ts col>, 'within': '<n> <unit>s', "
+                "'define_a': <sql>, 'define_b': <sql>, 'measures': "
+                "[(sql, name), ...]}"
+            )
+        return _MatchPlan(match, ttl, op_col, seq_col)
     if over is not None:
         if not isinstance(over, dict):
             raise ValueError(

@@ -403,6 +403,10 @@ class InsertSelect:
     # set operation (shape == "setop"): {"op": "intersect"|"except",
     # "all": bool}; the two branches ride union_branches
     setop: Optional[dict] = None
+    # MATCH_RECOGNIZE (shape == "match"): {"partition": [...],
+    # "order": ts, "within": "<n> <unit>s", "define_a": sql,
+    # "define_b": sql, "measures": [(sql, name)]}
+    match: Optional[dict] = None
     # window join (two-way shape "join"): ((alias_a, ts_a),
     # (alias_b, ts_b), "<n> <unit>s") — a TUMBLE-bucket equality in
     # the ON clause; rows join within the same tumbling window
@@ -819,6 +823,61 @@ def parse_insert_select(sql: str) -> InsertSelect:
         return InsertSelect(
             sink=sink, shape="join", sources=tables,
             join_aliases=tuple(aliases), join_chain=stages, select=items,
+        )
+
+    mm = _MATCH_RE.match(select)
+    if mm:
+        if mm.group("skip").upper().split()[0] == "PAST":
+            raise ValueError(
+                "AFTER MATCH SKIP PAST LAST ROW (greedy non-overlapping "
+                "matches) needs a sequential per-key scan; the "
+                "maintained subset supports SKIP TO NEXT ROW, whose "
+                "match set is a per-position predicate"
+            )
+        if re.sub(r"\s+", " ", mm.group("pattern").strip()).upper() != "A B":
+            raise ValueError(
+                "the maintained MATCH_RECOGNIZE subset supports the "
+                "two-step contiguous PATTERN (A B); compose longer "
+                "funnels by chaining MATCH_RECOGNIZE sinks through a "
+                "STATEMENT SET"
+            )
+        partition = _names(mm.group("partition"), "PARTITION BY")
+        measures = []
+        for raw in _split_select_items(mm.group("measures")):
+            expr, alias = _split_alias(raw)
+            if alias is None:
+                raise ValueError(
+                    f"MEASURES item {raw!r} needs AS <name>"
+                )
+            if alias in partition:
+                raise ValueError(
+                    f"measure name {alias!r} collides with a PARTITION "
+                    "BY column"
+                )
+            measures.append((_rewrite_match_refs(expr), alias))
+        out_names = list(partition) + [n for _, n in measures]
+        items = []
+        for raw in _split_select_items(mm.group("items")):
+            expr, alias = _split_alias(raw)
+            im = _IDENT.match(expr)
+            if not im or im.group("name") not in out_names:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE select items must be PARTITION BY "
+                    f"columns or measure names ({out_names}), got {raw!r}"
+                )
+            items.append((im.group("name"), alias or im.group("name")))
+        return InsertSelect(
+            sink=sink, shape="match",
+            sources=[mm.group("src").strip('`"')],
+            select=items,
+            match={
+                "partition": partition,
+                "order": mm.group("order").strip('`"'),
+                "within": f"{mm.group('wn')} {mm.group('wu').lower()}s",
+                "define_a": _rewrite_match_refs(mm.group("da").strip()),
+                "define_b": _rewrite_match_refs(mm.group("db").strip()),
+                "measures": measures,
+            },
         )
 
     sm_ = _parse_setop(sink, select)
@@ -1365,6 +1424,39 @@ _JOIN_WINFIELD = re.compile(
     r"\s*,\s*INTERVAL\s+'(?P<n>\d+)'\s+"
     r"(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*\)$"
 )
+
+# Flink's MATCH_RECOGNIZE (CEP SQL) — the two-step contiguous pattern
+# subset the maintenance planner dispatches (StreamExecMatch):
+#   PATTERN (A B), AFTER MATCH SKIP TO NEXT ROW, WITHIN <interval>
+_MATCH_RE = re.compile(
+    r"(?is)^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)\s+"
+    r"MATCH_RECOGNIZE\s*\(\s*"
+    r"PARTITION\s+BY\s+(?P<partition>.*?)\s+"
+    r"ORDER\s+BY\s+(?P<order>[`\"]?\w+[`\"]?)(?:\s+ASC)?\s+"
+    r"MEASURES\s+(?P<measures>.*?)\s+"
+    r"AFTER\s+MATCH\s+SKIP\s+(?P<skip>TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)\s+"
+    r"PATTERN\s*\(\s*(?P<pattern>[^)]*)\)\s+"
+    r"WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+"
+    r"(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s+"
+    r"DEFINE\s+A\s+AS\s+(?P<da>.*?),\s*B\s+AS\s+(?P<db>.*?)\s*"
+    r"\)\s*(?:AS\s+\w+)?\s*;?\s*$"
+)
+
+
+def _rewrite_match_refs(sql: str) -> str:
+    """``A.<col>`` → ``<col>``, ``B.<col>`` → ``__b.<col>`` outside
+    string literals — the pair frame's physical names (the A row is the
+    current row, the B row the LEAD struct)."""
+    out = []
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
+        if i % 2 == 1:
+            out.append(seg)
+            continue
+        seg = re.sub(r"\bA\s*\.\s*(\w+)", r"\1", seg)
+        seg = re.sub(r"\bB\s*\.\s*(\w+)", r"__b.\1", seg)
+        out.append(seg)
+    return "".join(out)
+
 
 _SETOP_KW = re.compile(r"(?is)^(?P<op>INTERSECT|EXCEPT)(?P<all>\s+ALL)?\b")
 
@@ -1972,6 +2064,20 @@ class SqlMaintenanceJob:
                 setop=stmt.setop, op_col=op_col, seq_col=seq_col,
                 ttl=ttl,
             )
+        elif stmt.shape == "match":
+            # MATCH_RECOGNIZE: the ORDER BY must be the source's event
+            # time (the OVER rule — retained-pool adjacency assumes it)
+            rowtime = _table_rowtime(tables, stmt.sources[0])
+            if rowtime is not None and stmt.match["order"] != rowtime:
+                raise ValueError(
+                    f"MATCH_RECOGNIZE ORDER BY {stmt.match['order']!r} "
+                    f"must be the source's declared event-time column "
+                    f"{rowtime!r} (Flink requires a time attribute)"
+                )
+            self.plan = maintain(
+                match=stmt.match, op_col=op_col, seq_col=seq_col,
+                ttl=ttl,
+            )
         elif stmt.shape == "setop":
             # INTERSECT/EXCEPT: count-keyed state plan (the branch
             # projections ride union_branches in _prep)
@@ -2399,6 +2505,12 @@ class SqlMaintenanceJob:
                 "multiset consumer, or use an event-time temporal join "
                 "(one version per probe) for a keyed changelog"
             )
+        if self.stmt.shape == "match":
+            raise ValueError(
+                "MATCH_RECOGNIZE output is a multiset (distinct "
+                "adjacencies can project identical measures); feed the "
+                "signed deltas to a multiset consumer"
+            )
         if self.stmt.shape == "setop" and self.stmt.setop["all"]:
             raise ValueError(
                 "INTERSECT ALL / EXCEPT ALL output is a multiset "
@@ -2501,7 +2613,9 @@ class SqlMaintenanceJob:
         if self._acc is None:
             raise ValueError("no batches stepped yet")
         live = self._acc.filter(F.col(MULT_COL) > 0)
-        if self.stmt.shape in ("join", "temporal", "over", "lookup") or (
+        if self.stmt.shape in (
+            "join", "temporal", "over", "lookup", "match"
+        ) or (
             self.stmt.shape == "setop" and self.stmt.setop["all"]
         ):
             # multiset semantics: two source rows agreeing on every
@@ -2617,6 +2731,12 @@ def explain_insert_maintained(
             "CURRENT snapshot per batch; NO operator state (the dim "
             "is re-consulted each batch); output append-only"
         ),
+        _m._MatchPlan: (
+            "StreamExecMatch (MATCH_RECOGNIZE, PATTERN (A B), SKIP TO "
+            "NEXT ROW): state = each key's rows within WITHIN of its "
+            "max event time; per batch one LEAD window over affected "
+            "keys' pools, diffed exactly"
+        ),
         _m._SetOpPlan: (
             "Streaming set operation (count-state rewrite): state = "
             "one (cntA, cntB) live-multiplicity row per distinct "
@@ -2692,6 +2812,13 @@ def explain_insert_maintained(
             f"window join: TUMBLE({qa}.{ca}, {dur}) = "
             f"TUMBLE({qb}.{cb}, {dur}) — per-side row-local buckets as "
             "equi keys"
+        )
+    if stmt.shape == "match":
+        lines.append(
+            f"pattern: (A B) within {stmt.match['within']}, PARTITION "
+            f"BY {stmt.match['partition']} ORDER BY "
+            f"{stmt.match['order']}; defines A: {stmt.match['define_a']!r}"
+            f", B: {stmt.match['define_b']!r}"
         )
     if stmt.shape == "setop":
         lines.append(

@@ -5445,6 +5445,59 @@ def cdc_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "user_id", "value")
 
 
+# MATCH_RECOGNIZE on the SQL maintenance surface (r10): Flink's CEP
+# SQL (StreamExecMatch / CepOperator) — the two-step contiguous
+# pattern subset: PATTERN (A B), AFTER MATCH SKIP TO NEXT ROW, WITHIN.
+# SKIP TO NEXT ROW makes the match set a per-position predicate
+# (row i matches iff A's DEFINE holds on it, B's on its successor,
+# gap ≤ WITHIN), so one LEAD window per affected key maintains it and
+# the signed diff is exact — including retracting a previously-
+# emitted match when an out-of-order row breaks the adjacency.  The
+# canonical funnel: a user's signup followed immediately by an error
+# within a day.  State = each key's rows within WITHIN of its max
+# event time.  The oracle computes the same LEAD predicate one-shot.
+@register(
+    "cdc_sql_match_recognize",
+    """
+    SELECT u, a_ts, b_ts, b_val FROM (
+        SELECT user_id AS u, ts AS a_ts, event_type AS et,
+               LEAD(event_type) OVER w AS n_et,
+               LEAD(ts) OVER w AS b_ts,
+               LEAD(value) OVER w AS b_val
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    WHERE et = 'signup' AND n_et = 'error'
+      AND b_ts <= a_ts + INTERVAL 1 DAY
+    """,
+)
+def cdc_sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, b_ts, b_val"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES A.ts AS a_ts, B.ts AS b_ts, B.value AS b_val"
+        " AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.event_type = 'signup',"
+        " B AS B.event_type = 'error')",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
 # Window join on the SQL maintenance surface (r10): Flink's window
 # join — a TUMBLE-bucket equality conjunct in the ON clause, so rows
 # join only within the same tumbling window.  Each side derives its

@@ -86,6 +86,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_window_topn",
     "cdc_sql_except_all",
     "cdc_sql_window_join",
+    "cdc_sql_match_recognize",
 ]
 
 

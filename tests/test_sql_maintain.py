@@ -3187,3 +3187,136 @@ def test_left_window_join_matches_one_shot(spark, n_batches):
     assert sorted(map(tuple, got.collect()), key=str) == sorted(
         map(tuple, direct.collect()), key=str
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE (Flink's CEP SQL — StreamExecMatch), two-step subset
+# ---------------------------------------------------------------------------
+
+_MR_SQL = (
+    "INSERT INTO sink SELECT u, a_ts, b_ts, b_v FROM ev"
+    " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+    " MEASURES A.ts AS a_ts, B.ts AS b_ts, B.v AS b_v"
+    " AFTER MATCH SKIP TO NEXT ROW"
+    " PATTERN (A B) WITHIN INTERVAL '1' HOUR"
+    " DEFINE A AS A.et = 'signup', B AS B.et = 'error')"
+)
+_MR_TABLES = {"ev": {"primary_key": ["id"], "rowtime": "ts"}}
+
+
+def _mr_log(spark, extra=()):
+    rows = [
+        (1, "u1", "signup", 5.0, "2024-01-01 01:00:00", "+I", 1),
+        (2, "u1", "error", 1.0, "2024-01-01 01:30:00", "+I", 2),
+        (3, "u1", "click", 2.0, "2024-01-01 02:00:00", "+I", 3),
+        (4, "u2", "signup", 3.0, "2024-01-01 01:00:00", "+I", 4),
+        # gap > WITHIN — adjacent but too late
+        (5, "u2", "error", 9.0, "2024-01-01 09:00:00", "+I", 5),
+        (6, "u1", "signup", 7.0, "2024-01-02 01:00:00", "+I", 6),
+        (7, "u1", "error", 8.0, "2024-01-02 01:10:00", "+I", 7),
+        *extra,
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"id long, u string, et string, v double, ts string,"
+        f" {OP_COL} string, {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _mr_one_shot(spark, log):
+    m = log.drop(OP_COL).filter(F.col("ts").isNotNull())
+    m.createOrReplaceTempView("__mr_t")
+    return spark.sql(
+        "SELECT u, ts AS a_ts, n_ts AS b_ts, n_v AS b_v FROM ("
+        " SELECT u, et, ts, LEAD(et) OVER w AS n_et,"
+        " LEAD(ts) OVER w AS n_ts, LEAD(v) OVER w AS n_v"
+        " FROM __mr_t WINDOW w AS (PARTITION BY u ORDER BY ts, _seq))"
+        " WHERE et = 'signup' AND n_et = 'error'"
+        " AND n_ts <= ts + INTERVAL 1 HOUR"
+    )
+
+
+@pytest.mark.parametrize("n_batches", [1, 4])
+def test_match_recognize_matches_one_shot(spark, n_batches):
+    log = _mr_log(spark)
+    got = replay_insert_maintained(
+        _MR_SQL, _MR_TABLES, {"ev": log}, n_batches=n_batches
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, _mr_one_shot(spark, log).collect()), key=str
+    )
+
+
+def test_match_recognize_out_of_order_retracts_adjacency(spark):
+    """A late row landing BETWEEN a matched pair breaks the contiguity
+    and retracts the emitted match — consecutive-ness is stateful and
+    the diff maintains it exactly (equals one-shot for any split)."""
+    # id=8 arrives LAST but sits between u1's day-1 signup and error:
+    # the (signup 01:00, error 01:30) match must retract
+    late = [(8, "u1", "click", 0.5, "2024-01-01 01:15:00", "+I", 8)]
+    log = _mr_log(spark, extra=late)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            _MR_SQL, _MR_TABLES, {"ev": log}, n_batches=n
+        )
+        rows = sorted(map(tuple, got.collect()), key=str)
+        assert rows == sorted(
+            map(tuple, _mr_one_shot(spark, log).collect()), key=str
+        )
+        # only the day-2 pair survives for u1
+        assert len(rows) == 1
+
+
+def test_match_recognize_guards(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    with pytest.raises(ValueError, match="SKIP TO NEXT ROW"):
+        parse_insert_select(
+            _MR_SQL.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
+        )
+    with pytest.raises(ValueError, match="PATTERN"):
+        parse_insert_select(_MR_SQL.replace("PATTERN (A B)",
+                                            "PATTERN (A B+ C)"))
+    with pytest.raises(ValueError, match="collides with a PARTITION"):
+        parse_insert_select(_MR_SQL.replace("AS a_ts", "AS u"))
+    with pytest.raises(ValueError, match="measure names"):
+        parse_insert_select(
+            _MR_SQL.replace("SELECT u, a_ts, b_ts, b_v", "SELECT u, v")
+        )
+    with pytest.raises(ValueError, match="declared event-time column"):
+        plan_insert_maintained(
+            _MR_SQL.replace("ORDER BY ts", "ORDER BY v"), _MR_TABLES
+        )
+    job = plan_insert_maintained(_MR_SQL, _MR_TABLES, ttl="ts")
+    bad = _mr_log(spark).withColumn(
+        OP_COL, F.when(F.col("id") == 2, "-D").otherwise("+I")
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        job.step({"ev": bad})
+    d = job.step({"ev": _mr_log(spark)})
+    with pytest.raises(ValueError, match="multiset"):
+        job.delta_changelog(d, 0)
+    txt = explain_insert_maintained(_MR_SQL, _MR_TABLES, ttl="ts")
+    assert "StreamExecMatch" in txt and "pattern: (A B) within" in txt
+
+
+def test_match_recognize_retention_and_ttl(spark):
+    """State keeps only rows within WITHIN of each key's max event
+    time; ttl additionally evicts behind an explicit watermark."""
+    job = plan_insert_maintained(_MR_SQL, _MR_TABLES, ttl="ts")
+    log = _mr_log(spark)
+    job.step({"ev": log.filter(F.col("id") <= 5)})
+    state_ts = {str(r["ts"]) for r in job._state.collect()}
+    # u1's max is 02:00 → rows at/after 01:00 (inclusive boundary: a
+    # tie-timestamped future row can still pair) stay; u2's max is
+    # 09:00 → its 01:00 row pruned
+    assert state_ts == {
+        "2024-01-01 01:00:00", "2024-01-01 01:30:00",
+        "2024-01-01 02:00:00", "2024-01-01 09:00:00",
+    }
+    job.expire("2024-01-01 12:00:00")
+    assert job._state.count() == 0
+    job.step({"ev": log.filter(F.col("id") > 5)})
+    assert job.result().count() == 2
