@@ -3320,3 +3320,34 @@ def test_match_recognize_retention_and_ttl(spark):
     assert job._state.count() == 0
     job.step({"ev": log.filter(F.col("id") > 5)})
     assert job.result().count() == 2
+
+
+def test_streaming_match_recognize_matches_one_shot(spark, tmp_path):
+    """MATCH_RECOGNIZE through a REAL Structured Streaming query:
+    per-microbatch adjacency maintenance over WITHIN-bounded key pools
+    lands on the one-shot LEAD predicate, with pairs crossing
+    microbatch boundaries."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    log = _mr_log(spark)
+    replay_dir = str(tmp_path / "replay_match")
+    write_replay_files(log, replay_dir, n_files=4)
+    job = plan_insert_maintained(_MR_SQL, _MR_TABLES)
+
+    def process(batch_df, batch_id):
+        job.step({"ev": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_match"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, job.result().collect()), key=str) == sorted(
+        map(tuple, _mr_one_shot(spark, log).collect()), key=str
+    )
