@@ -1185,7 +1185,7 @@ class _MatchPlan(_Plan):
                 f"match= needs {sorted(missing)}: {{'partition': [key "
                 "cols], 'order': <ts col>, 'within': '<n> <unit>s', "
                 "'define_a': <sql over A cols>, 'define_b': <sql>, "
-                "'measures': [(sql, out name), ...]}}"
+                "'measures': [(sql, out name), ...]}"
             )
         super().__init__(ttl)
         self.partition = list(opts["partition"])

@@ -837,9 +837,9 @@ def parse_insert_select(sql: str) -> InsertSelect:
         if re.sub(r"\s+", " ", mm.group("pattern").strip()).upper() != "A B":
             raise ValueError(
                 "the maintained MATCH_RECOGNIZE subset supports the "
-                "two-step contiguous PATTERN (A B); compose longer "
-                "funnels by chaining MATCH_RECOGNIZE sinks through a "
-                "STATEMENT SET"
+                "two-step contiguous PATTERN (A B) — quantifiers and "
+                "longer sequences need Flink's full NFA operator, "
+                "which has no bounded batch-restricted state here"
             )
         partition = _names(mm.group("partition"), "PARTITION BY")
         measures = []
@@ -854,7 +854,14 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     f"measure name {alias!r} collides with a PARTITION "
                     "BY column"
                 )
-            measures.append((_rewrite_match_refs(expr), alias))
+            _refuse_unqualified_match_refs(expr, f"measure {alias!r}")
+            measures.append(
+                (_rewrite_match_refs(expr, f"measure {alias!r}"), alias)
+            )
+        _refuse_unqualified_match_refs(mm.group("da"), "DEFINE A")
+        _refuse_unqualified_match_refs(mm.group("db"), "DEFINE B")
+        _da = _rewrite_match_refs(mm.group("da").strip(), "DEFINE A")
+        _db = _rewrite_match_refs(mm.group("db").strip(), "DEFINE B")
         out_names = list(partition) + [n for _, n in measures]
         items = []
         for raw in _split_select_items(mm.group("items")):
@@ -874,10 +881,21 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 "partition": partition,
                 "order": mm.group("order").strip('`"'),
                 "within": f"{mm.group('wn')} {mm.group('wu').lower()}s",
-                "define_a": _rewrite_match_refs(mm.group("da").strip()),
-                "define_b": _rewrite_match_refs(mm.group("db").strip()),
+                "define_a": _da, "define_b": _db,
                 "measures": measures,
             },
+        )
+
+    if re.search(r"(?i)\bMATCH_RECOGNIZE\b", select):
+        # the statement clearly wants CEP but missed the grammar —
+        # refuse with the supported form instead of the generic error
+        raise ValueError(
+            "cannot parse the MATCH_RECOGNIZE clause; the maintained "
+            "subset is: SELECT <partition cols / measure names> FROM "
+            "<t> MATCH_RECOGNIZE (PARTITION BY <cols> ORDER BY <rowtime "
+            "ASC> MEASURES <A.x|B.x exprs> AS <name>, .. AFTER MATCH "
+            "SKIP TO NEXT ROW PATTERN (A B) WITHIN INTERVAL '<n>' "
+            "<unit> DEFINE A AS <pred>, B AS <pred>)"
         )
 
     sm_ = _parse_setop(sink, select)
@@ -1443,19 +1461,78 @@ _MATCH_RE = re.compile(
 )
 
 
-def _rewrite_match_refs(sql: str) -> str:
+_MATCH_SQL_KEYWORDS = frozenset(
+    "and or not null is in like between true false case when then else "
+    "end interval cast as distinct second seconds minute minutes hour "
+    "hours day days month months year years string int bigint double "
+    "decimal boolean timestamp date".split()
+)
+
+
+def _rewrite_match_refs(sql: str, clause: str) -> str:
     """``A.<col>`` → ``<col>``, ``B.<col>`` → ``__b.<col>`` outside
-    string literals — the pair frame's physical names (the A row is the
-    current row, the B row the LEAD struct)."""
+    string literals (case-insensitive, matching the grammar) — the
+    pair frame's physical names (the A row is the current row, the B
+    row the LEAD struct).  UNQUALIFIED column refs are refused: the
+    SQL standard binds them to the row being classified, which the
+    rewritten frame cannot honor (they would silently evaluate against
+    the A row) — qualify every column with A. or B."""
     out = []
     for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
         if i % 2 == 1:
             out.append(seg)
             continue
-        seg = re.sub(r"\bA\s*\.\s*(\w+)", r"\1", seg)
-        seg = re.sub(r"\bB\s*\.\s*(\w+)", r"__b.\1", seg)
+        bad_q = [
+            q
+            for q in re.findall(r"(?<![\w.])(\w+)\s*\.\s*[A-Za-z_]", seg)
+            if q.upper() not in ("A", "B")
+        ]
+        if bad_q:
+            raise ValueError(
+                f"{clause} references unknown pattern variable(s) "
+                f"{sorted(set(bad_q))}; the pattern defines A and B"
+            )
+        seg = re.sub(r"(?i)\bA\s*\.\s*(\w+)", r"\1", seg)
+        seg = re.sub(r"(?i)\bB\s*\.\s*(\w+)", r"__b.\1", seg)
         out.append(seg)
     return "".join(out)
+
+
+def _refuse_unqualified_match_refs(sql: str, clause: str) -> None:
+    """Refuse bare column identifiers in MATCH_RECOGNIZE clauses —
+    SQL:2016 binds them to the row being classified, which the LEAD
+    frame cannot honor (they would silently read the A row)."""
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
+        if i % 2 == 1:
+            continue
+        bad_q = [
+            q
+            for q in re.findall(r"(?<![\w.])(\w+)\s*\.\s*[A-Za-z_]", seg)
+            if q.upper() not in ("A", "B")
+        ]
+        if bad_q:
+            raise ValueError(
+                f"{clause} references unknown pattern variable(s) "
+                f"{sorted(set(bad_q))}; the pattern defines A and B"
+            )
+        # strip qualified refs first, then any remaining identifier
+        # that is not a keyword or a function call is a bare column
+        stripped = re.sub(r"(?i)\b[AB]\s*\.\s*\w+", " ", seg)
+        bare = [
+            w
+            for w in re.findall(
+                r"(?<![\w.'])([A-Za-z_]\w*)(?!\s*\()", stripped
+            )
+            if w.lower() not in _MATCH_SQL_KEYWORDS
+        ]
+        if bare:
+            raise ValueError(
+                f"{clause} contains unqualified column reference(s) "
+                f"{sorted(set(bare))}: qualify every column with A. or "
+                "B. — the SQL standard binds bare names to the row "
+                "being classified, which the maintained LEAD frame "
+                "cannot honor"
+            )
 
 
 _SETOP_KW = re.compile(r"(?is)^(?P<op>INTERSECT|EXCEPT)(?P<all>\s+ALL)?\b")
@@ -2058,11 +2135,6 @@ class SqlMaintenanceJob:
                     "ptime": pc, "btime": btime, "how": stmt.join_how,
                 },
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
-            )
-        elif stmt.shape == "setop":
-            self.plan = maintain(
-                setop=stmt.setop, op_col=op_col, seq_col=seq_col,
-                ttl=ttl,
             )
         elif stmt.shape == "match":
             # MATCH_RECOGNIZE: the ORDER BY must be the source's event

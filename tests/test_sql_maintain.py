@@ -3351,3 +3351,38 @@ def test_streaming_match_recognize_matches_one_shot(spark, tmp_path):
     assert sorted(map(tuple, job.result().collect()), key=str) == sorted(
         map(tuple, _mr_one_shot(spark, log).collect()), key=str
     )
+
+
+def test_match_recognize_ref_rules(spark):
+    """Review-fix pins: unqualified column refs are refused (SQL binds
+    them to the row being classified, which the LEAD frame cannot
+    honor), lowercase variable refs rewrite like the case-insensitive
+    grammar, unknown qualifiers refuse, and a near-miss
+    MATCH_RECOGNIZE statement gets a targeted error."""
+    with pytest.raises(ValueError, match="unqualified column"):
+        parse_insert_select(
+            _MR_SQL.replace("B AS B.et = 'error'", "B AS et = 'error'")
+        )
+    with pytest.raises(ValueError, match="unqualified column"):
+        parse_insert_select(
+            _MR_SQL.replace("A.ts AS a_ts", "ts AS a_ts")
+        )
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        parse_insert_select(
+            _MR_SQL.replace("B AS B.et = 'error'", "B AS C.et = 'error'")
+        )
+    # near-miss (DESC order) → targeted grammar error, not _SHAPES_MSG
+    with pytest.raises(ValueError, match="maintained "
+                                         "subset is: SELECT"):
+        parse_insert_select(_MR_SQL.replace("ORDER BY ts", "ORDER BY ts DESC"))
+    # lowercase variable refs follow the case-insensitive grammar
+    st = parse_insert_select(
+        _MR_SQL.replace("A AS A.et = 'signup'", "a AS a.et = 'signup'")
+        .replace("B AS B.et = 'error'", "b AS b.et = 'error'")
+        .replace("PATTERN (A B)", "pattern (a b)")
+        .replace("A.ts AS a_ts", "a.ts AS a_ts")
+        .replace("B.ts AS b_ts", "b.ts AS b_ts")
+        .replace("B.v AS b_v", "b.v AS b_v")
+    )
+    assert st.match["define_b"] == "__b.et = 'error'"
+    assert st.match["define_a"] == "et = 'signup'"
