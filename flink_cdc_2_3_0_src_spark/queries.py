@@ -227,7 +227,19 @@ _PRIORITY: list[str] = [
     # retractions SPLIT them), so it needs its own table-state
     # maintenance plan (_SessionPlan, affected-group re-sessionization)
     # that no other window row exercises.)
-    "cdc_sql_session_window", "dedup_semantic",
+    # (dedup_semantic: SemDeDup cluster-then-prune — demoted in r10
+    # (third session); the dedup family keeps FIVE window witnesses
+    # (exact, spans, minhash pairs, fuzzy-blocked, embedding-lsh) plus
+    # the incremental-ingest row, and semantic stays registered +
+    # locally swept with its clustering core separately witnessed by
+    # embedding_kmeans' oracle.  Its slot goes to
+    # cdc_sql_match_recognize: MATCH_RECOGNIZE on the SQL maintenance
+    # surface (Flink's CEP SQL — StreamExecMatch/CepOperator, the
+    # PATTERN (A B) / SKIP TO NEXT ROW / WITHIN subset) — a genuinely
+    # new operator class: per-key WITHIN-bounded row retention with
+    # exact adjacency-diff maintenance (out-of-order arrivals RETRACT
+    # broken matches), which no other window row exercises.)
+    "cdc_sql_session_window", "cdc_sql_match_recognize",
     # (dedup_simhash: demoted in r8 — the dedup family keeps SEVEN
     # window witnesses (exact, spans, minhash pairs, fuzzy-blocked,
     # clusters, semantic, embedding-lsh), and simhash remains a BENCH
