@@ -63,6 +63,7 @@ from flink_cdc_2_3_0_src_spark.operators.changelog import (
     merge_agg_state,
     merge_join_state,
     merge_topn_state,
+    split_csv_outside_parens,
 )
 
 _AGG_FNS = {"sum", "count", "avg", "min", "max"}
@@ -1136,10 +1137,11 @@ class _MatchPlan(_Plan):
 
     A match is two CONSECUTIVE rows of a key's event-time order where
     A's DEFINE holds on the first row, B's on the second, and the time
-    gap is within the interval.  SKIP TO NEXT ROW resumes at the row
+    gap is STRICTLY shorter than the interval (Flink's CEP boundary).
+    SKIP TO NEXT ROW resumes at the row
     after the match's FIRST row, so matches may overlap — which makes
     the match set a pure per-position predicate (row i matches iff
-    DEFINE_A(row_i) ∧ DEFINE_B(row_{i+1}) ∧ gap ≤ within), computable
+    DEFINE_A(row_i) ∧ DEFINE_B(row_{i+1}) ∧ gap < within), computable
     with one LEAD window per affected key and DIFFABLE exactly between
     batches.  (SKIP PAST LAST ROW's greedy non-overlap needs a
     sequential scan and is refused with guidance.)
@@ -1223,7 +1225,10 @@ class _MatchPlan(_Plan):
         ) - F.unix_micros(F.col(self.order).cast("timestamp"))
         matched = frame.filter(
             F.col("__b").isNotNull()
-            & (gap <= F.lit(self.within_us))
+            # STRICT bound — Flink's CEP/MATCH_RECOGNIZE requires the
+            # first-to-last gap be strictly shorter than WITHIN (a pair
+            # exactly `within` apart does NOT match)
+            & (gap < F.lit(self.within_us))
             & F.expr(self.define_a)
             & F.expr(self.define_b)
         )
@@ -1487,7 +1492,12 @@ class _OverPlan(_Plan):
         for name, (fn, args) in self.aggs.items():
             if fn != "lag":
                 continue
-            parts = [a.strip() for a in str(args).split(",")]
+            # top-level (paren/string-aware) comma split: a single-
+            # column expression containing commas — LAG(COALESCE(a,b))
+            # or LAG(COALESCE(a,b), 2) — is one argument, not two
+            parts = [
+                a.strip() for a in split_csv_outside_parens(str(args))
+            ]
             if len(parts) == 1:
                 col_sql, off = parts[0], 1
             elif len(parts) == 2 and parts[1].isdigit() and int(parts[1]) >= 1:

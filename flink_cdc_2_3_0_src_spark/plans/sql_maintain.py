@@ -2362,11 +2362,17 @@ class SqlMaintenanceJob:
                 out = out.filter(F.expr(self.stmt.where))
         if self.stmt.tumble is not None:
             # TUMBLE(ts, INTERVAL ..) → Spark's window() struct, derived
-            # per batch (row-local, so it commutes like the WHERE above)
+            # per batch (row-local, so it commutes like the WHERE above).
+            # NULL event times drop — the family's windowing rule
+            # (Flink's window assigner excludes them); without the
+            # filter F.window(NULL) yields a NULL window struct and the
+            # rows would aggregate/rank inside a ghost NULL bucket
             ts_col, dur = self.stmt.tumble
             w = F.window(F.col(ts_col), dur)
-            out = out.withColumn(_W_START, w["start"]).withColumn(
-                _W_END, w["end"]
+            out = (
+                out.filter(F.col(ts_col).isNotNull())
+                .withColumn(_W_START, w["start"])
+                .withColumn(_W_END, w["end"])
             )
         elif self.stmt.hop is not None:
             # HOP(ts, slide, size) → Spark's sliding window() GENERATOR:
@@ -2377,7 +2383,9 @@ class SqlMaintenanceJob:
             ts_col, slide, size = self.stmt.hop
             w = F.window(F.col(ts_col), size, slide)
             out = (
-                out.select("*", w.alias("__w"))
+                # NULL event times drop — same rule as TUMBLE above
+                out.filter(F.col(ts_col).isNotNull())
+                .select("*", w.alias("__w"))
                 .withColumn(_W_START, F.col("__w.start"))
                 .withColumn(_W_END, F.col("__w.end"))
                 .drop("__w")

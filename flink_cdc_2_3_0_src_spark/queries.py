@@ -5462,7 +5462,8 @@ def cdc_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pattern subset: PATTERN (A B), AFTER MATCH SKIP TO NEXT ROW, WITHIN.
 # SKIP TO NEXT ROW makes the match set a per-position predicate
 # (row i matches iff A's DEFINE holds on it, B's on its successor,
-# gap ≤ WITHIN), so one LEAD window per affected key maintains it and
+# gap < WITHIN — Flink's strict boundary), so one LEAD window per
+# affected key maintains it and
 # the signed diff is exact — including retracting a previously-
 # emitted match when an out-of-order row breaks the adjacency.  The
 # canonical funnel: a user's signup followed immediately by an error
@@ -5480,7 +5481,7 @@ def cdc_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     WHERE et = 'signup' AND n_et = 'error'
-      AND b_ts <= a_ts + INTERVAL 1 DAY
+      AND b_ts < a_ts + INTERVAL 1 DAY
     """,
 )
 def cdc_sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:

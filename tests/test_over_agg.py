@@ -512,6 +512,48 @@ def test_sql_over_lag_guards(spark):
     assert job.plan._lag["p"] == ("v", 1)
 
 
+def test_sql_over_lag_expression_commas_parse(spark):
+    """Advisor-fix pin: LAG argument splitting is paren-aware — a
+    single-column expression containing commas (LAG(COALESCE(v, 0.0))
+    with or without an explicit offset) is one argument, not a
+    malformed (col, k) pair."""
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        plan_insert_maintained,
+        replay_insert_maintained,
+    )
+
+    base = (
+        "INSERT INTO sink SELECT id, k, LAG({args}) OVER (PARTITION"
+        " BY k ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        " AS p FROM src"
+    )
+    job = plan_insert_maintained(
+        base.format(args="COALESCE(v, 0.0)"), {"src": ["id"]}
+    )
+    assert job.plan._lag["p"] == ("COALESCE(v, 0.0)", 1)
+    job = plan_insert_maintained(
+        base.format(args="COALESCE(v, 0.0), 2"), {"src": ["id"]}
+    )
+    assert job.plan._lag["p"] == ("COALESCE(v, 0.0)", 2)
+    rows = [(1, "a", None, 10), (2, "a", 2.0, 20), (3, "a", 3.0, 30)]
+    log = spark.createDataFrame(
+        rows, "id long, k string, v double, ts long"
+    ).select(
+        "id", "k", "v", "ts", F.lit("+I").alias(OP_COL),
+        F.col("id").alias(SEQ_COL),
+    )
+    got = sorted(
+        map(
+            tuple,
+            replay_insert_maintained(
+                base.format(args="COALESCE(v, 0.0), 2"),
+                {"src": ["id"]}, {"src": log}, n_batches=2,
+            ).collect(),
+        )
+    )
+    assert got == [(1, "a", None), (2, "a", None), (3, "a", 0.0)]
+
+
 def test_sql_over_null_order_rows_dropped_any_split(spark):
     """Review-fix pin: NULL event times are dropped (the session/
     cumulate/dedup rule) — keeping them made frames split-variant

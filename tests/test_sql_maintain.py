@@ -554,6 +554,42 @@ def test_tumbling_window_agg_matches_direct(spark):
     assert len(got.collect()) == 2
 
 
+def test_tumble_null_event_times_drop_agg_and_rank(spark):
+    """Advisor-fix pin: NULL event times drop from TUMBLE derivations
+    on BOTH the aggregate and the window Top-N/rank paths — without
+    the filter F.window(NULL) yields a NULL window struct and NULL-ts
+    rows would aggregate/rank inside a ghost NULL bucket (Flink's
+    window assigner excludes them; the window-join/CUMULATE/OVER/match
+    paths already did)."""
+    rows = [
+        (1, "2024-01-01 00:01:00", 5.0, "+I", 1),
+        (2, None, 7.0, "+I", 2),
+        (3, "2024-01-01 00:02:00", 2.0, "+I", 3),
+        (4, None, 9.0, "+I", 4),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"user_id long, ts_s string, v double, {OP_COL} string,"
+        f" {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    agg = replay_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE)"
+        " AS ws, SUM(v) AS s, COUNT(*) AS n"
+        " FROM t GROUP BY TUMBLE(ts, INTERVAL '5' MINUTE)",
+        {"t": ["user_id"]}, {"t": log}, n_batches=2,
+    ).collect()
+    assert len(agg) == 1 and agg[0]["s"] == 7.0 and agg[0]["n"] == 2
+    rank = replay_insert_maintained(
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '5' MINUTE)"
+        " AS ws, user_id, v FROM (SELECT *, ROW_NUMBER() OVER"
+        " (PARTITION BY TUMBLE(ts, INTERVAL '5' MINUTE)"
+        " ORDER BY v DESC, user_id) AS rn FROM t) WHERE rn <= 2",
+        {"t": ["user_id"]}, {"t": log}, n_batches=2,
+    ).collect()
+    assert sorted(r["user_id"] for r in rank) == [1, 3]
+    assert all(r["ws"] is not None for r in rank)
+
+
 def test_tumbling_window_ttl_expires_behind_watermark(spark):
     """ttl=<time column> on a TUMBLE aggregate expires whole WINDOWS
     whose start fell behind the watermark (Flink's windowed-state
@@ -3232,7 +3268,7 @@ def _mr_one_shot(spark, log):
         " LEAD(ts) OVER w AS n_ts, LEAD(v) OVER w AS n_v"
         " FROM __mr_t WINDOW w AS (PARTITION BY u ORDER BY ts, _seq))"
         " WHERE et = 'signup' AND n_et = 'error'"
-        " AND n_ts <= ts + INTERVAL 1 HOUR"
+        " AND n_ts < ts + INTERVAL 1 HOUR"
     )
 
 
@@ -3245,6 +3281,30 @@ def test_match_recognize_matches_one_shot(spark, n_batches):
     assert sorted(map(tuple, got.collect()), key=str) == sorted(
         map(tuple, _mr_one_shot(spark, log).collect()), key=str
     )
+
+
+def test_match_recognize_within_boundary_is_strict(spark):
+    """Advisor-fix pin: Flink's CEP/MATCH_RECOGNIZE requires the
+    first-to-last gap be STRICTLY shorter than WITHIN — a pair exactly
+    `within` apart does not match (and one microsecond under does)."""
+    rows = [
+        # exactly 1 HOUR apart — must NOT match
+        (1, "u9", "signup", 1.0, "2024-03-01 00:00:00", "+I", 1),
+        (2, "u9", "error", 2.0, "2024-03-01 01:00:00", "+I", 2),
+        # strictly inside — must match
+        (3, "u8", "signup", 3.0, "2024-03-01 00:00:00", "+I", 3),
+        (4, "u8", "error", 4.0, "2024-03-01 00:59:59.999999", "+I", 4),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"id long, u string, et string, v double, ts string,"
+        f" {OP_COL} string, {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for n in (1, 2):
+        got = replay_insert_maintained(
+            _MR_SQL, _MR_TABLES, {"ev": log}, n_batches=n
+        )
+        assert [r["u"] for r in got.collect()] == ["u8"]
 
 
 def test_match_recognize_out_of_order_retracts_adjacency(spark):
