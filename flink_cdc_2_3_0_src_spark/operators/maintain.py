@@ -1292,6 +1292,402 @@ class _MatchPlan(_Plan):
         return expire_state(state, watermark, self.order)
 
 
+_PATTERN_TOKEN = re.compile(
+    r"\s*([A-Za-z_]\w*)\s*(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*)?\s*\})?"
+)
+
+
+def parse_match_pattern(pattern: str) -> list:
+    """``"A B+ C{1,3}"`` → ``[("A", 1, 1), ("B", 1, None),
+    ("C", 1, 3)]`` — (variable, min, max) per element, ``max=None`` for
+    unbounded.  Greedy SQL:2016 quantifiers: ``+`` = {1,}, ``*`` =
+    {0,}, ``?`` = {0,1}, ``{n}`` = {n,n}, ``{n,}``, ``{n,m}``.
+    Alternation/PERMUTE/reluctant (``+?``) forms are not in the subset
+    and fail the token scan."""
+    elems, pos, s = [], 0, pattern.strip()
+    if not s:
+        raise ValueError("PATTERN is empty")
+    while pos < len(s):
+        m = _PATTERN_TOKEN.match(s, pos)
+        if not m or not m.group(1):
+            raise ValueError(
+                f"cannot parse PATTERN at {s[pos:]!r}: the maintained "
+                "subset is a sequence of variables with optional "
+                "greedy quantifiers (+ * ? {n} {n,} {n,m}) — "
+                "alternation (|), PERMUTE and reluctant (+?) "
+                "quantifiers need Flink's full CEP operator"
+            )
+        var, q = m.group(1).upper(), m.group(2)
+        if q is None:
+            mn, mx = 1, 1
+        elif q == "+":
+            mn, mx = 1, None
+        elif q == "*":
+            mn, mx = 0, None
+        elif q == "?":
+            mn, mx = 0, 1
+        else:
+            body = q.strip("{}").strip()
+            if "," in body:
+                lo, hi = body.split(",", 1)
+                mn = int(lo)
+                mx = int(hi) if hi.strip() else None
+            else:
+                mn = mx = int(body)
+        if mx is not None and mx < max(mn, 1):
+            raise ValueError(
+                f"quantifier {q!r} on {var!r}: max must be >= max(min, 1)"
+            )
+        elems.append((var, mn, mx))
+        pos = m.end()
+    seen = set()
+    for var, _mn, _mx in elems:
+        if var in seen:
+            raise ValueError(
+                f"pattern variable {var!r} appears twice; the "
+                "maintained subset binds each variable to one "
+                "contiguous run (write B{2,} instead of B B+)"
+            )
+        seen.add(var)
+    if sum(mn for _v, mn, _mx in elems) < 1:
+        raise ValueError(
+            "the pattern can match zero rows (every element is "
+            "optional); require at least one element with min >= 1"
+        )
+    return elems
+
+
+def _nfa_scan(flags, ots, elems, within_us, past_last):
+    """Sequential greedy scan of ONE key's ordered rows.  ``flags`` is
+    a list per pattern element of boolean arrays (DEFINE satisfied per
+    row), ``ots`` int64 microseconds.  Returns a list of matches, each
+    a list of (row index, element index).
+
+    Per-position attempt = greedy regex semantics with backtracking
+    (SQL:2016 default): each quantified element takes as many
+    consecutive qualifying rows as possible, gives rows back when a
+    later element cannot match.  Failed (element, position) states are
+    memoized, so an attempt is O(elements × rows × max-run) — and the
+    row pool itself is WITHIN-bounded per key, the CepOperator state
+    bound.  A row joins a match only while its gap from the match's
+    FIRST row is strictly under WITHIN (Flink's boundary).
+
+    ``past_last`` = AFTER MATCH SKIP PAST LAST ROW: on a match, resume
+    after its last row (greedy non-overlap); otherwise SKIP TO NEXT
+    ROW: attempts at every position (matches may overlap)."""
+    n = len(ots)
+    n_el = len(elems)
+    matches = []
+    i = 0
+    while i < n:
+        t0 = ots[i]
+        dead = set()  # failed (elem, pos) states for THIS attempt
+
+        def rec(e, pos):
+            if e == n_el:
+                return []
+            if (e, pos) in dead:
+                return None
+            _var, mn, mx = elems[e]
+            fl = flags[e]
+            k = 0
+            limit = n - pos if mx is None else min(mx, n - pos)
+            while (
+                k < limit
+                and fl[pos + k]
+                and ots[pos + k] - t0 < within_us
+            ):
+                k += 1
+            for take in range(k, mn - 1, -1):  # greedy: longest first
+                rest = rec(e + 1, pos + take)
+                if rest is not None:
+                    return [
+                        (pos + j, e) for j in range(take)
+                    ] + rest
+            dead.add((e, pos))
+            return None
+
+        asg = rec(0, i)
+        if asg:  # zero-row matches are not emitted
+            matches.append(asg)
+            if past_last:
+                i = asg[-1][0] + 1
+                continue
+        i += 1
+    return matches
+
+
+class _MatchNfaPlan(_Plan):
+    """General-pattern MATCH_RECOGNIZE maintenance — Flink's CEP SQL
+    (StreamExecMatch / CepOperator's NFA, reference design provenance:
+    the planner surface MySqlTableSourceFactory.java:81-150 delegates
+    to) for contiguous patterns with greedy quantifiers::
+
+        PATTERN (A B+ C{1,3} D?)  WITHIN <interval>
+        AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW
+
+    The two-step ``PATTERN (A B)`` rides the LEAD-window ``_MatchPlan``
+    (pure JVM); everything beyond it — quantifiers, >2 variables,
+    greedy non-overlap — runs a per-key NFA as an Arrow-batched
+    grouped-pandas step over the SAME bounded pool that plan keeps
+    (each key's rows within WITHIN of its max event time), so per-batch
+    cost stays ∝ batch + affected keys' WITHIN-horizon state, never
+    total history.
+
+    * **input**: append-only (+I — Flink's MATCH_RECOGNIZE requires
+      it); NULL event times drop (window rule).
+    * **defines**: ``{var: sql}`` evaluated against the row being
+      classified (SQL:2016 binding for non-aggregated references) —
+      PRE-computed as JVM boolean columns via ``F.expr`` before the
+      pandas step, so Python only consults bitmaps.  Cross-variable
+      predicates are the two-step plan's territory and refused by the
+      SQL bridge with guidance.
+    * **measures**: SQL aggregate expressions over the matched rows'
+      exploded frame (payload + ``__var``/``__pos``) — the bridge
+      rewrites ``FIRST/LAST/SUM/MIN/MAX/AVG/COUNT(V.col)`` into
+      ``FILTER (WHERE __var = 'V')`` forms, keeping evaluation JVM-side
+      with full SQL expression power.  ONE ROW PER MATCH output:
+      partition columns + measures.
+    * **per batch**: matches(new pool) − matches(old pool) as a signed
+      multiset — a greedy match that EXTENDS when a new row arrives
+      (``B+`` absorbing it) retracts its old image and emits the grown
+      one, the changelog-native rendering of CEP's wait-for-completion.
+    * **state prune**: rows within WITHIN of the key's max order time;
+      under SKIP PAST LAST ROW additionally rows consumed by a match
+      STRADDLING that horizon (first row behind it) are dropped — a
+      pruned-prefix match must not free its retained suffix rows for
+      re-matching, or the next batch's old/new computations would
+      disagree with emitted history.  As with the two-step plan the
+      prune is exact under per-key in-order arrivals; an out-of-order
+      row landing behind the horizon can re-pair across the pruned
+      boundary (Flink's CEP state cleanup makes the same trade).
+    """
+
+    kind = "match_nfa"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {
+            "partition", "order", "within", "pattern", "defines",
+            "measures", "skip",
+        }
+        if unknown:
+            raise ValueError(
+                f"unknown match_nfa options: {sorted(unknown)}"
+            )
+        missing = {
+            "partition", "order", "within", "pattern", "measures",
+        } - set(opts)
+        if missing:
+            raise ValueError(
+                f"match_nfa= needs {sorted(missing)}: {{'partition': "
+                "[key cols], 'order': <ts col>, 'within': '<n> "
+                "<unit>s', 'pattern': 'A B+ C' | [(var, min, max)], "
+                "'defines': {var: <sql over the row>}, 'measures': "
+                "[(agg sql over __var/__pos frame, name), ...]"
+                "[, 'skip': 'to_next'|'past_last']}"
+            )
+        super().__init__(ttl)
+        self.partition = list(opts["partition"])
+        if not self.partition:
+            raise ValueError("match_nfa= needs a non-empty partition")
+        self.order = opts["order"]
+        self.within_us = _gap_micros(opts["within"])
+        pat = opts["pattern"]
+        self.pattern = (
+            parse_match_pattern(pat) if isinstance(pat, str) else [
+                (v.upper(), mn, mx) for v, mn, mx in pat
+            ]
+        )
+        defines = {
+            k.upper(): v for k, v in dict(opts.get("defines") or {}).items()
+        }
+        pat_vars = {v for v, _mn, _mx in self.pattern}
+        bad = set(defines) - pat_vars
+        if bad:
+            raise ValueError(
+                f"DEFINE names variable(s) {sorted(bad)} not in the "
+                f"pattern ({sorted(pat_vars)})"
+            )
+        # an undefined pattern variable matches any row (SQL:2016)
+        self.defines = {v: defines.get(v, "true") for v in pat_vars}
+        self.measures = list(opts["measures"])
+        if not self.measures:
+            raise ValueError("match_nfa= needs at least one measure")
+        self.skip = str(opts.get("skip", "to_next")).lower()
+        if self.skip not in ("to_next", "past_last"):
+            raise ValueError(
+                f"skip must be 'to_next' or 'past_last', got "
+                f"{opts.get('skip')!r}"
+            )
+        self.op_col = op_col
+        self.seq_col = seq_col
+        if ttl is not None and ttl != self.order:
+            raise ValueError(
+                "match_nfa ttl must name the ORDER BY time column "
+                f"({self.order!r})"
+            )
+
+    # -- exploded matched rows ----------------------------------------
+    def _explode(self, pool: DataFrame) -> DataFrame:
+        """Every matched row of every match in the pool, as payload +
+        (__match_id unique within its key, __var element variable,
+        __pos 0-based position in the match)."""
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        elems = self.pattern
+        n_el = len(elems)
+        within_us = self.within_us
+        past_last = self.skip == "past_last"
+        order, seq = self.order, self.seq_col
+        payload = [c for c in pool.columns]
+        prepped = pool.withColumn(
+            "__ots", F.unix_micros(F.col(order).cast("timestamp"))
+        )
+        for j, (var, _mn, _mx) in enumerate(elems):
+            prepped = prepped.withColumn(
+                f"__def_{j}",
+                F.coalesce(F.expr(self.defines[var]), F.lit(False)),
+            )
+        out_schema = T.StructType(
+            [f for f in pool.schema.fields]
+            + [
+                T.StructField("__match_id", T.LongType()),
+                T.StructField("__var", T.StringType()),
+                T.StructField("__pos", T.LongType()),
+            ]
+        )
+        var_names = [v for v, _mn, _mx in elems]
+
+        def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["__ots", seq], kind="mergesort"
+            ).reset_index(drop=True)
+            ots = pdf["__ots"].to_numpy()
+            flags = [
+                pdf[f"__def_{j}"].to_numpy() for j in range(n_el)
+            ]
+            matches = _nfa_scan(flags, ots, elems, within_us, past_last)
+            if not matches:
+                return pd.DataFrame(
+                    columns=payload + ["__match_id", "__var", "__pos"]
+                )
+            idx, mid, mvar, mpos = [], [], [], []
+            for m_i, asg in enumerate(matches):
+                for p, (row_i, e_i) in enumerate(asg):
+                    idx.append(row_i)
+                    mid.append(m_i)
+                    mvar.append(var_names[e_i])
+                    mpos.append(p)
+            out = pdf.iloc[idx][payload].reset_index(drop=True)
+            out["__match_id"] = pd.Series(mid, dtype="int64")
+            out["__var"] = mvar
+            out["__pos"] = pd.Series(mpos, dtype="int64")
+            return out
+
+        return prepped.groupBy(*self.partition).applyInPandas(
+            run_key, out_schema
+        )
+
+    def _measure_rows(self, exploded: DataFrame) -> DataFrame:
+        """ONE ROW PER MATCH: partition cols + measures, +1 multiset."""
+        per_match = exploded.groupBy(
+            *self.partition, "__match_id"
+        ).agg(*[F.expr(sql).alias(name) for sql, name in self.measures])
+        return per_match.select(
+            *self.partition, *[n for _sql, n in self.measures]
+        ).withColumn(MULT_COL, F.lit(1).cast("long"))
+
+    def step(self, state, batch: DataFrame):
+        _require_append_only(
+            batch, self.op_col, "MATCH_RECOGNIZE",
+            "pattern-match an updating stream after materializing it "
+            "upstream",
+        )
+        rows = batch.filter(
+            (F.col(self.op_col) == OP_INSERT)
+            & F.col(self.order).isNotNull()
+        ).select(*[c for c in batch.columns if c != self.op_col])
+        affected = rows.select(*self.partition).distinct()
+        old_pool = (
+            _keyset_join(state, affected, self.partition, "left_semi")
+            if state is not None
+            else None
+        )
+        new_pool = (
+            rows if old_pool is None else rows.unionByName(old_pool)
+        )
+        # one NFA pass over the new pool feeds BOTH the measures and
+        # the consumed-row prune — checkpoint it rather than run the
+        # pandas scan twice
+        new_expl = self._explode(new_pool).localCheckpoint(eager=True)
+        new_m = self._measure_rows(new_expl)
+        delta = new_m
+        if old_pool is not None:
+            old_m = self._measure_rows(
+                self._explode(old_pool)
+            ).withColumn(MULT_COL, -F.col(MULT_COL))
+            payload = [c for c in new_m.columns if c != MULT_COL]
+            delta = (
+                new_m.unionByName(old_m)
+                .groupBy(*payload)
+                .agg(F.sum(MULT_COL).alias(MULT_COL))
+                .filter(F.col(MULT_COL) != 0)
+            )
+        # retention: rows within WITHIN of their key's max order time
+        from pyspark.sql.window import Window
+
+        kmax = F.max(F.col(self.order)).over(
+            Window.partitionBy(*self.partition)
+        )
+        horizon = F.unix_micros(kmax.cast("timestamp")) - F.lit(
+            self.within_us
+        )
+        pruned = new_pool.withColumn(
+            "__keep",
+            F.unix_micros(F.col(self.order).cast("timestamp")) >= horizon,
+        ).filter(F.col("__keep")).drop("__keep")
+        if self.skip == "past_last":
+            # rows consumed by a match whose FIRST row fell behind the
+            # horizon must go too: the straddling match stays emitted
+            # (its prefix is pruned, so it is never recomputed), and
+            # its retained suffix rows must not be free to re-match
+            mw = Window.partitionBy(*self.partition, "__match_id")
+            # the horizon is the POOL's per-key max (the exploded frame
+            # holds matched rows only — its max can lag the key's)
+            key_h = new_pool.groupBy(*self.partition).agg(
+                (
+                    F.unix_micros(F.max(F.col(self.order)).cast("timestamp"))
+                    - F.lit(self.within_us)
+                ).alias("__h")
+            )
+            straddle = (
+                new_expl.withColumn(
+                    "__first_ots",
+                    F.min(
+                        F.unix_micros(F.col(self.order).cast("timestamp"))
+                    ).over(mw),
+                )
+                .join(key_h, on=self.partition, how="inner")
+                .filter(F.col("__first_ots") < F.col("__h"))
+                .select(*self.partition, self.seq_col)
+                .distinct()
+            )
+            pruned = _keyset_join(
+                pruned, straddle,
+                self.partition + [self.seq_col], "left_anti",
+            )
+        if state is not None:
+            pruned = pruned.unionByName(
+                _keyset_join(state, affected, self.partition, "left_anti")
+            )
+        return pruned.localCheckpoint(eager=True), delta
+
+    def _expire(self, state, watermark):
+        return expire_state(state, watermark, self.order)
+
+
 class _SetOpPlan(_Plan):
     """Streaming INTERSECT [ALL] / EXCEPT [ALL] over two changelogs —
     Flink's set operations on unbounded inputs (Table API
@@ -2093,6 +2489,7 @@ def maintain(
     lookup=None,
     setop=None,
     match=None,
+    match_nfa=None,
     over=None,
     distinct=None,
     grouping_sets=None,
@@ -2136,6 +2533,15 @@ def maintain(
       (Flink's StreamExecMatch): state = each key's rows within
       ``within`` of its max event time; per batch one LEAD window
       over the affected keys' pool, diffed exactly.
+    * ``match_nfa={"partition": [...], "order": <ts col>, "within":
+      "<n> <unit>s", "pattern": "A B+ C{1,3}", "defines": {var:
+      <sql over the row being classified>}, "measures": [(agg sql
+      over the __var/__pos match frame, name), ...][, "skip":
+      "to_next"|"past_last"]}`` — general-pattern MATCH_RECOGNIZE
+      (greedy quantifiers, any number of variables, SKIP PAST LAST
+      ROW) via a per-key NFA over the same WITHIN-bounded pool,
+      run as ONE Arrow-batched grouped-pandas step per batch; see
+      ``_MatchNfaPlan``.
     * ``setop={"op": "intersect"|"except"[, "all": bool]}`` —
       streaming INTERSECT [ALL] / EXCEPT [ALL] of two changelogs
       (``plan.step(state, batch_a, batch_b)``): state = one (cntA,
@@ -2235,12 +2641,13 @@ def maintain(
         dedup is not None, hll is not None, hist is not None,
         chain is not None, temporal is not None, over is not None,
         dedup_row is not None, lookup is not None, setop is not None,
-        match is not None,
+        match is not None, match_nfa is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
             "temporal=... | lookup=... | setop=... | match=... | "
+            "match_nfa=... | "
             "over=... | n=...+order_sql | dedup=... | dedup_row=... | "
             "hll=... | hist=..."
         )
@@ -2305,6 +2712,16 @@ def maintain(
                 "[(sql, name), ...]}"
             )
         return _MatchPlan(match, ttl, op_col, seq_col)
+    if match_nfa is not None:
+        if not isinstance(match_nfa, dict):
+            raise ValueError(
+                "match_nfa= takes an options dict: {'partition': [...], "
+                "'order': <ts col>, 'within': '<n> <unit>s', "
+                "'pattern': 'A B+ C' | [(var, min, max)], 'defines': "
+                "{var: <sql>}, 'measures': [(agg sql, name), ...]"
+                "[, 'skip': 'to_next'|'past_last']}"
+            )
+        return _MatchNfaPlan(match_nfa, ttl, op_col, seq_col)
     if over is not None:
         if not isinstance(over, dict):
             raise ValueError(

@@ -407,6 +407,12 @@ class InsertSelect:
     # "order": ts, "within": "<n> <unit>s", "define_a": sql,
     # "define_b": sql, "measures": [(sql, name)]}
     match: Optional[dict] = None
+    # general-pattern MATCH_RECOGNIZE (shape == "match_nfa"):
+    # {"partition": [...], "order": ts, "within": "<n> <unit>s",
+    # "pattern": [(var, min, max)], "defines": {var: sql over the
+    # classified row}, "measures": [(FILTER-form agg sql, name)],
+    # "skip": "to_next"|"past_last"}
+    match_nfa: Optional[dict] = None
     # window join (two-way shape "join"): ((alias_a, ts_a),
     # (alias_b, ts_b), "<n> <unit>s") — a TUMBLE-bucket equality in
     # the ON clause; rows join within the same tumbling window
@@ -827,23 +833,34 @@ def parse_insert_select(sql: str) -> InsertSelect:
 
     mm = _MATCH_RE.match(select)
     if mm:
-        if mm.group("skip").upper().split()[0] == "PAST":
-            raise ValueError(
-                "AFTER MATCH SKIP PAST LAST ROW (greedy non-overlapping "
-                "matches) needs a sequential per-key scan; the "
-                "maintained subset supports SKIP TO NEXT ROW, whose "
-                "match set is a per-position predicate"
-            )
-        if re.sub(r"\s+", " ", mm.group("pattern").strip()).upper() != "A B":
-            raise ValueError(
-                "the maintained MATCH_RECOGNIZE subset supports the "
-                "two-step contiguous PATTERN (A B) — quantifiers and "
-                "longer sequences need Flink's full NFA operator, "
-                "which has no bounded batch-restricted state here"
-            )
+        from flink_cdc_2_3_0_src_spark.operators.maintain import (
+            parse_match_pattern,
+        )
+
+        pattern = parse_match_pattern(mm.group("pattern"))
+        pat_vars = [v for v, _mn, _mx in pattern]
+        skip_past = mm.group("skip").upper().split()[0] == "PAST"
+        defines = _parse_match_defines(mm.group("defines"), pat_vars)
         partition = _names(mm.group("partition"), "PARTITION BY")
+        within = f"{mm.group('wn')} {mm.group('wu').lower()}s"
+        order = mm.group("order").strip('`"')
+        src = mm.group("src").strip('`"')
+        raw_measures = _split_select_items(mm.group("measures"))
+        # FIRST/LAST/SUM/... measure forms need the NFA's per-match
+        # aggregate frame; plain A.x/B.x row measures on PATTERN (A B)
+        # + SKIP TO NEXT ROW ride the pure-JVM LEAD plan (which also
+        # allows cross-variable DEFINEs — the pair is in scope there)
+        uses_agg_measures = any(
+            _NFA_MEASURE_AGG.search(raw) for raw in raw_measures
+        )
+        two_step = (
+            not skip_past
+            and pattern == [("A", 1, 1), ("B", 1, 1)]
+            and set(defines) == {"A", "B"}
+            and not uses_agg_measures
+        )
         measures = []
-        for raw in _split_select_items(mm.group("measures")):
+        for raw in raw_measures:
             expr, alias = _split_alias(raw)
             if alias is None:
                 raise ValueError(
@@ -854,14 +871,23 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     f"measure name {alias!r} collides with a PARTITION "
                     "BY column"
                 )
-            _refuse_unqualified_match_refs(expr, f"measure {alias!r}")
-            measures.append(
-                (_rewrite_match_refs(expr, f"measure {alias!r}"), alias)
-            )
-        _refuse_unqualified_match_refs(mm.group("da"), "DEFINE A")
-        _refuse_unqualified_match_refs(mm.group("db"), "DEFINE B")
-        _da = _rewrite_match_refs(mm.group("da").strip(), "DEFINE A")
-        _db = _rewrite_match_refs(mm.group("db").strip(), "DEFINE B")
+            if two_step:
+                _refuse_unqualified_match_refs(expr, f"measure {alias!r}")
+                measures.append(
+                    (
+                        _rewrite_match_refs(expr, f"measure {alias!r}"),
+                        alias,
+                    )
+                )
+            else:
+                measures.append(
+                    (
+                        _rewrite_nfa_measure(
+                            expr, pat_vars, f"measure {alias!r}"
+                        ),
+                        alias,
+                    )
+                )
         out_names = list(partition) + [n for _, n in measures]
         items = []
         for raw in _split_select_items(mm.group("items")):
@@ -873,16 +899,39 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     f"columns or measure names ({out_names}), got {raw!r}"
                 )
             items.append((im.group("name"), alias or im.group("name")))
+        if two_step:
+            # PATTERN (A B) + SKIP TO NEXT ROW: the LEAD-window plan —
+            # pure JVM, and its DEFINE B may reference the A row (the
+            # pair is in scope)
+            _refuse_unqualified_match_refs(defines["A"], "DEFINE A")
+            _refuse_unqualified_match_refs(defines["B"], "DEFINE B")
+            return InsertSelect(
+                sink=sink, shape="match", sources=[src], select=items,
+                match={
+                    "partition": partition, "order": order,
+                    "within": within,
+                    "define_a": _rewrite_match_refs(
+                        defines["A"], "DEFINE A"
+                    ),
+                    "define_b": _rewrite_match_refs(
+                        defines["B"], "DEFINE B"
+                    ),
+                    "measures": measures,
+                },
+            )
+        # general pattern → the per-key NFA plan: defines evaluate
+        # against the row being classified only
+        nfa_defines = {
+            v: _rewrite_nfa_define(d, v, pat_vars)
+            for v, d in defines.items()
+        }
         return InsertSelect(
-            sink=sink, shape="match",
-            sources=[mm.group("src").strip('`"')],
-            select=items,
-            match={
-                "partition": partition,
-                "order": mm.group("order").strip('`"'),
-                "within": f"{mm.group('wn')} {mm.group('wu').lower()}s",
-                "define_a": _da, "define_b": _db,
-                "measures": measures,
+            sink=sink, shape="match_nfa", sources=[src], select=items,
+            match_nfa={
+                "partition": partition, "order": order,
+                "within": within, "pattern": pattern,
+                "defines": nfa_defines, "measures": measures,
+                "skip": "past_last" if skip_past else "to_next",
             },
         )
 
@@ -893,9 +942,10 @@ def parse_insert_select(sql: str) -> InsertSelect:
             "cannot parse the MATCH_RECOGNIZE clause; the maintained "
             "subset is: SELECT <partition cols / measure names> FROM "
             "<t> MATCH_RECOGNIZE (PARTITION BY <cols> ORDER BY <rowtime "
-            "ASC> MEASURES <A.x|B.x exprs> AS <name>, .. AFTER MATCH "
-            "SKIP TO NEXT ROW PATTERN (A B) WITHIN INTERVAL '<n>' "
-            "<unit> DEFINE A AS <pred>, B AS <pred>)"
+            "ASC> MEASURES <V.x exprs> AS <name>, .. AFTER MATCH "
+            "SKIP TO NEXT ROW | SKIP PAST LAST ROW PATTERN "
+            "(<vars with optional + * ? {n,m} quantifiers>) WITHIN "
+            "INTERVAL '<n>' <unit> DEFINE <V> AS <pred>, ..)"
         )
 
     sm_ = _parse_setop(sink, select)
@@ -1443,9 +1493,10 @@ _JOIN_WINFIELD = re.compile(
     r"(?P<unit>SECOND|MINUTE|HOUR|DAY)S?\s*\)$"
 )
 
-# Flink's MATCH_RECOGNIZE (CEP SQL) — the two-step contiguous pattern
-# subset the maintenance planner dispatches (StreamExecMatch):
-#   PATTERN (A B), AFTER MATCH SKIP TO NEXT ROW, WITHIN <interval>
+# Flink's MATCH_RECOGNIZE (CEP SQL — StreamExecMatch / CepOperator).
+# PATTERN (A B) + SKIP TO NEXT ROW dispatches the LEAD-window two-step
+# plan; general patterns (greedy quantifiers, >2 variables, SKIP PAST
+# LAST ROW) dispatch the per-key NFA plan (_MatchNfaPlan).
 _MATCH_RE = re.compile(
     r"(?is)^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)\s+"
     r"MATCH_RECOGNIZE\s*\(\s*"
@@ -1456,7 +1507,7 @@ _MATCH_RE = re.compile(
     r"PATTERN\s*\(\s*(?P<pattern>[^)]*)\)\s+"
     r"WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+"
     r"(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s+"
-    r"DEFINE\s+A\s+AS\s+(?P<da>.*?),\s*B\s+AS\s+(?P<db>.*?)\s*"
+    r"DEFINE\s+(?P<defines>.*?)\s*"
     r"\)\s*(?:AS\s+\w+)?\s*;?\s*$"
 )
 
@@ -1517,11 +1568,13 @@ def _refuse_unqualified_match_refs(sql: str, clause: str) -> None:
             )
         # strip qualified refs first, then any remaining identifier
         # that is not a keyword or a function call is a bare column
+        # (\b before the lookahead: a function name like FIRST( must
+        # not backtrack to FIRS and false-positive as a bare ref)
         stripped = re.sub(r"(?i)\b[AB]\s*\.\s*\w+", " ", seg)
         bare = [
             w
             for w in re.findall(
-                r"(?<![\w.'])([A-Za-z_]\w*)(?!\s*\()", stripped
+                r"(?<![\w.'])([A-Za-z_]\w*)\b(?!\s*\()", stripped
             )
             if w.lower() not in _MATCH_SQL_KEYWORDS
         ]
@@ -1533,6 +1586,166 @@ def _refuse_unqualified_match_refs(sql: str, clause: str) -> None:
                 "being classified, which the maintained LEAD frame "
                 "cannot honor"
             )
+
+
+def _parse_match_defines(defines_sql: str, pat_vars: list) -> dict:
+    """``A AS <pred>, B AS <pred>, ...`` (top-level commas) →
+    ``{VAR: pred}``.  A pattern variable with no DEFINE matches any
+    row (SQL:2016); a DEFINE naming a variable absent from the
+    pattern refuses."""
+    out = {}
+    for raw in _split_select_items(defines_sql):
+        dm = re.match(r"(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$", raw.strip())
+        if not dm:
+            raise ValueError(
+                f"cannot parse DEFINE item {raw!r}: expected "
+                "<variable> AS <predicate>"
+            )
+        var = dm.group(1).upper()
+        if var not in pat_vars:
+            raise ValueError(
+                f"DEFINE names variable {var!r} not in the pattern "
+                f"({pat_vars})"
+            )
+        if var in out:
+            raise ValueError(f"duplicate DEFINE for variable {var!r}")
+        out[var] = dm.group(2).strip()
+    return out
+
+
+def _rewrite_nfa_define(sql: str, var: str, pat_vars: list) -> str:
+    """DEFINE rewrite for the NFA plan: ``<var>.col`` → ``col`` (the
+    row being classified) and bare identifiers stay (SQL:2016 binds
+    them to the same row).  References to OTHER pattern variables are
+    refused: the NFA subset evaluates each DEFINE against its own row
+    so predicates stay JVM-precomputable bitmaps — cross-variable
+    predicates are the two-step PATTERN (A B) plan's territory."""
+    out = []
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
+        if i % 2 == 1:
+            out.append(seg)
+            continue
+        quals = {
+            q.upper()
+            for q in re.findall(r"(?<![\w.])(\w+)\s*\.\s*[A-Za-z_]", seg)
+        }
+        others = quals - {var.upper()}
+        if others & {v.upper() for v in pat_vars}:
+            raise ValueError(
+                f"DEFINE {var} references other pattern variable(s) "
+                f"{sorted(others)}; the NFA subset evaluates each "
+                "DEFINE against the row being classified only — "
+                "cross-variable predicates are supported by the "
+                "two-step PATTERN (A B) plan"
+            )
+        if others:
+            raise ValueError(
+                f"DEFINE {var} references unknown qualifier(s) "
+                f"{sorted(others)}; the pattern defines {pat_vars}"
+            )
+        out.append(
+            re.sub(
+                rf"(?i)\b{re.escape(var)}\s*\.\s*(\w+)", r"\1", seg
+            )
+        )
+    return "".join(out)
+
+
+# measure aggregate over one pattern variable's matched rows:
+# FIRST/LAST (positional) and SUM/MIN/MAX/AVG/COUNT (set) — plus
+# COUNT(V.*)
+_NFA_MEASURE_AGG = re.compile(
+    r"(?i)\b(FIRST|LAST|SUM|MIN|MAX|AVG|COUNT)\s*\(\s*"
+    r"([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*\)"
+)
+_NFA_BARE_REF = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*(\w+)")
+
+
+def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
+    """MEASURES rewrite for the NFA plan: aggregate calls over one
+    variable's rows become ``FILTER (WHERE __var = '<V>')`` SQL
+    aggregates over the exploded match frame (payload + ``__var`` /
+    ``__pos``), evaluated JVM-side per (key, match):
+
+    * ``FIRST(V.c)`` → ``min_by(c, __pos) FILTER ...`` and ``LAST`` →
+      ``max_by`` (ONE ROW PER MATCH final semantics)
+    * ``SUM/MIN/MAX/AVG(V.c)``, ``COUNT(V.c)``, ``COUNT(V.*)`` →
+      the same aggregate FILTERed to the variable's rows
+    * a bare ``V.c`` outside an aggregate = ``LAST(V.c)`` (SQL:2016's
+      final-LAST default for one-row-per-match output)
+
+    Arbitrary SQL may surround and combine the rewritten aggregates
+    (``LAST(C.ts) - FIRST(A.ts)``)."""
+    upper_vars = {v.upper() for v in pat_vars}
+
+    def seg_rewrite(seg: str) -> str:
+        def agg_repl(m):
+            fn, var, col = (
+                m.group(1).upper(), m.group(2).upper(), m.group(3)
+            )
+            if var not in upper_vars:
+                raise ValueError(
+                    f"{clause} references unknown pattern variable "
+                    f"{var!r}; the pattern defines {pat_vars}"
+                )
+            filt = f" FILTER (WHERE __var = '{var}')"
+            if fn == "COUNT":
+                inner = "*" if col == "*" else col
+                return f"count({inner})" + filt
+            if col == "*":
+                raise ValueError(
+                    f"{clause}: {fn}({var}.*) is not valid SQL — "
+                    "only COUNT takes a star"
+                )
+            if fn == "FIRST":
+                return f"min_by({col}, __pos)" + filt
+            if fn == "LAST":
+                return f"max_by({col}, __pos)" + filt
+            return f"{fn.lower()}({col})" + filt
+
+        seg = _NFA_MEASURE_AGG.sub(agg_repl, seg)
+
+        def bare_repl(m):
+            var, col = m.group(1).upper(), m.group(2)
+            if var not in upper_vars:
+                raise ValueError(
+                    f"{clause} references unknown pattern variable "
+                    f"{m.group(1)!r}; the pattern defines {pat_vars}"
+                )
+            return (
+                f"max_by({col}, __pos) FILTER (WHERE __var = '{var}')"
+            )
+
+        return _NFA_BARE_REF.sub(bare_repl, seg)
+
+    out = []
+    for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
+        if i % 2 == 1:
+            out.append(seg)
+            continue
+        # unqualified column refs bind to "the row" in SQL:2016, which
+        # a per-match aggregate frame cannot honor — check on the
+        # ORIGINAL text (the rewrite introduces bare aggregate args),
+        # same rule as the two-step plan's measures
+        stripped = re.sub(r"\b[A-Za-z_]\w*\s*\.\s*(\w+|\*)", " ", seg)
+        # \b before the lookahead: without it a function name like
+        # FIRST( backtracks to FIRS and false-positives as a bare ref
+        bare = [
+            w
+            for w in re.findall(
+                r"(?<![\w.'])([A-Za-z_]\w*)\b(?!\s*\()", stripped
+            )
+            if w.lower() not in _MATCH_SQL_KEYWORDS
+        ]
+        if bare:
+            raise ValueError(
+                f"{clause} contains unqualified column reference(s) "
+                f"{sorted(set(bare))}: qualify every column with a "
+                "pattern variable (V.col), optionally wrapped in "
+                "FIRST/LAST/SUM/MIN/MAX/AVG/COUNT(V.col)"
+            )
+        out.append(seg_rewrite(seg))
+    return "".join(out)
 
 
 _SETOP_KW = re.compile(r"(?is)^(?P<op>INTERSECT|EXCEPT)(?P<all>\s+ALL)?\b")
@@ -2150,6 +2363,24 @@ class SqlMaintenanceJob:
                 match=stmt.match, op_col=op_col, seq_col=seq_col,
                 ttl=ttl,
             )
+        elif stmt.shape == "match_nfa":
+            # general-pattern MATCH_RECOGNIZE: same rowtime rule as
+            # the two-step plan (the retained-pool NFA assumes it)
+            rowtime = _table_rowtime(tables, stmt.sources[0])
+            if (
+                rowtime is not None
+                and stmt.match_nfa["order"] != rowtime
+            ):
+                raise ValueError(
+                    f"MATCH_RECOGNIZE ORDER BY "
+                    f"{stmt.match_nfa['order']!r} must be the source's "
+                    f"declared event-time column {rowtime!r} (Flink "
+                    "requires a time attribute)"
+                )
+            self.plan = maintain(
+                match_nfa=stmt.match_nfa, op_col=op_col,
+                seq_col=seq_col, ttl=ttl,
+            )
         elif stmt.shape == "setop":
             # INTERSECT/EXCEPT: count-keyed state plan (the branch
             # projections ride union_branches in _prep)
@@ -2585,10 +2816,10 @@ class SqlMaintenanceJob:
                 "multiset consumer, or use an event-time temporal join "
                 "(one version per probe) for a keyed changelog"
             )
-        if self.stmt.shape == "match":
+        if self.stmt.shape in ("match", "match_nfa"):
             raise ValueError(
                 "MATCH_RECOGNIZE output is a multiset (distinct "
-                "adjacencies can project identical measures); feed the "
+                "matches can project identical measures); feed the "
                 "signed deltas to a multiset consumer"
             )
         if self.stmt.shape == "setop" and self.stmt.setop["all"]:
@@ -2694,7 +2925,7 @@ class SqlMaintenanceJob:
             raise ValueError("no batches stepped yet")
         live = self._acc.filter(F.col(MULT_COL) > 0)
         if self.stmt.shape in (
-            "join", "temporal", "over", "lookup", "match"
+            "join", "temporal", "over", "lookup", "match", "match_nfa"
         ) or (
             self.stmt.shape == "setop" and self.stmt.setop["all"]
         ):
@@ -2817,6 +3048,15 @@ def explain_insert_maintained(
             "max event time; per batch one LEAD window over affected "
             "keys' pools, diffed exactly"
         ),
+        _m._MatchNfaPlan: (
+            "StreamExecMatch (MATCH_RECOGNIZE, general pattern — "
+            "CepOperator NFA): state = each key's rows within WITHIN "
+            "of its max event time; per batch one Arrow-batched "
+            "grouped-pandas NFA scan over affected keys' pools "
+            "(greedy quantifiers with backtracking, memoized), "
+            "measures as FILTER-form SQL aggregates per match, "
+            "diffed exactly"
+        ),
         _m._SetOpPlan: (
             "Streaming set operation (count-state rewrite): state = "
             "one (cntA, cntB) live-multiplicity row per distinct "
@@ -2899,6 +3139,28 @@ def explain_insert_maintained(
             f"BY {stmt.match['partition']} ORDER BY "
             f"{stmt.match['order']}; defines A: {stmt.match['define_a']!r}"
             f", B: {stmt.match['define_b']!r}"
+        )
+    if stmt.shape == "match_nfa":
+        mn = stmt.match_nfa
+        pat = " ".join(
+            v
+            + (
+                ""
+                if (lo, hi) == (1, 1)
+                else "+"
+                if (lo, hi) == (1, None)
+                else "*"
+                if (lo, hi) == (0, None)
+                else "?"
+                if (lo, hi) == (0, 1)
+                else f"{{{lo},{'' if hi is None else hi}}}"
+            )
+            for v, lo, hi in mn["pattern"]
+        )
+        lines.append(
+            f"pattern: ({pat}) within {mn['within']}, skip "
+            f"{mn['skip']}, PARTITION BY {mn['partition']} ORDER BY "
+            f"{mn['order']}; defines: {mn['defines']!r}"
         )
     if stmt.shape == "setop":
         lines.append(

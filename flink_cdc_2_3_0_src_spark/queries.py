@@ -138,15 +138,24 @@ _PRIORITY: list[str] = [
     # a distinct operator class from the Debezium envelope rows and the
     # r6 VERDICT's #1 window-completion ask.)
     "cdc_startup_timestamp", "cdc_snapshot_resume",
-    "cdc_charset_decode", "cdc_chunked_snapshot_composite_pk",
+    # (cdc_charset_decode: demoted in r11 — the A13 decode family held
+    # FIVE window rows (dbz_roundtrip, dbz_typed_decode, charset,
+    # mongo_changestream, mongo_nested) and charset is the narrowest
+    # (single-column byte-decode fidelity through the table charset);
+    # the family keeps FOUR in-window witnesses and charset stays
+    # registered + locally swept.  Its slot goes to
+    # cdc_sql_grouping_sets: GROUPING SETS/ROLLUP/CUBE on the SQL
+    # maintenance surface (Flink's Expand + StreamExecGroupAggregate)
+    # — the multi-plan NULL-fill + GROUPING_ID bitmask machinery no
+    # other window row touches (the r10 VERDICT's #5 ask).)
+    "cdc_sql_grouping_sets", "cdc_chunked_snapshot_composite_pk",
     # (cdc_chunked_snapshot_string_pk: the lexicographic-PK chunking
     # variant — demoted; B10's driver row stays
     # cdc_chunked_snapshot_composite_pk (composite keys subsume the
     # non-numeric ordering logic) and the string-PK variant remains
-    # locally swept.  Its slot goes to cdc_charset_decode: A13 charset
-    # fidelity (latin1/gbk byte decode through the table charset —
-    # reference MysqlConnectorCharsetITCase), an operator class the r4
-    # VERDICT ranked the #1 missing item and no other row covers.)
+    # locally swept.  Its slot went to cdc_charset_decode in r4 (A13
+    # charset fidelity, MysqlConnectorCharsetITCase), demoted r11 —
+    # see above.)
     # (cdc_startup_specific_offset: B9's second witness, demoted —
     # cdc_startup_timestamp keeps the startup-mode slot; the resume
     # query gives A18/B13 a driver row)
@@ -239,7 +248,17 @@ _PRIORITY: list[str] = [
     # new operator class: per-key WITHIN-bounded row retention with
     # exact adjacency-diff maintenance (out-of-order arrivals RETRACT
     # broken matches), which no other window row exercises.)
-    "cdc_sql_session_window", "cdc_sql_match_recognize",
+    # (cdc_sql_match_recognize: demoted in r11 — the CEP class keeps a
+    # STRICTLY RICHER in-window witness in cdc_sql_match_recognize_nfa,
+    # the general-pattern NFA (r10 VERDICT's #1 ask): greedy
+    # quantifiers (B+), three pattern variables, AFTER MATCH SKIP PAST
+    # LAST ROW, and FILTER-form per-match measure aggregation — none
+    # of which the two-step LEAD plan exercises, while the NFA row
+    # exercises the SAME WITHIN-bounded retained-pool state discipline
+    # plus the straddle-consumption prune.  The two-step row stays
+    # registered + locally swept (it remains the pure-JVM plan for
+    # PATTERN (A B) with cross-variable DEFINEs).)
+    "cdc_sql_session_window", "cdc_sql_match_recognize_nfa",
     # (dedup_simhash: demoted in r8 — the dedup family keeps SEVEN
     # window witnesses (exact, spans, minhash pairs, fuzzy-blocked,
     # clusters, semantic, embedding-lsh), and simhash remains a BENCH
@@ -5505,6 +5524,92 @@ def cdc_sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " PATTERN (A B) WITHIN INTERVAL '1' DAY"
         " DEFINE A AS A.event_type = 'signup',"
         " B AS B.event_type = 'error')",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# General-pattern MATCH_RECOGNIZE (r11): Flink's CEP SQL beyond the
+# two-step subset — StreamExecMatch / CepOperator's NFA (greedy
+# quantifiers, >2 pattern variables, AFTER MATCH SKIP PAST LAST ROW).
+# The canonical conversion funnel: a view, one or more clicks, then a
+# purchase, all strictly within a day — PATTERN (A B+ C).  The engine
+# runs a per-key NFA (greedy with backtracking, memoized) as ONE
+# Arrow-batched grouped-pandas step over each batch's affected keys'
+# WITHIN-bounded retained pools (operators/maintain._MatchNfaPlan);
+# measures evaluate JVM-side as FILTER-form SQL aggregates per match;
+# the signed diff maintains the match set exactly between batches
+# (a greedy match that extends when a row arrives retracts its old
+# image and emits the grown one).  MAX(B.value) rather than SUM keeps
+# the measure addition-order-independent across engines.
+#
+# The oracle is an INDEPENDENT one-shot gaps-and-islands formulation,
+# valid because the defines are mutually exclusive on event_type:
+# each non-click row starts an island, so a view's maximal click run
+# is its island's tail and the match's C row is the NEXT island's
+# first row — and no match can start on a consumed row (a consumed
+# row is a click or purchase, never a view), which makes SKIP PAST
+# LAST ROW coincide with the per-position match set SQL can express.
+@register(
+    "cdc_sql_match_recognize_nfa",
+    """
+    WITH isl AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS g,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    fa AS (
+        SELECT user_id, g, event_type AS fet, ts AS fts
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                           ORDER BY rn) AS irn
+              FROM isl)
+        WHERE irn = 1
+    ),
+    agg AS (
+        SELECT user_id, g, COUNT(*) AS cnt,
+               MAX(value) FILTER (WHERE event_type = 'click') AS mx
+        FROM isl GROUP BY user_id, g
+    )
+    SELECT f1.user_id AS u, f1.fts AS a_ts, a1.cnt - 1 AS n_clicks,
+           a1.mx AS max_click, f2.fts AS c_ts
+    FROM fa f1
+    JOIN agg a1 ON a1.user_id = f1.user_id AND a1.g = f1.g
+    JOIN fa f2 ON f2.user_id = f1.user_id AND f2.g = f1.g + 1
+    WHERE f1.fet = 'view' AND a1.cnt >= 2 AND f2.fet = 'purchase'
+      AND f2.fts < f1.fts + INTERVAL 1 DAY
+    """,
+)
+def cdc_sql_match_recognize_nfa(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, n_clicks,"
+        " max_click, c_ts FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, COUNT(B.*) AS n_clicks,"
+        " MAX(B.value) AS max_click, LAST(C.ts) AS c_ts"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase')",
         {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
         {"events_cdc": log},
         n_batches=3,

@@ -87,6 +87,8 @@ DEFAULT_QUERIES = [
     "cdc_sql_except_all",
     "cdc_sql_window_join",
     "cdc_sql_match_recognize",
+    # r11: the general-pattern NFA
+    "cdc_sql_match_recognize_nfa",
 ]
 
 

@@ -1,0 +1,527 @@
+"""General-pattern MATCH_RECOGNIZE (the per-key NFA plan).
+
+Flink compiles MATCH_RECOGNIZE to StreamExecMatch / CepOperator — a
+per-key NFA with WITHIN-bounded state (reference design provenance:
+the planner surface the connectors delegate to,
+MySqlTableSourceFactory.java:81-150).  The repo's ``_MatchNfaPlan``
+runs the same shape as an Arrow-batched grouped-pandas scan over the
+WITHIN-bounded affected-key pools, with measures evaluated JVM-side as
+FILTER-form SQL aggregates and the signed diff maintaining the match
+set exactly between batches.
+
+The reference replays here are INDEPENDENT implementations: a pure-
+Python greedy-backtracking matcher (different code path from the
+plan's numpy scan) and, for the funnel pattern, a gaps-and-islands SQL
+formulation (valid because its defines are mutually exclusive)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_2_3_0_src_spark.model import OP_COL, SEQ_COL
+from flink_cdc_2_3_0_src_spark.operators.changelog import MULT_COL
+from flink_cdc_2_3_0_src_spark.operators.maintain import (
+    maintain,
+    parse_match_pattern,
+)
+from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+    parse_insert_select,
+    plan_insert_maintained,
+    replay_insert_maintained,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ---------------------------------------------------------------------------
+# independent reference matcher (pure Python, recursive — a different
+# formulation from the plan's iterative numpy scan)
+# ---------------------------------------------------------------------------
+
+def _ref_matches(rows, elems, defines, within_us, past_last):
+    """rows = [(ots, seq, rowdict)] ONE key, any order.  Returns a list
+    of matches, each a list of (rowdict, var)."""
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    n = len(rows)
+
+    def ok(var, r):
+        return bool(defines[var](r[2]))
+
+    def attempt(i):
+        def rec(e, pos):
+            if e == len(elems):
+                return []
+            var, mn, mx = elems[e]
+            k = 0
+            while (
+                (mx is None or k < mx)
+                and pos + k < n
+                and ok(var, rows[pos + k])
+                and rows[pos + k][0] - rows[i][0] < within_us
+            ):
+                k += 1
+            for take in range(k, mn - 1, -1):
+                rest = rec(e + 1, pos + take)
+                if rest is not None:
+                    return [
+                        (rows[pos + j][2], var) for j in range(take)
+                    ] + rest
+            return None
+
+        return rec(0, i)
+
+    out, i = [], 0
+    while i < n:
+        m = attempt(i)
+        if m:
+            out.append(m)
+            if past_last:
+                i += len(m)
+                continue
+        i += 1
+    return out
+
+
+def _mk_log(spark, rows):
+    """rows = [(id, key, et, v, ts string or None)]"""
+    return spark.createDataFrame(
+        [(i, u, t, v, ts, "+I", i) for (i, u, t, v, ts) in rows],
+        f"id long, u string, et string, v double, ts string,"
+        f" {OP_COL} string, {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+_FUNNEL_SQL = (
+    "INSERT INTO sink SELECT u, a_ts, n_b, b_sum, c_ts FROM ev"
+    " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+    " MEASURES FIRST(A.ts) AS a_ts, COUNT(B.*) AS n_b,"
+    " SUM(B.v) AS b_sum, LAST(C.ts) AS c_ts"
+    " AFTER MATCH SKIP PAST LAST ROW"
+    " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+    " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+    " C AS C.et = 'purchase')"
+)
+_EV_TABLES = {"ev": {"primary_key": ["id"], "rowtime": "ts"}}
+
+
+def test_parse_match_pattern_forms():
+    assert parse_match_pattern("A B+ C") == [
+        ("A", 1, 1), ("B", 1, None), ("C", 1, 1)
+    ]
+    assert parse_match_pattern("a b* c? d{2} e{1,3} f{2,}") == [
+        ("A", 1, 1), ("B", 0, None), ("C", 0, 1), ("D", 2, 2),
+        ("E", 1, 3), ("F", 2, None),
+    ]
+    with pytest.raises(ValueError, match="alternation"):
+        parse_match_pattern("A | B")
+    with pytest.raises(ValueError, match="appears twice"):
+        parse_match_pattern("A B A")
+    with pytest.raises(ValueError, match="zero rows"):
+        parse_match_pattern("A* B?")
+    with pytest.raises(ValueError, match="max must be"):
+        parse_match_pattern("A{3,2}")
+    with pytest.raises(ValueError, match="empty"):
+        parse_match_pattern("   ")
+
+
+def test_nfa_funnel_matches_islands_sql(spark):
+    """The B+ funnel vs an INDEPENDENT gaps-and-islands one-shot SQL
+    (valid because view/click/purchase defines are mutually exclusive,
+    which also makes SKIP PAST LAST ROW equal SKIP TO NEXT ROW — no
+    match can start on a consumed row)."""
+    rng = random.Random(411)
+    rows = []
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    for i in range(300):
+        u = f"u{rng.randrange(8)}"
+        et = rng.choice(["view", "click", "click", "purchase", "error"])
+        ts = base + rng.randrange(0, 6 * 86400)
+        rows.append(
+            (i, u, et, float(rng.randrange(100)) / 4.0,
+             f"{__import__('datetime').datetime.utcfromtimestamp(ts):%Y-%m-%d %H:%M:%S}")
+        )
+    # arrival (id/seq) order follows event time — the retained-pool
+    # contract (exact under per-key in-order arrivals; the driver's
+    # events table has 0 per-key inversions of event_id vs ts).
+    # Bounded out-of-order arrivals are pinned separately by
+    # test_nfa_out_of_order_retracts_and_regrows.
+    rows = [
+        (j, u, et, v, ts)
+        for j, (_i, u, et, v, ts) in enumerate(
+            sorted(rows, key=lambda r: (r[4], r[0]))
+        )
+    ]
+    log = _mk_log(spark, rows)
+    log.drop(OP_COL).createOrReplaceTempView("__nfa_t")
+    one_shot = spark.sql(
+        """
+        WITH isl AS (
+            SELECT *, SUM(CASE WHEN et <> 'click' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY u ORDER BY ts, _seq
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS g,
+                   ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, _seq)
+                   AS rn
+            FROM __nfa_t WHERE ts IS NOT NULL
+        ),
+        fa AS (
+            SELECT u, g, et AS fet, ts AS fts FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY u, g
+                                             ORDER BY rn) AS irn
+                FROM isl
+            ) WHERE irn = 1
+        ),
+        agg AS (
+            SELECT u, g, COUNT(*) AS cnt,
+                   SUM(v) FILTER (WHERE et = 'click') AS bsum
+            FROM isl GROUP BY u, g
+        )
+        SELECT f1.u AS u, f1.fts AS a_ts, a1.cnt - 1 AS n_b,
+               a1.bsum AS b_sum, f2.fts AS c_ts
+        FROM fa f1
+        JOIN agg a1 ON a1.u = f1.u AND a1.g = f1.g
+        JOIN fa f2 ON f2.u = f1.u AND f2.g = f1.g + 1
+        WHERE f1.fet = 'view' AND a1.cnt >= 2 AND f2.fet = 'purchase'
+          AND f2.fts < f1.fts + INTERVAL 1 DAY
+        """
+    )
+    exp = sorted(map(tuple, one_shot.collect()), key=str)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            _FUNNEL_SQL, _EV_TABLES, {"ev": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == exp
+    assert len(exp) > 0
+
+
+def test_nfa_greedy_backtracking_pinned(spark):
+    """Greedy B+ gives rows back when C cannot match after it — a row
+    satisfying BOTH defines goes to C when that is the only way the
+    pattern completes (SQL:2016 greedy-with-backtracking)."""
+    rows = [
+        (1, "u1", "a", 0.0, "2024-01-01 00:00:00"),
+        (2, "u1", "b", 5.0, "2024-01-01 00:10:00"),
+        (3, "u1", "b", 20.0, "2024-01-01 00:20:00"),  # B and C both hold
+        (4, "u1", "b", 1.0, "2024-01-01 00:30:00"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_b, c_v FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_b, LAST(C.v) AS c_v"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'a', B AS B.v > 0, C AS C.v > 10)"
+    )
+    got = replay_insert_maintained(
+        sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=1
+    ).collect()
+    # greedy B+ first takes rows 2,3,4; no row left for C; backtracks
+    # until C lands on row 3 (v=20) with B = [row 2]
+    assert [(r["u"], r["n_b"], r["c_v"]) for r in got] == [("u1", 1, 20.0)]
+
+
+def test_nfa_skip_modes_differ(spark):
+    """SKIP TO NEXT ROW attempts at every position (overlap allowed);
+    SKIP PAST LAST ROW consumes matched rows.  With defines that hold
+    on every row, A B over 3 rows yields 2 overlapping matches for
+    TO NEXT and 1 for PAST LAST."""
+    rows = [
+        (1, "u1", "x", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "x", 2.0, "2024-01-01 00:10:00"),
+        (3, "u1", "x", 3.0, "2024-01-01 00:20:00"),
+    ]
+    base = (
+        "INSERT INTO sink SELECT u, a_v, b_v FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES FIRST(A.v) AS a_v, LAST(B.v) AS b_v"
+        " AFTER MATCH SKIP {skip}"
+        " PATTERN (A B{{1}}) WITHIN INTERVAL '1' HOUR"
+        " DEFINE A AS A.v > 0, B AS B.v > 0)"
+    )
+    log = _mk_log(spark, rows)
+    to_next = replay_insert_maintained(
+        base.format(skip="TO NEXT ROW"), _EV_TABLES, {"ev": log},
+        n_batches=1,
+    )
+    past = replay_insert_maintained(
+        base.format(skip="PAST LAST ROW"), _EV_TABLES, {"ev": log},
+        n_batches=1,
+    )
+    assert sorted(map(tuple, to_next.collect())) == [
+        ("u1", 1.0, 2.0), ("u1", 2.0, 3.0)
+    ]
+    assert sorted(map(tuple, past.collect())) == [("u1", 1.0, 2.0)]
+
+
+@pytest.mark.parametrize("skip", ["TO NEXT ROW", "PAST LAST ROW"])
+@pytest.mark.parametrize(
+    "pattern, defs",
+    [
+        (
+            "A B+ C",
+            {"A": "et = 'view'", "B": "et = 'click'",
+             "C": "et = 'purchase'"},
+        ),
+        (
+            "A B{1,2} C?",
+            {"A": "v > 8", "B": "et = 'click'", "C": "et = 'error'"},
+        ),
+        ("A B*", {"A": "et = 'view'", "B": "v > 5"}),
+    ],
+)
+def test_nfa_fuzz_split_invariance_vs_reference(spark, skip, pattern, defs):
+    """Seeded fuzz: random per-key event soup, three pattern shapes ×
+    both skip modes.  The replay (any batch split) must equal the
+    independent pure-Python greedy matcher's one-shot measures."""
+    import datetime as dt
+
+    rng = random.Random(hash((skip, pattern)) & 0xFFFF)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(160):
+        u = f"u{rng.randrange(5)}"
+        et = rng.choice(["view", "click", "purchase", "error"])
+        ts = base + dt.timedelta(minutes=rng.randrange(0, 5000))
+        rows.append(
+            (i, u, et, float(rng.randrange(20)),
+             f"{ts:%Y-%m-%d %H:%M:%S}")
+        )
+    # arrival order follows event time (the retained-pool contract)
+    rows = [
+        (j, u, et, v, ts)
+        for j, (_i, u, et, v, ts) in enumerate(
+            sorted(rows, key=lambda r: (r[4], r[0]))
+        )
+    ]
+    # build DEFINE with variable-qualified refs
+    def qual(var, pred):
+        return (
+            pred.replace("et =", f"{var}.et =")
+            .replace("v >", f"{var}.v >")
+        )
+
+    sql = (
+        "INSERT INTO sink SELECT u, n_rows, v_sum FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(A.*) + COUNT(B.*) + COUNT(C.*) AS n_rows,"
+        " COALESCE(SUM(A.v), 0) + COALESCE(SUM(B.v), 0)"
+        " + COALESCE(SUM(C.v), 0) AS v_sum"
+        f" AFTER MATCH SKIP {skip}"
+        f" PATTERN ({pattern}) WITHIN INTERVAL '12' HOUR"
+        " DEFINE "
+        + ", ".join(f"{v} AS {qual(v, d)}" for v, d in defs.items())
+        + ")"
+    )
+    if "C" not in pattern:
+        sql = sql.replace(" + COUNT(C.*)", "").replace(
+            " + COALESCE(SUM(C.v), 0)", ""
+        )
+    elems = parse_match_pattern(pattern)
+    within_us = 12 * 3600 * 1_000_000
+    defines = {
+        v: (lambda d: (lambda r: (
+            r["et"] == d.split("'")[1] if "et" in d
+            else r["v"] > float(d.split(">")[1])
+        )))(d)
+        for v, d in defs.items()
+    }
+    by_key = {}
+    for i, u, et, v, ts in rows:
+        import calendar
+
+        ots = int(
+            calendar.timegm(
+                dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").timetuple()
+            )
+        ) * 1_000_000
+        by_key.setdefault(u, []).append(
+            (ots, i, {"et": et, "v": v, "u": u})
+        )
+    expected = []
+    for u, krows in by_key.items():
+        for m in _ref_matches(
+            krows, elems, defines, within_us, skip == "PAST LAST ROW"
+        ):
+            n_rows = len(m)
+            v_sum = sum(r["v"] for r, _var in m)
+            expected.append((u, n_rows, v_sum))
+    log = _mk_log(spark, rows)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            expected, key=str
+        ), f"skip={skip} pattern={pattern} n_batches={n}"
+
+
+def test_nfa_out_of_order_retracts_and_regrows(spark):
+    """A late row landing inside a greedy B+ run re-derives the
+    affected key's matches: the emitted match retracts and the grown
+    one emits — replay equals one-shot for any arrival order."""
+    in_order = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 01:00:00"),
+        (4, "u1", "purchase", 4.0, "2024-01-01 03:00:00"),
+    ]
+    late = (3, "u1", "click", 3.0, "2024-01-01 02:00:00")
+    log_all = _mk_log(spark, in_order + [late])
+    one_shot = replay_insert_maintained(
+        _FUNNEL_SQL, _EV_TABLES, {"ev": log_all}, n_batches=1
+    )
+    exp = sorted(map(tuple, one_shot.collect()), key=str)
+    assert [r[2] for r in exp] == [2]  # n_b grew to 2
+    # replay with the late row in its own final batch (arrival order
+    # differs from event-time order)
+    job = plan_insert_maintained(_FUNNEL_SQL, _EV_TABLES)
+    job.step({"ev": _mk_log(spark, in_order)})
+    job.step({"ev": _mk_log(spark, [late])})
+    assert sorted(map(tuple, job.result().collect()), key=str) == exp
+
+
+def test_nfa_retention_prunes_and_past_last_drops_straddle(spark):
+    """State keeps rows within WITHIN of the key's max; under SKIP
+    PAST LAST ROW rows consumed by a match straddling that horizon
+    are dropped too (the match stays emitted; its suffix must not
+    re-match)."""
+    job = plan_insert_maintained(_FUNNEL_SQL, _EV_TABLES, ttl="ts")
+    b1 = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 12:00:00"),
+        (3, "u1", "purchase", 3.0, "2024-01-01 23:00:00"),
+        # a later row pushes the horizon past the match's first row
+        (4, "u1", "error", 0.0, "2024-01-02 06:00:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b1)})
+    assert job.result().count() == 1
+    # horizon = 01-02 06:00 − 1 day = 01-01 06:00; the view row (00:00)
+    # is pruned by time, and the consumed click/purchase rows straddle
+    # (match first row behind the horizon) so they are dropped too
+    state_ids = {r["id"] for r in job._state.collect()}
+    assert state_ids == {4}
+    # a later view+click+purchase still matches normally
+    b2 = [
+        (5, "u1", "view", 5.0, "2024-01-02 07:00:00"),
+        (6, "u1", "click", 6.0, "2024-01-02 08:00:00"),
+        (7, "u1", "purchase", 7.0, "2024-01-02 09:00:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b2)})
+    assert job.result().count() == 2
+    # ttl additionally evicts behind an explicit watermark
+    job.expire("2024-01-03 00:00:00")
+    assert job._state.count() == 0
+
+
+def test_nfa_within_boundary_is_strict(spark):
+    """Flink's WITHIN is strict: a funnel spanning exactly the
+    interval does not match."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 12:00:00"),
+        (3, "u1", "purchase", 3.0, "2024-01-02 00:00:00"),  # == 1 day
+        (4, "u2", "view", 4.0, "2024-01-01 00:00:00"),
+        (5, "u2", "click", 5.0, "2024-01-01 12:00:00"),
+        (6, "u2", "purchase", 6.0, "2024-01-01 23:59:59"),
+    ]
+    got = replay_insert_maintained(
+        _FUNNEL_SQL, _EV_TABLES, {"ev": _mk_log(spark, rows)},
+        n_batches=1,
+    ).collect()
+    assert [r["u"] for r in got] == ["u2"]
+
+
+def test_nfa_undefined_variable_matches_any_row(spark):
+    """A pattern variable with no DEFINE matches any row (SQL:2016)."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "error", 9.0, "2024-01-01 00:30:00"),
+        (3, "u1", "purchase", 3.0, "2024-01-01 01:00:00"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, mid_et FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES LAST(B.et) AS mid_et"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', C AS C.et = 'purchase')"
+    )
+    got = replay_insert_maintained(
+        sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=1
+    ).collect()
+    assert [(r["u"], r["mid_et"]) for r in got] == [("u1", "error")]
+
+
+def test_nfa_guards(spark):
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        explain_insert_maintained,
+    )
+
+    # cross-variable DEFINE is the two-step plan's territory
+    with pytest.raises(ValueError, match="other pattern variable"):
+        parse_insert_select(
+            _FUNNEL_SQL.replace("B AS B.et = 'click'",
+                                "B AS B.v > A.v")
+        )
+    # unqualified column in a DEFINE is ACCEPTED on the NFA path (it
+    # binds to the row being classified — which the NFA honors)
+    st = parse_insert_select(
+        _FUNNEL_SQL.replace("B AS B.et = 'click'", "B AS et = 'click'")
+    )
+    assert st.match_nfa["defines"]["B"] == "et = 'click'"
+    # unqualified measure refs refuse (no row binding per match)
+    with pytest.raises(ValueError, match="unqualified column"):
+        parse_insert_select(
+            _FUNNEL_SQL.replace("SUM(B.v) AS b_sum", "SUM(v) AS b_sum")
+        )
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        parse_insert_select(
+            _FUNNEL_SQL.replace("SUM(B.v)", "SUM(Z.v)")
+        )
+    with pytest.raises(ValueError, match="only COUNT takes a star"):
+        parse_insert_select(
+            _FUNNEL_SQL.replace("SUM(B.v)", "SUM(B.*)")
+        )
+    with pytest.raises(ValueError, match="not in the pattern"):
+        parse_insert_select(
+            _FUNNEL_SQL.replace("DEFINE A AS", "DEFINE Z AS Z.v > 0, A AS")
+        )
+    # ORDER BY must be the declared rowtime
+    with pytest.raises(ValueError, match="declared event-time column"):
+        plan_insert_maintained(
+            _FUNNEL_SQL.replace("ORDER BY ts", "ORDER BY v"), _EV_TABLES
+        )
+    # append-only input required
+    job = plan_insert_maintained(_FUNNEL_SQL, _EV_TABLES)
+    bad = _mk_log(
+        spark, [(1, "u1", "view", 1.0, "2024-01-01 00:00:00")]
+    ).withColumn(OP_COL, F.lit("-D"))
+    with pytest.raises(ValueError, match="append-only"):
+        job.step({"ev": bad})
+    # multiset output: no keyed changelog rendering
+    d = job.step(
+        {"ev": _mk_log(spark, [(1, "u1", "view", 1.0,
+                                "2024-01-01 00:00:00")])}
+    )
+    with pytest.raises(ValueError, match="multiset"):
+        job.delta_changelog(d, 0)
+    # ttl must be the ORDER BY column
+    with pytest.raises(ValueError, match="ORDER BY time column"):
+        plan_insert_maintained(_FUNNEL_SQL, _EV_TABLES, ttl="v")
+    # plan-level guards
+    with pytest.raises(ValueError, match="skip must be"):
+        maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B", "measures": [("count(*)", "n")],
+            "skip": "sideways",
+        })
+    with pytest.raises(ValueError, match="non-empty partition"):
+        maintain(match_nfa={
+            "partition": [], "order": "ts", "within": "1 day",
+            "pattern": "A B", "measures": [("count(*)", "n")],
+        })
+    txt = explain_insert_maintained(_FUNNEL_SQL, _EV_TABLES, ttl="ts")
+    assert "CepOperator NFA" in txt
+    assert "pattern: (A B+ C)" in txt and "skip past_last" in txt

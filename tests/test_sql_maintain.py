@@ -3332,13 +3332,15 @@ def test_match_recognize_guards(spark):
         explain_insert_maintained,
     )
 
-    with pytest.raises(ValueError, match="SKIP TO NEXT ROW"):
-        parse_insert_select(
-            _MR_SQL.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
-        )
-    with pytest.raises(ValueError, match="PATTERN"):
-        parse_insert_select(_MR_SQL.replace("PATTERN (A B)",
-                                            "PATTERN (A B+ C)"))
+    # SKIP PAST LAST ROW and quantified patterns route to the NFA plan
+    # (shape match_nfa) rather than the two-step LEAD plan — but they
+    # need row-classified defines, so the cross-variable-capable
+    # two-step grammar still owns PATTERN (A B) + SKIP TO NEXT ROW
+    st_past = parse_insert_select(
+        _MR_SQL.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
+    )
+    assert st_past.shape == "match_nfa"
+    assert st_past.match_nfa["skip"] == "past_last"
     with pytest.raises(ValueError, match="collides with a PARTITION"):
         parse_insert_select(_MR_SQL.replace("AS a_ts", "AS u"))
     with pytest.raises(ValueError, match="measure names"):
