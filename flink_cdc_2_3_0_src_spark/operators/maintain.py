@@ -509,6 +509,74 @@ class _AggRecomputePlan(_Plan):
         )
 
 
+class _WindowedRecomputePlan(_AggRecomputePlan):
+    """min/max (with any sum/count/avg alongside) under REPLICATING
+    windows — HOP's size/slide replicas and CUMULATE's per-bucket
+    window sequence.  Closes the family's former refusal ("per-window
+    table state cannot key by the source PK under replication"): the
+    table state keys by (source PK + window columns) instead.
+    Replication is a deterministic row-local function of the row
+    image, so an update's -U replicas identify EXACTLY the window
+    cells its old image occupied — the plan rewrites the replicated
+    changelog to per-cell upserts before the inherited affected-group
+    recompute:
+
+    * ``-U`` → ``-D`` at seq ``2s`` (vacated cells must leave the
+      table; ``_upsert_table_state`` ignores a bare -U, which is what
+      made ghost replicas under the PK-only keying)
+    * ``+U`` → ``+I`` and ``+I`` at seq ``2s + 1`` (an update whose
+      old and new images share a cell resolves insert-last)
+    * ``-D`` stays at ``2s``
+
+    A ts-moving update thus deletes the old image's cells and inserts
+    the new image's — no ghosts, no lost cells — and the group-level
+    recompute (affected (window, group) cells only) proceeds exactly
+    as the plain table-state plan.  Flink's windowed aggregates hold
+    the same per-window keyed state (window + key → accumulator).
+
+    **Input contract: FULL-RETRACTION changelogs** (-U before-images
+    present).  The PK-only plan tolerates upsert-form streams because
+    a +U replaces its key's whole row, but here the -U replicas are
+    what names the vacated window cells — normalize upsert streams
+    with ``ensure_retractions``/``normalize_upsert`` first (the
+    ChangelogNormalize step Flink's planner inserts for upsert
+    sources feeding exactly this kind of keyed window state).
+    """
+
+    kind = "agg"
+
+    def __init__(
+        self, keys, window_cols, group_cols, aggs, ttl, op_col, seq_col
+    ) -> None:
+        if not keys:
+            raise ValueError(
+                "windowed min/max maintenance keeps (PK, window)-keyed "
+                "table state and needs keys= (the changelog's primary "
+                "key)"
+            )
+        self.window_cols = list(window_cols)
+        super().__init__(
+            list(keys) + self.window_cols, group_cols, aggs, ttl,
+            op_col, seq_col,
+        )
+
+    def step(self, state, batch: DataFrame):
+        op = F.col(self.op_col)
+        cell = batch.withColumn(
+            self.seq_col,
+            2 * F.col(self.seq_col).cast("long")
+            + F.when(
+                op.isin(OP_INSERT, OP_UPDATE_AFTER), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ).withColumn(
+            self.op_col,
+            F.when(op == OP_UPDATE_BEFORE, F.lit(OP_DELETE))
+            .when(op == OP_UPDATE_AFTER, F.lit(OP_INSERT))
+            .otherwise(op),
+        )
+        return super().step(state, cell)
+
+
 class _GroupingSetsPlan(_Plan):
     """GROUPING SETS over a changelog: one signed-delta aggregate plan
     per grouping set (Flink's streaming planner expands grouping sets
@@ -2493,6 +2561,7 @@ def maintain(
     over=None,
     distinct=None,
     grouping_sets=None,
+    window_key=None,
     gid_col: str = "__gid",
     ttl=None,
     op_col: str = OP_COL,
@@ -2666,6 +2735,18 @@ def maintain(
             "grouping_sets= is a modifier of the aggregate shape; "
             "declare aggs= with it"
         )
+    if window_key is not None and aggs is None:
+        raise ValueError(
+            "window_key= is a modifier of the aggregate shape; "
+            "declare aggs= with it"
+        )
+    if window_key and (
+        session is not None or grouping_sets is not None or distinct
+    ):
+        raise ValueError(
+            "window_key= does not combine with session/grouping_sets/"
+            "distinct modifiers — those plans key their own state"
+        )
     if dedup is not None:
         return _DedupPlan(dedup, ttl)
     if dedup_row is not None:
@@ -2830,5 +2911,15 @@ def maintain(
                 "min/max maintenance keeps table state and needs keys= "
                 "(the changelog's primary key)"
             )
+        if window_key:
+            return _WindowedRecomputePlan(
+                keys, window_key, group_cols, aggs, ttl, op_col, seq_col
+            )
         return _AggRecomputePlan(keys, group_cols, aggs, ttl, op_col, seq_col)
+    if window_key:
+        raise ValueError(
+            "window_key= applies to min/max maintenance only (the "
+            "stateless signed-delta plan handles window replication "
+            "exactly without table state) — drop it for sum/count/avg"
+        )
     return _AggDeltaPlan(group_cols, aggs, ttl, op_col, seq_col)

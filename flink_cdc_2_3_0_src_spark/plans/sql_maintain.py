@@ -2188,30 +2188,7 @@ class SqlMaintenanceJob:
         elif stmt.shape == "agg":
             keys, _ = self._preps[0]
             fns = {fn for fn, _ in aggs.values()}
-            if stmt.hop is not None and fns & {"min", "max"}:
-                # the HOP generator replicates each row into size/slide
-                # windows; the recompute plan's table state is keyed by
-                # the source PK, and a ts-moving update would leave
-                # ghost replicas in windows the new image no longer
-                # covers (the lone -U carries no upsert semantics) —
-                # the signed-delta plan handles replication exactly,
-                # so HOP supports sum/count/avg only
-                raise ValueError(
-                    "HOP windows support sum/count/avg aggregates only "
-                    "(min/max needs per-window table state, which a "
-                    "sliding window's row replication cannot key by the "
-                    "source PRIMARY KEY) — use TUMBLE for min/max"
-                )
             if stmt.cumulate is not None:
-                if fns & {"min", "max"}:
-                    # same replication argument as HOP: a row lives in
-                    # several cumulate windows of its bucket at once
-                    raise ValueError(
-                        "CUMULATE windows support sum/count/avg aggregates "
-                        "only (min/max needs per-window table state, which "
-                        "cumulative row replication cannot key by the "
-                        "source PRIMARY KEY) — use TUMBLE for min/max"
-                    )
                 from flink_cdc_2_3_0_src_spark.operators.maintain import (
                     _gap_micros,
                 )
@@ -2232,10 +2209,25 @@ class SqlMaintenanceJob:
                     f"source's PRIMARY KEY, but table {stmt.sources[0]!r} "
                     "declares none"
                 )
+            # min/max under a REPLICATING window (HOP's size/slide
+            # replicas, CUMULATE's per-bucket sequence): table state
+            # keys by (PK, window) — replication is deterministic per
+            # row image, so the upsert discipline carries per window
+            # cell (_WindowedRecomputePlan rewrites ±U to per-cell
+            # upserts).  TUMBLE assigns one window per row, so the
+            # plain PK-keyed recompute plan still serves it.
+            replicating = (
+                stmt.hop is not None or stmt.cumulate is not None
+            )
             self.plan = maintain(
                 aggs=aggs, group_cols=stmt.group_cols,
                 keys=keys if fns & {"min", "max"} else None,
                 distinct=distinct or None,
+                window_key=(
+                    [_W_START, _W_END]
+                    if replicating and fns & {"min", "max"}
+                    else None
+                ),
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "over":
@@ -2473,16 +2465,23 @@ class SqlMaintenanceJob:
                 group_cols=stmt.group_cols, keys=keys,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
+        # NULL-correct projection of a PADDED side's join column (r11,
+        # formerly refused): the maintained frame carries ONE physical
+        # column per join key (right side renamed onto left), and an
+        # outer stage's PAD rows carry the non-padded side's value in
+        # it — but SQL emits NULL there (Flink does too).  The job
+        # appends a constant presence column to each padded side whose
+        # join column the SELECT projects; pad rows carry NULL in it
+        # (the padding delta null-extends the missing side's payload),
+        # so the projection rewrites to
+        # ``CASE WHEN <pres> IS NULL THEN NULL ELSE <key> END``.
+        # Chain stages padding the ACCUMULATED left side (right/full)
+        # keep the refusal — presence there would have to thread
+        # through every earlier stage.
+        self._pad_pres: dict = {}   # (alias, col) -> (pres col, phys col)
+        self._pres_sides: dict = {}  # prep side index -> pres col name
         if stmt.shape in ("join", "temporal", "lookup"):
-            # the maintained frame carries ONE physical column per join
-            # key (right side renamed onto left), and an outer stage's
-            # PAD rows carry the non-padded side's value in it — so
-            # projecting the PADDED side's join column would emit that
-            # value where SQL emits NULL.  Refuse with guidance rather
-            # than silently coalesce.  (For a LEFT temporal join the
-            # key columns physically come from the PROBE side, so the
-            # same rule applies to the versioned side's key columns.)
-            pad = set()
+            pad, pad_acc = set(), set()
             if stmt.shape == "temporal":
                 if stmt.join_how == "left":
                     b_al = stmt.temporal[2]
@@ -2497,27 +2496,49 @@ class SqlMaintenanceJob:
                             (stage["alias"], rc) for _, _, rc in stage["on"]
                         }
                     if stage["how"] in ("right", "full"):
-                        pad |= {(q, lc) for q, lc, _ in stage["on"]}
+                        # right/full pads the ACCUMULATED left side —
+                        # presence there would have to thread through
+                        # every earlier stage, so it keeps the refusal
+                        pad_acc |= {(q, lc) for q, lc, _ in stage["on"]}
             else:
                 a_al, b_al = stmt.join_aliases
                 if stmt.join_how in ("left", "full"):
                     pad |= {(b_al, cb) for _, cb in stmt.join_on}
                 if stmt.join_how in ("right", "full"):
                     pad |= {(a_al, ca) for ca, _ in stmt.join_on}
-            bad = [
-                src
-                for src, _ in stmt.select
-                if tuple(src.split(".", 1)) in pad
-            ]
-            if bad:
+            projected = {tuple(src.split(".", 1)) for src, _ in stmt.select}
+            bad_acc = sorted(projected & pad_acc)
+            if bad_acc:
                 raise ValueError(
-                    f"SELECT projects the null-padded side's join "
-                    f"column(s) {bad}: on an outer join's pad rows SQL "
-                    "emits NULL there, but the maintained frame's "
-                    "coalesced key column carries the matched side's "
-                    "value — project the non-padded side's join column "
-                    "instead (equal on every matched row)"
+                    f"SELECT projects a null-padded ACCUMULATED side's "
+                    f"join column(s) "
+                    f"{['.'.join(b) for b in bad_acc]} in a join "
+                    "chain: on the pad rows SQL emits NULL there, but "
+                    "the maintained frame's coalesced key column "
+                    "carries the matched side's value — project the "
+                    "non-padded side's join column instead (equal on "
+                    "every matched row), or restructure as two-way "
+                    "joins where the NULL-correct projection is "
+                    "supported"
                 )
+            for q, c in sorted(projected & pad):
+                if stmt.join_chain:
+                    side = stmt.join_aliases.index(q)
+                    phys = self._join_outname.get((q, c), c)
+                elif stmt.shape == "join":
+                    a_al, b_al = stmt.join_aliases
+                    side = 0 if q == a_al else 1
+                    phys = c
+                else:
+                    side, phys = 1, c  # temporal build / lookup dim
+                if side != 0 and phys == c:
+                    for ca, cb in stmt.join_on:
+                        if c == cb:
+                            phys = ca
+                            break
+                pres = f"__pres_{q}"
+                self._pres_sides[side] = pres
+                self._pad_pres[(q, c)] = (pres, phys)
         # WHERE application mode: the table-state plans (min/max
         # recompute, Top-N) need failing +I/+U images rewritten to -D
         # tombstones; the stateless delta plan uses a plain row filter
@@ -2663,6 +2684,10 @@ class SqlMaintenanceJob:
             acc_cols = set(prepped[0].columns) - {self.op_col, self.seq_col}
             for i, stage in enumerate(self.stmt.join_chain):
                 b = self._prep(i + 1, batches[self.stmt.sources[i + 1]])
+                if (i + 1) in self._pres_sides:
+                    # presence marker for a padded stage side whose
+                    # join column the SELECT projects (see __init__)
+                    b = b.withColumn(self._pres_sides[i + 1], F.lit(1))
                 for rc, target in self._chain_renames[i]:
                     if target in b.columns:
                         raise ValueError(
@@ -2692,6 +2717,13 @@ class SqlMaintenanceJob:
         elif self.stmt.shape in ("join", "temporal", "lookup"):
             a = self._prep(0, batches[self.stmt.sources[0]])
             b = self._prep(1, batches[self.stmt.sources[1]])
+            # constant presence marker on each padded side whose join
+            # column the SELECT projects — pad rows null-extend it, so
+            # _select_cols can emit SQL NULL for the padded key
+            if 0 in self._pres_sides:
+                a = a.withColumn(self._pres_sides[0], F.lit(1))
+            if 1 in self._pres_sides:
+                b = b.withColumn(self._pres_sides[1], F.lit(1))
             if self.stmt.shape == "join" and self.stmt.join_window:
                 # window join: derive each side's tumbling bucket
                 # row-locally (changelog ±pairs derive identically, so
@@ -2893,6 +2925,15 @@ class SqlMaintenanceJob:
         if self.stmt.shape == "join" and self.stmt.join_chain:
             for src, out in self.stmt.select:
                 q, c = src.split(".", 1)
+                if (q, c) in self._pad_pres:
+                    # padded stage side's join column: SQL NULL on pads
+                    pres, phys = self._pad_pres[(q, c)]
+                    cols.append(
+                        F.when(F.col(pres).isNull(), F.lit(None))
+                        .otherwise(F.col(phys))
+                        .alias(out)
+                    )
+                    continue
                 cols.append(
                     F.col(self._join_outname.get((q, c), c)).alias(out)
                 )
@@ -2901,6 +2942,18 @@ class SqlMaintenanceJob:
             on_a = {ca for ca, _ in self.stmt.join_on}
             for src, out in self.stmt.select:
                 q, c = src.split(".", 1)
+                if (q, c) in self._pad_pres:
+                    # padded side's join column: SQL NULL on pad rows
+                    # (the physical coalesced key carries the matched
+                    # side's value; the presence marker is NULL exactly
+                    # on the pads)
+                    pres, phys = self._pad_pres[(q, c)]
+                    cols.append(
+                        F.when(F.col(pres).isNull(), F.lit(None))
+                        .otherwise(F.col(phys))
+                        .alias(out)
+                    )
+                    continue
                 # side b's join columns were renamed to side a's; the
                 # delta frame carries unqualified names
                 if q != a and c not in on_a:

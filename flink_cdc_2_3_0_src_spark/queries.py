@@ -4971,6 +4971,89 @@ def cdc_sql_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DISTINCT aggregates under a windowed GROUP BY (r11): Flink's
+# streaming distinct aggregation composed with a group window — the
+# TUMBLE bucket is a row-local timestamp function, so it rides the
+# distinct-view plan as just another group column ((window, value) ->
+# count state).  The scripted upsert log's updates move BOTH the
+# distinct value and the row's window (ts changes per update), so
+# retractions must remove a value from the OLD window's view and add
+# it to the new one's.  The oracle computes the same one-shot over the
+# materialized log.
+@register(
+    "cdc_sql_window_distinct",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT time_bucket(INTERVAL '1 day', ts) AS ws,
+           COUNT(DISTINCT value) AS dv, COUNT(*) AS n_rows
+    FROM m WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+def cdc_sql_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    # no ts pre-filter: the TUMBLE derivation itself drops NULL event
+    # times (the family's windowing rule) — this row witnesses it
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT"
+        " TUMBLE_START(ts, INTERVAL '1' DAY) AS ws,"
+        " COUNT(DISTINCT value) AS dv, COUNT(*) AS n_rows"
+        " FROM events_cdc GROUP BY TUMBLE(ts, INTERVAL '1' DAY)",
+        {"events_cdc": ["user_id"]},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# MIN/MAX under a replicating window (r11): HOP windows previously
+# refused min/max ("per-window table state cannot key by the source
+# PK under replication").  The refusal dissolves with (PK, window)-
+# keyed table state: replication is a deterministic row-local function
+# of the row image, so an update's -U replicas name exactly the
+# window cells its old image occupied — _WindowedRecomputePlan
+# rewrites the replicated full-retraction changelog to per-cell
+# upserts (-U→-D at seq 2s, +U/+I at 2s+1) and the affected-group
+# recompute proceeds as the plain table-state plan.  The scripted
+# upsert log (normalize_upsert) moves each user's ts on every update
+# — the ghost-replica case that motivated the old refusal.  The
+# oracle materializes the same log and replicates rows into their
+# slide/size windows via generate_series — a different mechanism.
+@register(
+    "cdc_sql_hop_minmax",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL}),
+    w AS (
+        SELECT value,
+               time_bucket(INTERVAL '12 hours', ts)
+                 - k * INTERVAL '12 hours' AS ws
+        FROM m CROSS JOIN generate_series(0, 1) AS g(k)
+        WHERE ts IS NOT NULL
+    )
+    SELECT ws, MAX(value) AS mx, MIN(value) AS mn, COUNT(*) AS n_rows
+    FROM w GROUP BY ws
+    """,
+)
+def cdc_sql_hop_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT"
+        " HOP_START(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY) AS ws,"
+        " MAX(value) AS mx, MIN(value) AS mn, COUNT(*) AS n_rows"
+        " FROM events_cdc"
+        " GROUP BY HOP(ts, INTERVAL '12' HOUR, INTERVAL '1' DAY)",
+        {"events_cdc": ["user_id"]},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
 # Multi-way join chains on the SQL maintenance surface (r10): FROM a
 # JOIN b ON .. LEFT JOIN c ON .. compiles to a left-deep CASCADE of
 # maintained join stages (operators/maintain.py _JoinChainPlan — the

@@ -87,8 +87,10 @@ DEFAULT_QUERIES = [
     "cdc_sql_except_all",
     "cdc_sql_window_join",
     "cdc_sql_match_recognize",
-    # r11: the general-pattern NFA
+    # r11: the general-pattern NFA, windowed min/max, windowed distinct
     "cdc_sql_match_recognize_nfa",
+    "cdc_sql_hop_minmax",
+    "cdc_sql_window_distinct",
 ]
 
 

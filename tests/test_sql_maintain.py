@@ -960,15 +960,58 @@ def test_hop_sliding_window_agg_matches_direct(spark, n_batches):
     assert len(got.collect()) == 4
 
 
-def test_hop_minmax_rejected_with_guidance(spark):
-    with pytest.raises(ValueError, match="sum/count/avg aggregates only"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT "
-            "HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) AS ws, "
-            "MAX(v) AS mx FROM t "
-            "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)",
-            {"t": ["user_id"]},
+def test_hop_minmax_window_keyed_state(spark):
+    """r11: min/max under HOP — the former refusal dissolves with
+    (PK, window)-keyed table state (_WindowedRecomputePlan).  The
+    replicated changelog rewrites ±U to per-cell upserts, so a
+    ts-MOVING update deletes the old image's window cells and inserts
+    the new image's (the ghost-replica case that motivated the old
+    refusal), and a delete clears every cell."""
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _WindowedRecomputePlan,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0, "+I", 1),
+        (2, "2024-01-01 05:00:00", 7.0, "+I", 2),
+        (3, "2024-01-01 11:30:00", 2.0, "+I", 3),
+        (4, "2024-01-01 18:00:00", 9.0, "+I", 4),
+        # ts-moving update: half a day, into disjoint windows
+        (2, "2024-01-01 05:00:00", 7.0, "-U", 5),
+        (2, "2024-01-01 17:00:00", 7.5, "+U", 5),
+        (4, "2024-01-01 18:00:00", 9.0, "-D", 6),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"user_id long, ts_s string, v double, {OP_COL} string,"
+        f" {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    sql = (
+        "INSERT INTO sink SELECT "
+        "HOP_START(ts, INTERVAL '6' HOUR, INTERVAL '12' HOUR) AS ws, "
+        "MAX(v) AS mx, MIN(v) AS mn, COUNT(*) AS n FROM t "
+        "GROUP BY HOP(ts, INTERVAL '6' HOUR, INTERVAL '12' HOUR)"
+    )
+    job = plan_insert_maintained(sql, {"t": ["user_id"]})
+    assert isinstance(job.plan, _WindowedRecomputePlan)
+    direct = (
+        materialize(log, ["user_id"])
+        .select("*", F.window("ts", "12 hours", "6 hours").alias("w"))
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(
+            F.max("v").alias("mx"), F.min("v").alias("mn"),
+            F.count(F.lit(1)).alias("n"),
         )
+    )
+    exp = sorted(map(tuple, direct.collect()), key=str)
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, {"t": ["user_id"]}, {"t": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == exp
+    # the table declares no PRIMARY KEY → targeted refusal
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        plan_insert_maintained(sql, {"t": []})
     with pytest.raises(ValueError, match="does not match the GROUP BY's HOP"):
         parse_insert_select(
             "INSERT INTO s SELECT "
@@ -976,6 +1019,49 @@ def test_hop_minmax_rejected_with_guidance(spark):
             "SUM(v) AS s FROM t "
             "GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)"
         )
+
+
+def test_hop_minmax_where_crossing_tombstones(spark):
+    """r11 (the verdict's crossing regression, extended to windowed
+    table state): an update crossing the WHERE bound in EITHER
+    direction must tombstone/insert its (PK, window) cells — a +U
+    failing the predicate leaves every cell of the filtered windowed
+    table, and a previously-failing key entering inserts its cells."""
+    rows = [
+        (1, "2024-01-01 00:10:00", 5.0, "+I", 1),
+        (2, "2024-01-01 00:20:00", 9.0, "+I", 2),
+        # leaves the filter: v drops below the bound
+        (2, "2024-01-01 00:20:00", 9.0, "-U", 3),
+        (2, "2024-01-01 00:20:00", 1.0, "+U", 3),
+        # enters the filter: row 3 starts failing, update passes
+        (3, "2024-01-01 00:40:00", 0.5, "+I", 4),
+        (3, "2024-01-01 00:40:00", 0.5, "-U", 5),
+        (3, "2024-01-01 00:45:00", 6.0, "+U", 5),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"user_id long, ts_s string, v double, {OP_COL} string,"
+        f" {SEQ_COL} long",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    sql = (
+        "INSERT INTO sink SELECT "
+        "HOP_START(ts, INTERVAL '15' MINUTE, INTERVAL '30' MINUTE) AS ws, "
+        "MAX(v) AS mx FROM t WHERE v > 2 "
+        "GROUP BY HOP(ts, INTERVAL '15' MINUTE, INTERVAL '30' MINUTE)"
+    )
+    direct = (
+        materialize(log, ["user_id"])
+        .filter(F.col("v") > 2)
+        .select("*", F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .groupBy(F.col("w.start").alias("ws"))
+        .agg(F.max("v").alias("mx"))
+    )
+    exp = sorted(map(tuple, direct.collect()), key=str)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            sql, {"t": ["user_id"]}, {"t": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == exp
 
 
 def test_statement_set_chained_sinks_match_direct(spark):
@@ -1606,12 +1692,50 @@ def test_cumulate_window_replay_any_split(spark, n_batches):
     assert sorted(map(tuple, got.collect())) == exp
 
 
-def test_cumulate_guards(spark):
-    with pytest.raises(ValueError, match="sum/count/avg aggregates only"):
-        plan_insert_maintained(
-            _CUMULATE_SQL.replace("SUM(v) AS s", "MAX(v) AS s"),
-            {"t": ["k"]},
+def test_cumulate_minmax_window_keyed_state(spark):
+    """r11: min/max under CUMULATE rides the same (PK, window)-keyed
+    table state as HOP — a row lives in several cumulate windows of
+    its bucket at once, and each (PK, w_end) cell upserts
+    independently."""
+    import datetime as dt
+
+    rows = [
+        (1, "a", 3.0, dt.datetime(2024, 1, 1, 0, 30), "+I", 1),
+        (2, "a", 8.0, dt.datetime(2024, 1, 1, 1, 30), "+I", 2),
+        # ts-moving update across cumulate steps
+        (2, "a", 8.0, dt.datetime(2024, 1, 1, 1, 30), "-U", 3),
+        (2, "a", 2.0, dt.datetime(2024, 1, 1, 3, 30), "+U", 3),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"k long, g string, v double, ts timestamp, {OP_COL} string,"
+        f" {SEQ_COL} long",
+    )
+    sql = _CUMULATE_SQL.replace("SUM(v) AS s", "MAX(v) AS s")
+    outs = [
+        sorted(
+            map(
+                tuple,
+                replay_insert_maintained(
+                    sql, {"t": ["k"]}, {"t": log}, n_batches=n
+                ).collect(),
+            ),
+            key=str,
         )
+        for n in (1, 2)
+    ]
+    assert outs[0] == outs[1]
+    # window [00:00, 01:00) holds only row 1 (max 3); [00:00, 02:00)
+    # and later hold rows 1+2's LIVE images: row 2 moved to 03:30 with
+    # v=2, so max over [00:00, 04:00) = 3.0 and row 2 contributes only
+    # to the 04:00 end
+    by_end = {r[2]: r[3] for r in outs[0] if r[0] == "a"}
+    assert by_end[dt.datetime(2024, 1, 1, 1, 0)] == 3.0
+    assert by_end[dt.datetime(2024, 1, 1, 2, 0)] == 3.0
+    assert by_end[dt.datetime(2024, 1, 1, 4, 0)] == 3.0
+
+
+def test_cumulate_guards(spark):
     with pytest.raises(ValueError, match="integral multiple"):
         plan_insert_maintained(
             _CUMULATE_SQL.replace("INTERVAL '4' HOUR", "INTERVAL '90' MINUTE"),
@@ -1812,30 +1936,69 @@ def test_pair_predicate_parsing_edge_cases():
     assert st6.join_extra == ["b.note <> 'left join x'"]
 
 
-def test_outer_join_padded_key_projection_refused(spark):
-    """The maintained frame keeps ONE physical column per join key; an
-    outer stage's pad rows carry the matched side's value in it, so
-    projecting the PADDED side's join column (SQL: NULL on pads) is
-    refused with guidance — for 2-way joins and chain stages alike.
-    The non-padded side's key still projects."""
-    with pytest.raises(ValueError, match="null-padded side"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT a.x, b.k AS bk FROM ta a "
-            "LEFT JOIN tb b ON a.k = b.k",
-            {"ta": ["k"], "tb": ["k"]},
+def test_outer_join_padded_key_projects_sql_null(spark):
+    """r11 (formerly refused): projecting the PADDED side's join
+    column on an outer join emits SQL NULL on the pad rows — Flink's
+    semantics.  The job appends a constant presence marker to the
+    padded side (pad rows null-extend it), and the projection rewrites
+    to CASE WHEN <pres> IS NULL THEN NULL ELSE <key> END.  Verified
+    for LEFT, RIGHT and FULL (both keys projected) against the direct
+    outer join, across batch splits."""
+
+    def _log(rows, cols):
+        return spark.createDataFrame(
+            [(*r, "+I", i) for i, r in enumerate(rows)],
+            f"{cols}, {OP_COL} string, {SEQ_COL} long",
         )
-    with pytest.raises(ValueError, match="null-padded side"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT o.k AS ok, n.nk AS nnk FROM o_t o "
-            "JOIN c_t c ON o.ck = c.ck LEFT JOIN n_t n ON c.nk = n.nk",
-            _CHAIN_TABLES | {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
+
+    ta = _log([(1, "x1"), (2, "x2"), (3, "x3")], "k long, x string")
+    tb = _log([(2, "y2"), (4, "y4")], "kb long, y string")
+    cases = [
+        ("LEFT JOIN", "SELECT a.x AS x, b.kb AS bk"),
+        ("RIGHT JOIN", "SELECT a.k AS ak, b.y AS y"),
+        ("FULL JOIN", "SELECT a.k AS ak, b.kb AS bk"),
+    ]
+    for how, sel in cases:
+        sql = (
+            f"INSERT INTO s {sel} FROM ta a {how} tb b ON a.k = b.kb"
         )
-    # RIGHT pads the LEFT side: a's key refused, b's key fine
-    with pytest.raises(ValueError, match="null-padded side"):
+        direct = (
+            ta.drop(OP_COL, SEQ_COL)
+            .join(
+                tb.drop(OP_COL, SEQ_COL),
+                F.col("k") == F.col("kb"),
+                how.split()[0].lower(),
+            )
+            .selectExpr(
+                *[
+                    item.strip()
+                    .replace("a.", "")
+                    .replace("b.", "")
+                    for item in sel[len("SELECT "):].split(", ")
+                ]
+            )
+        )
+        exp = sorted(map(tuple, direct.collect()), key=str)
+        for n in (1, 3):
+            got = replay_insert_maintained(
+                sql, {"ta": ["k"], "tb": ["kb"]},
+                {"ta": ta, "tb": tb}, n_batches=n,
+            )
+            assert sorted(map(tuple, got.collect()), key=str) == exp, (
+                how, n
+            )
+    # a chain stage's NEW padded side projects NULL-correctly too
+    plan_insert_maintained(
+        "INSERT INTO s SELECT o.k AS ok, n.nk AS nnk FROM o_t o "
+        "JOIN c_t c ON o.ck = c.ck LEFT JOIN n_t n ON c.nk = n.nk",
+        {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
+    )
+    # chain stages padding the ACCUMULATED left side keep the refusal
+    with pytest.raises(ValueError, match="ACCUMULATED side"):
         plan_insert_maintained(
-            "INSERT INTO s SELECT a.k AS ak FROM ta a "
-            "RIGHT JOIN tb b ON a.k = b.k",
-            {"ta": ["k"], "tb": ["k"]},
+            "INSERT INTO s SELECT c.nk AS cnk FROM o_t o "
+            "JOIN c_t c ON o.ck = c.ck RIGHT JOIN n_t n ON c.nk = n.nk",
+            {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
         )
     plan_insert_maintained(
         "INSERT INTO s SELECT a.k AS ak, b.y FROM ta a "
@@ -1925,6 +2088,67 @@ def test_distinct_agg_on_tumble_window(spark):
         (dt(2024, 1, 1, 0, 0), 2),  # {7, 9} — the deleted 7 had a twin
         (dt(2024, 1, 1, 0, 5), 1),
     ]
+
+
+def test_distinct_agg_window_fuzz_vs_one_shot(spark):
+    """r11 (verdict item): the distinct fuzz re-run with a WINDOW
+    column — seeded random full-retraction changelog with ts-moving
+    updates (value AND window change together), TUMBLE +
+    COUNT(DISTINCT) replay at several splits vs the Spark-native
+    one-shot over the materialized log."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(1107)
+    base = datetime(2024, 1, 1)
+    live, rows, seq = {}, [], 0
+    for _ in range(120):
+        seq += 1
+        k = rng.randrange(12)
+        if k in live and rng.random() < 0.45:
+            old_v, old_ts = live[k]
+            if rng.random() < 0.3:
+                rows.append((k, old_v, old_ts, "-D", seq))
+                del live[k]
+            else:
+                new = (
+                    rng.randrange(6),
+                    base + timedelta(minutes=rng.randrange(0, 3000)),
+                )
+                rows.append((k, old_v, old_ts, "-U", seq))
+                rows.append((k, new[0], new[1], "+U", seq))
+                live[k] = new
+        elif k not in live:
+            img = (
+                rng.randrange(6),
+                base + timedelta(minutes=rng.randrange(0, 3000)),
+            )
+            rows.append((k, img[0], img[1], "+I", seq))
+            live[k] = img
+    log = spark.createDataFrame(
+        rows,
+        f"k long, v long, ts timestamp, {OP_COL} string, {SEQ_COL} long",
+    )
+    direct = (
+        materialize(log, ["k"])
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("v").alias("dv"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(F.col("w.start").alias("ws"), "dv", "n")
+    )
+    exp = sorted(map(tuple, direct.collect()), key=str)
+    sql = (
+        "INSERT INTO sink SELECT TUMBLE_START(ts, INTERVAL '1' DAY)"
+        " AS ws, COUNT(DISTINCT v) AS dv, COUNT(*) AS n"
+        " FROM t GROUP BY TUMBLE(ts, INTERVAL '1' DAY)"
+    )
+    for n in (1, 3, 6):
+        got = replay_insert_maintained(
+            sql, {"t": ["k"]}, {"t": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == exp, n
 
 
 def test_distinct_agg_guards(spark):
@@ -2761,14 +2985,19 @@ def test_lookup_join_guards(spark):
     d = ok_job.step({"probe": _lk_probe(spark, [(1, "a")]), "dim": dim})
     with pytest.raises(ValueError, match="multiset"):
         ok_job.delta_changelog(d, 0)
-    # padded-side join column projection refused on LEFT
-    with pytest.raises(ValueError, match="null-padded side"):
-        plan_insert_maintained(
-            "INSERT INTO sink SELECT p.id AS pid, d.k AS k FROM probe p"
-            " LEFT JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d"
-            " ON p.k = d.k",
-            _LK_TABLES,
-        )
+    # padded-side join column projects SQL NULL on LEFT (r11, formerly
+    # refused): unmatched probes carry NULL in d.k
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT p.id AS pid, d.k AS dk FROM probe p"
+        " LEFT JOIN dim FOR SYSTEM_TIME AS OF PROCTIME() AS d"
+        " ON p.k = d.k",
+        _LK_TABLES,
+        {"probe": _lk_probe(spark, [(1, "a"), (2, "zzz")]), "dim": dim},
+        n_batches=1,
+    )
+    assert {(r["pid"], r["dk"]) for r in got.collect()} == {
+        (1, "a"), (2, None)
+    }
     txt = explain_insert_maintained(_LK_SQL, _LK_TABLES)
     assert "StreamExecLookupJoin" in txt and "PROCTIME()" in txt
 
@@ -3147,16 +3376,30 @@ def test_window_join_guards(spark):
         parse_insert_select(
             _WJ_SQL + " JOIN tc c ON c.k = a.k"
         )
-    # projecting the padded side's window field on an outer join is
-    # refused (pad rows carry the probe side's bucket, SQL emits NULL)
-    with pytest.raises(ValueError, match="null-padded side"):
-        plan_insert_maintained(
-            _WJ_SQL.replace("JOIN tb", "LEFT JOIN tb").replace(
-                "TUMBLE_START(a.ts, INTERVAL '1' DAY) AS ws",
-                "TUMBLE_START(b.bts, INTERVAL '1' DAY) AS ws",
-            ),
-            {"ta": ["aid"], "tb": ["bid"]},
-        )
+    # projecting the padded side's window field on an outer join emits
+    # SQL NULL on pad rows (r11, formerly refused) — the presence
+    # marker identifies pads, where the physical coalesced bucket
+    # carries the probe side's value
+    a, b = _wj_logs(spark)
+    a = a.unionByName(
+        # an a-row with no b partner in its (key, day) cell → pad row
+        spark.createDataFrame(
+            [(4, "k9", "2024-01-05 01:00:00", "+I", 9)], a.schema.names
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = replay_insert_maintained(
+        _WJ_SQL.replace("JOIN tb", "LEFT JOIN tb").replace(
+            "TUMBLE_START(a.ts, INTERVAL '1' DAY) AS ws",
+            "TUMBLE_START(b.bts, INTERVAL '1' DAY) AS ws",
+        ),
+        {"ta": ["aid"], "tb": ["bid"]}, {"ta": a, "tb": b},
+        n_batches=2,
+    ).collect()
+    pads = [r for r in got if r["bid"] is None]
+    assert pads and all(r["ws"] is None for r in pads)
+    assert all(
+        r["ws"] is not None for r in got if r["bid"] is not None
+    )
     # mismatched projection spec
     with pytest.raises(ValueError, match="does not match the ON"):
         parse_insert_select(

@@ -278,13 +278,24 @@ def test_temporal_plan_registration_errors(spark, tables, msg):
         plan_insert_maintained(_TJ_SQL, tables)
 
 
-def test_temporal_left_padded_key_projection_refused(spark):
-    with pytest.raises(ValueError, match="null-padded side"):
-        plan_insert_maintained(
-            "INSERT INTO sink SELECT p.pid, d.k, d.tier FROM probe p "
-            "LEFT JOIN dim FOR SYSTEM_TIME AS OF p.pts AS d ON p.k = d.k",
-            _TJ_TABLES,
-        )
+def test_temporal_left_padded_key_projects_sql_null(spark):
+    """r11 (formerly refused): projecting the versioned side's join
+    column on a LEFT temporal join emits SQL NULL on unmatched probe
+    rows (Flink's semantics) via the presence-marker projection."""
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT p.pid, p.pts, d.k AS dk, d.tier "
+        "FROM probe p "
+        "LEFT JOIN dim FOR SYSTEM_TIME AS OF p.pts AS d ON p.k = d.k",
+        _TJ_TABLES,
+        {"probe": _probe_log(spark), "dim": _dim_log(spark)},
+        n_batches=3,
+    )
+    got = {(r["pid"], r["dk"], r["pts"], r["tier"]) for r in out.collect()}
+    exp = {
+        (pid, None if tier is None else k, pts, tier)
+        for pid, k, pts, tier in EXPECT_LEFT
+    }
+    assert got == exp
 
 
 @pytest.mark.parametrize("n_batches", [1, 3])
