@@ -329,10 +329,25 @@ class _DistinctAggPlan(_Plan):
     O(batch + affected groups' distinct-value cardinality) — the same
     bound Flink's MapState update pays.
 
+    **min/max ride the same view state** (r11): Flink's own
+    retraction-capable Min/MaxWithRetractAggFunction keeps exactly
+    this (value -> count) map per group, and MIN/MAX over the view's
+    live values equals MIN/MAX over the rows (duplicates cannot move
+    an extremum).  That makes this plan the min/max strategy wherever
+    PK-keyed table state does not exist — UNION ALL inputs, tables
+    without a PRIMARY KEY — and lets min/max combine with DISTINCT
+    aggregates in one statement.
+
     NULL values never enter a distinct view (SQL: COUNT(DISTINCT x)
-    ignores NULLs; an all-NULL group counts 0 and sums NULL); group
-    liveness comes from the plain state's live-row count, so a group
-    whose rows all carry NULL distinct values still emits a row."""
+    ignores NULLs; an all-NULL group counts 0, sums NULL, and has
+    NULL min/max); group liveness comes from the plain state's
+    live-row count, so a group whose rows all carry NULL distinct
+    values still emits a row.
+
+    Input contract: FULL-RETRACTION changelogs (the signed view counts
+    need the -U before-images; normalize upsert streams with
+    ``ensure_retractions`` first — the family's rule for all
+    value-keyed state)."""
 
     kind = "agg"
 
@@ -384,6 +399,10 @@ class _DistinctAggPlan(_Plan):
                 expr = F.count(F.lit(1))
             elif fn == "sum":
                 expr = F.sum("__v")
+            elif fn == "min":
+                expr = F.min("__v")
+            elif fn == "max":
+                expr = F.max("__v")
             else:
                 expr = F.avg("__v")
             agg_i = (
@@ -2574,8 +2593,12 @@ def maintain(
     * ``aggs={name: (fn, col)}`` (+ ``group_cols``) — grouped
       aggregation.  sum/count/avg get the stateless signed-delta plan;
       any min/max switches to the table-state + affected-group
-      recompute plan (which then also needs ``keys``) — the same
-      strategy split ``agg_auto`` applies one-shot.
+      recompute plan when ``keys=`` is given — the same strategy
+      split ``agg_auto`` applies one-shot.  Without ``keys`` (r11),
+      min/max ride the value-multiset retract plan instead (Flink's
+      Min/MaxWithRetractAggFunction (value -> count) state, shared
+      with the distinct views) — the strategy for PK-less tables and
+      UNION ALL inputs; full-retraction input required there.
     * ``on=[...]`` (+ ``how``) — two-changelog equi-join
       (``plan.step(state, batch_a, batch_b)``).
     * ``chain=[(on_cols, how[, pair_filter_sql]), ...]`` — multi-way
@@ -2666,7 +2689,8 @@ def maintain(
       signed (group, value)->count multiset per distinct aggregate (the
       distinct-view MapState) so a retraction removes a value only when
       its last live occurrence goes.  Combine with plain sum/count/avg
-      in ``aggs`` (which may then be ``{}``); min/max and session
+      in ``aggs`` (which may then be ``{}``); min/max in the same
+      statement join the view plan (r11 — same state shape); session
       windows are not combinable with distinct — split the statement.
 
     * ``session=("<ts col>", "<n> <unit>")`` (or a dict adding
@@ -2861,18 +2885,22 @@ def maintain(
         overlap = set(distinct) & set(aggs)
         if overlap:
             raise ValueError(f"duplicate output column(s) {sorted(overlap)}")
-        if fns & {"min", "max"}:
-            raise ValueError(
-                "distinct aggregates cannot combine with min/max in one "
-                "statement (different state plans); split the statement"
-            )
         if session is not None:
             raise ValueError(
                 "distinct aggregates are not supported on SESSION "
                 "windows; use TUMBLE/HOP/CUMULATE or plain groups"
             )
+        # min/max in the same statement join the view plan (r11): the
+        # (group, value)->count state IS Flink's retraction-capable
+        # Min/MaxWithRetractAggFunction accumulator, so no second
+        # (table-state) plan is needed
+        views = dict(distinct)
+        plain = dict(aggs)
+        for name in [n for n, (fn, _c) in aggs.items()
+                     if fn in ("min", "max")]:
+            views[name] = plain.pop(name)
         return _DistinctAggPlan(
-            group_cols, aggs, distinct, ttl, op_col, seq_col
+            group_cols, plain, views, ttl, op_col, seq_col
         )
     if session is not None:
         if isinstance(session, dict):
@@ -2906,16 +2934,30 @@ def maintain(
             ttl, op_col, seq_col,
         )
     if fns & {"min", "max"}:
-        if not keys:
-            raise ValueError(
-                "min/max maintenance keeps table state and needs keys= "
-                "(the changelog's primary key)"
-            )
-        if window_key:
+        if keys and window_key:
             return _WindowedRecomputePlan(
                 keys, window_key, group_cols, aggs, ttl, op_col, seq_col
             )
-        return _AggRecomputePlan(keys, group_cols, aggs, ttl, op_col, seq_col)
+        if keys:
+            return _AggRecomputePlan(
+                keys, group_cols, aggs, ttl, op_col, seq_col
+            )
+        # no PRIMARY KEY (a PK-less table, a UNION ALL of tables): the
+        # value-multiset retract plan — Flink's own min/max strategy
+        # (Min/MaxWithRetractAggFunction's value->count map), riding
+        # the distinct-view plan's state; full-retraction input
+        # required (the -U images decrement the counts).  Window
+        # replication needs no special keying here: replicas fold into
+        # per-(group incl. window, value) signed counts.
+        views = {
+            n: a for n, a in aggs.items() if a[0] in ("min", "max")
+        }
+        plain = {
+            n: a for n, a in aggs.items() if a[0] not in ("min", "max")
+        }
+        return _DistinctAggPlan(
+            group_cols, plain, views, ttl, op_col, seq_col
+        )
     if window_key:
         raise ValueError(
             "window_key= applies to min/max maintenance only (the "

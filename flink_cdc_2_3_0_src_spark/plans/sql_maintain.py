@@ -2135,15 +2135,14 @@ class SqlMaintenanceJob:
                 else:
                     distinct[name] = (fn, F.expr(dm.group(1)))
         if stmt.shape == "agg" and stmt.union_branches:
-            fns = {fn for fn, _ in aggs.values()}
-            if fns & {"min", "max"} or stmt.session is not None:
+            if stmt.session is not None:
                 raise ValueError(
-                    "UNION ALL inputs support sum/count/avg (incl. "
-                    "DISTINCT) aggregates and row-local windows only — "
-                    "min/max and SESSION windows keep PK-keyed table "
-                    "state, which a union of tables does not have; "
-                    "aggregate per source in a STATEMENT SET and "
-                    "combine the sinks instead"
+                    "UNION ALL inputs support sum/count/avg/min/max "
+                    "(incl. DISTINCT) aggregates and row-local windows "
+                    "only — SESSION windows keep PK-keyed table state, "
+                    "which a union of tables does not have; aggregate "
+                    "per source in a STATEMENT SET and combine the "
+                    "sinks instead"
                 )
         if stmt.shape == "agg" and stmt.session is not None:
             # merging session windows: always the table-state session
@@ -2187,6 +2186,10 @@ class SqlMaintenanceJob:
             )
         elif stmt.shape == "agg":
             keys, _ = self._preps[0]
+            if stmt.union_branches:
+                # a union of tables has no single PRIMARY KEY — min/max
+                # ride the value-multiset retract plan (keys=None)
+                keys = []
             fns = {fn for fn, _ in aggs.values()}
             if stmt.cumulate is not None:
                 from flink_cdc_2_3_0_src_spark.operators.maintain import (
@@ -2203,29 +2206,28 @@ class SqlMaintenanceJob:
                     )
                 self._cumulate_n = size_us // step_us
                 self._cumulate_step_us = step_us
-            if fns & {"min", "max"} and not keys:
-                raise ValueError(
-                    f"MIN/MAX maintenance keeps table state keyed by the "
-                    f"source's PRIMARY KEY, but table {stmt.sources[0]!r} "
-                    "declares none"
-                )
-            # min/max under a REPLICATING window (HOP's size/slide
-            # replicas, CUMULATE's per-bucket sequence): table state
-            # keys by (PK, window) — replication is deterministic per
-            # row image, so the upsert discipline carries per window
-            # cell (_WindowedRecomputePlan rewrites ±U to per-cell
-            # upserts).  TUMBLE assigns one window per row, so the
-            # plain PK-keyed recompute plan still serves it.
+            # min/max strategy (the agg_auto dichotomy, refined r11):
+            # * PK + plain groups/TUMBLE → PK-keyed table recompute
+            # * PK + replicating window (HOP/CUMULATE) → (PK, window)-
+            #   keyed table state (_WindowedRecomputePlan per-cell
+            #   upserts — replication is deterministic per row image)
+            # * no PK (PK-less table, UNION ALL), or combined with
+            #   DISTINCT aggregates → the value-multiset retract plan
+            #   (Flink's Min/MaxWithRetractAggFunction state), which
+            #   handles window replication through its signed counts
             replicating = (
                 stmt.hop is not None or stmt.cumulate is not None
             )
+            use_table_state = bool(
+                fns & {"min", "max"} and keys and not distinct
+            )
             self.plan = maintain(
                 aggs=aggs, group_cols=stmt.group_cols,
-                keys=keys if fns & {"min", "max"} else None,
+                keys=keys if use_table_state else None,
                 distinct=distinct or None,
                 window_key=(
                     [_W_START, _W_END]
-                    if replicating and fns & {"min", "max"}
+                    if replicating and use_table_state
                     else None
                 ),
                 op_col=op_col, seq_col=seq_col, ttl=ttl,

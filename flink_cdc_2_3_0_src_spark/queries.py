@@ -5448,6 +5448,105 @@ def cdc_sql_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MIN/MAX over UNION ALL inputs (r11, formerly refused): a union of
+# tables has no single PRIMARY KEY, so PK-keyed table state cannot
+# serve — min/max ride the value-multiset retract plan instead
+# (operators/maintain._DistinctAggPlan): a signed (group, value)->
+# count multiset, Flink's own Min/MaxWithRetractAggFunction
+# accumulator, folded per batch with only affected groups' extrema
+# recomputed.  The orders changelog's updates DOUBLE some prices and
+# its deletes remove others — retraction of a group's current max must
+# fall back to the next live value.  MIN/MAX are order-independent, so
+# double columns compare exactly across engines.
+@register(
+    "cdc_sql_union_minmax",
+    """
+    WITH o_log AS (
+        SELECT o_orderkey AS k, o_orderpriority AS g, o_totalprice AS v,
+               '+I' AS _op, o_orderkey * 3 AS _seq
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice * 2, '+U',
+               o_orderkey * 3 + 1
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority, o_totalprice, '-D',
+               o_orderkey * 3 + 2
+        FROM orders WHERE o_orderkey % 9 = 0
+    ),
+    o_m AS (
+        SELECT g, v FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY k ORDER BY _seq DESC) AS rn
+            FROM o_log
+        ) WHERE rn = 1 AND _op <> '-D'
+    ),
+    u AS (
+        SELECT g, v FROM o_m WHERE v > 1000
+        UNION ALL
+        SELECT event_type AS g, value AS v FROM events
+    )
+    SELECT g, MAX(v) AS mx, MIN(v) AS mn, COUNT(*) AS n
+    FROM u GROUP BY g
+    """,
+)
+def cdc_sql_union_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.model import ChangelogMode
+    from flink_cdc_2_3_0_src_spark.operators.changelog import (
+        ensure_retractions,
+    )
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    o = ld(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    o_base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("o_orderkey") * 3).cast("long").alias(SEQ_COL),
+    )
+    o_upd = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice") * 2).alias("v"),
+        F.lit("+U").alias(OP_COL),
+        (F.col("o_orderkey") * 3 + 1).cast("long").alias(SEQ_COL),
+    )
+    o_del = o.filter(F.col("o_orderkey") % 9 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+        F.lit("-D").alias(OP_COL),
+        (F.col("o_orderkey") * 3 + 2).cast("long").alias(SEQ_COL),
+    )
+    o_log = ensure_retractions(
+        o_base.unionByName(o_upd).unionByName(o_del),
+        ChangelogMode.UPSERT,
+        ["k"],
+    )
+    e_log = ld(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        F.col("value"),
+        F.lit("+I").alias(OP_COL),
+        (F.col("event_id") * 3).cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT g, MAX(v) AS mx, MIN(v) AS mn,"
+        " COUNT(*) AS n FROM ("
+        "SELECT g, v FROM o_cdc WHERE v > 1000"
+        " UNION ALL "
+        "SELECT event_type AS g, value AS v FROM e_cdc"
+        ") u GROUP BY g",
+        {"o_cdc": ["k"], "e_cdc": []},
+        {"o_cdc": o_log, "e_cdc": e_log},
+        n_batches=3,
+    )
+
+
 # OVER aggregation on the SQL maintenance surface (r10): Flink's
 # StreamExecOverAggregate — ``SUM(v) OVER (PARTITION BY k ORDER BY ts
 # ROWS BETWEEN n PRECEDING AND CURRENT ROW)`` over an append-only

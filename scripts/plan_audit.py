@@ -91,6 +91,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_match_recognize_nfa",
     "cdc_sql_hop_minmax",
     "cdc_sql_window_distinct",
+    "cdc_sql_union_minmax",
 ]
 
 

@@ -66,8 +66,25 @@ def test_maintain_dispatch_shapes_and_errors(spark):
         maintain(aggs={"s": ("sum", F.col("v"))})
     with pytest.raises(ValueError, match="unsupported aggregate"):
         maintain(aggs={"s": ("median", F.col("v"))}, group_cols=["g"])
-    with pytest.raises(ValueError, match="keys="):
-        maintain(aggs={"m": ("max", F.col("v"))}, group_cols=["g"])
+    # r11: min/max WITHOUT keys= routes to the value-multiset retract
+    # plan (Flink's Min/MaxWithRetractAggFunction state) instead of
+    # refusing — PK-keyed table state stays the strategy when keys=
+    # is given
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _AggRecomputePlan,
+        _DistinctAggPlan,
+    )
+
+    assert isinstance(
+        maintain(aggs={"m": ("max", F.col("v"))}, group_cols=["g"]),
+        _DistinctAggPlan,
+    )
+    assert isinstance(
+        maintain(
+            aggs={"m": ("max", F.col("v"))}, group_cols=["g"], keys=["k"]
+        ),
+        _AggRecomputePlan,
+    )
     with pytest.raises(ValueError, match="order_sql"):
         maintain(keys=["k"], group_cols=["g"], n=2)
     with pytest.raises(ValueError, match="how must be"):
@@ -644,11 +661,18 @@ def test_maintain_distinct_dispatch_and_guards(spark):
             distinct={"x": ("count", F.col("v"))},
             group_cols=["g"],
         )
-    with pytest.raises(ValueError, match="cannot combine with min/max"):
-        maintain(
-            aggs={"m": ("max", F.col("v"))}, keys=["k"],
-            distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
-        )
+    # r11: min/max COMBINE with distinct views (both ride the same
+    # value-multiset state — no second plan needed)
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+    )
+
+    combo = maintain(
+        aggs={"m": ("max", F.col("v"))}, keys=["k"],
+        distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
+    )
+    assert isinstance(combo, _DistinctAggPlan)
+    assert {n for n, _ in combo.distinct} == {"m", "nd"}
     with pytest.raises(ValueError, match="not supported on SESSION"):
         maintain(
             aggs={"s": ("sum", F.col("v"))}, keys=["k"],
@@ -791,10 +815,17 @@ def test_maintain_distinct_fuzz_vs_python_reference(spark):
             dv = {v for v in vs if v is not None}
             want.add((
                 g, len(vs), len(dv), sum(dv) if dv else None,
+                max(dv) if dv else None, min(dv) if dv else None,
             ))
         for nb in (1, 4):
+            # mx/mn ride the SAME value-multiset state (r11: Flink's
+            # Min/MaxWithRetractAggFunction shape — min/max without
+            # keys= routes here), so this fuzz also pins retractions
+            # that remove the current extremum with/without a twin
             plan = maintain(
-                aggs={"n": ("count", F.lit(1))},
+                aggs={"n": ("count", F.lit(1)),
+                      "mx": ("max", F.col("v")),
+                      "mn": ("min", F.col("v"))},
                 distinct={"nd": ("count", F.col("v")),
                           "sd": ("sum", F.col("v"))},
                 group_cols=["g"],

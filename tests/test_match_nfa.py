@@ -454,6 +454,114 @@ def test_nfa_undefined_variable_matches_any_row(spark):
     assert [(r["u"], r["mid_et"]) for r in got] == [("u1", "error")]
 
 
+def test_nfa_parser_edge_cases(spark):
+    """Parser-surface pins growing with the accepted grammar (the
+    verdict's hold-the-line rule): literals, numerics, bare COUNT(*),
+    wrapped aggregates, and keyword-adjacent identifiers must not
+    confuse the measure/define rewriters."""
+    st = parse_insert_select(
+        _FUNNEL_SQL.replace(
+            "SUM(B.v) AS b_sum", "ROUND(SUM(B.v), 2) * 1.5 AS b_sum"
+        )
+    )
+    assert (
+        "ROUND(sum(v) FILTER (WHERE __var = 'B'), 2) * 1.5"
+        in dict((n, s) for s, n in st.match_nfa["measures"])["b_sum"]
+    )
+    # COUNT(*) with no variable counts ALL rows of the match
+    st = parse_insert_select(
+        _FUNNEL_SQL.replace("COUNT(B.*) AS n_b", "COUNT(*) AS n_b")
+    )
+    assert dict(
+        (n, s) for s, n in st.match_nfa["measures"]
+    )["n_b"].lower().startswith("count(*)")
+    # a string literal containing 'A.x' stays verbatim in defines and
+    # measures (no rewrite inside literals)
+    st = parse_insert_select(
+        _FUNNEL_SQL.replace(
+            "A AS A.et = 'view'", "A AS A.et = 'A.x view'"
+        )
+    )
+    assert st.match_nfa["defines"]["A"] == "et = 'A.x view'"
+    # function calls and boolean operators inside a DEFINE rewrite
+    # only the variable's own refs
+    st = parse_insert_select(
+        _FUNNEL_SQL.replace(
+            "B AS B.et = 'click'",
+            "B AS B.et = 'click' AND ABS(B.v) > 0.5",
+        )
+    )
+    assert st.match_nfa["defines"]["B"] == (
+        "et = 'click' AND ABS(v) > 0.5"
+    )
+    # quantifier on the first element; executed end to end
+    rows = [
+        (1, "u1", "click", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:10:00"),
+        (3, "u1", "purchase", 3.0, "2024-01-01 00:20:00"),
+    ]
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT u, n FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE B AS B.et = 'click', C AS C.et = 'purchase')",
+        _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=1,
+    ).collect()
+    assert [(r["u"], r["n"]) for r in got] == [("u1", 2)]
+
+
+def test_streaming_nfa_matches_one_shot(spark, tmp_path):
+    """The NFA plan through a REAL Structured Streaming query: per-
+    microbatch greedy scans over WITHIN-bounded key pools, with a
+    funnel whose rows cross microbatch boundaries, land on the
+    one-shot match set."""
+    from flink_cdc_2_3_0_src_spark.streaming.replay import (
+        read_replay_stream,
+        write_replay_files,
+    )
+
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 01:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 02:00:00"),
+        (3, "u1", "click", 3.0, "2024-01-01 03:00:00"),
+        (4, "u1", "purchase", 4.0, "2024-01-01 04:00:00"),
+        (5, "u2", "view", 5.0, "2024-01-01 01:00:00"),
+        (6, "u2", "purchase", 6.0, "2024-01-01 02:00:00"),  # no click
+        (7, "u1", "view", 7.0, "2024-01-03 01:00:00"),
+        (8, "u1", "click", 8.0, "2024-01-03 02:00:00"),
+        (9, "u1", "purchase", 9.0, "2024-01-03 03:00:00"),
+    ]
+    log = _mk_log(spark, rows)
+    exp = sorted(
+        map(
+            tuple,
+            replay_insert_maintained(
+                _FUNNEL_SQL, _EV_TABLES, {"ev": log}, n_batches=1
+            ).collect(),
+        ),
+        key=str,
+    )
+    replay_dir = str(tmp_path / "replay_nfa")
+    write_replay_files(log, replay_dir, n_files=4)
+    job = plan_insert_maintained(_FUNNEL_SQL, _EV_TABLES)
+
+    def process(batch_df, batch_id):
+        job.step({"ev": batch_df})
+
+    q = (
+        read_replay_stream(spark, replay_dir, log.schema)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_nfa"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(map(tuple, job.result().collect()), key=str) == exp
+    assert len(exp) == 2
+
+
 def test_nfa_guards(spark):
     from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
         explain_insert_maintained,

@@ -123,11 +123,18 @@ def test_plan_unknown_table_and_dispatch(spark):
         {"t": ["user_id"]},
     )
     assert isinstance(job2.plan, _AggRecomputePlan)
-    with pytest.raises(ValueError, match="PRIMARY KEY"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT g, MIN(v) AS mn FROM t GROUP BY g",
-            {"t": []},
-        )
+    # r11: a PK-less table's min/max no longer refuses — it rides the
+    # value-multiset retract plan (Flink's Min/MaxWithRetractAggFunction
+    # state, shared with the distinct views)
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+    )
+
+    job3 = plan_insert_maintained(
+        "INSERT INTO s SELECT g, MIN(v) AS mn FROM t GROUP BY g",
+        {"t": []},
+    )
+    assert isinstance(job3.plan, _DistinctAggPlan)
 
 
 @pytest.mark.parametrize("n_batches", [1, 3])
@@ -1009,9 +1016,15 @@ def test_hop_minmax_window_keyed_state(spark):
             sql, {"t": ["user_id"]}, {"t": log}, n_batches=n
         )
         assert sorted(map(tuple, got.collect()), key=str) == exp
-    # the table declares no PRIMARY KEY → targeted refusal
-    with pytest.raises(ValueError, match="PRIMARY KEY"):
-        plan_insert_maintained(sql, {"t": []})
+    # a PK-less table routes to the value-multiset retract plan
+    # instead (window replication folds into its signed counts)
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+    )
+
+    assert isinstance(
+        plan_insert_maintained(sql, {"t": []}).plan, _DistinctAggPlan
+    )
     with pytest.raises(ValueError, match="does not match the GROUP BY's HOP"):
         parse_insert_select(
             "INSERT INTO s SELECT "
@@ -2153,12 +2166,23 @@ def test_distinct_agg_window_fuzz_vs_one_shot(spark):
 
 def test_distinct_agg_guards(spark):
     log_tables = {"t": ["k"]}
-    with pytest.raises(ValueError, match="cannot combine with min/max"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT g, COUNT(DISTINCT v) AS nd, MAX(v) AS mx "
-            "FROM t GROUP BY g",
-            log_tables,
-        )
+    # r11: DISTINCT + MAX in one statement now rides ONE value-multiset
+    # plan (Flink's Min/MaxWithRetractAggFunction keeps the same
+    # value->count state as the distinct view) — replay equals direct
+    rows = [
+        (1, "a", 5, "+I", 1), (2, "a", 5, "+I", 2), (3, "a", 9, "+I", 3),
+        (3, "a", 9, "-D", 4),  # retracts the current max
+        (4, "b", 7, "+I", 5),
+    ]
+    log = spark.createDataFrame(
+        rows, f"k long, g string, v long, {OP_COL} string, {SEQ_COL} long"
+    )
+    got = replay_insert_maintained(
+        "INSERT INTO s SELECT g, COUNT(DISTINCT v) AS nd, MAX(v) AS mx "
+        "FROM t GROUP BY g",
+        log_tables, {"t": log}, n_batches=2,
+    )
+    assert sorted(map(tuple, got.collect())) == [("a", 1, 5), ("b", 1, 7)]
     with pytest.raises(ValueError, match="not supported on SESSION"):
         plan_insert_maintained(
             "INSERT INTO s SELECT g,"
@@ -2565,12 +2589,46 @@ def test_parse_union_agg_errors(sql, msg):
         parse_insert_select(sql)
 
 
-def test_union_agg_minmax_and_session_refused(spark):
-    with pytest.raises(ValueError, match="UNION ALL inputs support"):
-        plan_insert_maintained(
+def test_union_agg_minmax_works_session_refused(spark):
+    # r11: MIN/MAX over UNION ALL inputs ride the value-multiset
+    # retract plan (a union of tables has no single PRIMARY KEY, and
+    # none is needed — Flink's Min/MaxWithRetractAggFunction state);
+    # SESSION windows keep the refusal
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+    )
+
+    job = plan_insert_maintained(
+        "INSERT INTO s SELECT g, MAX(v) AS m FROM ("
+        "SELECT g, v FROM ta UNION ALL SELECT g, v FROM tb) "
+        "GROUP BY g",
+        {"ta": ["user_id"], "tb": ["user_id"]},
+    )
+    assert isinstance(job.plan, _DistinctAggPlan)
+    la = spark.createDataFrame(
+        [("x", 3, "+I", 1), ("x", 8, "+I", 2), ("x", 8, "-D", 3)],
+        f"g string, v long, {OP_COL} string, {SEQ_COL} long",
+    )
+    lb = spark.createDataFrame(
+        [("x", 5, "+I", 1), ("y", 2, "+I", 2)],
+        f"g string, v long, {OP_COL} string, {SEQ_COL} long",
+    )
+    for n in (1, 2):
+        got = replay_insert_maintained(
             "INSERT INTO s SELECT g, MAX(v) AS m FROM ("
             "SELECT g, v FROM ta UNION ALL SELECT g, v FROM tb) "
             "GROUP BY g",
+            {"ta": ["user_id"], "tb": ["user_id"]},
+            {"ta": la, "tb": lb}, n_batches=n,
+        )
+        # ta's 8 retracted → x's max falls back to tb's 5
+        assert sorted(map(tuple, got.collect())) == [("x", 5), ("y", 2)]
+    with pytest.raises(ValueError, match="SESSION windows keep"):
+        plan_insert_maintained(
+            "INSERT INTO s SELECT SESSION_START(ts, INTERVAL '1' HOUR)"
+            " AS ws, SUM(v) AS s FROM ("
+            "SELECT ts, v FROM ta UNION ALL SELECT ts, v FROM tb) "
+            "GROUP BY SESSION(ts, INTERVAL '1' HOUR)",
             {"ta": ["user_id"], "tb": ["user_id"]},
         )
 
