@@ -597,22 +597,28 @@ class _WindowedRecomputePlan(_AggRecomputePlan):
 
 
 class _GroupingSetsPlan(_Plan):
-    """GROUPING SETS over a changelog: one signed-delta aggregate plan
+    """GROUPING SETS over a changelog: one maintained aggregate plan
     per grouping set (Flink's streaming planner expands grouping sets
     the same way — the Expand node feeding StreamExecGroupAggregate),
     each set's delta NULL-filled to the full group-column list and
     tagged with the SQL-standard GROUPING_ID bitmask (bit i set when
     the i-th group column is AGGREGATED in that set, left-to-right) so
     subtotal rows never collide with detail rows whose group values are
-    genuinely NULL.  sum/count/avg only (each per-set plan is the
-    stateless signed-delta plan; the empty set () rides the global-
-    aggregate form).  ttl is unsupported — a time bucket absent from a
-    set has no state key to expire there."""
+    genuinely NULL.  sum/count/avg sets ride the stateless signed-delta
+    plan (the empty set () on its global-aggregate form); min/max and
+    DISTINCT aggregates (r11) give each NON-EMPTY set its own
+    value-multiset retract plan (``_DistinctAggPlan`` — Flink's
+    Min/MaxWithRetractAggFunction / distinct-view state), so no
+    PRIMARY KEY is needed per set; the GLOBAL set with min/max or
+    distinct keeps the family's refusal (no group-keyed affected set).
+    ttl is unsupported — a time bucket absent from a set has no state
+    key to expire there."""
 
     kind = "agg"
 
     def __init__(
-        self, group_cols, sets, aggs, gid_col, ttl, op_col, seq_col
+        self, group_cols, sets, aggs, gid_col, ttl, op_col, seq_col,
+        distinct=None,
     ) -> None:
         if ttl is not None:
             raise ValueError(
@@ -631,10 +637,41 @@ class _GroupingSetsPlan(_Plan):
                     f"{sorted(unknown)}"
                 )
         self.gid_col = gid_col
-        self.agg_names = list(aggs)
-        self.plans = [
-            _AggDeltaPlan(s, aggs, None, op_col, seq_col) for s in self.sets
-        ]
+        distinct = dict(distinct or {})
+        overlap = set(distinct) & set(aggs)
+        if overlap:
+            raise ValueError(
+                f"duplicate output column(s) {sorted(overlap)}"
+            )
+        views_base = dict(distinct)
+        plain = dict(aggs)
+        for name in [
+            n for n, (fn, _c) in aggs.items() if fn in ("min", "max")
+        ]:
+            views_base[name] = plain.pop(name)
+        # output column order: SELECT order (plain and view names
+        # interleave as declared — _finalize emits plain first, so a
+        # stable combined order keeps per-set deltas unionable)
+        self.agg_names = [n for n in plain] + [n for n in views_base]
+        if views_base:
+            for s in self.sets:
+                if not s:
+                    raise ValueError(
+                        "the GLOBAL grouping set () does not support "
+                        "min/max or DISTINCT aggregates (no group-keyed "
+                        "affected set); drop () or split the statement"
+                    )
+            self.plans = [
+                _DistinctAggPlan(
+                    s, plain, views_base, None, op_col, seq_col
+                )
+                for s in self.sets
+            ]
+        else:
+            self.plans = [
+                _AggDeltaPlan(s, aggs, None, op_col, seq_col)
+                for s in self.sets
+            ]
 
     def _gid(self, s) -> int:
         n = len(self.group_cols)
@@ -2679,10 +2716,12 @@ def maintain(
     The aggregate shape takes three modifiers:
 
     * ``grouping_sets=[[cols...], ...]`` (+ ``group_cols`` = the union
-      list, ``gid_col`` for the GROUPING_ID output) — one stateless
-      signed-delta plan per set, deltas NULL-filled to the full group
-      list and tagged with the SQL GROUPING_ID bitmask; sum/count/avg
-      only, no ttl.
+      list, ``gid_col`` for the GROUPING_ID output) — one maintained
+      plan per set, deltas NULL-filled to the full group list and
+      tagged with the SQL GROUPING_ID bitmask; sum/count/avg sets ride
+      the stateless signed-delta plan, min/max and DISTINCT aggregates
+      (r11) give each non-empty set a value-multiset retract plan
+      (the GLOBAL set () refuses them); no ttl.
 
     * ``distinct={name: (fn, col)}`` — sum/count/avg over DISTINCT
       values (Flink's streaming distinct aggregation): the plan keeps a
@@ -2865,14 +2904,15 @@ def maintain(
             "min/max and distinct views need group-keyed affected sets"
         )
     if grouping_sets is not None:
-        if fns & {"min", "max"} or distinct or session is not None:
+        if session is not None:
             raise ValueError(
-                "grouping sets support plain sum/count/avg aggregates "
-                "only (each set rides its own stateless signed-delta "
-                "plan) — split min/max/distinct/session statements"
+                "grouping sets do not combine with SESSION windows "
+                "(a merging window is not a row-local group column); "
+                "split the statements"
             )
         return _GroupingSetsPlan(
-            group_cols, grouping_sets, aggs, gid_col, ttl, op_col, seq_col
+            group_cols, grouping_sets, aggs, gid_col, ttl, op_col,
+            seq_col, distinct=distinct,
         )
     if distinct:
         bad = {fn for fn, _ in distinct.values()} - {"sum", "count", "avg"}

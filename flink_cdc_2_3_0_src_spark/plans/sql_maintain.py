@@ -2175,9 +2175,9 @@ class SqlMaintenanceJob:
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "agg" and stmt.grouping_sets:
-            # GROUPING SETS: one signed-delta plan per set, deltas
-            # NULL-filled + GROUPING_ID-tagged (maintain()'s guards
-            # refuse min/max and distinct here with guidance)
+            # GROUPING SETS: one maintained plan per set, deltas
+            # NULL-filled + GROUPING_ID-tagged; min/max and DISTINCT
+            # sets ride per-set value-multiset retract plans (r11)
             self.plan = maintain(
                 aggs=aggs, group_cols=stmt.group_cols,
                 grouping_sets=stmt.grouping_sets, gid_col="__gid",

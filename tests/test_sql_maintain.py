@@ -2508,7 +2508,9 @@ def test_grouping_sets_guards(spark):
             "INSERT INTO s SELECT g, GROUPING_ID() AS gid, SUM(v) AS s "
             "FROM t GROUP BY g"
         )
-    with pytest.raises(ValueError, match="plain sum/count/avg"):
+    # r11: min/max (and DISTINCT) sets ride per-set value-multiset
+    # retract plans — only the GLOBAL set () refuses them
+    with pytest.raises(ValueError, match="GLOBAL grouping set"):
         plan_insert_maintained(
             "INSERT INTO s SELECT g, h, GROUPING_ID() AS gid, MAX(v) AS mx "
             "FROM t GROUP BY GROUPING SETS ((g, h), (g), ())",
@@ -2516,6 +2518,44 @@ def test_grouping_sets_guards(spark):
         )
     with pytest.raises(ValueError, match="do not support ttl"):
         plan_insert_maintained(_GS_SQL, {"t": ["k"]}, ttl="g")
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_grouping_sets_minmax_distinct_replay(spark, n_batches):
+    """r11: MIN/MAX and COUNT(DISTINCT) under GROUPING SETS — each
+    non-empty set keeps its own value-multiset retract state; replay
+    equals Spark's native GROUPING SETS one-shot over the materialized
+    log, including a delete that retracts a subtotal's current max."""
+    rows = [
+        (1, "a", "x", 5.0, "+I", 1),
+        (2, "a", "y", 9.0, "+I", 2),
+        (3, "b", "x", 7.0, "+I", 3),
+        (4, "a", "y", 9.0, "+I", 4),   # duplicate value in (a,*)
+        (2, "a", "y", 9.0, "-D", 5),   # one 9 retracts; twin survives
+        (3, "b", "x", 7.0, "-U", 6),
+        (3, "b", "y", 2.0, "+U", 6),   # group-moving update
+    ]
+    log = spark.createDataFrame(
+        rows,
+        f"k long, g string, h string, v double, {OP_COL} string,"
+        f" {SEQ_COL} long",
+    )
+    got = replay_insert_maintained(
+        "INSERT INTO s SELECT g, h, GROUPING_ID() AS gid, MAX(v) AS mx,"
+        " COUNT(DISTINCT v) AS dv, COUNT(*) AS n"
+        " FROM t GROUP BY GROUPING SETS ((g, h), (g))",
+        {"t": ["k"]}, {"t": log}, n_batches=n_batches,
+    )
+    m = materialize(log, ["k"])
+    m.createOrReplaceTempView("__gs_t")
+    exp = spark.sql(
+        "SELECT g, h, grouping_id() AS gid, MAX(v) AS mx,"
+        " COUNT(DISTINCT v) AS dv, COUNT(*) AS n"
+        " FROM __gs_t GROUP BY GROUPING SETS ((g, h), (g))"
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, exp.collect()), key=str
+    )
 
 
 def test_explain_grouping_sets(spark):
