@@ -1576,18 +1576,38 @@ class _MatchNfaPlan(_Plan):
       multiset — a greedy match that EXTENDS when a new row arrives
       (``B+`` absorbing it) retracts its old image and emits the grown
       one, the changelog-native rendering of CEP's wait-for-completion.
-    * **state prune**: rows within WITHIN of the key's max order time;
-      under SKIP PAST LAST ROW additionally rows consumed by a match
-      STRADDLING that horizon (first row behind it) are dropped — a
-      pruned-prefix match must not free its retained suffix rows for
-      re-matching, or the next batch's old/new computations would
-      disagree with emitted history.  As with the two-step plan the
-      prune is exact under per-key in-order arrivals; an out-of-order
-      row landing behind the horizon can re-pair across the pruned
-      boundary (Flink's CEP state cleanup makes the same trade).
+    * **DEFINE navigation**: ``PREV(col[, k])`` reads the k-th
+      previous INPUT row per key (SQL:2016 PREV — for contiguous
+      patterns, the previous row of the match) and rewrites to a JVM
+      LAG column before the scan, so predicates stay row-local
+      bitmaps.  The canonical CEP shape ``PATTERN (A B+) DEFINE B AS
+      B.price > PREV(B.price)`` (the rising run) rides it.
+    * **state prune**: a CONTIGUOUS SUFFIX cut of each key's ordered
+      rows — rows within WITHIN of the key's max order time, extended
+      ``max_prev`` rows below the horizon when PREV is used (LAG
+      sources survive).  Under SKIP PAST LAST ROW, rows consumed by a
+      match STRADDLING the horizon are MARKED unmatchable rather than
+      dropped: the pruned-prefix match stays emitted and its suffix
+      cannot re-match, while the rows keep standing in the sequence
+      as adjacency blockers and PREV sources (removal would create
+      false adjacency next to retained extras).  As with the two-step
+      plan the prune is exact under per-key in-order arrivals; an
+      out-of-order row landing behind the horizon can re-pair across
+      the pruned boundary (Flink's CEP state cleanup makes the same
+      trade).
     """
 
     kind = "match_nfa"
+
+    #: physical row navigation in DEFINE predicates: ``PREV(col[, k])``
+    #: reads the k-th previous INPUT row's column (per key, event-time
+    #: order) — SQL:2016 PREV, which for contiguous patterns coincides
+    #: with "the previous row of the match".  Rewritten to a JVM LAG
+    #: column before the scan, so it stays a row-local bitmap.
+    _PREV_RE = re.compile(
+        r"(?i)\bPREV\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)"
+    )
+    _CONSUMED = "__cns"
 
     def __init__(self, opts, ttl, op_col, seq_col) -> None:
         opts = dict(opts)
@@ -1633,8 +1653,25 @@ class _MatchNfaPlan(_Plan):
                 f"DEFINE names variable(s) {sorted(bad)} not in the "
                 f"pattern ({sorted(pat_vars)})"
             )
-        # an undefined pattern variable matches any row (SQL:2016)
-        self.defines = {v: defines.get(v, "true") for v in pat_vars}
+        # an undefined pattern variable matches any row (SQL:2016);
+        # PREV(col[, k]) navigation rewrites to LAG columns computed
+        # JVM-side over the key's (order, seq) sequence
+        self.prev_cols: set = set()
+
+        def _prev_repl(m):
+            col, k = m.group(1), int(m.group(2) or 1)
+            if k < 1:
+                raise ValueError("PREV offset must be >= 1")
+            self.prev_cols.add((col, k))
+            return f"__prev{k}_{col}"
+
+        self.defines = {
+            v: self._PREV_RE.sub(_prev_repl, defines.get(v, "true"))
+            for v in pat_vars
+        }
+        self.max_prev = max(
+            (k for _c, k in self.prev_cols), default=0
+        )
         self.measures = list(opts["measures"])
         if not self.measures:
             raise ValueError("match_nfa= needs at least one measure")
@@ -1669,10 +1706,29 @@ class _MatchNfaPlan(_Plan):
         prepped = pool.withColumn(
             "__ots", F.unix_micros(F.col(order).cast("timestamp"))
         )
+        if self.prev_cols:
+            from pyspark.sql.window import Window
+
+            lw = Window.partitionBy(*self.partition).orderBy(
+                F.col(order).asc(), F.col(seq).asc()
+            )
+            for col, k in sorted(self.prev_cols):
+                prepped = prepped.withColumn(
+                    f"__prev{k}_{col}", F.lag(col, k).over(lw)
+                )
+        # rows consumed by a horizon-straddling match (SKIP PAST LAST
+        # ROW) stay in the pool as PREV/adjacency context but can
+        # never be matched again
+        consumed = (
+            F.col(self._CONSUMED)
+            if self._CONSUMED in pool.columns
+            else F.lit(False)
+        )
         for j, (var, _mn, _mx) in enumerate(elems):
             prepped = prepped.withColumn(
                 f"__def_{j}",
-                F.coalesce(F.expr(self.defines[var]), F.lit(False)),
+                F.coalesce(F.expr(self.defines[var]), F.lit(False))
+                & ~consumed,
             )
         out_schema = T.StructType(
             [f for f in pool.schema.fields]
@@ -1732,7 +1788,10 @@ class _MatchNfaPlan(_Plan):
         rows = batch.filter(
             (F.col(self.op_col) == OP_INSERT)
             & F.col(self.order).isNotNull()
-        ).select(*[c for c in batch.columns if c != self.op_col])
+        ).select(
+            *[c for c in batch.columns if c != self.op_col],
+            F.lit(False).alias(self._CONSUMED),
+        )
         affected = rows.select(*self.partition).distinct()
         old_pool = (
             _keyset_join(state, affected, self.partition, "left_semi")
@@ -1743,7 +1802,7 @@ class _MatchNfaPlan(_Plan):
             rows if old_pool is None else rows.unionByName(old_pool)
         )
         # one NFA pass over the new pool feeds BOTH the measures and
-        # the consumed-row prune — checkpoint it rather than run the
+        # the consumed-row marking — checkpoint it rather than run the
         # pandas scan twice
         new_expl = self._explode(new_pool).localCheckpoint(eager=True)
         new_m = self._measure_rows(new_expl)
@@ -1759,7 +1818,12 @@ class _MatchNfaPlan(_Plan):
                 .agg(F.sum(MULT_COL).alias(MULT_COL))
                 .filter(F.col(MULT_COL) != 0)
             )
-        # retention: rows within WITHIN of their key's max order time
+        # retention: rows within WITHIN of their key's max order time.
+        # The prune is a CONTIGUOUS SUFFIX cut of each key's ordered
+        # rows (the telescoping-consistency requirement); when PREV
+        # navigation is in play, the suffix extends max_prev rows
+        # BELOW the time horizon so every above-horizon row keeps its
+        # LAG sources.
         from pyspark.sql.window import Window
 
         kmax = F.max(F.col(self.order)).over(
@@ -1768,15 +1832,35 @@ class _MatchNfaPlan(_Plan):
         horizon = F.unix_micros(kmax.cast("timestamp")) - F.lit(
             self.within_us
         )
-        pruned = new_pool.withColumn(
-            "__keep",
+        tagged = new_pool.withColumn(
+            "__above",
             F.unix_micros(F.col(self.order).cast("timestamp")) >= horizon,
-        ).filter(F.col("__keep")).drop("__keep")
+        )
+        pruned = tagged.filter(F.col("__above")).drop("__above")
+        if self.max_prev:
+            extras = (
+                tagged.filter(~F.col("__above"))
+                .withColumn(
+                    "__rnb",
+                    F.row_number().over(
+                        Window.partitionBy(*self.partition).orderBy(
+                            F.col(self.order).desc(),
+                            F.col(self.seq_col).desc(),
+                        )
+                    ),
+                )
+                .filter(F.col("__rnb") <= self.max_prev)
+                .drop("__rnb", "__above")
+            )
+            pruned = pruned.unionByName(extras)
         if self.skip == "past_last":
             # rows consumed by a match whose FIRST row fell behind the
-            # horizon must go too: the straddling match stays emitted
-            # (its prefix is pruned, so it is never recomputed), and
-            # its retained suffix rows must not be free to re-match
+            # horizon are MARKED unmatchable (not removed): the
+            # straddling match stays emitted (its prefix is pruned, so
+            # it is never recomputed) and its retained suffix rows
+            # must not re-match — but they still stand in the row
+            # sequence as adjacency blockers and PREV/LAG sources,
+            # which removal would falsify.
             mw = Window.partitionBy(*self.partition, "__match_id")
             # the horizon is the POOL's per-key max (the exploded frame
             # holds matched rows only — its max can lag the key's)
@@ -1795,12 +1879,22 @@ class _MatchNfaPlan(_Plan):
                 )
                 .join(key_h, on=self.partition, how="inner")
                 .filter(F.col("__first_ots") < F.col("__h"))
-                .select(*self.partition, self.seq_col)
+                .select(
+                    *self.partition, self.seq_col,
+                    F.lit(True).alias("__mark"),
+                )
                 .distinct()
             )
-            pruned = _keyset_join(
-                pruned, straddle,
-                self.partition + [self.seq_col], "left_anti",
+            pruned = (
+                pruned.join(
+                    straddle, self.partition + [self.seq_col], "left"
+                )
+                .withColumn(
+                    self._CONSUMED,
+                    F.col(self._CONSUMED)
+                    | F.coalesce(F.col("__mark"), F.lit(False)),
+                )
+                .drop("__mark")
             )
         if state is not None:
             pruned = pruned.unionByName(

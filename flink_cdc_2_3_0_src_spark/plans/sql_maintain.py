@@ -853,11 +853,17 @@ def parse_insert_select(sql: str) -> InsertSelect:
         uses_agg_measures = any(
             _NFA_MEASURE_AGG.search(raw) for raw in raw_measures
         )
+        # PREV navigation is the NFA plan's (it precomputes LAG
+        # columns); the LEAD-frame plan has no physical-row axis
+        uses_prev = any(
+            re.search(r"(?i)\bPREV\s*\(", d) for d in defines.values()
+        )
         two_step = (
             not skip_past
             and pattern == [("A", 1, 1), ("B", 1, 1)]
             and set(defines) == {"A", "B"}
             and not uses_agg_measures
+            and not uses_prev
         )
         measures = []
         for raw in raw_measures:
@@ -1613,18 +1619,41 @@ def _parse_match_defines(defines_sql: str, pat_vars: list) -> dict:
     return out
 
 
+_NFA_PREV_RE = re.compile(
+    r"(?i)\bPREV\s*\(\s*([A-Za-z_]\w*)\s*\.\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)"
+)
+
+
 def _rewrite_nfa_define(sql: str, var: str, pat_vars: list) -> str:
     """DEFINE rewrite for the NFA plan: ``<var>.col`` → ``col`` (the
     row being classified) and bare identifiers stay (SQL:2016 binds
-    them to the same row).  References to OTHER pattern variables are
+    them to the same row).  ``PREV(V.col[, k])`` is physical row
+    navigation (the k-th previous INPUT row per key — which for
+    contiguous patterns is the previous row of the match) and may
+    qualify with ANY pattern variable; it rewrites to the plan's
+    ``PREV(col[, k])`` form, which becomes a JVM LAG column.  Other
+    references to OTHER pattern variables are
     refused: the NFA subset evaluates each DEFINE against its own row
     so predicates stay JVM-precomputable bitmaps — cross-variable
     predicates are the two-step PATTERN (A B) plan's territory."""
+    upper_vars = {v.upper() for v in pat_vars}
+
+    def _prev_repl(m):
+        q, col, k = m.group(1).upper(), m.group(2), m.group(3)
+        if q not in upper_vars:
+            raise ValueError(
+                f"DEFINE {var}: PREV qualifies with unknown pattern "
+                f"variable {m.group(1)!r}; the pattern defines "
+                f"{pat_vars}"
+            )
+        return f"PREV({col}{', ' + k if k else ''})"
+
     out = []
     for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
         if i % 2 == 1:
             out.append(seg)
             continue
+        seg = _NFA_PREV_RE.sub(_prev_repl, seg)
         quals = {
             q.upper()
             for q in re.findall(r"(?<![\w.])(\w+)\s*\.\s*[A-Za-z_]", seg)
@@ -1676,6 +1705,12 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
 
     Arbitrary SQL may surround and combine the rewritten aggregates
     (``LAST(C.ts) - FIRST(A.ts)``)."""
+    if re.search(r"(?i)\bPREV\s*\(", sql):
+        raise ValueError(
+            f"{clause}: PREV navigation is DEFINE-only in the "
+            "maintained subset; project the row's own column with "
+            "FIRST/LAST(V.col) instead"
+        )
     upper_vars = {v.upper() for v in pat_vars}
 
     def seg_rewrite(seg: str) -> str:

@@ -5798,6 +5798,71 @@ def cdc_sql_match_recognize_nfa(
     )
 
 
+# PREV navigation in MATCH_RECOGNIZE (r11): SQL:2016's physical row
+# navigation — the canonical rising-run CEP pattern, PATTERN (A B+)
+# DEFINE B AS B.value > PREV(B.value) with AFTER MATCH SKIP PAST LAST
+# ROW: any row starts a run, B+ greedily absorbs rows while each
+# strictly exceeds the previous INPUT row.  PREV rewrites to a JVM LAG
+# column per key before the NFA scan (operators/maintain._MatchNfaPlan
+# — predicates stay row-local bitmaps), and the suffix prune keeps
+# max_prev extra rows below the WITHIN horizon so LAG sources survive.
+# WITHIN '60' DAY exceeds the corpus span, so greedy matches are
+# exactly the maximal strictly-ascending runs of length >= 2 — which
+# the oracle computes as gaps-and-islands over the LAG comparison (a
+# different mechanism; NULL values break ascents in both engines).
+@register(
+    "cdc_sql_match_prev_rising",
+    """
+    WITH e AS (
+        SELECT user_id, value, ts, event_id FROM events
+        WHERE ts IS NOT NULL
+    ),
+    b AS (
+        SELECT *, CASE WHEN value > LAG(value) OVER w THEN 0 ELSE 1 END
+               AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS g
+        FROM b
+    )
+    -- a strictly-ascending multi-row island is NULL-free, its first
+    -- value is its MIN and its last value its MAX
+    SELECT user_id AS u, MIN(value) AS a_v, MAX(value) AS top_v,
+           COUNT(*) - 1 AS n_up
+    FROM isl GROUP BY user_id, g HAVING COUNT(*) >= 2
+    """,
+)
+def cdc_sql_match_prev_rising(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_v, top_v, n_up"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.value) AS a_v, LAST(B.value) AS top_v,"
+        " COUNT(B.*) AS n_up"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
+        " DEFINE B AS B.value > PREV(B.value))",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
 # Window join on the SQL maintenance surface (r10): Flink's window
 # join — a TUMBLE-bucket equality conjunct in the ON clause, so rows
 # join only within the same tumbling window.  Each side derives its

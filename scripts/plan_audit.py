@@ -92,6 +92,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_hop_minmax",
     "cdc_sql_window_distinct",
     "cdc_sql_union_minmax",
+    "cdc_sql_match_prev_rising",
 ]
 
 

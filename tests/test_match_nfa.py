@@ -399,9 +399,10 @@ def test_nfa_retention_prunes_and_past_last_drops_straddle(spark):
     assert job.result().count() == 1
     # horizon = 01-02 06:00 − 1 day = 01-01 06:00; the view row (00:00)
     # is pruned by time, and the consumed click/purchase rows straddle
-    # (match first row behind the horizon) so they are dropped too
-    state_ids = {r["id"] for r in job._state.collect()}
-    assert state_ids == {4}
+    # (match first row behind the horizon) so they are MARKED
+    # unmatchable — kept as adjacency/PREV context, never re-matched
+    state = {r["id"]: r["__cns"] for r in job._state.collect()}
+    assert state == {2: True, 3: True, 4: False}
     # a later view+click+purchase still matches normally
     b2 = [
         (5, "u1", "view", 5.0, "2024-01-02 07:00:00"),
@@ -452,6 +453,107 @@ def test_nfa_undefined_variable_matches_any_row(spark):
         sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=1
     ).collect()
     assert [(r["u"], r["mid_et"]) for r in got] == [("u1", "error")]
+
+
+_RISE_SQL = (
+    "INSERT INTO sink SELECT u, a_v, top_v, n_up FROM ev"
+    " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+    " MEASURES FIRST(A.v) AS a_v, LAST(B.v) AS top_v,"
+    " COUNT(B.*) AS n_up"
+    " AFTER MATCH SKIP PAST LAST ROW"
+    " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+    " DEFINE B AS B.v > PREV(B.v))"
+)
+
+
+def test_nfa_prev_rising_run(spark):
+    """SQL:2016 PREV navigation — the canonical rising-run CEP
+    pattern: A (any row) then B+ where each B strictly exceeds the
+    previous INPUT row.  PREV rewrites to a JVM LAG column; a run
+    split across batches retracts its shorter image and emits the
+    grown one, converging on the one-shot greedy match set."""
+    rows = [
+        # u1: 1, 2, 5, 3, 4 → greedy runs: (1,2,5) then (3,4)
+        (1, "u1", "t", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "t", 2.0, "2024-01-01 01:00:00"),
+        (3, "u1", "t", 5.0, "2024-01-01 02:00:00"),
+        (4, "u1", "t", 3.0, "2024-01-01 03:00:00"),
+        (5, "u1", "t", 4.0, "2024-01-01 04:00:00"),
+        # u2: strictly falling → no match
+        (6, "u2", "t", 9.0, "2024-01-01 00:00:00"),
+        (7, "u2", "t", 7.0, "2024-01-01 01:00:00"),
+    ]
+    st = parse_insert_select(_RISE_SQL)
+    assert st.shape == "match_nfa"
+    assert st.match_nfa["defines"]["B"] == "v > PREV(v)"
+    exp = [("u1", 1.0, 5.0, 2), ("u1", 3.0, 4.0, 1)]
+    for n in (1, 3, 5):
+        got = replay_insert_maintained(
+            _RISE_SQL, _EV_TABLES, {"ev": _mk_log(spark, rows)},
+            n_batches=n,
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            exp, key=str
+        ), n
+
+
+def test_nfa_prev_lag_sources_survive_prune(spark):
+    """The suffix prune keeps max_prev extra rows BELOW the WITHIN
+    horizon so retained rows keep their LAG sources — without them, a
+    below-horizon predecessor's disappearance would flip a retained
+    row's DEFINE bit between batches and emit a spurious
+    retraction."""
+    job = plan_insert_maintained(_RISE_SQL, _EV_TABLES)
+    t0 = "2024-01-01 00:00:00"
+    b1 = [
+        (1, "u1", "t", 1.0, t0),
+        (2, "u1", "t", 2.0, "2024-01-01 20:00:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b1)})
+    assert job.result().count() == 1  # (1 → 2)
+    # a row 30h in pushes the horizon past row 1; it must survive as
+    # row 2's PREV source (the contiguous-suffix extra)
+    job.step({"ev": _mk_log(spark, [(3, "u1", "t", 1.5,
+                                     "2024-01-02 06:00:00")])})
+    assert 1 in {r["id"] for r in job._state.collect()}
+    # a third batch must NOT retract the emitted (1 → 2) match
+    job.step({"ev": _mk_log(spark, [(4, "u1", "t", 9.0,
+                                     "2024-01-02 07:00:00")])})
+    got = sorted(map(tuple, job.result().collect()), key=str)
+    assert ("u1", 1.0, 2.0, 1) in got
+    # and the new rising pair (1.5 → 9.0) is found
+    assert ("u1", 1.5, 9.0, 1) in got
+
+
+def test_nfa_prev_guards(spark):
+    # PREV may qualify with ANY pattern variable (physical navigation)
+    st = parse_insert_select(
+        _RISE_SQL.replace("PREV(B.v)", "PREV(A.v)")
+    )
+    assert st.match_nfa["defines"]["B"] == "v > PREV(v)"
+    # explicit offset
+    st = parse_insert_select(
+        _RISE_SQL.replace("PREV(B.v)", "PREV(B.v, 2)")
+    )
+    assert st.match_nfa["defines"]["B"] == "v > PREV(v, 2)"
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        parse_insert_select(_RISE_SQL.replace("PREV(B.v)", "PREV(Z.v)"))
+    with pytest.raises(ValueError, match="DEFINE-only"):
+        parse_insert_select(
+            _RISE_SQL.replace("LAST(B.v) AS top_v",
+                              "PREV(B.v) AS top_v")
+        )
+    # PREV in a two-variable PATTERN (A B) routes to the NFA plan, not
+    # the LEAD plan (which has no physical-row axis)
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT u, b_v FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES LAST(B.v) AS b_v"
+        " AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.v > PREV(B.v))"
+    )
+    assert st.shape == "match_nfa"
 
 
 def test_nfa_parser_edge_cases(spark):
