@@ -2164,6 +2164,27 @@ def test_distinct_agg_window_fuzz_vs_one_shot(spark):
         assert sorted(map(tuple, got.collect()), key=str) == exp, n
 
 
+def test_minmax_only_pkless_executes(spark):
+    """r11 pin: a min/max-ONLY statement on a PK-less table (empty
+    plain-agg dict on the view plan) executes and retracts the
+    extremum correctly."""
+    rows = [
+        ("a", 3.0, "+I", 1), ("a", 8.0, "+I", 2),
+        ("a", 8.0, "-D", 3), ("b", 1.0, "+I", 4),
+    ]
+    log = spark.createDataFrame(
+        rows, f"g string, v double, {OP_COL} string, {SEQ_COL} long"
+    )
+    for n in (1, 2):
+        got = replay_insert_maintained(
+            "INSERT INTO s SELECT g, MIN(v) AS mn FROM t GROUP BY g",
+            {"t": []}, {"t": log}, n_batches=n,
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            ("a", 3.0), ("b", 1.0)
+        ]
+
+
 def test_distinct_agg_guards(spark):
     log_tables = {"t": ["k"]}
     # r11: DISTINCT + MAX in one statement now rides ONE value-multiset
