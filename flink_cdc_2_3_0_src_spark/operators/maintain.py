@@ -173,6 +173,32 @@ def _recompute_exprs(aggs: dict) -> list:
     return outs
 
 
+def _distinct_recompute_exprs(distinct: dict) -> list:
+    """DISTINCT-aggregate expressions for the table-recompute plans —
+    exact because those plans re-aggregate the affected groups'
+    MATERIALIZED rows (no view state needed): SQL semantics, NULLs
+    never enter the distinct set; AVG(DISTINCT) = sum of distinct
+    values / count of distinct values (double, matching the delta
+    plans' avg output type)."""
+    outs = []
+    for name, (fn, col) in distinct.items():
+        c = F.col(col) if isinstance(col, str) else col
+        if fn == "count":
+            outs.append(F.count_distinct(c).alias(name))
+        elif fn == "sum":
+            outs.append(F.sum_distinct(c).alias(name))
+        elif fn == "avg":
+            outs.append(
+                (
+                    F.sum_distinct(c).cast("double")
+                    / F.count_distinct(c).cast("double")
+                ).alias(name)
+            )
+        else:  # min/max over DISTINCT values == plain min/max
+            outs.append(getattr(F, fn)(c).alias(name))
+    return outs
+
+
 _GAP_RE = re.compile(
     r"^\s*(?P<n>\d+)\s+(?P<unit>second|minute|hour|day)s?\s*$", re.IGNORECASE
 )
@@ -344,6 +370,13 @@ class _DistinctAggPlan(_Plan):
     live-row count, so a group whose rows all carry NULL distinct
     values still emits a row.
 
+    ``group_cols=[]`` (r12) is the GLOBAL aggregate: ONE constant
+    group whose affected set is every batch — state = the global
+    distinct-value cardinality per view, the bound Flink pays for a
+    global Min/MaxWithRetractAggFunction or distinct view.  This
+    dissolves the former refusal of min/max and DISTINCT on global
+    aggregates and on the GLOBAL grouping set ().
+
     Input contract: FULL-RETRACTION changelogs (the signed view counts
     need the -U before-images; normalize upsert streams with
     ``ensure_retractions`` first — the family's rule for all
@@ -382,16 +415,22 @@ class _DistinctAggPlan(_Plan):
         return merged.filter(F.col("__n") != 0)
 
     def _finalize(self, plain_st, vss, affected) -> DataFrame:
-        pk = F.struct(*[F.col(c) for c in self.group_cols])
+        # null-safe struct key joins group rows to view aggregates; the
+        # GLOBAL aggregate (no group columns) keys on a constant
+        pk = (
+            F.struct(*[F.col(c) for c in self.group_cols])
+            if self.group_cols
+            else F.lit(1)
+        )
         base = plain_st
-        if affected is not None:
+        if affected is not None and self.group_cols:
             base = _keyset_join(base, affected, self.group_cols, "left_semi")
         base = base.select(
             *self.group_cols, *_delta_finalize_exprs(self.aggs)
         ).withColumn("__pk", pk)
         for (name, (fn, _col)), vs in zip(self.distinct, vss):
             live = vs.filter(F.col("__n") > 0)
-            if affected is not None:
+            if affected is not None and self.group_cols:
                 live = _keyset_join(
                     live, affected, self.group_cols, "left_semi"
                 )
@@ -436,7 +475,12 @@ class _DistinctAggPlan(_Plan):
             self._merge_values(vs, dml, col)
             for vs, (_name, (_fn, col)) in zip(vss_old, self.distinct)
         ]
-        affected = _affected_groups(batch, self.group_cols, self.op_col)
+        # the global aggregate is ONE group; every batch affects it
+        affected = (
+            _affected_groups(batch, self.group_cols, self.op_col)
+            if self.group_cols
+            else None
+        )
         new_aff = self._finalize(plain_new, vss_new, affected)
         old_aff = None
         if plain_old is not None:
@@ -606,11 +650,12 @@ class _GroupingSetsPlan(_Plan):
     subtotal rows never collide with detail rows whose group values are
     genuinely NULL.  sum/count/avg sets ride the stateless signed-delta
     plan (the empty set () on its global-aggregate form); min/max and
-    DISTINCT aggregates (r11) give each NON-EMPTY set its own
-    value-multiset retract plan (``_DistinctAggPlan`` — Flink's
+    DISTINCT aggregates (r11) give each set its own value-multiset
+    retract plan (``_DistinctAggPlan`` — Flink's
     Min/MaxWithRetractAggFunction / distinct-view state), so no
-    PRIMARY KEY is needed per set; the GLOBAL set with min/max or
-    distinct keeps the family's refusal (no group-keyed affected set).
+    PRIMARY KEY is needed per set — including (r12) the GLOBAL set (),
+    which runs the plan's constant-group form (one group, affected
+    every batch; state = the global distinct-value cardinality).
     ttl is unsupported — a time bucket absent from a set has no state
     key to expire there."""
 
@@ -654,13 +699,9 @@ class _GroupingSetsPlan(_Plan):
         # stable combined order keeps per-set deltas unionable)
         self.agg_names = [n for n in plain] + [n for n in views_base]
         if views_base:
-            for s in self.sets:
-                if not s:
-                    raise ValueError(
-                        "the GLOBAL grouping set () does not support "
-                        "min/max or DISTINCT aggregates (no group-keyed "
-                        "affected set); drop () or split the statement"
-                    )
+            # every set — including the GLOBAL set (), one constant
+            # group whose affected set is every batch (r12) — rides
+            # its own value-multiset retract plan
             self.plans = [
                 _DistinctAggPlan(
                     s, plain, views_base, None, op_col, seq_col
@@ -743,7 +784,7 @@ class _SessionPlan(_Plan):
 
     def __init__(
         self, keys, group_cols, aggs, ts_col, gap, w_start, w_end,
-        ttl, op_col, seq_col,
+        ttl, op_col, seq_col, distinct=None,
     ) -> None:
         if ttl is not None and ttl != ts_col:
             raise ValueError(
@@ -754,6 +795,17 @@ class _SessionPlan(_Plan):
         self.keys = list(keys)
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        # DISTINCT aggregates (r12): exact under merges/splits for free
+        # — the plan re-sessionizes affected groups from the
+        # materialized table, so distinct recomputes from raw rows (no
+        # view state; a merge folds the union's distinct set by
+        # construction)
+        self.distinct = dict(distinct or {})
+        overlap = set(self.distinct) & set(self.aggs)
+        if overlap:
+            raise ValueError(
+                f"duplicate output column(s) {sorted(overlap)}"
+            )
         self.ts_col = ts_col
         self.gap_us = _gap_micros(gap)
         self.w_start = w_start
@@ -775,6 +827,7 @@ class _SessionPlan(_Plan):
                 self.w_end
             ),
             *_recompute_exprs(self.aggs),
+            *_distinct_recompute_exprs(self.distinct),
         ).drop("__sid")
 
     def step(self, state, batch: DataFrame):
@@ -1417,17 +1470,19 @@ class _MatchPlan(_Plan):
 
 
 _PATTERN_TOKEN = re.compile(
-    r"\s*([A-Za-z_]\w*)\s*(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*)?\s*\})?"
+    r"\s*([A-Za-z_]\w*)\s*(\+|\*|\?|\{\s*\d+\s*(?:,\s*\d*)?\s*\})?(\?)?"
 )
 
 
 def parse_match_pattern(pattern: str) -> list:
-    """``"A B+ C{1,3}"`` → ``[("A", 1, 1), ("B", 1, None),
-    ("C", 1, 3)]`` — (variable, min, max) per element, ``max=None`` for
-    unbounded.  Greedy SQL:2016 quantifiers: ``+`` = {1,}, ``*`` =
-    {0,}, ``?`` = {0,1}, ``{n}`` = {n,n}, ``{n,}``, ``{n,m}``.
-    Alternation/PERMUTE/reluctant (``+?``) forms are not in the subset
-    and fail the token scan."""
+    """``"A B+ C{1,3} D*?"`` → ``[("A", 1, 1, True), ("B", 1, None,
+    True), ("C", 1, 3, True), ("D", 0, None, False)]`` — (variable,
+    min, max, greedy) per element, ``max=None`` for unbounded.
+    SQL:2016 quantifiers: ``+`` = {1,}, ``*`` = {0,}, ``?`` = {0,1},
+    ``{n}`` = {n,n}, ``{n,}``, ``{n,m}``; a trailing ``?`` on a
+    quantifier makes it RELUCTANT (``+?`` ``*?`` ``??`` ``{n,m}?`` —
+    take as FEW rows as possible, r12).  Alternation and PERMUTE are
+    not in the subset and fail the token scan."""
     elems, pos, s = [], 0, pattern.strip()
     if not s:
         raise ValueError("PATTERN is empty")
@@ -1437,11 +1492,14 @@ def parse_match_pattern(pattern: str) -> list:
             raise ValueError(
                 f"cannot parse PATTERN at {s[pos:]!r}: the maintained "
                 "subset is a sequence of variables with optional "
-                "greedy quantifiers (+ * ? {n} {n,} {n,m}) — "
-                "alternation (|), PERMUTE and reluctant (+?) "
-                "quantifiers need Flink's full CEP operator"
+                "quantifiers (+ * ? {n} {n,} {n,m}, each optionally "
+                "reluctant with a trailing ?) — alternation (|) and "
+                "PERMUTE need Flink's full CEP operator"
             )
-        var, q = m.group(1).upper(), m.group(2)
+        var, q, rel = m.group(1).upper(), m.group(2), m.group(3)
+        # rel without q cannot happen: the quantifier alternation
+        # includes '?', so a lone '?' always scans as the OPTIONAL
+        # quantifier and only a SECOND '?' reaches the reluctant group
         if q is None:
             mn, mx = 1, 1
         elif q == "+":
@@ -1462,10 +1520,10 @@ def parse_match_pattern(pattern: str) -> list:
             raise ValueError(
                 f"quantifier {q!r} on {var!r}: max must be >= max(min, 1)"
             )
-        elems.append((var, mn, mx))
+        elems.append((var, mn, mx, rel is None))
         pos = m.end()
     seen = set()
-    for var, _mn, _mx in elems:
+    for var, _mn, _mx, _g in elems:
         if var in seen:
             raise ValueError(
                 f"pattern variable {var!r} appears twice; the "
@@ -1473,7 +1531,7 @@ def parse_match_pattern(pattern: str) -> list:
                 "contiguous run (write B{2,} instead of B B+)"
             )
         seen.add(var)
-    if sum(mn for _v, mn, _mx in elems) < 1:
+    if sum(mn for _v, mn, _mx, _g in elems) < 1:
         raise ValueError(
             "the pattern can match zero rows (every element is "
             "optional); require at least one element with min >= 1"
@@ -1481,39 +1539,225 @@ def parse_match_pattern(pattern: str) -> list:
     return elems
 
 
-def _nfa_scan(flags, ots, elems, within_us, past_last):
-    """Sequential greedy scan of ONE key's ordered rows.  ``flags`` is
-    a list per pattern element of boolean arrays (DEFINE satisfied per
-    row), ``ots`` int64 microseconds.  Returns a list of matches, each
-    a list of (row index, element index).
+def _split_and_conjuncts(sql: str) -> list:
+    """Top-level ``AND`` split of a predicate — outside parentheses and
+    string literals, and not the ``AND`` a top-level ``BETWEEN x AND
+    y`` owns (each BETWEEN absorbs the next AND-joined fragment)."""
 
-    Per-position attempt = greedy regex semantics with backtracking
-    (SQL:2016 default): each quantified element takes as many
-    consecutive qualifying rows as possible, gives rows back when a
-    later element cannot match.  Failed (element, position) states are
-    memoized, so an attempt is O(elements × rows × max-run) — and the
-    row pool itself is WITHIN-bounded per key, the CepOperator state
-    bound.  A row joins a match only while its gap from the match's
-    FIRST row is strictly under WITHIN (Flink's boundary).
+    def _ident(ch: str) -> bool:
+        return ch.isalnum() or ch == "_"
 
-    ``past_last`` = AFTER MATCH SKIP PAST LAST ROW: on a match, resume
-    after its last row (greedy non-overlap); otherwise SKIP TO NEXT
-    ROW: attempts at every position (matches may overlap)."""
+    s = sql.strip()
+    parts, cur, depth, in_str = [], [], 0, False
+    pending_between = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            left_ok = i == 0 or not _ident(s[i - 1])
+            if (
+                left_ok
+                and s[i : i + 3].upper() == "AND"
+                and (i + 3 >= n or not _ident(s[i + 3]))
+            ):
+                if pending_between:
+                    pending_between -= 1
+                    cur.append(s[i : i + 3])
+                else:
+                    parts.append("".join(cur))
+                    cur = []
+                i += 3
+                continue
+            if (
+                left_ok
+                and s[i : i + 7].upper() == "BETWEEN"
+                and (i + 7 >= n or not _ident(s[i + 7]))
+            ):
+                pending_between += 1
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_outer_parens(s: str) -> str:
+    """Strip balanced outer parentheses (literal-aware)."""
+    s = s.strip()
+    while s.startswith("(") and s.endswith(")"):
+        depth, in_str, whole = 0, False, True
+        for j, ch in enumerate(s):
+            if in_str:
+                in_str = ch != "'"
+                continue
+            if ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and j < len(s) - 1:
+                    whole = False
+                    break
+        if not whole or depth != 0:
+            break
+        s = s[1:-1].strip()
+    return s
+
+
+#: comparison tokens a cross-variable conjunct may use, longest first
+#: so ``<=`` never scans as ``<``
+_CMP_TOKENS = ("<=", ">=", "<>", "!=", "==", "=", "<", ">")
+
+
+def _split_comparison(text: str):
+    """``lhs CMP rhs`` at depth 0 (literal-aware) or None."""
+    s = text
+    depth, in_str = 0, False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            for tok in _CMP_TOKENS:
+                if s.startswith(tok, i):
+                    return s[:i], tok, s[i + len(tok):]
+        i += 1
+    return None
+
+
+def _cmp_ok(op: str, a, b) -> bool:
+    """SQL three-valued comparison collapsed to the DEFINE's boolean:
+    NULL/NaN on either side → not satisfied (Flink's NFA condition
+    treats an unknown predicate as false)."""
+    # a != a catches float NaN, NaT and Decimal('NaN') without pandas
+    if a is None or b is None or a != a or b != b:
+        return False
+    try:
+        if op == "<":
+            return bool(a < b)
+        if op == "<=":
+            return bool(a <= b)
+        if op == ">":
+            return bool(a > b)
+        if op == ">=":
+            return bool(a >= b)
+        if op in ("=", "=="):
+            return bool(a == b)
+        return bool(a != b)  # <> / !=
+    except TypeError:
+        return False
+
+
+def _nav_value(side, vals, bound, e, ri):
+    """Resolve one side of a cross-variable conjunct while classifying
+    row ``ri`` for element ``e``: ``("cur", col)`` reads the candidate
+    row's precomputed column; ``("nav", v_el, col, is_last, off)``
+    reads the FIRST/LAST (± logical offset) row currently bound to
+    element ``v_el`` in the partial match — the candidate row itself
+    counts as bound to its own element (SQL:2016 running semantics).
+    Unbound / out-of-range navigation → None (SQL NULL)."""
+    if side[0] == "cur":
+        return vals[side[1]][ri]
+    _kind, v_el, col, is_last, off = side
+    n_bound = len(bound[v_el]) + (1 if v_el == e else 0)
+    j = (n_bound - 1 - off) if is_last else off
+    if j < 0 or j >= n_bound:
+        return None
+    if v_el == e and j == n_bound - 1:
+        return vals[col][ri]
+    return vals[col][bound[v_el][j]]
+
+
+def _cross_ok(specs, vals, bound, e, ri) -> bool:
+    for lhs, op, rhs in specs:
+        a = _nav_value(lhs, vals, bound, e, ri)
+        b = _nav_value(rhs, vals, bound, e, ri)
+        if not _cmp_ok(op, a, b):
+            return False
+    return True
+
+
+def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
+    """Sequential scan of ONE key's ordered rows.  ``flags`` is a list
+    per pattern element of boolean arrays (row-local DEFINE conjuncts
+    satisfied per row), ``ots`` int64 microseconds, ``elems`` =
+    (var, min, max, greedy) per element.  Returns a list of matches,
+    each a list of (row index, element index).
+
+    Per-position attempt = regex semantics with backtracking: a GREEDY
+    quantified element takes as many consecutive qualifying rows as
+    possible and gives rows back when a later element cannot match; a
+    RELUCTANT one (``+?`` etc., r12) takes as few as possible and
+    grows on demand.  Failed (element, position) states are memoized,
+    so an attempt is O(elements × rows × max-run) — and the row pool
+    itself is WITHIN-bounded per key, the CepOperator state bound.  A
+    row joins a match only while its gap from the match's FIRST row is
+    strictly under WITHIN (Flink's boundary).
+
+    ``cross``/``vals`` (r12) carry cross-variable DEFINE conjuncts:
+    ``cross[e]`` lists ``(lhs, op, rhs)`` specs evaluated against the
+    PARTIAL MATCH's bound rows (``_nav_value``), ``vals`` maps column
+    name → numpy array.  With cross conjuncts the (element, position)
+    memo is disabled — a state's failure then depends on the bindings
+    that reached it — so an attempt is worst-case exponential in the
+    number of quantified elements; patterns are short and the pool is
+    WITHIN-bounded, the same cost profile Flink's NFA pays for
+    IterativeConditions over partial matches.
+
+    ``skip`` = AFTER MATCH strategy (SQL:2016 / Flink's
+    AfterMatchSkipStrategy): ``("next",)`` attempts at every position
+    (matches may overlap); ``("past",)`` resumes after the match's
+    last row (greedy non-overlap); ``("first", el)`` / ``("last", el)``
+    (r12) resume AT the first/last row bound to pattern element
+    ``el``.  A skip-to target that lands on (or before) the match's
+    own first row would loop forever — Flink raises there, and so does
+    this scan; a skip-to variable that matched no row is the same
+    error (SQL:2016 runtime condition)."""
     n = len(ots)
     n_el = len(elems)
+    has_cross = cross is not None and any(cross)
     matches = []
     i = 0
     while i < n:
         t0 = ots[i]
         dead = set()  # failed (elem, pos) states for THIS attempt
+        # per-element row bindings of the partial match under
+        # construction (cross-variable navigation's context)
+        bound = [[] for _ in range(n_el)] if has_cross else None
 
         def rec(e, pos):
             if e == n_el:
                 return []
-            if (e, pos) in dead:
+            if not has_cross and (e, pos) in dead:
                 return None
-            _var, mn, mx = elems[e]
+            _var, mn, mx, greedy = elems[e]
             fl = flags[e]
+            cr = cross[e] if has_cross else None
+            taken = []
+            if has_cross:
+                bound[e] = taken
             k = 0
             limit = n - pos if mx is None else min(mx, n - pos)
             while (
@@ -1521,21 +1765,58 @@ def _nfa_scan(flags, ots, elems, within_us, past_last):
                 and fl[pos + k]
                 and ots[pos + k] - t0 < within_us
             ):
+                if cr and not _cross_ok(cr, vals, bound, e, pos + k):
+                    break
+                taken.append(pos + k)
                 k += 1
-            for take in range(k, mn - 1, -1):  # greedy: longest first
+            order = (
+                range(k, mn - 1, -1)  # greedy: longest first
+                if greedy
+                else range(mn, k + 1)  # reluctant: shortest first
+            )
+            for take in order:
+                if has_cross:
+                    bound[e] = taken[:take]
                 rest = rec(e + 1, pos + take)
                 if rest is not None:
+                    if has_cross:
+                        bound[e] = []
                     return [
                         (pos + j, e) for j in range(take)
                     ] + rest
-            dead.add((e, pos))
+            if has_cross:
+                bound[e] = []
+            else:
+                dead.add((e, pos))
             return None
 
         asg = rec(0, i)
         if asg:  # zero-row matches are not emitted
             matches.append(asg)
-            if past_last:
+            if skip[0] == "past":
                 i = asg[-1][0] + 1
+                continue
+            if skip[0] in ("first", "last"):
+                rows_v = [ri for ri, ei in asg if ei == skip[1]]
+                if not rows_v:
+                    raise ValueError(
+                        "AFTER MATCH SKIP TO "
+                        f"{skip[0].upper()} {elems[skip[1]][0]}: the "
+                        "variable matched no row in this match "
+                        "(SQL:2016 runtime error; bound its "
+                        "quantifier's minimum above 0 or use SKIP "
+                        "PAST LAST ROW)"
+                    )
+                resume = rows_v[0] if skip[0] == "first" else rows_v[-1]
+                if resume <= i:
+                    raise ValueError(
+                        "AFTER MATCH SKIP TO "
+                        f"{skip[0].upper()} {elems[skip[1]][0]} "
+                        "resumes at the match's own first row — an "
+                        "infinite loop (Flink's "
+                        "AfterMatchSkipStrategy raises the same)"
+                    )
+                i = resume
                 continue
         i += 1
     return matches
@@ -1560,12 +1841,22 @@ class _MatchNfaPlan(_Plan):
 
     * **input**: append-only (+I — Flink's MATCH_RECOGNIZE requires
       it); NULL event times drop (window rule).
-    * **defines**: ``{var: sql}`` evaluated against the row being
-      classified (SQL:2016 binding for non-aggregated references) —
-      PRE-computed as JVM boolean columns via ``F.expr`` before the
-      pandas step, so Python only consults bitmaps.  Cross-variable
-      predicates are the two-step plan's territory and refused by the
-      SQL bridge with guidance.
+    * **defines**: ``{var: sql}`` — top-level AND conjuncts split in
+      two classes.  ROW-LOCAL conjuncts (bare identifiers and
+      ``<var>.col`` self-references bind to the row being classified,
+      SQL:2016) are PRE-computed as JVM boolean columns via ``F.expr``
+      before the pandas step, so Python only consults bitmaps.
+      CROSS-VARIABLE conjuncts (r12) — ``B.price > A.price``,
+      ``B.price > LAST(A.price)`` / ``FIRST(A.price[, k])`` — must be
+      a single comparison ``<side> <cmp> <side>`` where each side is
+      either one navigation reference or a row-local expression (the
+      row-local side is still JVM-precomputed); they evaluate inside
+      the NFA scan against the partial match's bound rows, Flink's
+      IterativeCondition-over-partial-match semantics.  A bare
+      ``V.col`` cross-reference means ``LAST(V.col)`` (SQL:2016);
+      unbound navigation is NULL → conjunct not satisfied.  Forward
+      references (a variable bound later in the pattern) refuse at
+      construction.
     * **measures**: SQL aggregate expressions over the matched rows'
       exploded frame (payload + ``__var``/``__pos``) — the bridge
       rewrites ``FIRST/LAST/SUM/MIN/MAX/AVG/COUNT(V.col)`` into
@@ -1607,13 +1898,28 @@ class _MatchNfaPlan(_Plan):
     _PREV_RE = re.compile(
         r"(?i)\bPREV\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)"
     )
+    #: FIRST/LAST(V.col[, k]) — logical navigation over the partial
+    #: match's rows bound to V (SQL:2016 cross-variable DEFINEs)
+    _NAV_FULL_RE = re.compile(
+        r"(?is)^\s*(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*"
+        r"([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)\s*$"
+    )
+    _NAV_CALL_RE = re.compile(
+        r"(?i)\b(?:FIRST|LAST)\s*\(\s*[A-Za-z_]\w*\s*\.\s*"
+        r"[A-Za-z_]\w*\s*(?:,\s*\d+\s*)?\)"
+    )
+    _NAV_ANY_RE = re.compile(r"(?i)\b(?:FIRST|LAST)\s*\(\s*[A-Za-z_]\w*\s*\.")
+    _QREF_RE = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)")
+    _QREF_FULL_RE = re.compile(
+        r"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*$"
+    )
     _CONSUMED = "__cns"
 
     def __init__(self, opts, ttl, op_col, seq_col) -> None:
         opts = dict(opts)
         unknown = set(opts) - {
             "partition", "order", "within", "pattern", "defines",
-            "measures", "skip",
+            "measures", "skip", "rows_per_match",
         }
         if unknown:
             raise ValueError(
@@ -1626,10 +1932,12 @@ class _MatchNfaPlan(_Plan):
             raise ValueError(
                 f"match_nfa= needs {sorted(missing)}: {{'partition': "
                 "[key cols], 'order': <ts col>, 'within': '<n> "
-                "<unit>s', 'pattern': 'A B+ C' | [(var, min, max)], "
+                "<unit>s', 'pattern': 'A B+ C' | [(var, min, max"
+                "[, greedy])], "
                 "'defines': {var: <sql over the row>}, 'measures': "
                 "[(agg sql over __var/__pos frame, name), ...]"
-                "[, 'skip': 'to_next'|'past_last']}"
+                "[, 'skip': 'to_next'|'past_last'|'to_first <VAR>'|"
+                "'to_last <VAR>'][, 'rows_per_match': 'one'|'all']}"
             )
         super().__init__(ttl)
         self.partition = list(opts["partition"])
@@ -1640,13 +1948,14 @@ class _MatchNfaPlan(_Plan):
         pat = opts["pattern"]
         self.pattern = (
             parse_match_pattern(pat) if isinstance(pat, str) else [
-                (v.upper(), mn, mx) for v, mn, mx in pat
+                (t[0].upper(), t[1], t[2], t[3] if len(t) > 3 else True)
+                for t in pat
             ]
         )
         defines = {
             k.upper(): v for k, v in dict(opts.get("defines") or {}).items()
         }
-        pat_vars = {v for v, _mn, _mx in self.pattern}
+        pat_vars = {v for v, _mn, _mx, _g in self.pattern}
         bad = set(defines) - pat_vars
         if bad:
             raise ValueError(
@@ -1665,21 +1974,63 @@ class _MatchNfaPlan(_Plan):
             self.prev_cols.add((col, k))
             return f"__prev{k}_{col}"
 
-        self.defines = {
-            v: self._PREV_RE.sub(_prev_repl, defines.get(v, "true"))
-            for v in pat_vars
+        self.var_elem = {
+            v: j for j, (v, _mn, _mx, _g) in enumerate(self.pattern)
         }
+        self.cur_exprs: list = []  # [(__cx<i>, row-local side SQL)]
+        self.nav_cols: set = set()  # raw columns navigation reads
+        self.defines = {}  # var -> AND of row-local conjuncts (JVM)
+        cross_by_var: dict = {}
+        for v in pat_vars:
+            raw = self._PREV_RE.sub(_prev_repl, defines.get(v, "true"))
+            local, cross = self._compile_define(v, raw)
+            self.defines[v] = local
+            cross_by_var[v] = cross
+        #: per pattern ELEMENT: cross-variable conjunct specs the NFA
+        #: scan evaluates against the partial match
+        self.cross_specs = [
+            cross_by_var.get(v, []) for v, _mn, _mx, _g in self.pattern
+        ]
         self.max_prev = max(
             (k for _c, k in self.prev_cols), default=0
         )
         self.measures = list(opts["measures"])
         if not self.measures:
             raise ValueError("match_nfa= needs at least one measure")
-        self.skip = str(opts.get("skip", "to_next")).lower()
-        if self.skip not in ("to_next", "past_last"):
+        self.rows_per_match = str(
+            opts.get("rows_per_match", "one")
+        ).lower()
+        if self.rows_per_match not in ("one", "all"):
             raise ValueError(
-                f"skip must be 'to_next' or 'past_last', got "
-                f"{opts.get('skip')!r}"
+                f"rows_per_match must be 'one' or 'all', got "
+                f"{opts.get('rows_per_match')!r}"
+            )
+        sk = str(opts.get("skip", "to_next")).lower().split()
+        if sk == ["to_next"]:
+            self.skip = ("next",)
+        elif sk == ["past_last"]:
+            self.skip = ("past",)
+        elif len(sk) == 2 and sk[0] in ("to_first", "to_last"):
+            v = sk[1].upper()
+            if v not in self.var_elem:
+                raise ValueError(
+                    f"skip names unknown pattern variable {sk[1]!r}; "
+                    f"the pattern defines {sorted(self.var_elem)}"
+                )
+            el = self.var_elem[v]
+            if sk[0] == "to_first" and el == 0:
+                raise ValueError(
+                    f"AFTER MATCH SKIP TO FIRST {v}: {v} is the "
+                    "pattern's first element, so every match would "
+                    "resume at its own first row — an infinite loop "
+                    "(Flink's AfterMatchSkipStrategy raises the "
+                    "same); use SKIP TO NEXT ROW"
+                )
+            self.skip = ("first" if sk[0] == "to_first" else "last", el)
+        else:
+            raise ValueError(
+                f"skip must be 'to_next', 'past_last', 'to_first "
+                f"<VAR>' or 'to_last <VAR>', got {opts.get('skip')!r}"
             )
         self.op_col = op_col
         self.seq_col = seq_col
@@ -1688,6 +2039,144 @@ class _MatchNfaPlan(_Plan):
                 "match_nfa ttl must name the ORDER BY time column "
                 f"({self.order!r})"
             )
+
+    # -- DEFINE compilation --------------------------------------------
+    def _compile_define(self, var: str, sql: str):
+        """Split one DEFINE into (row-local SQL, [cross conjunct
+        specs]).  Row-local conjuncts keep full SQL power (they become
+        one JVM boolean column); cross-variable conjuncts are parsed
+        to ``(side, cmp, side)`` evaluated in the NFA scan."""
+        local, cross = [], []
+        for conj in _split_and_conjuncts(sql):
+            conj = _strip_outer_parens(conj)
+            spec = self._compile_conjunct(var, conj)
+            if spec is None:
+                local.append(self._strip_self_quals(var, conj))
+            else:
+                cross.append(spec)
+        return (
+            " AND ".join(f"({c})" for c in local) if local else "true",
+            cross,
+        )
+
+    def _code_segments(self, sql: str) -> str:
+        """The non-string-literal text of a SQL fragment."""
+        return "".join(
+            seg
+            for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql))
+            if i % 2 == 0
+        )
+
+    def _compile_conjunct(self, var: str, text: str):
+        """None when the conjunct is row-local; else a cross spec."""
+        code = self._code_segments(text)
+        has_nav = bool(self._NAV_ANY_RE.search(code))
+        quals = {
+            m.group(1).upper()
+            for m in self._QREF_RE.finditer(self._NAV_CALL_RE.sub(" ", code))
+        }
+        unknown = quals - set(self.var_elem)
+        if unknown:
+            raise ValueError(
+                f"DEFINE {var} references unknown qualifier(s) "
+                f"{sorted(unknown)}; the pattern defines "
+                f"{sorted(self.var_elem)}"
+            )
+        if not has_nav and quals <= {var}:
+            return None
+        sp = _split_comparison(text)
+        if sp is None:
+            raise ValueError(
+                f"DEFINE {var}: cross-variable conjunct {text!r} must "
+                "be a single comparison <side> <cmp> <side> (cmp in "
+                "< <= > >= = <> !=) — each side one FIRST/LAST(V.col"
+                "[, k]) / V.col navigation reference or a row-local "
+                "expression; split OR-combined forms into separate "
+                "MATCH_RECOGNIZE statements"
+            )
+        lhs, op, rhs = sp
+        return (
+            self._compile_side(var, lhs),
+            op,
+            self._compile_side(var, rhs),
+        )
+
+    def _check_nav_target(self, var: str, v: str) -> int:
+        if v not in self.var_elem:
+            raise ValueError(
+                f"DEFINE {var} navigates unknown pattern variable "
+                f"{v!r}; the pattern defines {sorted(self.var_elem)}"
+            )
+        if self.var_elem[v] > self.var_elem[var]:
+            raise ValueError(
+                f"DEFINE {var} references {v}, which is bound LATER in "
+                "the pattern — a forward reference is never bound when "
+                f"{var} rows are classified (SQL:2016 forbids it)"
+            )
+        return self.var_elem[v]
+
+    def _compile_side(self, var: str, s: str):
+        """One comparison side → ``("nav", elem, col, is_last, off)``
+        for a navigation reference, ``("cur", __cx<i>)`` for a
+        row-local expression (JVM-precomputed)."""
+        s = _strip_outer_parens(s)
+        m = self._NAV_FULL_RE.match(s)
+        if m:
+            mode, v, col = (
+                m.group(1).upper(), m.group(2).upper(), m.group(3)
+            )
+            off = int(m.group(4) or 0)
+            el = self._check_nav_target(var, v)
+            self.nav_cols.add(col)
+            return ("nav", el, col, mode == "LAST", off)
+        m = self._QREF_FULL_RE.match(s)
+        if m and m.group(1).upper() in self.var_elem and (
+            m.group(1).upper() != var
+        ):
+            v, col = m.group(1).upper(), m.group(2)
+            el = self._check_nav_target(var, v)
+            self.nav_cols.add(col)
+            # bare V.col ≡ LAST(V.col) — SQL:2016's running default
+            return ("nav", el, col, True, 0)
+        code = self._code_segments(s)
+        if self._NAV_ANY_RE.search(code):
+            raise ValueError(
+                f"DEFINE {var}: navigation must stand alone on its "
+                f"side of the comparison, got {s!r} — rewrite "
+                "arithmetic onto the row-local side (e.g. B.price / "
+                "1.1 > A.price instead of B.price > A.price * 1.1)"
+            )
+        bad = {
+            m.group(1).upper() for m in self._QREF_RE.finditer(code)
+        } - {var}
+        if bad & set(self.var_elem):
+            raise ValueError(
+                f"DEFINE {var}: side {s!r} mixes a cross-variable "
+                f"reference ({sorted(bad & set(self.var_elem))}) into "
+                "an expression — navigation must stand alone on its "
+                "side of the comparison"
+            )
+        name = f"__cx{len(self.cur_exprs)}"
+        self.cur_exprs.append((name, self._strip_self_quals(var, s)))
+        return ("cur", name)
+
+    def _strip_self_quals(self, var: str, sql: str) -> str:
+        """``<var>.col`` → ``col`` outside string literals — the
+        defined variable's reference IS the row being classified."""
+        out = []
+        for i, seg in enumerate(re.split(r"('(?:[^']|'')*')", sql)):
+            if i % 2 == 1:
+                out.append(seg)
+                continue
+            out.append(
+                re.sub(
+                    rf"(?i)(?<![\w.]){re.escape(var)}\s*\.\s*"
+                    rf"([A-Za-z_]\w*)",
+                    r"\1",
+                    seg,
+                )
+            )
+        return "".join(out)
 
     # -- exploded matched rows ----------------------------------------
     def _explode(self, pool: DataFrame) -> DataFrame:
@@ -1700,7 +2189,7 @@ class _MatchNfaPlan(_Plan):
         elems = self.pattern
         n_el = len(elems)
         within_us = self.within_us
-        past_last = self.skip == "past_last"
+        skip = self.skip
         order, seq = self.order, self.seq_col
         payload = [c for c in pool.columns]
         prepped = pool.withColumn(
@@ -1716,6 +2205,17 @@ class _MatchNfaPlan(_Plan):
                 prepped = prepped.withColumn(
                     f"__prev{k}_{col}", F.lag(col, k).over(lw)
                 )
+        # cross-variable conjuncts: row-local comparison sides become
+        # JVM columns; navigation reads raw payload columns
+        missing_nav = self.nav_cols - set(pool.columns)
+        if missing_nav:
+            raise ValueError(
+                f"DEFINE navigation references column(s) "
+                f"{sorted(missing_nav)} absent from the input "
+                f"({sorted(pool.columns)})"
+            )
+        for cx_name, cx_sql in self.cur_exprs:
+            prepped = prepped.withColumn(cx_name, F.expr(cx_sql))
         # rows consumed by a horizon-straddling match (SKIP PAST LAST
         # ROW) stay in the pool as PREV/adjacency context but can
         # never be matched again
@@ -1724,7 +2224,7 @@ class _MatchNfaPlan(_Plan):
             if self._CONSUMED in pool.columns
             else F.lit(False)
         )
-        for j, (var, _mn, _mx) in enumerate(elems):
+        for j, (var, _mn, _mx, _g) in enumerate(elems):
             prepped = prepped.withColumn(
                 f"__def_{j}",
                 F.coalesce(F.expr(self.defines[var]), F.lit(False))
@@ -1738,7 +2238,16 @@ class _MatchNfaPlan(_Plan):
                 T.StructField("__pos", T.LongType()),
             ]
         )
-        var_names = [v for v, _mn, _mx in elems]
+        var_names = [v for v, _mn, _mx, _g in elems]
+        cross_specs = self.cross_specs
+        needed_cols = sorted(
+            {
+                side[2] if side[0] == "nav" else side[1]
+                for specs in cross_specs
+                for lhs, _op, rhs in specs
+                for side in (lhs, rhs)
+            }
+        )
 
         def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(
@@ -1748,7 +2257,11 @@ class _MatchNfaPlan(_Plan):
             flags = [
                 pdf[f"__def_{j}"].to_numpy() for j in range(n_el)
             ]
-            matches = _nfa_scan(flags, ots, elems, within_us, past_last)
+            vals = {c: pdf[c].to_numpy() for c in needed_cols}
+            matches = _nfa_scan(
+                flags, ots, elems, within_us, skip,
+                cross_specs, vals,
+            )
             if not matches:
                 return pd.DataFrame(
                     columns=payload + ["__match_id", "__var", "__pos"]
@@ -1771,10 +2284,29 @@ class _MatchNfaPlan(_Plan):
         )
 
     def _measure_rows(self, exploded: DataFrame) -> DataFrame:
-        """ONE ROW PER MATCH: partition cols + measures, +1 multiset."""
+        """ONE ROW PER MATCH: partition cols + measures, +1 multiset.
+        ALL ROWS PER MATCH (r12): one output row per MATCHED INPUT ROW
+        — the source columns plus the match's measures joined back on
+        (key, match) with FINAL semantics (the SQL:2016 FINAL
+        modifier's values on every row; Flink does not support ALL
+        ROWS PER MATCH at all, so this is a superset of reference
+        parity — RUNNING-semantics measures are not offered)."""
         per_match = exploded.groupBy(
             *self.partition, "__match_id"
         ).agg(*[F.expr(sql).alias(name) for sql, name in self.measures])
+        if self.rows_per_match == "all":
+            payload = [
+                c
+                for c in exploded.columns
+                if c not in ("__match_id", "__var", "__pos", self._CONSUMED)
+            ]
+            return (
+                exploded.join(
+                    per_match, [*self.partition, "__match_id"], "inner"
+                )
+                .select(*payload, *[n for _sql, n in self.measures])
+                .withColumn(MULT_COL, F.lit(1).cast("long"))
+            )
         return per_match.select(
             *self.partition, *[n for _sql, n in self.measures]
         ).withColumn(MULT_COL, F.lit(1).cast("long"))
@@ -1853,7 +2385,7 @@ class _MatchNfaPlan(_Plan):
                 .drop("__rnb", "__above")
             )
             pruned = pruned.unionByName(extras)
-        if self.skip == "past_last":
+        if self.skip[0] == "past":
             # rows consumed by a match whose FIRST row fell behind the
             # horizon are MARKED unmatchable (not removed): the
             # straddling match stays emitted (its prefix is pruned, so
@@ -2757,13 +3289,16 @@ def maintain(
       ``within`` of its max event time; per batch one LEAD window
       over the affected keys' pool, diffed exactly.
     * ``match_nfa={"partition": [...], "order": <ts col>, "within":
-      "<n> <unit>s", "pattern": "A B+ C{1,3}", "defines": {var:
-      <sql over the row being classified>}, "measures": [(agg sql
-      over the __var/__pos match frame, name), ...][, "skip":
-      "to_next"|"past_last"]}`` — general-pattern MATCH_RECOGNIZE
-      (greedy quantifiers, any number of variables, SKIP PAST LAST
-      ROW) via a per-key NFA over the same WITHIN-bounded pool,
-      run as ONE Arrow-batched grouped-pandas step per batch; see
+      "<n> <unit>s", "pattern": "A B+ C{1,3} D*?", "defines": {var:
+      <sql over the row / cross-variable comparisons>}, "measures":
+      [(agg sql over the __var/__pos match frame, name), ...][,
+      "skip": "to_next"|"past_last"|"to_first <VAR>"|"to_last <VAR>"]
+      [, "rows_per_match": "one"|"all"]}`` — general-pattern
+      MATCH_RECOGNIZE (greedy AND reluctant quantifiers, any number
+      of variables, all four AFTER MATCH skip strategies,
+      cross-variable DEFINEs, ONE/ALL ROWS PER MATCH — r12) via a
+      per-key NFA over the same WITHIN-bounded pool, run as ONE
+      Arrow-batched grouped-pandas step per batch; see
       ``_MatchNfaPlan``.
     * ``setop={"op": "intersect"|"except"[, "all": bool]}`` —
       streaming INTERSECT [ALL] / EXCEPT [ALL] of two changelogs
@@ -2814,8 +3349,9 @@ def maintain(
       plan per set, deltas NULL-filled to the full group list and
       tagged with the SQL GROUPING_ID bitmask; sum/count/avg sets ride
       the stateless signed-delta plan, min/max and DISTINCT aggregates
-      (r11) give each non-empty set a value-multiset retract plan
-      (the GLOBAL set () refuses them); no ttl.
+      (r11) give each set a value-multiset retract plan — including
+      (r12) the GLOBAL set (), which runs its constant-group form; no
+      ttl.
 
     * ``distinct={name: (fn, col)}`` — sum/count/avg over DISTINCT
       values (Flink's streaming distinct aggregation): the plan keeps a
@@ -2823,8 +3359,10 @@ def maintain(
       distinct-view MapState) so a retraction removes a value only when
       its last live occurrence goes.  Combine with plain sum/count/avg
       in ``aggs`` (which may then be ``{}``); min/max in the same
-      statement join the view plan (r11 — same state shape); session
-      windows are not combinable with distinct — split the statement.
+      statement join the view plan (r11 — same state shape).  Under
+      SESSION windows (r12), distinct instead recomputes from the
+      session plan's materialized table — exact under merges/splits
+      with no view state.
 
     * ``session=("<ts col>", "<n> <unit>")`` (or a dict adding
       ``w_start``/``w_end`` output names) — session-window aggregation
@@ -2955,9 +3493,11 @@ def maintain(
             raise ValueError(
                 "match_nfa= takes an options dict: {'partition': [...], "
                 "'order': <ts col>, 'within': '<n> <unit>s', "
-                "'pattern': 'A B+ C' | [(var, min, max)], 'defines': "
+                "'pattern': 'A B+ C' | [(var, min, max[, greedy])], "
+                "'defines': "
                 "{var: <sql>}, 'measures': [(agg sql, name), ...]"
-                "[, 'skip': 'to_next'|'past_last']}"
+                "[, 'skip': 'to_next'|'past_last'|'to_first <VAR>'|"
+                "'to_last <VAR>'][, 'rows_per_match': 'one'|'all']}"
             )
         return _MatchNfaPlan(match_nfa, ttl, op_col, seq_col)
     if over is not None:
@@ -2991,12 +3531,6 @@ def maintain(
     unsupported = fns - _AGG_FNS
     if unsupported:
         raise ValueError(f"unsupported aggregate(s): {sorted(unsupported)}")
-    if not group_cols and session is None and (fns & {"min", "max"} or distinct):
-        raise ValueError(
-            "a GLOBAL aggregate (group_cols=[]) supports the stateless "
-            "signed-delta plan only (sum/count/avg, no distinct) — "
-            "min/max and distinct views need group-keyed affected sets"
-        )
     if grouping_sets is not None:
         if session is not None:
             raise ValueError(
@@ -3019,15 +3553,13 @@ def maintain(
         overlap = set(distinct) & set(aggs)
         if overlap:
             raise ValueError(f"duplicate output column(s) {sorted(overlap)}")
-        if session is not None:
-            raise ValueError(
-                "distinct aggregates are not supported on SESSION "
-                "windows; use TUMBLE/HOP/CUMULATE or plain groups"
-            )
+    if distinct and session is None:
         # min/max in the same statement join the view plan (r11): the
         # (group, value)->count state IS Flink's retraction-capable
         # Min/MaxWithRetractAggFunction accumulator, so no second
-        # (table-state) plan is needed
+        # (table-state) plan is needed.  (Under SESSION windows,
+        # distinct instead recomputes from the session plan's
+        # materialized table — see below.)
         views = dict(distinct)
         plain = dict(aggs)
         for name in [n for n, (fn, _c) in aggs.items()
@@ -3065,21 +3597,22 @@ def maintain(
             )
         return _SessionPlan(
             keys, group_cols, aggs, ts_col, gap, w_start, w_end,
-            ttl, op_col, seq_col,
+            ttl, op_col, seq_col, distinct=distinct,
         )
     if fns & {"min", "max"}:
-        if keys and window_key:
+        if keys and window_key and group_cols:
             return _WindowedRecomputePlan(
                 keys, window_key, group_cols, aggs, ttl, op_col, seq_col
             )
-        if keys:
+        if keys and group_cols:
             return _AggRecomputePlan(
                 keys, group_cols, aggs, ttl, op_col, seq_col
             )
-        # no PRIMARY KEY (a PK-less table, a UNION ALL of tables): the
-        # value-multiset retract plan — Flink's own min/max strategy
-        # (Min/MaxWithRetractAggFunction's value->count map), riding
-        # the distinct-view plan's state; full-retraction input
+        # no PRIMARY KEY (a PK-less table, a UNION ALL of tables) or a
+        # GLOBAL aggregate (group_cols=[], one constant group — r12):
+        # the value-multiset retract plan — Flink's own min/max
+        # strategy (Min/MaxWithRetractAggFunction's value->count map),
+        # riding the distinct-view plan's state; full-retraction input
         # required (the -U images decrement the counts).  Window
         # replication needs no special keying here: replicas fold into
         # per-(group incl. window, value) signed counts.

@@ -838,8 +838,18 @@ def parse_insert_select(sql: str) -> InsertSelect:
         )
 
         pattern = parse_match_pattern(mm.group("pattern"))
-        pat_vars = [v for v, _mn, _mx in pattern]
-        skip_past = mm.group("skip").upper().split()[0] == "PAST"
+        pat_vars = [v for v, _mn, _mx, _g in pattern]
+        sk_words = mm.group("skip").upper().split()
+        if sk_words[0] == "PAST":
+            skip_opt = "past_last"
+        elif sk_words[:2] == ["TO", "NEXT"]:
+            skip_opt = "to_next"
+        else:  # TO FIRST <var> | TO LAST <var>  (r12)
+            skip_opt = (
+                ("to_first " if sk_words[1] == "FIRST" else "to_last ")
+                + sk_words[2]
+            )
+        all_rows = (mm.group("rpm") or "ONE").upper().startswith("ALL")
         defines = _parse_match_defines(mm.group("defines"), pat_vars)
         partition = _names(mm.group("partition"), "PARTITION BY")
         within = f"{mm.group('wn')} {mm.group('wu').lower()}s"
@@ -859,8 +869,9 @@ def parse_insert_select(sql: str) -> InsertSelect:
             re.search(r"(?i)\bPREV\s*\(", d) for d in defines.values()
         )
         two_step = (
-            not skip_past
-            and pattern == [("A", 1, 1), ("B", 1, 1)]
+            skip_opt == "to_next"
+            and not all_rows
+            and pattern == [("A", 1, 1, True), ("B", 1, 1, True)]
             and set(defines) == {"A", "B"}
             and not uses_agg_measures
             and not uses_prev
@@ -899,10 +910,15 @@ def parse_insert_select(sql: str) -> InsertSelect:
         for raw in _split_select_items(mm.group("items")):
             expr, alias = _split_alias(raw)
             im = _IDENT.match(expr)
-            if not im or im.group("name") not in out_names:
+            # ALL ROWS PER MATCH (r12) additionally exposes every
+            # SOURCE column — those resolve at plan time, so only the
+            # identifier shape is checked here
+            if not im or (not all_rows and im.group("name") not in out_names):
                 raise ValueError(
                     f"MATCH_RECOGNIZE select items must be PARTITION BY "
-                    f"columns or measure names ({out_names}), got {raw!r}"
+                    f"columns or measure names ({out_names})"
+                    + (" or source columns" if all_rows else "")
+                    + f", got {raw!r}"
                 )
             items.append((im.group("name"), alias or im.group("name")))
         if two_step:
@@ -937,7 +953,8 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 "partition": partition, "order": order,
                 "within": within, "pattern": pattern,
                 "defines": nfa_defines, "measures": measures,
-                "skip": "past_last" if skip_past else "to_next",
+                "skip": skip_opt,
+                "rows_per_match": "all" if all_rows else "one",
             },
         )
 
@@ -948,9 +965,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
             "cannot parse the MATCH_RECOGNIZE clause; the maintained "
             "subset is: SELECT <partition cols / measure names> FROM "
             "<t> MATCH_RECOGNIZE (PARTITION BY <cols> ORDER BY <rowtime "
-            "ASC> MEASURES <V.x exprs> AS <name>, .. AFTER MATCH "
-            "SKIP TO NEXT ROW | SKIP PAST LAST ROW PATTERN "
-            "(<vars with optional + * ? {n,m} quantifiers>) WITHIN "
+            "ASC> MEASURES <V.x exprs> AS <name>, .. [ONE ROW | ALL "
+            "ROWS PER MATCH] AFTER MATCH "
+            "SKIP TO NEXT ROW | SKIP PAST LAST ROW | SKIP TO "
+            "FIRST/LAST <var> PATTERN "
+            "(<vars with optional + * ? {n,m} quantifiers, reluctant "
+            "with a trailing ?>) WITHIN "
             "INTERVAL '<n>' <unit> DEFINE <V> AS <pred>, ..)"
         )
 
@@ -1509,7 +1529,9 @@ _MATCH_RE = re.compile(
     r"PARTITION\s+BY\s+(?P<partition>.*?)\s+"
     r"ORDER\s+BY\s+(?P<order>[`\"]?\w+[`\"]?)(?:\s+ASC)?\s+"
     r"MEASURES\s+(?P<measures>.*?)\s+"
-    r"AFTER\s+MATCH\s+SKIP\s+(?P<skip>TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW)\s+"
+    r"(?:(?P<rpm>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
+    r"AFTER\s+MATCH\s+SKIP\s+(?P<skip>TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW|"
+    r"TO\s+(?:FIRST|LAST)\s+\w+)\s+"
     r"PATTERN\s*\(\s*(?P<pattern>[^)]*)\)\s+"
     r"WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+"
     r"(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s+"
@@ -1625,17 +1647,17 @@ _NFA_PREV_RE = re.compile(
 
 
 def _rewrite_nfa_define(sql: str, var: str, pat_vars: list) -> str:
-    """DEFINE rewrite for the NFA plan: ``<var>.col`` → ``col`` (the
-    row being classified) and bare identifiers stay (SQL:2016 binds
-    them to the same row).  ``PREV(V.col[, k])`` is physical row
-    navigation (the k-th previous INPUT row per key — which for
-    contiguous patterns is the previous row of the match) and may
-    qualify with ANY pattern variable; it rewrites to the plan's
-    ``PREV(col[, k])`` form, which becomes a JVM LAG column.  Other
-    references to OTHER pattern variables are
-    refused: the NFA subset evaluates each DEFINE against its own row
-    so predicates stay JVM-precomputable bitmaps — cross-variable
-    predicates are the two-step PATTERN (A B) plan's territory."""
+    """DEFINE rewrite for the NFA plan.  ``PREV(V.col[, k])`` is
+    physical row navigation (the k-th previous INPUT row per key —
+    which for contiguous patterns is the previous row of the match)
+    and may qualify with ANY pattern variable; it rewrites to the
+    plan's ``PREV(col[, k])`` form, which becomes a JVM LAG column.
+    Everything else passes through: the plan itself binds ``<var>.col``
+    and bare identifiers to the row being classified (SQL:2016),
+    and (r12) evaluates cross-variable references — ``V.col``,
+    ``FIRST/LAST(V.col[, k])`` — against the partial match's bound
+    rows inside the NFA scan.  Unknown qualifiers refuse here, with
+    the full statement context."""
     upper_vars = {v.upper() for v in pat_vars}
 
     def _prev_repl(m):
@@ -1658,25 +1680,13 @@ def _rewrite_nfa_define(sql: str, var: str, pat_vars: list) -> str:
             q.upper()
             for q in re.findall(r"(?<![\w.])(\w+)\s*\.\s*[A-Za-z_]", seg)
         }
-        others = quals - {var.upper()}
-        if others & {v.upper() for v in pat_vars}:
-            raise ValueError(
-                f"DEFINE {var} references other pattern variable(s) "
-                f"{sorted(others)}; the NFA subset evaluates each "
-                "DEFINE against the row being classified only — "
-                "cross-variable predicates are supported by the "
-                "two-step PATTERN (A B) plan"
-            )
-        if others:
+        unknown = quals - upper_vars
+        if unknown:
             raise ValueError(
                 f"DEFINE {var} references unknown qualifier(s) "
-                f"{sorted(others)}; the pattern defines {pat_vars}"
+                f"{sorted(unknown)}; the pattern defines {pat_vars}"
             )
-        out.append(
-            re.sub(
-                rf"(?i)\b{re.escape(var)}\s*\.\s*(\w+)", r"\1", seg
-            )
-        )
+        out.append(seg)
     return "".join(out)
 
 
@@ -2192,14 +2202,9 @@ class SqlMaintenanceJob:
                     "declares none"
                 )
             ts_col, gap = stmt.session
-            if distinct:
-                # (MIN/MAX(DISTINCT x) already rewrote to plain above
-                # and is fine here — only sum/count/avg views refuse)
-                raise ValueError(
-                    f"DISTINCT aggregates ({sorted(distinct)}) are not "
-                    "supported on SESSION windows; use TUMBLE/HOP/"
-                    "CUMULATE or plain groups"
-                )
+            # DISTINCT aggregates (r12) recompute from the session
+            # plan's materialized table per affected group — exact
+            # under session merges/splits with no view state
             self.plan = maintain(
                 aggs=aggs,
                 group_cols=stmt.group_cols, keys=keys,
@@ -2207,6 +2212,7 @@ class SqlMaintenanceJob:
                     "ts": ts_col, "gap": gap,
                     "w_start": _W_START, "w_end": _W_END,
                 },
+                distinct=distinct or None,
                 op_col=op_col, seq_col=seq_col, ttl=ttl,
             )
         elif stmt.shape == "agg" and stmt.grouping_sets:
@@ -2512,13 +2518,18 @@ class SqlMaintenanceJob:
         # (the padding delta null-extends the missing side's payload),
         # so the projection rewrites to
         # ``CASE WHEN <pres> IS NULL THEN NULL ELSE <key> END``.
-        # Chain stages padding the ACCUMULATED left side (right/full)
-        # keep the refusal — presence there would have to thread
-        # through every earlier stage.
+        # Chain stages padding the ACCUMULATED left side (right/full —
+        # r12, formerly refused): the presence column attaches to the
+        # OWNING side's prep and rides the accumulated frame through
+        # later stages as ordinary payload — a later stage's pad rows
+        # null-extend it exactly like the rest of that side's columns,
+        # and an earlier stage padding the owning side itself also
+        # NULLs it (both cases are SQL-NULL projections), so no
+        # per-stage threading is needed.
         self._pad_pres: dict = {}   # (alias, col) -> (pres col, phys col)
         self._pres_sides: dict = {}  # prep side index -> pres col name
         if stmt.shape in ("join", "temporal", "lookup"):
-            pad, pad_acc = set(), set()
+            pad = set()
             if stmt.shape == "temporal":
                 if stmt.join_how == "left":
                     b_al = stmt.temporal[2]
@@ -2533,10 +2544,9 @@ class SqlMaintenanceJob:
                             (stage["alias"], rc) for _, _, rc in stage["on"]
                         }
                     if stage["how"] in ("right", "full"):
-                        # right/full pads the ACCUMULATED left side —
-                        # presence there would have to thread through
-                        # every earlier stage, so it keeps the refusal
-                        pad_acc |= {(q, lc) for q, lc, _ in stage["on"]}
+                        # right/full pads the ACCUMULATED left side:
+                        # presence on the owning side (r12)
+                        pad |= {(q, lc) for q, lc, _ in stage["on"]}
             else:
                 a_al, b_al = stmt.join_aliases
                 if stmt.join_how in ("left", "full"):
@@ -2544,20 +2554,6 @@ class SqlMaintenanceJob:
                 if stmt.join_how in ("right", "full"):
                     pad |= {(a_al, ca) for ca, _ in stmt.join_on}
             projected = {tuple(src.split(".", 1)) for src, _ in stmt.select}
-            bad_acc = sorted(projected & pad_acc)
-            if bad_acc:
-                raise ValueError(
-                    f"SELECT projects a null-padded ACCUMULATED side's "
-                    f"join column(s) "
-                    f"{['.'.join(b) for b in bad_acc]} in a join "
-                    "chain: on the pad rows SQL emits NULL there, but "
-                    "the maintained frame's coalesced key column "
-                    "carries the matched side's value — project the "
-                    "non-padded side's join column instead (equal on "
-                    "every matched row), or restructure as two-way "
-                    "joins where the NULL-correct projection is "
-                    "supported"
-                )
             for q, c in sorted(projected & pad):
                 if stmt.join_chain:
                     side = stmt.join_aliases.index(q)
@@ -2717,7 +2713,13 @@ class SqlMaintenanceJob:
         if missing:
             raise ValueError(f"step() missing batch for table(s) {missing}")
         if self.stmt.shape == "join" and self.stmt.join_chain:
-            prepped = [self._prep(0, batches[self.stmt.sources[0]])]
+            first = self._prep(0, batches[self.stmt.sources[0]])
+            if 0 in self._pres_sides:
+                # presence for the FIRST side when a later right/full
+                # stage pads the accumulated frame (r12) — rides the
+                # chain as ordinary payload
+                first = first.withColumn(self._pres_sides[0], F.lit(1))
+            prepped = [first]
             acc_cols = set(prepped[0].columns) - {self.op_col, self.seq_col}
             for i, stage in enumerate(self.stmt.join_chain):
                 b = self._prep(i + 1, batches[self.stmt.sources[i + 1]])
@@ -3245,11 +3247,14 @@ def explain_insert_maintained(
                 if (lo, hi) == (0, 1)
                 else f"{{{lo},{'' if hi is None else hi}}}"
             )
-            for v, lo, hi in mn["pattern"]
+            + ("" if greedy else "?")
+            for v, lo, hi, greedy in mn["pattern"]
         )
         lines.append(
             f"pattern: ({pat}) within {mn['within']}, skip "
-            f"{mn['skip']}, PARTITION BY {mn['partition']} ORDER BY "
+            f"{mn['skip']}, "
+            f"{mn.get('rows_per_match', 'one')} row(s) per match, "
+            f"PARTITION BY {mn['partition']} ORDER BY "
             f"{mn['order']}; defines: {mn['defines']!r}"
         )
     if stmt.shape == "setop":

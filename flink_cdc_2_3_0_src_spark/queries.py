@@ -108,7 +108,21 @@ _PRIORITY: list[str] = [
     # JOIN b JOIN c.  delta_join stays registered + locally swept.)
     "cdc_sql_three_way_join",
     "cdc_chunked_snapshot", "cdc_sample_bucket_snapshot",
-    "cdc_metadata_columns", "cdc_mongo_changestream_decode",
+    "cdc_metadata_columns",
+    # (cdc_mongo_changestream_decode: demoted in r12 — the A13 decode
+    # family held FOUR window rows (dbz_roundtrip, dbz_typed_decode,
+    # mongo_changestream, mongo_nested) and keeps THREE; the
+    # change-stream envelope's Extended-JSON scalar/nested decode
+    # machinery is exercised in-window by cdc_mongo_nested_decode and
+    # its clusterTime total order by cdc_mongo_resume_token, and the
+    # row stays registered + locally swept.  Its slot goes to
+    # cdc_sql_match_cross_var: CROSS-VARIABLE DEFINEs in
+    # MATCH_RECOGNIZE (``B.value > A.value`` ≡ LAST(A.value),
+    # SQL:2016) evaluated against the partial match inside the NFA
+    # scan — Flink's IterativeCondition-over-partial-match, the r11
+    # VERDICT's #1 ask and a capability no other window row
+    # exercises (the NFA funnel row's defines are all row-local).)
+    "cdc_sql_match_cross_var",
     # (b6_all_types_decode: demoted r10 — the decode family held SIX
     # window rows and B6 keeps TWO (cdc_dbz_typed_decode, the
     # declared-schema envelope decode whose converter matrix subsumes
@@ -4764,6 +4778,64 @@ def cdc_sql_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DISTINCT aggregates under SESSION windows (r12) — formerly refused.
+# The session plan re-sessionizes affected groups from the PK-keyed
+# materialized table, so DISTINCT recomputes from raw rows and is
+# exact under session merges/splits with NO view state (a merge folds
+# the union's distinct set by construction) — cheaper than the
+# (session, value)-keyed view Flink's planner would thread through
+# window merges.  The value floors into a small integer domain so
+# duplicates occur inside sessions; the oracle sessionizes one-shot
+# (gaps-and-islands) and applies the same DISTINCT aggregates.
+@register(
+    "cdc_sql_session_distinct",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL}),
+    s AS (
+        SELECT user_id % 10 AS bucket, value, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                            >= 7200000000
+                    THEN 1 ELSE 0 END AS brk
+        FROM m WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id % 10 ORDER BY ts)
+    ),
+    sid AS (
+        SELECT *, SUM(brk) OVER (
+            PARTITION BY bucket ORDER BY ts ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM s
+    )
+    SELECT bucket, MIN(ts) AS w_start,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd,
+           CAST(SUM(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5)
+                AS BIGINT) AS sd
+    FROM sid GROUP BY bucket, sid
+    """,
+)
+def cdc_sql_session_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    out = replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket,"
+        " SESSION_START(ts, INTERVAL '2' HOUR) AS w_start,"
+        " COUNT(*) AS n_rows,"
+        " COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd,"
+        " SUM(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS sd"
+        " FROM events_cdc GROUP BY bucket, SESSION(ts, INTERVAL '2' HOUR)",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=4,
+    )
+    return out.select("bucket", "w_start", "n_rows", "nd", "sd")
+
+
 # GROUPING SETS on the SQL maintenance surface (r10): Flink's
 # streaming planner expands grouping sets into an Expand node feeding
 # the group aggregate; here each set compiles to its own stateless
@@ -4814,6 +4886,50 @@ def cdc_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid",
         F.col("sum_dec").cast("double").alias("sum_value"),
         "n_live",
+    )
+
+
+# min/max + DISTINCT on the GLOBAL grouping set () (r12) — formerly
+# refused ("no group-keyed affected set").  The global set is ONE
+# constant group, so it rides the value-multiset retract plan's
+# constant-group form (affected = every batch; state = the global
+# distinct-value cardinality — the bound Flink pays for a global
+# MaxWithRetractAggFunction).  MAX must survive retraction of the
+# maximum itself (updates move values across buckets in the scripted
+# log), which plain signed deltas cannot express.  Oracle = the same
+# GROUPING SETS one-shot.
+@register(
+    "cdc_sql_grouping_sets_minmax",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT user_id % 10 AS bucket,
+           GROUPING(user_id % 10) AS gid,
+           MAX(CAST(value AS DECIMAL(18,2))) AS max_value,
+           MIN(CAST(value AS DECIMAL(18,2))) AS min_value,
+           COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd
+    FROM m
+    GROUP BY GROUPING SETS ((user_id % 10), ())
+    """,
+)
+def cdc_sql_grouping_sets_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT bucket, GROUPING_ID() AS gid,"
+        " MAX(CAST(value AS DECIMAL(18,2))) AS max_value,"
+        " MIN(CAST(value AS DECIMAL(18,2))) AS min_value,"
+        " COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd"
+        " FROM events_cdc GROUP BY GROUPING SETS ((bucket), ())",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=3,
     )
 
 
@@ -5857,6 +5973,281 @@ def cdc_sql_match_prev_rising(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AFTER MATCH SKIP PAST LAST ROW"
         " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
         " DEFINE B AS B.value > PREV(B.value))",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# Cross-variable DEFINEs in MATCH_RECOGNIZE (r12): ``B.value >
+# A.value`` — SQL:2016 binds the bare cross-reference to LAST(A.value),
+# the match's A row — evaluated inside the NFA scan against the
+# partial match's bound rows (operators/maintain._nfa_scan; Flink's
+# IterativeCondition-over-partial-match, the predicate every CEP
+# migrant writes after the funnel).  PATTERN (A B+): a view row, then
+# the maximal run of consecutive clicks whose value exceeds THAT
+# view's value.  WITHIN '60' DAY exceeds the corpus span (non-binding,
+# as in cdc_sql_match_prev_rising).  Oracle validity under SKIP PAST
+# LAST ROW: B requires a click, so a consumed span holds no view
+# beyond its own A row — consumption never suppresses another match's
+# start, making the greedy match set identical to the per-view
+# formulation below (stop = first following row that is not a
+# qualifying click; NULL values break the run in both engines:
+# unknown comparison → not satisfied).
+@register(
+    "cdc_sql_match_cross_var",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    mx AS (SELECT user_id, MAX(rn) AS mxrn FROM e GROUP BY user_id),
+    v AS (SELECT user_id, value AS av, ts AS a_ts, rn FROM e
+          WHERE event_type = 'view'),
+    stp AS (
+        SELECT v.user_id, v.rn,
+               COALESCE(MIN(CASE WHEN x.event_type = 'click'
+                                  AND COALESCE(x.value > v.av, FALSE)
+                                 THEN NULL ELSE x.rn END),
+                        m.mxrn + 1) AS stop
+        FROM v
+        JOIN mx m ON m.user_id = v.user_id
+        LEFT JOIN e x ON x.user_id = v.user_id AND x.rn > v.rn
+        GROUP BY v.user_id, v.rn, m.mxrn
+    ),
+    runs AS (
+        SELECT v.user_id AS u, v.a_ts, v.rn, s.stop - v.rn - 1 AS n_b
+        FROM v JOIN stp s ON s.user_id = v.user_id AND s.rn = v.rn
+        WHERE s.stop - v.rn - 1 >= 1
+    )
+    SELECT r.u, r.a_ts, r.n_b, MAX(x.value) AS max_b
+    FROM runs r
+    JOIN e x ON x.user_id = r.u AND x.rn > r.rn
+            AND x.rn <= r.rn + r.n_b
+    GROUP BY r.u, r.rn, r.a_ts, r.n_b
+    """,
+)
+def cdc_sql_match_cross_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, n_b, max_b"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, COUNT(B.*) AS n_b,"
+        " MAX(B.value) AS max_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click' AND B.value > A.value)",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# ALL ROWS PER MATCH (r12): one output row per MATCHED INPUT ROW with
+# the match's measures joined back (FINAL semantics — SQL:2016's FINAL
+# modifier on every row; Flink supports ONE ROW PER MATCH only, so
+# this is a superset of reference parity).  Funnel view → click+ →
+# purchase under SKIP PAST LAST ROW; the oracle explodes the same
+# gaps-and-islands matches the ONE-ROW oracle computes (validity
+# argument at cdc_sql_match_recognize_nfa) into their member rows.
+@register(
+    "cdc_sql_match_all_rows",
+    """
+    WITH isl AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS g,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    fa AS (
+        SELECT user_id, g, event_type AS fet, ts AS fts,
+               event_id AS feid
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                           ORDER BY rn) AS irn
+              FROM isl)
+        WHERE irn = 1
+    ),
+    agg AS (
+        SELECT user_id, g, COUNT(*) AS cnt
+        FROM isl GROUP BY user_id, g
+    ),
+    matches AS (
+        SELECT f1.user_id AS u, f1.g, a1.cnt - 1 AS n_clicks,
+               f2.feid AS c_eid
+        FROM fa f1
+        JOIN agg a1 ON a1.user_id = f1.user_id AND a1.g = f1.g
+        JOIN fa f2 ON f2.user_id = f1.user_id AND f2.g = f1.g + 1
+        WHERE f1.fet = 'view' AND a1.cnt >= 2 AND f2.fet = 'purchase'
+          AND f2.fts < f1.fts + INTERVAL 1 DAY
+    )
+    SELECT m.u, i.event_id AS eid, i.event_type AS et, m.n_clicks
+    FROM matches m JOIN isl i ON i.user_id = m.u AND i.g = m.g
+    UNION ALL
+    SELECT m.u, m.c_eid AS eid, 'purchase' AS et, m.n_clicks
+    FROM matches m
+    """,
+)
+def cdc_sql_match_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, event_id AS eid,"
+        " event_type AS et, n_clicks FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_clicks"
+        " ALL ROWS PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase')",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# AFTER MATCH SKIP TO LAST <var> (r12): resume AT the last row bound
+# to the variable (Flink's AfterMatchSkipStrategy.skipToLast).  With
+# A = view and B = click (clicks bounded by the view's value — the
+# cross-variable define), the resume row is always a click, which can
+# never start a match (A requires a view), so the match set provably
+# coincides with the per-view formulation — the same argument as
+# cdc_sql_match_cross_var, whose oracle this shares (the engine-side
+# resume arithmetic is what this row drives; the differential
+# behavior of skip-to-var vs past-last is pinned in
+# tests/test_match_nfa.py::test_nfa_skip_to_last_var).
+@register(
+    "cdc_sql_match_skip_to_last",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    mx AS (SELECT user_id, MAX(rn) AS mxrn FROM e GROUP BY user_id),
+    v AS (SELECT user_id, value AS av, ts AS a_ts, rn FROM e
+          WHERE event_type = 'view'),
+    stp AS (
+        SELECT v.user_id, v.rn,
+               COALESCE(MIN(CASE WHEN x.event_type = 'click'
+                                  AND COALESCE(x.value > v.av, FALSE)
+                                 THEN NULL ELSE x.rn END),
+                        m.mxrn + 1) AS stop
+        FROM v
+        JOIN mx m ON m.user_id = v.user_id
+        LEFT JOIN e x ON x.user_id = v.user_id AND x.rn > v.rn
+        GROUP BY v.user_id, v.rn, m.mxrn
+    )
+    SELECT v.user_id AS u, v.av AS a_v, s.stop - v.rn - 1 AS n_b
+    FROM v JOIN stp s ON s.user_id = v.user_id AND s.rn = v.rn
+    WHERE s.stop - v.rn - 1 >= 1
+    """,
+)
+def cdc_sql_match_skip_to_last(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_v, n_b"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.value) AS a_v, COUNT(B.*) AS n_b"
+        " AFTER MATCH SKIP TO LAST B"
+        " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click' AND B.value > A.value)",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# Reluctant quantifiers (r12): ``B+?`` takes as FEW rows as possible
+# and grows only on demand.  With C UNDEFINED (any row qualifies,
+# SQL:2016), the reluctant form binds exactly ONE click to B and the
+# very next row to C — positionally expressible: every view followed
+# by a click followed by any row is a match (the greedy form would
+# instead absorb every consecutive click into B, a different result
+# wherever two clicks adjoin — the differential is pinned in
+# tests/test_match_nfa.py).  SKIP TO NEXT ROW keeps the match set
+# per-position (overlap allowed), so the oracle is a pure
+# position-offset join; WITHIN '60' DAY is non-binding.
+@register(
+    "cdc_sql_match_reluctant",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    )
+    SELECT v.user_id AS u, v.ts AS a_ts, x2.event_type AS c_et
+    FROM e v
+    JOIN e x1 ON x1.user_id = v.user_id AND x1.rn = v.rn + 1
+    JOIN e x2 ON x2.user_id = v.user_id AND x2.rn = v.rn + 2
+    WHERE v.event_type = 'view' AND x1.event_type = 'click'
+    """,
+)
+def cdc_sql_match_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, c_et"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, LAST(C.event_type) AS c_et"
+        " AFTER MATCH SKIP TO NEXT ROW"
+        " PATTERN (A B+? C) WITHIN INTERVAL '60' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click')",
         {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
         {"events_cdc": log},
         n_batches=3,

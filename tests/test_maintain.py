@@ -673,12 +673,32 @@ def test_maintain_distinct_dispatch_and_guards(spark):
     )
     assert isinstance(combo, _DistinctAggPlan)
     assert {n for n, _ in combo.distinct} == {"m", "nd"}
-    with pytest.raises(ValueError, match="not supported on SESSION"):
+    # r12: distinct under SESSION windows dispatches the session plan
+    # (distinct recomputes from the materialized table — exact under
+    # merges/splits, no view state)
+    from flink_cdc_2_3_0_src_spark.operators.maintain import _SessionPlan
+
+    sess = maintain(
+        aggs={"s": ("sum", F.col("v"))}, keys=["k"],
+        distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
+        session=("ts", "1 hour"),
+    )
+    assert isinstance(sess, _SessionPlan)
+    assert set(sess.distinct) == {"nd"}
+    with pytest.raises(ValueError, match="duplicate output column"):
         maintain(
-            aggs={"s": ("sum", F.col("v"))}, keys=["k"],
+            aggs={"nd": ("sum", F.col("v"))}, keys=["k"],
             distinct={"nd": ("count", F.col("v"))}, group_cols=["g"],
             session=("ts", "1 hour"),
         )
+    # r12: the GLOBAL aggregate (group_cols=[]) rides the constant-
+    # group value-multiset plan for min/max and distinct
+    glob = maintain(
+        aggs={"m": ("max", F.col("v"))},
+        distinct={"nd": ("count", F.col("v"))}, group_cols=[],
+    )
+    assert isinstance(glob, _DistinctAggPlan)
+    assert glob.group_cols == []
 
 
 def test_maintain_session_fuzz_vs_python_reference(spark):

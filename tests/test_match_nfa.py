@@ -54,7 +54,7 @@ def _ref_matches(rows, elems, defines, within_us, past_last):
         def rec(e, pos):
             if e == len(elems):
                 return []
-            var, mn, mx = elems[e]
+            var, mn, mx, greedy = elems[e]
             k = 0
             while (
                 (mx is None or k < mx)
@@ -63,7 +63,8 @@ def _ref_matches(rows, elems, defines, within_us, past_last):
                 and rows[pos + k][0] - rows[i][0] < within_us
             ):
                 k += 1
-            for take in range(k, mn - 1, -1):
+            order = range(k, mn - 1, -1) if greedy else range(mn, k + 1)
+            for take in order:
                 rest = rec(e + 1, pos + take)
                 if rest is not None:
                     return [
@@ -109,11 +110,16 @@ _EV_TABLES = {"ev": {"primary_key": ["id"], "rowtime": "ts"}}
 
 def test_parse_match_pattern_forms():
     assert parse_match_pattern("A B+ C") == [
-        ("A", 1, 1), ("B", 1, None), ("C", 1, 1)
+        ("A", 1, 1, True), ("B", 1, None, True), ("C", 1, 1, True)
     ]
     assert parse_match_pattern("a b* c? d{2} e{1,3} f{2,}") == [
-        ("A", 1, 1), ("B", 0, None), ("C", 0, 1), ("D", 2, 2),
-        ("E", 1, 3), ("F", 2, None),
+        ("A", 1, 1, True), ("B", 0, None, True), ("C", 0, 1, True),
+        ("D", 2, 2, True), ("E", 1, 3, True), ("F", 2, None, True),
+    ]
+    # reluctant quantifiers (r12): trailing ? flips greedy off
+    assert parse_match_pattern("A B+? C*? D?? E{1,3}?") == [
+        ("A", 1, 1, True), ("B", 1, None, False), ("C", 0, None, False),
+        ("D", 0, 1, False), ("E", 1, 3, False),
     ]
     with pytest.raises(ValueError, match="alternation"):
         parse_match_pattern("A | B")
@@ -270,6 +276,11 @@ def test_nfa_skip_modes_differ(spark):
             {"A": "v > 8", "B": "et = 'click'", "C": "et = 'error'"},
         ),
         ("A B*", {"A": "et = 'view'", "B": "v > 5"}),
+        # reluctant quantifier (r12): B takes as few rows as possible
+        (
+            "A B+? C",
+            {"A": "et = 'view'", "B": "v > 3", "C": "et = 'error'"},
+        ),
     ],
 )
 def test_nfa_fuzz_split_invariance_vs_reference(spark, skip, pattern, defs):
@@ -485,7 +496,10 @@ def test_nfa_prev_rising_run(spark):
     ]
     st = parse_insert_select(_RISE_SQL)
     assert st.shape == "match_nfa"
-    assert st.match_nfa["defines"]["B"] == "v > PREV(v)"
+    # the bridge rewrites PREV only; the plan binds B.v to the row
+    # being classified (r12: qualified refs pass through so the plan
+    # can classify cross-variable conjuncts itself)
+    assert st.match_nfa["defines"]["B"] == "B.v > PREV(v)"
     exp = [("u1", 1.0, 5.0, 2), ("u1", 3.0, 4.0, 1)]
     for n in (1, 3, 5):
         got = replay_insert_maintained(
@@ -530,12 +544,12 @@ def test_nfa_prev_guards(spark):
     st = parse_insert_select(
         _RISE_SQL.replace("PREV(B.v)", "PREV(A.v)")
     )
-    assert st.match_nfa["defines"]["B"] == "v > PREV(v)"
+    assert st.match_nfa["defines"]["B"] == "B.v > PREV(v)"
     # explicit offset
     st = parse_insert_select(
         _RISE_SQL.replace("PREV(B.v)", "PREV(B.v, 2)")
     )
-    assert st.match_nfa["defines"]["B"] == "v > PREV(v, 2)"
+    assert st.match_nfa["defines"]["B"] == "B.v > PREV(v, 2)"
     with pytest.raises(ValueError, match="unknown pattern variable"):
         parse_insert_select(_RISE_SQL.replace("PREV(B.v)", "PREV(Z.v)"))
     with pytest.raises(ValueError, match="DEFINE-only"):
@@ -554,6 +568,422 @@ def test_nfa_prev_guards(spark):
         " DEFINE A AS A.et = 'view', B AS B.v > PREV(B.v))"
     )
     assert st.shape == "match_nfa"
+
+
+# ---------------------------------------------------------------------------
+# cross-variable DEFINEs (r12): predicates over the partial match
+# ---------------------------------------------------------------------------
+
+def _ref_matches_ctx(rows, elems, defines, within_us, past_last):
+    """Context-aware reference matcher: ``defines[var]`` is a callable
+    ``(rowdict, bound)`` with ``bound`` = {var: [rowdicts already bound
+    in the partial match]} — the candidate row is NOT in ``bound``
+    (mirror SQL:2016 by appending it for self-references inside the
+    callable)."""
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    n = len(rows)
+    out, i = [], 0
+    while i < n:
+        bound = {v: [] for v, _mn, _mx, _g in elems}
+
+        def rec(e, pos):
+            if e == len(elems):
+                return []
+            var, mn, mx, greedy = elems[e]
+            taken = []
+            k = 0
+            while (
+                (mx is None or k < mx)
+                and pos + k < n
+                and rows[pos + k][0] - rows[i][0] < within_us
+            ):
+                bound[var] = taken
+                if not defines[var](rows[pos + k][2], bound):
+                    break
+                taken.append(rows[pos + k][2])
+                k += 1
+            order = range(k, mn - 1, -1) if greedy else range(mn, k + 1)
+            for take in order:
+                bound[var] = taken[:take]
+                rest = rec(e + 1, pos + take)
+                if rest is not None:
+                    bound[var] = []
+                    return [
+                        (rows[pos + j][2], var) for j in range(take)
+                    ] + rest
+            bound[var] = []
+            return None
+
+        m = rec(0, i)
+        if m:
+            out.append(m)
+            if past_last:
+                i += len(m)
+                continue
+        i += 1
+    return out
+
+
+_CROSS_SQL = (
+    "INSERT INTO sink SELECT u, a_ts, n_b, max_b FROM ev"
+    " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+    " MEASURES FIRST(A.ts) AS a_ts, COUNT(B.*) AS n_b,"
+    " MAX(B.v) AS max_b"
+    " AFTER MATCH SKIP PAST LAST ROW"
+    " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+    " DEFINE A AS A.et = 'view',"
+    " B AS B.et = 'click' AND B.v > A.v)"
+)
+
+
+def test_nfa_cross_var_pinned(spark):
+    """``B.v > A.v`` — the B run is bounded by the A row's value (a
+    bare cross-reference means LAST(A.v), SQL:2016).  NULLs on either
+    side of the comparison end the run (unknown → not satisfied)."""
+    rows = [
+        (1, "u1", "view", 5.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 7.0, "2024-01-01 00:00:02"),   # B (> 5)
+        (3, "u1", "click", 9.0, "2024-01-01 00:00:03"),   # B (> 5)
+        (4, "u1", "click", 4.0, "2024-01-01 00:00:04"),   # breaks
+        (5, "u1", "view", 8.0, "2024-01-01 00:00:05"),
+        (6, "u1", "click", 8.5, "2024-01-01 00:00:06"),   # B (> 8)
+        (7, "u2", "view", None, "2024-01-01 00:00:01"),   # NULL A.v
+        (8, "u2", "click", 9.0, "2024-01-01 00:00:02"),   # no B
+        (9, "u2", "view", 1.0, "2024-01-01 00:00:03"),
+        (10, "u2", "click", None, "2024-01-01 00:00:04"),  # NULL B.v
+    ]
+    exp = [
+        ("u1", "2024-01-01 00:00:01", 2, 9.0),
+        ("u1", "2024-01-01 00:00:05", 1, 8.5),
+    ]
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            _CROSS_SQL, _EV_TABLES, {"ev": _mk_log(spark, rows)},
+            n_batches=n,
+        )
+        assert sorted(
+            (r["u"], str(r["a_ts"])[:19], r["n_b"], r["max_b"])
+            for r in got.collect()
+        ) == exp, n
+
+
+def test_nfa_cross_var_first_and_last_nav(spark):
+    """Explicit FIRST/LAST navigation, including self-navigation:
+    ``B.v >= FIRST(B.v)`` keeps the run at-or-above its own first row
+    (the candidate row counts as bound to its own element), and
+    ``C.v > FIRST(A.v)`` reaches back across B to the match's A row."""
+    rows = [
+        (1, "u1", "view", 5.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 6.0, "2024-01-01 00:00:02"),  # B first (>=6)
+        (3, "u1", "click", 8.0, "2024-01-01 00:00:03"),  # B (>= 6)
+        (4, "u1", "purchase", 5.2, "2024-01-01 00:00:04"),  # C: > 5 ok
+        (5, "u2", "view", 5.0, "2024-01-01 00:00:01"),
+        (6, "u2", "click", 6.0, "2024-01-01 00:00:02"),
+        (7, "u2", "purchase", 4.0, "2024-01-01 00:00:03"),  # C: <= 5
+        # u3: the self-floor BREAKS the B run mid-funnel; the breaking
+        # click then blocks C's adjacency, so no match — without the
+        # floor conjunct B would absorb 5.5 and the funnel would match
+        (8, "u3", "view", 5.0, "2024-01-01 00:00:01"),
+        (9, "u3", "click", 6.0, "2024-01-01 00:00:02"),
+        (10, "u3", "click", 5.5, "2024-01-01 00:00:03"),  # < 6 floor
+        (11, "u3", "purchase", 9.9, "2024-01-01 00:00:04"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_b, c_v FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_b, LAST(C.v) AS c_v"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND B.v >= FIRST(B.v),"
+        " C AS C.et = 'purchase' AND C.v > FIRST(A.v))"
+    )
+    got = replay_insert_maintained(
+        sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=2
+    )
+    # u1: A=5.0, B=(6.0, 8.0), C=5.2 > FIRST(A.v)=5.0 — match
+    # u2: C.v 4.0 fails > FIRST(A.v)=5.0 — no match
+    # u3: floor break blocks C's adjacency — no match
+    assert sorted(map(tuple, got.collect())) == [("u1", 2, 5.2)]
+    # dropping the self-floor conjunct lets B absorb u3's 5.5 click and
+    # the u3 funnel matches (the differential witness for FIRST(B.v))
+    got2 = replay_insert_maintained(
+        sql.replace(" AND B.v >= FIRST(B.v)", ""),
+        _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=2,
+    )
+    assert sorted(map(tuple, got2.collect())) == [
+        ("u1", 2, 5.2), ("u3", 2, 9.9)
+    ]
+
+
+@pytest.mark.parametrize("skip", ["TO NEXT ROW", "PAST LAST ROW"])
+def test_nfa_cross_var_fuzz_vs_reference(spark, skip):
+    """Seeded fuzz for cross-variable DEFINEs: random event soup,
+    PATTERN (A B+) with B bounded by the A row's value — replay at any
+    batch split must equal the context-aware reference matcher."""
+    import datetime as dt
+
+    rng = random.Random(hash(skip) & 0xFFFF)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(140):
+        u = f"u{rng.randrange(4)}"
+        et = rng.choice(["view", "click", "error"])
+        ts = base + dt.timedelta(minutes=rng.randrange(0, 4000))
+        rows.append(
+            (i, u, et, float(rng.randrange(12)),
+             f"{ts:%Y-%m-%d %H:%M:%S}")
+        )
+    rows = [
+        (j, u, et, v, ts)
+        for j, (_i, u, et, v, ts) in enumerate(
+            sorted(rows, key=lambda r: (r[4], r[0]))
+        )
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_rows, v_sum FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(A.*) + COUNT(B.*) AS n_rows,"
+        " COALESCE(SUM(A.v), 0) + COALESCE(SUM(B.v), 0) AS v_sum"
+        f" AFTER MATCH SKIP {skip}"
+        " PATTERN (A B+) WITHIN INTERVAL '12' HOUR"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND B.v > A.v)"
+    )
+    elems = parse_match_pattern("A B+")
+    within_us = 12 * 3600 * 1_000_000
+    defines = {
+        "A": lambda r, b: r["et"] == "view",
+        "B": lambda r, b: (
+            r["et"] == "click"
+            and bool(b["A"])
+            and r["v"] > b["A"][-1]["v"]
+        ),
+    }
+    import calendar
+
+    by_key = {}
+    for i, u, et, v, ts in rows:
+        ots = int(
+            calendar.timegm(
+                dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").timetuple()
+            )
+        ) * 1_000_000
+        by_key.setdefault(u, []).append(
+            (ots, i, {"et": et, "v": v, "u": u})
+        )
+    expected = []
+    for u, krows in by_key.items():
+        for m in _ref_matches_ctx(
+            krows, elems, defines, within_us, skip == "PAST LAST ROW"
+        ):
+            expected.append(
+                (u, len(m), sum(r["v"] for r, _var in m))
+            )
+    log = _mk_log(spark, rows)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            expected, key=str
+        ), f"skip={skip} n_batches={n}"
+
+
+def test_nfa_cross_var_guards():
+    def mk(defs):
+        return maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+ C", "defines": defs,
+            "measures": [("count(*)", "n")],
+        })
+
+    # forward reference: C is bound after B
+    with pytest.raises(ValueError, match="bound LATER"):
+        mk({"B": "B.v > LAST(C.v)"})
+    # navigation must stand alone on its comparison side
+    with pytest.raises(ValueError, match="stand alone"):
+        mk({"B": "B.v > LAST(A.v) + 1"})
+    with pytest.raises(ValueError, match="stand alone"):
+        mk({"B": "B.v > A.v * 1.1"})
+    # a cross conjunct must be a single comparison
+    with pytest.raises(ValueError, match="single comparison"):
+        mk({"B": "LAST(A.v) IS NULL"})
+    # unknown qualifier refuses
+    with pytest.raises(ValueError, match="unknown qualifier"):
+        mk({"B": "B.v > Z.v"})
+    # row-local conjuncts keep full SQL power next to cross conjuncts
+    plan = mk({
+        "B": "B.v BETWEEN 1 AND 99 AND COALESCE(B.et, 'x') = 'click'"
+             " AND B.v > FIRST(A.v)"
+    })
+    assert plan.defines["B"] == (
+        "(v BETWEEN 1 AND 99) AND (COALESCE(et, 'x') = 'click')"
+    )
+    assert len(plan.cross_specs[1]) == 1
+    lhs, op, rhs = plan.cross_specs[1][0]
+    assert lhs[0] == "cur" and op == ">" and rhs == ("nav", 0, "v", False, 0)
+
+
+def test_nfa_cross_var_routes_two_var_agg_pattern(spark):
+    """PATTERN (A B) + aggregate measures + cross-variable DEFINE —
+    formerly refused (the LEAD plan owned cross-vars, the NFA refused
+    them) — now runs on the NFA path."""
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT u, n FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.v > A.v)"
+    )
+    assert st.shape == "match_nfa"
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "x", 2.0, "2024-01-01 00:10:00"),
+        (3, "u1", "view", 9.0, "2024-01-01 00:20:00"),
+        (4, "u1", "x", 3.0, "2024-01-01 00:30:00"),
+    ]
+    got = replay_insert_maintained(
+        "INSERT INTO sink SELECT u, n FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.v > A.v)",
+        _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=2,
+    )
+    # (view 1.0 → 2.0) matches; view 9.0's next row 3.0 is not greater
+    assert sorted(map(tuple, got.collect())) == [("u1", 1)]
+
+
+# ---------------------------------------------------------------------------
+# r12: reluctant quantifiers, SKIP TO FIRST/LAST <var>, ALL ROWS PER MATCH
+# ---------------------------------------------------------------------------
+
+def test_nfa_reluctant_vs_greedy_differential(spark):
+    """``B+?`` takes as FEW rows as possible: with an undefined C (any
+    row qualifies), the greedy form absorbs both clicks into B and
+    ends on the purchase; the reluctant form stops B after one click
+    and binds C to the second."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:01:00"),
+        (3, "u1", "click", 3.0, "2024-01-01 00:02:00"),
+        (4, "u1", "purchase", 4.0, "2024-01-01 00:03:00"),
+    ]
+    base = (
+        "INSERT INTO sink SELECT u, n_b, c_et FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_b, LAST(C.et) AS c_et"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A {q} C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.v > 0)"
+    )
+    log = _mk_log(spark, rows)
+    for q, exp in (("B+", [("u1", 2, "purchase")]),
+                   ("B+?", [("u1", 1, "click")])):
+        for n in (1, 2):
+            got = replay_insert_maintained(
+                base.format(q=q), _EV_TABLES, {"ev": log}, n_batches=n
+            )
+            assert sorted(map(tuple, got.collect())) == exp, (q, n)
+
+
+def test_nfa_skip_to_last_var(spark):
+    """AFTER MATCH SKIP TO LAST B resumes AT the last B row (it may
+    start the next match) — Flink's AfterMatchSkipStrategy.skipToLast.
+    Rising pairs A B+ with B > LAST(A): from 1,2,3,4 the first match
+    greedily takes (1; 2,3,4); resuming AT row 4 finds no riser."""
+    rows = [
+        (1, "u1", "t", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "t", 2.0, "2024-01-01 00:01:00"),
+        (3, "u1", "t", 3.0, "2024-01-01 00:02:00"),
+        (4, "u1", "t", 4.0, "2024-01-01 00:03:00"),
+        (5, "u1", "t", 0.5, "2024-01-01 00:04:00"),
+        (6, "u1", "t", 9.0, "2024-01-01 00:05:00"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, a_v, n_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES FIRST(A.v) AS a_v, COUNT(B.*) AS n_b"
+        " AFTER MATCH SKIP TO LAST B"
+        " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+        " DEFINE B AS B.v > A.v)"
+    )
+    # match 1: A=1.0, B=(2,3,4); resume AT row4: A=4.0, B needs >4:
+    # 0.5 breaks adjacency -> no match at 4; row5: A=0.5, B=(9.0)
+    exp = [("u1", 0.5, 1), ("u1", 1.0, 3)]
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == exp, n
+
+
+def test_nfa_skip_to_var_guards(spark):
+    # SKIP TO FIRST <first element> is a guaranteed infinite loop —
+    # refused at construction (Flink raises at runtime)
+    with pytest.raises(ValueError, match="infinite loop"):
+        maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+", "defines": {},
+            "measures": [("count(*)", "n")], "skip": "to_first A",
+        })
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+", "defines": {},
+            "measures": [("count(*)", "n")], "skip": "to_last Z",
+        })
+    # SKIP TO LAST B where B binds one row adjacent to the start loops
+    # at runtime: B's last row IS reachable as the next match's start
+    # only when it advances — a single-element pattern cannot advance
+    with pytest.raises(Exception, match="infinite loop|resumes"):
+        rows = [(1, "u1", "t", 1.0, "2024-01-01 00:00:00")]
+        replay_insert_maintained(
+            "INSERT INTO sink SELECT u, n FROM ev"
+            " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+            " MEASURES COUNT(A.*) AS n"
+            " AFTER MATCH SKIP TO LAST A"
+            " PATTERN (A) WITHIN INTERVAL '1' DAY"
+            " DEFINE A AS A.v > 0)",
+            _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=1,
+        ).collect()
+
+
+def test_nfa_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH emits one row per MATCHED INPUT ROW with the
+    match's measures joined back (FINAL semantics).  Unmatched rows do
+    not appear; replay equals one-shot across splits."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:01:00"),
+        (3, "u1", "purchase", 3.0, "2024-01-01 00:02:00"),
+        (4, "u1", "error", 0.0, "2024-01-01 00:03:00"),  # unmatched
+        (5, "u2", "view", 5.0, "2024-01-01 00:00:00"),   # no funnel
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, id, et, n_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_b"
+        " ALL ROWS PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+        " C AS C.et = 'purchase')"
+    )
+    exp = [
+        ("u1", 1, "view", 1), ("u1", 2, "click", 1),
+        ("u1", 3, "purchase", 1),
+    ]
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == exp, n
+    st = parse_insert_select(sql)
+    assert st.match_nfa["rows_per_match"] == "all"
 
 
 def test_nfa_parser_edge_cases(spark):
@@ -577,16 +1007,19 @@ def test_nfa_parser_edge_cases(spark):
     assert dict(
         (n, s) for s, n in st.match_nfa["measures"]
     )["n_b"].lower().startswith("count(*)")
-    # a string literal containing 'A.x' stays verbatim in defines and
-    # measures (no rewrite inside literals)
+    # a string literal containing 'A.x' stays verbatim through the
+    # bridge (r12: self-qual stripping moved to the plan, which is
+    # also literal-aware — asserted on the compiled define)
     st = parse_insert_select(
         _FUNNEL_SQL.replace(
             "A AS A.et = 'view'", "A AS A.et = 'A.x view'"
         )
     )
-    assert st.match_nfa["defines"]["A"] == "et = 'A.x view'"
+    assert st.match_nfa["defines"]["A"] == "A.et = 'A.x view'"
+    plan = maintain(match_nfa=st.match_nfa)
+    assert plan.defines["A"] == "(et = 'A.x view')"
     # function calls and boolean operators inside a DEFINE rewrite
-    # only the variable's own refs
+    # only the variable's own refs (plan-side, r12)
     st = parse_insert_select(
         _FUNNEL_SQL.replace(
             "B AS B.et = 'click'",
@@ -594,8 +1027,10 @@ def test_nfa_parser_edge_cases(spark):
         )
     )
     assert st.match_nfa["defines"]["B"] == (
-        "et = 'click' AND ABS(v) > 0.5"
+        "B.et = 'click' AND ABS(B.v) > 0.5"
     )
+    plan = maintain(match_nfa=st.match_nfa)
+    assert plan.defines["B"] == "(et = 'click') AND (ABS(v) > 0.5)"
     # quantifier on the first element; executed end to end
     rows = [
         (1, "u1", "click", 1.0, "2024-01-01 00:00:00"),
@@ -669,12 +1104,14 @@ def test_nfa_guards(spark):
         explain_insert_maintained,
     )
 
-    # cross-variable DEFINE is the two-step plan's territory
-    with pytest.raises(ValueError, match="other pattern variable"):
-        parse_insert_select(
-            _FUNNEL_SQL.replace("B AS B.et = 'click'",
-                                "B AS B.v > A.v")
-        )
+    # cross-variable DEFINEs parse on the NFA path (r12): the bridge
+    # passes V.col / FIRST/LAST(V.col) through for the plan to evaluate
+    # against the partial match's bound rows
+    st = parse_insert_select(
+        _FUNNEL_SQL.replace("B AS B.et = 'click'",
+                            "B AS B.et = 'click' AND B.v > A.v")
+    )
+    assert "B.v > A.v" in st.match_nfa["defines"]["B"]
     # unqualified column in a DEFINE is ACCEPTED on the NFA path (it
     # binds to the row being classified — which the NFA honors)
     st = parse_insert_select(

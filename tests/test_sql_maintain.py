@@ -1344,6 +1344,59 @@ def test_session_merge_emits_retract_insert_pair(spark):
     }
 
 
+@pytest.mark.parametrize("n_batches", [1, 2, 4])
+def test_session_distinct_replay_matches_direct(spark, n_batches):
+    """r12: DISTINCT aggregates under SESSION windows — the session
+    plan recomputes distinct sets from the materialized table per
+    affected group, so merges and splits fold them exactly.  The same
+    merge/split changelog as the plain session test, with the distinct
+    expression folded into a small domain so duplicates occur inside
+    sessions; replay equals Spark's one-shot sessionization for any
+    batch split."""
+    sql = (
+        "INSERT INTO sink SELECT g,"
+        " SESSION_START(ts, INTERVAL '2' HOUR) AS ws,"
+        " COUNT(*) AS n,"
+        " COUNT(DISTINCT CAST(v AS BIGINT) % 3) AS nd,"
+        " SUM(DISTINCT CAST(v AS BIGINT) % 3) AS sd"
+        " FROM t GROUP BY g, SESSION(ts, INTERVAL '2' HOUR)"
+    )
+    log = _session_log(spark)
+    got = replay_insert_maintained(
+        sql, {"t": ["user_id"]}, {"t": log}, n_batches=n_batches
+    )
+    from pyspark.sql.window import Window as W
+
+    mat = materialize(log, ["user_id"])
+    w = W.partitionBy("g").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    brk = (
+        F.when(
+            prev.isNull() | (F.col("ts") >= prev + F.expr("INTERVAL 2 HOUR")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    sid = F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    dv = (F.col("v").cast("long") % 3)
+    direct = (
+        mat.filter(F.col("ts").isNotNull())
+        .withColumn("sid", sid)
+        .groupBy("g", "sid")
+        .agg(
+            F.min("ts").alias("ws"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(dv).alias("nd"),
+            F.sum_distinct(dv).alias("sd"),
+        )
+        .select("g", "ws", "n", "nd", "sd")
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
 def test_session_ttl_expires_closed_sessions(spark):
     """ttl=<ts col> evicts CLOSED sessions (w_end <= watermark): their
     table rows and result rows forget together, the still-open session
@@ -2006,18 +2059,54 @@ def test_outer_join_padded_key_projects_sql_null(spark):
         "JOIN c_t c ON o.ck = c.ck LEFT JOIN n_t n ON c.nk = n.nk",
         {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
     )
-    # chain stages padding the ACCUMULATED left side keep the refusal
-    with pytest.raises(ValueError, match="ACCUMULATED side"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT c.nk AS cnk FROM o_t o "
-            "JOIN c_t c ON o.ck = c.ck RIGHT JOIN n_t n ON c.nk = n.nk",
-            {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
-        )
     plan_insert_maintained(
         "INSERT INTO s SELECT a.k AS ak, b.y FROM ta a "
         "LEFT JOIN tb b ON a.k = b.k",
         {"ta": ["k"], "tb": ["k"]},
     )
+
+
+def test_chain_accumulated_pad_key_projects_sql_null(spark):
+    """r12 (formerly refused): a RIGHT/FULL chain stage pads the
+    ACCUMULATED left side — projecting one of its join columns must
+    emit SQL NULL on the pad rows.  The presence column attaches to
+    the owning side's prep and rides the accumulated frame through
+    later stages as ordinary payload (a later stage's pads null-extend
+    it like any other accumulated column), so no per-stage threading
+    is needed.  Verified against Spark's direct three-way join across
+    batch splits."""
+
+    def _log(rows, cols):
+        return spark.createDataFrame(
+            [(*r, "+I", i) for i, r in enumerate(rows)],
+            f"{cols}, {OP_COL} string, {SEQ_COL} long",
+        )
+
+    o = _log([(1, 10), (2, 20)], "k long, ck long")
+    c = _log([(10, 100), (20, 200)], "ck long, nk long")
+    # nk=300 has no accumulated match → pad row: c.nk projects NULL
+    n_t = _log(
+        [(100, "n1"), (300, "n3")], "nk long, nname string"
+    )
+    sql = (
+        "INSERT INTO s SELECT c.nk AS cnk, n.nname AS nn FROM o_t o "
+        "JOIN c_t c ON o.ck = c.ck RIGHT JOIN n_t n ON c.nk = n.nk"
+    )
+    direct = (
+        o.drop(OP_COL, SEQ_COL)
+        .join(c.drop(OP_COL, SEQ_COL), "ck")
+        .join(n_t.drop(OP_COL, SEQ_COL), "nk", "right")
+        .selectExpr("CASE WHEN ck IS NULL THEN NULL ELSE nk END AS cnk",
+                    "nname AS nn")
+    )
+    exp = sorted(map(tuple, direct.collect()), key=str)
+    assert (None, "n3") in exp  # the pad row projects SQL NULL
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, {"o_t": ["k"], "c_t": ["ck"], "n_t": ["nk"]},
+            {"o_t": o, "c_t": c, "n_t": n_t}, n_batches=n,
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == exp, n
 
 
 # ---------------------------------------------------------------------------
@@ -2204,14 +2293,19 @@ def test_distinct_agg_guards(spark):
         log_tables, {"t": log}, n_batches=2,
     )
     assert sorted(map(tuple, got.collect())) == [("a", 1, 5), ("b", 1, 7)]
-    with pytest.raises(ValueError, match="not supported on SESSION"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT g,"
-            " SESSION_START(ts, INTERVAL '1' HOUR) AS ws,"
-            " COUNT(DISTINCT v) AS nd FROM t"
-            " GROUP BY g, SESSION(ts, INTERVAL '1' HOUR)",
-            log_tables,
-        )
+    # r12: DISTINCT under SESSION windows dispatches the session plan
+    # (recompute from the materialized table — no view state)
+    job_s = plan_insert_maintained(
+        "INSERT INTO s SELECT g,"
+        " SESSION_START(ts, INTERVAL '1' HOUR) AS ws,"
+        " COUNT(DISTINCT v) AS nd FROM t"
+        " GROUP BY g, SESSION(ts, INTERVAL '1' HOUR)",
+        log_tables,
+    )
+    from flink_cdc_2_3_0_src_spark.operators.maintain import _SessionPlan
+
+    assert isinstance(job_s.plan, _SessionPlan)
+    assert set(job_s.plan.distinct) == {"nd"}
     with pytest.raises(ValueError, match="COUNT\\(DISTINCT \\*\\)"):
         plan_insert_maintained(
             "INSERT INTO s SELECT g, COUNT(DISTINCT *) AS nd FROM t "
@@ -2529,14 +2623,22 @@ def test_grouping_sets_guards(spark):
             "INSERT INTO s SELECT g, GROUPING_ID() AS gid, SUM(v) AS s "
             "FROM t GROUP BY g"
         )
-    # r11: min/max (and DISTINCT) sets ride per-set value-multiset
-    # retract plans — only the GLOBAL set () refuses them
-    with pytest.raises(ValueError, match="GLOBAL grouping set"):
-        plan_insert_maintained(
-            "INSERT INTO s SELECT g, h, GROUPING_ID() AS gid, MAX(v) AS mx "
-            "FROM t GROUP BY GROUPING SETS ((g, h), (g), ())",
-            {"t": ["k"]},
-        )
+    # r11 gave min/max (and DISTINCT) sets per-set value-multiset
+    # retract plans; r12 extends that to the GLOBAL set () via the
+    # constant-group form — the former refusal is lifted
+    job_g = plan_insert_maintained(
+        "INSERT INTO s SELECT g, h, GROUPING_ID() AS gid, MAX(v) AS mx "
+        "FROM t GROUP BY GROUPING SETS ((g, h), (g), ())",
+        {"t": ["k"]},
+    )
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _DistinctAggPlan,
+        _GroupingSetsPlan,
+    )
+
+    assert isinstance(job_g.plan, _GroupingSetsPlan)
+    assert all(isinstance(p, _DistinctAggPlan) for p in job_g.plan.plans)
+    assert job_g.plan.plans[-1].group_cols == []
     with pytest.raises(ValueError, match="do not support ttl"):
         plan_insert_maintained(_GS_SQL, {"t": ["k"]}, ttl="g")
 
@@ -2546,7 +2648,9 @@ def test_grouping_sets_minmax_distinct_replay(spark, n_batches):
     """r11: MIN/MAX and COUNT(DISTINCT) under GROUPING SETS — each
     non-empty set keeps its own value-multiset retract state; replay
     equals Spark's native GROUPING SETS one-shot over the materialized
-    log, including a delete that retracts a subtotal's current max."""
+    log, including a delete that retracts a subtotal's current max and
+    (r12) the GLOBAL set (), maintained by the constant-group
+    value-multiset plan."""
     rows = [
         (1, "a", "x", 5.0, "+I", 1),
         (2, "a", "y", 9.0, "+I", 2),
@@ -2564,7 +2668,7 @@ def test_grouping_sets_minmax_distinct_replay(spark, n_batches):
     got = replay_insert_maintained(
         "INSERT INTO s SELECT g, h, GROUPING_ID() AS gid, MAX(v) AS mx,"
         " COUNT(DISTINCT v) AS dv, COUNT(*) AS n"
-        " FROM t GROUP BY GROUPING SETS ((g, h), (g))",
+        " FROM t GROUP BY GROUPING SETS ((g, h), (g), ())",
         {"t": ["k"]}, {"t": log}, n_batches=n_batches,
     )
     m = materialize(log, ["k"])
@@ -2572,7 +2676,7 @@ def test_grouping_sets_minmax_distinct_replay(spark, n_batches):
     exp = spark.sql(
         "SELECT g, h, grouping_id() AS gid, MAX(v) AS mx,"
         " COUNT(DISTINCT v) AS dv, COUNT(*) AS n"
-        " FROM __gs_t GROUP BY GROUPING SETS ((g, h), (g))"
+        " FROM __gs_t GROUP BY GROUPING SETS ((g, h), (g), ())"
     )
     assert sorted(map(tuple, got.collect()), key=str) == sorted(
         map(tuple, exp.collect()), key=str
