@@ -1886,6 +1886,14 @@ class _MatchNfaPlan(_Plan):
       out-of-order row landing behind the horizon can re-pair across
       the pruned boundary (Flink's CEP state cleanup makes the same
       trade).
+    * **measure cache** (r12): state is ``(pool, measure rows, clean
+      keys)`` — a batch's measure rows are cached for keys whose prune
+      dropped no match-participating row (any drop when PREV is in
+      play), and the next batch's − side reads the cache for clean
+      affected keys, re-running the Arrow-batched explode only for
+      dirty ones.  In the steady state (sparse matches, advancing
+      time) this halves the per-batch Python scans; ``expire()``
+      invalidates the cache (the pool changes underneath it).
     """
 
     kind = "match_nfa"
@@ -2325,24 +2333,46 @@ class _MatchNfaPlan(_Plan):
             F.lit(False).alias(self._CONSUMED),
         )
         affected = rows.select(*self.partition).distinct()
+        pool_old, mcache, clean = (
+            state if state is not None else (None, None, None)
+        )
         old_pool = (
-            _keyset_join(state, affected, self.partition, "left_semi")
-            if state is not None
+            _keyset_join(pool_old, affected, self.partition, "left_semi")
+            if pool_old is not None
             else None
         )
         new_pool = (
             rows if old_pool is None else rows.unionByName(old_pool)
         )
-        # one NFA pass over the new pool feeds BOTH the measures and
-        # the consumed-row marking — checkpoint it rather than run the
-        # pandas scan twice
+        # one NFA pass over the new pool feeds the delta's + side, the
+        # consumed-row marking AND next batch's measure cache —
+        # checkpoint it rather than run the pandas scan again
         new_expl = self._explode(new_pool).localCheckpoint(eager=True)
-        new_m = self._measure_rows(new_expl)
+        new_m = self._measure_rows(new_expl).localCheckpoint(eager=True)
         delta = new_m
         if old_pool is not None:
-            old_m = self._measure_rows(
-                self._explode(old_pool)
-            ).withColumn(MULT_COL, -F.col(MULT_COL))
+            # the − side (r12): keys whose LAST prune kept every
+            # match-participating row read their cached measure rows;
+            # only DIRTY affected keys re-run the pandas explode
+            if mcache is not None:
+                aff_clean = affected.join(
+                    clean, self.partition, "left_semi"
+                )
+                old_m_pos = _keyset_join(
+                    mcache, aff_clean, self.partition, "left_semi"
+                ).unionByName(
+                    self._measure_rows(
+                        self._explode(
+                            _keyset_join(
+                                old_pool, aff_clean, self.partition,
+                                "left_anti",
+                            )
+                        )
+                    )
+                )
+            else:
+                old_m_pos = self._measure_rows(self._explode(old_pool))
+            old_m = old_m_pos.withColumn(MULT_COL, -F.col(MULT_COL))
             payload = [c for c in new_m.columns if c != MULT_COL]
             delta = (
                 new_m.unionByName(old_m)
@@ -2428,14 +2458,59 @@ class _MatchNfaPlan(_Plan):
                 )
                 .drop("__mark")
             )
-        if state is not None:
+        if pool_old is not None:
             pruned = pruned.unionByName(
-                _keyset_join(state, affected, self.partition, "left_anti")
+                _keyset_join(pool_old, affected, self.partition, "left_anti")
             )
-        return pruned.localCheckpoint(eager=True), delta
+        # measure cache for the NEXT batch (r12): new_m's rows stay
+        # valid for a key iff matches(pruned pool) == matches(new
+        # pool) there — guaranteed when the prune dropped no
+        # MATCH-PARTICIPATING row (a dropped non-participating prefix
+        # row cannot create adjacency between retained rows, and
+        # attempts at retained positions see an identical suffix; the
+        # straddle marks only arise on keys whose dropped first row
+        # participated, so they are covered).  With PREV/LAG
+        # navigation any drop dirties the key (the kept extras' own
+        # LAG sources change), so the rule degrades to any-drop.
+        if self.max_prev:
+            dirty = (
+                tagged.filter(~F.col("__above"))
+                .select(*self.partition)
+                .distinct()
+            )
+        else:
+            dropped = tagged.filter(~F.col("__above")).select(
+                *self.partition, self.seq_col
+            )
+            dirty = (
+                new_expl.select(*self.partition, self.seq_col)
+                .join(dropped, self.partition + [self.seq_col], "left_semi")
+                .select(*self.partition)
+                .distinct()
+            )
+        clean_aff = affected.join(dirty, self.partition, "left_anti")
+        cache_new = _keyset_join(new_m, clean_aff, self.partition, "left_semi")
+        if mcache is not None:
+            cache_new = cache_new.unionByName(
+                _keyset_join(mcache, affected, self.partition, "left_anti")
+            )
+            clean_next = clean_aff.unionByName(
+                _keyset_join(clean, affected, self.partition, "left_anti")
+            )
+        else:
+            clean_next = clean_aff
+        return (
+            pruned.localCheckpoint(eager=True),
+            cache_new.localCheckpoint(eager=True),
+            clean_next.localCheckpoint(eager=True),
+        ), delta
 
     def _expire(self, state, watermark):
-        return expire_state(state, watermark, self.order)
+        pool, _mcache, _clean = state
+        # expiry drops pool rows behind the watermark, changing the
+        # match set underneath the cached measures — invalidate the
+        # cache (the next batch's − side recomputes from the pool)
+        return (expire_state(pool, watermark, self.order), None, None)
 
 
 class _SetOpPlan(_Plan):

@@ -93,6 +93,14 @@ DEFAULT_QUERIES = [
     "cdc_sql_window_distinct",
     "cdc_sql_union_minmax",
     "cdc_sql_match_prev_rising",
+    # r12: cross-variable DEFINEs, MATCH output/skip modes, global
+    # grouping set, session DISTINCT (same replay caveat)
+    "cdc_sql_match_cross_var",
+    "cdc_sql_match_all_rows",
+    "cdc_sql_match_skip_to_last",
+    "cdc_sql_match_reluctant",
+    "cdc_sql_grouping_sets_minmax",
+    "cdc_sql_session_distinct",
 ]
 
 

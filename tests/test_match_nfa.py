@@ -412,7 +412,7 @@ def test_nfa_retention_prunes_and_past_last_drops_straddle(spark):
     # is pruned by time, and the consumed click/purchase rows straddle
     # (match first row behind the horizon) so they are MARKED
     # unmatchable — kept as adjacency/PREV context, never re-matched
-    state = {r["id"]: r["__cns"] for r in job._state.collect()}
+    state = {r["id"]: r["__cns"] for r in job._state[0].collect()}
     assert state == {2: True, 3: True, 4: False}
     # a later view+click+purchase still matches normally
     b2 = [
@@ -422,9 +422,11 @@ def test_nfa_retention_prunes_and_past_last_drops_straddle(spark):
     ]
     job.step({"ev": _mk_log(spark, b2)})
     assert job.result().count() == 2
-    # ttl additionally evicts behind an explicit watermark
+    # ttl additionally evicts behind an explicit watermark — and
+    # invalidates the measure cache (r12: the pool changes underneath)
     job.expire("2024-01-03 00:00:00")
-    assert job._state.count() == 0
+    assert job._state[0].count() == 0
+    assert job._state[1] is None and job._state[2] is None
 
 
 def test_nfa_within_boundary_is_strict(spark):
@@ -529,7 +531,7 @@ def test_nfa_prev_lag_sources_survive_prune(spark):
     # row 2's PREV source (the contiguous-suffix extra)
     job.step({"ev": _mk_log(spark, [(3, "u1", "t", 1.5,
                                      "2024-01-02 06:00:00")])})
-    assert 1 in {r["id"] for r in job._state.collect()}
+    assert 1 in {r["id"] for r in job._state[0].collect()}
     # a third batch must NOT retract the emitted (1 → 2) match
     job.step({"ev": _mk_log(spark, [(4, "u1", "t", 9.0,
                                      "2024-01-02 07:00:00")])})
@@ -984,6 +986,44 @@ def test_nfa_all_rows_per_match(spark):
         assert sorted(map(tuple, got.collect())) == exp, n
     st = parse_insert_select(sql)
     assert st.match_nfa["rows_per_match"] == "all"
+
+
+def test_nfa_measure_cache_discipline(spark):
+    """r12: the plan caches a batch's measure rows for keys whose
+    prune dropped no match-participating row; the next batch's − side
+    reads the cache instead of re-running the pandas explode.  A prune
+    that drops a matched row evicts the key from the clean set; the
+    accumulated result stays exact either way (the split-invariance
+    fuzz covers equality — this pins the state discipline)."""
+    job = plan_insert_maintained(_FUNNEL_SQL, _EV_TABLES)
+    b1 = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:30:00"),
+        (3, "u1", "purchase", 3.0, "2024-01-01 01:00:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b1)})
+    pool, mcache, clean = job._state
+    # nothing pruned: the match's measure row is cached, key is clean
+    assert [r["u"] for r in clean.collect()] == ["u1"]
+    assert mcache.count() == 1
+    # a far-future row prunes the matched funnel rows → key turns dirty
+    job.step({"ev": _mk_log(spark, [(4, "u1", "error", 0.0,
+                                     "2024-01-03 00:00:00")])})
+    pool, mcache, clean = job._state
+    assert clean.count() == 0 and mcache.count() == 0
+    # the emitted match survives pruning (forgotten together, never
+    # retracted)
+    assert job.result().count() == 1
+    # a later funnel re-populates the cache for the key
+    b3 = [
+        (5, "u1", "view", 5.0, "2024-01-03 01:00:00"),
+        (6, "u1", "click", 6.0, "2024-01-03 02:00:00"),
+        (7, "u1", "purchase", 7.0, "2024-01-03 03:00:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b3)})
+    pool, mcache, clean = job._state
+    assert clean.count() == 1 and mcache.count() == 1
+    assert job.result().count() == 2
 
 
 def test_nfa_parser_edge_cases(spark):
