@@ -2513,6 +2513,62 @@ class _MatchNfaPlan(_Plan):
         return (expire_state(pool, watermark, self.order), None, None)
 
 
+class _CalcPlan(_Plan):
+    """Row-local projection + filter over a changelog (Flink's
+    StreamExecCalc — the plainest streaming pipeline statement,
+    ``INSERT INTO sink SELECT <exprs> FROM t WHERE <pred>``).  σ_p and
+    row-local projection are LINEAR over signed multisets, so the
+    output delta is just the mapped signed multiset of the batch —
+    images dropped by the predicate contribute nothing, and identical
+    projected images net their multiplicities.  STATELESS: per-batch
+    work = the batch; nothing to expire (no ttl)."""
+
+    kind = "calc"
+
+    def __init__(self, opts, ttl, op_col, seq_col) -> None:
+        opts = dict(opts)
+        unknown = set(opts) - {"exprs", "where"}
+        if unknown:
+            raise ValueError(f"unknown calc options: {sorted(unknown)}")
+        exprs = list(opts.get("exprs") or [])
+        if not exprs:
+            raise ValueError(
+                "calc= needs {'exprs': [(sql, name), ...][, 'where': "
+                "<row-local sql>]}"
+            )
+        if ttl is not None:
+            raise ValueError(
+                "the calc plan is stateless; ttl has nothing to expire"
+            )
+        super().__init__(None)
+        self.exprs = exprs
+        self.where = opts.get("where")
+        self.op_col = op_col
+        self.seq_col = seq_col
+
+    def step(self, state, batch: DataFrame):
+        from flink_cdc_2_3_0_src_spark.operators.changelog import (
+            signed_multiset,
+        )
+
+        d = signed_multiset(batch, self.op_col, self.seq_col)
+        if self.where:
+            d = d.filter(F.expr(self.where))
+        names = [n for _s, n in self.exprs]
+        out = (
+            d.select(
+                *[F.expr(s).alias(n) for s, n in self.exprs], MULT_COL
+            )
+            .groupBy(*names)
+            .agg(F.sum(MULT_COL).alias(MULT_COL))
+            .filter(F.col(MULT_COL) != 0)
+        )
+        return None, out
+
+    def _expire(self, state, watermark):  # pragma: no cover - guarded
+        raise AssertionError("calc plans are constructed with ttl=None")
+
+
 class _SetOpPlan(_Plan):
     """Streaming INTERSECT [ALL] / EXCEPT [ALL] over two changelogs —
     Flink's set operations on unbounded inputs (Table API
@@ -3316,6 +3372,7 @@ def maintain(
     match=None,
     match_nfa=None,
     over=None,
+    calc=None,
     distinct=None,
     grouping_sets=None,
     window_key=None,
@@ -3375,6 +3432,11 @@ def maintain(
       per-key NFA over the same WITHIN-bounded pool, run as ONE
       Arrow-batched grouped-pandas step per batch; see
       ``_MatchNfaPlan``.
+    * ``calc={"exprs": [(sql, name), ...][, "where": <sql>]}`` —
+      row-local projection + filter (Flink's StreamExecCalc, the
+      plainest pipeline statement): stateless, the output delta is the
+      mapped signed multiset of the batch (σ and projection are linear
+      over signed multisets); no ttl.
     * ``setop={"op": "intersect"|"except"[, "all": bool]}`` —
       streaming INTERSECT [ALL] / EXCEPT [ALL] of two changelogs
       (``plan.step(state, batch_a, batch_b)``): state = one (cntA,
@@ -3480,13 +3542,13 @@ def maintain(
         dedup is not None, hll is not None, hist is not None,
         chain is not None, temporal is not None, over is not None,
         dedup_row is not None, lookup is not None, setop is not None,
-        match is not None, match_nfa is not None,
+        match is not None, match_nfa is not None, calc is not None,
     ]
     if sum(shapes) != 1:
         raise ValueError(
             "declare exactly one shape: aggs=... | on=... | chain=... | "
             "temporal=... | lookup=... | setop=... | match=... | "
-            "match_nfa=... | "
+            "match_nfa=... | calc=... | "
             "over=... | n=...+order_sql | dedup=... | dedup_row=... | "
             "hll=... | hist=..."
         )
@@ -3563,6 +3625,13 @@ def maintain(
                 "[(sql, name), ...]}"
             )
         return _MatchPlan(match, ttl, op_col, seq_col)
+    if calc is not None:
+        if not isinstance(calc, dict):
+            raise ValueError(
+                "calc= takes an options dict: {'exprs': [(sql, name), "
+                "...][, 'where': <row-local sql>]}"
+            )
+        return _CalcPlan(calc, ttl, op_col, seq_col)
     if match_nfa is not None:
         if not isinstance(match_nfa, dict):
             raise ValueError(

@@ -161,10 +161,31 @@ _INSERT_RE = re.compile(
 _AGG_RE = re.compile(
     r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<src>[`\"\w.]+)"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
-    r"\s+GROUP\s+BY\s+(?P<groups>.*?)"
+    r"(?:\s+GROUP\s+BY\s+(?P<groups>.*?))?"
     r"(?:\s+HAVING\s+(?P<having>.*?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+#: aggregate call anywhere in the select items — splits the
+#: no-GROUP-BY forms into GLOBAL aggregate vs row-local calc (r12)
+_HAS_AGG_FN = re.compile(r"(?i)\b(?:SUM|COUNT|AVG|MIN|MAX)\s*\(")
+
+
+def _mask_literals(sql: str) -> str:
+    """Same-length text with string-literal CONTENT replaced by a
+    neutral identifier character — clause-keyword regexes (WHERE /
+    GROUP BY / HAVING) match on the masked text and slice the ORIGINAL
+    by group span, so a literal containing ``' GROUP BY '`` can never
+    split a clause (r12; the keyword-in-literal parser trap)."""
+    out, in_str = [], False
+    for ch in sql:
+        if in_str:
+            out.append(ch if ch == "'" else "x")
+            in_str = ch != "'"
+        else:
+            if ch == "'":
+                in_str = True
+            out.append(ch)
+    return "".join(out)
 _JOIN_HEAD = re.compile(
     r"^SELECT\s+(?P<items>.*?)\s+FROM\s+(?P<ta>[`\"\w.]+)(?:\s+AS)?\s+"
     r"(?P<a>\w+)\s+"
@@ -297,8 +318,9 @@ _OVER_INTERVAL = re.compile(
 _SHAPES_MSG = (
     "unsupported INSERT-SELECT shape; the maintenance planner dispatches "
     "the forms Flink's streaming planner compiles for CDC "
-    "pipelines: grouped aggregate (SELECT g, FN(x) .. FROM t [WHERE p] "
-    "GROUP BY g), equi-join (SELECT a.x, b.y FROM ta a JOIN tb b ON "
+    "pipelines: row-local projection (SELECT <exprs> FROM t [WHERE p]), "
+    "grouped or GLOBAL aggregate (SELECT [g,] FN(x) .. FROM t [WHERE p] "
+    "[GROUP BY g]), equi-join (SELECT a.x, b.y FROM ta a JOIN tb b ON "
     "a.k = b.k), Top-N (SELECT .. FROM (SELECT *, ROW_NUMBER() OVER "
     "(PARTITION BY g ORDER BY o) AS rn FROM t) WHERE rn <= n), and OVER "
     "aggregation (SELECT c1, .., FN(x) OVER (PARTITION BY k ORDER BY ts "
@@ -445,6 +467,9 @@ class InsertSelect:
     # group cols); row-local on result rows, so it filters the signed
     # delta stream directly
     having: Optional[str] = None
+    # row-local calc (shape == "calc"): [(expr sql, out name)] — the
+    # plain SELECT <exprs> FROM t [WHERE p] pipeline statement
+    calc_exprs: list = field(default_factory=list)
 
 
 def parse_insert_select(sql: str) -> InsertSelect:
@@ -982,11 +1007,30 @@ def parse_insert_select(sql: str) -> InsertSelect:
     if um is not None:
         return um
 
-    am = _AGG_RE.match(select)
+    # clause keywords match on the literal-MASKED text; group contents
+    # slice the original by span (same length), so keywords inside
+    # string literals never split a clause
+    am = _AGG_RE.match(_mask_literals(select))
+
+    def _ag(name: str):
+        if am.span(name) == (-1, -1):
+            return None
+        return select[am.start(name):am.end(name)]
+
+    if am and _ag("groups") is None and (
+        not _HAS_AGG_FN.search(_ag("items"))
+        or re.search(r"(?i)\bOVER\s*\(", _ag("items"))
+    ):
+        # no GROUP BY and either no aggregate call (the row-local calc
+        # shape, parsed below) or a window-function call (the OVER
+        # shape's parser owns it) — not a GLOBAL aggregate
+        am = None
     if am:
         groups, tumble, hop, cumulate, session = [], None, None, None, None
         grouping_sets: list = []
-        group_clause = am.group("groups").strip()
+        # no GROUP BY + aggregate items = the GLOBAL aggregate (r12):
+        # group_cols stays [] and every select item must aggregate
+        group_clause = (_ag("groups") or "").strip()
         # ROLLUP/CUBE are GROUPING SETS sugar (the SQL standard's and
         # Flink's expansion): ROLLUP(a, b) = ((a,b),(a),()),
         # CUBE(a, b) = every subset.  Rewrite to the sets form so one
@@ -1047,7 +1091,9 @@ def parse_insert_select(sql: str) -> InsertSelect:
             if not grouping_sets:
                 raise ValueError("GROUPING SETS needs at least one set")
         for part in (
-            [] if gs else _split_select_items(am.group("groups"))
+            []
+            if (gs or not group_clause)
+            else _split_select_items(group_clause)
         ):
             tm_ = _TUMBLE.match(part.strip())
             if tm_:
@@ -1118,7 +1164,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
             groups.append(im.group("name"))
         items, aggs = [], {}
         auto_idx = 0
-        for raw in _split_select_items(am.group("items")):
+        for raw in _split_select_items(_ag("items")):
             expr, alias = _split_alias(raw)
             fm = _AGG_FN.match(expr)
             if fm:
@@ -1238,12 +1284,12 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 "collide with detail rows whose group values are NULL "
                 "in a keyed sink"
             )
-        having = _clean(am.group("having"))
+        having = _clean(_ag("having"))
         if having is not None:
             having = _rewrite_having(having, aggs)
         return InsertSelect(
-            sink=sink, shape="agg", sources=[am.group("src").strip('`"')],
-            group_cols=groups, aggs=aggs, where=_clean(am.group("where")),
+            sink=sink, shape="agg", sources=[_ag("src").strip('`"')],
+            group_cols=groups, aggs=aggs, where=_clean(_ag("where")),
             select=items, tumble=tumble, hop=hop, cumulate=cumulate,
             session=session, grouping_sets=grouping_sets, having=having,
         )
@@ -1251,6 +1297,59 @@ def parse_insert_select(sql: str) -> InsertSelect:
     ov = parse_over_select(sink, select)
     if ov is not None:
         return ov
+
+    # row-local calc (r12): SELECT <exprs> FROM t [WHERE p] with no
+    # GROUP BY and no aggregate call — Flink's StreamExecCalc, the
+    # plainest pipeline statement.  σ and projection are linear over
+    # signed multisets, so the plan is stateless.
+    cm = _AGG_RE.match(_mask_literals(select))
+
+    def _cg(name: str):
+        if cm.span(name) == (-1, -1):
+            return None
+        return select[cm.start(name):cm.end(name)]
+
+    if cm is not None and _cg("groups") is None:
+        if _cg("having") is not None:
+            raise ValueError("HAVING needs a GROUP BY")
+        items = []
+        for raw in _split_select_items(_cg("items")):
+            expr, alias = _split_alias(raw)
+            if re.search(r"(?i)\bOVER\s*\(", expr):
+                raise ValueError(
+                    f"cannot parse the OVER clause in {raw!r}; the "
+                    "maintained OVER subset is FN(x) OVER (PARTITION "
+                    "BY k ORDER BY ts [ROWS|RANGE BETWEEN n PRECEDING "
+                    "AND CURRENT ROW])"
+                )
+            if _HAS_AGG_FN.search(expr):
+                raise ValueError(
+                    f"select item {raw!r} aggregates but other items "
+                    "are row-local and there is no GROUP BY — "
+                    "aggregate every item (a GLOBAL aggregate) or "
+                    "none (a row-local projection)"
+                )
+            if alias is None:
+                im = _IDENT.match(expr)
+                if not im:
+                    raise ValueError(
+                        f"select item {raw!r} needs AS <name>: a plain "
+                        "column or <expr> AS <alias>"
+                    )
+                alias = im.group("name")
+            items.append((expr, alias))
+        names = [a for _e, a in items]
+        dup = sorted({n for n in names if names.count(n) > 1})
+        if dup:
+            raise ValueError(f"duplicate output column(s) {dup}")
+        return InsertSelect(
+            sink=sink, shape="calc",
+            sources=[_cg("src").strip('`"')],
+            where=_clean(_cg("where")),
+            calc_exprs=items,
+            select=[(a, a) for a in names],
+        )
+
     raise ValueError(_SHAPES_MSG)
 
 
@@ -2423,6 +2522,13 @@ class SqlMaintenanceJob:
                 setop=stmt.setop, op_col=op_col, seq_col=seq_col,
                 ttl=ttl,
             )
+        elif stmt.shape == "calc":
+            # row-local projection + filter (r12) — Flink's
+            # StreamExecCalc; stateless
+            self.plan = maintain(
+                calc={"exprs": stmt.calc_exprs, "where": stmt.where},
+                op_col=op_col, seq_col=seq_col, ttl=ttl,
+            )
         elif stmt.shape == "lookup":
             # processing-time lookup join: no state, the dim's CURRENT
             # snapshot is consulted per batch (step() takes it under
@@ -2893,6 +2999,14 @@ class SqlMaintenanceJob:
                 "matches can project identical measures); feed the "
                 "signed deltas to a multiset consumer"
             )
+        if self.stmt.shape == "calc":
+            raise ValueError(
+                "a row-local projection's output is a multiset "
+                "(distinct source rows can project identical images); "
+                "feed the signed deltas to a multiset consumer, or "
+                "project the source's PRIMARY KEY and materialize "
+                "downstream"
+            )
         if self.stmt.shape == "setop" and self.stmt.setop["all"]:
             raise ValueError(
                 "INTERSECT ALL / EXCEPT ALL output is a multiset "
@@ -3017,7 +3131,8 @@ class SqlMaintenanceJob:
             raise ValueError("no batches stepped yet")
         live = self._acc.filter(F.col(MULT_COL) > 0)
         if self.stmt.shape in (
-            "join", "temporal", "over", "lookup", "match", "match_nfa"
+            "join", "temporal", "over", "lookup", "match", "match_nfa",
+            "calc",
         ) or (
             self.stmt.shape == "setop" and self.stmt.setop["all"]
         ):
@@ -3160,6 +3275,11 @@ def explain_insert_maintained(
             "only input, state = ONE row per partition key; an "
             "out-of-order arrival beating the stored winner retracts "
             "the emitted row and inserts the new one"
+        ),
+        _m._CalcPlan: (
+            "StreamExecCalc (row-local projection + filter): "
+            "STATELESS — σ and projection are linear over signed "
+            "multisets, so the delta is the mapped batch"
         ),
     }[type(plan)]
     lines.append(f"plan: {state}")

@@ -4933,6 +4933,81 @@ def cdc_sql_grouping_sets_minmax(
     )
 
 
+# Row-local calc on the SQL maintenance surface (r12): Flink's
+# StreamExecCalc — ``INSERT INTO sink SELECT <exprs> FROM t WHERE p``,
+# the plainest pipeline statement a Flink migrant writes, formerly
+# unparseable by the bridge.  Stateless: σ and projection are linear
+# over signed multisets, so each batch's delta is the mapped signed
+# multiset (operators/maintain._CalcPlan).  The oracle applies the
+# same projection + predicate to the materialized log.
+@register(
+    "cdc_sql_calc_project",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT user_id, CAST(FLOOR(value) AS BIGINT) % 7 AS vb,
+           CAST(value AS DECIMAL(18,2)) * 2 AS v2
+    FROM m WHERE value > 50
+    """,
+)
+def cdc_sql_calc_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id,"
+        " CAST(FLOOR(value) AS BIGINT) % 7 AS vb,"
+        " CAST(value AS DECIMAL(18,2)) * 2 AS v2"
+        " FROM events_cdc WHERE value > 50",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# GLOBAL aggregate on the SQL maintenance surface (r12): no GROUP BY —
+# formerly unparseable, and its min/max/DISTINCT members were refused
+# even at the operator level ("no group-keyed affected set").  The
+# whole statement now rides the value-multiset retract plan's
+# constant-group form (affected = every batch; state = the global
+# distinct-value cardinality, Flink's global Min/MaxWithRetract
+# bound).  MAX must survive the scripted log's updates retracting the
+# running maximum.  Oracle = the one-shot global aggregate.
+@register(
+    "cdc_sql_global_agg",
+    f"""
+    WITH m AS ({_MATERIALIZED_SQL})
+    SELECT MAX(CAST(value AS DECIMAL(18,2))) AS mx,
+           MIN(CAST(value AS DECIMAL(18,2))) AS mn,
+           COUNT(*) AS n_live,
+           COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd
+    FROM m WHERE value > 10
+    """,
+)
+def cdc_sql_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+    from flink_cdc_2_3_0_src_spark.sources.sql_ddl import create_table_source
+
+    rt = create_table_source(_EVENTS_CDC_DDL)
+    log = normalize_upsert(scripted_changelog(spark, sf_dir), ["user_id"])
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT"
+        " MAX(CAST(value AS DECIMAL(18,2))) AS mx,"
+        " MIN(CAST(value AS DECIMAL(18,2))) AS mn,"
+        " COUNT(*) AS n_live,"
+        " COUNT(DISTINCT CAST(FLOOR(value) AS BIGINT) % 5) AS nd"
+        " FROM events_cdc WHERE value > 10",
+        {"events_cdc": rt},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
 # DISTINCT aggregates on the SQL maintenance surface (r10): Flink's
 # streaming distinct aggregation (StreamExecGroupAggregate with a
 # distinct-view MapState per distinct aggregate).  Plain signed deltas

@@ -327,9 +327,10 @@ def test_sql_over_parse_rules(spark):
             base + "v + 1, SUM(v) OVER (PARTITION BY k ORDER BY ts)"
             " AS o FROM src"
         )
-    # a SELECT with no OVER item at all falls to the generic shape error
-    with pytest.raises(ValueError, match="unsupported INSERT-SELECT"):
-        parse_insert_select("INSERT INTO sink SELECT id, k FROM src")
+    # a SELECT with no OVER item at all is the row-local calc shape
+    # since r12 (formerly the generic shape error)
+    st_calc = parse_insert_select("INSERT INTO sink SELECT id, k FROM src")
+    assert st_calc.shape == "calc"
     # unaliased over agg gets a derived stable name
     stmt = parse_insert_select(
         base + "SUM(v) OVER (PARTITION BY k ORDER BY ts) FROM src"

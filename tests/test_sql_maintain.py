@@ -98,7 +98,10 @@ def test_parse_topn_shape():
         ("INSERT INTO s SELECT bucket, rn FROM (SELECT *, ROW_NUMBER() "
          "OVER (PARTITION BY bucket ORDER BY v) AS rn FROM t) WHERE rn <= 2",
          "rank column"),
-        ("INSERT INTO s SELECT v FROM t", "unsupported INSERT-SELECT shape"),
+        # ("INSERT INTO s SELECT v FROM t" parses since r12 — the
+        # row-local calc shape; see test_calc_projection_filter_replay)
+        ("INSERT INTO s SELECT v FROM t ORDER BY v",
+         "unsupported INSERT-SELECT shape"),
     ],
 )
 def test_parse_errors(sql, msg):
@@ -2107,6 +2110,139 @@ def test_chain_accumulated_pad_key_projects_sql_null(spark):
             {"o_t": o, "c_t": c, "n_t": n_t}, n_batches=n,
         )
         assert sorted(map(tuple, got.collect()), key=str) == exp, n
+
+
+# ---------------------------------------------------------------------------
+# row-local calc + GLOBAL aggregates (r12): the plainest pipeline forms
+# ---------------------------------------------------------------------------
+
+def _calc_log(spark):
+    rows = [
+        (1, "a", 10.0, "+I", 1),
+        (2, "a", 50.0, "+I", 2),
+        (3, "b", 30.0, "+I", 3),
+        (2, "a", 50.0, "-U", 4),
+        (2, "a", 5.0, "+U", 5),   # update moves the max
+        (3, "b", 30.0, "-D", 6),  # delete removes a group
+    ]
+    return spark.createDataFrame(
+        rows, f"id long, k string, v double, {OP_COL} string, {SEQ_COL} long"
+    )
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_calc_projection_filter_replay(spark, n_batches):
+    """INSERT INTO s SELECT <exprs> FROM t WHERE p — Flink's
+    StreamExecCalc, formerly refused by the grammar.  Stateless: the
+    delta is the mapped signed multiset; accumulated output equals the
+    projection of the materialized table for any split."""
+    log = _calc_log(spark)
+    st = parse_insert_select(
+        "INSERT INTO s SELECT k, v * 2 AS v2 FROM t WHERE v > 4"
+    )
+    assert st.shape == "calc" and st.where == "v > 4"
+    got = replay_insert_maintained(
+        "INSERT INTO s SELECT k, v * 2 AS v2 FROM t WHERE v > 4",
+        {"t": ["id"]}, {"t": log}, n_batches=n_batches,
+    )
+    direct = (
+        materialize(log, ["id"])
+        .filter("v > 4")
+        .selectExpr("k", "v * 2 AS v2")
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
+
+
+def test_calc_multiset_and_guards(spark):
+    # identical projected images net their multiplicities (multiset)
+    log = spark.createDataFrame(
+        [(1, "a", "+I", 1), (2, "a", "+I", 2)],
+        f"id long, k string, {OP_COL} string, {SEQ_COL} long",
+    )
+    job = plan_insert_maintained(
+        "INSERT INTO s SELECT k FROM t", {"t": ["id"]}
+    )
+    d = job.step({"t": log})
+    assert [tuple(r) for r in d.collect()] == [("a", 2)]
+    assert [tuple(r) for r in job.result().collect()] == [("a",), ("a",)]
+    with pytest.raises(ValueError, match="multiset"):
+        job.delta_changelog(d, 0)
+    with pytest.raises(ValueError, match="needs AS <name>"):
+        parse_insert_select("INSERT INTO s SELECT v * 2 FROM t")
+    with pytest.raises(ValueError, match="duplicate output column"):
+        parse_insert_select("INSERT INTO s SELECT k, v AS k FROM t")
+    # mixed bare + aggregate items with no GROUP BY route to the
+    # aggregate branch, whose item validator names the bare column
+    with pytest.raises(ValueError, match="neither a GROUP BY column"):
+        parse_insert_select("INSERT INTO s SELECT k, SUM(v) AS s FROM t")
+    with pytest.raises(ValueError, match="HAVING needs a GROUP BY"):
+        parse_insert_select("INSERT INTO s SELECT k FROM t HAVING k > 1")
+    from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+
+    with pytest.raises(ValueError, match="stateless; ttl"):
+        maintain(calc={"exprs": [("k", "k")]}, ttl="ts")
+
+
+def test_clause_keywords_inside_literals_do_not_split(spark):
+    """r12 parser pin: the clause regex matches on literal-MASKED text
+    and slices the original by span, so WHERE / GROUP BY / HAVING
+    inside a string literal never split a clause (the keyword-in-
+    literal trap)."""
+    st = parse_insert_select(
+        "INSERT INTO s SELECT k, v AS x FROM t "
+        "WHERE note = ' GROUP BY z '"
+    )
+    assert st.shape == "calc" and st.where == "note = ' GROUP BY z '"
+    st = parse_insert_select(
+        "INSERT INTO s SELECT k, SUM(v) AS sv FROM t "
+        "WHERE note = ' GROUP BY z ' GROUP BY k"
+    )
+    assert st.shape == "agg" and st.group_cols == ["k"]
+    assert st.where == "note = ' GROUP BY z '"
+    st = parse_insert_select(
+        "INSERT INTO s SELECT k AS a FROM t WHERE note = ' HAVING q '"
+    )
+    assert st.having is None and st.where == "note = ' HAVING q '"
+    # executed end to end: the literal predicate filters rows
+    log = spark.createDataFrame(
+        [(1, "keep ME", "+I", 1), (2, " GROUP BY z ", "+I", 2)],
+        f"id long, note string, {OP_COL} string, {SEQ_COL} long",
+    )
+    got = replay_insert_maintained(
+        "INSERT INTO s SELECT id AS i FROM t "
+        "WHERE note = ' GROUP BY z '",
+        {"t": ["id"]}, {"t": log}, n_batches=1,
+    )
+    assert [tuple(r) for r in got.collect()] == [(2,)]
+
+
+@pytest.mark.parametrize("n_batches", [1, 3])
+def test_global_aggregate_no_group_by(spark, n_batches):
+    """SELECT FN(x) .. FROM t with NO GROUP BY — the GLOBAL aggregate
+    (formerly unparseable).  min/max/distinct ride the value-multiset
+    retract plan's constant-group form; replay equals the one-shot over
+    the materialized table, including a retraction of the running max
+    and a WHERE."""
+    log = _calc_log(spark)
+    got = replay_insert_maintained(
+        "INSERT INTO s SELECT MAX(v) AS mx, MIN(v) AS mn,"
+        " COUNT(*) AS n, SUM(v) AS s, COUNT(DISTINCT k) AS dk"
+        " FROM t WHERE v > 0",
+        {"t": ["id"]}, {"t": log}, n_batches=n_batches,
+    )
+    direct = (
+        materialize(log, ["id"])
+        .filter("v > 0")
+        .selectExpr(
+            "MAX(v) AS mx", "MIN(v) AS mn", "COUNT(*) AS n",
+            "SUM(v) AS s", "COUNT(DISTINCT k) AS dk",
+        )
+    )
+    assert sorted(map(tuple, got.collect()), key=str) == sorted(
+        map(tuple, direct.collect()), key=str
+    )
 
 
 # ---------------------------------------------------------------------------
