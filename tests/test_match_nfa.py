@@ -576,12 +576,13 @@ def test_nfa_prev_guards(spark):
 # cross-variable DEFINEs (r12): predicates over the partial match
 # ---------------------------------------------------------------------------
 
-def _ref_matches_ctx(rows, elems, defines, within_us, past_last):
+def _ref_matches_ctx(rows, elems, defines, within_us, skip):
     """Context-aware reference matcher: ``defines[var]`` is a callable
     ``(rowdict, bound)`` with ``bound`` = {var: [rowdicts already bound
     in the partial match]} — the candidate row is NOT in ``bound``
     (mirror SQL:2016 by appending it for self-references inside the
-    callable)."""
+    callable).  ``skip`` mirrors the plan: ``("next",)`` /
+    ``("past",)`` / ``("first"|"last", <var name>)``."""
     rows = sorted(rows, key=lambda r: (r[0], r[1]))
     n = len(rows)
     out, i = [], 0
@@ -611,16 +612,22 @@ def _ref_matches_ctx(rows, elems, defines, within_us, past_last):
                 if rest is not None:
                     bound[var] = []
                     return [
-                        (rows[pos + j][2], var) for j in range(take)
+                        (pos + j, var) for j in range(take)
                     ] + rest
             bound[var] = []
             return None
 
         m = rec(0, i)
         if m:
-            out.append(m)
-            if past_last:
-                i += len(m)
+            out.append([(rows[ri][2], var) for ri, var in m])
+            if skip[0] == "past":
+                i = m[-1][0] + 1
+                continue
+            if skip[0] in ("first", "last"):
+                rows_v = [ri for ri, var in m if var == skip[1]]
+                resume = rows_v[0] if skip[0] == "first" else rows_v[-1]
+                assert resume > i, "reference matcher: skip-to loop"
+                i = resume
                 continue
         i += 1
     return out
@@ -718,11 +725,14 @@ def test_nfa_cross_var_first_and_last_nav(spark):
     ]
 
 
-@pytest.mark.parametrize("skip", ["TO NEXT ROW", "PAST LAST ROW"])
+@pytest.mark.parametrize(
+    "skip", ["TO NEXT ROW", "PAST LAST ROW", "TO LAST B"]
+)
 def test_nfa_cross_var_fuzz_vs_reference(spark, skip):
-    """Seeded fuzz for cross-variable DEFINEs: random event soup,
-    PATTERN (A B+) with B bounded by the A row's value — replay at any
-    batch split must equal the context-aware reference matcher."""
+    """Seeded fuzz for cross-variable DEFINEs across ALL skip modes
+    (r12 adds TO LAST <var>): random event soup, PATTERN (A B+) with B
+    bounded by the A row's value — replay at any batch split must
+    equal the context-aware reference matcher."""
     import datetime as dt
 
     rng = random.Random(hash(skip) & 0xFFFF)
@@ -774,10 +784,15 @@ def test_nfa_cross_var_fuzz_vs_reference(spark, skip):
         by_key.setdefault(u, []).append(
             (ots, i, {"et": et, "v": v, "u": u})
         )
+    ref_skip = {
+        "TO NEXT ROW": ("next",),
+        "PAST LAST ROW": ("past",),
+        "TO LAST B": ("last", "B"),
+    }[skip]
     expected = []
     for u, krows in by_key.items():
         for m in _ref_matches_ctx(
-            krows, elems, defines, within_us, skip == "PAST LAST ROW"
+            krows, elems, defines, within_us, ref_skip
         ):
             expected.append(
                 (u, len(m), sum(r["v"] for r, _var in m))
