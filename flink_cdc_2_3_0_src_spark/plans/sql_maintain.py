@@ -1794,7 +1794,7 @@ def _rewrite_nfa_define(sql: str, var: str, pat_vars: list) -> str:
 # COUNT(V.*)
 _NFA_MEASURE_AGG = re.compile(
     r"(?i)\b(FIRST|LAST|SUM|MIN|MAX|AVG|COUNT)\s*\(\s*"
-    r"([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*\)"
+    r"([A-Za-z_]\w*)\s*\.\s*(\w+|\*)\s*(?:,\s*(\d+)\s*)?\)"
 )
 _NFA_BARE_REF = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*(\w+)")
 
@@ -1824,8 +1824,9 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
 
     def seg_rewrite(seg: str) -> str:
         def agg_repl(m):
-            fn, var, col = (
-                m.group(1).upper(), m.group(2).upper(), m.group(3)
+            fn, var, col, off = (
+                m.group(1).upper(), m.group(2).upper(), m.group(3),
+                m.group(4),
             )
             if var not in upper_vars:
                 raise ValueError(
@@ -1833,6 +1834,11 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
                     f"{var!r}; the pattern defines {pat_vars}"
                 )
             filt = f" FILTER (WHERE __var = '{var}')"
+            if off is not None and fn not in ("FIRST", "LAST"):
+                raise ValueError(
+                    f"{clause}: {fn} takes no logical offset — only "
+                    "FIRST/LAST(V.col, k) navigate"
+                )
             if fn == "COUNT":
                 inner = "*" if col == "*" else col
                 return f"count({inner})" + filt
@@ -1840,6 +1846,19 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
                 raise ValueError(
                     f"{clause}: {fn}({var}.*) is not valid SQL — "
                     "only COUNT takes a star"
+                )
+            if fn in ("FIRST", "LAST") and off is not None:
+                # logical offset k (SQL:2016 / Flink's LAST(A.price,
+                # 1)): the k-th row from the first/last row bound to
+                # the variable — materialize the variable's rows in
+                # __pos order and index from the matching end;
+                # out-of-range navigation is SQL NULL (try_element_at)
+                k = int(off)
+                idx = k + 1 if fn == "FIRST" else -(k + 1)
+                return (
+                    "try_element_at(array_sort(collect_list("
+                    f"named_struct('p', __pos, 'v', {col})){filt}), "
+                    f"{idx}).v"
                 )
             if fn == "FIRST":
                 return f"min_by({col}, __pos)" + filt

@@ -1003,6 +1003,39 @@ def test_nfa_all_rows_per_match(spark):
     assert st.match_nfa["rows_per_match"] == "all"
 
 
+def test_nfa_measure_navigation_offsets(spark):
+    """SQL:2016 / Flink logical offsets in MEASURES navigation:
+    ``LAST(V.col, k)`` / ``FIRST(V.col, k)`` read the k-th row from
+    the matching end of the variable's rows; out-of-range navigation
+    is SQL NULL; set aggregates take no offset."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:01:00"),
+        (3, "u1", "click", 3.0, "2024-01-01 00:02:00"),
+        (4, "u1", "click", 4.0, "2024-01-01 00:03:00"),
+        (5, "u1", "purchase", 5.0, "2024-01-01 00:04:00"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, b_last1, b_first1, b_last9 FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES LAST(B.v, 1) AS b_last1, FIRST(B.v, 1) AS b_first1,"
+        " LAST(B.v, 9) AS b_last9"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+        " C AS C.et = 'purchase')"
+    )
+    for n in (1, 2):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == [
+            ("u1", 3.0, 3.0, None)
+        ], n
+    with pytest.raises(ValueError, match="no logical offset"):
+        parse_insert_select(sql.replace("LAST(B.v, 1)", "SUM(B.v, 1)"))
+
+
 def test_nfa_measure_cache_discipline(spark):
     """r12: the plan caches a batch's measure rows for keys whose
     prune dropped no match-participating row; the next batch's − side
