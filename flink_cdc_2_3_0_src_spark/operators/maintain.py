@@ -42,6 +42,7 @@ planner, e.g. MySqlTableSourceFactory.java:81-150 wiring into it.
 from __future__ import annotations
 
 import re
+from decimal import Decimal
 from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1591,6 +1592,47 @@ def _split_and_conjuncts(sql: str) -> list:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _split_or_disjuncts(sql: str) -> list:
+    """Top-level ``OR`` split of a predicate — outside parentheses and
+    string literals (no BETWEEN complication: BETWEEN owns an AND,
+    never an OR)."""
+
+    def _ident(ch: str) -> bool:
+        return ch.isalnum() or ch == "_"
+
+    s = sql.strip()
+    parts, cur, depth, in_str = [], [], 0, False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            left_ok = i == 0 or not _ident(s[i - 1])
+            if (
+                left_ok
+                and s[i : i + 2].upper() == "OR"
+                and (i + 2 >= n or not _ident(s[i + 2]))
+            ):
+                parts.append("".join(cur))
+                cur = []
+                i += 2
+                continue
+        cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _strip_outer_parens(s: str) -> str:
     """Strip balanced outer parentheses (literal-aware)."""
     s = s.strip()
@@ -1647,6 +1689,53 @@ def _split_comparison(text: str):
     return None
 
 
+def _split_arith_top(text: str, ops: str) -> list:
+    """Split an expression on top-level binary operators from ``ops``
+    (one-char each, e.g. ``"+-"`` or ``"*/"``), literal- and
+    paren-aware.  Returns ``[expr0, op1, expr1, ...]``.  An operator
+    directly after another operator or an opening paren is UNARY and
+    does not split (``a * -b``)."""
+    parts, cur = [], []
+    depth, in_str = 0, False
+    prev_sig = ""  # last non-space char seen
+    for ch in text:
+        if in_str:
+            cur.append(ch)
+            in_str = ch != "'"
+            continue
+        if ch == "'":
+            in_str = True
+            cur.append(ch)
+            prev_sig = ch
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and ch in ops
+            and prev_sig
+            and prev_sig not in "+-*/("
+        ):
+            parts.append("".join(cur))
+            parts.append(ch)
+            cur = []
+        else:
+            cur.append(ch)
+        if not ch.isspace():
+            prev_sig = ch
+    parts.append("".join(cur))
+    return parts
+
+
+#: plain numeric literal an arithmetic comparison side may embed —
+#: parsed as int (exact with Decimal columns) or Decimal (so
+#: DECIMAL-typed column arithmetic stays exact; a float column
+#: coerces the literal to float at evaluation, see ``_arith``)
+_NUM_LIT_RE = re.compile(r"^[0-9]+(?:\.[0-9]+)?$")
+
+
 def _cmp_ok(op: str, a, b) -> bool:
     """SQL three-valued comparison collapsed to the DEFINE's boolean:
     NULL/NaN on either side → not satisfied (Flink's NFA condition
@@ -1670,16 +1759,64 @@ def _cmp_ok(op: str, a, b) -> bool:
         return False
 
 
+def _num(x):
+    """Unbox numpy scalars so Decimal arithmetic accepts them
+    (``Decimal * np.int64`` raises; ``Decimal * int`` is exact)."""
+    if type(x).__module__ == "numpy":
+        return x.item()
+    return x
+
+
+def _arith(op: str, a, b):
+    """SQL arithmetic over one binary node of a comparison side:
+    NULL/NaN propagates (SQL), ``/`` is true division (Spark's and
+    DuckDB's non-integer ``/``), division by zero is NULL (Spark's
+    non-ANSI behavior), and a Decimal meeting a float coerces to
+    float (the engines' DOUBLE-wins rule) while Decimal-with-int
+    stays exact.  A type-mismatched operation (arithmetic over
+    strings, timestamps, ...) is unknown → None, the same
+    collapse-to-false discipline ``_cmp_ok`` applies."""
+    if a is None or b is None or a != a or b != b:
+        return None
+    a, b = _num(a), _num(b)
+    if isinstance(a, Decimal) and isinstance(b, float):
+        a = float(a)
+    elif isinstance(b, Decimal) and isinstance(a, float):
+        b = float(b)
+    try:
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        return a / b
+    except (ArithmeticError, TypeError):
+        return None
+
+
 def _nav_value(side, vals, bound, e, ri):
-    """Resolve one side of a cross-variable conjunct while classifying
-    row ``ri`` for element ``e``: ``("cur", col)`` reads the candidate
-    row's precomputed column; ``("nav", v_el, col, is_last, off)``
-    reads the FIRST/LAST (± logical offset) row currently bound to
-    element ``v_el`` in the partial match — the candidate row itself
-    counts as bound to its own element (SQL:2016 running semantics).
-    Unbound / out-of-range navigation → None (SQL NULL)."""
-    if side[0] == "cur":
+    """Resolve one side of a cross-variable comparison while
+    classifying row ``ri`` for element ``e`` — sides are expression
+    TREES (r13): ``("cur", col)`` reads the candidate row's
+    precomputed column; ``("lit", v)`` is a numeric literal;
+    ``("bin", op, l, r)`` is ``+ - * /`` arithmetic over sub-sides;
+    ``("nav", v_el, col, is_last, off)`` reads the FIRST/LAST
+    (± logical offset) row currently bound to element ``v_el`` in the
+    partial match — the candidate row itself counts as bound to its
+    own element (SQL:2016 running semantics).  Unbound / out-of-range
+    navigation → None (SQL NULL)."""
+    tag = side[0]
+    if tag == "cur":
         return vals[side[1]][ri]
+    if tag == "lit":
+        return side[1]
+    if tag == "bin":
+        return _arith(
+            side[1],
+            _nav_value(side[2], vals, bound, e, ri),
+            _nav_value(side[3], vals, bound, e, ri),
+        )
     _kind, v_el, col, is_last, off = side
     n_bound = len(bound[v_el]) + (1 if v_el == e else 0)
     j = (n_bound - 1 - off) if is_last else off
@@ -1691,12 +1828,68 @@ def _nav_value(side, vals, bound, e, ri):
 
 
 def _cross_ok(specs, vals, bound, e, ri) -> bool:
-    for lhs, op, rhs in specs:
-        a = _nav_value(lhs, vals, bound, e, ri)
-        b = _nav_value(rhs, vals, bound, e, ri)
-        if not _cmp_ok(op, a, b):
+    """``specs`` = one list per AND-conjunct; each conjunct is a list
+    of OR-combined disjuncts (r13), each either ``("cmp", lhs, op,
+    rhs)`` — a comparison of expression-tree sides — or ``("bool",
+    col)``, a row-local boolean disjunct precomputed as a JVM column.
+    A conjunct is satisfied when ANY disjunct is; NULL disjuncts are
+    not satisfied (unknown-is-false)."""
+    for disjuncts in specs:
+        ok = False
+        for d in disjuncts:
+            if d[0] == "bool":
+                v = vals[d[1]][ri]
+                if v is not None and v == v and bool(v):
+                    ok = True
+                    break
+            else:
+                _t, lhs, op, rhs = d
+                if _cmp_ok(
+                    op,
+                    _nav_value(lhs, vals, bound, e, ri),
+                    _nav_value(rhs, vals, bound, e, ri),
+                ):
+                    ok = True
+                    break
+        if not ok:
             return False
     return True
+
+
+def _side_cols(side, out: set) -> None:
+    """Collect every column an expression-tree side reads."""
+    tag = side[0]
+    if tag == "cur":
+        out.add(side[1])
+    elif tag == "nav":
+        out.add(side[2])
+    elif tag == "bin":
+        _side_cols(side[2], out)
+        _side_cols(side[3], out)
+
+
+def _cross_spec_cols(cross_specs) -> set:
+    """Every column the per-element cross specs consult at scan time
+    (precomputed ``__cx<i>`` columns and raw navigation columns)."""
+    out: set = set()
+    for specs in cross_specs:
+        for disjuncts in specs:
+            for d in disjuncts:
+                if d[0] == "bool":
+                    out.add(d[1])
+                else:
+                    _side_cols(d[1], out)
+                    _side_cols(d[3], out)
+    return out
+
+
+#: per-ATTEMPT step budget for the memo-disabled cross-variable NFA
+#: path (r13): rec entries + row-scan iterations.  Real CEP patterns
+#: (short, WITHIN-bounded pools) stay orders of magnitude below it —
+#: the cross-var fuzz batteries peak in the low thousands — while a
+#: pathologically ambiguous quantified pattern over a dense pool hits
+#: it in well under a second instead of hanging the executor.
+NFA_CROSS_STEP_BUDGET = 500_000
 
 
 def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
@@ -1717,14 +1910,19 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
     strictly under WITHIN (Flink's boundary).
 
     ``cross``/``vals`` (r12) carry cross-variable DEFINE conjuncts:
-    ``cross[e]`` lists ``(lhs, op, rhs)`` specs evaluated against the
-    PARTIAL MATCH's bound rows (``_nav_value``), ``vals`` maps column
-    name → numpy array.  With cross conjuncts the (element, position)
-    memo is disabled — a state's failure then depends on the bindings
-    that reached it — so an attempt is worst-case exponential in the
-    number of quantified elements; patterns are short and the pool is
-    WITHIN-bounded, the same cost profile Flink's NFA pays for
-    IterativeConditions over partial matches.
+    ``cross[e]`` lists per-conjunct DISJUNCT lists (r13 — OR-combined
+    comparisons and row-local booleans, see ``_cross_ok``) evaluated
+    against the PARTIAL MATCH's bound rows (``_nav_value``), ``vals``
+    maps column name → numpy array.  With cross conjuncts the
+    (element, position) memo is disabled — a state's failure then
+    depends on the bindings that reached it — so an attempt is
+    worst-case exponential in the number of quantified elements;
+    patterns are short and the pool is WITHIN-bounded, the same cost
+    profile Flink's NFA pays for IterativeConditions over partial
+    matches.  As a defensive bound (r13), each ATTEMPT on the
+    memo-disabled path carries a step budget
+    (``NFA_CROSS_STEP_BUDGET`` — rec entries + row-scan iterations);
+    a pathological pool raises a clean error instead of hanging.
 
     ``skip`` = AFTER MATCH strategy (SQL:2016 / Flink's
     AfterMatchSkipStrategy): ``("next",)`` attempts at every position
@@ -1746,6 +1944,7 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
         # per-element row bindings of the partial match under
         # construction (cross-variable navigation's context)
         bound = [[] for _ in range(n_el)] if has_cross else None
+        steps = [0]  # this attempt's step count (cross path only)
 
         def rec(e, pos):
             if e == n_el:
@@ -1758,6 +1957,19 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
             taken = []
             if has_cross:
                 bound[e] = taken
+                steps[0] += 1
+                if steps[0] > NFA_CROSS_STEP_BUDGET:
+                    raise ValueError(
+                        "MATCH_RECOGNIZE: cross-variable pattern too "
+                        "ambiguous over this key's row pool — one "
+                        "attempt exceeded the step budget "
+                        f"({NFA_CROSS_STEP_BUDGET}; cross-variable "
+                        "DEFINEs disable state memoization, so "
+                        "backtracking is worst-case exponential in "
+                        "the quantified elements).  Narrow WITHIN, "
+                        "tighten the quantifier bounds, or split the "
+                        "pattern."
+                    )
             k = 0
             limit = n - pos if mx is None else min(mx, n - pos)
             while (
@@ -1765,6 +1977,8 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
                 and fl[pos + k]
                 and ots[pos + k] - t0 < within_us
             ):
+                if has_cross:
+                    steps[0] += 1
                 if cr and not _cross_ok(cr, vals, bound, e, pos + k):
                     break
                 taken.append(pos + k)
@@ -1847,16 +2061,22 @@ class _MatchNfaPlan(_Plan):
       SQL:2016) are PRE-computed as JVM boolean columns via ``F.expr``
       before the pandas step, so Python only consults bitmaps.
       CROSS-VARIABLE conjuncts (r12) — ``B.price > A.price``,
-      ``B.price > LAST(A.price)`` / ``FIRST(A.price[, k])`` — must be
-      a single comparison ``<side> <cmp> <side>`` where each side is
-      either one navigation reference or a row-local expression (the
-      row-local side is still JVM-precomputed); they evaluate inside
-      the NFA scan against the partial match's bound rows, Flink's
+      ``B.price > LAST(A.price)`` / ``FIRST(A.price[, k])`` — are
+      OR-combinable disjunct lists (r13) of comparisons ``<side>
+      <cmp> <side>`` where each side is an ARITHMETIC EXPRESSION
+      (``+ - * /``, r13) over navigation references, numeric
+      literals, and row-local subexpressions (JVM-precomputed) —
+      ``B.price > A.price * 1.1`` and ``B.v - FIRST(B.v) >= 10``
+      (the threshold-breakout predicates) parse directly; a
+      row-local boolean may stand as a whole disjunct (``B.qty > 5
+      OR B.price > A.price``).  They evaluate inside the NFA scan
+      against the partial match's bound rows, Flink's
       IterativeCondition-over-partial-match semantics.  A bare
       ``V.col`` cross-reference means ``LAST(V.col)`` (SQL:2016);
-      unbound navigation is NULL → conjunct not satisfied.  Forward
-      references (a variable bound later in the pattern) refuse at
-      construction.
+      unbound navigation is NULL → comparison not satisfied, and
+      NULL/type-mismatched arithmetic is NULL (unknown-is-false).
+      Forward references (a variable bound later in the pattern)
+      refuse at construction.
     * **measures**: SQL aggregate expressions over the matched rows'
       exploded frame (payload + ``__var``/``__pos``) — the bridge
       rewrites ``FIRST/LAST/SUM/MIN/MAX/AVG/COUNT(V.col)`` into
@@ -2076,7 +2296,10 @@ class _MatchNfaPlan(_Plan):
         )
 
     def _compile_conjunct(self, var: str, text: str):
-        """None when the conjunct is row-local; else a cross spec."""
+        """None when the conjunct is row-local; else a cross spec —
+        a list of OR-combined disjuncts (r13), each ``("cmp", lhs,
+        op, rhs)`` over expression-tree sides or ``("bool", __cx<i>)``
+        for a row-local boolean disjunct (JVM-precomputed)."""
         code = self._code_segments(text)
         has_nav = bool(self._NAV_ANY_RE.search(code))
         quals = {
@@ -2092,22 +2315,47 @@ class _MatchNfaPlan(_Plan):
             )
         if not has_nav and quals <= {var}:
             return None
-        sp = _split_comparison(text)
-        if sp is None:
-            raise ValueError(
-                f"DEFINE {var}: cross-variable conjunct {text!r} must "
-                "be a single comparison <side> <cmp> <side> (cmp in "
-                "< <= > >= = <> !=) — each side one FIRST/LAST(V.col"
-                "[, k]) / V.col navigation reference or a row-local "
-                "expression; split OR-combined forms into separate "
-                "MATCH_RECOGNIZE statements"
+        specs = []
+        for disj in _split_or_disjuncts(text):
+            disj = _strip_outer_parens(disj)
+            dcode = self._code_segments(disj)
+            d_quals = {
+                m.group(1).upper()
+                for m in self._QREF_RE.finditer(
+                    self._NAV_CALL_RE.sub(" ", dcode)
+                )
+            }
+            if not self._NAV_ANY_RE.search(dcode) and not (
+                (d_quals - {var}) & set(self.var_elem)
+            ):
+                # a row-local disjunct next to cross ones — one JVM
+                # boolean column, consulted per candidate row
+                name = f"__cx{len(self.cur_exprs)}"
+                self.cur_exprs.append(
+                    (name, self._strip_self_quals(var, disj))
+                )
+                specs.append(("bool", name))
+                continue
+            sp = _split_comparison(disj)
+            if sp is None:
+                raise ValueError(
+                    f"DEFINE {var}: cross-variable disjunct {disj!r} "
+                    "must be a single comparison <side> <cmp> <side> "
+                    "(cmp in < <= > >= = <> !=) — each side an "
+                    "arithmetic (+ - * /) combination of FIRST/LAST"
+                    "(V.col[, k]) / V.col navigation references, "
+                    "numeric literals and row-local expressions"
+                )
+            lhs, op, rhs = sp
+            specs.append(
+                (
+                    "cmp",
+                    self._compile_side(var, lhs),
+                    op,
+                    self._compile_side(var, rhs),
+                )
             )
-        lhs, op, rhs = sp
-        return (
-            self._compile_side(var, lhs),
-            op,
-            self._compile_side(var, rhs),
-        )
+        return specs
 
     def _check_nav_target(self, var: str, v: str) -> int:
         if v not in self.var_elem:
@@ -2124,10 +2372,68 @@ class _MatchNfaPlan(_Plan):
         return self.var_elem[v]
 
     def _compile_side(self, var: str, s: str):
-        """One comparison side → ``("nav", elem, col, is_last, off)``
-        for a navigation reference, ``("cur", __cx<i>)`` for a
-        row-local expression (JVM-precomputed)."""
+        """One comparison side → an expression TREE (r13): nav-free
+        sides compile whole to ``("cur", __cx<i>)`` JVM columns
+        (full SQL power preserved); sides containing navigation are
+        parsed as ``+ - * /`` arithmetic whose leaves are ``("nav",
+        elem, col, is_last, off)`` navigation references, ``("lit",
+        n)`` numeric literals, and ``("cur", ...)`` row-local
+        subexpressions — ``B.price > A.price * 1.1`` and ``B.v -
+        FIRST(B.v) >= 10`` (the threshold-breakout predicates) parse
+        directly instead of refusing (the r12 rewrite-the-arithmetic
+        workaround is no longer needed)."""
         s = _strip_outer_parens(s)
+        code = self._code_segments(s)
+        if not self._NAV_ANY_RE.search(code) and not (
+            (
+                {
+                    m.group(1).upper()
+                    for m in self._QREF_RE.finditer(code)
+                }
+                - {var}
+            )
+            & set(self.var_elem)
+        ):
+            # nav-free side: ONE JVM column, arbitrary SQL inside
+            name = f"__cx{len(self.cur_exprs)}"
+            self.cur_exprs.append((name, self._strip_self_quals(var, s)))
+            return ("cur", name)
+        return self._parse_side_expr(var, s)
+
+    def _parse_side_expr(self, var: str, s: str):
+        """``term (('+'|'-') term)*`` — left-associative."""
+        s = _strip_outer_parens(s.strip())
+        parts = _split_arith_top(s, "+-")
+        node = self._parse_side_term(var, parts[0])
+        for op, rhs in zip(parts[1::2], parts[2::2]):
+            node = ("bin", op, node, self._parse_side_term(var, rhs))
+        return node
+
+    def _parse_side_term(self, var: str, s: str):
+        """``atom (('*'|'/') atom)*`` — binds tighter than +/-."""
+        parts = _split_arith_top(s.strip(), "*/")
+        node = self._parse_side_atom(var, parts[0])
+        for op, rhs in zip(parts[1::2], parts[2::2]):
+            node = ("bin", op, node, self._parse_side_atom(var, rhs))
+        return node
+
+    def _parse_side_atom(self, var: str, s: str):
+        s = s.strip()
+        if not s:
+            raise ValueError(
+                f"DEFINE {var}: malformed arithmetic in a "
+                "cross-variable comparison side (empty operand)"
+            )
+        if s[0] == "-":
+            return (
+                "bin", "-", ("lit", 0),
+                self._parse_side_atom(var, s[1:]),
+            )
+        if s[0] == "+":
+            return self._parse_side_atom(var, s[1:])
+        stripped = _strip_outer_parens(s)
+        if stripped != s:
+            return self._parse_side_expr(var, stripped)
         m = self._NAV_FULL_RE.match(s)
         if m:
             mode, v, col = (
@@ -2146,24 +2452,32 @@ class _MatchNfaPlan(_Plan):
             self.nav_cols.add(col)
             # bare V.col ≡ LAST(V.col) — SQL:2016's running default
             return ("nav", el, col, True, 0)
+        if _NUM_LIT_RE.match(s):
+            return (
+                "lit", int(s) if "." not in s else Decimal(s)
+            )
         code = self._code_segments(s)
         if self._NAV_ANY_RE.search(code):
             raise ValueError(
-                f"DEFINE {var}: navigation must stand alone on its "
-                f"side of the comparison, got {s!r} — rewrite "
-                "arithmetic onto the row-local side (e.g. B.price / "
-                "1.1 > A.price instead of B.price > A.price * 1.1)"
+                f"DEFINE {var}: navigation inside {s!r} is not "
+                "supported — only + - * / arithmetic may combine "
+                "FIRST/LAST(V.col[, k]) / V.col navigation with "
+                "literals and row-local expressions (a function call "
+                "OVER a navigation reference has no partial-match "
+                "evaluation)"
             )
         bad = {
             m.group(1).upper() for m in self._QREF_RE.finditer(code)
         } - {var}
         if bad & set(self.var_elem):
             raise ValueError(
-                f"DEFINE {var}: side {s!r} mixes a cross-variable "
+                f"DEFINE {var}: operand {s!r} mixes a cross-variable "
                 f"reference ({sorted(bad & set(self.var_elem))}) into "
-                "an expression — navigation must stand alone on its "
-                "side of the comparison"
+                "a non-arithmetic expression — only + - * / may "
+                "combine navigation references"
             )
+        # nav-free operand (row-local subexpression or non-numeric
+        # literal) — one JVM column
         name = f"__cx{len(self.cur_exprs)}"
         self.cur_exprs.append((name, self._strip_self_quals(var, s)))
         return ("cur", name)
@@ -2248,14 +2562,7 @@ class _MatchNfaPlan(_Plan):
         )
         var_names = [v for v, _mn, _mx, _g in elems]
         cross_specs = self.cross_specs
-        needed_cols = sorted(
-            {
-                side[2] if side[0] == "nav" else side[1]
-                for specs in cross_specs
-                for lhs, _op, rhs in specs
-                for side in (lhs, rhs)
-            }
-        )
+        needed_cols = sorted(_cross_spec_cols(cross_specs))
 
         def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(

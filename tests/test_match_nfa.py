@@ -818,17 +818,18 @@ def test_nfa_cross_var_guards():
     # forward reference: C is bound after B
     with pytest.raises(ValueError, match="bound LATER"):
         mk({"B": "B.v > LAST(C.v)"})
-    # navigation must stand alone on its comparison side
-    with pytest.raises(ValueError, match="stand alone"):
-        mk({"B": "B.v > LAST(A.v) + 1"})
-    with pytest.raises(ValueError, match="stand alone"):
-        mk({"B": "B.v > A.v * 1.1"})
-    # a cross conjunct must be a single comparison
+    # a cross disjunct must be a single comparison
     with pytest.raises(ValueError, match="single comparison"):
         mk({"B": "LAST(A.v) IS NULL"})
     # unknown qualifier refuses
     with pytest.raises(ValueError, match="unknown qualifier"):
         mk({"B": "B.v > Z.v"})
+    # navigation inside a non-arithmetic expression (function call
+    # over a nav reference) still refuses — only + - * / combine
+    with pytest.raises(ValueError, match="non-arithmetic"):
+        mk({"B": "B.v > ABS(A.v)"})
+    with pytest.raises(ValueError, match="not supported"):
+        mk({"B": "B.v > COALESCE(LAST(A.v), 0)"})
     # row-local conjuncts keep full SQL power next to cross conjuncts
     plan = mk({
         "B": "B.v BETWEEN 1 AND 99 AND COALESCE(B.et, 'x') = 'click'"
@@ -837,9 +838,252 @@ def test_nfa_cross_var_guards():
     assert plan.defines["B"] == (
         "(v BETWEEN 1 AND 99) AND (COALESCE(et, 'x') = 'click')"
     )
-    assert len(plan.cross_specs[1]) == 1
-    lhs, op, rhs = plan.cross_specs[1][0]
-    assert lhs[0] == "cur" and op == ">" and rhs == ("nav", 0, "v", False, 0)
+    assert plan.cross_specs[1] == [
+        [("cmp", ("cur", "__cx0"), ">", ("nav", 0, "v", False, 0))]
+    ]
+
+
+def test_nfa_cross_var_affine_and_or_compile():
+    """r13: arithmetic over navigation references (the threshold-
+    breakout predicate the r12 surface refused) and OR-combined
+    disjuncts compile to evaluable specs."""
+    from decimal import Decimal
+
+    def mk(defs):
+        return maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+ C", "defines": defs,
+            "measures": [("count(*)", "n")],
+        })
+
+    p = mk({"B": "B.v > A.v * 1.1"})
+    assert p.cross_specs[1] == [[(
+        "cmp", ("cur", "__cx0"), ">",
+        ("bin", "*", ("nav", 0, "v", True, 0), ("lit", Decimal("1.1"))),
+    )]]
+    # self-delta breakout: B.v - FIRST(B.v) >= 10
+    p = mk({"B": "B.v - FIRST(B.v) >= 10"})
+    assert p.cross_specs[1] == [[(
+        "cmp",
+        ("bin", "-", ("cur", "__cx0"), ("nav", 1, "v", False, 0)),
+        ">=", ("cur", "__cx1"),
+    )]]
+    # precedence + parens: (A.v + 3) * 2 - 1, left-assoc
+    p = mk({"B": "B.v > (A.v + 3) * 2 - 1"})
+    assert p.cross_specs[1] == [[(
+        "cmp", ("cur", "__cx0"), ">",
+        ("bin", "-",
+         ("bin", "*",
+          ("bin", "+", ("nav", 0, "v", True, 0), ("lit", 3)),
+          ("lit", 2)),
+         ("lit", 1)),
+    )]]
+    # unary minus: A.v > -5
+    p = mk({"B": "B.v > A.v + -5"})
+    assert p.cross_specs[1] == [[(
+        "cmp", ("cur", "__cx0"), ">",
+        ("bin", "+", ("nav", 0, "v", True, 0),
+         ("bin", "-", ("lit", 0), ("lit", 5))),
+    )]]
+    # OR: a row-local disjunct next to a cross comparison
+    p = mk({"B": "B.v > 90 OR B.v > A.v * 2"})
+    assert p.cross_specs[1][0][0] == ("bool", "__cx0")
+    assert p.cross_specs[1][0][1][0] == "cmp"
+    assert dict(p.cur_exprs)["__cx0"] == "v > 90"
+
+
+def test_nfa_cross_arith_eval_nulls_and_types():
+    """_arith/_nav_value evaluation semantics: NULL/NaN propagate,
+    type mismatch and division by zero are NULL (unknown-is-false),
+    Decimal literals stay exact with Decimal columns and coerce to
+    float against float columns, numpy scalars unbox."""
+    from decimal import Decimal
+
+    import numpy as np
+
+    from flink_cdc_2_3_0_src_spark.operators.maintain import _arith
+
+    assert _arith("*", Decimal("5.55"), Decimal("1.1")) == Decimal("6.105")
+    assert _arith("*", np.float64(2.0), Decimal("1.1")) == 2.0 * 1.1
+    assert _arith("+", Decimal("1.5"), np.int64(2)) == Decimal("3.5")
+    assert _arith("/", 1, 2) == 0.5
+    assert _arith("/", 1.0, 0.0) is None
+    assert _arith("/", Decimal(1), Decimal(0)) is None
+    assert _arith("+", None, 1) is None
+    assert _arith("+", float("nan"), 1) is None
+    assert _arith("+", "abc", 1) is None
+
+
+def test_nfa_cross_var_affine_pinned(spark):
+    """Threshold breakout — ``B.v > A.v * 1.1 + 1`` written AS-IS
+    (the exact statement the r12 surface refused with 'rewrite the
+    arithmetic onto the row-local side')."""
+    rows = [
+        (1, "u1", "view", 10.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 12.5, "2024-01-01 00:00:02"),  # > 12.0 → B
+        (3, "u1", "click", 12.0, "2024-01-01 00:00:03"),  # == → breaks
+        (4, "u2", "view", 10.0, "2024-01-01 00:00:01"),
+        (5, "u2", "click", 11.9, "2024-01-01 00:00:02"),  # < 12.0
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_b, max_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_b, MAX(B.v) AS max_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND B.v > A.v * 1.1 + 1)"
+    )
+    for n in (1, 2):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == [("u1", 1, 12.5)], n
+
+
+def test_nfa_cross_var_or_pinned(spark):
+    """OR-combined cross disjuncts — the breakout BAND predicate
+    ``B.v > A.v + 2 OR B.v < A.v - 2`` (r11/r12's single-comparison
+    restriction lifted)."""
+    rows = [
+        (1, "u1", "view", 5.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 8.0, "2024-01-01 00:00:02"),   # > 7 → B
+        (3, "u1", "click", 2.5, "2024-01-01 00:00:03"),   # < 3 → B
+        (4, "u1", "click", 6.0, "2024-01-01 00:00:04"),   # in band
+        (5, "u2", "view", 5.0, "2024-01-01 00:00:01"),
+        (6, "u2", "click", 6.0, "2024-01-01 00:00:02"),   # in band
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND"
+        " (B.v > A.v + 2 OR B.v < A.v - 2))"
+    )
+    for n in (1, 2):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == [("u1", 2)], n
+
+
+def test_nfa_cross_step_budget():
+    """The memo-disabled cross-variable path is worst-case
+    exponential; an ambiguous quantified pattern over a dense pool
+    must hit the per-attempt step budget as a clean error (r13),
+    not a hang."""
+    import numpy as np
+
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        NFA_CROSS_STEP_BUDGET,
+        _nfa_scan,
+    )
+
+    n = 200
+    ots = np.arange(n, dtype=np.int64)
+    elems = [
+        ("A", 1, None, True), ("B", 1, None, True),
+        ("C", 1, None, True), ("D", 1, None, True),
+        ("E", 1, 1, True),
+    ]
+    # A..D dense (every row qualifies), E impossible → full
+    # backtracking over all run splits, steps ~ C(n, 4)
+    flags = [np.ones(n, dtype=bool)] * 4 + [np.zeros(n, dtype=bool)]
+    cross = [[[("cmp", ("lit", 1), "=", ("lit", 1))]], [], [], [], []]
+    with pytest.raises(ValueError, match="step budget"):
+        _nfa_scan(flags, ots, elems, 10**15, ("past",), cross, {})
+    assert NFA_CROSS_STEP_BUDGET >= 100_000  # roomy for real patterns
+    # the SAME shape without cross conjuncts rides the (elem, pos)
+    # memo and completes instantly
+    assert _nfa_scan(flags, ots, elems, 10**15, ("past",)) == []
+
+
+@pytest.mark.parametrize(
+    "skip", ["TO NEXT ROW", "PAST LAST ROW", "TO LAST B"]
+)
+def test_nfa_cross_var_affine_or_fuzz_vs_reference(spark, skip):
+    """Seeded fuzz for the r13 surface — ARITHMETIC over navigation
+    (affine threshold) OR-combined with a second comparison whose
+    left side is row-local arithmetic — across all skip modes and
+    batch splits, against the context-aware reference matcher."""
+    import calendar
+    import datetime as dt
+
+    rng = random.Random((hash(skip) ^ 0x5EED) & 0xFFFF)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(140):
+        u = f"u{rng.randrange(4)}"
+        et = rng.choice(["view", "click", "error"])
+        ts = base + dt.timedelta(minutes=rng.randrange(0, 4000))
+        rows.append(
+            (i, u, et, float(rng.randrange(12)),
+             f"{ts:%Y-%m-%d %H:%M:%S}")
+        )
+    rows = [
+        (j, u, et, v, ts)
+        for j, (_i, u, et, v, ts) in enumerate(
+            sorted(rows, key=lambda r: (r[4], r[0]))
+        )
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_rows, v_sum FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(A.*) + COUNT(B.*) AS n_rows,"
+        " COALESCE(SUM(A.v), 0) + COALESCE(SUM(B.v), 0) AS v_sum"
+        f" AFTER MATCH SKIP {skip}"
+        " PATTERN (A B+) WITHIN INTERVAL '12' HOUR"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND"
+        " (B.v > A.v * 1.1 - 2 OR B.v + 3 < FIRST(A.v)))"
+    )
+    elems = parse_match_pattern("A B+")
+    within_us = 12 * 3600 * 1_000_000
+    defines = {
+        "A": lambda r, b: r["et"] == "view",
+        "B": lambda r, b: (
+            r["et"] == "click"
+            and bool(b["A"])
+            and (
+                r["v"] > b["A"][-1]["v"] * 1.1 - 2
+                or r["v"] + 3 < b["A"][0]["v"]
+            )
+        ),
+    }
+    by_key = {}
+    for i, u, et, v, ts in rows:
+        ots = int(
+            calendar.timegm(
+                dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").timetuple()
+            )
+        ) * 1_000_000
+        by_key.setdefault(u, []).append(
+            (ots, i, {"et": et, "v": v, "u": u})
+        )
+    ref_skip = {
+        "TO NEXT ROW": ("next",),
+        "PAST LAST ROW": ("past",),
+        "TO LAST B": ("last", "B"),
+    }[skip]
+    expected = []
+    for u, krows in by_key.items():
+        for m in _ref_matches_ctx(
+            krows, elems, defines, within_us, ref_skip
+        ):
+            expected.append(
+                (u, len(m), sum(r["v"] for r, _var in m))
+            )
+    log = _mk_log(spark, rows)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            expected, key=str
+        ), f"skip={skip} n_batches={n}"
 
 
 def test_nfa_cross_var_routes_two_var_agg_pattern(spark):
