@@ -2222,9 +2222,6 @@ class _MatchNfaPlan(_Plan):
         self.max_prev = max(
             (k for _c, k in self.prev_cols), default=0
         )
-        self.measures = list(opts["measures"])
-        if not self.measures:
-            raise ValueError("match_nfa= needs at least one measure")
         self.rows_per_match = str(
             opts.get("rows_per_match", "one")
         ).lower()
@@ -2233,6 +2230,33 @@ class _MatchNfaPlan(_Plan):
                 f"rows_per_match must be 'one' or 'all', got "
                 f"{opts.get('rows_per_match')!r}"
             )
+        # measures normalize to (sql, name, semantics): 2-tuples are
+        # FINAL; "running" (r13) marks a pre-rewritten CUMULATIVE
+        # window expression over the exploded frame (only meaningful
+        # with one output row per matched input row)
+        self.measures = []
+        for mitem in opts["measures"]:
+            if len(mitem) == 2:
+                msql, mname = mitem
+                sem = "final"
+            else:
+                msql, mname, sem = mitem
+            if sem not in ("final", "running"):
+                raise ValueError(
+                    f"measure {mname!r}: semantics must be 'final' "
+                    f"or 'running', got {sem!r}"
+                )
+            if sem == "running" and self.rows_per_match != "all":
+                raise ValueError(
+                    f"measure {mname!r}: RUNNING semantics require "
+                    "ALL ROWS PER MATCH — with ONE ROW PER MATCH the "
+                    "evaluation point is after the last row, where "
+                    "RUNNING and FINAL coincide (SQL:2016); use a "
+                    "final measure"
+                )
+            self.measures.append((msql, mname, sem))
+        if not self.measures:
+            raise ValueError("match_nfa= needs at least one measure")
         sk = str(opts.get("skip", "to_next")).lower().split()
         if sk == ["to_next"]:
             self.skip = ("next",)
@@ -2602,29 +2626,54 @@ class _MatchNfaPlan(_Plan):
         """ONE ROW PER MATCH: partition cols + measures, +1 multiset.
         ALL ROWS PER MATCH (r12): one output row per MATCHED INPUT ROW
         — the source columns plus the match's measures joined back on
-        (key, match) with FINAL semantics (the SQL:2016 FINAL
-        modifier's values on every row; Flink does not support ALL
-        ROWS PER MATCH at all, so this is a superset of reference
-        parity — RUNNING-semantics measures are not offered)."""
-        per_match = exploded.groupBy(
-            *self.partition, "__match_id"
-        ).agg(*[F.expr(sql).alias(name) for sql, name in self.measures])
+        (key, match).  Measure semantics per measure (r13): FINAL
+        (the default — the SQL:2016 FINAL modifier's values on every
+        row; a documented deviation from the standard's running
+        default, pinned by the r12 all-rows oracle) evaluates once
+        per match and joins back; RUNNING evaluates as a CUMULATIVE
+        window over the match's rows in ``__pos`` order (partitioned
+        by ``__mkey`` = struct(partition, match) — no join, one
+        window pass).  Flink does not support ALL ROWS PER MATCH at
+        all, so both are a superset of reference parity."""
+        finals = [
+            (s, n) for s, n, sem in self.measures if sem == "final"
+        ]
+        names = [n for _s, n, _sem in self.measures]
         if self.rows_per_match == "all":
             payload = [
                 c
                 for c in exploded.columns
                 if c not in ("__match_id", "__var", "__pos", self._CONSUMED)
             ]
-            return (
-                exploded.join(
+            base = exploded
+            runnings = [
+                (s, n) for s, n, sem in self.measures if sem == "running"
+            ]
+            if runnings:
+                base = base.withColumn(
+                    "__mkey",
+                    F.struct(*self.partition, F.col("__match_id")),
+                )
+                for msql, mname in runnings:
+                    base = base.withColumn(mname, F.expr(msql))
+            if finals:
+                per_match = exploded.groupBy(
+                    *self.partition, "__match_id"
+                ).agg(
+                    *[F.expr(s).alias(n) for s, n in finals]
+                )
+                base = base.join(
                     per_match, [*self.partition, "__match_id"], "inner"
                 )
-                .select(*payload, *[n for _sql, n in self.measures])
-                .withColumn(MULT_COL, F.lit(1).cast("long"))
+            return base.select(*payload, *names).withColumn(
+                MULT_COL, F.lit(1).cast("long")
             )
-        return per_match.select(
-            *self.partition, *[n for _sql, n in self.measures]
-        ).withColumn(MULT_COL, F.lit(1).cast("long"))
+        per_match = exploded.groupBy(
+            *self.partition, "__match_id"
+        ).agg(*[F.expr(s).alias(n) for s, n in finals])
+        return per_match.select(*self.partition, *names).withColumn(
+            MULT_COL, F.lit(1).cast("long")
+        )
 
     def step(self, state, batch: DataFrame):
         _require_append_only(
@@ -2825,23 +2874,30 @@ class _CalcPlan(_Plan):
     StreamExecCalc — the plainest streaming pipeline statement,
     ``INSERT INTO sink SELECT <exprs> FROM t WHERE <pred>``).  σ_p and
     row-local projection are LINEAR over signed multisets, so the
-    output delta is just the mapped signed multiset of the batch —
-    images dropped by the predicate contribute nothing, and identical
-    projected images net their multiplicities.  STATELESS: per-batch
-    work = the batch; nothing to expire (no ttl)."""
+    output delta is just the mapped signed multiset of the batch.
+
+    ZERO EXCHANGES by default (r13): each changelog row maps to one
+    ±1 output row — a pure narrow pipeline, matching Flink's
+    exchange-free StreamExecCalc.  Same-batch ±pairs of identical
+    projected images are NOT collapsed; every downstream consumer of
+    a signed multiset (the accumulator fold, a maintained stage, a
+    multiset sink) nets them anyway.  Sinks that require collapsed
+    ±pairs opt in with ``net=True``, which restores the
+    one-exchange groupBy netting over the batch delta (never over
+    state — the plan is STATELESS either way; nothing to expire)."""
 
     kind = "calc"
 
     def __init__(self, opts, ttl, op_col, seq_col) -> None:
         opts = dict(opts)
-        unknown = set(opts) - {"exprs", "where"}
+        unknown = set(opts) - {"exprs", "where", "net"}
         if unknown:
             raise ValueError(f"unknown calc options: {sorted(unknown)}")
         exprs = list(opts.get("exprs") or [])
         if not exprs:
             raise ValueError(
                 "calc= needs {'exprs': [(sql, name), ...][, 'where': "
-                "<row-local sql>]}"
+                "<row-local sql>][, 'net': bool]}"
             )
         if ttl is not None:
             raise ValueError(
@@ -2850,26 +2906,42 @@ class _CalcPlan(_Plan):
         super().__init__(None)
         self.exprs = exprs
         self.where = opts.get("where")
+        self.net = bool(opts.get("net", False))
         self.op_col = op_col
         self.seq_col = seq_col
 
     def step(self, state, batch: DataFrame):
-        from flink_cdc_2_3_0_src_spark.operators.changelog import (
-            signed_multiset,
+        # map ops to ±1 signs row-by-row (no signed_multiset: its
+        # payload groupBy is an exchange the stateless plan does not
+        # need); control rows (+H/+S) carry no image and drop
+        sign = (
+            F.when(
+                F.col(self.op_col).isin(OP_INSERT, OP_UPDATE_AFTER),
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
         )
-
-        d = signed_multiset(batch, self.op_col, self.seq_col)
+        d = batch.filter(
+            F.col(self.op_col).isin(
+                OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_BEFORE, OP_DELETE
+            )
+        ).select(
+            *[c for c in batch.columns if c not in (self.op_col, self.seq_col)],
+            sign.alias(MULT_COL),
+        )
         if self.where:
             d = d.filter(F.expr(self.where))
         names = [n for _s, n in self.exprs]
-        out = (
-            d.select(
-                *[F.expr(s).alias(n) for s, n in self.exprs], MULT_COL
-            )
-            .groupBy(*names)
-            .agg(F.sum(MULT_COL).alias(MULT_COL))
-            .filter(F.col(MULT_COL) != 0)
+        out = d.select(
+            *[F.expr(s).alias(n) for s, n in self.exprs], MULT_COL
         )
+        if self.net:
+            out = (
+                out.groupBy(*names)
+                .agg(F.sum(MULT_COL).alias(MULT_COL))
+                .filter(F.col(MULT_COL) != 0)
+            )
         return None, out
 
     def _expire(self, state, watermark):  # pragma: no cover - guarded

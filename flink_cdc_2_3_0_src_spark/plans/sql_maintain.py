@@ -913,12 +913,42 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     f"measure name {alias!r} collides with a PARTITION "
                     "BY column"
                 )
+            # SQL:2016 RUNNING/FINAL semantics prefix (r13): whole-
+            # measure only.  With ONE ROW PER MATCH the evaluation
+            # point is after the last row, where RUNNING and FINAL
+            # coincide (SQL:2016) — both prefixes reduce to the
+            # final rewrite.  Under ALL ROWS PER MATCH this engine's
+            # DEFAULT is FINAL (a documented deviation from the
+            # standard's running default, pinned by the r12 all-rows
+            # oracle row); RUNNING opts into per-row cumulation.
+            sem = "final"
+            pm = re.match(r"(?is)^\s*(RUNNING|FINAL)\b(.*)$", expr)
+            if pm:
+                sem = pm.group(1).lower()
+                expr = pm.group(2).strip()
+            if re.search(r"(?i)\b(?:RUNNING|FINAL)\b", expr):
+                raise ValueError(
+                    f"measure {alias!r}: RUNNING/FINAL must prefix "
+                    "the WHOLE measure expression (per-call "
+                    "semantics modifiers are not supported)"
+                )
             if two_step:
                 _refuse_unqualified_match_refs(expr, f"measure {alias!r}")
                 measures.append(
                     (
                         _rewrite_match_refs(expr, f"measure {alias!r}"),
                         alias,
+                    )
+                )
+            elif sem == "running" and all_rows:
+                measures.append(
+                    (
+                        _rewrite_nfa_measure(
+                            expr, pat_vars, f"measure {alias!r}",
+                            running=True,
+                        ),
+                        alias,
+                        "running",
                     )
                 )
             else:
@@ -930,7 +960,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
                         alias,
                     )
                 )
-        out_names = list(partition) + [n for _, n in measures]
+        out_names = list(partition) + [m[1] for m in measures]
         items = []
         for raw in _split_select_items(mm.group("items")):
             expr, alias = _split_alias(raw)
@@ -1799,7 +1829,22 @@ _NFA_MEASURE_AGG = re.compile(
 _NFA_BARE_REF = re.compile(r"(?<![\w.])([A-Za-z_]\w*)\s*\.\s*(\w+)")
 
 
-def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
+#: the cumulative frame RUNNING-semantics measures evaluate over —
+#: ``__mkey`` = struct(partition cols, __match_id), added by the NFA
+#: plan's measure step, so the rewrite needs no knowledge of the
+#: statement's PARTITION BY columns
+_NFA_RUNNING_W = (
+    "OVER (PARTITION BY __mkey ORDER BY __pos ROWS BETWEEN "
+    "UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_NFA_AGG_CALL_RE = re.compile(
+    r"(?i)\b(?:FIRST|LAST|SUM|MIN|MAX|AVG|COUNT)\s*\("
+)
+
+
+def _rewrite_nfa_measure(
+    sql: str, pat_vars: list, clause: str, running: bool = False
+) -> str:
     """MEASURES rewrite for the NFA plan: aggregate calls over one
     variable's rows become ``FILTER (WHERE __var = '<V>')`` SQL
     aggregates over the exploded match frame (payload + ``__var`` /
@@ -1813,7 +1858,17 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
       final-LAST default for one-row-per-match output)
 
     Arbitrary SQL may surround and combine the rewritten aggregates
-    (``LAST(C.ts) - FIRST(A.ts)``)."""
+    (``LAST(C.ts) - FIRST(A.ts)``).
+
+    ``running=True`` (r13, ALL ROWS PER MATCH only): each aggregate
+    becomes a CUMULATIVE window over the match's rows up to the
+    current one — ``sum(CASE WHEN __var = 'V' THEN c END) OVER
+    (... ROWS UNBOUNDED PRECEDING .. CURRENT ROW)`` (FILTER is not
+    valid on window aggregates, so the variable gate moves into a
+    CASE), FIRST/LAST via ignore-nulls ``first``/``last``; a bare
+    ``V.c`` = RUNNING LAST.  Logical offsets and aggregate calls not
+    of the ``<agg>(V.col)`` form refuse (no per-row cumulative
+    rendering)."""
     if re.search(r"(?i)\bPREV\s*\(", sql):
         raise ValueError(
             f"{clause}: PREV navigation is DEFINE-only in the "
@@ -1823,6 +1878,20 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
     upper_vars = {v.upper() for v in pat_vars}
 
     def seg_rewrite(seg: str) -> str:
+        if running:
+            # every aggregate call must be the <agg>(V.col) form —
+            # an unqualified count(*)/sum(x) has no cumulative
+            # per-variable rendering
+            n_calls = len(_NFA_AGG_CALL_RE.findall(seg))
+            n_var_calls = len(_NFA_MEASURE_AGG.findall(seg))
+            if n_calls != n_var_calls:
+                raise ValueError(
+                    f"{clause}: RUNNING measures support only "
+                    "<agg>(V.col) aggregate forms (FIRST/LAST/SUM/"
+                    "MIN/MAX/AVG/COUNT over one pattern variable's "
+                    "column)"
+                )
+
         def agg_repl(m):
             fn, var, col, off = (
                 m.group(1).upper(), m.group(2).upper(), m.group(3),
@@ -1833,12 +1902,36 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
                     f"{clause} references unknown pattern variable "
                     f"{var!r}; the pattern defines {pat_vars}"
                 )
-            filt = f" FILTER (WHERE __var = '{var}')"
             if off is not None and fn not in ("FIRST", "LAST"):
                 raise ValueError(
                     f"{clause}: {fn} takes no logical offset — only "
                     "FIRST/LAST(V.col, k) navigate"
                 )
+            if running:
+                if off is not None:
+                    raise ValueError(
+                        f"{clause}: RUNNING {fn} with a logical "
+                        "offset is not supported — drop the offset "
+                        "or use FINAL semantics"
+                    )
+                if fn == "COUNT":
+                    inner = "1" if col == "*" else col
+                    return (
+                        f"count(CASE WHEN __var = '{var}' THEN "
+                        f"{inner} END) {_NFA_RUNNING_W}"
+                    )
+                if col == "*":
+                    raise ValueError(
+                        f"{clause}: {fn}({var}.*) is not valid SQL "
+                        "— only COUNT takes a star"
+                    )
+                case = f"CASE WHEN __var = '{var}' THEN {col} END"
+                if fn == "FIRST":
+                    return f"first({case}, true) {_NFA_RUNNING_W}"
+                if fn == "LAST":
+                    return f"last({case}, true) {_NFA_RUNNING_W}"
+                return f"{fn.lower()}({case}) {_NFA_RUNNING_W}"
+            filt = f" FILTER (WHERE __var = '{var}')"
             if fn == "COUNT":
                 inner = "*" if col == "*" else col
                 return f"count({inner})" + filt
@@ -1874,6 +1967,13 @@ def _rewrite_nfa_measure(sql: str, pat_vars: list, clause: str) -> str:
                 raise ValueError(
                     f"{clause} references unknown pattern variable "
                     f"{m.group(1)!r}; the pattern defines {pat_vars}"
+                )
+            if running:
+                # bare V.c ≡ RUNNING LAST(V.c) — the most recent
+                # V-row value at each output row (SQL:2016)
+                return (
+                    f"last(CASE WHEN __var = '{var}' THEN {col} "
+                    f"END, true) {_NFA_RUNNING_W}"
                 )
             return (
                 f"max_by({col}, __pos) FILTER (WHERE __var = '{var}')"
@@ -2971,15 +3071,16 @@ class SqlMaintenanceJob:
             # which is Flink's semantics for HAVING over an aggregate
             delta = delta.filter(F.expr(self.stmt.having))
         self._state = _ckpt(self._state)
-        if self._acc is None:
-            merged = delta
-        else:
-            payload = [c for c in delta.columns if c != MULT_COL]
-            merged = (
-                self._acc.unionByName(delta)
-                .groupBy(*payload)
-                .agg(F.sum(MULT_COL).alias(MULT_COL))
-            )
+        # the accumulator ALWAYS nets (even on the first batch): the
+        # exchange-free calc plan (r13) may emit un-collapsed same-
+        # batch ±pairs of identical projected images — the fold is
+        # where multiset consumers net them
+        payload = [c for c in delta.columns if c != MULT_COL]
+        merged = (
+            (delta if self._acc is None else self._acc.unionByName(delta))
+            .groupBy(*payload)
+            .agg(F.sum(MULT_COL).alias(MULT_COL))
+        )
         self._acc = merged.filter(F.col(MULT_COL) != 0).localCheckpoint(
             eager=True
         )

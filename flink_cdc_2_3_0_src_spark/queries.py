@@ -206,7 +206,20 @@ _PRIORITY: list[str] = [
     # corpus-distribution shape a 100 TB ingest runs continuously
     # (the r10 VERDICT's remaining sketch-trio promotion candidate).
     # The one-shot row stays registered + locally swept.)
-    "sketch_hist_incremental",
+    # (sketch_hist_incremental: demoted in r13 — the incremental-
+    # sketch maintenance family held TWO window rows and keeps the
+    # STRONGER one, sketch_hll_incremental (idx 4): HLL's register-MIN
+    # merge monoid plus a NONLINEAR estimate path, where the histogram
+    # is a plain cell-count addition monoid finalized by a linear
+    # walk; both fold per-batch state through the same plan shape, and
+    # the histogram row stays registered + locally swept.  Its slot
+    # goes to cdc_sql_global_agg: GLOBAL aggregates (no GROUP BY) on
+    # the SQL maintenance surface — MAX/MIN/COUNT/COUNT(DISTINCT)
+    # riding the constant-group value-multiset retract plan
+    # (_DistinctAggPlan's r12 global form; Flink's global
+    # Min/MaxWithRetract state bound), one of the two statements every
+    # pipeline writes on day one and the r12 VERDICT's #2 ask.)
+    "cdc_sql_global_agg",
     "text_lang_id", "text_gopher_filter", "dedup_exact_stats",
     # (text_quality: single blended quality score — superseded in-window
     # by text_gopher_filter, the full Gopher/C4 rule-set gate with
@@ -299,7 +312,22 @@ _PRIORITY: list[str] = [
     # the nested shapes.  The full scalar matrix (regex, min/max keys,
     # binary, $timestamp) stays registered + locally swept as
     # cdc_mongo_bson_decode.)
-    "cdc_mongo_nested_decode",
+    # (cdc_mongo_nested_decode: demoted in r13 — the A13 decode family
+    # held THREE window rows (dbz_roundtrip, dbz_typed_decode,
+    # mongo_nested) and keeps TWO: cdc_dbz_roundtrip (the A15/B14
+    # envelope serialization round trip) and cdc_dbz_typed_decode (the
+    # B6 converter matrix, whose scalar leaves subsume the nested
+    # shapes' wrappers); Mongo's offset total order keeps its own
+    # in-window witness in cdc_mongo_resume_token, and the recursive
+    # ARRAY/MAP/nested-ROW Extended-JSON decode stays registered +
+    # locally swept (with cdc_mongo_bson_decode and
+    # cdc_mongo_changestream_decode as its demoted siblings).  Its
+    # slot goes to cdc_sql_calc_project: row-local calc (Flink's
+    # StreamExecCalc — INSERT INTO sink SELECT <exprs> FROM t WHERE
+    # p), the OTHER day-one pipeline statement and the r12 VERDICT's
+    # #2 ask — now also the plan the r13 exchange-free rework makes a
+    # pure narrow pipeline (zero exchanges, StreamExecCalc parity).)
+    "cdc_sql_calc_project",
     # (knn_graph: corpus×corpus k-NN graph via blocked matmul — demoted
     # in r9; the embedding family keeps TWO in-window strategies
     # (ann_topk_cosine, the brute-force top-k core knn_graph blocks
@@ -6270,6 +6298,253 @@ def cdc_sql_match_skip_to_last(
         " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
         " DEFINE A AS A.event_type = 'view',"
         " B AS B.event_type = 'click' AND B.value > A.value)",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# Arithmetic over navigation references in cross-variable DEFINEs
+# (r13): ``B.value > A.value * 1.1 + 1`` — the THRESHOLD-BREAKOUT
+# predicate (the most common CEP form after the plain comparison),
+# written AS-IS instead of the r12 rewrite-the-arithmetic workaround.
+# The comparison side compiles to an expression tree whose leaves are
+# navigation references and numeric literals, evaluated against the
+# partial match inside the NFA scan (operators/maintain._nav_value /
+# _arith; Flink's IterativeCondition cost model).  Float parity with
+# the oracle is exact: both engines compute value*1.1+1 in DOUBLE in
+# the same operation order (the engine's Decimal literal coerces to
+# float against the double column — maintain._arith).  Oracle
+# validity under SKIP PAST LAST ROW: same argument as
+# cdc_sql_match_cross_var (B requires a click, so a consumed span
+# holds no view beyond its own A row).
+@register(
+    "cdc_sql_match_cross_var_affine",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    mx AS (SELECT user_id, MAX(rn) AS mxrn FROM e GROUP BY user_id),
+    v AS (SELECT user_id, value AS av, ts AS a_ts, rn FROM e
+          WHERE event_type = 'view'),
+    stp AS (
+        SELECT v.user_id, v.rn,
+               COALESCE(MIN(CASE WHEN x.event_type = 'click'
+                                  AND COALESCE(
+                                        x.value > v.av * 1.1 + 1,
+                                        FALSE)
+                                 THEN NULL ELSE x.rn END),
+                        m.mxrn + 1) AS stop
+        FROM v
+        JOIN mx m ON m.user_id = v.user_id
+        LEFT JOIN e x ON x.user_id = v.user_id AND x.rn > v.rn
+        GROUP BY v.user_id, v.rn, m.mxrn
+    ),
+    runs AS (
+        SELECT v.user_id AS u, v.a_ts, v.rn, s.stop - v.rn - 1 AS n_b
+        FROM v JOIN stp s ON s.user_id = v.user_id AND s.rn = v.rn
+        WHERE s.stop - v.rn - 1 >= 1
+    )
+    SELECT r.u, r.a_ts, r.n_b, MAX(x.value) AS max_b
+    FROM runs r
+    JOIN e x ON x.user_id = r.u AND x.rn > r.rn
+            AND x.rn <= r.rn + r.n_b
+    GROUP BY r.u, r.rn, r.a_ts, r.n_b
+    """,
+)
+def cdc_sql_match_cross_var_affine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, n_b, max_b"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, COUNT(B.*) AS n_b,"
+        " MAX(B.value) AS max_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click'"
+        " AND B.value > A.value * 1.1 + 1)",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# OR-combined cross-variable conjuncts (r13): the breakout-BAND
+# predicate ``B.value > A.value + 2 OR B.value < A.value - 2`` — the
+# r11/r12 single-comparison restriction lifted (VERDICT r12 next-round
+# #6, resolved by LIFTING rather than documenting as permanent).  Each
+# disjunct evaluates against the partial match; a conjunct is
+# satisfied when any disjunct is (unknown-is-false per disjunct).
+# Oracle validity under SKIP PAST LAST ROW: same consumed-span
+# argument as cdc_sql_match_cross_var (B requires a click).
+@register(
+    "cdc_sql_match_cross_var_or",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    mx AS (SELECT user_id, MAX(rn) AS mxrn FROM e GROUP BY user_id),
+    v AS (SELECT user_id, value AS av, ts AS a_ts, rn FROM e
+          WHERE event_type = 'view'),
+    stp AS (
+        SELECT v.user_id, v.rn,
+               COALESCE(MIN(CASE WHEN x.event_type = 'click'
+                                  AND COALESCE(
+                                        x.value > v.av + 2
+                                        OR x.value < v.av - 2,
+                                        FALSE)
+                                 THEN NULL ELSE x.rn END),
+                        m.mxrn + 1) AS stop
+        FROM v
+        JOIN mx m ON m.user_id = v.user_id
+        LEFT JOIN e x ON x.user_id = v.user_id AND x.rn > v.rn
+        GROUP BY v.user_id, v.rn, m.mxrn
+    )
+    SELECT v.user_id AS u, v.a_ts, s.stop - v.rn - 1 AS n_b
+    FROM v JOIN stp s ON s.user_id = v.user_id AND s.rn = v.rn
+    WHERE s.stop - v.rn - 1 >= 1
+    """,
+)
+def cdc_sql_match_cross_var_or(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, n_b"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, COUNT(B.*) AS n_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '60' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click'"
+        " AND (B.value > A.value + 2 OR B.value < A.value - 2))",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
+# RUNNING-semantics measures under ALL ROWS PER MATCH (r13): per-row
+# CUMULATIVE aggregates over the match's rows in position order —
+# SQL:2016's running semantics, rendered as a window cumulation over
+# the exploded frame's __pos (one window pass, no join; the FINAL
+# measure on the same statement still joins back per match).  The
+# engine's all-rows DEFAULT stays FINAL (documented deviation pinned
+# by the r12 cdc_sql_match_all_rows oracle); RUNNING is the explicit
+# prefix.  Oracle: the r12 all-rows islands exploded to member rows,
+# with DuckDB window cumsums in the same rn order (bit-identical
+# double partial sums); the A row's running SUM over zero B rows is
+# NULL in both engines, and the C row carries the match totals.
+@register(
+    "cdc_sql_match_all_rows_running",
+    """
+    WITH isl AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS g,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    cum AS (
+        SELECT user_id, g, rn, event_id, event_type,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER (PARTITION BY user_id, g ORDER BY rn) AS nb_run,
+               SUM(CASE WHEN event_type = 'click' THEN value END)
+                 OVER (PARTITION BY user_id, g ORDER BY rn) AS v_run
+        FROM isl
+    ),
+    fa AS (
+        SELECT user_id, g, event_type AS fet, ts AS fts,
+               event_id AS feid
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                           ORDER BY rn) AS irn
+              FROM isl)
+        WHERE irn = 1
+    ),
+    agg AS (
+        SELECT user_id, g, COUNT(*) AS cnt,
+               SUM(CASE WHEN event_type = 'click' THEN value END)
+                 AS v_tot
+        FROM isl GROUP BY user_id, g
+    ),
+    matches AS (
+        SELECT f1.user_id AS u, f1.g, a1.cnt - 1 AS n_clicks,
+               a1.v_tot, f2.feid AS c_eid
+        FROM fa f1
+        JOIN agg a1 ON a1.user_id = f1.user_id AND a1.g = f1.g
+        JOIN fa f2 ON f2.user_id = f1.user_id AND f2.g = f1.g + 1
+        WHERE f1.fet = 'view' AND a1.cnt >= 2 AND f2.fet = 'purchase'
+          AND f2.fts < f1.fts + INTERVAL 1 DAY
+    )
+    SELECT m.u, c.event_id AS eid, c.event_type AS et,
+           c.nb_run, c.v_run
+    FROM matches m JOIN cum c ON c.user_id = m.u AND c.g = m.g
+    UNION ALL
+    SELECT m.u, m.c_eid AS eid, 'purchase' AS et,
+           m.n_clicks AS nb_run, m.v_tot AS v_run
+    FROM matches m
+    """,
+)
+def cdc_sql_match_all_rows_running(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, event_id AS eid,"
+        " event_type AS et, nb_run, v_run FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES RUNNING COUNT(B.*) AS nb_run,"
+        " RUNNING SUM(B.value) AS v_run"
+        " ALL ROWS PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase')",
         {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
         {"events_cdc": log},
         n_batches=3,

@@ -101,6 +101,13 @@ DEFAULT_QUERIES = [
     "cdc_sql_match_reluctant",
     "cdc_sql_grouping_sets_minmax",
     "cdc_sql_session_distinct",
+    "cdc_sql_calc_project",
+    "cdc_sql_global_agg",
+    # r13: cross-var arithmetic/OR, RUNNING all-rows measures (same
+    # replay caveat)
+    "cdc_sql_match_cross_var_affine",
+    "cdc_sql_match_cross_var_or",
+    "cdc_sql_match_all_rows_running",
 ]
 
 

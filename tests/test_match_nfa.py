@@ -1001,6 +1001,91 @@ def test_nfa_cross_step_budget():
     assert _nfa_scan(flags, ots, elems, 10**15, ("past",)) == []
 
 
+def test_nfa_all_rows_running_measures(spark):
+    """RUNNING-semantics measures under ALL ROWS PER MATCH (r13):
+    per-row cumulative aggregates over the match's rows in __pos
+    order, next to FINAL measures on the same statement; stable
+    across batch splits.  (Engine default stays FINAL — SQL:2016's
+    running default is a documented deviation pinned by the r12
+    all-rows oracle row.)"""
+    rows = [
+        (1, "u1", "view", 5.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),
+        (3, "u1", "click", 3.0, "2024-01-01 00:00:03"),
+        (4, "u1", "purchase", 9.0, "2024-01-01 00:00:04"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, id, et, nb_run, v_run, v_last,"
+        " n_total FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES RUNNING COUNT(B.*) AS nb_run,"
+        " RUNNING SUM(B.v) AS v_run,"
+        " RUNNING LAST(B.v) AS v_last,"
+        " FINAL COUNT(B.*) AS n_total"
+        " ALL ROWS PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+        " C AS C.et = 'purchase')"
+    )
+    exp = [
+        ("u1", 1, "view", 0, None, None, 2),       # before any B
+        ("u1", 2, "click", 1, 2.0, 2.0, 2),
+        ("u1", 3, "click", 2, 5.0, 3.0, 2),
+        ("u1", 4, "purchase", 2, 5.0, 3.0, 2),     # carried forward
+    ]
+    for n in (1, 2, 3):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == exp, n
+
+
+def test_nfa_running_measure_guards():
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        _rewrite_nfa_measure,
+    )
+
+    # unqualified aggregate has no per-variable cumulative rendering
+    with pytest.raises(ValueError, match="RUNNING measures support"):
+        _rewrite_nfa_measure("count(*)", ["A", "B"], "m", running=True)
+    # logical offsets have no running form
+    with pytest.raises(ValueError, match="logical "):
+        _rewrite_nfa_measure(
+            "LAST(B.v, 1)", ["A", "B"], "m", running=True
+        )
+    # mid-expression semantics modifiers refuse at the bridge
+    with pytest.raises(ValueError, match="WHOLE measure"):
+        parse_insert_select(
+            "INSERT INTO sink SELECT u, x FROM ev"
+            " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+            " MEASURES SUM(B.v) + RUNNING COUNT(B.*) AS x"
+            " ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW"
+            " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+            " DEFINE A AS A.et = 'view')"
+        )
+    # RUNNING with ONE ROW PER MATCH coincides with FINAL (SQL:2016:
+    # the evaluation point is after the last row) → final rewrite
+    st = parse_insert_select(
+        "INSERT INTO sink SELECT u, x FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES RUNNING SUM(B.v) AS x"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view')"
+    )
+    assert st.match_nfa["measures"] == [
+        ("sum(v) FILTER (WHERE __var = 'B')", "x")
+    ]
+    # operator-level: a running measure demands all-rows output
+    with pytest.raises(ValueError, match="require ALL ROWS"):
+        maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+", "defines": {"A": "et = 'view'"},
+            "measures": [("count(*)", "n", "running")],
+        })
+
+
 @pytest.mark.parametrize(
     "skip", ["TO NEXT ROW", "PAST LAST ROW", "TO LAST B"]
 )

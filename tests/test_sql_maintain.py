@@ -2156,7 +2156,9 @@ def test_calc_projection_filter_replay(spark, n_batches):
 
 
 def test_calc_multiset_and_guards(spark):
-    # identical projected images net their multiplicities (multiset)
+    # the exchange-free calc delta (r13) emits one ±1 row per source
+    # change — identical projected images are NOT collapsed in the
+    # delta (multiset consumers net them in their fold) ...
     log = spark.createDataFrame(
         [(1, "a", "+I", 1), (2, "a", "+I", 2)],
         f"id long, k string, {OP_COL} string, {SEQ_COL} long",
@@ -2165,8 +2167,24 @@ def test_calc_multiset_and_guards(spark):
         "INSERT INTO s SELECT k FROM t", {"t": ["id"]}
     )
     d = job.step({"t": log})
-    assert [tuple(r) for r in d.collect()] == [("a", 2)]
+    assert sorted(tuple(r) for r in d.collect()) == [("a", 1), ("a", 1)]
+    # ... and the accumulated result still nets to the multiset
     assert [tuple(r) for r in job.result().collect()] == [("a",), ("a",)]
+    # net=True restores collapsed ±pairs for sinks that need them
+    from flink_cdc_2_3_0_src_spark.operators.maintain import maintain
+
+    netted = maintain(calc={"exprs": [("k", "k")], "net": True})
+    _st, nd = netted.step(None, log)
+    assert [tuple(r) for r in nd.collect()] == [("a", 2)]
+    # the DEFAULT calc delta is a pure narrow pipeline: zero
+    # exchanges (Flink's StreamExecCalc parity — the r12 netting
+    # exchange is opt-in now)
+    plain = maintain(calc={"exprs": [("k", "k")]})
+    _st, pd_ = plain.step(None, log)
+    plan_str = pd_._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_str, plan_str
+    netted_plan = nd._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in netted_plan  # the opt-in pays the exchange
     with pytest.raises(ValueError, match="multiset"):
         job.delta_changelog(d, 0)
     with pytest.raises(ValueError, match="needs AS <name>"):
