@@ -1592,6 +1592,42 @@ def _split_and_conjuncts(sql: str) -> list:
     return [p.strip() for p in parts if p.strip()]
 
 
+def parse_match_pattern_ex(pattern: str):
+    """``parse_match_pattern`` plus SQL:2016 PATTERN EXCLUSIONS:
+    ``"A {- B+ -} C"`` → (the flattened elements of ``"A B+ C"``,
+    ``{"B"}``).  Excluded variables participate in MATCHING exactly
+    like any other element (adjacency, WITHIN, DEFINEs, aggregate
+    measures) but their rows are omitted from ALL ROWS PER MATCH
+    output — the SQL:2016 ``{- -}`` refinement (beyond Flink's
+    surface: Flink's MATCH_RECOGNIZE is ONE ROW PER MATCH only and
+    rejects exclusions).  With ONE ROW PER MATCH the exclusion is
+    accepted and has no effect (the standard's semantics)."""
+    s, pos, flat, excluded = pattern, 0, [], set()
+    while True:
+        i = s.find("{-", pos)
+        if i < 0:
+            flat.append(s[pos:])
+            break
+        j = s.find("-}", i + 2)
+        if j < 0:
+            raise ValueError(
+                "PATTERN: unbalanced {- -} exclusion (no closing -})"
+            )
+        seg = s[i + 2 : j]
+        if "{-" in seg:
+            raise ValueError(
+                "PATTERN: nested {- -} exclusions are not valid "
+                "SQL:2016"
+            )
+        if not seg.strip():
+            raise ValueError("PATTERN: empty {- -} exclusion")
+        excluded |= {v for v, _mn, _mx, _g in parse_match_pattern(seg)}
+        flat.append(s[pos:i])
+        flat.append(" " + seg + " ")
+        pos = j + 2
+    return parse_match_pattern("".join(flat)), excluded
+
+
 def _split_or_disjuncts(sql: str) -> list:
     """Top-level ``OR`` split of a predicate — outside parentheses and
     string literals (no BETWEEN complication: BETWEEN owns an AND,
@@ -2107,13 +2143,36 @@ class _MatchNfaPlan(_Plan):
       the pruned boundary (Flink's CEP state cleanup makes the same
       trade).
     * **measure cache** (r12): state is ``(pool, measure rows, clean
-      keys)`` — a batch's measure rows are cached for keys whose prune
-      dropped no match-participating row (any drop when PREV is in
-      play), and the next batch's − side reads the cache for clean
-      affected keys, re-running the Arrow-batched explode only for
-      dirty ones.  In the steady state (sparse matches, advancing
-      time) this halves the per-batch Python scans; ``expire()``
-      invalidates the cache (the pool changes underneath it).
+      keys, match-number base)`` — a batch's measure rows are cached
+      for keys whose prune dropped no match-participating row (any
+      drop when PREV is in play), and the next batch's − side reads
+      the cache for clean affected keys, re-running the Arrow-batched
+      explode only for dirty ones.  In the steady state (sparse
+      matches, advancing time) this halves the per-batch Python
+      scans; ``expire()`` invalidates the cache (the pool changes
+      underneath it).
+    * **pattern exclusions** (r13, SQL:2016 ``{- B+ -}`` — beyond
+      Flink, which rejects exclusions): excluded variables MATCH
+      (adjacency, WITHIN, DEFINEs and aggregate measures all see
+      their rows) but are omitted from ALL ROWS PER MATCH output;
+      with ONE ROW PER MATCH the exclusion is accepted and has no
+      effect.  String patterns parse ``{- -}`` directly
+      (``parse_match_pattern_ex``); tuple patterns pass
+      ``exclude=[vars]``.
+    * **CLASSIFIER() / MATCH_NUMBER()** (r13, SQL:2016): CLASSIFIER
+      is the row's own variable under RUNNING semantics and the last
+      row's under the engine's FINAL default; MATCH_NUMBER is the
+      LIFETIME per-key sequence number — ``__match_id`` (the pool
+      scan's enumeration) plus ``__mn_base``, the per-key count of
+      matches already pruned out of the pool.  The base telescopes:
+      pool rows are time-ordered, so matches leaving at a prune are
+      always a numbering PREFIX, and base += |matches whose first
+      row fell behind the horizon| keeps emitted numbers stable —
+      a key whose base advances necessarily dropped a
+      match-participating row, so it is already dirty for the
+      measure cache and no cached row ever sees a stale base.
+      MATCH_NUMBER with a state ttl refuses at construction (expiry
+      cannot count the matches it destroys).
     """
 
     kind = "match_nfa"
@@ -2147,7 +2206,7 @@ class _MatchNfaPlan(_Plan):
         opts = dict(opts)
         unknown = set(opts) - {
             "partition", "order", "within", "pattern", "defines",
-            "measures", "skip", "rows_per_match",
+            "measures", "skip", "rows_per_match", "exclude",
         }
         if unknown:
             raise ValueError(
@@ -2174,12 +2233,20 @@ class _MatchNfaPlan(_Plan):
         self.order = opts["order"]
         self.within_us = _gap_micros(opts["within"])
         pat = opts["pattern"]
-        self.pattern = (
-            parse_match_pattern(pat) if isinstance(pat, str) else [
+        pat_excluded: set = set()
+        if isinstance(pat, str):
+            self.pattern, pat_excluded = parse_match_pattern_ex(pat)
+        else:
+            self.pattern = [
                 (t[0].upper(), t[1], t[2], t[3] if len(t) > 3 else True)
                 for t in pat
             ]
-        )
+        # SQL:2016 pattern exclusions: matched but omitted from ALL
+        # ROWS PER MATCH output ({- -} in a string pattern, or the
+        # explicit 'exclude' option for tuple patterns)
+        self.excluded = pat_excluded | {
+            v.upper() for v in (opts.get("exclude") or [])
+        }
         defines = {
             k.upper(): v for k, v in dict(opts.get("defines") or {}).items()
         }
@@ -2189,6 +2256,12 @@ class _MatchNfaPlan(_Plan):
             raise ValueError(
                 f"DEFINE names variable(s) {sorted(bad)} not in the "
                 f"pattern ({sorted(pat_vars)})"
+            )
+        bad_ex = self.excluded - pat_vars
+        if bad_ex:
+            raise ValueError(
+                f"exclusion names variable(s) {sorted(bad_ex)} not in "
+                f"the pattern ({sorted(pat_vars)})"
             )
         # an undefined pattern variable matches any row (SQL:2016);
         # PREV(col[, k]) navigation rewrites to LAG columns computed
@@ -2257,6 +2330,19 @@ class _MatchNfaPlan(_Plan):
             self.measures.append((msql, mname, sem))
         if not self.measures:
             raise ValueError("match_nfa= needs at least one measure")
+        #: MATCH_NUMBER() measures read ``__mn_base`` — the per-key
+        #: count of matches already pruned out of the pool (state),
+        #: making __match_id + base the lifetime sequence number
+        self._uses_mn = any(
+            "__mn_base" in s for s, _n, _sem in self.measures
+        )
+        if self._uses_mn and ttl is not None:
+            raise ValueError(
+                "MATCH_NUMBER() with a state TTL would renumber "
+                "matches when expire() drops pool rows mid-match "
+                "(the expiry path cannot count the matches it "
+                "destroys); drop the ttl or the MATCH_NUMBER measure"
+            )
         sk = str(opts.get("skip", "to_next")).lower().split()
         if sk == ["to_next"]:
             self.skip = ("next",)
@@ -2622,7 +2708,7 @@ class _MatchNfaPlan(_Plan):
             run_key, out_schema
         )
 
-    def _measure_rows(self, exploded: DataFrame) -> DataFrame:
+    def _measure_rows(self, exploded: DataFrame, mnb=None) -> DataFrame:
         """ONE ROW PER MATCH: partition cols + measures, +1 multiset.
         ALL ROWS PER MATCH (r12): one output row per MATCHED INPUT ROW
         — the source columns plus the match's measures joined back on
@@ -2639,11 +2725,30 @@ class _MatchNfaPlan(_Plan):
             (s, n) for s, n, sem in self.measures if sem == "final"
         ]
         names = [n for _s, n, _sem in self.measures]
+        if self._uses_mn:
+            # MATCH_NUMBER(): absolute number = pool-scan id + the
+            # key's pruned-match count (a left join against the
+            # one-row-per-key base state; 0 before any prune)
+            if mnb is not None:
+                exploded = exploded.join(
+                    mnb, on=self.partition, how="left"
+                )
+            else:
+                exploded = exploded.withColumn(
+                    "__mn_base", F.lit(None).cast("long")
+                )
+            exploded = exploded.withColumn(
+                "__mn_base",
+                F.coalesce(F.col("__mn_base"), F.lit(0).cast("long")),
+            )
         if self.rows_per_match == "all":
             payload = [
                 c
                 for c in exploded.columns
-                if c not in ("__match_id", "__var", "__pos", self._CONSUMED)
+                if c not in (
+                    "__match_id", "__var", "__pos", "__mn_base",
+                    self._CONSUMED,
+                )
             ]
             base = exploded
             runnings = [
@@ -2664,6 +2769,14 @@ class _MatchNfaPlan(_Plan):
                 )
                 base = base.join(
                     per_match, [*self.partition, "__match_id"], "inner"
+                )
+            if self.excluded:
+                # SQL:2016 pattern exclusion: excluded variables'
+                # rows MATCH (adjacency, WITHIN, aggregates all see
+                # them — the running windows above already did) but
+                # are omitted from the all-rows output
+                base = base.filter(
+                    ~F.col("__var").isin(*sorted(self.excluded))
                 )
             return base.select(*payload, *names).withColumn(
                 MULT_COL, F.lit(1).cast("long")
@@ -2689,8 +2802,8 @@ class _MatchNfaPlan(_Plan):
             F.lit(False).alias(self._CONSUMED),
         )
         affected = rows.select(*self.partition).distinct()
-        pool_old, mcache, clean = (
-            state if state is not None else (None, None, None)
+        pool_old, mcache, clean, mnb = (
+            state if state is not None else (None, None, None, None)
         )
         old_pool = (
             _keyset_join(pool_old, affected, self.partition, "left_semi")
@@ -2702,9 +2815,15 @@ class _MatchNfaPlan(_Plan):
         )
         # one NFA pass over the new pool feeds the delta's + side, the
         # consumed-row marking AND next batch's measure cache —
-        # checkpoint it rather than run the pandas scan again
+        # checkpoint it rather than run the pandas scan again.  Both
+        # measure sides read the SAME __mn_base state: the base was
+        # advanced by LAST batch's prune, exactly when the pruned
+        # matches left both pools (the telescoping argument in the
+        # class docstring).
         new_expl = self._explode(new_pool).localCheckpoint(eager=True)
-        new_m = self._measure_rows(new_expl).localCheckpoint(eager=True)
+        new_m = self._measure_rows(new_expl, mnb).localCheckpoint(
+            eager=True
+        )
         delta = new_m
         if old_pool is not None:
             # the − side (r12): keys whose LAST prune kept every
@@ -2723,11 +2842,14 @@ class _MatchNfaPlan(_Plan):
                                 old_pool, aff_clean, self.partition,
                                 "left_anti",
                             )
-                        )
+                        ),
+                        mnb,
                     )
                 )
             else:
-                old_m_pos = self._measure_rows(self._explode(old_pool))
+                old_m_pos = self._measure_rows(
+                    self._explode(old_pool), mnb
+                )
             old_m = old_m_pos.withColumn(MULT_COL, -F.col(MULT_COL))
             payload = [c for c in new_m.columns if c != MULT_COL]
             delta = (
@@ -2771,6 +2893,28 @@ class _MatchNfaPlan(_Plan):
                 .drop("__rnb", "__above")
             )
             pruned = pruned.unionByName(extras)
+        mw = Window.partitionBy(*self.partition, "__match_id")
+        # the horizon is the POOL's per-key max (the exploded frame
+        # holds matched rows only — its max can lag the key's)
+        key_h = new_pool.groupBy(*self.partition).agg(
+            (
+                F.unix_micros(F.max(F.col(self.order)).cast("timestamp"))
+                - F.lit(self.within_us)
+            ).alias("__h")
+        )
+        # matches whose FIRST row fell behind the horizon leave the
+        # pool this prune — the straddle-consumption marks (SKIP PAST
+        # LAST ROW) and the MATCH_NUMBER base advance both read it
+        behind = (
+            new_expl.withColumn(
+                "__first_ots",
+                F.min(
+                    F.unix_micros(F.col(self.order).cast("timestamp"))
+                ).over(mw),
+            )
+            .join(key_h, on=self.partition, how="inner")
+            .filter(F.col("__first_ots") < F.col("__h"))
+        )
         if self.skip[0] == "past":
             # rows consumed by a match whose FIRST row fell behind the
             # horizon are MARKED unmatchable (not removed): the
@@ -2779,30 +2923,10 @@ class _MatchNfaPlan(_Plan):
             # must not re-match — but they still stand in the row
             # sequence as adjacency blockers and PREV/LAG sources,
             # which removal would falsify.
-            mw = Window.partitionBy(*self.partition, "__match_id")
-            # the horizon is the POOL's per-key max (the exploded frame
-            # holds matched rows only — its max can lag the key's)
-            key_h = new_pool.groupBy(*self.partition).agg(
-                (
-                    F.unix_micros(F.max(F.col(self.order)).cast("timestamp"))
-                    - F.lit(self.within_us)
-                ).alias("__h")
-            )
-            straddle = (
-                new_expl.withColumn(
-                    "__first_ots",
-                    F.min(
-                        F.unix_micros(F.col(self.order).cast("timestamp"))
-                    ).over(mw),
-                )
-                .join(key_h, on=self.partition, how="inner")
-                .filter(F.col("__first_ots") < F.col("__h"))
-                .select(
-                    *self.partition, self.seq_col,
-                    F.lit(True).alias("__mark"),
-                )
-                .distinct()
-            )
+            straddle = behind.select(
+                *self.partition, self.seq_col,
+                F.lit(True).alias("__mark"),
+            ).distinct()
             pruned = (
                 pruned.join(
                     straddle, self.partition + [self.seq_col], "left"
@@ -2855,18 +2979,60 @@ class _MatchNfaPlan(_Plan):
             )
         else:
             clean_next = clean_aff
+        # MATCH_NUMBER base advance (r13): matches leaving the pool
+        # this prune are a numbering PREFIX (pool rows are
+        # time-ordered, so matches' first rows are non-decreasing),
+        # so per key base += |matches with first row behind the
+        # horizon| keeps __match_id + base the lifetime sequence
+        # number.  Keys whose base advances necessarily dropped a
+        # match-participating row, so they are already DIRTY for the
+        # measure cache — cached rows never see a stale base.
+        mnb_next = mnb
+        if self._uses_mn:
+            adv = (
+                behind.select(*self.partition, "__match_id")
+                .distinct()
+                .groupBy(*self.partition)
+                .agg(F.count(F.lit(1)).alias("__adv"))
+            )
+            aff_base = (
+                affected.join(mnb, self.partition, "left")
+                if mnb is not None
+                else affected.withColumn(
+                    "__mn_base", F.lit(None).cast("long")
+                )
+            )
+            aff_base = aff_base.join(adv, self.partition, "left").select(
+                *self.partition,
+                (
+                    F.coalesce(F.col("__mn_base"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("__adv"), F.lit(0).cast("long"))
+                ).alias("__mn_base"),
+            )
+            mnb_next = (
+                aff_base
+                if mnb is None
+                else aff_base.unionByName(
+                    _keyset_join(mnb, affected, self.partition, "left_anti")
+                )
+            ).localCheckpoint(eager=True)
         return (
             pruned.localCheckpoint(eager=True),
             cache_new.localCheckpoint(eager=True),
             clean_next.localCheckpoint(eager=True),
+            mnb_next,
         ), delta
 
     def _expire(self, state, watermark):
-        pool, _mcache, _clean = state
+        pool, _mcache, _clean, mnb = state
         # expiry drops pool rows behind the watermark, changing the
         # match set underneath the cached measures — invalidate the
-        # cache (the next batch's − side recomputes from the pool)
-        return (expire_state(pool, watermark, self.order), None, None)
+        # cache (the next batch's − side recomputes from the pool).
+        # MATCH_NUMBER + ttl refuses at construction, so mnb needs no
+        # expiry-side bookkeeping here.
+        return (
+            expire_state(pool, watermark, self.order), None, None, mnb
+        )
 
 
 class _CalcPlan(_Plan):

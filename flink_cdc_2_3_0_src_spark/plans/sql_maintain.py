@@ -859,10 +859,10 @@ def parse_insert_select(sql: str) -> InsertSelect:
     mm = _MATCH_RE.match(select)
     if mm:
         from flink_cdc_2_3_0_src_spark.operators.maintain import (
-            parse_match_pattern,
+            parse_match_pattern_ex,
         )
 
-        pattern = parse_match_pattern(mm.group("pattern"))
+        pattern, excluded = parse_match_pattern_ex(mm.group("pattern"))
         pat_vars = [v for v, _mn, _mx, _g in pattern]
         sk_words = mm.group("skip").upper().split()
         if sk_words[0] == "PAST":
@@ -900,6 +900,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
             and set(defines) == {"A", "B"}
             and not uses_agg_measures
             and not uses_prev
+            and not excluded
         )
         measures = []
         for raw in raw_measures:
@@ -1010,6 +1011,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 "defines": nfa_defines, "measures": measures,
                 "skip": skip_opt,
                 "rows_per_match": "all" if all_rows else "one",
+                **({"exclude": sorted(excluded)} if excluded else {}),
             },
         )
 
@@ -1020,12 +1022,13 @@ def parse_insert_select(sql: str) -> InsertSelect:
             "cannot parse the MATCH_RECOGNIZE clause; the maintained "
             "subset is: SELECT <partition cols / measure names> FROM "
             "<t> MATCH_RECOGNIZE (PARTITION BY <cols> ORDER BY <rowtime "
-            "ASC> MEASURES <V.x exprs> AS <name>, .. [ONE ROW | ALL "
+            "ASC> MEASURES [RUNNING|FINAL] <V.x exprs / CLASSIFIER() / "
+            "MATCH_NUMBER()> AS <name>, .. [ONE ROW | ALL "
             "ROWS PER MATCH] AFTER MATCH "
             "SKIP TO NEXT ROW | SKIP PAST LAST ROW | SKIP TO "
             "FIRST/LAST <var> PATTERN "
             "(<vars with optional + * ? {n,m} quantifiers, reluctant "
-            "with a trailing ?>) WITHIN "
+            "with a trailing ?, {- excluded -} segments>) WITHIN "
             "INTERVAL '<n>' <unit> DEFINE <V> AS <pred>, ..)"
         )
 
@@ -1878,6 +1881,28 @@ def _rewrite_nfa_measure(
     upper_vars = {v.upper() for v in pat_vars}
 
     def seg_rewrite(seg: str) -> str:
+        # SQL:2016 CLASSIFIER() / MATCH_NUMBER() (r13).  MATCH_NUMBER
+        # numbers matches sequentially within the partition: the
+        # plan's per-key __match_id enumerates the CURRENT pool's
+        # matches, and __mn_base (plan state) counts the matches
+        # already pruned out of the pool — their sum is the lifetime
+        # sequence number (pruned matches are always a numbering
+        # PREFIX, so the base telescopes across batches).  CLASSIFIER
+        # under RUNNING semantics is the row's OWN pattern variable,
+        # under the engine's FINAL default the LAST row's (the same
+        # final-vs-running discipline as every measure).
+        seg = re.sub(
+            r"(?i)\bMATCH_NUMBER\s*\(\s*\)",
+            "(__match_id + __mn_base + 1)"
+            if running
+            else "(__match_id + min(__mn_base) + 1)",
+            seg,
+        )
+        seg = re.sub(
+            r"(?i)\bCLASSIFIER\s*\(\s*\)",
+            "__var" if running else "max_by(__var, __pos)",
+            seg,
+        )
         if running:
             # every aggregate call must be the <agg>(V.col) form —
             # an unqualified count(*)/sum(x) has no cumulative

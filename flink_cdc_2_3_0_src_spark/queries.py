@@ -6551,6 +6551,91 @@ def cdc_sql_match_all_rows_running(
     )
 
 
+# Pattern exclusions + CLASSIFIER() + MATCH_NUMBER() (r13): SQL:2016
+# ``PATTERN (A {- B+ -} C)`` — the B run MATCHES (adjacency, WITHIN,
+# and the FINAL COUNT(B.*) aggregate all see it) but its rows are
+# omitted from the ALL ROWS PER MATCH output; CLASSIFIER() under
+# RUNNING semantics is each output row's own pattern variable and
+# MATCH_NUMBER() the per-partition sequential match number (the NFA's
+# per-key match enumeration, 0-based, +1).  All three are beyond
+# Flink's MATCH_RECOGNIZE surface (ONE ROW PER MATCH only, exclusions
+# rejected).  Oracle: the all-rows islands reduced to their first row
+# (the view = A) plus the following purchase (= C), with the match
+# number re-derived as ROW_NUMBER over the user's matches in island
+# order — the same time order the scan enumerates.
+@register(
+    "cdc_sql_match_exclusion",
+    """
+    WITH isl AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               SUM(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS g,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    fa AS (
+        SELECT user_id, g, event_type AS fet, ts AS fts,
+               event_id AS feid
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                           ORDER BY rn) AS irn
+              FROM isl)
+        WHERE irn = 1
+    ),
+    agg AS (
+        SELECT user_id, g, COUNT(*) AS cnt
+        FROM isl GROUP BY user_id, g
+    ),
+    matches AS (
+        SELECT f1.user_id AS u, f1.g, f1.feid AS a_eid,
+               a1.cnt - 1 AS n_clicks, f2.feid AS c_eid,
+               ROW_NUMBER() OVER (PARTITION BY f1.user_id
+                                  ORDER BY f1.g) AS mn
+        FROM fa f1
+        JOIN agg a1 ON a1.user_id = f1.user_id AND a1.g = f1.g
+        JOIN fa f2 ON f2.user_id = f1.user_id AND f2.g = f1.g + 1
+        WHERE f1.fet = 'view' AND a1.cnt >= 2 AND f2.fet = 'purchase'
+          AND f2.fts < f1.fts + INTERVAL 1 DAY
+    )
+    SELECT u, a_eid AS eid, 'A' AS cls, mn, n_clicks FROM matches
+    UNION ALL
+    SELECT u, c_eid AS eid, 'C' AS cls, mn, n_clicks FROM matches
+    """,
+)
+def cdc_sql_match_exclusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, event_id AS eid,"
+        " cls, mn, n_clicks FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES RUNNING CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,"
+        " FINAL COUNT(B.*) AS n_clicks"
+        " ALL ROWS PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A {- B+ -} C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click',"
+        " C AS C.event_type = 'purchase')",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
 # Reluctant quantifiers (r12): ``B+?`` takes as FEW rows as possible
 # and grows only on demand.  With C UNDEFINED (any row qualifies,
 # SQL:2016), the reluctant form binds exactly ONE click to B and the

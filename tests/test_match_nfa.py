@@ -914,6 +914,83 @@ def test_nfa_cross_arith_eval_nulls_and_types():
     assert _arith("+", "abc", 1) is None
 
 
+def test_nfa_side_parser_eval_fuzz():
+    """Seeded fuzz for the r13 arithmetic side compiler: random
+    expressions over navigation leaves, literals and the self column,
+    with RANDOM parenthesization, must evaluate exactly as Python
+    evaluates the same string (same + - * / precedence and true
+    division); division by zero is SQL NULL.  Pure plan construction
+    + ``_nav_value`` — no Spark session."""
+    import numpy as np
+
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        _nav_value,
+        maintain,
+    )
+
+    rng = random.Random(1307)
+    # candidate B row: v = 7.0; A bound rows: x = [2.0, 5.0]
+    leaves = [
+        ("B.v", "7.0"),
+        ("A.x", "5.0"),          # bare ≡ LAST
+        ("FIRST(A.x)", "2.0"),
+        ("LAST(A.x)", "5.0"),
+        ("FIRST(A.x, 1)", "5.0"),
+        ("3", "3"),
+        ("0.5", "0.5"),
+        ("0", "0"),
+    ]
+
+    def gen(depth: int) -> str:
+        if depth == 0 or rng.random() < 0.35:
+            return rng.choice(leaves)[0]
+        l, r = gen(depth - 1), gen(depth - 1)
+        op = rng.choice("+-*/")
+        s = f"{l} {op} {r}"
+        return f"({s})" if rng.random() < 0.5 else s
+
+    checked = 0
+    for _trial in range(250):
+        expr = gen(3)
+        while "A.x" not in expr:  # keep the conjunct cross-variable
+            expr = gen(3)
+        plan = maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+",
+            "defines": {"B": f"({expr}) >= B.v"},
+            "measures": [("count(*)", "n")],
+        })
+        [[(tag, lhs, _op, _rhs)]] = plan.cross_specs[1]
+        assert tag == "cmp"
+        # vals: every __cx column is a row-local SQL over {v} or a
+        # literal — evaluate it with Python (the fuzz leaves keep
+        # row-local SQL to bare v / numeric text)
+        vals = {}
+        for name, sql_ in plan.cur_exprs:
+            sql_ = sql_.strip()
+            cv = 7.0 if sql_ == "v" else float(sql_)
+            vals[name] = np.array([cv] * 3)
+        vals["v"] = np.array([7.0] * 3)
+        vals["x"] = np.array([2.0, 5.0, 7.0])
+        # bound: A holds rows 0 and 1; candidate row index 2 is B's
+        bound = [[0, 1], []]
+        got = _nav_value(lhs, vals, bound, 1, 2)
+        py = expr
+        for tok, val in sorted(leaves, key=lambda t: -len(t[0])):
+            py = py.replace(tok, val)
+        try:
+            exp = eval(py)  # noqa: S307 - test-local arithmetic only
+        except ZeroDivisionError:
+            exp = None
+        if exp is None:
+            assert got is None, (expr, got)
+        else:
+            assert got is not None, (expr, exp)
+            assert float(got) == pytest.approx(float(exp), rel=1e-9), expr
+        checked += 1
+    assert checked == 250
+
+
 def test_nfa_cross_var_affine_pinned(spark):
     """Threshold breakout — ``B.v > A.v * 1.1 + 1`` written AS-IS
     (the exact statement the r12 surface refused with 'rewrite the
@@ -1039,6 +1116,81 @@ def test_nfa_all_rows_running_measures(spark):
             sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
         )
         assert sorted(map(tuple, got.collect())) == exp, n
+
+
+def test_nfa_pattern_exclusion_classifier_match_number(spark):
+    """SQL:2016 pattern exclusions ``{- B+ -}`` (rows match — the
+    FINAL aggregate still counts them — but are omitted from the
+    all-rows output) plus CLASSIFIER() / MATCH_NUMBER() (r13; both
+    beyond Flink's surface).  MATCH_NUMBER is the per-partition
+    sequential match number; RUNNING CLASSIFIER is the row's own
+    variable."""
+    rows = [
+        (1, "u1", "view", 5.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),
+        (3, "u1", "click", 3.0, "2024-01-01 00:00:03"),
+        (4, "u1", "purchase", 9.0, "2024-01-01 00:00:04"),
+        (5, "u1", "view", 6.0, "2024-01-01 00:10:00"),
+        (6, "u1", "click", 1.0, "2024-01-01 00:10:01"),
+        (7, "u1", "purchase", 2.0, "2024-01-01 00:10:02"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, id, cls, mn, n_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES RUNNING CLASSIFIER() AS cls, MATCH_NUMBER() AS mn,"
+        " FINAL COUNT(B.*) AS n_b"
+        " ALL ROWS PER MATCH"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A {- B+ -} C) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+        " C AS C.et = 'purchase')"
+    )
+    exp = [
+        ("u1", 1, "A", 1, 2), ("u1", 4, "C", 1, 2),
+        ("u1", 5, "A", 2, 1), ("u1", 7, "C", 2, 1),
+    ]
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == exp, n
+    # dropping the exclusion emits the click rows too (differential)
+    got2 = replay_insert_maintained(
+        sql.replace("{- B+ -}", "B+"), _EV_TABLES,
+        {"ev": _mk_log(spark, rows)}, n_batches=2,
+    )
+    assert len(got2.collect()) == 7
+
+
+def test_nfa_pattern_exclusion_guards():
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        parse_match_pattern_ex,
+    )
+
+    elems, ex = parse_match_pattern_ex("A {- B+ -} C{1,2}")
+    assert [v for v, *_ in elems] == ["A", "B", "C"]
+    assert ex == {"B"}
+    elems, ex = parse_match_pattern_ex("A B+")
+    assert ex == set()
+    with pytest.raises(ValueError, match="unbalanced"):
+        parse_match_pattern_ex("A {- B+ C")
+    with pytest.raises(ValueError, match="nested"):
+        parse_match_pattern_ex("A {- {- B -} -} C")
+    with pytest.raises(ValueError, match="empty"):
+        parse_match_pattern_ex("A {-  -} C")
+    with pytest.raises(ValueError, match="exclusion names"):
+        maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+", "defines": {"A": "et = 'view'"},
+            "measures": [("count(*)", "n")], "exclude": ["Z"],
+        })
+    # ONE ROW PER MATCH accepts the exclusion with no effect
+    plan = maintain(match_nfa={
+        "partition": ["u"], "order": "ts", "within": "1 day",
+        "pattern": "A {- B+ -} C", "defines": {"A": "et = 'view'"},
+        "measures": [("count(*)", "n")],
+    })
+    assert plan.excluded == {"B"}
 
 
 def test_nfa_running_measure_guards():
@@ -1379,14 +1531,14 @@ def test_nfa_measure_cache_discipline(spark):
         (3, "u1", "purchase", 3.0, "2024-01-01 01:00:00"),
     ]
     job.step({"ev": _mk_log(spark, b1)})
-    pool, mcache, clean = job._state
+    pool, mcache, clean, _mnb = job._state
     # nothing pruned: the match's measure row is cached, key is clean
     assert [r["u"] for r in clean.collect()] == ["u1"]
     assert mcache.count() == 1
     # a far-future row prunes the matched funnel rows → key turns dirty
     job.step({"ev": _mk_log(spark, [(4, "u1", "error", 0.0,
                                      "2024-01-03 00:00:00")])})
-    pool, mcache, clean = job._state
+    pool, mcache, clean, _mnb = job._state
     assert clean.count() == 0 and mcache.count() == 0
     # the emitted match survives pruning (forgotten together, never
     # retracted)
@@ -1398,7 +1550,7 @@ def test_nfa_measure_cache_discipline(spark):
         (7, "u1", "purchase", 7.0, "2024-01-03 03:00:00"),
     ]
     job.step({"ev": _mk_log(spark, b3)})
-    pool, mcache, clean = job._state
+    pool, mcache, clean, _mnb = job._state
     assert clean.count() == 1 and mcache.count() == 1
     assert job.result().count() == 2
 
