@@ -1628,6 +1628,73 @@ def parse_match_pattern_ex(pattern: str):
     return parse_match_pattern("".join(flat)), excluded
 
 
+def parse_match_pattern_alts(pattern: str):
+    """The full r13 pattern grammar → ``(branches, excluded)``:
+
+    * alternation ``A B+ | A E+`` — top-level ``|`` splits into
+      ALTERNATIVE branches tried in lexical order (SQL:2016's
+      leftmost preference; Flink rejects ``|`` outright);
+    * ``PERMUTE(A, B+, C)`` — every ordering of the listed elements
+      as a branch, in the SQL:2016-prescribed lexical order of
+      permutations (≤ 4 elements, so ≤ 24 branches);
+    * ``{- X -}`` exclusions inside any alternation branch
+      (``parse_match_pattern_ex``); the excluded set is the union.
+
+    Each branch is a list of (var, min, max, greedy) elements;
+    variables may repeat ACROSS branches (same DEFINE applies) but
+    not within one."""
+    s = pattern.strip()
+    pm = re.match(r"(?is)^PERMUTE\s*\((.*)\)\s*$", s)
+    if pm:
+        import itertools
+
+        body = pm.group(1)
+        if "{-" in body:
+            raise ValueError(
+                "PATTERN: {- -} exclusions inside PERMUTE are not "
+                "supported; exclude in an explicit alternation"
+            )
+        toks = [t.strip() for t in body.split(",")]
+        if not 2 <= len(toks) <= 4:
+            raise ValueError(
+                "PERMUTE takes 2 to 4 elements (each added element "
+                "multiplies the branch count — 4 elements is already "
+                "24 alternatives)"
+            )
+        elems = []
+        for t in toks:
+            m = _PATTERN_TOKEN.fullmatch(t)
+            if not m or not m.group(1):
+                raise ValueError(
+                    f"cannot parse PERMUTE element {t!r}: one "
+                    "variable with an optional quantifier"
+                )
+            # parse behind a min-1 sentinel so a lone optional
+            # element ("B*") passes the zero-row whole-pattern check
+            elems.append(parse_match_pattern(f"__zz {t}")[1])
+        seen = set()
+        for v, _mn, _mx, _g in elems:
+            if v in seen:
+                raise ValueError(
+                    f"PERMUTE element {v!r} appears twice"
+                )
+            seen.add(v)
+        if sum(mn for _v, mn, _mx, _g in elems) < 1:
+            raise ValueError(
+                "the pattern can match zero rows (every element is "
+                "optional); require at least one element with min >= 1"
+            )
+        return [list(p) for p in itertools.permutations(elems)], set()
+    branches, excluded = [], set()
+    for part in s.split("|"):
+        if not part.strip():
+            raise ValueError("PATTERN: empty alternation branch")
+        elems, ex = parse_match_pattern_ex(part)
+        branches.append(elems)
+        excluded |= ex
+    return branches, excluded
+
+
 def _split_or_disjuncts(sql: str) -> list:
     """Top-level ``OR`` split of a predicate — outside parentheses and
     string literals (no BETWEEN complication: BETWEEN owns an AND,
@@ -1831,17 +1898,19 @@ def _arith(op: str, a, b):
         return None
 
 
-def _nav_value(side, vals, bound, e, ri):
+def _nav_value(side, vals, bound, var2el, cur_var, ri):
     """Resolve one side of a cross-variable comparison while
-    classifying row ``ri`` for element ``e`` — sides are expression
-    TREES (r13): ``("cur", col)`` reads the candidate row's
-    precomputed column; ``("lit", v)`` is a numeric literal;
+    classifying row ``ri`` for variable ``cur_var`` — sides are
+    expression TREES (r13): ``("cur", col)`` reads the candidate
+    row's precomputed column; ``("lit", v)`` is a numeric literal;
     ``("bin", op, l, r)`` is ``+ - * /`` arithmetic over sub-sides;
-    ``("nav", v_el, col, is_last, off)`` reads the FIRST/LAST
-    (± logical offset) row currently bound to element ``v_el`` in the
-    partial match — the candidate row itself counts as bound to its
-    own element (SQL:2016 running semantics).  Unbound / out-of-range
-    navigation → None (SQL NULL)."""
+    ``("nav", var, col, is_last, off)`` reads the FIRST/LAST
+    (± logical offset) row currently bound to pattern variable
+    ``var`` in the partial match — the candidate row itself counts
+    as bound to its own variable (SQL:2016 running semantics).
+    ``var2el`` maps the CURRENT BRANCH's variables to element
+    indices (r13 alternation); a variable absent from the branch,
+    unbound, or out-of-range navigation → None (SQL NULL)."""
     tag = side[0]
     if tag == "cur":
         return vals[side[1]][ri]
@@ -1850,20 +1919,23 @@ def _nav_value(side, vals, bound, e, ri):
     if tag == "bin":
         return _arith(
             side[1],
-            _nav_value(side[2], vals, bound, e, ri),
-            _nav_value(side[3], vals, bound, e, ri),
+            _nav_value(side[2], vals, bound, var2el, cur_var, ri),
+            _nav_value(side[3], vals, bound, var2el, cur_var, ri),
         )
-    _kind, v_el, col, is_last, off = side
-    n_bound = len(bound[v_el]) + (1 if v_el == e else 0)
+    _kind, v_var, col, is_last, off = side
+    e = var2el.get(v_var)
+    if e is None:
+        return None
+    n_bound = len(bound[e]) + (1 if v_var == cur_var else 0)
     j = (n_bound - 1 - off) if is_last else off
     if j < 0 or j >= n_bound:
         return None
-    if v_el == e and j == n_bound - 1:
+    if v_var == cur_var and j == n_bound - 1:
         return vals[col][ri]
-    return vals[col][bound[v_el][j]]
+    return vals[col][bound[e][j]]
 
 
-def _cross_ok(specs, vals, bound, e, ri) -> bool:
+def _cross_ok(specs, vals, bound, var2el, cur_var, ri) -> bool:
     """``specs`` = one list per AND-conjunct; each conjunct is a list
     of OR-combined disjuncts (r13), each either ``("cmp", lhs, op,
     rhs)`` — a comparison of expression-tree sides — or ``("bool",
@@ -1882,8 +1954,8 @@ def _cross_ok(specs, vals, bound, e, ri) -> bool:
                 _t, lhs, op, rhs = d
                 if _cmp_ok(
                     op,
-                    _nav_value(lhs, vals, bound, e, ri),
-                    _nav_value(rhs, vals, bound, e, ri),
+                    _nav_value(lhs, vals, bound, var2el, cur_var, ri),
+                    _nav_value(rhs, vals, bound, var2el, cur_var, ri),
                 ):
                     ok = True
                     break
@@ -1928,12 +2000,17 @@ def _cross_spec_cols(cross_specs) -> set:
 NFA_CROSS_STEP_BUDGET = 500_000
 
 
-def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
-    """Sequential scan of ONE key's ordered rows.  ``flags`` is a list
-    per pattern element of boolean arrays (row-local DEFINE conjuncts
-    satisfied per row), ``ots`` int64 microseconds, ``elems`` =
-    (var, min, max, greedy) per element.  Returns a list of matches,
-    each a list of (row index, element index).
+def _nfa_scan(branches, ots, within_us, skip, vals=None):
+    """Sequential scan of ONE key's ordered rows.  ``branches`` (r13
+    alternation) is a list of pattern ALTERNATIVES in lexical order,
+    each ``(elems, flags, cross)`` with ``elems`` = (var, min, max,
+    greedy) per element, ``flags`` a per-element boolean array
+    (row-local DEFINE conjuncts satisfied per row) and ``cross`` the
+    per-element cross-variable specs; ``ots`` int64 microseconds.
+    At each attempt position the branches are tried IN ORDER and the
+    first that matches wins — SQL:2016's alternation preference
+    (leftmost alternative preferred).  Returns a list of matches,
+    each a list of (row index, variable name).
 
     Per-position attempt = regex semantics with backtracking: a GREEDY
     quantified element takes as many consecutive qualifying rows as
@@ -1956,7 +2033,7 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
     patterns are short and the pool is WITHIN-bounded, the same cost
     profile Flink's NFA pays for IterativeConditions over partial
     matches.  As a defensive bound (r13), each ATTEMPT on the
-    memo-disabled path carries a step budget
+    memo-disabled path carries a step budget per branch
     (``NFA_CROSS_STEP_BUDGET`` — rec entries + row-scan iterations);
     a pathological pool raises a clean error instead of hanging.
 
@@ -1970,16 +2047,16 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
     this scan; a skip-to variable that matched no row is the same
     error (SQL:2016 runtime condition)."""
     n = len(ots)
-    n_el = len(elems)
-    has_cross = cross is not None and any(cross)
-    matches = []
-    i = 0
-    while i < n:
+
+    def attempt(i, elems, flags, cross):
         t0 = ots[i]
+        n_el = len(elems)
+        has_cross = any(cross)
         dead = set()  # failed (elem, pos) states for THIS attempt
         # per-element row bindings of the partial match under
         # construction (cross-variable navigation's context)
         bound = [[] for _ in range(n_el)] if has_cross else None
+        var2el = {v: j for j, (v, _mn, _mx, _g) in enumerate(elems)}
         steps = [0]  # this attempt's step count (cross path only)
 
         def rec(e, pos):
@@ -1987,9 +2064,9 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
                 return []
             if not has_cross and (e, pos) in dead:
                 return None
-            _var, mn, mx, greedy = elems[e]
+            var, mn, mx, greedy = elems[e]
             fl = flags[e]
-            cr = cross[e] if has_cross else None
+            cr = cross[e]
             taken = []
             if has_cross:
                 bound[e] = taken
@@ -2015,7 +2092,9 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
             ):
                 if has_cross:
                     steps[0] += 1
-                if cr and not _cross_ok(cr, vals, bound, e, pos + k):
+                if cr and not _cross_ok(
+                    cr, vals, bound, var2el, var, pos + k
+                ):
                     break
                 taken.append(pos + k)
                 k += 1
@@ -2032,7 +2111,7 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
                     if has_cross:
                         bound[e] = []
                     return [
-                        (pos + j, e) for j in range(take)
+                        (pos + j, var) for j in range(take)
                     ] + rest
             if has_cross:
                 bound[e] = []
@@ -2040,18 +2119,28 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
                 dead.add((e, pos))
             return None
 
-        asg = rec(0, i)
+        return rec(0, i)
+
+    matches = []
+    i = 0
+    while i < n:
+        asg = None
+        # branch preference: lexical order (SQL:2016 alternation)
+        for elems, flags, cross in branches:
+            asg = attempt(i, elems, flags, cross)
+            if asg:
+                break
         if asg:  # zero-row matches are not emitted
             matches.append(asg)
             if skip[0] == "past":
                 i = asg[-1][0] + 1
                 continue
             if skip[0] in ("first", "last"):
-                rows_v = [ri for ri, ei in asg if ei == skip[1]]
+                rows_v = [ri for ri, vv in asg if vv == skip[1]]
                 if not rows_v:
                     raise ValueError(
                         "AFTER MATCH SKIP TO "
-                        f"{skip[0].upper()} {elems[skip[1]][0]}: the "
+                        f"{skip[0].upper()} {skip[1]}: the "
                         "variable matched no row in this match "
                         "(SQL:2016 runtime error; bound its "
                         "quantifier's minimum above 0 or use SKIP "
@@ -2061,7 +2150,7 @@ def _nfa_scan(flags, ots, elems, within_us, skip, cross=None, vals=None):
                 if resume <= i:
                     raise ValueError(
                         "AFTER MATCH SKIP TO "
-                        f"{skip[0].upper()} {elems[skip[1]][0]} "
+                        f"{skip[0].upper()} {skip[1]} "
                         "resumes at the match's own first row — an "
                         "infinite loop (Flink's "
                         "AfterMatchSkipStrategy raises the same)"
@@ -2235,12 +2324,28 @@ class _MatchNfaPlan(_Plan):
         pat = opts["pattern"]
         pat_excluded: set = set()
         if isinstance(pat, str):
-            self.pattern, pat_excluded = parse_match_pattern_ex(pat)
+            # full grammar: alternation branches, PERMUTE, {- -}
+            self.branches, pat_excluded = parse_match_pattern_alts(pat)
         else:
-            self.pattern = [
+            # tuple form: one branch (alternation is string-only)
+            self.branches = [[
                 (t[0].upper(), t[1], t[2], t[3] if len(t) > 3 else True)
                 for t in pat
-            ]
+            ]]
+        #: branch 0 — the single pattern for the (common) 1-branch
+        #: case; error messages and var enumeration read it first
+        self.pattern = self.branches[0]
+        #: ordered union of every branch's variables
+        self._pat_vars: list = []
+        for br in self.branches:
+            for v, _mn, _mx, _g in br:
+                if v not in self._pat_vars:
+                    self._pat_vars.append(v)
+        #: var → [(branch idx, element idx)] across branches
+        self.var_positions: dict = {}
+        for b_i, br in enumerate(self.branches):
+            for e_i, (v, _mn, _mx, _g) in enumerate(br):
+                self.var_positions.setdefault(v, []).append((b_i, e_i))
         # SQL:2016 pattern exclusions: matched but omitted from ALL
         # ROWS PER MATCH output ({- -} in a string pattern, or the
         # explicit 'exclude' option for tuple patterns)
@@ -2250,7 +2355,7 @@ class _MatchNfaPlan(_Plan):
         defines = {
             k.upper(): v for k, v in dict(opts.get("defines") or {}).items()
         }
-        pat_vars = {v for v, _mn, _mx, _g in self.pattern}
+        pat_vars = set(self._pat_vars)
         bad = set(defines) - pat_vars
         if bad:
             raise ValueError(
@@ -2275,23 +2380,18 @@ class _MatchNfaPlan(_Plan):
             self.prev_cols.add((col, k))
             return f"__prev{k}_{col}"
 
-        self.var_elem = {
-            v: j for j, (v, _mn, _mx, _g) in enumerate(self.pattern)
-        }
         self.cur_exprs: list = []  # [(__cx<i>, row-local side SQL)]
         self.nav_cols: set = set()  # raw columns navigation reads
         self.defines = {}  # var -> AND of row-local conjuncts (JVM)
-        cross_by_var: dict = {}
-        for v in pat_vars:
+        #: per VARIABLE: cross-variable conjunct specs the NFA scan
+        #: evaluates against the partial match (one define serves the
+        #: variable wherever it sits across alternation branches)
+        self.cross_by_var: dict = {}
+        for v in self._pat_vars:
             raw = self._PREV_RE.sub(_prev_repl, defines.get(v, "true"))
             local, cross = self._compile_define(v, raw)
             self.defines[v] = local
-            cross_by_var[v] = cross
-        #: per pattern ELEMENT: cross-variable conjunct specs the NFA
-        #: scan evaluates against the partial match
-        self.cross_specs = [
-            cross_by_var.get(v, []) for v, _mn, _mx, _g in self.pattern
-        ]
+            self.cross_by_var[v] = cross
         self.max_prev = max(
             (k for _c, k in self.prev_cols), default=0
         )
@@ -2350,21 +2450,23 @@ class _MatchNfaPlan(_Plan):
             self.skip = ("past",)
         elif len(sk) == 2 and sk[0] in ("to_first", "to_last"):
             v = sk[1].upper()
-            if v not in self.var_elem:
+            if v not in pat_vars:
                 raise ValueError(
                     f"skip names unknown pattern variable {sk[1]!r}; "
-                    f"the pattern defines {sorted(self.var_elem)}"
+                    f"the pattern defines {sorted(pat_vars)}"
                 )
-            el = self.var_elem[v]
-            if sk[0] == "to_first" and el == 0:
+            if sk[0] == "to_first" and all(
+                e_i == 0 for _b, e_i in self.var_positions[v]
+            ):
                 raise ValueError(
                     f"AFTER MATCH SKIP TO FIRST {v}: {v} is the "
-                    "pattern's first element, so every match would "
+                    "pattern's first element (in every alternation "
+                    "branch), so every match would "
                     "resume at its own first row — an infinite loop "
                     "(Flink's AfterMatchSkipStrategy raises the "
                     "same); use SKIP TO NEXT ROW"
                 )
-            self.skip = ("first" if sk[0] == "to_first" else "last", el)
+            self.skip = ("first" if sk[0] == "to_first" else "last", v)
         else:
             raise ValueError(
                 f"skip must be 'to_next', 'past_last', 'to_first "
@@ -2416,12 +2518,12 @@ class _MatchNfaPlan(_Plan):
             m.group(1).upper()
             for m in self._QREF_RE.finditer(self._NAV_CALL_RE.sub(" ", code))
         }
-        unknown = quals - set(self.var_elem)
+        unknown = quals - set(self._pat_vars)
         if unknown:
             raise ValueError(
                 f"DEFINE {var} references unknown qualifier(s) "
                 f"{sorted(unknown)}; the pattern defines "
-                f"{sorted(self.var_elem)}"
+                f"{sorted(self._pat_vars)}"
             )
         if not has_nav and quals <= {var}:
             return None
@@ -2436,7 +2538,7 @@ class _MatchNfaPlan(_Plan):
                 )
             }
             if not self._NAV_ANY_RE.search(dcode) and not (
-                (d_quals - {var}) & set(self.var_elem)
+                (d_quals - {var}) & set(self._pat_vars)
             ):
                 # a row-local disjunct next to cross ones — one JVM
                 # boolean column, consulted per candidate row
@@ -2467,19 +2569,31 @@ class _MatchNfaPlan(_Plan):
             )
         return specs
 
-    def _check_nav_target(self, var: str, v: str) -> int:
-        if v not in self.var_elem:
+    def _check_nav_target(self, var: str, v: str) -> str:
+        if v not in set(self._pat_vars):
             raise ValueError(
                 f"DEFINE {var} navigates unknown pattern variable "
-                f"{v!r}; the pattern defines {sorted(self.var_elem)}"
+                f"{v!r}; the pattern defines {sorted(self._pat_vars)}"
             )
-        if self.var_elem[v] > self.var_elem[var]:
+        together = False
+        for br in self.branches:
+            pos = {bv: j for j, (bv, _mn, _mx, _g) in enumerate(br)}
+            if var in pos and v in pos:
+                together = True
+                if pos[v] > pos[var]:
+                    raise ValueError(
+                        f"DEFINE {var} references {v}, which is bound "
+                        "LATER in the pattern — a forward reference "
+                        f"is never bound when {var} rows are "
+                        "classified (SQL:2016 forbids it)"
+                    )
+        if not together and v != var:
             raise ValueError(
-                f"DEFINE {var} references {v}, which is bound LATER in "
-                "the pattern — a forward reference is never bound when "
-                f"{var} rows are classified (SQL:2016 forbids it)"
+                f"DEFINE {var} navigates {v}, but no alternation "
+                "branch binds both variables — the navigation would "
+                "always be NULL and the conjunct never satisfied"
             )
-        return self.var_elem[v]
+        return v
 
     def _compile_side(self, var: str, s: str):
         """One comparison side → an expression TREE (r13): nav-free
@@ -2502,7 +2616,7 @@ class _MatchNfaPlan(_Plan):
                 }
                 - {var}
             )
-            & set(self.var_elem)
+            & set(self._pat_vars)
         ):
             # nav-free side: ONE JVM column, arbitrary SQL inside
             name = f"__cx{len(self.cur_exprs)}"
@@ -2550,18 +2664,18 @@ class _MatchNfaPlan(_Plan):
                 m.group(1).upper(), m.group(2).upper(), m.group(3)
             )
             off = int(m.group(4) or 0)
-            el = self._check_nav_target(var, v)
+            self._check_nav_target(var, v)
             self.nav_cols.add(col)
-            return ("nav", el, col, mode == "LAST", off)
+            return ("nav", v, col, mode == "LAST", off)
         m = self._QREF_FULL_RE.match(s)
-        if m and m.group(1).upper() in self.var_elem and (
+        if m and m.group(1).upper() in set(self._pat_vars) and (
             m.group(1).upper() != var
         ):
             v, col = m.group(1).upper(), m.group(2)
-            el = self._check_nav_target(var, v)
+            self._check_nav_target(var, v)
             self.nav_cols.add(col)
             # bare V.col ≡ LAST(V.col) — SQL:2016's running default
-            return ("nav", el, col, True, 0)
+            return ("nav", v, col, True, 0)
         if _NUM_LIT_RE.match(s):
             return (
                 "lit", int(s) if "." not in s else Decimal(s)
@@ -2579,10 +2693,10 @@ class _MatchNfaPlan(_Plan):
         bad = {
             m.group(1).upper() for m in self._QREF_RE.finditer(code)
         } - {var}
-        if bad & set(self.var_elem):
+        if bad & set(self._pat_vars):
             raise ValueError(
                 f"DEFINE {var}: operand {s!r} mixes a cross-variable "
-                f"reference ({sorted(bad & set(self.var_elem))}) into "
+                f"reference ({sorted(bad & set(self._pat_vars))}) into "
                 "a non-arithmetic expression — only + - * / may "
                 "combine navigation references"
             )
@@ -2618,8 +2732,8 @@ class _MatchNfaPlan(_Plan):
         import pandas as pd
         from pyspark.sql import types as T
 
-        elems = self.pattern
-        n_el = len(elems)
+        branches = self.branches
+        pat_vars = self._pat_vars
         within_us = self.within_us
         skip = self.skip
         order, seq = self.order, self.seq_col
@@ -2656,9 +2770,11 @@ class _MatchNfaPlan(_Plan):
             if self._CONSUMED in pool.columns
             else F.lit(False)
         )
-        for j, (var, _mn, _mx, _g) in enumerate(elems):
+        # one boolean column per VARIABLE (a define serves the
+        # variable wherever it sits across alternation branches)
+        for var in pat_vars:
             prepped = prepped.withColumn(
-                f"__def_{j}",
+                f"__defv_{var}",
                 F.coalesce(F.expr(self.defines[var]), F.lit(False))
                 & ~consumed,
             )
@@ -2670,22 +2786,30 @@ class _MatchNfaPlan(_Plan):
                 T.StructField("__pos", T.LongType()),
             ]
         )
-        var_names = [v for v, _mn, _mx, _g in elems]
-        cross_specs = self.cross_specs
-        needed_cols = sorted(_cross_spec_cols(cross_specs))
+        cross_by_var = self.cross_by_var
+        needed_cols = sorted(
+            _cross_spec_cols(list(cross_by_var.values()))
+        )
 
         def run_key(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(
                 ["__ots", seq], kind="mergesort"
             ).reset_index(drop=True)
             ots = pdf["__ots"].to_numpy()
-            flags = [
-                pdf[f"__def_{j}"].to_numpy() for j in range(n_el)
-            ]
+            flags_by_var = {
+                v: pdf[f"__defv_{v}"].to_numpy() for v in pat_vars
+            }
             vals = {c: pdf[c].to_numpy() for c in needed_cols}
+            scan_branches = [
+                (
+                    br,
+                    [flags_by_var[v] for v, _mn, _mx, _g in br],
+                    [cross_by_var.get(v, []) for v, _mn, _mx, _g in br],
+                )
+                for br in branches
+            ]
             matches = _nfa_scan(
-                flags, ots, elems, within_us, skip,
-                cross_specs, vals,
+                scan_branches, ots, within_us, skip, vals
             )
             if not matches:
                 return pd.DataFrame(
@@ -2693,10 +2817,10 @@ class _MatchNfaPlan(_Plan):
                 )
             idx, mid, mvar, mpos = [], [], [], []
             for m_i, asg in enumerate(matches):
-                for p, (row_i, e_i) in enumerate(asg):
+                for p, (row_i, var) in enumerate(asg):
                     idx.append(row_i)
                     mid.append(m_i)
-                    mvar.append(var_names[e_i])
+                    mvar.append(var)
                     mpos.append(p)
             out = pdf.iloc[idx][payload].reset_index(drop=True)
             out["__match_id"] = pd.Series(mid, dtype="int64")

@@ -859,11 +859,17 @@ def parse_insert_select(sql: str) -> InsertSelect:
     mm = _MATCH_RE.match(select)
     if mm:
         from flink_cdc_2_3_0_src_spark.operators.maintain import (
-            parse_match_pattern_ex,
+            parse_match_pattern_alts,
         )
 
-        pattern, excluded = parse_match_pattern_ex(mm.group("pattern"))
-        pat_vars = [v for v, _mn, _mx, _g in pattern]
+        branches, excluded = parse_match_pattern_alts(
+            mm.group("pattern")
+        )
+        pat_vars = []
+        for br in branches:
+            for v, _mn, _mx, _g in br:
+                if v not in pat_vars:
+                    pat_vars.append(v)
         sk_words = mm.group("skip").upper().split()
         if sk_words[0] == "PAST":
             skip_opt = "past_last"
@@ -896,7 +902,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
         two_step = (
             skip_opt == "to_next"
             and not all_rows
-            and pattern == [("A", 1, 1, True), ("B", 1, 1, True)]
+            and branches == [[("A", 1, 1, True), ("B", 1, 1, True)]]
             and set(defines) == {"A", "B"}
             and not uses_agg_measures
             and not uses_prev
@@ -946,7 +952,7 @@ def parse_insert_select(sql: str) -> InsertSelect:
                     (
                         _rewrite_nfa_measure(
                             expr, pat_vars, f"measure {alias!r}",
-                            running=True,
+                            running=True, order=order,
                         ),
                         alias,
                         "running",
@@ -956,7 +962,8 @@ def parse_insert_select(sql: str) -> InsertSelect:
                 measures.append(
                     (
                         _rewrite_nfa_measure(
-                            expr, pat_vars, f"measure {alias!r}"
+                            expr, pat_vars, f"measure {alias!r}",
+                            order=order,
                         ),
                         alias,
                     )
@@ -1007,11 +1014,13 @@ def parse_insert_select(sql: str) -> InsertSelect:
             sink=sink, shape="match_nfa", sources=[src], select=items,
             match_nfa={
                 "partition": partition, "order": order,
-                "within": within, "pattern": pattern,
+                # the ORIGINAL pattern text: the plan re-parses the
+                # full grammar (alternation / PERMUTE / {- -}), so
+                # exclusions need no side channel
+                "within": within, "pattern": mm.group("pattern"),
                 "defines": nfa_defines, "measures": measures,
                 "skip": skip_opt,
                 "rows_per_match": "all" if all_rows else "one",
-                **({"exclude": sorted(excluded)} if excluded else {}),
             },
         )
 
@@ -1664,7 +1673,7 @@ _MATCH_RE = re.compile(
     r"(?:(?P<rpm>ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\s+)?"
     r"AFTER\s+MATCH\s+SKIP\s+(?P<skip>TO\s+NEXT\s+ROW|PAST\s+LAST\s+ROW|"
     r"TO\s+(?:FIRST|LAST)\s+\w+)\s+"
-    r"PATTERN\s*\(\s*(?P<pattern>[^)]*)\)\s+"
+    r"PATTERN\s*\(\s*(?P<pattern>(?:[^()]|\([^()]*\))*)\)\s+"
     r"WITHIN\s+INTERVAL\s+'(?P<wn>\d+)'\s+"
     r"(?P<wu>SECOND|MINUTE|HOUR|DAY)S?\s+"
     r"DEFINE\s+(?P<defines>.*?)\s*"
@@ -1846,7 +1855,11 @@ _NFA_AGG_CALL_RE = re.compile(
 
 
 def _rewrite_nfa_measure(
-    sql: str, pat_vars: list, clause: str, running: bool = False
+    sql: str,
+    pat_vars: list,
+    clause: str,
+    running: bool = False,
+    order: str = None,
 ) -> str:
     """MEASURES rewrite for the NFA plan: aggregate calls over one
     variable's rows become ``FILTER (WHERE __var = '<V>')`` SQL
@@ -1903,6 +1916,26 @@ def _rewrite_nfa_measure(
             "__var" if running else "max_by(__var, __pos)",
             seg,
         )
+        # MATCH_ROWTIME() (Flink parity): the match's event time =
+        # the LAST matched row's rowtime; under RUNNING semantics the
+        # rowtime so far is the current row's own
+        if re.search(r"(?i)\bMATCH_ROWTIME\s*\(\s*\)", seg):
+            if order is None:
+                raise ValueError(
+                    f"{clause}: MATCH_ROWTIME() needs the statement's "
+                    "ORDER BY rowtime (bridge-only function)"
+                )
+            seg = re.sub(
+                r"(?i)\bMATCH_ROWTIME\s*\(\s*\)",
+                order if running else f"max({order})",
+                seg,
+            )
+        if re.search(r"(?i)\bMATCH_PROCTIME\s*\(\s*\)", seg):
+            raise ValueError(
+                f"{clause}: MATCH_PROCTIME() is processing-time "
+                "(nondeterministic under replay) — use "
+                "MATCH_ROWTIME() for the match's event time"
+            )
         if running:
             # every aggregate call must be the <agg>(V.col) form —
             # an unqualified count(*)/sum(x) has no cumulative
@@ -3499,22 +3532,28 @@ def explain_insert_maintained(
         )
     if stmt.shape == "match_nfa":
         mn = stmt.match_nfa
-        pat = " ".join(
-            v
-            + (
-                ""
-                if (lo, hi) == (1, 1)
-                else "+"
-                if (lo, hi) == (1, None)
-                else "*"
-                if (lo, hi) == (0, None)
-                else "?"
-                if (lo, hi) == (0, 1)
-                else f"{{{lo},{'' if hi is None else hi}}}"
+        # pattern is the ORIGINAL text (r13 — the plan re-parses the
+        # full alternation/PERMUTE/exclusion grammar); tuple patterns
+        # from the operator API render back to the quantifier syntax
+        if isinstance(mn["pattern"], str):
+            pat = re.sub(r"\s+", " ", mn["pattern"].strip())
+        else:
+            pat = " ".join(
+                v
+                + (
+                    ""
+                    if (lo, hi) == (1, 1)
+                    else "+"
+                    if (lo, hi) == (1, None)
+                    else "*"
+                    if (lo, hi) == (0, None)
+                    else "?"
+                    if (lo, hi) == (0, 1)
+                    else f"{{{lo},{'' if hi is None else hi}}}"
+                )
+                + ("" if greedy else "?")
+                for v, lo, hi, greedy in mn["pattern"]
             )
-            + ("" if greedy else "?")
-            for v, lo, hi, greedy in mn["pattern"]
-        )
         lines.append(
             f"pattern: ({pat}) within {mn['within']}, skip "
             f"{mn['skip']}, "

@@ -6636,6 +6636,81 @@ def cdc_sql_match_exclusion(
     )
 
 
+# Pattern ALTERNATION (r13): ``PATTERN (A B+ | A E+)`` — a view
+# followed by a click run OR an error run, branches tried in lexical
+# order (SQL:2016's leftmost-alternative preference; Flink rejects
+# ``|`` outright, so this extends the beyond-parity grammar along
+# with PERMUTE, which expands to ordering branches).  FINAL
+# CLASSIFIER() tags the winning branch.  Oracle: per view, the
+# maximal click run else the maximal error run (the engine's branch
+# preference is exactly "clicks if the first following row is a
+# qualifying click"); SKIP PAST LAST ROW consumption is valid per the
+# cdc_sql_match_cross_var argument — consumed spans hold only
+# clicks/errors, never a view, so no other match's start is
+# suppressed.
+@register(
+    "cdc_sql_match_alternation",
+    """
+    WITH e AS (
+        SELECT user_id, event_type, value, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE ts IS NOT NULL
+    ),
+    mx AS (SELECT user_id, MAX(rn) AS mxrn FROM e GROUP BY user_id),
+    v AS (SELECT user_id, ts AS a_ts, rn FROM e
+          WHERE event_type = 'view'),
+    stp AS (
+        SELECT v.user_id, v.rn,
+               COALESCE(MIN(CASE WHEN x.event_type = 'click'
+                                 THEN NULL ELSE x.rn END),
+                        m.mxrn + 1) - v.rn - 1 AS cb,
+               COALESCE(MIN(CASE WHEN x.event_type = 'error'
+                                 THEN NULL ELSE x.rn END),
+                        m.mxrn + 1) - v.rn - 1 AS ce
+        FROM v
+        JOIN mx m ON m.user_id = v.user_id
+        LEFT JOIN e x ON x.user_id = v.user_id AND x.rn > v.rn
+        GROUP BY v.user_id, v.rn, m.mxrn
+    )
+    SELECT v.user_id AS u, v.a_ts,
+           CASE WHEN s.cb >= 1 THEN 'B' ELSE 'E' END AS branch,
+           CASE WHEN s.cb >= 1 THEN s.cb ELSE s.ce END AS n_run
+    FROM v JOIN stp s ON s.user_id = v.user_id AND s.rn = v.rn
+    WHERE s.cb >= 1 OR s.ce >= 1
+    """,
+)
+def cdc_sql_match_alternation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
+        replay_insert_maintained,
+    )
+
+    log = ld(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.lit("+I").alias(OP_COL),
+        F.col("event_id").cast("long").alias(SEQ_COL),
+    )
+    return replay_insert_maintained(
+        "INSERT INTO sink SELECT user_id AS u, a_ts, branch, n_run"
+        " FROM events_cdc"
+        " MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+        " MEASURES FIRST(A.ts) AS a_ts, CLASSIFIER() AS branch,"
+        " COUNT(B.*) + COUNT(E.*) AS n_run"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ | A E+) WITHIN INTERVAL '60' DAY"
+        " DEFINE A AS A.event_type = 'view',"
+        " B AS B.event_type = 'click',"
+        " E AS E.event_type = 'error')",
+        {"events_cdc": {"primary_key": ["event_id"], "rowtime": "ts"}},
+        {"events_cdc": log},
+        n_batches=3,
+    )
+
+
 # Reluctant quantifiers (r12): ``B+?`` takes as FEW rows as possible
 # and grows only on demand.  With C UNDEFINED (any row qualifies,
 # SQL:2016), the reluctant form binds exactly ONE click to B and the

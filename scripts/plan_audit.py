@@ -109,6 +109,7 @@ DEFAULT_QUERIES = [
     "cdc_sql_match_cross_var_or",
     "cdc_sql_match_all_rows_running",
     "cdc_sql_match_exclusion",
+    "cdc_sql_match_alternation",
 ]
 
 

@@ -838,8 +838,8 @@ def test_nfa_cross_var_guards():
     assert plan.defines["B"] == (
         "(v BETWEEN 1 AND 99) AND (COALESCE(et, 'x') = 'click')"
     )
-    assert plan.cross_specs[1] == [
-        [("cmp", ("cur", "__cx0"), ">", ("nav", 0, "v", False, 0))]
+    assert plan.cross_by_var["B"] == [
+        [("cmp", ("cur", "__cx0"), ">", ("nav", "A", "v", False, 0))]
     ]
 
 
@@ -857,38 +857,38 @@ def test_nfa_cross_var_affine_and_or_compile():
         })
 
     p = mk({"B": "B.v > A.v * 1.1"})
-    assert p.cross_specs[1] == [[(
+    assert p.cross_by_var["B"] == [[(
         "cmp", ("cur", "__cx0"), ">",
-        ("bin", "*", ("nav", 0, "v", True, 0), ("lit", Decimal("1.1"))),
+        ("bin", "*", ("nav", "A", "v", True, 0), ("lit", Decimal("1.1"))),
     )]]
     # self-delta breakout: B.v - FIRST(B.v) >= 10
     p = mk({"B": "B.v - FIRST(B.v) >= 10"})
-    assert p.cross_specs[1] == [[(
+    assert p.cross_by_var["B"] == [[(
         "cmp",
-        ("bin", "-", ("cur", "__cx0"), ("nav", 1, "v", False, 0)),
+        ("bin", "-", ("cur", "__cx0"), ("nav", "B", "v", False, 0)),
         ">=", ("cur", "__cx1"),
     )]]
     # precedence + parens: (A.v + 3) * 2 - 1, left-assoc
     p = mk({"B": "B.v > (A.v + 3) * 2 - 1"})
-    assert p.cross_specs[1] == [[(
+    assert p.cross_by_var["B"] == [[(
         "cmp", ("cur", "__cx0"), ">",
         ("bin", "-",
          ("bin", "*",
-          ("bin", "+", ("nav", 0, "v", True, 0), ("lit", 3)),
+          ("bin", "+", ("nav", "A", "v", True, 0), ("lit", 3)),
           ("lit", 2)),
          ("lit", 1)),
     )]]
     # unary minus: A.v > -5
     p = mk({"B": "B.v > A.v + -5"})
-    assert p.cross_specs[1] == [[(
+    assert p.cross_by_var["B"] == [[(
         "cmp", ("cur", "__cx0"), ">",
-        ("bin", "+", ("nav", 0, "v", True, 0),
+        ("bin", "+", ("nav", "A", "v", True, 0),
          ("bin", "-", ("lit", 0), ("lit", 5))),
     )]]
     # OR: a row-local disjunct next to a cross comparison
     p = mk({"B": "B.v > 90 OR B.v > A.v * 2"})
-    assert p.cross_specs[1][0][0] == ("bool", "__cx0")
-    assert p.cross_specs[1][0][1][0] == "cmp"
+    assert p.cross_by_var["B"][0][0] == ("bool", "__cx0")
+    assert p.cross_by_var["B"][0][1][0] == "cmp"
     assert dict(p.cur_exprs)["__cx0"] == "v > 90"
 
 
@@ -960,7 +960,7 @@ def test_nfa_side_parser_eval_fuzz():
             "defines": {"B": f"({expr}) >= B.v"},
             "measures": [("count(*)", "n")],
         })
-        [[(tag, lhs, _op, _rhs)]] = plan.cross_specs[1]
+        [[(tag, lhs, _op, _rhs)]] = plan.cross_by_var["B"]
         assert tag == "cmp"
         # vals: every __cx column is a row-local SQL over {v} or a
         # literal — evaluate it with Python (the fuzz leaves keep
@@ -974,7 +974,7 @@ def test_nfa_side_parser_eval_fuzz():
         vals["x"] = np.array([2.0, 5.0, 7.0])
         # bound: A holds rows 0 and 1; candidate row index 2 is B's
         bound = [[0, 1], []]
-        got = _nav_value(lhs, vals, bound, 1, 2)
+        got = _nav_value(lhs, vals, bound, {"A": 0, "B": 1}, "B", 2)
         py = expr
         for tok, val in sorted(leaves, key=lambda t: -len(t[0])):
             py = py.replace(tok, val)
@@ -1071,11 +1071,14 @@ def test_nfa_cross_step_budget():
     flags = [np.ones(n, dtype=bool)] * 4 + [np.zeros(n, dtype=bool)]
     cross = [[[("cmp", ("lit", 1), "=", ("lit", 1))]], [], [], [], []]
     with pytest.raises(ValueError, match="step budget"):
-        _nfa_scan(flags, ots, elems, 10**15, ("past",), cross, {})
+        _nfa_scan([(elems, flags, cross)], ots, 10**15, ("past",), {})
     assert NFA_CROSS_STEP_BUDGET >= 100_000  # roomy for real patterns
     # the SAME shape without cross conjuncts rides the (elem, pos)
     # memo and completes instantly
-    assert _nfa_scan(flags, ots, elems, 10**15, ("past",)) == []
+    no_cross = [[] for _ in elems]
+    assert _nfa_scan(
+        [(elems, flags, no_cross)], ots, 10**15, ("past",)
+    ) == []
 
 
 def test_nfa_all_rows_running_measures(spark):
@@ -1191,6 +1194,271 @@ def test_nfa_pattern_exclusion_guards():
         "measures": [("count(*)", "n")],
     })
     assert plan.excluded == {"B"}
+
+
+def _ref_matches_alt(rows, branches, defines, within_us, skip):
+    """Branch-aware reference matcher: like ``_ref_matches_ctx`` but
+    with SQL:2016 alternation preference — at each attempt position
+    the branches are tried in lexical order, first match wins."""
+    rows = sorted(rows, key=lambda r: (r[0], r[1]))
+    n = len(rows)
+    out, i = [], 0
+    while i < n:
+        m = None
+        for elems in branches:
+            bound = {v: [] for v, _mn, _mx, _g in elems}
+
+            def rec(e, pos, elems=elems, bound=bound):
+                if e == len(elems):
+                    return []
+                var, mn, mx, greedy = elems[e]
+                taken = []
+                k = 0
+                while (
+                    (mx is None or k < mx)
+                    and pos + k < n
+                    and rows[pos + k][0] - rows[i][0] < within_us
+                ):
+                    bound[var] = taken
+                    if not defines[var](rows[pos + k][2], bound):
+                        break
+                    taken.append(rows[pos + k][2])
+                    k += 1
+                order = (
+                    range(k, mn - 1, -1) if greedy else range(mn, k + 1)
+                )
+                for take in order:
+                    bound[var] = taken[:take]
+                    rest = rec(e + 1, pos + take)
+                    if rest is not None:
+                        bound[var] = []
+                        return [
+                            (pos + j, var) for j in range(take)
+                        ] + rest
+                bound[var] = []
+                return None
+
+            m = rec(0, i)
+            if m:
+                break
+        if m:
+            out.append([(rows[ri][2], var) for ri, var in m])
+            if skip[0] == "past":
+                i = m[-1][0] + 1
+                continue
+            if skip[0] in ("first", "last"):
+                rows_v = [ri for ri, var in m if var == skip[1]]
+                resume = rows_v[0] if skip[0] == "first" else rows_v[-1]
+                assert resume > i, "reference matcher: skip-to loop"
+                i = resume
+                continue
+        i += 1
+    return out
+
+
+def test_nfa_alternation_parse():
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        parse_match_pattern_alts,
+    )
+
+    branches, ex = parse_match_pattern_alts("A B+ | A E+")
+    assert branches == [
+        [("A", 1, 1, True), ("B", 1, None, True)],
+        [("A", 1, 1, True), ("E", 1, None, True)],
+    ]
+    assert ex == set()
+    # exclusions inside a branch
+    branches, ex = parse_match_pattern_alts("A {- B+ -} C | A D")
+    assert ex == {"B"}
+    # PERMUTE expands to every ordering, lexical permutation order
+    branches, ex = parse_match_pattern_alts("PERMUTE(A, B)")
+    assert branches == [
+        [("A", 1, 1, True), ("B", 1, 1, True)],
+        [("B", 1, 1, True), ("A", 1, 1, True)],
+    ]
+    branches, _ = parse_match_pattern_alts("PERMUTE(A, B+, C)")
+    assert len(branches) == 6
+    with pytest.raises(ValueError, match="2 to 4"):
+        parse_match_pattern_alts("PERMUTE(A)")
+    with pytest.raises(ValueError, match="2 to 4"):
+        parse_match_pattern_alts("PERMUTE(A, B, C, D, E)")
+    with pytest.raises(ValueError, match="appears twice"):
+        parse_match_pattern_alts("PERMUTE(A, A)")
+    with pytest.raises(ValueError, match="empty alternation"):
+        parse_match_pattern_alts("A B | ")
+    with pytest.raises(ValueError, match="zero rows"):
+        parse_match_pattern_alts("A? | B")
+
+
+def test_nfa_alternation_pinned(spark):
+    """``PATTERN (A B+ | A E+)`` — a view followed by a click run OR
+    an error run; the CLICK branch is preferred when both could match
+    (SQL:2016 leftmost-alternative preference), and FINAL
+    CLASSIFIER() tags which branch won."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),
+        (3, "u1", "click", 3.0, "2024-01-01 00:00:03"),
+        (4, "u1", "view", 4.0, "2024-01-01 00:00:04"),
+        (5, "u1", "error", 5.0, "2024-01-01 00:00:05"),
+        (6, "u2", "view", 1.0, "2024-01-01 00:00:01"),
+        (7, "u2", "signup", 2.0, "2024-01-01 00:00:02"),  # neither
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, branch, n_run FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES CLASSIFIER() AS branch,"
+        " COUNT(B.*) + COUNT(E.*) AS n_run"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+ | A E+) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+        " E AS E.et = 'error')"
+    )
+    exp = [("u1", "B", 2), ("u1", "E", 1)]
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == exp, n
+
+
+def test_nfa_permute_pinned(spark):
+    """``PERMUTE(A, B)`` matches the two events in either order."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),
+        (3, "u2", "click", 1.0, "2024-01-01 00:00:01"),
+        (4, "u2", "view", 2.0, "2024-01-01 00:00:02"),
+        (5, "u3", "view", 1.0, "2024-01-01 00:00:01"),
+        (6, "u3", "view", 2.0, "2024-01-01 00:00:02"),  # no click
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, a_v, b_v FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES LAST(A.v) AS a_v, LAST(B.v) AS b_v"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click')"
+    )
+    exp = [("u1", 1.0, 2.0), ("u2", 2.0, 1.0)]
+    for n in (1, 2):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect())) == exp, n
+
+
+@pytest.mark.parametrize("skip", ["TO NEXT ROW", "PAST LAST ROW"])
+def test_nfa_alternation_fuzz_vs_reference(spark, skip):
+    """Seeded fuzz for alternation (r13): two branches with a
+    cross-variable define in the first — replay at any batch split
+    must equal the branch-aware reference matcher with leftmost
+    preference."""
+    import calendar
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        parse_match_pattern_alts,
+    )
+
+    rng = random.Random((hash(skip) ^ 0xA17) & 0xFFFF)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(140):
+        u = f"u{rng.randrange(4)}"
+        et = rng.choice(["view", "click", "error", "signup"])
+        ts = base + dt.timedelta(minutes=rng.randrange(0, 4000))
+        rows.append(
+            (i, u, et, float(rng.randrange(12)),
+             f"{ts:%Y-%m-%d %H:%M:%S}")
+        )
+    rows = [
+        (j, u, et, v, ts)
+        for j, (_i, u, et, v, ts) in enumerate(
+            sorted(rows, key=lambda r: (r[4], r[0]))
+        )
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_rows, v_sum FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(A.*) + COUNT(B.*) + COUNT(E.*) AS n_rows,"
+        " COALESCE(SUM(A.v), 0) + COALESCE(SUM(B.v), 0)"
+        " + COALESCE(SUM(E.v), 0) AS v_sum"
+        f" AFTER MATCH SKIP {skip}"
+        " PATTERN (A B+ | A E{2,}) WITHIN INTERVAL '12' HOUR"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND B.v > A.v,"
+        " E AS E.et = 'error')"
+    )
+    branches, _ = parse_match_pattern_alts("A B+ | A E{2,}")
+    within_us = 12 * 3600 * 1_000_000
+    defines = {
+        "A": lambda r, b: r["et"] == "view",
+        "B": lambda r, b: (
+            r["et"] == "click"
+            and bool(b["A"])
+            and r["v"] > b["A"][-1]["v"]
+        ),
+        "E": lambda r, b: r["et"] == "error",
+    }
+    by_key = {}
+    for i, u, et, v, ts in rows:
+        ots = int(
+            calendar.timegm(
+                dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").timetuple()
+            )
+        ) * 1_000_000
+        by_key.setdefault(u, []).append(
+            (ots, i, {"et": et, "v": v, "u": u})
+        )
+    ref_skip = {
+        "TO NEXT ROW": ("next",), "PAST LAST ROW": ("past",),
+    }[skip]
+    expected = []
+    for u, krows in by_key.items():
+        for m in _ref_matches_alt(
+            krows, branches, defines, within_us, ref_skip
+        ):
+            expected.append(
+                (u, len(m), sum(r["v"] for r, _var in m))
+            )
+    log = _mk_log(spark, rows)
+    for n in (1, 4):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            expected, key=str
+        ), f"skip={skip} n_batches={n}"
+
+
+def test_nfa_match_rowtime(spark):
+    """MATCH_ROWTIME() (Flink parity): the match's event time = the
+    LAST matched row's rowtime; MATCH_PROCTIME() refuses
+    (nondeterministic under replay)."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),
+        (3, "u1", "click", 3.0, "2024-01-01 00:00:03"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, mrt, n_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES MATCH_ROWTIME() AS mrt, COUNT(B.*) AS n_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click')"
+    )
+    got = replay_insert_maintained(
+        sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=2
+    )
+    assert [
+        (r["u"], str(r["mrt"])[:19], r["n_b"]) for r in got.collect()
+    ] == [("u1", "2024-01-01 00:00:03", 2)]
+    with pytest.raises(ValueError, match="processing-time"):
+        parse_insert_select(
+            sql.replace("MATCH_ROWTIME()", "MATCH_PROCTIME()")
+        )
 
 
 def test_nfa_running_measure_guards():
