@@ -2168,6 +2168,7 @@ class _MatchNfaPlan(_Plan):
     to) for contiguous patterns with greedy quantifiers::
 
         PATTERN (A B+ C{1,3} D?)  WITHIN <interval>
+        PATTERN (A B+ | A E+)  |  PATTERN (PERMUTE(A, B+, C))   (r13)
         AFTER MATCH SKIP TO NEXT ROW | SKIP PAST LAST ROW
 
     The two-step ``PATTERN (A B)`` rides the LEAD-window ``_MatchPlan``
@@ -2600,7 +2601,7 @@ class _MatchNfaPlan(_Plan):
         sides compile whole to ``("cur", __cx<i>)`` JVM columns
         (full SQL power preserved); sides containing navigation are
         parsed as ``+ - * /`` arithmetic whose leaves are ``("nav",
-        elem, col, is_last, off)`` navigation references, ``("lit",
+        var, col, is_last, off)`` navigation references, ``("lit",
         n)`` numeric literals, and ``("cur", ...)`` row-local
         subexpressions — ``B.price > A.price * 1.1`` and ``B.v -
         FIRST(B.v) >= 10`` (the threshold-breakout predicates) parse
