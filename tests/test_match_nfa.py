@@ -1461,6 +1461,112 @@ def test_nfa_match_rowtime(spark):
         )
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_nfa_random_pattern_fuzz_vs_reference(spark, seed):
+    """Grammar-wide seeded fuzz (r13): RANDOM patterns — 1-2
+    alternation branches, 2-3 variables each, random quantifiers
+    (greedy and reluctant, bounded and unbounded) — over random event
+    soups, replayed at multiple batch splits against the branch-aware
+    reference matcher.  The parser-fuzzing discipline: the accepted
+    grammar grew (alternation, PERMUTE, exclusions), so the fuzz
+    samples the whole grammar, not one fixed pattern."""
+    import calendar
+    import datetime as dt
+
+    from flink_cdc_2_3_0_src_spark.operators.maintain import (
+        parse_match_pattern_alts,
+    )
+
+    rng = random.Random(1300 + seed)
+    ET = {"A": "view", "B": "click", "C": "error", "D": "purchase"}
+    MINS = {
+        "": 1, "+": 1, "?": 0, "*": 0,
+        "{1,2}": 1, "{2,}": 2, "+?": 1, "*?": 0,
+    }
+
+    def gen_branch():
+        k = rng.randint(2, 3)
+        vars_ = rng.sample(sorted(ET), k)
+        while True:
+            toks = [(v, rng.choice(sorted(MINS))) for v in vars_]
+            if sum(MINS[q] for _v, q in toks) >= 1:
+                return " ".join(v + q for v, q in toks)
+
+    pattern = " | ".join(
+        gen_branch() for _ in range(rng.randint(1, 2))
+    )
+    skip = rng.choice(["TO NEXT ROW", "PAST LAST ROW"])
+    branches, _ = parse_match_pattern_alts(pattern)
+    union = sorted({v for br in branches for v, *_ in br})
+    defines_sql = ", ".join(
+        f"{v} AS {v}.et = '{ET[v]}'" for v in union
+    )
+    measures_sql = (
+        " + ".join(f"COUNT({v}.*)" for v in union) + " AS n_rows, "
+        + " + ".join(f"COALESCE(SUM({v}.v), 0)" for v in union)
+        + " AS v_sum"
+    )
+    sql = (
+        "INSERT INTO sink SELECT u, n_rows, v_sum FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        f" MEASURES {measures_sql}"
+        f" AFTER MATCH SKIP {skip}"
+        f" PATTERN ({pattern}) WITHIN INTERVAL '12' HOUR"
+        f" DEFINE {defines_sql})"
+    )
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(120):
+        u = f"u{rng.randrange(3)}"
+        et = rng.choice(
+            ["view", "click", "error", "purchase", "signup"]
+        )
+        ts = base + dt.timedelta(minutes=rng.randrange(0, 3000))
+        rows.append(
+            (i, u, et, float(rng.randrange(9)),
+             f"{ts:%Y-%m-%d %H:%M:%S}")
+        )
+    rows = [
+        (j, u, et, v, ts)
+        for j, (_i, u, et, v, ts) in enumerate(
+            sorted(rows, key=lambda r: (r[4], r[0]))
+        )
+    ]
+    defines = {
+        v: (lambda r, b, t=ET[v]: r["et"] == t) for v in union
+    }
+    by_key = {}
+    for i, u, et, v, ts in rows:
+        ots = int(
+            calendar.timegm(
+                dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S").timetuple()
+            )
+        ) * 1_000_000
+        by_key.setdefault(u, []).append(
+            (ots, i, {"et": et, "v": v, "u": u})
+        )
+    ref_skip = (
+        ("next",) if skip == "TO NEXT ROW" else ("past",)
+    )
+    within_us = 12 * 3600 * 1_000_000
+    expected = []
+    for u, krows in by_key.items():
+        for m in _ref_matches_alt(
+            krows, branches, defines, within_us, ref_skip
+        ):
+            expected.append(
+                (u, len(m), sum(r["v"] for r, _var in m))
+            )
+    log = _mk_log(spark, rows)
+    for n in (1, 3):
+        got = replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": log}, n_batches=n
+        )
+        assert sorted(map(tuple, got.collect()), key=str) == sorted(
+            expected, key=str
+        ), f"pattern={pattern!r} skip={skip} n_batches={n}"
+
+
 def test_nfa_running_measure_guards():
     from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
         _rewrite_nfa_measure,
