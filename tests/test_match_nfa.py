@@ -1567,6 +1567,88 @@ def test_nfa_random_pattern_fuzz_vs_reference(spark, seed):
         ), f"pattern={pattern!r} skip={skip} n_batches={n}"
 
 
+def test_nfa_match_number_base_state(spark):
+    """MATCH_NUMBER's per-key base state (r13): when a whole match
+    falls behind the WITHIN horizon and leaves the pool, __mn_base
+    advances by the dropped-match count, so later matches keep their
+    LIFETIME numbers — the emitted rows never renumber."""
+    sql = (
+        "INSERT INTO sink SELECT u, mn, n_b FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES MATCH_NUMBER() AS mn, COUNT(B.*) AS n_b"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (A B+) WITHIN INTERVAL '1' HOUR"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click')"
+    )
+    job = plan_insert_maintained(sql, _EV_TABLES)
+    b1 = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:00"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:10:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b1)})
+    assert sorted(map(tuple, job.result().collect())) == [("u1", 1, 1)]
+    # a far-later batch prunes match #1 entirely out of the pool ...
+    b2 = [
+        (3, "u1", "view", 3.0, "2024-01-01 06:00:00"),
+        (4, "u1", "click", 4.0, "2024-01-01 06:10:00"),
+        (5, "u1", "click", 5.0, "2024-01-01 06:20:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b2)})
+    # ... and the new match is #2, not a renumbered #1
+    assert sorted(map(tuple, job.result().collect())) == [
+        ("u1", 1, 1), ("u1", 2, 2)
+    ]
+    # the base state carries the dropped count
+    mnb = {
+        tuple(r)[:1]: r["__mn_base"]
+        for r in job._state[3].collect()
+    }
+    assert mnb == {("u1",): 1}
+    # a third epoch: the base keeps accumulating
+    b3 = [
+        (6, "u1", "view", 6.0, "2024-01-01 12:00:00"),
+        (7, "u1", "click", 7.0, "2024-01-01 12:01:00"),
+    ]
+    job.step({"ev": _mk_log(spark, b3)})
+    assert sorted(map(tuple, job.result().collect())) == [
+        ("u1", 1, 1), ("u1", 2, 2), ("u1", 3, 1)
+    ]
+
+
+def test_nfa_skip_to_var_single_branch(spark):
+    """AFTER MATCH SKIP TO LAST E where E exists in only ONE
+    alternation branch: matches from the click branch (no E row)
+    raise the SQL:2016 skip-to-unmatched-variable runtime error —
+    pinned so the alternation surface keeps Flink's error parity."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n_run FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) + COUNT(E.*) AS n_run"
+        " AFTER MATCH SKIP TO LAST E"
+        " PATTERN (A B+ | A E+) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view', B AS B.et = 'click',"
+        " E AS E.et = 'error')"
+    )
+    with pytest.raises(Exception, match="matched no row"):
+        replay_insert_maintained(
+            sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=1
+        ).collect()
+    # the error-branch match resolves the skip target fine
+    rows_e = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:01"),
+        (2, "u1", "error", 2.0, "2024-01-01 00:00:02"),
+        (3, "u1", "error", 3.0, "2024-01-01 00:00:03"),
+    ]
+    got = replay_insert_maintained(
+        sql, _EV_TABLES, {"ev": _mk_log(spark, rows_e)}, n_batches=1
+    )
+    assert sorted(map(tuple, got.collect())) == [("u1", 2)]
+
+
 def test_nfa_running_measure_guards():
     from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
         _rewrite_nfa_measure,
