@@ -2576,18 +2576,28 @@ class _MatchNfaPlan(_Plan):
                 f"DEFINE {var} navigates unknown pattern variable "
                 f"{v!r}; the pattern defines {sorted(self._pat_vars)}"
             )
-        together = False
+        together = bound_somewhere = False
         for br in self.branches:
             pos = {bv: j for j, (bv, _mn, _mx, _g) in enumerate(br)}
             if var in pos and v in pos:
                 together = True
-                if pos[v] > pos[var]:
-                    raise ValueError(
-                        f"DEFINE {var} references {v}, which is bound "
-                        "LATER in the pattern — a forward reference "
-                        f"is never bound when {var} rows are "
-                        "classified (SQL:2016 forbids it)"
-                    )
+                if pos[v] <= pos[var]:
+                    bound_somewhere = True
+        # a PURE forward reference (v after var in EVERY shared
+        # branch) is never bound when var rows are classified —
+        # SQL:2016 forbids it.  Under alternation/PERMUTE (r13) it is
+        # enough that SOME branch binds v at-or-before var: branches
+        # where it does not simply evaluate the navigation to NULL
+        # (unknown-is-false), which is what makes
+        # PERMUTE(A, B) + DEFINE B AS B.v > A.v mean "B qualifies
+        # when A came first".
+        if together and not bound_somewhere:
+            raise ValueError(
+                f"DEFINE {var} references {v}, which is bound LATER "
+                "in the pattern (in every branch the two share) — a "
+                f"forward reference is never bound when {var} rows "
+                "are classified (SQL:2016 forbids it)"
+            )
         if not together and v != var:
             raise ValueError(
                 f"DEFINE {var} navigates {v}, but no alternation "

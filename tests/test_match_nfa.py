@@ -1649,6 +1649,41 @@ def test_nfa_skip_to_var_single_branch(spark):
     assert sorted(map(tuple, got.collect())) == [("u1", 2)]
 
 
+def test_nfa_permute_cross_var_order_sensitivity(spark):
+    """PERMUTE(A, B) + ``DEFINE B AS B.v > A.v``: in the A-first
+    branch the navigation binds; in the B-first branch A is unbound →
+    NULL → unknown-is-false, so the cross predicate effectively
+    demands the A-first order — the r13 per-branch relaxation of the
+    forward-reference rule (a PURE forward reference still
+    refuses)."""
+    rows = [
+        (1, "u1", "view", 1.0, "2024-01-01 00:00:01"),
+        (2, "u1", "click", 2.0, "2024-01-01 00:00:02"),  # A then B(>1)
+        (3, "u2", "click", 2.0, "2024-01-01 00:00:01"),
+        (4, "u2", "view", 1.0, "2024-01-01 00:00:02"),   # B first: NULL
+    ]
+    sql = (
+        "INSERT INTO sink SELECT u, n FROM ev"
+        " MATCH_RECOGNIZE (PARTITION BY u ORDER BY ts"
+        " MEASURES COUNT(B.*) AS n"
+        " AFTER MATCH SKIP PAST LAST ROW"
+        " PATTERN (PERMUTE(A, B)) WITHIN INTERVAL '1' DAY"
+        " DEFINE A AS A.et = 'view',"
+        " B AS B.et = 'click' AND B.v > A.v)"
+    )
+    got = replay_insert_maintained(
+        sql, _EV_TABLES, {"ev": _mk_log(spark, rows)}, n_batches=2
+    )
+    assert sorted(map(tuple, got.collect())) == [("u1", 1)]
+    # a PURE forward reference (every shared branch) still refuses
+    with pytest.raises(ValueError, match="bound LATER"):
+        maintain(match_nfa={
+            "partition": ["u"], "order": "ts", "within": "1 day",
+            "pattern": "A B+ C", "defines": {"B": "B.v > LAST(C.v)"},
+            "measures": [("count(*)", "n")],
+        })
+
+
 def test_nfa_running_measure_guards():
     from flink_cdc_2_3_0_src_spark.plans.sql_maintain import (
         _rewrite_nfa_measure,
