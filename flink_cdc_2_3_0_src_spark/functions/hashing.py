@@ -415,8 +415,15 @@ def poly_hash_expr(col: Column) -> Column:
 
 def tokens(col: Column) -> Column:
     """Lowercased whitespace tokens, empties removed — the shared
-    tokenizer for every text operator."""
-    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != F.lit(""))
+    tokenizer for every text operator.
+
+    ``array_remove(..., '')`` instead of the lambda-HOF
+    ``filter(..., t -> t != '')``: identical output (both drop exactly
+    the empty strings a leading/trailing-whitespace split produces),
+    but array_remove is a plain unary expression while a lambda HOF is
+    evaluated interpreted per element — measured ~2x on the tokenize
+    stage of every token-path operator (r13 §tokens)."""
+    return F.array_remove(F.split(F.lower(col), r"\s+"), "")
 
 
 # --------------------------------------------------------------------------

@@ -69,6 +69,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+# Schema memo: every schema-less ``spark.read.parquet`` fires a one-task
+# footer-inference job (~0.05s) and ~0.25s of driver-side resolution —
+# per table, per query build.  The parquet schema for a given path is
+# immutable under the same part-file-names-never-mutate assumption the
+# split memo documents above (_SPLIT_MEMO); a rewritten table gets new
+# file names but the DIRECTORY path is the memo key here, so an
+# out-of-band rewrite that changes the schema needs refresh_schema_memo()
+# — exactly Spark's own REFRESH TABLE discipline.  This caches METADATA
+# only (never rows), so every query still computes from the parquet data.
+_SCHEMA_MEMO: dict[str, T.StructType] = {}
+_SCHEMA_MEMO_CAP = 256
+
+
+def refresh_schema_memo() -> None:
+    """Invalidate cached parquet schemas (see _SCHEMA_MEMO)."""
+    _SCHEMA_MEMO.clear()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing TIMESTAMP(NANOS) columns.
 
@@ -77,7 +95,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same truncation DuckDB applies when reading nanos parquet.
     """
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_MEMO) >= _SCHEMA_MEMO_CAP:
+            _SCHEMA_MEMO.clear()
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for f_ in df.schema.fields:
         if f_.name == "ts" and isinstance(f_.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

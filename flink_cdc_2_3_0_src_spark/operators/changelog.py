@@ -313,29 +313,43 @@ def normalize_upsert(
     with_prev = df.withColumn("__prev", prev_img).withColumn("__prev_op", prev_op)
     has_live_prev = F.col("__prev").isNotNull() & (F.col("__prev_op") != OP_DELETE)
 
-    # additions: every non-delete change emits its after-image; first-ever
-    # image (or first after a delete) is +I, otherwise +U
-    cur = (
-        with_prev.filter(F.col(op_col) != OP_DELETE)
-        .withColumn(
-            op_col,
-            F.when(~has_live_prev, F.lit(OP_INSERT)).otherwise(F.lit(OP_UPDATE_AFTER)),
-        )
-        .select(*data_cols, op_col, seq_col)
+    # Each change emits 0-2 rows, built in ONE window pass and exploded:
+    #   - addition (op != -D): the after-image, +I on first-ever image
+    #     (or first after a delete), +U otherwise;
+    #   - retraction (live previous image exists): the previous image,
+    #     -D for deletes, -U for updates (a delete's own payload is
+    #     never the live state — retracting it would break
+    #     signed-aggregate telescoping); deletes of a non-live key emit
+    #     nothing.
+    # The former two-branch union re-ran the scan + key shuffle + sort +
+    # window once PER BRANCH (Spark does not share subtrees across
+    # union arms); the slice/explode form is plan-identical semantics at
+    # half the cost — one exchange, one sort, one window (r13).
+    addition = F.struct(
+        *[F.col(c).alias(c) for c in data_cols],
+        F.when(~has_live_prev, F.lit(OP_INSERT))
+        .otherwise(F.lit(OP_UPDATE_AFTER))
+        .alias(op_col),
     )
-
-    # retractions: updates emit -U of the previous image; deletes emit -D of
-    # the previous image (a delete's own payload is never the live state —
-    # retracting it would break signed-aggregate telescoping). Deletes of a
-    # non-live key emit nothing.
-    retract = with_prev.filter(has_live_prev).select(
+    retraction = F.struct(
         *[F.col(f"__prev.{c}").alias(c) for c in data_cols],
         F.when(F.col(op_col) == OP_DELETE, F.lit(OP_DELETE))
         .otherwise(F.lit(OP_UPDATE_BEFORE))
         .alias(op_col),
+    )
+    is_add = (F.col(op_col) != OP_DELETE).cast("int")
+    emitted = F.slice(
+        F.array(addition, retraction),
+        F.when(F.col(op_col) != OP_DELETE, F.lit(1)).otherwise(F.lit(2)),
+        is_add + has_live_prev.cast("int"),
+    )
+    return with_prev.select(
+        F.explode(emitted).alias("__e"), F.col(seq_col)
+    ).select(
+        *[F.col(f"__e.{c}").alias(c) for c in data_cols],
+        F.col(f"__e.{op_col}").alias(op_col),
         F.col(seq_col),
     )
-    return cur.unionByName(retract)
 
 
 def scd2_history(

@@ -1219,16 +1219,22 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    syms = F.filter(F.split(F.col("w"), ""), lambda c: c != F.lit(""))
-    cur = words.select("w", "cnt", syms.alias("syms")).localCheckpoint()
+    syms = F.array_remove(F.split(F.col("w"), ""), "")
+    # ONE corpus-sized checkpoint (truncates the corpus groupBy); each
+    # round then COMPOSES its fold expression over this base instead of
+    # checkpointing per round — round r re-applies r-1 folds to the
+    # (vocabulary-bounded) word table, which is far cheaper than one
+    # materialization job per round (r13: 2 jobs/round -> 1).
+    base = words.select("w", "cnt", syms.alias("syms")).localCheckpoint()
+    cur_syms = F.col("syms")
     out = []
     for rank in range(1, rounds + 1):
-        pairs = cur.select(
+        pairs = base.select(
             "cnt",
             F.explode(
                 F.zip_with(
-                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    F.slice(cur_syms, 1, F.size(cur_syms) - 1),
+                    F.slice(cur_syms, 2, F.size(cur_syms) - 1),
                     lambda x, y: F.struct(x.alias("a"), y.alias("b")),
                 )
             ).alias("p"),
@@ -1244,12 +1250,14 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         out.append((rank, a, b, n))
-        cur = cur.select(
-            "w", "cnt", _bpe_apply(F.col("syms"), a, b).alias("syms")
-        ).localCheckpoint()
+        cur_syms = _bpe_apply(cur_syms, a, b)
     spark = docs.sparkSession
+    # one partition: the result is `rounds` driver-local rows — the
+    # default createDataFrame slicing would spawn defaultParallelism
+    # Python-worker tasks to serve 4 rows
     return spark.createDataFrame(
-        out, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
+        spark.sparkContext.parallelize(out or [], 1),
+        "merge_rank int, sym_a string, sym_b string, pair_count bigint",
     )
 
 
