@@ -284,8 +284,14 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    assigned = kmeans_assign(emb, k, iters)
-    base = assigned.localCheckpoint()  # Lloyd's loop is driver-iterated; don't replay it
+    # no checkpoint: the Lloyd's loop is driver-iterated, so the FINAL
+    # assignment's lineage is just scan -> quantize -> literal-centroid
+    # argmin (the per-iteration update collects already happened on the
+    # driver and are not in this plan).  `base` is consumed exactly once
+    # by the prune groupBy below — a localCheckpoint here would BE one
+    # extra full materialization pass, not save one (r13: job removed,
+    # same rows shuffled either way).
+    base = kmeans_assign(emb, k, iters)
     tau2 = int(tau_e3) ** 2
 
     out_schema = "cluster int, pruned_vec_id long, kept_by long"
@@ -324,7 +330,16 @@ def semantic_dedup(
                 rows["kept_by"].append(int(ids[hits[0]]))  # ids sorted -> min
         return pd.DataFrame(rows)
 
-    return base.groupBy("cl").applyInPandas(prune, out_schema)
+    # pin the prune to k partitions: the stage has at most k groups, and
+    # AQE's size-based coalescing would otherwise fold a small shuffle
+    # into ONE task, serializing the per-cluster matmuls (an explicit
+    # repartition count is exempt from coalescing).  k partitions is
+    # right at every scale — partitions beyond k would be empty, and a
+    # single giant cluster is one task either way (a pandas group can't
+    # split).
+    return base.repartition(k, "cl").groupBy("cl").applyInPandas(
+        prune, out_schema
+    )
 
 
 def semantic_dedup_sql(k: int = 8, iters: int = 2, tau_e3: int = 400) -> str:

@@ -2717,12 +2717,12 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cdc_2_3_0_src_spark.functions.hashing import tokens
-    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
 
-    # tokenize+explode runs in the SCAN stage: spread an
-    # under-partitioned corpus so the map side uses every core
-    # (no-op on well-split 100 TB inputs — see spread_small_scan)
-    d = spread_small_scan(ld(spark, sf_dir, "documents").select("text"))
+    # no spread_small_scan here: A/B-measured (r13) — with the
+    # array_remove tokenizer the single-split tokenize is cheaper than
+    # the repartition it would take to parallelize it (0.32s vs 0.46s
+    # median), and a well-split 100 TB input never needs the spread
+    d = ld(spark, sf_dir, "documents").select("text")
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
