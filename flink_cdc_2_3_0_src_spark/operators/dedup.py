@@ -607,6 +607,7 @@ def fuzzy_blocked_candidates(
     docs: DataFrame,
     q: int = 3,  # kept for call compatibility; segment blocking is gram-free
     max_dist: int = 5,
+    pre: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate-pair stage of ``fuzzy_blocked_pairs`` (everything up to
     — not including — the L1 prune and levenshtein verify), as
@@ -638,19 +639,28 @@ def fuzzy_blocked_candidates(
     100 TB shape: index side = d+1 slim segment rows per doc; probe
     side = O(d^2 * (d+1)) deduped substring keys per doc (~400 here);
     ONE equi-join on (segment index, partner length, segment text), no
-    window functions, no cross join; candidates ~ true pairs."""
-    k = max_dist + 1
-    d_ = docs.select(
-        "doc_id",
-        F.lower(F.col("text")).alias("t"),
-        F.length("text").alias("len"),
-    ).filter(F.col("len") >= k)
-    # the probe explode (~(2d+1)·(d+1)·(2d+1) keys/doc) runs in the
-    # SCAN stage — no shuffle precedes it — so an under-partitioned
-    # corpus would generate probes on a fraction of the cluster
-    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+    window functions, no cross join; candidates ~ true pairs.
 
-    d_ = spread_small_scan(d_, "doc_id")
+    ``pre``: an already spread/projected base with (doc_id, t, len)
+    columns, len >= max_dist+1 — lets ``fuzzy_blocked_pairs`` share ONE
+    scan+spread exchange between the candidate stage and its histogram
+    stage (identical subtrees become a ReusedExchange) instead of each
+    re-reading the source."""
+    k = max_dist + 1
+    if pre is not None:
+        d_ = pre.select("doc_id", "t", "len")
+    else:
+        from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+        d_ = docs.select(
+            "doc_id",
+            F.lower(F.col("text")).alias("t"),
+            F.length("text").alias("len"),
+        ).filter(F.col("len") >= k)
+        # the probe explode (~d²·(d+1) keys/doc) runs in the SCAN stage
+        # — no shuffle precedes it — so an under-partitioned corpus
+        # would generate probes on a fraction of the cluster
+        d_ = spread_small_scan(d_, "doc_id")
 
     # even partition of a length-n string into k segments: the first
     # k - (n % k) segments have floor(n/k) chars, the rest one more
@@ -783,13 +793,26 @@ def fuzzy_blocked_pairs(
     parity note: the reference has no fuzzy dedup; this is
     pipeline-operator surface).
     """
-    d = docs.select(
+    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+
+    # ONE corpus pass shared by the segment side, the probe side and the
+    # histogram side (the lsh_pairs pattern): materialize the spread
+    # 4-column projection once, and all three consumers read the
+    # checkpoint — previously each consumer re-scanned the source and
+    # re-shuffled its own projection (column pruning splits otherwise
+    # identical exchanges, so ReusedExchange never fires).  The
+    # len >= d+1 filter is safe on the histogram side too: candidates
+    # only ever contain docs that passed it.
+    base = spread_small_scan(
+        docs.select(
+            "doc_id",
+            "text",
+            F.lower(F.col("text")).alias("t"),
+            F.length("text").alias("len"),
+        ).filter(F.col("len") >= max_dist + 1),
         "doc_id",
-        "text",
-        F.lower(F.col("text")).alias("t"),
-        F.length("text").alias("len"),
-    )
-    cand = fuzzy_blocked_candidates(docs, q=q, max_dist=max_dist)
+    ).localCheckpoint()
+    cand = fuzzy_blocked_candidates(docs, q=q, max_dist=max_dist, pre=base)
     # char-histogram L1 lower bound, computed ONCE per doc: every edit
     # op changes the char bag by at most 2 L1 units (substitution ±1
     # twice, insert/delete 1), so L1(hist_a, hist_b) > 2*d proves edit
@@ -805,13 +828,11 @@ def fuzzy_blocked_pairs(
     # limit: measured 84s cold / ~1.7s warm for 5000 docs vs ~0.35s
     # here, identical counts (UTF-8 continuation bytes are >= 0x80, so
     # byte-level bincount never aliases the tracked ASCII chars).
-    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
-
-    # the hist pass runs in the SCAN stage of a 1-2 split corpus —
-    # spread it so the checkpoint parallelizes (no-op on real inputs)
-    texts = spread_small_scan(
-        d.select("doc_id", "text", "t"), "doc_id"
-    ).select("doc_id", "text", _char_hist_udf()(F.col("t")).alias("h"))
+    # Runs over the SAME spread base as the candidate stage (one scan,
+    # one exchange, reused).
+    texts = base.select(
+        "doc_id", "text", _char_hist_udf()(F.col("t")).alias("h")
+    )
     # materialize once: the a- and b-side joins would otherwise each
     # re-run the histogram UDF (and the source scan) per side
     texts = texts.localCheckpoint()
