@@ -81,7 +81,11 @@ def bloom_pass_expr(key_col, bitmap: list[int]):
     scan: no join, no exchange).  May false-positive, never
     false-negative."""
     m_bits = len(bitmap) * 32
-    lit_words = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # one parsed literal instead of len(bitmap) py4j F.lit calls
+    # (~1ms each of driver time per build; see functions/exprs.py)
+    from flink_cdc_2_3_0_src_spark.functions.exprs import lit_array
+
+    lit_words = lit_array(bitmap, "bigint")
     pass_expr = None
     for bit in _bit_positions(key_col, m_bits):
         word = F.element_at(lit_words, (bit / 32).cast("int") + 1)

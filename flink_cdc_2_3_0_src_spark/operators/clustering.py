@@ -37,12 +37,19 @@ def quantize_vec(col):
     )
 
 
+def _centroid_literals(centroids: list[list[int]]):
+    """k x dim centroid table as ONE parsed literal expression —
+    per-element F.lit marshalling costs ~1ms of py4j driver time each
+    (k*dim = 512 calls per build here); see functions/exprs.py."""
+    from flink_cdc_2_3_0_src_spark.functions.exprs import lit_array
+
+    return F.array(*[lit_array([int(x) for x in c], "bigint") for c in centroids])
+
+
 def _assign_expr(vec_col, centroids: list[list[int]]):
     """cluster id = argmin_j ||v - c_j||^2, ties to the lowest j.
     Centroids enter the plan as literals (broadcast by construction)."""
-    carr = F.array(
-        *[F.array(*[F.lit(int(x)) for x in c]) for c in centroids]
-    )
+    carr = _centroid_literals(centroids)
     dists = F.transform(
         carr,
         lambda c: F.aggregate(
@@ -410,7 +417,7 @@ def ann_topk_ivf_trained(
     assigned, centroids = kmeans_fit(emb, k, iters)
     base = assigned.localCheckpoint()  # Lloyd's is driver-iterated; don't replay per join side
 
-    carr = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in centroids])
+    carr = _centroid_literals(centroids)
     dist_to = lambda c, v: F.aggregate(  # noqa: E731
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),

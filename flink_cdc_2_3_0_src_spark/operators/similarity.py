@@ -130,10 +130,13 @@ def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
 
 def bucket_expr(v: Column, dim: int) -> Column:
     """Random-hyperplane LSH bucket id (sign-bit concatenation)."""
+    from flink_cdc_2_3_0_src_spark.functions.exprs import lit_array
+
     planes = hyperplanes(dim)
     bucket = None
     for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(c) for c in plane])
+        # one parsed literal per plane instead of `dim` py4j F.lit calls
+        arr = lit_array([float(c) for c in plane], "double")
         bit = F.when(F.round(_dot(v, arr), 6) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket

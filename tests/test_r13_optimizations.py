@@ -198,6 +198,37 @@ def test_load_table_schema_memo_roundtrip(spark):
     assert not _io._SCHEMA_MEMO
 
 
+def test_lit_array_matches_per_element_lit(spark):
+    """lit_array (one parsed SQL string) must be bit-identical to the
+    per-element F.lit form it replaces — ints, round-trip floats, NULL,
+    NaN/Infinity, empty."""
+    from flink_cdc_2_3_0_src_spark.functions.exprs import lit_array
+
+    ints = [0, 1, -7, 2**53, -(2**31), 999999999999]
+    d = spark.range(1)
+    r = d.select(
+        (
+            lit_array(ints, "bigint")
+            == F.array(*[F.lit(v).cast("long") for v in ints])
+        ).alias("ok_i"),
+        (
+            lit_array([0.123, -1.1, 3.141592653589793, 1e-300], "double")
+            == F.array(
+                *[
+                    F.lit(v)
+                    for v in [0.123, -1.1, 3.141592653589793, 1e-300]
+                ]
+            )
+        ).alias("ok_f"),
+        F.element_at(lit_array([None, 5], "bigint"), 1).isNull().alias("ok_n"),
+        F.isnan(
+            F.element_at(lit_array([float("nan")], "double"), 1)
+        ).alias("ok_nan"),
+        (F.size(lit_array([], "bigint")) == 0).alias("ok_e"),
+    ).collect()[0]
+    assert all(r), r
+
+
 def test_bpe_result_single_partition(spark):
     from flink_cdc_2_3_0_src_spark.operators.text import bpe_train
 
