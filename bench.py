@@ -74,6 +74,12 @@ HEAVY_TAIL = [
     "dedup_spans",
     "text_bpe_train",
     "sketch_count_min",
+    # r14: the MATCH_RECOGNIZE NFA family's representative — the only
+    # Python-heavy per-key path in the engine and, until this round,
+    # the only expensive family with zero timing history (it was
+    # runtime-graded via correctness wall-time only).  Additions to the
+    # bench are contract-safe; existing names are never removed.
+    "cdc_sql_match_recognize_nfa",
 ]
 
 
@@ -188,6 +194,14 @@ def main() -> None:
                 "heavy_tail_first_run": heavy_first,
                 "heavy_tail_total": round(sum(heavy.values()), 4),
                 "heavy_tail_noise_band": heavy_band,
+                # Scaling evidence (r14): echo the EFFECTIVE parallelism so
+                # the driver's core-count check can confirm $SPARK_GRAFT_CPUS
+                # took effect (r13's PERF flagged "suspect_cpus_ignored"
+                # because the JSON line carried no proof; session.py honors
+                # the env var — local[$SPARK_GRAFT_CPUS]).
+                "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -111,7 +111,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread_small_scan(
-    df: DataFrame, key: str = None, expected_splits: int = None
+    df: DataFrame,
+    key: str = None,
+    expected_splits: int = None,
+    min_bytes: int = 0,
 ) -> DataFrame:
     """Repartition to the session's default parallelism when the scan
     has fewer input splits than cores.
@@ -133,9 +136,20 @@ def spread_small_scan(
     once a table has millions of files.  A file-less plan (in-memory
     local relation) is left untouched: those are driver-built fixtures
     whose parallelize partitioning is already ``defaultParallelism``.
+
+    ``min_bytes`` (r14): don't spread when the scan's TOTAL bytes are
+    below this bound — a corpus smaller than one input split is cheaper
+    to process in its own scan task than to repartition (the r13 bench
+    measured the ann_topk spread as a wash at sf0.1: the added exchange
+    roughly cancels the parallelism).  The under-split production case
+    this function exists for — many GB in a handful of huge files —
+    passes the bound and still spreads.  0 keeps the r13 behavior
+    (callers whose per-row Python cost was A/B-measured to justify
+    spreading tiny inputs, e.g. the fuzzy-dedup histogram pass).
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
+    total_bytes = None
     if expected_splits is None:
         try:
             files = df.inputFiles()
@@ -151,10 +165,25 @@ def spread_small_scan(
             # full-data shuffle here.  Only when the count is below
             # parallelism (≤ par-1 files), stat those files (bounded
             # driver cost) and count real splits.
-            expected_splits = _estimate_splits(spark, files, expected_splits)
+            expected_splits, total_bytes = _estimate_splits(
+                spark, files, expected_splits
+            )
     if expected_splits >= par:
         return df
+    if min_bytes and total_bytes is not None and total_bytes < min_bytes:
+        return df
     return df.repartition(par, key) if key else df.repartition(par)
+
+
+def max_partition_bytes(spark: SparkSession) -> int:
+    """The session's ``spark.sql.files.maxPartitionBytes`` in bytes —
+    the natural ``min_bytes`` bound for :func:`spread_small_scan` (one
+    input split's worth of data)."""
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    m = re.match(r"(\d+)([a-zA-Z]*)", raw.strip())
+    mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+            "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+    return int(m.group(1)) * mult[m.group(2).lower()]
 
 
 # Memo for repeated query builds over the same table: the stat loop is
@@ -183,10 +212,11 @@ def refresh_split_memo() -> None:
     _SPLIT_MEMO.clear()
 
 
-def _estimate_splits(spark, files: list, fallback: int) -> int:
-    """sum(ceil(size / maxPartitionBytes)) over ≤ defaultParallelism
-    files, via the JVM Hadoop FileSystem (works for any scheme the scan
-    itself could read). Falls back to the file count on any error.
+def _estimate_splits(spark, files: list, fallback: int) -> tuple:
+    """(sum(ceil(size / maxPartitionBytes)), sum(size)) over
+    ≤ defaultParallelism files, via the JVM Hadoop FileSystem (works for
+    any scheme the scan itself could read). Falls back to
+    ``(file count, None)`` on any error.
     Memoized per (path set, maxPartitionBytes)."""
     try:
         raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
@@ -194,21 +224,20 @@ def _estimate_splits(spark, files: list, fallback: int) -> int:
         hit = _SPLIT_MEMO.get(memo_key)
         if hit is not None:
             return hit
-        m = re.match(r"(\d+)([a-zA-Z]*)", raw.strip())
-        mult = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
-                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
-        max_bytes = int(m.group(1)) * mult[m.group(2).lower()]
+        max_bytes = max_partition_bytes(spark)
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         total = 0
+        total_bytes = 0
         for p in files:
             jpath = jvm.org.apache.hadoop.fs.Path(p)
             fs = jpath.getFileSystem(hconf)
-            size = fs.getFileStatus(jpath).getLen()
-            total += max(1, -(-int(size) // max_bytes))
+            size = int(fs.getFileStatus(jpath).getLen())
+            total += max(1, -(-size // max_bytes))
+            total_bytes += size
         if len(_SPLIT_MEMO) >= _SPLIT_MEMO_CAP:
             _SPLIT_MEMO.clear()
-        _SPLIT_MEMO[memo_key] = total
-        return total
+        _SPLIT_MEMO[memo_key] = (total, total_bytes)
+        return total, total_bytes
     except Exception:
-        return fallback
+        return fallback, None

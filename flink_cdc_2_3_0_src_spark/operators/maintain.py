@@ -1150,7 +1150,7 @@ class _TemporalJoinPlan(_Plan):
             vers_new
             if state is None
             else state.unionByName(vers_new)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
 
         probe = batch_p.filter(F.col(self.op_col) == OP_INSERT).select(
             *p_payload, F.col(self.seq_col).alias("__pseq")
@@ -1464,7 +1464,7 @@ class _MatchPlan(_Plan):
             pruned = pruned.unionByName(
                 _keyset_join(state, affected, self.partition, "left_anti")
             )
-        return pruned.localCheckpoint(eager=True), delta
+        return pruned.localCheckpoint(eager=False), delta
 
     def _expire(self, state, watermark):
         return expire_state(state, watermark, self.order)
@@ -2839,8 +2839,19 @@ class _MatchNfaPlan(_Plan):
             out["__pos"] = pd.Series(mpos, dtype="int64")
             return out
 
-        return prepped.groupBy(*self.partition).applyInPandas(
-            run_key, out_schema
+        # Explicit repartition before the grouped-pandas scan: the pool
+        # shuffle is small (hundreds of KB at bench scale), so AQE's
+        # size-based coalescing folds EVERY key into one task and the
+        # per-group pandas overhead (~7ms/group) runs sequentially —
+        # measured 10-16s per batch for 1500 keys at sf0.1, the whole
+        # operator's cost.  An explicit partition count is exempt from
+        # coalescing and hash-satisfies the groupBy's clustered
+        # distribution (no second exchange; the dedup_semantic r13 fix).
+        par = max(2, prepped.sparkSession.sparkContext.defaultParallelism)
+        return (
+            prepped.repartition(par, *self.partition)
+            .groupBy(*self.partition)
+            .applyInPandas(run_key, out_schema)
         )
 
     def _measure_rows(self, exploded: DataFrame, mnb=None) -> DataFrame:
@@ -2955,9 +2966,18 @@ class _MatchNfaPlan(_Plan):
         # advanced by LAST batch's prune, exactly when the pruned
         # matches left both pools (the telescoping argument in the
         # class docstring).
-        new_expl = self._explode(new_pool).localCheckpoint(eager=True)
+        #
+        # All of this step's checkpoints are LAZY (r14): an eager one is
+        # a separate driver job round trip per frame per batch (the
+        # query ran 130+ jobs for 3 batches — ~2/3 of its wall clock was
+        # job latency, not work).  Laziness keeps compute-once (the RDD
+        # persists at its first materialization, inside the batch-delta
+        # fold or the next batch's first job) and elides the LAST
+        # batch's state materializations entirely — that state is never
+        # consumed.
+        new_expl = self._explode(new_pool).localCheckpoint(eager=False)
         new_m = self._measure_rows(new_expl, mnb).localCheckpoint(
-            eager=True
+            eager=False
         )
         delta = new_m
         if old_pool is not None:
@@ -3150,11 +3170,11 @@ class _MatchNfaPlan(_Plan):
                 else aff_base.unionByName(
                     _keyset_join(mnb, affected, self.partition, "left_anti")
                 )
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         return (
-            pruned.localCheckpoint(eager=True),
-            cache_new.localCheckpoint(eager=True),
-            clean_next.localCheckpoint(eager=True),
+            pruned.localCheckpoint(eager=False),
+            cache_new.localCheckpoint(eager=False),
+            clean_next.localCheckpoint(eager=False),
             mnb_next,
         ), delta
 
@@ -3371,7 +3391,7 @@ class _SetOpPlan(_Plan):
         new_state = (
             kept if unaffected is None else unaffected.unionByName(kept)
         )
-        return new_state.localCheckpoint(eager=True), delta
+        return new_state.localCheckpoint(eager=False), delta
 
     def _expire(self, state, watermark):  # pragma: no cover - guarded
         raise ValueError("set-operation state has no event-time column")
@@ -3602,7 +3622,7 @@ class _OverPlan(_Plan):
                 state, affected, self.partition, "left_anti"
             )
             pruned = pruned.unionByName(unaffected)
-        return pruned.localCheckpoint(eager=True), out
+        return pruned.localCheckpoint(eager=False), out
 
     def _step_unbounded(self, state, rows, payload):
         from pyspark.sql.window import Window
@@ -3704,7 +3724,7 @@ class _OverPlan(_Plan):
                         getattr(F, fn)(f"__m_{name}").alias(f"__m_{name}")
                     )
             new_state = merged.agg(*folds)
-        return new_state.localCheckpoint(eager=True), out
+        return new_state.localCheckpoint(eager=False), out
 
     def _expire(self, state, watermark):
         if self.rows is None and self.range_us is None:
@@ -3829,7 +3849,7 @@ class _DedupRowPlan(_Plan):
                 state, affected, self.keys, "left_anti"
             ).unionByName(best)
         )
-        return new_state.localCheckpoint(eager=True), delta
+        return new_state.localCheckpoint(eager=False), delta
 
     def _expire(self, state, watermark):
         return expire_state(state, watermark, self.order)

@@ -104,7 +104,10 @@ def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     Queries are broadcast; cosine is one numpy matmul-shaped pandas UDF
     per Arrow batch. At cluster scale this is scan-bound with no shuffle
     until the final (tiny) top-k window."""
-    from flink_cdc_2_3_0_src_spark.io import spread_small_scan
+    from flink_cdc_2_3_0_src_spark.io import (
+        max_partition_bytes,
+        spread_small_scan,
+    )
 
     base = emb.select("vec_id", _vec().alias("v"))
     q = base.filter(F.col("vec_id") < n_queries).select(
@@ -113,8 +116,15 @@ def ann_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     # the cosine UDF runs in the corpus SCAN stage: spread an
     # under-partitioned corpus so every Python worker participates
     # (no-op on well-split 100 TB inputs); the broadcast query side
-    # stays on the unspread scan — its build is one cheap pass
-    corpus = spread_small_scan(base, "vec_id")
+    # stays on the unspread scan — its build is one cheap pass.
+    # min_bytes (r14): a corpus under one split's worth of data keeps
+    # the exchange-free single-scan plan — the r13 bench measured the
+    # unconditional spread as a wash at sf0.1 (the repartition costs
+    # what the parallelism buys); only the genuinely under-split case
+    # (≥ 1 split of bytes in < cores splits) pays the shuffle.
+    corpus = spread_small_scan(
+        base, "vec_id", min_bytes=max_partition_bytes(emb.sparkSession)
+    )
     pairs = corpus.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id"))
     return (

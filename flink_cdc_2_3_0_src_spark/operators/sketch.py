@@ -42,20 +42,11 @@ def _cms_bucket(hcol, a: int, b: int, width: int):
     return ((F.lit(a) * x + F.lit(b)) % _P) % width
 
 
-def cms_build(hashed, width: int = CMS_WIDTH, weight_col: str | None = None) -> dict:
-    """Build the d × w counter matrix from a DataFrame with an ``h``
-    hash column.  One aggregation: explode each value into its d
-    (row, bucket) cells, count per cell.  The matrix is a commutative
-    monoid under cell-wise addition — sketches built on partitions of
-    the data merge EXACTLY into the whole-data sketch (pinned by
-    tests), which is why executor-local partial aggregation is lossless
-    here.
-
-    ``weight_col``: build from PRE-AGGREGATED (value, count) rows
-    instead of one row per occurrence — cell n becomes SUM(weight),
-    bit-identical to the occurrence-level build (cells are sums either
-    way) while hashing each distinct value exactly once."""
-    cells = hashed.select(
+def cms_cells(hashed, width: int = CMS_WIDTH, weight_col: str | None = None) -> DataFrame:
+    """The d × w counter matrix as a (r, c, n) cell frame (≤ d·w rows —
+    kilobytes, data-size independent).  One aggregation: explode each
+    value into its d (row, bucket) cells, count per cell."""
+    return hashed.select(
         *( [F.col(weight_col).alias("_w")] if weight_col else [] ),
         F.explode(
             F.array(
@@ -71,6 +62,21 @@ def cms_build(hashed, width: int = CMS_WIDTH, weight_col: str | None = None) -> 
     ).groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c")).agg(
         (F.sum("_w") if weight_col else F.count(F.lit(1))).alias("n")
     )
+
+
+def cms_build(hashed, width: int = CMS_WIDTH, weight_col: str | None = None) -> dict:
+    """Build the d × w counter matrix from a DataFrame with an ``h``
+    hash column (see :func:`cms_cells`).  The matrix is a commutative
+    monoid under cell-wise addition — sketches built on partitions of
+    the data merge EXACTLY into the whole-data sketch (pinned by
+    tests), which is why executor-local partial aggregation is lossless
+    here.
+
+    ``weight_col``: build from PRE-AGGREGATED (value, count) rows
+    instead of one row per occurrence — cell n becomes SUM(weight),
+    bit-identical to the occurrence-level build (cells are sums either
+    way) while hashing each distinct value exactly once."""
+    cells = cms_cells(hashed, width, weight_col)
     return {(int(r["r"]), int(r["c"])): int(r["n"]) for r in cells.collect()}
 
 
@@ -88,11 +94,10 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
     sketch's collision cost — never negative).
 
     Build: one explode + ONE fixed-size aggregation (d*w cells max) —
-    collected to the driver (kilobytes, data-size independent) and
-    folded into the probe as literal arrays, like the bloom bitmap and
-    the kmeans centroids.  Probe: the exact top-k tokens (computed here
-    for the comparison; a production probe set is whatever keys you
-    care about).
+    broadcast into the probe join (kilobytes, data-size independent,
+    same boundedness as the old driver-collect + literal-array fold).
+    Probe: the exact top-k tokens (computed here for the comparison; a
+    production probe set is whatever keys you care about).
 
     Cost shape: tokens are counted FIRST (cheap codegen'd groupBy), so
     the per-character polynomial hash runs once per DISTINCT token
@@ -100,7 +105,16 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
     is built from (hash, count) weighted rows — bit-identical cells,
     ~corpus/vocabulary times less hash work.  One localCheckpoint keeps
     the vocabulary pass shared between the matrix build and the exact
-    top-k (it would otherwise recompute)."""
+    top-k (it would otherwise recompute).
+
+    r14: the probe reads the cells through a BROADCAST join on (r, c)
+    instead of a driver collect folded back as three 1024-element
+    literal arrays — the collect was a separate sequential job per
+    query run, and the literal arrays made the probe projection's
+    generated code large enough to stall first-run compilation
+    (guide §5 driver chain / §2.6).  min(coalesce(n, 0)) over the d
+    joined cells ≡ least(element_at(...)) with absent cells read as 0 —
+    bit-identical estimates."""
     from flink_cdc_2_3_0_src_spark.io import spread_small_scan
 
     toks = spread_small_scan(docs.select("text")).select(
@@ -112,33 +126,30 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
         .select("tok", "exact_n", poly_hash_expr(F.col("tok")).alias("h"))
         .localCheckpoint()
     )
-    mat = cms_build(vocab, width, weight_col="exact_n")
-    # ONE array literal per sketch row, rendered as a single SQL string:
-    # F.lit(list) marshals one py4j call per element (~0.9s per 1024-cell
-    # row of pure DRIVER time, rebuilt every query build — measured 2.6s
-    # for the three rows, r13); one parsed array(...) expression is
-    # ~500x faster and bit-identical
-    from flink_cdc_2_3_0_src_spark.functions.exprs import lit_array
-
-    row_arrays = [
-        lit_array([int(mat.get((ri, c), 0)) for c in range(width)], "bigint")
-        for ri in range(len(_ROWS))
-    ]
+    cells = cms_cells(vocab, width, weight_col="exact_n")
     exact = vocab.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(top_k)
-    est = F.least(
-        *[
-            F.element_at(
-                row_arrays[ri],
-                _cms_bucket(F.col("h"), a, b, width).cast("int") + 1,
-            )
-            for ri, (a, b) in enumerate(_ROWS)
-        ]
-    )
-    return exact.select(
+    probes = exact.select(
         "tok",
         "exact_n",
-        est.alias("cms_n"),
-        (est - F.col("exact_n")).alias("overestimate"),
+        F.posexplode(
+            F.array(
+                *[
+                    _cms_bucket(F.col("h"), a, b, width)
+                    for a, b in _ROWS
+                ]
+            )
+        ).alias("r", "c"),
+    )
+    est = probes.join(F.broadcast(cells), ["r", "c"], "left").groupBy(
+        "tok", "exact_n"
+    ).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0).cast("bigint"))).alias("cms_n")
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overestimate"),
     )
 
 

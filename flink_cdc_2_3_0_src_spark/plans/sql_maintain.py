@@ -2334,7 +2334,25 @@ def _ckpt(state):
         return None
     if isinstance(state, tuple):
         return tuple(_ckpt(s) for s in state)
+    # plans that checkpoint their own state pieces (match_nfa, match,
+    # over, top-n) return frames already rooted at a LogicalRDD —
+    # re-checkpointing copies the materialized rows into a new RDD via
+    # one more eager job per state piece per batch, pure overhead
+    if _is_ckpt_scan(state):
+        return state
     return state.localCheckpoint(eager=True)
+
+
+def _is_ckpt_scan(df: DataFrame) -> bool:
+    """True when the frame IS a bare localCheckpoint scan (logical plan
+    rooted at LogicalRDD) — already materialized, lineage length 1."""
+    try:
+        return (
+            df._jdf.queryExecution().logical().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        return False
 
 
 def _where_over_table_state(df: DataFrame, pred_sql: str, op_col: str):

@@ -416,6 +416,7 @@ def test_maintain_agg_plan_streaming_with_bucket_ttl(spark, tmp_path):
     assert {r["day"] for r in state_box[0].collect()} == {14, 15}
 
 
+@pytest.mark.slow
 def test_maintain_agg_fuzz_vs_python_reference(spark):
     """Randomized (seeded) upsert logs through batch splits: BOTH agg
     plans' accumulated deltas AND final state equal a pure-Python
@@ -701,6 +702,7 @@ def test_maintain_distinct_dispatch_and_guards(spark):
     assert glob.group_cols == []
 
 
+@pytest.mark.slow
 def test_maintain_session_fuzz_vs_python_reference(spark):
     """Randomized (seeded) upsert logs through batch splits: the
     session plan's accumulated deltas AND final result state equal a
@@ -793,6 +795,7 @@ def test_maintain_session_fuzz_vs_python_reference(spark):
             assert final == want, f"session state trial={trial} nb={nb}"
 
 
+@pytest.mark.slow
 def test_maintain_distinct_fuzz_vs_python_reference(spark):
     """Randomized (seeded) upsert logs through batch splits: the
     distinct-agg plan's accumulated deltas equal a pure-Python distinct

@@ -283,6 +283,7 @@ def test_nfa_skip_modes_differ(spark):
         ),
     ],
 )
+@pytest.mark.slow
 def test_nfa_fuzz_split_invariance_vs_reference(spark, skip, pattern, defs):
     """Seeded fuzz: random per-key event soup, three pattern shapes ×
     both skip modes.  The replay (any batch split) must equal the
@@ -728,6 +729,7 @@ def test_nfa_cross_var_first_and_last_nav(spark):
 @pytest.mark.parametrize(
     "skip", ["TO NEXT ROW", "PAST LAST ROW", "TO LAST B"]
 )
+@pytest.mark.slow
 def test_nfa_cross_var_fuzz_vs_reference(spark, skip):
     """Seeded fuzz for cross-variable DEFINEs across ALL skip modes
     (r12 adds TO LAST <var>): random event soup, PATTERN (A B+) with B
@@ -1349,6 +1351,7 @@ def test_nfa_permute_pinned(spark):
 
 
 @pytest.mark.parametrize("skip", ["TO NEXT ROW", "PAST LAST ROW"])
+@pytest.mark.slow
 def test_nfa_alternation_fuzz_vs_reference(spark, skip):
     """Seeded fuzz for alternation (r13): two branches with a
     cross-variable define in the first — replay at any batch split
@@ -1462,6 +1465,7 @@ def test_nfa_match_rowtime(spark):
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.slow
 def test_nfa_random_pattern_fuzz_vs_reference(spark, seed):
     """Grammar-wide seeded fuzz (r13): RANDOM patterns — 1-2
     alternation branches, 2-3 variables each, random quantifiers
@@ -1732,6 +1736,7 @@ def test_nfa_running_measure_guards():
 @pytest.mark.parametrize(
     "skip", ["TO NEXT ROW", "PAST LAST ROW", "TO LAST B"]
 )
+@pytest.mark.slow
 def test_nfa_cross_var_affine_or_fuzz_vs_reference(spark, skip):
     """Seeded fuzz for the r13 surface — ARITHMETIC over navigation
     (affine threshold) OR-combined with a second comparison whose

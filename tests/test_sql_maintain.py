@@ -2346,6 +2346,7 @@ def test_distinct_agg_on_tumble_window(spark):
     ]
 
 
+@pytest.mark.slow
 def test_distinct_agg_window_fuzz_vs_one_shot(spark):
     """r11 (verdict item): the distinct fuzz re-run with a WINDOW
     column — seeded random full-retraction changelog with ts-moving
