@@ -1037,8 +1037,8 @@ def delta_join_changelog(
             how=how, op_col=op_col, seq_col=seq_col,
         )
         state = (
-            state[0].localCheckpoint(eager=True),
-            state[1].localCheckpoint(eager=True),
+            state[0].localCheckpoint(eager=False),
+            state[1].localCheckpoint(eager=False),
         )
         outs.append(out)
     if not outs:
@@ -1333,8 +1333,8 @@ def topn_changelog(
             op_col=op_col, seq_col=seq_col,
         )
         state = (
-            state[0].localCheckpoint(eager=True),
-            state[1].localCheckpoint(eager=True),
+            state[0].localCheckpoint(eager=False),
+            state[1].localCheckpoint(eager=False),
         )
     if state is None:
         _, empty = merge_topn_state(

@@ -415,7 +415,7 @@ def ann_topk_ivf_trained(
     nprobe: int = 2,
 ) -> DataFrame:
     assigned, centroids = kmeans_fit(emb, k, iters)
-    base = assigned.localCheckpoint()  # Lloyd's is driver-iterated; don't replay per join side
+    base = assigned.localCheckpoint(eager=True)  # Lloyd's is driver-iterated; don't replay per join side
 
     carr = _centroid_literals(centroids)
     dist_to = lambda c, v: F.aggregate(  # noqa: E731

@@ -110,7 +110,7 @@ def lsh_pairs(
     # truncate lineage ONCE at the per-doc profile: the UDF pipeline must
     # not re-run across the self-join, and the (large) hashes array is
     # materialized one copy per doc — not once per exploded band replica
-    prof = ss.localCheckpoint()
+    prof = ss.localCheckpoint(eager=False)
     banded = prof.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id",
         F.col("bk.band").alias("band"),
@@ -193,7 +193,7 @@ def lsh_pairs_jvm(
     # pandas path, and its blocks are released by the ContextCleaner
     # when the plan is GC'd — an unmatched .persist() here leaked cached
     # blocks for the session lifetime under repeated bench invocations.
-    prof = docs.select("doc_id", hashes.alias("hashes")).localCheckpoint()
+    prof = docs.select("doc_id", hashes.alias("hashes")).localCheckpoint(eager=False)
     params = minhash_params(bands * rows)
 
     # k permutation-mins over the hash array — all codegen'd JVM HOFs.
@@ -290,7 +290,7 @@ def ngram_jaccard_pairs(
             *block_cols, "doc_id", shingle_profile(F.col("text"), 1, 3).alias("p")
         )
         .select(*block_cols, "doc_id", F.col("p.hashes").alias("sh"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a, b = d.alias("a"), d.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
@@ -379,7 +379,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -407,7 +407,7 @@ def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.coalesce(F.col("parent"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             updated.alias("u")
@@ -437,7 +437,7 @@ def dup_clusters(docs: DataFrame, max_iters: int = 20) -> DataFrame:
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return connected_components(edges, max_iters=max_iters)
 
@@ -811,7 +811,7 @@ def fuzzy_blocked_pairs(
             F.length("text").alias("len"),
         ).filter(F.col("len") >= max_dist + 1),
         "doc_id",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True)
     cand = fuzzy_blocked_candidates(docs, q=q, max_dist=max_dist, pre=base)
     # char-histogram L1 lower bound, computed ONCE per doc: every edit
     # op changes the char bag by at most 2 L1 units (substitution ±1
@@ -835,7 +835,7 @@ def fuzzy_blocked_pairs(
     )
     # materialize once: the a- and b-side joins would otherwise each
     # re-run the histogram UDF (and the source scan) per side
-    texts = texts.localCheckpoint()
+    texts = texts.localCheckpoint(eager=True)
     joined = cand.join(
         texts.select(
             F.col("doc_id").alias("doc_a"),
@@ -929,7 +929,7 @@ def merge_neardup_state(
     order); per-batch work is the batch's band keys equi-joined against
     the state's — batch-driven probe, one bounded verify join."""
     banded_old, hashes_old = state if state is not None else (None, None)
-    prof = shingle_sets(batch_docs, k=bands * rows).localCheckpoint()
+    prof = shingle_sets(batch_docs, k=bands * rows).localCheckpoint(eager=False)
     banded_b = prof.select(
         "doc_id", F.explode(_band_structs(bands, rows)).alias("bk")
     ).select(
@@ -1019,10 +1019,10 @@ def incremental_dedup(
             state, docs.filter(cond), bands, rows, threshold
         )
         state = (
-            state[0].localCheckpoint(eager=True),
-            state[1].localCheckpoint(eager=True),
+            state[0].localCheckpoint(eager=False),
+            state[1].localCheckpoint(eager=False),
         )
-        kept_parts.append(kept.localCheckpoint(eager=True))
+        kept_parts.append(kept.localCheckpoint(eager=False))
     out = kept_parts[0]
     for k in kept_parts[1:]:
         out = out.unionByName(k)

@@ -218,7 +218,7 @@ def token_budget_select(
     per_q = (
         per_s.groupBy("quality")
         .agg(F.sum("tok_sb").alias("tok_q"))
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     tot = per_q.agg(
         F.floor(

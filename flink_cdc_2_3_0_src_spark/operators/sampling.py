@@ -82,7 +82,7 @@ def priority_sample(
     top = (
         keyed.orderBy(F.col("priority_key").desc(), F.col("doc_id"))
         .limit(k + 1)
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     # the frame below is <= k+1 rows: a single-partition window is bounded
     # by construction, not by data size

@@ -409,7 +409,7 @@ def neardup_cosine_lsh(
         .withColumn("bucket", _bucket_udf(dim)(F.col("v")))
         # materialize before the self-join: both join sides otherwise
         # re-run the bucket UDF over the whole corpus
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     a, b = base.alias("a"), base.alias("b")
     return (

@@ -124,7 +124,7 @@ def cms_heavy_hitters(docs: DataFrame, top_k: int = 20, width: int = CMS_WIDTH) 
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .select("tok", "exact_n", poly_hash_expr(F.col("tok")).alias("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cells = cms_cells(vocab, width, weight_col="exact_n")
     exact = vocab.orderBy(F.col("exact_n").desc(), F.col("tok")).limit(top_k)

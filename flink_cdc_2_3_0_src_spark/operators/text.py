@@ -911,7 +911,7 @@ def duplicated_span_hits(
     # assumption the explode was codegen-cheap; profiling falsified it.)
     win = win.select(
         "doc_id", F.col("pos").cast("bigint").alias("pos"), key
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True)
     dup = (
         win.groupBy("key")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -1225,7 +1225,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     # checkpointing per round — round r re-applies r-1 folds to the
     # (vocabulary-bounded) word table, which is far cheaper than one
     # materialization job per round (r13: 2 jobs/round -> 1).
-    base = words.select("w", "cnt", syms.alias("syms")).localCheckpoint()
+    base = words.select("w", "cnt", syms.alias("syms")).localCheckpoint(eager=False)
     cur_syms = F.col("syms")
     out = []
     for rank in range(1, rounds + 1):
